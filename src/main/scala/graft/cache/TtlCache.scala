@@ -1,0 +1,69 @@
+package graft.cache
+
+import graft.core.Schemas.CacheEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** TTL key-value cache as a DataFrame (reference cache.py:45-183).
+  *
+  * The reference's SQLite `cache(key PK, value lz4, stamp)` becomes a
+  * keyed DataFrame; lz4 is a storage codec, not semantics (Parquet
+  * compresses). TTL purge = a filter rewrite run at open
+  * (cache.py:45-51: rows older than 1 month are dropped — the
+  * docstring's "24h" is wrong, code wins).
+  *
+  * `memoize` is the engine's version of the reference's
+  * `enable_cache`-wrapped readers (reader.py:157-175): a left-anti
+  * join finds misses, only those run the fetch, and the union is both
+  * the result and the next cache state — O(misses) fetch work,
+  * set-oriented instead of per-call.
+  */
+final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
+  import spark.implicits._
+
+  private var table: DataFrame = spark.emptyDataset[CacheEntry].toDF()
+
+  def df: DataFrame = table
+
+  def size(): Long = table.count()
+
+  def put(key: String, value: String, stamp: Timestamp = now()): Unit = {
+    val row = Seq(CacheEntry(key, value, stamp)).toDF()
+    table = table.where($"key" =!= key).unionByName(row)
+  }
+
+  def get(key: String): Option[String] =
+    table.where($"key" === key).select($"value").as[String].collect().headOption
+
+  def contains(key: String): Boolean = table.where($"key" === key).limit(1).count() > 0
+
+  def delete(key: String): Unit = table = table.where($"key" =!= key)
+
+  def clear(): Unit = table = spark.emptyDataset[CacheEntry].toDF()
+
+  /** P4: TTL purge rewrite (cache.py:45-51). */
+  def purgeExpired(asOf: Timestamp = now()): Unit =
+    table = table.where($"stamp" >= lit(asOf) - expr(s"INTERVAL $ttlDays DAYS"))
+
+  /** Memoized fetch: hits from the table, misses via `fetch`, both
+    * returned and the misses appended to the cache.
+    */
+  def memoize(keys: DataFrame, fetch: String => String): DataFrame = {
+    val k = keys.select($"key").distinct()
+    val hits = k.join(table, Seq("key"), "inner").select($"key", $"value")
+    val misses = k.join(table, Seq("key"), "left_anti")
+    val fetchUdf = udf(fetch)
+    val fetched = misses.select($"key", fetchUdf($"key").as("value"))
+    val stamped = fetched.withColumn("stamp", current_timestamp())
+    table = table.unionByName(stamped)
+    hits.unionByName(fetched)
+  }
+
+  def load(path: String): Unit = table = spark.read.parquet(path)
+  def save(path: String): Unit =
+    table.write.mode("overwrite").parquet(path)
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+}

@@ -1,0 +1,203 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * as a shuffle-frugal DataFrame transform:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint — one shuffle on
+  *    a 128-bit key, no pairwise work, embarrassing scale;
+  *  - MinHash + LSH: shingle → minhash signature → band buckets →
+  *    equi-join on (band, bucket) → exact-Jaccard verify. Candidate
+  *    generation is an equi-join (shuffle on bucket id), never a
+  *    cross join — the standard 100 TB near-dup shape;
+  *  - SimHash: 64-bit signature; near-dup = small Hamming distance,
+  *    banded into 4×16-bit keys so candidates are again an equi-join;
+  *  - n-gram Jaccard: exact pairwise similarity via an inverted
+  *    shingle index (explode → self-equi-join → group), the oracle for
+  *    the approximate paths;
+  *  - embedding cosine: blocked pairwise cosine (block key = caller's
+  *    choice, e.g. a cluster/label column or LSH bucket) — never a
+  *    full cross join.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → (keepId, groupSize). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Exact dedup: keep the lowest id per fingerprint. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word w-shingles as a distinct array column (codegen'd, no UDF). */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - w),
+      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via an inverted shingle
+    * index: explode shingles, self-equi-join on the shingle, count
+    * intersections per pair, fetch set sizes. Only pairs sharing ≥1
+    * shingle are ever materialized.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, w: Int,
+                   threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), wordShingles(col(textCol), w).as("shs"))
+      .where(size(col("shs")) > 0)
+    val sizes = sh.select(col("doc"), size(col("shs")).as("n"))
+    val ex = sh.select(col("doc"), explode(col("shs")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc"))
+      .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  // ------------------------------------------------------------- MinHash
+  /** Seeded universal-hash parameters for the minhash family
+    * h_i(x) = ((a_i·x + b_i) mod p), p = 2^61 - 1.
+    */
+  private val MersenneP = (1L << 61) - 1
+
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (MersenneP - 1) + 1,
+        math.abs(rnd.nextLong()) % MersenneP))
+  }
+
+  /** `(a·x) mod (2^61-1)` via 128-bit multiply + Mersenne folding:
+    * with `prod = hi·2^64 + lo`, `2^64 ≡ 8` and `2^61 ≡ 1 (mod p)`,
+    * so `prod ≡ hi·8 + (lo >>> 61) + (lo & p)`. `hi < 2^58`, so no
+    * intermediate overflows.
+    */
+  @inline private def mulModP(a: Long, x: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, x)
+    val lo = a * x
+    var r = (hi << 3) + (lo >>> 61) + (lo & MersenneP)
+    r = (r & MersenneP) + (r >>> 61)
+    if (r >= MersenneP) r - MersenneP else r
+  }
+
+  /** MinHash signature of a shingle-hash array. */
+  def minhashSignatureUdf(numHashes: Int, seed: Long = 42L):
+      org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val params = hashParams(numHashes, seed)
+    udf { (hashes: Array[Long]) =>
+      if (hashes == null || hashes.isEmpty) Array.empty[Long]
+      else params.map { case (a, b) =>
+        var mn = Long.MaxValue
+        hashes.foreach { h =>
+          val x = java.lang.Long.remainderUnsigned(h, MersenneP)
+          var hv = mulModP(a, x) + b
+          if (hv >= MersenneP) hv -= MersenneP
+          if (hv < mn) mn = hv
+        }
+        mn
+      }
+    }
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signature split into
+    * `bands` bands of `rows` hashes; docs sharing any band bucket are
+    * candidates; candidates verified with exact Jaccard over the
+    * shingle sets. Every join is an equi-join.
+    */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            w: Int = 3, bands: Int = 16, rows: Int = 4,
+                            threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rows
+    val sh = df.select(col(idCol).as("doc"),
+        TextAnalysis.shingleHashesUdf(col(textCol), lit(w)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sig = sh.withColumn("sig", minhashSignatureUdf(numHashes, seed)(col("hs")))
+    // band key = hash of the band's slice of the signature
+    val banded = sig.select(col("doc"), col("hs"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        col("a.hs").as("h1"), col("b.hs").as("h2"))
+      .dropDuplicates("d1", "d2")
+    val jacUdf = udf { (h1: Array[Long], h2: Array[Long]) =>
+      val s1 = h1.toSet; val s2 = h2.toSet
+      val inter = s1.intersect(s2).size
+      inter.toDouble / (s1.size + s2.size - inter)
+    }
+    cand.select(col("d1"), col("d2"), jacUdf(col("h1"), col("h2")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over token hashes. */
+  val simhash64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val h = TextAnalysis.fnv1a64(t)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded
+    * into 4×16-bit sub-keys (pigeonhole: distance ≤ 3 ⇒ at least one
+    * identical 16-bit quarter) so candidates come from an equi-join.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("doc"),
+      Dedup.simhash64Udf(col(textCol)).as("sh"))
+    val banded = sig.select(col("doc"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("dist"))
+      .dropDuplicates("d1", "d2")
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocks (block = any
+    * equi-join key: cluster id, label, LSH bucket). Never a full cross
+    * join; at 100 TB the block key comes from a coarse quantizer.
+    */
+  def cosinePairsBlocked(df: DataFrame, vecCol: String, idCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("d2"), col(vecCol).as("v2"))
+    a.join(b, Seq("blk")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosineSimD(col("v1"), col("v2")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — at scale this is
+  * broadcast(queries) ⨯ corpus-scan with a per-partition heap
+  * (window rank), which parallelizes linearly and never shuffles the
+  * corpus vectors. The scale path is LSH bucketing (random
+  * hyperplanes): corpus and queries hash to signature buckets, the
+  * join becomes an equi-join on (band, key), and only bucket-mates
+  * are scored — the standard recall/cost dial at 100 TB (probe more
+  * bands for recall).
+  */
+object Similarity {
+
+  /** Brute-force batched top-k: for each query row, the k nearest
+    * corpus rows by cosine. `queries` must be small enough to
+    * broadcast (driver batch); output (qid, nid, sim, rk).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("nid") =!= col("qid") else lit(true))
+    val scored = joined.select(col("qid"), col("nid"),
+      cosineSimD(col("nv"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Signed random hyperplane signature: `planes(seed)` rows of
+    * Gaussian-ish hyperplanes; bit i = sign(dot(v, plane_i)).
+    */
+  def hyperplaneSigUdf(dim: Int, bits: Int, seed: Long = 42L):
+      org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    udf { (v: Array[Float]) =>
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        val p = planes(b)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { s += p(i) * v(i); i += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one b-bit band of the
+    * hyperplane signature (equi-join on (band, key)); candidates are
+    * re-scored exactly and ranked per query. Approximate: recall
+    * depends on bands×bits; verify against [[bruteForceTopK]].
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, dim: Int, bands: Int = 8,
+              bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val bits = bands * bitsPerBand
+    require(bits <= 64, "signature must fit in 64 bits")
+    val sigUdf = hyperplaneSigUdf(dim, bits, seed)
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec), sigUdf(col(vec)).as("sig"))
+        .select(col(id), col(vec), posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val c = banded(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv")
+    val q = banded(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv")
+    val cand = c.join(broadcast(q), Seq("band", "key"))
+      .where(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      cosineSimD(col("nv"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

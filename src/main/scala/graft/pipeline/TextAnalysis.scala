@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis columns for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) so they pushdown/
+  * prune/scale like any other projection.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split to match the corpus shape
+    * and the DuckDB oracle (`string_split(text, ' ')`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count approximation: runs of letters, digits
+    * one-by-one, or single non-space symbols — a deterministic regex
+    * proxy for a real tokenizer's piece count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " ")).cast(LongType)
+
+  /** Mean characters per token — `n_chars / n_tokens` in double. */
+  def charsPerToken(text: Column, nChars: Column): Column =
+    round(nChars.cast(DoubleType) / tokenCount(text), 4)
+
+  private val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  def stopwordRatio(text: Column): Column =
+    round(size(filter(tokens(text), t => t.isInCollection(StopwordsEn)))
+      .cast(DoubleType) / size(tokens(text)), 4)
+
+  /** Punctuation density over characters. */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast(DoubleType) / length(text), 4)
+
+  /** Composite quality score in [0,1]: length saturation × running
+    * prose-likeness. Deterministic arithmetic only, so engines agree.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSat = least(lit(1.0), tokenCount(text).cast(DoubleType) / lit(100.0))
+    val stop = size(filter(tokens(text), t => t.isInCollection(StopwordsEn)))
+      .cast(DoubleType) / size(tokens(text))
+    round(lenSat * (lit(0.5) + lit(0.5) * least(lit(1.0), stop * lit(5.0))), 4)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable across engines (DuckDB `md5()` agrees), ideal exact
+    * near-dup key at scale (hash-groupBy, no pairwise work).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast(BinaryType))
+
+  /** 64-bit FNV-1a over UTF-8 — shared by SimHash/MinHash so
+    * signatures are stable across runs and engines.
+    */
+  private[pipeline] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes("UTF-8")
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Language ID by stopword-profile hit ratio — an n-gram-free
+    * heuristic over a small built-in function-word table. Returns the
+    * best-scoring language code or "und".
+    */
+  private val LangProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "for", "that", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Set("el", "la", "los", "y", "es", "no", "un", "una", "para", "en"),
+    "zh" -> Set("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) ("und", 0.0)
+      else {
+        val scores = LangProfiles.view.mapValues(p =>
+          toks.count(p.contains).toDouble / toks.length).toMap
+        val (lang, score) = scores.maxBy { case (l, s) => (s, l) }
+        if (score == 0.0) ("und", 0.0) else (lang, score)
+      }
+    }
+
+  /** Rolling polynomial hash fingerprints of token w-shingles
+    * (Rabin-Karp style) — the building block for content-defined
+    * near-dup detection.
+    */
+  val shingleHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) =>
+      val toks = Option(text).getOrElse("").split(" ")
+      if (toks.length < w) Array.empty[Long]
+      else (0 to toks.length - w).map { i =>
+        var h = 0L
+        var j = i
+        while (j < i + w) { h = h * 1099511628211L + fnv1a64(toks(j)); j += 1 }
+        h
+      }.toArray
+    }
+}

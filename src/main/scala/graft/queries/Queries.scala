@@ -1,0 +1,578 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's query surface as (SparkSession, sfDir) => DataFrame
+  * builders plus, for every SQL-expressible query, an equivalent
+  * DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (so hashes match bit-for-bit):
+  *  - money aggregates go through DECIMAL(18,2) → exact, summation
+  *    order irrelevant;
+  *  - integer-valued double sums (quantities, counts) are exact in
+  *    double — no rounding needed;
+  *  - vector math folds sequentially in double, mirroring
+  *    `list_reduce(list_transform(...))` with explicit DOUBLE casts;
+  *  - every query ends in a fully deterministic ORDER BY;
+  *  - result column names and types are aligned (BIGINT for counts,
+  *    sizes and row_numbers).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long and truncate to micros — the
+    // same truncation DuckDB applies converting NS → its native
+    // microsecond timestamps, so oracle comparisons agree.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else acc
+    }
+  }
+
+  private val dec = DecimalType(18, 2)
+
+  /** Money expression `price * (1 - discount)` in exact decimal. */
+  private def revenue: Column =
+    col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
+
+  /** DuckDB fragment for the same revenue expression. */
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
+    * sequential double accumulation (bit-equal to CosineSimD).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
+
+  // ===================================================== analytics =====
+
+  val analytics: Map[String, Q] = Map(
+    "q1_agg" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(38, 4)).as("sum_base_price"),
+          sum(revenue).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_topn_revenue" -> ((s, d) => {
+      val c = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, d, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = tbl(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, d) => {
+      val l = tbl(s, d, "lineitem")
+      val o = tbl(s, d, "orders")
+      val c = tbl(s, d, "customer")
+      val n = tbl(s, d, "nation")
+      val r = tbl(s, d, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_topn_orders" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "events_json_agg" -> ((s, d) =>
+      tbl(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    "events_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val brk = when(gap.isNull || gap > lit(1800L * 1000000L), lit(1)).otherwise(lit(0))
+      val sid = sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      tbl(s, d, "events")
+        .withColumn("sid", sid)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "events_hourly" -> ((s, d) =>
+      tbl(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "cache_ttl_purge" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .where(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "history_window" -> ((s, d) =>
+      tbl(s, d, "events")
+        .where(col("user_id") === 7)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))),
+
+    "latest_event" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      tbl(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("event_type"))
+    }))
+
+  val analyticsSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
+         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topn_revenue" ->
+      s"""SELECT l_orderkey,
+         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, r_name,
+         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS revenue
+         |FROM lineitem, orders, customer, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |GROUP BY n_name, r_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topn_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "events_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cache_ttl_purge" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "history_window" ->
+      """SELECT event_id, ts, event_type FROM (
+        |  SELECT * FROM events WHERE user_id = 7
+        |  ORDER BY ts DESC, event_id DESC LIMIT 20) t
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "latest_event" ->
+      """SELECT event_type, event_id, ts FROM (
+        |  SELECT event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin)
+
+  // ======================================================= vector ======
+
+  val vector: Map[String, Q] = Map(
+    "vdb_topk_cosine" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosineSimD(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(3)
+    }),
+
+    "vdb_get_byid" -> ((s, d) =>
+      tbl(s, d, "embeddings").where(col("vec_id") === 42)
+        .select(col("vec_id"), col("label"))),
+
+    "vdb_ls" -> ((s, d) =>
+      tbl(s, d, "embeddings")
+        .select(col("vec_id").as("id"), size(col("embedding")).cast(LongType).as("dim"),
+          col("label"))
+        .orderBy(col("id"))),
+
+    "vdb_delete_byid" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val del = emb.sparkSession.range(1, 2).select(col("id").as("vec_id"))
+      emb.join(broadcast(del), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "vdb_dump" -> ((s, d) =>
+      tbl(s, d, "embeddings")
+        .where(col("vec_id").isin(1L, 2L, 3L, 5L, 8L, 13L))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
+    "embed_norms" -> ((s, d) =>
+      tbl(s, d, "embeddings")
+        .select(col("vec_id"), l2NormD(col("embedding")).as("nrm"))
+        .orderBy(col("vec_id"))),
+
+    "ann_topk_batch" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val out = graft.pipeline.Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), col("embedding")),
+        emb.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", k = 5)
+      out.select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "embed_neardup_cosine" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      graft.pipeline.Dedup.cosinePairsBlocked(
+        emb.select(col("vec_id"), col("embedding"), col("label")),
+        "embedding", "vec_id", "label", threshold = 0.4)
+        .select(col("d1").as("v1"), col("d2").as("v2"), col("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }))
+
+  val vectorSql: Map[String, String] = Map(
+    "vdb_topk_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim
+         |FROM embeddings e, q
+         |ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin,
+
+    "vdb_get_byid" ->
+      "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
+
+    "vdb_ls" ->
+      """SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim, label
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "vdb_delete_byid" ->
+      "SELECT count(*) AS n FROM embeddings WHERE vec_id <> 1",
+
+    "vdb_dump" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id IN (1, 2, 3, 5, 8, 13) ORDER BY vec_id""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "ann_topk_batch" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "embed_neardup_cosine" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, sim FROM p WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin)
+
+  // ========================================================= text ======
+
+  private val stopwordsSqlList = "('the','a','of','and','to','in','is','for','on','with')"
+
+  val text: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) =>
+      graft.pipeline.Dedup.exactGroups(tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("fp"))),
+
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      graft.pipeline.Dedup.jaccardPairs(tbl(s, d, "documents"), "text", "doc_id",
+        w = 3, threshold = 0.2)
+        .orderBy(col("d1"), col("d2"))),
+
+    "text_tokens" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.pipeline.TextAnalysis.charsPerToken(col("text"), col("n_chars")).as("chars_per_token"),
+          graft.pipeline.TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))))
+
+  val textSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = d1
+        |JOIN sz sb ON sb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  round(CAST(n_chars AS DOUBLE) / len(ws), 4) AS chars_per_token,
+         |  round(CAST(len(list_filter(ws, w -> w IN $stopwordsSqlList)) AS DOUBLE) / len(ws), 4) AS stopword_ratio,
+         |  round(least(1.0, len(ws) / 100.0)
+         |    * (0.5 + 0.5 * least(1.0,
+         |        (CAST(len(list_filter(ws, w -> w IN $stopwordsSqlList)) AS DOUBLE) / len(ws)) * 5.0)), 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // ============================== engine ops (rows-only checks) ========
+
+  val ops: Map[String, Q] = Map(
+    "lang_id" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.pipeline.TextAnalysis.langIdUdf(col("text")).as("pred"))
+        .select(col("doc_id"), col("lang"), col("pred._1").as("lang_pred"),
+          round(col("pred._2"), 4).as("lang_score"))
+        .orderBy(col("doc_id"))),
+
+    "minhash_pairs" -> ((s, d) =>
+      graft.pipeline.Dedup.minhashCandidatePairs(
+        tbl(s, d, "documents"), "text", "doc_id",
+        w = 3, bands = 16, rows = 4, threshold = 0.2)
+        .orderBy(col("d1"), col("d2"))),
+
+    "simhash_pairs" -> ((s, d) =>
+      graft.pipeline.Dedup.simhashPairs(
+        tbl(s, d, "documents"), "text", "doc_id", maxDist = 12)
+        .orderBy(col("d1"), col("d2"))),
+
+    "lsh_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      graft.pipeline.Similarity.lshTopK(
+        emb.select(col("vec_id"), col("embedding")),
+        emb.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", k = 5, dim = 64)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "chunk_stats" -> ((s, d) => {
+      val chunkUdf = udf((t: String) =>
+        graft.core.Chunker.chunkContent(t.replace(' ', '\n'), 100L).length.toLong)
+      tbl(s, d, "documents")
+        .select(col("doc_id"), chunkUdf(col("text")).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mapreduce_fold" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+        .where(col("doc_id") < 20)
+        .orderBy(col("doc_id"))
+        .select(col("source"), col("text"))
+        .collect()
+        .map(r => (r.getString(0), graft.core.Wrap.FileChunk, r.getString(1)))
+      val engine = new graft.mapreduce.MapReduceEngine(
+        graft.mapreduce.LossyEchoFunctor(2), chunkSize = 1024L)
+      val chunks = s.createDataset(engine.chunkEntries(docs.toIndexedSeq))
+      val result = engine.run(s, chunks)
+      s.createDataset(Seq((result.length.toLong, result))).toDF("len", "result")
+    }),
+
+    "store_retrieve" -> ((s, d) => {
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft_vs").toString + "/store"
+      val store = new graft.store.VectorStore(s, path, dim = 64)
+      val docs = tbl(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("source"), col("text"))
+      val embedded = graft.embed.Embed.embedColumn(
+        docs, graft.embed.HashEmbedding(64), "text", "vector")
+      store.add(embedded)
+      val ret = new graft.retrieve.Retrieval(s, graft.embed.HashEmbedding(64), store)
+      ret.retrieveFromDb("spark filter join", topk = 5).toDF()
+        .select(round(col("sim"), 6).as("sim"), col("source"), col("text"))
+    }),
+
+    "memory_context" -> ((s, d) => {
+      val log = new graft.memory.MessageLog(s, graft.embed.LengthEmbedding)
+      Seq(
+        ("m1", "conv-1", "user", "hello world", 1700000000L),
+        ("m2", "conv-1", "assistant", "hi there, how can I help", 1700000010L),
+        ("m3", "conv-1", "user", "tell me about spark aggregation", 1700000020L),
+        ("m4", "conv-2", "user", "unrelated conversation", 1700000030L)
+      ).foreach { case (id, c, r, t, ts) => log.append(id, c, r, t, ts) }
+      log.context("hello", Some("conv-1"), topK = 2)
+        .select(round(col("score"), 6).as("score"), col("id"), col("role"),
+          col("text"), col("timestamp"))
+    }),
+
+    "multimodal_features" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+      graft.pipeline.Multimodal.extractFeatures(media, featDim = 8)
+        .select(col("id"), col("kind"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy(col("id"))
+    }),
+
+    "stream_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the streaming file source wants a directory: stage the table file
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        stageDir.resolve("events.parquet"))
+      val raw = s.readStream.schema(rawSchema).parquet(stageDir.toString)
+      val sdf =
+        if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = sdf.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(qn)
+        .select(col("hour"), col("event_type"), col("n"),
+          round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }))
+
+  /** stream_hourly is oracle-checkable: complete-mode streaming over a
+    * static source must equal the batch aggregation.
+    */
+  val opsSql: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  // ======================================================== union ======
+
+  val all: Map[String, Q] = analytics ++ vector ++ text ++ ops
+
+  val allSql: Map[String, String] = analyticsSql ++ vectorSql ++ textSql ++ opsSql
+}
