@@ -169,6 +169,8 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded
     * into 4×16-bit sub-keys (pigeonhole: distance ≤ 3 ⇒ at least one
     * identical 16-bit quarter) so candidates come from an equi-join.
+    * Recall is exact only for maxDist ≤ 3; beyond that the band join
+    * is a candidate filter (raise the band count for higher budgets).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {

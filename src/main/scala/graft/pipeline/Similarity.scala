@@ -63,8 +63,8 @@ object Similarity {
     * depends on bands×bits; verify against [[bruteForceTopK]].
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, dim: Int, bands: Int = 8,
-              bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+              idCol: String, k: Int, dim: Int, bands: Int = 16,
+              bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val bits = bands * bitsPerBand
     require(bits <= 64, "signature must fit in 64 bits")
     val sigUdf = hyperplaneSigUdf(dim, bits, seed)

@@ -1,0 +1,111 @@
+package graft.memory
+
+import graft.SparkTestBase
+import graft.cache.TtlCache
+import graft.embed.LengthEmbedding
+
+/** Ports the conversation-memory fixtures (tests/test_vector_service.py:
+  * 86-162) and the context-injection contract
+  * (tests/test_frontend.py:86-120), plus cache dict-protocol coverage
+  * (tests/test_cache.py:24-183).
+  */
+class MemorySpec extends SparkTestBase {
+
+  test("save → context flow with FakeEmbedder semantics") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    log.append("m1", "conv-1", "user", "hello world", 1700000000L)
+    val ctx = log.context("hello", Some("conv-1"), topK = 5).collect()
+    assert(ctx.length == 1)
+    val row = ctx.head
+    assert(row.getAs[String]("text") == "hello world")
+    assert(row.getAs[String]("role") == "user")
+    assert(row.getAs[String]("conversationId") == "conv-1")
+  }
+
+  test("role outside {user, assistant} rejected (app.py:195-197)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    intercept[IllegalArgumentException](
+      log.append("m1", "c", "system", "x", 0L))
+  }
+
+  test("conversation filter applies before top-k (P6)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    log.append("m1", "conv-1", "user", "aaaaa", 1L)
+    log.append("m2", "conv-2", "user", "aaaaa", 2L)
+    val ctx = log.context("aaaaa", Some("conv-2"), topK = 10).collect()
+    assert(ctx.map(_.getAs[String]("id")).toSeq == Seq("m2"))
+  }
+
+  test("lastN returns chronological tail (app.py:341-349)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    (1 to 30).foreach(i =>
+      log.append(s"m$i", "c", if (i % 2 == 0) "assistant" else "user", s"t$i", i.toLong))
+    val last = log.lastN("c", 20).collect()
+    assert(last.length == 20)
+    assert(last.head.getAs[Long]("timestamp") == 11L)
+    assert(last.last.getAs[Long]("timestamp") == 30L)
+  }
+
+  test("deleteConversation removes only that conversation (M5/J2)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    log.append("m1", "c1", "user", "x", 1L)
+    log.append("m2", "c2", "user", "y", 2L)
+    log.deleteConversation("c1")
+    assert(log.export("c1").count() == 0)
+    assert(log.export("c2").count() == 1)
+  }
+
+  test("context injection: system message at [-2], 512-char truncation, cleared contract") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    val longText = "z" * 600
+    val prompt = log.contextPrompt(Seq(
+      ("user", Some(0.87654), "hello\nworld"),
+      ("assistant", None, longText))).get
+    val lines = prompt.split("\n")
+    assert(lines.head.startsWith("You have access to the following retrieved"))
+    assert(lines(1) == "1. user (score=0.877): hello world")
+    assert(lines(2).startsWith("2. assistant: " + "z" * 509 + "..."))
+    assert(lines(2).length == "2. assistant: ".length + 512)
+    assert(lines.last == "If none of the snippets apply, continue normally.")
+    val session = Seq("system" -> "sys", "user" -> "q1",
+      "assistant" -> "a1", "user" -> "q2")
+    val injected = log.injectContext(session, Some(prompt))
+    assert(injected.length == 5)
+    assert(injected(injected.length - 2) == ("system" -> prompt))
+    assert(injected.last == ("user" -> "q2"))
+    // no injection when last turn isn't user
+    assert(log.injectContext(session.init, Some(prompt)) == session.init)
+  }
+
+  test("cache: put/get/delete/contains/size/clear + TTL purge") {
+    val c = new TtlCache(spark, ttlDays = 30)
+    c.put("k1", "v1")
+    c.put("k2", "v2")
+    assert(c.size() == 2)
+    assert(c.get("k1").contains("v1"))
+    assert(c.contains("k2"))
+    c.put("k1", "v1b") // upsert
+    assert(c.size() == 2)
+    assert(c.get("k1").contains("v1b"))
+    c.delete("k2")
+    assert(!c.contains("k2"))
+    val old = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    c.put("stale", "x", old)
+    c.purgeExpired()
+    assert(!c.contains("stale"))
+    assert(c.contains("k1"))
+    c.clear()
+    assert(c.size() == 0)
+  }
+
+  test("cache memoize: misses fetched once, hits served from table") {
+    import spark.implicits._
+    val c = new TtlCache(spark)
+    c.put("a", "cached_a")
+    val keys = spark.createDataset(Seq("a", "b")).toDF("key")
+    val out = c.memoize(keys, k => s"fetched_$k").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "cached_a", "b" -> "fetched_b"))
+    assert(c.get("b").contains("fetched_b"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Sanity + planted-duplicate oracles for the dedup/similarity
+  * operators (the SQL-oracled paths are covered by the driver gate;
+  * these cover the approximate paths on data with known near-dups).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def plantedDocs() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // 1-token change
+    val other = "completely different content about spark query engines and columnar formats"
+    spark.createDataset(Seq(
+      (0L, base), (1L, nearDup), (2L, other),
+      (3L, base), // exact dup of 0
+      (4L, "unrelated short text here")
+    )).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per fingerprint") {
+    val survivors = Dedup.dropExactDups(plantedDocs(), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("jaccard pairs find the planted near-dup and the exact dup") {
+    val pairs = Dedup.jaccardPairs(plantedDocs(), "text", "doc_id", w = 3, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup, jac = 1
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH surfaces the same planted pairs with verified jaccard") {
+    val pairs = Dedup.minhashCandidatePairs(plantedDocs(), "text", "doc_id",
+      w = 3, bands = 16, rows = 4, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: exact dup at distance 0; band join consistent with signatures") {
+    val docs = plantedDocs()
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue)).toMap
+    assert(pairs((0L, 3L)) == 0L)
+    // signature-level ground truth: any pair within maxDist=3 MUST be
+    // found (pigeonhole guarantee of the 4×16-bit banding)
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64Udf(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- sigs.keys; b <- sigs.keys if a < b) {
+      val dist = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if (dist <= 3) assert(pairs.contains((a, b)), s"missed pair ($a,$b) dist=$dist")
+    }
+  }
+
+  test("LSH ANN recalls most brute-force neighbors on real embeddings") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5, dim = 64)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall degenerate: $recall") // sanity floor
+  }
+
+  test("multimodal plumbing: features deterministic, frames sampled at spacing") {
+    val media = Multimodal.synthetic(spark, 30)
+    val feats = Multimodal.extractFeatures(media, featDim = 8)
+    assert(feats.count() == 30)
+    val f1 = feats.orderBy("id").select("features").collect()
+      .map(_.getSeq[Float](0))
+    val f2 = Multimodal.extractFeatures(media, featDim = 8)
+      .orderBy("id").select("features").collect().map(_.getSeq[Float](0))
+    assert(f1.toSeq == f2.toSeq)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    val perVideo = frames.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durations = media.where(col("kind") === "video")
+      .select("id", "durationMs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    durations.foreach { case (id, dur) =>
+      assert(perVideo(id) == (dur - 1) / 1000 + 1)
+    }
+  }
+
+  test("langId picks a deterministic language with profile words present") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      (0L, "the cat is on the mat and it is warm"),
+      (1L, "der hund ist nicht auf der matte und das ist gut"),
+      (2L, "xyzzy plugh qwertz"))).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langIdUdf(col("text")).getField("_1").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+    assert(out(2) == "und")
+  }
+}
