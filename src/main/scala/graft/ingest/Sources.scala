@@ -1,0 +1,223 @@
+package graft.ingest
+
+import graft.core.{PyText, Wrap}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+
+/** One readable source entry: spec + content + its wrap templates
+  * (the reference's `Entry` with closures-as-data — SURVEY.md §1.1).
+  */
+final case class SourceEntry(path: String, content: String,
+                             template: String, chunkTemplate: String) {
+  def wrapped: String = Wrap.wrapContent(template, path, content)
+}
+
+/** Pluggable HTTP boundary (S5). The build environment has zero
+  * egress, so the default fetcher refuses; tests inject fixtures.
+  * `fetchWithRetry` reproduces the reference's 3×5s tenacity policy
+  * (reader.py:390-391,486-487).
+  */
+trait HttpFetcher extends Serializable {
+  def fetch(url: String): String
+
+  def fetchWithRetry(url: String, attempts: Int = 3,
+                     waitMs: Long = 5000L): String = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return fetch(url)
+      catch {
+        case t: Throwable =>
+          last = t
+          i += 1
+          if (i < attempts) Thread.sleep(waitMs)
+      }
+    }
+    throw last
+  }
+}
+
+object NoNetworkFetcher extends HttpFetcher {
+  override def fetch(url: String): String =
+    throw new UnsupportedOperationException(
+      s"network disabled in this environment; cannot fetch $url")
+}
+
+final case class FixtureFetcher(pages: Map[String, String]) extends HttpFetcher {
+  override def fetch(url: String): String =
+    pages.getOrElse(url, throw new java.io.FileNotFoundException(url))
+}
+
+/** Multi-source document reader — the engine's S1–S15 surface
+  * (reference reader.py `read` dispatcher, reader.py:766-1032).
+  * Local sources are real; network sources run through the injected
+  * [[HttpFetcher]] (same dispatch + wrap-template contract).
+  */
+final class SourceRegistry(spark: SparkSession,
+                           fetcher: HttpFetcher = NoNetworkFetcher) {
+  import spark.implicits._
+
+  /** S15: unified spec dispatch. */
+  def read(spec: String): Dataset[SourceEntry] = {
+    val f = new java.io.File(spec)
+    if (f.exists && f.isFile) readFile(spec)
+    else if (f.exists && f.isDirectory) readDirectory(spec)
+    else if (Seq("file://", "http://", "https://").exists(spec.startsWith))
+      readUrl(spec)
+    else if (spec.startsWith("cmd:")) readCmd(spec.stripPrefix("cmd:"))
+    else if (spec == "stdin" || spec == "-") readStdin()
+    else throw new java.io.FileNotFoundException(
+      s"File or resource ${PyText.pyRepr(spec)} not recognized")
+  }
+
+  /** S1/S3: whole file as one entry (UTF-8 text; undecodable → empty,
+    * reader.py:225-239,336-350).
+    */
+  def readFile(path: String): Dataset[SourceEntry] =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .map { r =>
+        SourceEntry(SourceRegistry.stripScheme(r.getString(0)),
+          SourceRegistry.decodeUtf8OrEmpty(r.getAs[Array[Byte]](1)),
+          Wrap.File, Wrap.FileChunk)
+      }
+
+  /** S4: recursive directory walk; `.git`/`__pycache__` subtrees
+    * pruned; unsupported (non-UTF-8) files become empty entries
+    * (reader.py:353-376). Distributed: the binaryFile source lists and
+    * reads files across executors; the skiplist is a path filter.
+    */
+  def readDirectory(path: String): Dataset[SourceEntry] = {
+    val skip = Seq(".git", "__pycache__")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(col("path"), col("content"))
+      .filter(r => !skip.exists(s =>
+        SourceRegistry.stripScheme(r.getString(0)).split('/').contains(s)))
+      .map { r =>
+        SourceEntry(SourceRegistry.stripScheme(r.getString(0)),
+          SourceRegistry.decodeUtf8OrEmpty(r.getAs[Array[Byte]](1)),
+          Wrap.File, Wrap.FileChunk)
+      }
+  }
+
+  /** S5: URL fetch through the boundary; HTML stripped + blank-line
+    * squeeze (reader.py:455-467).
+    */
+  def readUrl(url: String): Dataset[SourceEntry] = {
+    val raw = fetcher.fetchWithRetry(url)
+    val content =
+      if (looksLikeHtml(raw)) PyText.squeezeBlankLines(stripHtml(raw))
+      else raw
+    spark.createDataset(Seq(SourceEntry(url, content, Wrap.Url, Wrap.UrlChunk)))
+  }
+
+  /** S6: command output, lines rstripped (reader.py:544-549). */
+  def readCmd(cmd: String): Dataset[SourceEntry] = {
+    val out = scala.sys.process.Process(Seq("sh", "-c", cmd)).!!
+    val content = PyText.splitLines(out).map(_.replaceAll("\\s+$", ""))
+      .mkString("\n").stripSuffix("\n")
+    spark.createDataset(Seq(SourceEntry(cmd, content, Wrap.Cmd, Wrap.CmdChunk)))
+  }
+
+  /** S12: stdin (driver-side). */
+  def readStdin(): Dataset[SourceEntry] = {
+    val content = scala.io.Source.stdin.getLines()
+      .map(_.replaceAll("\\s+$", "")).mkString("\n")
+    spark.createDataset(Seq(
+      SourceEntry("stdin", content, Wrap.Stdin, Wrap.StdinChunk)))
+  }
+
+  /** U2: multi-spec accumulation in CLI order (cli.py:236-263) —
+    * union in spec order with a stable `ord`.
+    */
+  def readMany(specs: Seq[String]): DataFrame =
+    specs.zipWithIndex.map { case (spec, i) =>
+      read(spec).withColumn("specOrd", lit(i))
+    }.reduce(_ unionByName _)
+
+  private def looksLikeHtml(s: String): Boolean = {
+    val head = s.take(512).toLowerCase
+    head.contains("<html") || head.contains("<!doctype html")
+  }
+
+  /** Minimal tag-strip stand-in for the reference's BeautifulSoup
+    * `get_text()` (reader.py:461-466) — script/style dropped, tags
+    * removed, entities for the common five.
+    */
+  private def stripHtml(html: String): String = {
+    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
+    val noTags = noScript.replaceAll("(?s)<[^>]+>", "")
+    noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").trim
+  }
+}
+
+/** Executor-side helpers — kept outside [[SourceRegistry]] so map
+  * closures don't capture the (non-serializable) session holder.
+  */
+object SourceRegistry {
+  def stripScheme(p: String): String = p.stripPrefix("file:")
+
+  /** F12: strict UTF-8 decodability sniff (reader.py:225-239) —
+    * undecodable content becomes an empty entry, not an error.
+    */
+  def decodeUtf8OrEmpty(bytes: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => "" }
+  }
+}
+
+/** F10: the ldo range-spec expansion (reader.py:586-641):
+  * `name/year/month` with `,` lists, `:` inclusive ranges, month `:`
+  * alone = 01..12, zero-padded months; Cartesian product in
+  * name-major order. Pure; feed the result to `explode` for the
+  * distributed fetch fan-out (S8/S9).
+  */
+object SpecExpansion {
+  def expand(spec: String): Seq[String] = {
+    val parts = spec.split("/", -1)
+    require(parts.length == 3, s"spec must be name/year/month: $spec")
+    val Array(name, year, month) = parts
+    if (!Seq(name, year, month).exists(p => p.contains(',') || p.contains(':')))
+      return Seq(spec)
+    require(!name.contains(':'), s"""Does not know how to expand "$name".""")
+    val names = if (name.contains(',')) name.split(",").toSeq else Seq(name)
+    val years =
+      if (year.contains(':')) {
+        val Array(a, b) = year.split(":")
+        (a.toInt to b.toInt).map(_.toString)
+      } else if (year.contains(',')) year.split(",").toSeq
+      else Seq(year)
+    val months =
+      if (month == ":") (1 to 12).map(m => f"$m%02d")
+      else if (month.contains(':')) {
+        val Array(a, b) = month.split(":")
+        (a.toInt to b.toInt).map(m => f"$m%02d")
+      } else if (month.contains(',')) month.split(",").toSeq
+      else Seq(month)
+    for (n <- names; y <- years; m <- months) yield s"$n/$y/$m"
+  }
+}
+
+/** F11: slice a build log between the `| Build |` and `| Changes |`
+  * ASCII-box markers (reader.py:256-284), exclusive of the markers.
+  */
+object BuildLog {
+  private val Start = "\\+[-]+\\+\\n\\| Build +\\|\\n\\+[-]+\\+".r
+  private val End = "\\+[-]+\\+\\n\\| Changes +\\|\\n\\+[-]+\\+".r
+
+  def extractBuildChanges(text: String): Option[String] =
+    Start.findFirstMatchIn(text).map { sm =>
+      End.findFirstMatchIn(text) match {
+        case Some(em) => text.substring(sm.end, em.start)
+        case None => text.substring(sm.end)
+      }
+    }
+}

@@ -537,6 +537,31 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    "ingest_dir" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+      java.nio.file.Files.writeString(root.resolve("a.txt"), "alpha\nbeta")
+      java.nio.file.Files.createDirectories(root.resolve("sub"))
+      java.nio.file.Files.writeString(root.resolve("sub/b.txt"), "gamma")
+      java.nio.file.Files.createDirectories(root.resolve(".git"))
+      java.nio.file.Files.writeString(root.resolve(".git/hidden"), "nope")
+      val reg = new graft.ingest.SourceRegistry(s)
+      reg.readDirectory(root.toString)
+        .map(e => (e.path.split('/').last, e.content.length.toLong,
+          e.wrapped.length.toLong))
+        .toDF("file", "n_chars", "wrapped_len")
+        .orderBy(col("file"))
+    }),
+
+    "policy_sections" -> ((s, d) => {
+      val doc = Seq(
+        "1. Scope", "********", "body a", "body b",
+        "1.1. Details", "============", "detail body",
+        "2. Refs", "*******", "ref body").mkString("\n")
+      new graft.ingest.SectionedDoc(s, doc).indexDf()
+        .orderBy(col("idx"))
+    }),
+
     "stream_hourly" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
