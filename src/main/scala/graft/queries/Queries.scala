@@ -39,15 +39,22 @@ object Queries {
     }
   }
 
-  private val dec = DecimalType(18, 2)
+  /** Money arithmetic as scaled integers: `round(price·100)` are exact
+    * cents, discount in percent points; products and sums stay in LONG
+    * (codegen'd, order-independent, exact — vs. slow BigDecimal sums),
+    * divided back once at the end. Both engines round half-away for
+    * positive doubles, so the cents agree bit-for-bit. Scale boundary:
+    * the long revenue sum overflows past ~9e18 (≈ 10^10 rows at these
+    * prices) — shard the sum (e.g. per-group) or widen to DECIMAL then.
+    */
+  private def cents: Column = round(col("l_extendedprice") * 100).cast(LongType)
+  private def discPts: Column = round(col("l_discount") * 100).cast(LongType)
+  /** revenue in basis-point units: cents · (100 - discount%). */
+  private def revenueBp: Column = cents * (lit(100L) - discPts)
 
-  /** Money expression `price * (1 - discount)` in exact decimal. */
-  private def revenue: Column =
-    col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
-
-  /** DuckDB fragment for the same revenue expression. */
-  private val revenueSql =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  private val centsSql = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val revenueBpSql =
+    s"$centsSql * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
@@ -65,8 +72,8 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(38, 4)).as("sum_base_price"),
-          sum(revenue).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          (sum(cents) / lit(100.0)).as("sum_base_price"),
+          (sum(revenueBp) / lit(10000.0)).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -81,7 +88,7 @@ object Queries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .agg((sum(revenueBp) / lit(10000.0)).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -98,7 +105,7 @@ object Queries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
-        .agg(sum(revenue).cast(DecimalType(38, 4)).as("revenue"))
+        .agg((sum(revenueBp) / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -174,8 +181,8 @@ object Queries {
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
-         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(sum($centsSql) AS BIGINT) / 100.0 AS sum_base_price,
+         |  CAST(sum($revenueBpSql) AS BIGINT) / 10000.0 AS sum_disc_price,
          |  avg(l_quantity) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem
@@ -184,7 +191,7 @@ object Queries {
 
     "q3_topn_revenue" ->
       s"""SELECT l_orderkey,
-         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS revenue,
+         |  CAST(sum($revenueBpSql) AS BIGINT) / 10000.0 AS revenue,
          |  o_orderdate, o_orderpriority
          |FROM customer, orders, lineitem
          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -197,7 +204,7 @@ object Queries {
 
     "q5_nation_revenue" ->
       s"""SELECT n_name, r_name,
-         |  CAST(sum($revenueSql) AS DECIMAL(38,4)) AS revenue
+         |  CAST(sum($revenueBpSql) AS BIGINT) / 10000.0 AS revenue
          |FROM lineitem, orders, customer, nation, region
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
          |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
