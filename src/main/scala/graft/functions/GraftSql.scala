@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration of the engine's scalar functions, so `spark.sql`
+  * users get the same surface as the Column API:
+  * `SELECT cosine_sim_d(a, b)`, `dot_d`, `l2norm_d`.
+  */
+object GraftSql {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_d",
+      exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2norm_d",
+      exprs => L2NormD(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim_d",
+      exprs => CosineSimD(exprs.head, exprs(1)), "scala_udf")
+  }
+}

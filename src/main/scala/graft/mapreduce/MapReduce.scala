@@ -24,6 +24,25 @@ final case class LossyEchoFunctor(rate: Int = 2) extends TextFunctor {
   override def apply(prompt: String): String = PyText.everyNth(prompt, rate)
 }
 
+/** X4: the named functor registry (reference
+  * vector_service/backends.py:122-139 `generate_with_backend`) —
+  * pluggable name → functor resolution; deterministic test functors
+  * registered by default.
+  */
+object FunctorRegistry {
+  private var registry: Map[String, TextFunctor] = Map(
+    "echo" -> EchoFunctor,
+    "lossy-echo" -> LossyEchoFunctor(2))
+
+  def register(name: String, f: TextFunctor): Unit =
+    synchronized { registry += name -> f }
+
+  def apply(name: String): TextFunctor =
+    registry.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown backend $name; known: ${registry.keys.toSeq.sorted.mkString(", ")}"))
+}
+
 /** One chunk as fed to the fold: carries its own chunk-wrap template
   * so prompts are reconstructible anywhere (the reference's closures
   * become data + a pure function; SURVEY.md §1.1).

@@ -570,27 +570,31 @@ object Queries {
     }),
 
     "stream_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val qn = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // the streaming file source wants a directory: stage the table file
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        stageDir.resolve("events.parquet"))
-      val raw = s.readStream.schema(rawSchema).parquet(stageDir.toString)
-      val sdf =
-        if (rawSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val sdf = graft.streaming.EventStream.readEvents(s, d)
       val agg = sdf.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      s.table(qn)
+      graft.streaming.EventStream.runToMemory(s, agg,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
         .select(col("hour"), col("event_type"), col("n"),
           round(col("sv"), 2).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "stream_sessionize" -> ((s, d) => {
+      val sdf = graft.streaming.EventStream.readEvents(s, d)
+      val sess = graft.streaming.EventStream.sessionize(s, sdf).toDF()
+      graft.streaming.EventStream.runToMemory(s, sess,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("user_id"))
+    }),
+
+    "sql_topk_cosine" -> ((s, d) => {
+      graft.functions.GraftSql.register(s)
+      tbl(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT e.vec_id, cosine_sim_d(e.embedding, q.embedding) AS sim
+          |FROM embeddings_v e, (SELECT embedding FROM embeddings_v WHERE vec_id = 0) q
+          |ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin)
     }))
 
   /** stream_hourly is oracle-checkable: complete-mode streaming over a
@@ -600,7 +604,14 @@ object Queries {
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stateful streaming sessionization over a static source must
+    // equal the batch gaps-and-islands query
+    "stream_sessionize" -> analyticsSql("events_sessionize"),
+
+    // the SQL-registered cosine function must agree with the Column API
+    "sql_topk_cosine" -> vectorSql("vdb_topk_cosine"))
 
   // ======================================================== union ======
 

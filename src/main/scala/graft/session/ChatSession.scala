@@ -1,0 +1,69 @@
+package graft.session
+
+import graft.core.Schemas
+import graft.core.Schemas.ChatMessage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-session chat log + JSON sink/replay
+  * (reference frontend.py:47-58 `_check`, 180-184 `dump`;
+  * replay.py:28-79).
+  *
+  * The session is an ordered append-only list of {role, content};
+  * roles are {system, user, assistant} and an unknown role is an
+  * error, both at append (frontend invariant) and at replay
+  * (replay.py:28-57).
+  */
+final class ChatSession(val spark: SparkSession) {
+  import spark.implicits._
+
+  private var messages: Vector[ChatMessage] = Vector.empty
+
+  private val ValidRoles =
+    Set(Schemas.RoleSystem, Schemas.RoleUser, Schemas.RoleAssistant)
+
+  def append(role: String, content: String): Unit = {
+    require(ValidRoles.contains(role), s"unknown role $role")
+    messages :+= ChatMessage(role, content, messages.length)
+  }
+
+  def history: Seq[ChatMessage] = messages
+
+  def df: DataFrame = spark.createDataset(messages).toDF()
+
+  /** S16: pretty-JSON session dump (frontend.py:180-184) — one JSON
+    * array of {role, content} in order.
+    */
+  def dump(path: String): Unit = {
+    val json = messages.map(m =>
+      s"""{"role": ${quote(m.role)}, "content": ${quote(m.content)}}""")
+      .mkString("[\n  ", ",\n  ", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+object ChatSession {
+  /** Load a dumped session as a DataFrame (replay source,
+    * replay.py:67-79); unknown roles error like replay.py:28-57.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.option("multiLine", "true").json(path)
+      .select(col("role"), col("content"))
+    val bad = df.filter(!col("role").isin("system", "user", "assistant"))
+      .limit(1).collect()
+    require(bad.isEmpty, s"unknown role ${bad.headOption.map(_.getString(0))}")
+    df
+  }
+}

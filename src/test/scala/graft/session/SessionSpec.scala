@@ -1,0 +1,63 @@
+package graft.session
+
+import graft.SparkTestBase
+import graft.core.SetOps
+import graft.mapreduce.{FunctorRegistry, LossyEchoFunctor}
+import org.apache.spark.sql.functions._
+
+class SessionSpec extends SparkTestBase {
+
+  test("session dump → load round-trips; unknown role errors (replay.py:28-57)") {
+    val s = new ChatSession(spark)
+    s.append("system", "be helpful")
+    s.append("user", "hi\nthere \"quoted\"")
+    s.append("assistant", "hello")
+    intercept[IllegalArgumentException](s.append("robot", "beep"))
+    val path = java.nio.file.Files.createTempDirectory("sess")
+      .resolve("session.json").toString
+    s.dump(path)
+    val loaded = ChatSession.load(spark, path).collect()
+    assert(loaded.length == 3)
+    assert(loaded.map(_.getAs[String]("role")).toSet ==
+      Set("system", "user", "assistant"))
+    // corrupt role fails on load
+    val badPath = java.nio.file.Files.createTempDirectory("sess")
+      .resolve("bad.json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badPath),
+      """[{"role": "wizard", "content": "x"}]""")
+    intercept[IllegalArgumentException](ChatSession.load(spark, badPath))
+  }
+
+  test("U1: union of chunk frames, last occurrence wins (reader.py:194-207)") {
+    import spark.implicits._
+    val a = Seq(("p", 0, 1, "old", 0), ("p", 1, 2, "keep", 0))
+      .toDF("path", "start", "end", "content", "specOrd")
+    val b = Seq(("p", 0, 1, "new", 1), ("q", 0, 1, "other", 1))
+      .toDF("path", "start", "end", "content", "specOrd")
+    val merged = SetOps.unionLastWins(Seq(a, b))
+      .orderBy("path", "start")
+      .select("path", "start", "content").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(merged.toSeq == Seq(("p", 0, "new"), ("p", 1, "keep"), ("q", 0, "other")))
+  }
+
+  test("X4: functor registry resolves names, errors on unknown") {
+    assert(FunctorRegistry("echo")("abc") == "abc")
+    assert(FunctorRegistry("lossy-echo")("abcd") == "ac")
+    FunctorRegistry.register("upper", (s: String) => s.toUpperCase)
+    assert(FunctorRegistry("upper")("abc") == "ABC")
+    intercept[NoSuchElementException](FunctorRegistry("gpt-12"))
+  }
+
+  test("streaming sessionize matches the batch gaps-and-islands query") {
+    val sdf = graft.streaming.EventStream.readEvents(spark, sf())
+    val sess = graft.streaming.EventStream.sessionize(spark, sdf).toDF()
+    val streaming = graft.streaming.EventStream.runToMemory(spark, sess,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.queries.Queries.analytics("events_sessionize")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streaming.toSeq == batch.toSeq)
+  }
+}
