@@ -167,6 +167,40 @@ object Queries {
         .select(col("event_id"), col("ts"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))),
 
+    "q_rollup" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_semi_anti" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val l = tbl(s, d, "lineitem").where(col("l_quantity") >= 45)
+      val withBig = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_big_items"))
+      val withoutBig = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_big_items"))
+      withBig.crossJoin(withoutBig)
+    }),
+
+    "q_setops" -> ((s, d) => {
+      val cn = tbl(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = tbl(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val both = cn.intersect(sn).agg(count(lit(1)).as("n_both"))
+      val custOnly = cn.except(sn).agg(count(lit(1)).as("n_cust_only"))
+      val either = cn.union(sn).distinct().agg(count(lit(1)).as("n_either"))
+      both.crossJoin(custOnly).crossJoin(either)
+    }),
+
+    "q_distinct" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     "latest_event" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -260,6 +294,36 @@ object Queries {
         |  SELECT * FROM events WHERE user_id = 7
         |  ORDER BY ts DESC, event_id DESC LIMIT 20) t
         |ORDER BY ts, event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE EXISTS (
+        |     SELECT 1 FROM lineitem WHERE l_quantity >= 45 AND l_orderkey = o_orderkey))
+        |    AS n_with_big_items,
+        |  (SELECT count(*) FROM orders WHERE NOT EXISTS (
+        |     SELECT 1 FROM lineitem WHERE l_quantity >= 45 AND l_orderkey = o_orderkey))
+        |    AS n_without_big_items""".stripMargin,
+
+    "q_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn) t) AS n_both,
+        |  (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn) t) AS n_cust_only,
+        |  (SELECT count(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn) t) AS n_either""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "latest_event" ->
       """SELECT event_type, event_id, ts FROM (
