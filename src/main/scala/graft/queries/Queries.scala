@@ -382,6 +382,24 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ann_topk_heap" -> ((s, d) => {
+      // same result as ann_topk_batch, but via the bounded-heap
+      // TypedImperativeAggregate — O(k) state per query, partial
+      // heaps combined map-side, only k rows per query shuffled
+      val emb = tbl(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosineSimD(col("embedding"), col("qv")).as("sim"))
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topKBy(col("sim"), col("nid"), 5).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), col("col.id").as("nid"), col("col.score").as("sim"),
+          (col("pos") + 1).cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "embed_neardup_cosine" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
       graft.pipeline.Dedup.cosinePairsBlocked(
@@ -418,6 +436,18 @@ object Queries {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "ann_topk_batch" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "ann_topk_heap" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,
          |    ${cosSql("e.embedding", "q.embedding")} AS sim
@@ -547,6 +577,17 @@ object Queries {
         emb.select(col("vec_id"), col("embedding")),
         emb.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", k = 5, dim = 64)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ivf_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.search(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", model, k = 5, nprobe = 4)
         .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
     }),

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.functions.TopKByScore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+class AnnSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("heap top-k aggregate equals the window-rank plan exactly") {
+    val q = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.VectorFunctions.cosineSimD(col("embedding"), col("qv")).as("sim"))
+    val viaHeap = scored.groupBy(col("qid"))
+      .agg(TopKByScore.topKBy(col("sim"), col("nid"), 5).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("nid"), col("col.score").as("sim"))
+      .orderBy("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val viaWindow = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5).select("qid", "nid", "sim")
+      .orderBy("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaHeap.toSeq == viaWindow.toSeq)
+  }
+
+  test("heap aggregate tie-break prefers lower id") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 5L, 0.5), (1L, 7L, 0.9), (1L, 2L, 0.1))
+      .toDF("g", "id", "score")
+    val out = df.groupBy("g")
+      .agg(TopKByScore.topKBy(col("score"), col("id"), 2).as("tk"))
+      .select(posexplode(col("tk"))).select("col.score", "col.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.9, 7L), (0.5, 5L)))
+  }
+
+  test("IVF probe search recalls most brute-force neighbors") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    assert(model.centroids.length == 8)
+    val postings = Ivf.assign(emb, "embedding", model)
+    assert(postings.select("cluster").distinct().count() <= 8)
+    val queries = emb.where(col("vec_id") < 5)
+    val ivf = Ivf.search(postings, queries, "embedding", "vec_id", model,
+        k = 5, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // nprobe = nlist ⇒ exhaustive ⇒ recall 1.0
+    val full = Ivf.search(postings, queries, "embedding", "vec_id", model,
+        k = 5, nprobe = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+}
