@@ -59,14 +59,32 @@ final class SourceRegistry(spark: SparkSession,
                            fetcher: HttpFetcher = NoNetworkFetcher) {
   import spark.implicits._
 
-  /** S15: unified spec dispatch. */
+  private lazy val debian = new DebianSources(spark, fetcher)
+
+  /** S15: unified spec dispatch (same prefixes and precedence as the
+    * reference dispatcher, reader.py:812-1032).
+    */
   def read(spec: String): Dataset[SourceEntry] = {
     val f = new java.io.File(spec)
     if (f.exists && f.isFile) readFile(spec)
     else if (f.exists && f.isDirectory) readDirectory(spec)
     else if (Seq("file://", "http://", "https://").exists(spec.startsWith))
       readUrl(spec)
+    else if (spec.startsWith("archwiki:")) debian.readArchwiki(spec.stripPrefix("archwiki:"))
+    else if (spec.startsWith("bts:")) debian.readBts(spec.stripPrefix("bts:"))
+    else if (spec.startsWith("buildd:")) debian.readBuildd(spec.stripPrefix("buildd:"))
     else if (spec.startsWith("cmd:")) readCmd(spec.stripPrefix("cmd:"))
+    else if (spec.startsWith("ldo:")) debian.readLdoThreads(spec.stripPrefix("ldo:"))
+    else if (spec.startsWith("lists.debian.org:"))
+      debian.readLdoThreads(spec.stripPrefix("lists.debian.org:"))
+    else if (spec.startsWith("man:")) debian.readMan(spec.stripPrefix("man:"), this)
+    else if (spec.startsWith("policy:")) debian.readPolicy(spec.stripPrefix("policy:"))
+    else if (spec.startsWith("devref:")) debian.readPolicy(spec.stripPrefix("devref:"),
+      url = "https://www.debian.org/doc/manuals/developers-reference/developers-reference.en.txt")
+    else if (spec.startsWith("sbuild:")) debian.readSbuild(spec.stripPrefix("sbuild:"))
+    else if (spec.startsWith("tldr:")) readCmd(s"tldr ${spec.stripPrefix("tldr:")}")
+      .map(e => e.copy(path = spec.stripPrefix("tldr:"),
+        template = Wrap.Tldr, chunkTemplate = Wrap.TldrChunk))
     else if (spec == "stdin" || spec == "-") readStdin()
     else throw new java.io.FileNotFoundException(
       s"File or resource ${PyText.pyRepr(spec)} not recognized")

@@ -1,0 +1,94 @@
+package graft.ingest
+
+import graft.SparkTestBase
+
+class DebianSourcesSpec extends SparkTestBase {
+
+  private def fetcher = FixtureFetcher(Map(
+    "https://bugs.debian.org/12345" ->
+      """<html><body><h1>Bug #12345</h1>
+        |<p class="msgreceived">system noise</p>
+        |<div class="infmessage">more noise</div>
+        |<p>real content line</p></body></html>""".stripMargin,
+    "https://bugs.debian.org/src:foo" ->
+      """<html><body><p>src page header</p>
+        |<p>useful line</p>
+        |<p>Options</p>
+        |<p>useless tail</p></body></html>""".stripMargin,
+    "https://wiki.archlinux.org/title/Tar" ->
+      "<html><body><p>tar archives   </p></body></html>",
+    "https://lists.debian.org/debian-ai/2024/11/threads.html" ->
+      """<html><body><a href="msg00001.html">t1</a>
+        |<a href="msg00002.html">t2</a>
+        |<a href="other.html">skip</a>
+        |<a href="threads2.html">next page</a></body></html>""".stripMargin,
+    "https://lists.debian.org/debian-ai/2024/11/threads2.html" ->
+      """<html><body><a href="msg00003.html">t3</a></body></html>""",
+    "https://lists.debian.org/debian-ai/2024/11/msg00001.html" ->
+      "<html><body>mail one</body></html>",
+    "https://lists.debian.org/debian-ai/2024/11/msg00002.html" ->
+      "<html><body>mail two</body></html>",
+    "https://lists.debian.org/debian-ai/2024/11/msg00003.html" ->
+      "<html><body>mail three</body></html>",
+    "https://www.debian.org/doc/debian-policy/policy.txt" ->
+      Seq("1. Intro", "********", "intro body",
+        "2. Next", "*******", "next body").mkString("\n")))
+
+  private def registry = new SourceRegistry(spark, fetcher)
+
+  test("bts: system messages removed for bug pages (reader.py:564-575)") {
+    val e = registry.read("bts:12345").head()
+    assert(e.content.contains("real content line"))
+    assert(!e.content.contains("system noise"))
+    assert(!e.content.contains("more noise"))
+    assert(e.template == graft.core.Wrap.Bts)
+  }
+
+  test("bts src: truncates at the Options line (reader.py:578-582)") {
+    val e = registry.read("bts:src:foo").head()
+    assert(e.content.contains("useful line"))
+    assert(!e.content.contains("Options"))
+    assert(!e.content.contains("useless tail"))
+  }
+
+  test("archwiki: rstripped text (reader.py:739-754)") {
+    val e = registry.read("archwiki:Tar").head()
+    assert(e.content.contains("tar archives"))
+    assert(!e.content.exists(_ == '<'))
+  }
+
+  test("ldo: thread index + next-page recursion + partition-parallel fetch (reader.py:586-670)") {
+    val entries = registry.read("ldo:debian-ai/2024/11").collect()
+      .sortBy(_.path)
+    assert(entries.length == 3)
+    assert(entries.map(_.content).toSeq ==
+      Seq("mail one", "mail two", "mail three"))
+    assert(entries.head.template == graft.core.Wrap.UrlBacktick)
+  }
+
+  test("policy: one section / all sections / full document (reader.py:970-1004)") {
+    val one = registry.read("policy:1").head()
+    assert(one.path == "Debian Policy section [1]")
+    assert(one.content.startsWith("1. Intro"))
+    val all = registry.read("policy:").collect()
+    assert(all.map(_.path).toSeq ==
+      Seq("Debian Policy section [1]", "Debian Policy section [2]"))
+    val full = registry.read("policy:all").head()
+    assert(full.content.contains("next body"))
+  }
+
+  test("sbuild: latest .build file sliced between markers (reader.py:256-307)") {
+    val dir = java.nio.file.Files.createTempDirectory("sbuild")
+    val old = dir.resolve("old.build")
+    val newer = dir.resolve("new.build")
+    java.nio.file.Files.writeString(old,
+      "x\n+--+\n| Build |\n+--+\nOLD BODY\n+--+\n| Changes |\n+--+\n")
+    java.nio.file.Files.writeString(newer,
+      "x\n+--+\n| Build |\n+--+\nNEW BODY\n+--+\n| Changes |\n+--+\n")
+    java.nio.file.Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    val e = registry.read(s"sbuild:$dir/*.build").head()
+    assert(e.content.contains("NEW BODY"))
+    assert(!e.content.contains("OLD BODY"))
+  }
+}
