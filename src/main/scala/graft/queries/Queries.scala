@@ -167,6 +167,46 @@ object Queries {
         .select(col("event_id"), col("ts"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))),
 
+    "q_asof_join" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val errors = ev.where(col("event_type") === "error")
+      val clicks = ev.where(col("event_type") === "click")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("ts", "click_ts")
+      graft.operators.AsOfJoin.asOfLeft(
+          errors.select(col("event_id"), col("user_id"), col("ts")),
+          clicks.select(col("user_id"), col("click_id"), col("click_ts")),
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "click_ts",
+          rightCols = Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id"), col("click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(tbl(s, d, "events"),
+        keys = Seq("event_type"), buckets = 8,
+        aggs = Seq(
+          graft.operators.Skew.AggSpec("value", "count", "n"),
+          graft.operators.Skew.AggSpec("value", "min", "min_value"),
+          graft.operators.Skew.AggSpec("value", "max", "max_value")))
+        .orderBy(col("event_type"))),
+
+    "q_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      tbl(s, d, "lineitem")
+        .where(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(Window.partitionBy(col("l_suppkey"))
+            .orderBy(col("l_quantity"))).cast(LongType).as("qty_rank"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          lag(col("l_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("l_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
     "q_rollup" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -294,6 +334,32 @@ object Queries {
         |  SELECT * FROM events WHERE user_id = 7
         |  ORDER BY ts DESC, event_id DESC LIMIT 20) t
         |ORDER BY ts, event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |                FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS qty_rank,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(l_orderkey, 1) OVER w AS prev_order,
+        |  lead(l_orderkey, 1) OVER w AS next_order
+        |FROM lineitem
+        |WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("asOfLeft: latest right at-or-before, per key; null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
+      .toDF("k", "ts").withColumn("lid", monotonically_increasing_id())
+    val right = Seq((1L, 8L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (3L, 1L, "z"))
+      .toDF("k", "rts", "tag")
+    val out = AsOfJoin.asOfLeft(left, right, "k", "ts", "rts", Seq("tag", "rts"))
+      .select("k", "ts", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some("b")), // ties: right at 10 counts (<=)
+      (1L, 20L, Some("c")),
+      (1L, 5L, None), // nothing at-or-before
+      (2L, 10L, None))) // key with no right rows
+  }
+
+  test("saltedAgg equals direct groupBy for decomposable aggregates") {
+    val df = graft.queries.Queries.tbl(spark, sf(), "events")
+      .select(col("event_type"), col("value"), col("user_id"))
+    val salted = Skew.saltedAgg(df, Seq("event_type"), buckets = 16,
+      aggs = Seq(Skew.AggSpec("value", "sum", "sv"),
+        Skew.AggSpec("value", "count", "n"),
+        Skew.AggSpec("user_id", "min", "mn"),
+        Skew.AggSpec("user_id", "max", "mx")))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val direct = df.groupBy("event_type")
+      .agg(sum("value").as("sv"), count(lit(1)).as("n"),
+        min("user_id").as("mn"), max("user_id").as("mx"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(salted.toSeq == direct.toSeq)
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df, Seq("event_type"), 4,
+        Seq(Skew.AggSpec("value", "avg", "a"))).collect())
+  }
+}
