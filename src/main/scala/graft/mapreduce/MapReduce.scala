@@ -24,6 +24,29 @@ final case class LossyEchoFunctor(rate: Int = 2) extends TextFunctor {
   override def apply(prompt: String): String = PyText.everyNth(prompt, rate)
 }
 
+/** X3: the rate-limit retry decorator (reference embeddings.py:28-59,
+  * frontend.py:61-84 `retry_ratelimit`): unbounded retries at a fixed
+  * interval when the wrapped functor signals a rate limit. Runs
+  * executor-side inside the functor — task-level retries are the
+  * wrong granularity for a per-call 429 (they'd replay the whole
+  * partition).
+  */
+final case class RetryOnRateLimit(
+    inner: TextFunctor,
+    isRateLimit: Throwable => Boolean,
+    waitMs: Long = 15000L, // reference: fixed 15 s
+    sleep: Long => Unit = Thread.sleep) extends TextFunctor {
+  override def apply(prompt: String): String = {
+    while (true) {
+      try return inner(prompt)
+      catch {
+        case t: Throwable if isRateLimit(t) => sleep(waitMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** X4: the named functor registry (reference
   * vector_service/backends.py:122-139 `generate_with_backend`) —
   * pluggable name → functor resolution; deterministic test functors

@@ -647,6 +647,37 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "embed_neardup_lsh" -> ((s, d) => {
+      // LSH bucket as the blocking key for cosine near-dup — the
+      // 100 TB shape (no label column needed, all equi-joins)
+      val emb = tbl(s, d, "embeddings")
+      val sig = graft.pipeline.Similarity.hyperplaneSigUdf(64, bits = 8)
+      graft.pipeline.Dedup.cosinePairsBlocked(
+        emb.select(col("vec_id"), col("embedding"),
+          sig(col("embedding")).as("bucket")),
+        "embedding", "vec_id", "bucket", threshold = 0.3)
+        .select(col("d1").as("v1"), col("d2").as("v2"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
+    "vdb_topk_big" -> ((s, d) => {
+      // flagship retrieval at a meaningful corpus size: the embedding
+      // table replicated 128x with shifted ids (deterministic), then
+      // exact cosine top-5 — scan + codegen kernel +
+      // TakeOrderedAndProject; no shuffle of vectors
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val n = 128
+      val big = emb.crossJoin(
+          emb.sparkSession.range(0, n).select(col("id").as("rep")))
+        .select((col("vec_id") * n + col("rep")).as("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      big.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosineSimD(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     "ivf_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
@@ -782,7 +813,15 @@ object Queries {
     "stream_sessionize" -> analyticsSql("events_sessionize"),
 
     // the SQL-registered cosine function must agree with the Column API
-    "sql_topk_cosine" -> vectorSql("vdb_topk_cosine"))
+    "sql_topk_cosine" -> vectorSql("vdb_topk_cosine"),
+
+    "vdb_topk_big" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |big AS (SELECT e.vec_id * 128 + t.range AS vec_id, e.embedding
+         |        FROM embeddings e, range(0, 128) t)
+         |SELECT b.vec_id, ${cosSql("b.embedding", "q.qv")} AS sim
+         |FROM big b, q
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
 
   // ======================================================== union ======
 

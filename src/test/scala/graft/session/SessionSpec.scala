@@ -49,6 +49,29 @@ class SessionSpec extends SparkTestBase {
     intercept[NoSuchElementException](FunctorRegistry("gpt-12"))
   }
 
+  test("X3: rate-limit retry loops until success, fixed wait, rethrows others") {
+    var calls = 0
+    var sleeps = Vector.empty[Long]
+    val flaky = new graft.mapreduce.TextFunctor {
+      override def apply(p: String): String = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException("rate limit exceeded")
+        p.toUpperCase
+      }
+    }
+    val wrapped = graft.mapreduce.RetryOnRateLimit(flaky,
+      isRateLimit = _.getMessage.contains("rate limit"),
+      waitMs = 15000L, sleep = ms => sleeps :+= ms)
+    assert(wrapped("ok") == "OK")
+    assert(calls == 3)
+    assert(sleeps == Vector(15000L, 15000L))
+    val hardFail = graft.mapreduce.RetryOnRateLimit(
+      (_: String) => throw new IllegalStateException("boom"),
+      isRateLimit = _.getMessage.contains("rate limit"),
+      sleep = _ => ())
+    intercept[IllegalStateException](hardFail("x"))
+  }
+
   test("streaming sessionize matches the batch gaps-and-islands query") {
     val sdf = graft.streaming.EventStream.readEvents(spark, sf())
     val sess = graft.streaming.EventStream.sessionize(spark, sdf).toDF()
