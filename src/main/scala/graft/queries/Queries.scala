@@ -167,6 +167,30 @@ object Queries {
         .select(col("event_id"), col("ts"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))),
 
+    "events_range_join" -> ((s, d) => {
+      // range join: clicks within the 5 minutes before each error,
+      // same user — equi key (user) + time-band condition
+      val ev = tbl(s, d, "events")
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          unix_micros(col("ts")).as("err_us"))
+      val clk = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("clk_us"))
+      err.join(clk, Seq("user_id"), "left")
+        .groupBy(col("err_id"))
+        .agg(sum(when(col("clk_us") <= col("err_us") &&
+          col("clk_us") > col("err_us") - lit(300L * 1000000L), 1L)
+          .otherwise(0L)).as("n_recent_clicks"))
+        .orderBy(col("err_id"))
+    }),
+
+    "q_cube" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     "q_asof_join" -> ((s, d) => {
       val ev = tbl(s, d, "events")
       val errors = ev.where(col("event_type") === "error")
@@ -334,6 +358,23 @@ object Queries {
         |  SELECT * FROM events WHERE user_id = 7
         |  ORDER BY ts DESC, event_id DESC LIMIT 20) t
         |ORDER BY ts, event_id""".stripMargin,
+
+    "events_range_join" ->
+      """SELECT e.err_id,
+        |  CAST(sum(CASE WHEN c.clk_us <= e.err_us
+        |                 AND c.clk_us > e.err_us - 300000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_recent_clicks
+        |FROM (SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_us
+        |      FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS clk_us
+        |           FROM events WHERE event_type = 'click') c USING (user_id)
+        |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_ts
