@@ -1,0 +1,75 @@
+package graft
+
+import graft.mapreduce.LossyEchoFunctor
+
+import java.nio.file.Files
+
+class GraftFacadeSpec extends SparkTestBase {
+
+  private def mkApp() = new Graft(spark,
+    Files.createTempDirectory("graft_app").toString + "/store",
+    embeddingDim = 32)
+
+  test("retrieval add/ret end-to-end (retrieval.py:133-175 workflow)") {
+    val app = mkApp()
+    app.retrieveAdd("doc-a", "spark query optimization")
+    app.retrieveAdd("doc-b", "cat pictures and memes")
+    app.retrieveAdd("doc-a2", "spark query optimization")
+    val hits = app.retrieveRet("spark query optimization", k = 2)
+    assert(hits.length == 2)
+    // identical text embeds identically → both 'spark' docs, sim ≈ 1
+    assert(hits.map(_.source).toSet == Set("doc-a", "doc-a2"))
+    assert(hits.forall(h => math.abs(h.sim - 1.0) < 1e-5))
+    assert(app.vdbLs().count() == 3)
+  }
+
+  test("vdb dump writes id-subset JSON lines") {
+    val app = mkApp()
+    app.retrieveAdd("s1", "alpha")
+    app.retrieveAdd("s2", "beta")
+    val out = Files.createTempDirectory("dump").toString + "/out"
+    app.vdbDump(out, includeVector = false, ids = Seq(2L))
+    val rows = spark.read.json(out).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("source") == "s2")
+  }
+
+  test("gatherInformation: spec order preserved, ask appended last (cli.py:222-270)") {
+    val dir = Files.createTempDirectory("gi")
+    Files.writeString(dir.resolve("one.txt"), "first file")
+    Files.writeString(dir.resolve("two.txt"), "second file")
+    val app = mkApp()
+    val prompt = app.gatherInformation(
+      Seq(dir.resolve("two.txt").toString, dir.resolve("one.txt").toString),
+      ask = Some("what do these say?")).get
+    val posTwo = prompt.indexOf("second file")
+    val posOne = prompt.indexOf("first file")
+    val posAsk = prompt.indexOf("what do these say?")
+    assert(posTwo >= 0 && posOne >= 0 && posAsk >= 0)
+    assert(posTwo < posOne && posOne < posAsk)
+    assert(prompt.contains("Here is the contents of file `"))
+    // no specs, only ask
+    assert(app.gatherInformation(Nil, Some("just ask")).contains("just ask"))
+    assert(app.gatherInformation(Nil, None).isEmpty)
+  }
+
+  test("mapreduce over a directory spec with the lossy functor") {
+    val dir = Files.createTempDirectory("mr")
+    (1 to 4).foreach(i => Files.writeString(dir.resolve(s"f$i.txt"),
+      s"document $i " + ("content " * 40)))
+    val app = mkApp()
+    val out = app.mapreduce(dir.toString, LossyEchoFunctor(2),
+      question = Some("summarize"), chunkSize = 256)
+    assert(out.nonEmpty && out.endsWith("\n\n"))
+  }
+
+  test("replay round-trips a dumped session") {
+    val app = mkApp()
+    val s = new graft.session.ChatSession(spark)
+    s.append("user", "q")
+    s.append("assistant", "a")
+    val p = Files.createTempDirectory("rp").resolve("sess.json").toString
+    s.dump(p)
+    assert(app.replay(p).count() == 2)
+  }
+}

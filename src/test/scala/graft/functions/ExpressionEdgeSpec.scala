@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the vector expressions: nulls, length mismatch,
+  * double-element arrays, type errors, codegen vs interpreted parity.
+  */
+class ExpressionEdgeSpec extends SparkTestBase {
+
+  test("null inputs yield null, not errors") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f, 1.0f))),
+      (Some(Seq(1.0f, 1.0f)), None)
+    ).toDF("a", "b")
+    val out = df.select(dotD(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("length mismatch uses the shorter prefix") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(10.0f, 20.0f))).toDF("a", "b")
+    assert(df.select(dotD(col("a"), col("b"))).head().getDouble(0) == 50.0)
+  }
+
+  test("double-element arrays are accepted") {
+    import spark.implicits._
+    val df = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(l2NormD(col("a"))).head().getDouble(0) == 5.0)
+    assert(df.select(cosineSimD(col("a"), col("b"))).head().getDouble(0) == 1.0)
+  }
+
+  test("non-array input is an analysis-time type error") {
+    import spark.implicits._
+    val df = Seq(("abc", 1)).toDF("s", "i")
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.select(l2NormD(col("s"))).collect())
+  }
+
+  test("interpreted eval matches codegen") {
+    import spark.implicits._
+    val df = Seq((Seq(0.1f, -0.2f, 0.3f), Seq(0.4f, 0.5f, -0.6f))).toDF("a", "b")
+    val viaCodegen = df.select(cosineSimD(col("a"), col("b"))).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(cosineSimD(col("a"), col("b"))).head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(viaCodegen) ==
+        java.lang.Double.doubleToLongBits(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
