@@ -604,6 +604,20 @@ object Queries {
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_percentiles" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25D)").as("q25"),
+          expr("percentile(l_quantity, 0.5D)").as("q50"),
+          expr("percentile(l_quantity, 0.75D)").as("q75"))
+        .orderBy(col("l_returnflag"))),
+
+    "text_bpeish_tokens" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.bpeishTokenCount(col("text")).as("n_pieces"))
+        .orderBy(col("doc_id"))),
+
     "text_fingerprint" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"),
@@ -654,7 +668,14 @@ object Queries {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   // ============================== engine ops (rows-only checks) ========
 
