@@ -852,6 +852,17 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "stream_dedup" -> ((s, d) => {
+      // streaming exact dedup: dropDuplicates state over the stream,
+      // checked against the batch distinct count
+      val sdf = graft.streaming.EventStream.readEvents(s, d)
+      val deduped = sdf.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      graft.streaming.EventStream.runToMemory(s, deduped,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "sql_topk_cosine" -> ((s, d) => {
       graft.functions.GraftSql.register(s)
       tbl(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
@@ -876,6 +887,10 @@ object Queries {
 
     // the SQL-registered cosine function must agree with the Column API
     "sql_topk_cosine" -> vectorSql("vdb_topk_cosine"),
+
+    "stream_dedup" ->
+      """SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n
+        |FROM events""".stripMargin,
 
     "vdb_topk_big" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
