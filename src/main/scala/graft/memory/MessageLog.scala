@@ -118,4 +118,34 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
 
   def load(path: String): Unit = table = spark.read.parquet(path)
   def save(path: String): Unit = table.write.mode("overwrite").parquet(path)
+
+  /** Structured Streaming ingestion (SURVEY.md §7.1 item 10): watch a
+    * directory of message JSON-lines files, embed each message on
+    * arrival, append into the log via `foreachBatch` — the streaming
+    * twin of M1 `append`. Returns the query; stop it to finish.
+    * Batch reads (`context`, `history`, `export`) work unchanged on
+    * the accumulating table.
+    */
+  def streamIngest(dir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("conversationId", StringType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("timestamp", LongType)))
+    val emb = embedder
+    val self = this
+    spark.readStream.schema(schema).json(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // message batches are small (chat-rate)
+        self.synchronized {
+          rows.foreach { r =>
+            self.append(r.getAs[String]("id"), r.getAs[String]("conversationId"),
+              r.getAs[String]("role"), r.getAs[String]("text"),
+              r.getAs[Long]("timestamp"))
+          }
+        }
+      }
+      .start()
+  }
 }

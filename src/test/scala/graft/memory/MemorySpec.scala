@@ -77,6 +77,19 @@ class MemorySpec extends SparkTestBase {
     assert(log.injectContext(session.init, Some(prompt)) == session.init)
   }
 
+  test("streaming ingest: files appear → messages embedded + queryable (M1 streaming twin)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    val dir = java.nio.file.Files.createTempDirectory("msg_stream")
+    java.nio.file.Files.writeString(dir.resolve("batch1.json"),
+      """{"id":"m1","conversationId":"c1","role":"user","text":"hello world","timestamp":100}
+        |{"id":"m2","conversationId":"c1","role":"assistant","text":"hi","timestamp":110}""".stripMargin)
+    val q = log.streamIngest(dir.toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(log.export("c1").count() == 2)
+    val ctx = log.context("hello", Some("c1"), topK = 1).collect()
+    assert(ctx.head.getAs[String]("id") == "m1")
+  }
+
   test("cache: put/get/delete/contains/size/clear + TTL purge") {
     val c = new TtlCache(spark, ttlDays = 30)
     c.put("k1", "v1")
