@@ -119,6 +119,17 @@ object Queries {
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q6_forecast" -> ((s, d) =>
+      // TPC-H Q6 shape: single-scan filter + agg, fully codegen'd,
+      // predicates pushed to the parquet reader
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(cents * discPts) / lit(10000.0)).as("promo_revenue"),
+          count(lit(1)).as("n"))),
+
     "q_topn_orders" -> ((s, d) =>
       tbl(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -316,6 +327,15 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q6_forecast" ->
+      s"""SELECT CAST(sum($centsSql * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS promo_revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
 
     "q_topn_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -48,8 +48,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         if len(got) != len(want):
             results[name] = f"ROWCOUNT got={len(got)} want={len(want)}"
             continue
-        got = got[g_cols]
-        want = want[w_cols]
+        # DuckDB parallelizes parquet scans over row groups, so result
+        # order from `SELECT *` is not guaranteed — sort both sides by
+        # all columns before cell-wise compare (the driver's hash
+        # compare is row-order-insensitive for the same reason).
+        got = got[g_cols].sort_values(by=g_cols, ignore_index=True)
+        want = want[w_cols].sort_values(by=w_cols, ignore_index=True)
         exact, close, far = compare(got, want)
         if far == 0 and close == 0:
             results[name] = f"PASS rows={len(got)}"
