@@ -119,6 +119,24 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
   def load(path: String): Unit = table = spark.read.parquet(path)
   def save(path: String): Unit = table.write.mode("overwrite").parquet(path)
 
+  /** M4 `/generate` (app.py:333-356): last-20 history joined as
+    * `role: text` lines + the user prompt, through the functor, the
+    * reply persisted as an assistant message. NOTE the reference quirk
+    * reproduced: the USER prompt itself is not persisted by /generate —
+    * only the assistant reply is.
+    */
+  def generate(conversationId: String, prompt: String,
+               functor: graft.mapreduce.TextFunctor,
+               replyId: String, replyTimestamp: Long): String = {
+    val hist = lastN(conversationId, 20).collect()
+      .map(r => s"${r.getAs[String]("role")}: ${r.getAs[String]("text")}")
+      .mkString("\n")
+    val full = s"$hist\nuser: $prompt\nassistant:"
+    val reply = functor(full)
+    append(replyId, conversationId, Schemas.RoleAssistant, reply, replyTimestamp)
+    reply
+  }
+
   /** Structured Streaming ingestion (SURVEY.md §7.1 item 10): watch a
     * directory of message JSON-lines files, embed each message on
     * arrival, append into the log via `foreachBatch` — the streaming

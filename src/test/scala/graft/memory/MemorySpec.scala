@@ -77,6 +77,35 @@ class MemorySpec extends SparkTestBase {
     assert(log.injectContext(session.init, Some(prompt)) == session.init)
   }
 
+  test("M4 generate: last-20 history + prompt through functor, reply persisted") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    log.append("m1", "c1", "user", "hi", 1L)
+    log.append("m2", "c1", "assistant", "hello", 2L)
+    var seen: String = null
+    val reply = log.generate("c1", "how are you?",
+      (p: String) => { seen = p; "fine" }, "m3", 3L)
+    assert(reply == "fine")
+    assert(seen == "user: hi\nassistant: hello\nuser: how are you?\nassistant:")
+    val exported = log.export("c1").collect()
+    assert(exported.length == 3)
+    assert(exported.last.getAs[String]("role") == "assistant")
+    assert(exported.last.getAs[String]("text") == "fine")
+  }
+
+  test("retrieve_onfly: temporary-source triples without touching the store (retrieval.py:59-83)") {
+    val store = new graft.store.VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("onfly").toString + "/s", 32)
+    val ret = new graft.retrieve.Retrieval(spark,
+      graft.embed.HashEmbedding(32), store)
+    val docs = Seq("spark joins", "cat memes", "spark joins again")
+    val hits = ret.retrieveOnfly("spark joins", docs, topk = 2)
+    assert(hits.length == 2)
+    assert(hits.forall(_.source == "<temporary>"))
+    assert(hits.head.text == "spark joins")
+    assert(math.abs(hits.head.sim - 1.0) < 1e-5)
+    assert(store.count() == 0)
+  }
+
   test("streaming ingest: files appear → messages embedded + queryable (M1 streaming twin)") {
     val log = new MessageLog(spark, LengthEmbedding)
     val dir = java.nio.file.Files.createTempDirectory("msg_stream")
