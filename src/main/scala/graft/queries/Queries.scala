@@ -242,6 +242,17 @@ object Queries {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    "q_argmax_supplier" -> ((s, d) => {
+      // correlated-subquery shape (max acctbal per nation) as a
+      // window max + filter — one shuffle instead of a rescan per row
+      val w = Window.partitionBy(col("s_nationkey"))
+      tbl(s, d, "supplier")
+        .withColumn("mx", max(col("s_acctbal")).over(w))
+        .where(col("s_acctbal") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
     "q_rollup" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -421,6 +432,13 @@ object Queries {
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_argmax_supplier" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = supplier.s_nationkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
