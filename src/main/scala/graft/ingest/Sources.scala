@@ -50,6 +50,22 @@ final case class FixtureFetcher(pages: Map[String, String]) extends HttpFetcher 
     pages.getOrElse(url, throw new java.io.FileNotFoundException(url))
 }
 
+/** Memoized fetch — the reference's `enable_cache` decorator around
+  * url/bts/archwiki/buildd readers (reader.py:157-175): a hit serves
+  * from the TTL cache table, a miss fetches once and is stored. The
+  * driver-side point lookup keeps the semantics; the set-oriented
+  * variant for URL fan-outs is [[graft.cache.TtlCache.memoize]].
+  */
+final class CachingFetcher(inner: HttpFetcher,
+                           cache: graft.cache.TtlCache) extends HttpFetcher {
+  override def fetch(url: String): String =
+    cache.get(url).getOrElse {
+      val v = inner.fetch(url)
+      cache.put(url, v)
+      v
+    }
+}
+
 /** Multi-source document reader — the engine's S1–S15 surface
   * (reference reader.py `read` dispatcher, reader.py:766-1032).
   * Local sources are real; network sources run through the injected

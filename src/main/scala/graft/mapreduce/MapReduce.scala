@@ -178,6 +178,56 @@ final class MapReduceEngine(
     results.head + "\n\n"
   }
 
+  // ---------------------------------------------------------- scale mode
+  /** 100 TB mode (SURVEY.md §7.4.1): no driver-side boundary scan at
+    * all. Chunks are range-partitioned by `ord` (contiguous runs per
+    * partition), each partition folds ITS run to one string locally
+    * (pack → map → compact-reduce, pure reference semantics over the
+    * partition's chunks), and the ≤numPartitions partials then go
+    * through the normal reduce rounds in partition order.
+    *
+    * The fold hierarchy differs from [[runLocal]] (group boundaries
+    * are per-partition), which the reference itself allows — binary vs
+    * compact modes already produce different hierarchies; the contract
+    * is "a hierarchical fold of all chunks in order", preserved here.
+    * With `numPartitions = 1` this IS `runLocal` exactly.
+    */
+  def runHierarchical(spark: SparkSession, chunks: Dataset[MrChunk],
+                      numPartitions: Int,
+                      question: String = MrTemplates.DefaultQuestion): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val f = functor
+    val q = question
+    val cs = chunkSize
+    val n = chunks.count()
+    require(n > 0, "no chunks to fold")
+    if (n == 1) return chunks.orderBy("ord").head().wrapped
+    val parted = chunks.repartitionByRange(numPartitions, col("ord"))
+      .sortWithinPartitions("ord")
+    val partials: Dataset[(Long, String)] = parted.mapPartitions { it =>
+      val local = it.toVector
+      if (local.isEmpty) Iterator.empty
+      else {
+        var results: Seq[String] =
+          BinPack.groupChunks(local, cs)(c => PyText.utf8Len(c.content))
+            .map(g => f(MrTemplates.padChunksBeforeMap(g, q)))
+        while (results.length > 1) {
+          results = BinPack.groupStrings(results, cs)(PyText.utf8Len)
+            .map(g => f(MrTemplates.padManyResultsForReduce(g, q)))
+        }
+        Iterator.single((local.head.ord, results.head))
+      }
+    }
+    val ordered = partials.collect().sortBy(_._1).map(_._2)
+    var results: Seq[String] = ordered.toSeq
+    while (results.length > 1) {
+      results = BinPack.groupStrings(results, cs)(PyText.utf8Len)
+        .map(g => functor(MrTemplates.padManyResultsForReduce(g, q)))
+    }
+    results.head + "\n\n"
+  }
+
   // ----------------------------------------------------------- distributed
   /** Distributed execution: functor calls on executors, bin-pack
     * boundaries from collected lengths only. Byte-identical to

@@ -90,6 +90,17 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     df.withColumn("cluster", mkAssignUdf(model, 1)(col(vecCol)).getItem(0))
 
+  /** Persist the postings partitioned by cluster id — probes then
+    * prune at the directory level (`PartitionFilters` in the scan), so
+    * a search touches ~nprobe/nlist of the files. This is the on-disk
+    * index layout for the 100 TB batch-serving path.
+    */
+  def writeIndex(postings: DataFrame, path: String): Unit =
+    postings.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Batched ANN search: probe the nprobe nearest lists per query via
     * a cluster equi-join, rescore exactly, rank per query.
     */

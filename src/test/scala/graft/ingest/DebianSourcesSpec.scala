@@ -77,6 +77,24 @@ class DebianSourcesSpec extends SparkTestBase {
     assert(full.content.contains("next body"))
   }
 
+  test("caching fetcher: second read served from the TTL cache (reader.py:157-175)") {
+    var calls = 0
+    val counting = new HttpFetcher {
+      override def fetch(url: String): String = { calls += 1; s"page for $url" }
+    }
+    val cache = new graft.cache.TtlCache(spark)
+    val reg = new SourceRegistry(spark, new CachingFetcher(counting, cache))
+    val a = reg.readUrl("https://x.test/a").head().content
+    val b = reg.readUrl("https://x.test/a").head().content
+    assert(a == b && calls == 1)
+    reg.readUrl("https://x.test/other").head()
+    assert(calls == 2)
+    // expired entries are re-fetched after a purge
+    cache.purgeExpired(new java.sql.Timestamp(System.currentTimeMillis() + 100L * 24 * 3600 * 1000))
+    reg.readUrl("https://x.test/a").head()
+    assert(calls == 3)
+  }
+
   test("sbuild: latest .build file sliced between markers (reader.py:256-307)") {
     val dir = java.nio.file.Files.createTempDirectory("sbuild")
     val old = dir.resolve("old.build")

@@ -64,6 +64,20 @@ class MapReduceSpec extends SparkTestBase {
     }
   }
 
+  test("hierarchical scale mode: P=1 equals the reference-exact compact fold; any P converges deterministically") {
+    import spark.implicits._
+    val eng = new MapReduceEngine(LossyEchoFunctor(2), chunkSize = 96,
+      compactMap = true, compactReduce = true)
+    val chunks = eng.chunkEntries(fixtureChunks(10))
+    val ds = spark.createDataset(chunks)
+    val local = eng.runLocal(chunks)
+    assert(eng.runHierarchical(spark, ds, numPartitions = 1) == local)
+    val p3a = eng.runHierarchical(spark, ds.repartition(7), numPartitions = 3)
+    val p3b = eng.runHierarchical(spark, ds.repartition(2), numPartitions = 3)
+    assert(p3a == p3b, "scale mode must be deterministic given P")
+    assert(p3a.nonEmpty && p3a.endsWith("\n\n"))
+  }
+
   test("map prompt templates match the reference layout verbatim") {
     val chunk = MrChunk("spec.txt", Wrap.FileChunk, 0, 2, "a\nb", 0)
     val p = MrTemplates.padChunkBeforeMap(chunk, "what is this?")

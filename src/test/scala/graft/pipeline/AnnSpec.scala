@@ -42,6 +42,25 @@ class AnnSpec extends SparkTestBase {
     assert(out.toSeq == Seq((0.9, 7L), (0.5, 5L)))
   }
 
+  test("IVF persisted index: partition-pruned probes, same results") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), path)
+    val postings = Ivf.readIndex(spark, path)
+    // a single-cluster probe must scan only that partition
+    val oneCluster = postings.where(org.apache.spark.sql.functions.col("cluster") === 0)
+    val planStr = oneCluster.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(cluster"),
+      s"cluster filter not pushed to partitions:\n$planStr")
+    val queries = emb.where(col("vec_id") < 3)
+    val fromDisk = Ivf.search(postings, queries, "embedding", "vec_id", model,
+        k = 5, nprobe = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == brute) // exhaustive probes over the disk index
+  }
+
   test("IVF probe search recalls most brute-force neighbors") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
     assert(model.centroids.length == 8)
