@@ -178,6 +178,28 @@ final class MapReduceEngine(
     results.head + "\n\n"
   }
 
+  /** Distributed chunking: documents chunk inside `flatMap` (each
+    * document's bisection is independent), then the global `ord`
+    * comes from one order-preserving `zipWithIndex` pass over the
+    * spec-ordered chunks — same output as [[chunkEntries]], but the
+    * content never passes through the driver.
+    */
+  def chunkEntriesDistributed(
+      spark: SparkSession,
+      entries: Dataset[(String, String, String)] /* (spec, tmpl, content) in spec order */)
+      : Dataset[MrChunk] = {
+    import spark.implicits._
+    val cs = chunkSize
+    val perDoc = entries.rdd.zipWithIndex().flatMap { case ((spec, tmpl, content), docOrd) =>
+      Chunker.chunkContent(content, cs).zipWithIndex.map { case ((s, e, c), i) =>
+        ((docOrd, i.toLong), MrChunk(spec, tmpl, s, e, c, -1L))
+      }
+    }
+    val globallyOrdered = perDoc.sortBy(_._1).map(_._2)
+      .zipWithIndex().map { case (c, ord) => c.copy(ord = ord) }
+    spark.createDataset(globallyOrdered)
+  }
+
   // ---------------------------------------------------------- scale mode
   /** 100 TB mode (SURVEY.md §7.4.1): no driver-side boundary scan at
     * all. Chunks are range-partitioned by `ord` (contiguous runs per

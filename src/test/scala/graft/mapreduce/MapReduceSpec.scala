@@ -64,6 +64,17 @@ class MapReduceSpec extends SparkTestBase {
     }
   }
 
+  test("distributed chunking equals the driver-side chunker") {
+    import spark.implicits._
+    val eng = new MapReduceEngine(EchoFunctor, chunkSize = 64)
+    val entries = fixtureChunks(8)
+    val viaDriver = eng.chunkEntries(entries)
+    // input partition order defines spec order (zipWithIndex contract)
+    val viaCluster = eng.chunkEntriesDistributed(spark,
+      spark.createDataset(entries)).collect().sortBy(_.ord)
+    assert(viaCluster.toSeq == viaDriver)
+  }
+
   test("hierarchical scale mode: P=1 equals the reference-exact compact fold; any P converges deterministically") {
     import spark.implicits._
     val eng = new MapReduceEngine(LossyEchoFunctor(2), chunkSize = 96,
