@@ -279,6 +279,16 @@ object Queries {
       both.crossJoin(custOnly).crossJoin(either)
     }),
 
+    "q_approx_distinct" -> ((s, d) =>
+      // HLL sketch — the 100 TB cardinality path (fixed-size state vs
+      // countDistinct's exact shuffle); rows-only: approx values have
+      // no hash-stable oracle, accuracy is asserted in QueriesSmokeSpec
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     "q_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

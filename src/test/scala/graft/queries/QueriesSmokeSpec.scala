@@ -15,6 +15,17 @@ class QueriesSmokeSpec extends SparkTestBase {
     }
   }
 
+  test("approx_count_distinct is within its error bound of the exact count") {
+    val approx = Queries.all("q_approx_distinct")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Queries.all("q_distinct")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
