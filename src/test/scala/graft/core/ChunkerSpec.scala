@@ -60,6 +60,26 @@ class ChunkerSpec extends AnyFunSuite {
       assert(PyText.utf8Len(s) == s.getBytes("UTF-8").length.toLong, s))
   }
 
+  test("matches goldens from the reference's executed chunk_lines (multi-byte corpus)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(getClass.getResourceAsStream("/golden/chunker.json"))
+    val cases = root.get("cases")
+    assert(cases.size() == 60)
+    (0 until cases.size()).foreach { i =>
+      val c = cases.get(i)
+      val content = c.get("content").asText()
+      val budget = c.get("budget").asLong()
+      val want = (0 until c.get("ranges").size()).map { j =>
+        val r = c.get("ranges").get(j)
+        (r.get(0).asInt(), r.get(1).asInt())
+      }
+      val got = Chunker.chunkRanges(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          PyText.splitLines(content)), budget)
+      assert(got.sorted == want.sorted, s"case $i budget=$budget")
+    }
+  }
+
   test("recursive bisection matches a direct port on random inputs") {
     // direct (byte-recomputing) port of reader.py:1035-1071
     def reference(lines: IndexedSeq[String], maxBytes: Long,
