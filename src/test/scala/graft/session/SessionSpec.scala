@@ -41,6 +41,27 @@ class SessionSpec extends SparkTestBase {
     assert(merged.toSeq == Seq(("p", 0, "new"), ("p", 1, "keep"), ("q", 0, "other")))
   }
 
+  test("F6 shorten: word-safe truncation with placeholder") {
+    import graft.core.PyText
+    assert(PyText.shorten("short text", 100) == "short text")
+    assert(PyText.shorten("a   b\n c", 100) == "a b c") // whitespace collapse
+    val out = PyText.shorten("one two three four five six seven", 20)
+    assert(out.length <= 20 && out.endsWith(" [...]"))
+  }
+
+  test("M7: watermarked windowed aggregation runs over the event stream") {
+    val sdf = graft.streaming.EventStream.readEvents(spark, sf())
+    val agg = graft.streaming.EventStream.hourlyWindowed(sdf)
+    // update mode emits rows as the watermark allows; over a static
+    // source one batch yields the full aggregation state
+    val out = graft.streaming.EventStream.runToMemory(spark, agg,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(out.columns.toSet == Set("window", "event_type", "n", "sum_value"))
+    assert(out.count() > 0)
+    val total = out.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == graft.queries.Queries.tbl(spark, sf(), "events").count())
+  }
+
   test("X4: functor registry resolves names, errors on unknown") {
     assert(FunctorRegistry("echo")("abc") == "abc")
     assert(FunctorRegistry("lossy-echo")("abcd") == "ac")
