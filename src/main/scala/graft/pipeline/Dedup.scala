@@ -122,6 +122,39 @@ object Dedup {
     }
   }
 
+  /** Band keys straight from the signature in ONE UDF call per row.
+    * (A separate sig column + per-band slice expressions looks natural
+    * but CollapseProject inlines the sig UDF into every band element,
+    * re-executing the minhash `bands`× per row.)
+    */
+  private def minhashBandKeysUdf(bands: Int, rows: Int, seed: Long):
+      org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val params = hashParams(bands * rows, seed)
+    udf { (hashes: Array[Long]) =>
+      if (hashes == null || hashes.isEmpty) Array.empty[Long]
+      else {
+        val sig = params.map { case (a, b) =>
+          var mn = Long.MaxValue
+          hashes.foreach { h =>
+            val x = java.lang.Long.remainderUnsigned(h, MersenneP)
+            var hv = mulModP(a, x) + b
+            if (hv >= MersenneP) hv -= MersenneP
+            if (hv < mn) mn = hv
+          }
+          mn
+        }
+        Array.tabulate(bands) { bIdx =>
+          var k = 0xcbf29ce484222325L ^ bIdx
+          var i = bIdx * rows
+          while (i < (bIdx + 1) * rows) {
+            k ^= sig(i); k *= 0x100000001b3L; i += 1
+          }
+          k
+        }
+      }
+    }
+  }
+
   /** MinHash-LSH near-dup candidate pairs: signature split into
     * `bands` bands of `rows` hashes; docs sharing any band bucket are
     * candidates; candidates verified with exact Jaccard over the
@@ -130,15 +163,11 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             w: Int = 3, bands: Int = 16, rows: Int = 4,
                             threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val numHashes = bands * rows
     val sh = df.select(col(idCol).as("doc"),
         TextAnalysis.shingleHashesUdf(col(textCol), lit(w)).as("hs"))
       .where(size(col("hs")) > 0)
-    val sig = sh.withColumn("sig", minhashSignatureUdf(numHashes, seed)(col("hs")))
-    // band key = hash of the band's slice of the signature
-    val banded = sig.select(col("doc"), col("hs"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    val banded = sh.select(col("doc"), col("hs"),
+        posexplode(minhashBandKeysUdf(bands, rows, seed)(col("hs"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -57,6 +57,32 @@ object Similarity {
     }
   }
 
+  /** Per-band keys from the hyperplane signature in one UDF call —
+    * a sig column + per-band shift expressions gets the sig UDF
+    * inlined (and re-executed) per band by CollapseProject.
+    */
+  private def hyperplaneBandsUdf(dim: Int, bands: Int, bitsPerBand: Int,
+                                 seed: Long) = {
+    val rnd = new java.util.Random(seed)
+    val bits = bands * bitsPerBand
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    udf { (v: Array[Float]) =>
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        val p = planes(b)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { s += p(i) * v(i); i += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      Array.tabulate(bands)(band =>
+        (sig >>> (band * bitsPerBand)) & ((1L << bitsPerBand) - 1))
+    }
+  }
+
   /** LSH-bucketed ANN: candidates share at least one b-bit band of the
     * hyperplane signature (equi-join on (band, key)); candidates are
     * re-scored exactly and ranked per query. Approximate: recall
@@ -67,12 +93,9 @@ object Similarity {
               bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val bits = bands * bitsPerBand
     require(bits <= 64, "signature must fit in 64 bits")
-    val sigUdf = hyperplaneSigUdf(dim, bits, seed)
+    val bandsUdf = hyperplaneBandsUdf(dim, bands, bitsPerBand, seed)
     def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec), sigUdf(col(vec)).as("sig"))
-        .select(col(id), col(vec), posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+      df.select(col(id), col(vec), posexplode(bandsUdf(col(vec))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val c = banded(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv")
     val q = banded(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv")
