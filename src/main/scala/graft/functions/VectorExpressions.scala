@@ -183,6 +183,47 @@ case class CosineSimD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass L2 normalization producing ARRAY<FLOAT> (store contract,
+  * reference vectordb.py:81-86) or ARRAY<DOUBLE> (oracle-exact math).
+  * A `transform(v, x => x / l2norm(v))` column does the same thing
+  * O(d²): the norm subexpression is re-evaluated per element (no CSE
+  * inside higher-order-function lambdas).
+  */
+case class L2Normalize(child: Expression, asFloat: Boolean)
+    extends UnaryExpression with VectorTypeChecks
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override protected def vectorChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    ArrayType(if (asFloat) FloatType else DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat(child)
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = VectorKernels.get(arr, i, isF); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    if (asFloat) {
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) {
+        out(i) = (VectorKernels.get(arr, i, isF) / norm).toFloat; i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    } else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = VectorKernels.get(arr, i, isF) / norm; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API over the vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions._
@@ -201,17 +242,15 @@ object VectorFunctions {
 
   def vecLitD(v: Array[Double]): Column = typedLit(v.toSeq)
 
-  /** L2-normalize to ARRAY<DOUBLE> (oracle-exact: each element
-    * `CAST(x AS DOUBLE) / l2norm_d(v)`).
-    */
+  /** L2-normalize to ARRAY<DOUBLE> (oracle-exact double math). */
   def l2NormalizeD(a: Column): Column =
-    transform(a, x => x.cast(DoubleType) / l2NormD(a))
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(a), asFloat = false))
 
   /** L2-normalize keeping the store's float32 contract
     * (reference vectordb.py:81-86: normalize-then-store-float32).
     */
   def l2NormalizeF(a: Column): Column =
-    transform(a, x => (x.cast(DoubleType) / l2NormD(a)).cast(FloatType))
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(a), asFloat = true))
 
   /** Matryoshka-style truncation to the first `dim` components
     * (reference vectordb.py:83 `vector[:dim]`).
