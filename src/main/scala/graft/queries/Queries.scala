@@ -900,6 +900,38 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "e2e_pipeline" -> ((s, d) => {
+      // the §7.2 minimum end-to-end slice as one composition:
+      // ingest(dir) → chunk → embed → store.add → retrieve(k=3),
+      // then mapreduce-summarize the retrieved docs — every
+      // load-bearing wall in a single query
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("e2e")
+      Seq("spark joins and shuffles explained",
+        "cat pictures considered harmful",
+        "partitioning strategies for spark joins at scale",
+        "a recipe for sourdough bread").zipWithIndex.foreach { case (t, i) =>
+        java.nio.file.Files.writeString(root.resolve(s"doc$i.txt"),
+          (t + " ") * 8 + "\n" + (t + " ") * 8)
+      }
+      val app = new graft.Graft(s,
+        java.nio.file.Files.createTempDirectory("e2e_store").toString + "/store",
+        embeddingDim = 32)
+      val reg = new graft.ingest.SourceRegistry(s)
+      val entries = reg.readDirectory(root.toString).collect().sortBy(_.path)
+      entries.foreach(e => app.retrieveAdd(e.path.split('/').last, e.content))
+      val hits = app.retrieveRet(entries.head.content, k = 3)
+      val eng = new graft.mapreduce.MapReduceEngine(
+        graft.mapreduce.LossyEchoFunctor(2), chunkSize = 256)
+      val chunks = eng.chunkEntries(hits.map(h =>
+        (h.source, graft.core.Wrap.FileChunk, h.text)))
+      val summary = eng.run(s, s.createDataset(chunks))
+      s.createDataset(hits.map(h => (math.round(h.sim * 1e6) / 1e6, h.source)))
+        .toDF("sim", "source")
+        .withColumn("summary_len", lit(summary.length.toLong))
+        .orderBy(col("sim").desc, col("source"))
+    }),
+
     "stream_dedup" -> ((s, d) => {
       // streaming exact dedup: dropDuplicates state over the stream,
       // checked against the batch distinct count
