@@ -48,7 +48,10 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
     table = table.where($"stamp" >= lit(asOf) - expr(s"INTERVAL $ttlDays DAYS"))
 
   /** Memoized fetch: hits from the table, misses via `fetch`, both
-    * returned and the misses appended to the cache.
+    * returned and the misses appended to the cache. The fetched rows
+    * are MATERIALIZED eagerly (localCheckpoint) — leaving the fetch
+    * UDF in the lazy plan would re-run the fetch on every later
+    * evaluation of the returned frame or of the cache table.
     */
   def memoize(keys: DataFrame, fetch: String => String): DataFrame = {
     val k = keys.select($"key").distinct()
@@ -56,6 +59,7 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
     val misses = k.join(table, Seq("key"), "left_anti")
     val fetchUdf = udf(fetch)
     val fetched = misses.select($"key", fetchUdf($"key").as("value"))
+      .localCheckpoint(true)
     val stamped = fetched.withColumn("stamp", current_timestamp())
     table = table.unionByName(stamped)
     hits.unionByName(fetched)

@@ -140,14 +140,21 @@ class MemorySpec extends SparkTestBase {
     assert(c.size() == 0)
   }
 
-  test("cache memoize: misses fetched once, hits served from table") {
+  test("cache memoize: misses fetched exactly once, hits served from table") {
     import spark.implicits._
     val c = new TtlCache(spark)
     c.put("a", "cached_a")
+    val calls = spark.sparkContext.longAccumulator("fetches")
     val keys = spark.createDataset(Seq("a", "b")).toDF("key")
-    val out = c.memoize(keys, k => s"fetched_$k").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val result = c.memoize(keys, k => { calls.add(1); s"fetched_$k" })
+    val out = result.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("a" -> "cached_a", "b" -> "fetched_b"))
+    assert(c.get("b").contains("fetched_b"))
+    // re-evaluating the returned frame and the table must NOT re-fetch
+    result.collect()
+    c.df.count()
+    c.memoize(keys, k => { calls.add(1); s"refetched_$k" }).collect()
+    assert(calls.value == 1, s"fetch ran ${calls.value} times")
     assert(c.get("b").contains("fetched_b"))
   }
 }
