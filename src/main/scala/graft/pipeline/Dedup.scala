@@ -184,6 +184,46 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each doc's label converges to the smallest doc id in
+    * its component. O(diameter) rounds, each an equi-join + groupBy —
+    * near-dup clusters are shallow (diameter ≪ 20 in practice), and
+    * every round is shuffle-bounded by the edge list, so this is the
+    * standard large-scale shape (GraphX-free).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val fromNeighbors = edges.join(labels, edges("src") === labels("doc"))
+        .groupBy(col("dst").as("doc2")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(fromNeighbors, labels("doc") === col("doc2"), "left")
+        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .withColumnRenamed("lbl2", "lbl")
+        .localCheckpoint(true) // pin each round; lineage would grow exponentially
+      val changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .where(col("lbl") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
+  /** Keep one representative (the smallest id) per near-dup cluster;
+    * docs in no pair survive untouched.
+    */
+  def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.where(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over token hashes. */
   val simhash64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =

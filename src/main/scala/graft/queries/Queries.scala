@@ -636,6 +636,17 @@ object Queries {
         w = 3, threshold = 0.2)
         .orderBy(col("d1"), col("d2"))),
 
+    "dedup_drop_neardups" -> ((s, d) => {
+      // the full dedup pipeline: jaccard pairs → connected components
+      // → keep the min-id representative per cluster
+      val docs = tbl(s, d, "documents")
+      val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "text", "doc_id",
+        w = 3, threshold = 0.2)
+      graft.pipeline.Dedup.dropNearDups(docs, pairs, "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tokens" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"),
@@ -698,6 +709,37 @@ object Queries {
         |JOIN sz sb ON sb.doc_id = d2
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_drop_neardups" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON sa.doc_id = d1
+        |  JOIN sz sb ON sb.doc_id = d2
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS doc, LEAST(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc FROM comp WHERE cluster < doc)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars

@@ -59,6 +59,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("near-dup clustering: components converge to min label; representatives kept") {
+    import spark.implicits._
+    // chain 1-2-3, pair 5-6, plus an untouched doc 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L, 9L))
+    // full pipeline: planted corpus → jaccard pairs → dedup
+    val planted = plantedDocs()
+    val jp = Dedup.jaccardPairs(planted, "text", "doc_id", 3, 0.5)
+    val survivors = Dedup.dropNearDups(planted, jp, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 fold into 0's cluster
+  }
+
   test("LSH ANN recalls most brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
