@@ -192,8 +192,11 @@ object Dedup {
     * standard large-scale shape (GraphX-free).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // pin the edge list once — it is re-joined every round, and the
+    // caller's `pairs` is typically an expensive similarity query
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
     var converged = false
