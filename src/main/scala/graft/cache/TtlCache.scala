@@ -24,14 +24,27 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
   import spark.implicits._
 
   private var table: DataFrame = spark.emptyDataset[CacheEntry].toDF()
+  private var mutationsSinceCompact = 0
 
   def df: DataFrame = table
+
+  /** Each put/delete deepens the lazy plan; pin it every 32 mutations
+    * so lookup cost stays flat over a long-lived cache.
+    */
+  private def maybeCompact(): Unit = {
+    mutationsSinceCompact += 1
+    if (mutationsSinceCompact >= 32) {
+      table = table.localCheckpoint(true)
+      mutationsSinceCompact = 0
+    }
+  }
 
   def size(): Long = table.count()
 
   def put(key: String, value: String, stamp: Timestamp = now()): Unit = {
     val row = Seq(CacheEntry(key, value, stamp)).toDF()
     table = table.where($"key" =!= key).unionByName(row)
+    maybeCompact()
   }
 
   def get(key: String): Option[String] =
@@ -39,7 +52,10 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
 
   def contains(key: String): Boolean = table.where($"key" === key).limit(1).count() > 0
 
-  def delete(key: String): Unit = table = table.where($"key" =!= key)
+  def delete(key: String): Unit = {
+    table = table.where($"key" =!= key)
+    maybeCompact()
+  }
 
   def clear(): Unit = table = spark.emptyDataset[CacheEntry].toDF()
 

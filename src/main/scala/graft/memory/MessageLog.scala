@@ -33,8 +33,21 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
   import spark.implicits._
 
   private var table: DataFrame = spark.emptyDataset[Message].toDF()
+  private var appendsSinceCompact = 0
 
   def df: DataFrame = table
+
+  /** Appends grow the union plan linearly; pin the table every 32
+    * appends so analysis cost stays O(1) per query over a long
+    * conversation.
+    */
+  private def maybeCompact(): Unit = {
+    appendsSinceCompact += 1
+    if (appendsSinceCompact >= 32) {
+      table = table.localCheckpoint(true)
+      appendsSinceCompact = 0
+    }
+  }
 
   /** M1: validate → embed → append (app.py:189-237). Role outside
     * {user, assistant} is an error (app.py:195-197).
@@ -46,6 +59,7 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
     val vec = embedder.embed(text)
     table = table.unionByName(
       Seq(Message(id, conversationId, role, text, timestamp, vec)).toDF())
+    maybeCompact()
   }
 
   /** M2: filtered cosine top-k with payload (app.py:239-277). */

@@ -77,6 +77,16 @@ class MemorySpec extends SparkTestBase {
     assert(log.injectContext(session.init, Some(prompt)) == session.init)
   }
 
+  test("long conversations stay responsive (plan compaction over 100 appends)") {
+    val log = new MessageLog(spark, LengthEmbedding)
+    (1 to 100).foreach(i => log.append(s"m$i", "long", "user", s"msg $i", i.toLong))
+    val t0 = System.nanoTime()
+    assert(log.lastN("long", 20).count() == 20)
+    assert(log.context("msg", Some("long"), topK = 3).count() == 3)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30, s"queries over a long log took ${secs}s — plan growth?")
+  }
+
   test("M4 generate: last-20 history + prompt through functor, reply persisted") {
     val log = new MessageLog(spark, LengthEmbedding)
     log.append("m1", "c1", "user", "hi", 1L)
