@@ -253,6 +253,22 @@ object Queries {
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
+    "q_scalar_funcs" -> ((s, d) =>
+      tbl(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        length(col("p_name")).cast(LongType).as("len"),
+        regexp_replace(col("p_type"), " ", "_").as("rep"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("pad"),
+        abs(col("p_retailprice") - 1000.0).as("diff"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        (col("p_partkey") % 7).as("md"),
+        levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("lev"))
+        .orderBy(col("p_partkey"))),
+
     "q_rollup" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -449,6 +465,21 @@ object Queries {
         |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
         |                   WHERE s2.s_nationkey = supplier.s_nationkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS ub,
+        |  lower(p_type) AS lt,
+        |  substr(p_name, 1, 5) AS pre,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  replace(p_type, ' ', '_') AS rep,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+        |  abs(p_retailprice - 1000.0) AS diff,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  p_partkey % 7 AS md,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
