@@ -253,6 +253,21 @@ object Queries {
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
+    "q_date_funcs" -> ((s, d) =>
+      tbl(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dd"),
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        // Spark weekday(): Monday=0 == DuckDB isodow-1
+        weekday(col("o_orderdate")).cast(LongType).as("wd"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(col("o_orderdate"),
+          lit("1995-01-01").cast(TimestampType)).cast(LongType).as("since"))
+        .orderBy(col("o_orderkey"))
+        .limit(2000)),
+
     "q_scalar_funcs" -> ((s, d) =>
       tbl(s, d, "part").select(
         col("p_partkey"),
@@ -465,6 +480,17 @@ object Queries {
         |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
         |                   WHERE s2.s_nationkey = supplier.s_nationkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dd,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS since
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey,
