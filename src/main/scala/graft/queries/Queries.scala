@@ -556,6 +556,23 @@ object Queries {
         .limit(3)
     }),
 
+    "vdb_retrieve_docs" -> ((s, d) => {
+      // the reference's full retrieve shape (vectordb.py:209-213):
+      // top-k over vectors, then the J1 id→row back-join to fetch
+      // (source, text) — here an actual broadcast join of 3 ids
+      val emb = tbl(s, d, "embeddings")
+      val docs = tbl(s, d, "documents")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val topk = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosineSimD(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(3)
+      broadcast(topk).join(docs, topk("vec_id") === docs("doc_id"))
+        .select(col("doc_id"), col("sim"), col("source"),
+          substring(col("text"), 1, 40).as("preview"))
+        .orderBy(col("sim").desc, col("doc_id"))
+    }),
+
     "vdb_get_byid" -> ((s, d) =>
       tbl(s, d, "embeddings").where(col("vec_id") === 42)
         .select(col("vec_id"), col("label"))),
@@ -630,6 +647,16 @@ object Queries {
 
     "vdb_get_byid" ->
       "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
+
+    "vdb_retrieve_docs" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |topk AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e, q
+         |  ORDER BY sim DESC, vec_id LIMIT 3)
+         |SELECT d.doc_id, t.sim, d.source, substr(d.text, 1, 40) AS preview
+         |FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+         |ORDER BY t.sim DESC, d.doc_id""".stripMargin,
 
     "vdb_ls" ->
       """SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim, label
