@@ -193,25 +193,30 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // pin the edge list once — it is re-joined every round, and the
-    // caller's `pairs` is typically an expensive similarity query
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    // caller's `pairs` is typically an expensive similarity query.
+    // Self-loops fold the keep-own-label update into the same
+    // propagate aggregation: one join + one groupBy per round.
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val docs = sym.select(col("src").as("doc")).distinct()
+    val edges = sym
+      .union(docs.select(col("doc").as("src"), col("doc").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
+    var labels = docs.withColumn("lbl", col("doc")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val fromNeighbors = edges.join(labels, edges("src") === labels("doc"))
-        .groupBy(col("dst").as("doc2")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(fromNeighbors, labels("doc") === col("doc2"), "left")
-        .select(col("doc"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
-        .withColumnRenamed("lbl2", "lbl")
-        .localCheckpoint(true) // pin each round; lineage would grow exponentially
-      val changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .where(col("lbl") =!= col("old")).limit(1).count()
+      val updated = edges.join(labels, edges("src") === labels("doc"))
+        .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true) // pin each round; lineage grows otherwise
+      // convergence check every other round (it costs a join+count)
+      if (iter % 2 == 1 || iter == maxIters - 1) {
+        val changed = updated.as("u")
+          .join(labels.withColumnRenamed("lbl", "old").as("o"), "doc")
+          .where(col("lbl") =!= col("old")).limit(1).count()
+        converged = changed == 0
+      }
       labels = updated
-      converged = changed == 0
       iter += 1
     }
     labels.withColumnRenamed("lbl", "cluster")
