@@ -192,12 +192,14 @@ object Dedup {
     * standard large-scale shape (GraphX-free).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // pin the edge list once — it is re-joined every round, and the
-    // caller's `pairs` is typically an expensive similarity query.
+    // pin the caller's `pairs` FIRST — it is typically an expensive
+    // similarity query, and every derived frame below (sym, docs,
+    // edges, initial labels) would re-evaluate it otherwise.
     // Self-loops fold the keep-own-label update into the same
     // propagate aggregation: one join + one groupBy per round.
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val sym = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
     val docs = sym.select(col("src").as("doc")).distinct()
     val edges = sym
       .union(docs.select(col("doc").as("src"), col("doc").as("dst")))
