@@ -291,6 +291,16 @@ object Queries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    "q_outer_join" -> ((s, d) => {
+      val c = tbl(s, d, "customer")
+      val o = tbl(s, d, "orders").select(col("o_custkey")).distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q_semi_anti" -> ((s, d) => {
       val o = tbl(s, d, "orders")
       val l = tbl(s, d, "lineitem").where(col("l_quantity") >= 45)
@@ -512,6 +522,15 @@ object Queries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_without_orders
+        |FROM customer c
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT
