@@ -130,6 +130,22 @@ object Queries {
         .agg((sum(cents * discPts) / lit(10000.0)).as("promo_revenue"),
           count(lit(1)).as("n"))),
 
+    "q_window_range_frame" -> ((s, d) => {
+      // trailing-7-day RANGE frame: peers included by value, so the
+      // result is deterministic even with same-day ties
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("ship_us"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      tbl(s, d, "lineitem")
+        .where(col("l_suppkey") <= 3)
+        .withColumn("ship_us",
+          unix_micros(col("l_shipdate").cast(TimestampType)))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), sum(col("l_quantity")).over(w).as("qty_7d"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
     "q_topn_orders" -> ((s, d) =>
       tbl(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -398,6 +414,15 @@ object Queries {
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount >= 0.03 AND l_discount <= 0.07
          |  AND l_quantity < 24""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY epoch_us(l_shipdate)
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS qty_7d
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q_topn_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
