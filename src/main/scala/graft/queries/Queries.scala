@@ -307,6 +307,14 @@ object Queries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    "q_string_agg" -> ((s, d) =>
+      tbl(s, d, "nation")
+        .join(broadcast(tbl(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("r_name"))),
+
     "q_outer_join" -> ((s, d) => {
       val c = tbl(s, d, "customer")
       val o = tbl(s, d, "orders").select(col("o_custkey")).distinct()
@@ -547,6 +555,11 @@ object Queries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q_outer_join" ->
       """SELECT c_nationkey, count(*) AS n_customers,
