@@ -362,6 +362,14 @@ object Queries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    "events_pivot" -> ((s, d) =>
+      tbl(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     "latest_event" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -593,6 +601,15 @@ object Queries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "latest_event" ->
       """SELECT event_type, event_id, ts FROM (
