@@ -362,6 +362,14 @@ object Queries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    "q_unpivot" -> ((s, d) =>
+      tbl(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
     "events_pivot" -> ((s, d) =>
       tbl(s, d, "events")
         .groupBy(col("user_id"))
@@ -601,6 +609,13 @@ object Queries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH src AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+        |                    p_retailprice FROM part)
+        |SELECT p_partkey, attr, val
+        |FROM (UNPIVOT src ON p_size, p_retailprice INTO NAME attr VALUE val)
+        |ORDER BY p_partkey, attr""".stripMargin,
 
     "events_pivot" ->
       """SELECT user_id,
