@@ -59,7 +59,7 @@ final class Graft(
     val engine = new MapReduceEngine(functor, chunkSize, compactMap, compactReduce)
     val entries = sources.read(spec).collect().toSeq
       .sortBy(_.path)
-      .map(e => (e.path, e.chunkTemplate, e.content))
+      .map(e => (e.spec, e.chunkTemplate, e.content))
     val chunks = engine.chunkEntries(entries)
     engine.run(spark, spark.createDataset(chunks),
       question.getOrElse(graft.mapreduce.MrTemplates.DefaultQuestion))

@@ -74,11 +74,17 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
     val hits = k.join(table, Seq("key"), "inner").select($"key", $"value")
     val misses = k.join(table, Seq("key"), "left_anti")
     val fetchUdf = udf(fetch)
-    val fetched = misses.select($"key", fetchUdf($"key").as("value"))
+    // Stamp with a driver-side literal INSIDE the checkpointed frame:
+    // a lazy current_timestamp() added after the checkpoint would
+    // re-evaluate to 'now' on every later read of `table`, so memoized
+    // entries would drift forward and never expire via purgeExpired
+    // (the reference stamps at insert time, cache.py:68-74).
+    val fetched = misses
+      .select($"key", fetchUdf($"key").as("value"), lit(now()).as("stamp"))
       .localCheckpoint(true)
-    val stamped = fetched.withColumn("stamp", current_timestamp())
-    table = table.unionByName(stamped)
-    hits.unionByName(fetched)
+    table = table.unionByName(fetched)
+    maybeCompact()
+    hits.unionByName(fetched.select($"key", $"value"))
   }
 
   def load(path: String): Unit = table = spark.read.parquet(path)

@@ -47,6 +47,19 @@ object Wrap {
   val PolicySectionChunk = "Here is the Debian Policy document, section {} (lines {}-{}):"
   val PolicyFull = "Here is the Debian Policy document, {}:"
   val PolicyFullChunk = "Here is the Debian Policy document, {} (lines {}-{}):"
+  // Scan ("policy:" with empty spec) uses the reference's comma-less
+  // template (reader.py:992-995) — a wording quirk preserved verbatim.
+  val PolicyScan = "Here is the Debian Policy document {}:"
+  val PolicyScanChunk = "Here is the Debian Policy document {} (lines {}-{}):"
+  // Devref wording is distinct from policy (reader.py:916-937): same
+  // structure, "Debian Developer Reference document", and section
+  // entries are labeled "... document [x]", not "... section [x]".
+  val DevrefSection = "Here is the Debian Developer Reference document, section {}:"
+  val DevrefSectionChunk = "Here is the Debian Developer Reference document, section {} (lines {}-{}):"
+  val DevrefFull = "Here is the Debian Developer Reference document, {}:"
+  val DevrefFullChunk = "Here is the Debian Developer Reference document, {} (lines {}-{}):"
+  val DevrefScan = "Here is the Debian Developer Reference document {}:"
+  val DevrefScanChunk = "Here is the Debian Developer Reference document {} (lines {}-{}):"
   val Stdin = "Carefully read the following contents {}:"
   val StdinChunk = "Carefully read the following contents {} (lines {}-{}):"
   val Sbuild = "Here is the sbuild buildlog {}:"

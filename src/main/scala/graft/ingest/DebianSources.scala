@@ -63,13 +63,18 @@ final class DebianSources(spark: SparkSession, fetcher: HttpFetcher) {
     */
   def fetchLdoThreads(spec: String, index: String = "threads.html"): Seq[String] =
     SpecExpansion.expand(spec).flatMap { one =>
-      val html =
-        try fetcher.fetchWithRetry(s"https://lists.debian.org/$one/$index")
-        catch { case _: Throwable => return Seq.empty }
-      val links = HtmlText.hrefs(html).filter(_.startsWith("msg"))
-      val urls = links.map(l => s"https://lists.debian.org/$one/$l")
-      val next = HtmlText.linkWithText(html, "next page")
-      urls ++ next.map(n => fetchLdoThreads(one, n)).getOrElse(Seq.empty)
+      // Failure is LOCAL to this one expanded spec (reader.py:644-648
+      // returns [] for the failed month and keeps the rest); a `return`
+      // here would be a Scala non-local return aborting the whole
+      // expansion and discarding already-collected URLs.
+      scala.util.Try(
+          fetcher.fetchWithRetry(s"https://lists.debian.org/$one/$index"))
+        .toOption.fold(Seq.empty[String]) { html =>
+          val links = HtmlText.hrefs(html).filter(_.startsWith("msg"))
+          val urls = links.map(l => s"https://lists.debian.org/$one/$l")
+          val next = HtmlText.linkWithText(html, "next page")
+          urls ++ next.map(n => fetchLdoThreads(one, n)).getOrElse(Seq.empty)
+        }
     }
 
   /** S9 `read_ldo_threads` (reader.py:663-670): the thread-pool fetch
@@ -97,22 +102,39 @@ final class DebianSources(spark: SparkSession, fetcher: HttpFetcher) {
         chunkTemplate = Wrap.ManChunk))
 
   /** S13 over the network: the policy / devref sectioned documents
-    * (reader.py:970-1004; policy.py URLs). `spec` semantics:
+    * (reader.py:969-1004 policy; 909-937 devref). `spec` semantics:
     * "all" → whole document; "" → every section as its own entry;
-    * "x.y" → that section.
+    * "x.y" → that section. Wording is preserved verbatim per document,
+    * including the devref quirks: section entries are labeled
+    * "... document [x]" (not "... section [x]"), and the scan ("")
+    * templates are comma-less with the empty spec baked in.
     */
   def readPolicy(spec: String,
-                 url: String = "https://www.debian.org/doc/debian-policy/policy.txt")
+                 url: String = "https://www.debian.org/doc/debian-policy/policy.txt",
+                 devref: Boolean = false)
       : Dataset[SourceEntry] = {
     val doc = new SectionedDoc(spark, fetcher.fetchWithRetry(url))
+    val (fullLabel, sectionLabel, full, fullC, sect, sectC, scan, scanC) =
+      if (devref)
+        ("Debian Developer Reference document",
+         (i: String) => s"Debian Developer Reference document [$i]",
+         Wrap.DevrefFull, Wrap.DevrefFullChunk,
+         Wrap.DevrefSection, Wrap.DevrefSectionChunk,
+         Wrap.DevrefScan, Wrap.DevrefScanChunk)
+      else
+        ("Debian Policy document",
+         (i: String) => s"Debian Policy section [$i]",
+         Wrap.PolicyFull, Wrap.PolicyFullChunk,
+         Wrap.PolicySection, Wrap.PolicySectionChunk,
+         Wrap.PolicyScan, Wrap.PolicyScanChunk)
     val entries = spec match {
-      case "all" => Seq(SourceEntry("Debian Policy document", doc.fullText,
-        Wrap.PolicyFull, Wrap.PolicyFullChunk))
+      case "all" => Seq(SourceEntry(fullLabel, doc.fullText, full, fullC,
+        wrapSpec = Some("full contents")))
       case "" => doc.scanIndexes().map(idx =>
-        SourceEntry(s"Debian Policy section [$idx]", doc.section(idx),
-          Wrap.PolicyFull, Wrap.PolicyFullChunk))
-      case idx => Seq(SourceEntry(s"Debian Policy section [$idx]",
-        doc.section(idx), Wrap.PolicySection, Wrap.PolicySectionChunk))
+        SourceEntry(sectionLabel(idx), doc.section(idx), scan, scanC,
+          wrapSpec = Some("")))
+      case idx => Seq(SourceEntry(sectionLabel(idx), doc.section(idx),
+        sect, sectC, wrapSpec = Some(idx)))
     }
     spark.createDataset(entries)
   }

@@ -10,8 +10,16 @@ import java.nio.charset.{CodingErrorAction, StandardCharsets}
   * (the reference's `Entry` with closures-as-data — SURVEY.md §1.1).
   */
 final case class SourceEntry(path: String, content: String,
-                             template: String, chunkTemplate: String) {
-  def wrapped: String = Wrap.wrapContent(template, path, content)
+                             template: String, chunkTemplate: String,
+                             wrapSpec: Option[String] = None) {
+  /** The value baked into the wrap template. Usually the path, but the
+    * reference sometimes bakes a different spec than the entry label —
+    * e.g. policy "all" wraps with 'full contents' while the entry is
+    * labeled 'Debian Policy document' (reader.py:973-981).
+    */
+  def spec: String = wrapSpec.getOrElse(path)
+
+  def wrapped: String = Wrap.wrapContent(template, spec, content)
 }
 
 /** Pluggable HTTP boundary (S5). The build environment has zero
@@ -45,9 +53,14 @@ object NoNetworkFetcher extends HttpFetcher {
       s"network disabled in this environment; cannot fetch $url")
 }
 
-final case class FixtureFetcher(pages: Map[String, String]) extends HttpFetcher {
+final case class FixtureFetcher(pages: Map[String, String],
+                                retryWaitMs: Long = 0L) extends HttpFetcher {
   override def fetch(url: String): String =
     pages.getOrElse(url, throw new java.io.FileNotFoundException(url))
+
+  override def fetchWithRetry(url: String, attempts: Int,
+                              waitMs: Long): String =
+    super.fetchWithRetry(url, attempts, retryWaitMs)
 }
 
 /** Memoized fetch — the reference's `enable_cache` decorator around
@@ -96,7 +109,8 @@ final class SourceRegistry(spark: SparkSession,
     else if (spec.startsWith("man:")) debian.readMan(spec.stripPrefix("man:"), this)
     else if (spec.startsWith("policy:")) debian.readPolicy(spec.stripPrefix("policy:"))
     else if (spec.startsWith("devref:")) debian.readPolicy(spec.stripPrefix("devref:"),
-      url = "https://www.debian.org/doc/manuals/developers-reference/developers-reference.en.txt")
+      url = "https://www.debian.org/doc/manuals/developers-reference/developers-reference.en.txt",
+      devref = true)
     else if (spec.startsWith("sbuild:")) debian.readSbuild(spec.stripPrefix("sbuild:"))
     else if (spec.startsWith("tldr:")) readCmd(s"tldr ${spec.stripPrefix("tldr:")}")
       .map(e => e.copy(path = spec.stripPrefix("tldr:"),

@@ -43,8 +43,12 @@ object AsOfJoin {
     val unioned = l.select(
       (leftCols.map(col) ++ Seq(col("_ts"), col("_side"), col("_payload"), col("_key"))): _*)
       .unionByName(r)
+    // _payload as the final sort key makes the pick among right rows
+    // sharing (key, ts) deterministic across runs/partitionings —
+    // without it, last(..., ignoreNulls) would return whichever duplicate
+    // the shuffle happened to order last.
     val w = Window.partitionBy(col("_key"))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = unioned
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))

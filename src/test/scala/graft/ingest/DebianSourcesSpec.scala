@@ -32,7 +32,10 @@ class DebianSourcesSpec extends SparkTestBase {
       "<html><body>mail three</body></html>",
     "https://www.debian.org/doc/debian-policy/policy.txt" ->
       Seq("1. Intro", "********", "intro body",
-        "2. Next", "*******", "next body").mkString("\n")))
+        "2. Next", "*******", "next body").mkString("\n"),
+    "https://www.debian.org/doc/manuals/developers-reference/developers-reference.en.txt" ->
+      Seq("1. Scope", "********", "scope body",
+        "2. More", "*******", "more body").mkString("\n")))
 
   private def registry = new SourceRegistry(spark, fetcher)
 
@@ -64,6 +67,35 @@ class DebianSourcesSpec extends SparkTestBase {
     assert(entries.map(_.content).toSeq ==
       Seq("mail one", "mail two", "mail three"))
     assert(entries.head.template == graft.core.Wrap.UrlBacktick)
+  }
+
+  test("ldo: one failed month is local — other months' URLs survive (reader.py:644-648)") {
+    // months 11 and 12 expand; 12's index page is missing from the
+    // fixtures, so its fetch fails after retries. The reference keeps
+    // the successful months; a non-local `return` would discard them.
+    val debian = new DebianSources(spark, fetcher)
+    val urls = debian.fetchLdoThreads("debian-ai/2024/11:12")
+    assert(urls.length == 3)
+    assert(urls.forall(_.contains("/2024/11/")))
+  }
+
+  test("devref: developer-reference wording, section label quirk (reader.py:909-937)") {
+    val one = registry.read("devref:1").head()
+    assert(one.path == "Debian Developer Reference document [1]")
+    assert(one.template == graft.core.Wrap.DevrefSection)
+    assert(one.wrapped.startsWith(
+      "Here is the Debian Developer Reference document, section 1:"))
+    val full = registry.read("devref:all").head()
+    assert(full.path == "Debian Developer Reference document")
+    assert(full.wrapped.startsWith(
+      "Here is the Debian Developer Reference document, full contents:"))
+    val scan = registry.read("devref:").collect()
+    assert(scan.map(_.path).toSeq ==
+      Seq("Debian Developer Reference document [1]",
+        "Debian Developer Reference document [2]"))
+    // scan template is the comma-less variant with the empty spec baked in
+    assert(scan.head.wrapped.startsWith(
+      "Here is the Debian Developer Reference document :"))
   }
 
   test("policy: one section / all sections / full document (reader.py:970-1004)") {

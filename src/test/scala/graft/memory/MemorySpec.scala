@@ -167,4 +167,22 @@ class MemorySpec extends SparkTestBase {
     assert(calls.value == 1, s"fetch ran ${calls.value} times")
     assert(c.get("b").contains("fetched_b"))
   }
+
+  test("cache memoize: insert-time stamp is fixed, so entries can expire") {
+    import spark.implicits._
+    val c = new TtlCache(spark)
+    val keys = spark.createDataset(Seq("m")).toDF("key")
+    c.memoize(keys, k => s"v_$k")
+    val stamp1 = c.df.where($"key" === "m")
+      .select($"stamp").as[java.sql.Timestamp].head()
+    Thread.sleep(30)
+    val stamp2 = c.df.where($"key" === "m")
+      .select($"stamp").as[java.sql.Timestamp].head()
+    // a lazy current_timestamp() would drift between evaluations
+    assert(stamp1 == stamp2, s"stamp drifted: $stamp1 -> $stamp2")
+    // and a drifting stamp could never age past the TTL cutoff
+    c.purgeExpired(new java.sql.Timestamp(
+      System.currentTimeMillis() + 100L * 24 * 3600 * 1000))
+    assert(!c.contains("m"))
+  }
 }
