@@ -57,17 +57,38 @@ object Dedup {
     * index: explode shingles, self-equi-join on the shingle, count
     * intersections per pair, fetch set sizes. Only pairs sharing ≥1
     * shingle are ever materialized.
+    *
+    * `maxShingleDf` > 0 drops stop-shingles — shingles occurring in
+    * more than that many documents — from the inverted index before
+    * the self-join. The join's output is quadratic in posting-list
+    * length (Σ df² over shingles), so ONE corpus-common trigram would
+    * otherwise dominate the whole job at scale; the cap bounds
+    * per-shingle join work to maxDf². Set sizes keep the FULL
+    * distinct-shingle count, so the reported jac is a lower bound of
+    * true Jaccard and pairs sharing only stop-shingles are dropped —
+    * the intended behavior, since corpus-common boilerplate shingles
+    * carry no near-duplicate signal. The hot set is a tiny aggregate
+    * output, broadcast for the anti-join (at extreme corpus sizes the
+    * df scan could run on a sample, since df > cap survives sampling).
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, w: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxShingleDf: Int = 0): DataFrame = {
     // postings keyed by a 64-bit shingle hash (8-byte shuffle keys, no
     // collision risk at exact-pairwise scale) and CARRYING the doc's
     // distinct-shingle count: the pair aggregation then needs no
     // size-lookup joins, the shingle expression is evaluated once, and
     // the self-join reuses a single shuffle exchange.
-    val ex = df.select(col(idCol).as("doc"), wordShingles(col(textCol), w).as("shs"))
+    val ex0 = df.select(col(idCol).as("doc"), wordShingles(col(textCol), w).as("shs"))
       .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
       .select(col("doc"), col("n"), xxhash64(col("s")).as("h"))
+    val ex =
+      if (maxShingleDf <= 0) ex0
+      else {
+        val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf)
+          .select(col("h"))
+        ex0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))

@@ -41,38 +41,65 @@ object Ivf {
 
   /** Train a spherical k-means quantizer. Deterministic: seeds picked
     * by hashing ids; iterations are full-scan assign + per-cluster
-    * mean (map-side combined), centroids renormalized.
+    * mean, centroids renormalized.
+    *
+    * The per-cluster mean is a per-partition accumulated vector sum
+    * merged with `reduceByKey` (map-side combined): the shuffle per
+    * iteration carries at most partitions×nlist records of dim
+    * doubles — NOT the earlier posexplode formulation, which
+    * multiplied the row count by the vector dimension (N×dim shuffle
+    * rows) before aggregating. A quantizer only needs a representative
+    * sample, so corpora beyond `maxTrainRows` are seeded-sampled down
+    * before iterating; assignment of the full corpus stays in
+    * [[assign]].
     */
   def train(df: DataFrame, vecCol: String, idCol: String, nlist: Int,
-            iters: Int = 5, seed: Long = 42L): IvfModel = {
+            iters: Int = 5, seed: Long = 42L,
+            maxTrainRows: Long = 200000L): IvfModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    var centroids: Array[Array[Float]] = df
+    val total = df.count()
+    val trainDf =
+      if (total <= maxTrainRows) df
+      else df.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
+    var centroids: Array[Array[Float]] = trainDf
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(nlist)
       .select(col(vecCol)).as[Array[Float]].collect()
 
+    val vecs = trainDf.select(col(vecCol)).as[Array[Float]]
     for (_ <- 1 to iters) {
-      val assignUdf = mkAssignUdf(IvfModel(centroids), 1)
-      val assigned = df.select(col(vecCol).as("v"),
-        assignUdf(col(vecCol)).getItem(0).as("cluster"))
-      // per-cluster mean: explode positions, avg, regroup (nlist×dim
-      // rows — tiny), then renormalize on the driver
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(map_from_arrays(collect_list(col("pos")),
-          collect_list(col("m"))).as("byPos"))
-        .as[(Int, Map[Int, Double])].collect().toMap
+      val modelB = spark.sparkContext.broadcast(IvfModel(centroids))
+      val sums = vecs.rdd
+        .mapPartitions { it =>
+          val model = modelB.value
+          val acc = scala.collection.mutable.HashMap
+            .empty[Int, (Array[Double], Long)]
+          it.foreach { v =>
+            val c = model.nearest(v, 1)(0)
+            val (s, n) = acc.getOrElseUpdate(c, (new Array[Double](v.length), 0L))
+            var i = 0
+            while (i < v.length) { s(i) += v(i); i += 1 }
+            acc(c) = (s, n + 1)
+          }
+          acc.iterator
+        }
+        .reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+          val (s1, n1) = a
+          val (s2, n2) = b
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (s1, n1 + n2)
+        }
+        .collectAsMap()
+      modelB.destroy()
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        means.get(c) match {
+        sums.get(c) match {
           case None => old // empty cluster keeps its centroid
-          case Some(byPos) =>
-            val dim = old.length
-            val v = Array.tabulate(dim)(i => byPos.getOrElse(i, 0.0))
+          case Some((s, cnt)) =>
+            val v = s.map(_ / cnt)
             val n = math.sqrt(v.map(x => x * x).sum)
             if (n == 0.0) old else v.map(x => (x / n).toFloat)
         }

@@ -202,17 +202,29 @@ object Queries {
 
     "events_range_join" -> ((s, d) => {
       // range join: clicks within the 5 minutes before each error,
-      // same user — equi key (user) + time-band condition
+      // same user. Bucketed band join: both sides bucket by the band
+      // width and equi-join on (user_id, bucket), with each error
+      // expanded to its own and the previous bucket — every
+      // band-eligible click is reachable through exactly one
+      // equi-match (the click's own bucket), so nothing double-counts
+      // and the join never materializes the per-user cross product
+      // that a bare user_id equi-join + in-aggregate band filter
+      // would (a skewed bot user scales linearly here, not
+      // quadratically).
+      val bandUs = 300L * 1000000L
       val ev = tbl(s, d, "events")
       val err = ev.where(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"),
           unix_micros(col("ts")).as("err_us"))
+        .withColumn("bkt", explode(array(
+          expr(s"err_us div $bandUs"), expr(s"err_us div $bandUs") - 1L)))
       val clk = ev.where(col("event_type") === "click")
         .select(col("user_id"), unix_micros(col("ts")).as("clk_us"))
-      err.join(clk, Seq("user_id"), "left")
+        .withColumn("bkt", expr(s"clk_us div $bandUs"))
+      err.join(clk, Seq("user_id", "bkt"), "left")
         .groupBy(col("err_id"))
         .agg(sum(when(col("clk_us") <= col("err_us") &&
-          col("clk_us") > col("err_us") - lit(300L * 1000000L), 1L)
+          col("clk_us") > col("err_us") - lit(bandUs), 1L)
           .otherwise(0L)).as("n_recent_clicks"))
         .orderBy(col("err_id"))
     }),
@@ -813,7 +825,7 @@ object Queries {
 
     "dedup_jaccard_pairs" -> ((s, d) =>
       graft.pipeline.Dedup.jaccardPairs(tbl(s, d, "documents"), "text", "doc_id",
-        w = 3, threshold = 0.2)
+        w = 3, threshold = 0.2, maxShingleDf = 128)
         .orderBy(col("d1"), col("d2"))),
 
     "dedup_drop_neardups" -> ((s, d) => {
@@ -821,7 +833,7 @@ object Queries {
       // → keep the min-id representative per cluster
       val docs = tbl(s, d, "documents")
       val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "text", "doc_id",
-        w = 3, threshold = 0.2)
+        w = 3, threshold = 0.2, maxShingleDf = 128)
       graft.pipeline.Dedup.dropNearDups(docs, pairs, "doc_id")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -877,10 +889,12 @@ object Queries {
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
         |  FROM tok WHERE len(ws) >= 3),
         |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |ef AS (SELECT * FROM e WHERE sg NOT IN (
+        |  SELECT sg FROM e GROUP BY sg HAVING count(*) > 128)),
         |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  FROM ef a JOIN ef b ON a.sg = b.sg AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2,
         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
@@ -899,10 +913,12 @@ object Queries {
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
         |  FROM tok WHERE len(ws) >= 3),
         |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |ef AS (SELECT * FROM e WHERE sg NOT IN (
+        |  SELECT sg FROM e GROUP BY sg HAVING count(*) > 128)),
         |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  FROM ef a JOIN ef b ON a.sg = b.sg AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT d1, d2 FROM inter

@@ -36,6 +36,23 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("jaccard df cap drops stop-shingle-only pairs, keeps real near-dups") {
+    import spark.implicits._
+    // docs 0..9 all share one boilerplate shingle ("common x y"); docs
+    // 0 and 1 additionally share their real content.
+    val docs = (0L to 9L).map { i =>
+      val body = if (i <= 1) "alpha beta gamma delta" else s"u$i v$i w$i z$i"
+      (i, s"common x y $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.01)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 45) // every pair shares the boilerplate
+    val capped = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.01,
+      maxShingleDf = 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L))) // only the real near-dup survives
+  }
+
   test("minhash LSH surfaces the same planted pairs with verified jaccard") {
     val pairs = Dedup.minhashCandidatePairs(plantedDocs(), "text", "doc_id",
       w = 3, bands = 16, rows = 4, threshold = 0.5)
