@@ -60,6 +60,12 @@ object Wrap {
   val DevrefFullChunk = "Here is the Debian Developer Reference document, {} (lines {}-{}):"
   val DevrefScan = "Here is the Debian Developer Reference document {}:"
   val DevrefScanChunk = "Here is the Debian Developer Reference document {} (lines {}-{}):"
+  // The reference's nm: branch passes `lambda x: x` as the chunk
+  // wrapper (reader.py:880), which would crash chunk_entry's 3-arg
+  // call — a latent bug (SURVEY §7.4.3). We reproduce behavior for
+  // valid inputs: the question template serves as the chunk template
+  // (extra format args are ignored, matching Python's str.format).
+  val Nm = "Here is the question {} from Debian nm-templates:"
   val Stdin = "Carefully read the following contents {}:"
   val StdinChunk = "Carefully read the following contents {} (lines {}-{}):"
   val Sbuild = "Here is the sbuild buildlog {}:"

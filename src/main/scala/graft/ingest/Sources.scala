@@ -85,28 +85,42 @@ final class CachingFetcher(inner: HttpFetcher,
   * [[HttpFetcher]] (same dispatch + wrap-template contract).
   */
 final class SourceRegistry(spark: SparkSession,
-                           fetcher: HttpFetcher = NoNetworkFetcher) {
+                           fetcher: HttpFetcher = NoNetworkFetcher,
+                           pdf: PdfExtractor = PdfExtractor.Unavailable,
+                           env: String => Option[String] = k => sys.env.get(k)) {
   import spark.implicits._
 
   private lazy val debian = new DebianSources(spark, fetcher)
 
   /** S15: unified spec dispatch (same prefixes and precedence as the
-    * reference dispatcher, reader.py:812-1032).
+    * reference dispatcher, reader.py:812-1032). `userQuestion` backs
+    * the bare `google:` spec, which searches for the user's question
+    * when no explicit query is given (reader.py:944).
     */
-  def read(spec: String): Dataset[SourceEntry] = {
+  def read(spec: String, userQuestion: String = ""): Dataset[SourceEntry] = {
     val f = new java.io.File(spec)
     if (f.exists && f.isFile) readFile(spec)
     else if (f.exists && f.isDirectory) readDirectory(spec)
-    else if (Seq("file://", "http://", "https://").exists(spec.startsWith))
+    // file:// serves LOCAL files (the reference reads it via pycurl,
+    // reader.py:379-483) — it must not hit the HTTP fetcher.
+    else if (spec.startsWith("file://")) readFileUrl(spec)
+    else if (Seq("http://", "https://").exists(spec.startsWith))
       readUrl(spec)
     else if (spec.startsWith("archwiki:")) debian.readArchwiki(spec.stripPrefix("archwiki:"))
     else if (spec.startsWith("bts:")) debian.readBts(spec.stripPrefix("bts:"))
     else if (spec.startsWith("buildd:")) debian.readBuildd(spec.stripPrefix("buildd:"))
     else if (spec.startsWith("cmd:")) readCmd(spec.stripPrefix("cmd:"))
+    else if (spec.startsWith("google:")) {
+      val explicit = spec.stripPrefix("google:")
+      val query = if (explicit.nonEmpty) explicit else userQuestion
+      require(query.nonEmpty, "Please provide a search query.")
+      readGoogle(query)
+    }
     else if (spec.startsWith("ldo:")) debian.readLdoThreads(spec.stripPrefix("ldo:"))
     else if (spec.startsWith("lists.debian.org:"))
       debian.readLdoThreads(spec.stripPrefix("lists.debian.org:"))
     else if (spec.startsWith("man:")) debian.readMan(spec.stripPrefix("man:"), this)
+    else if (spec.startsWith("nm:")) readNm(spec.stripPrefix("nm:"))
     else if (spec.startsWith("policy:")) debian.readPolicy(spec.stripPrefix("policy:"))
     else if (spec.startsWith("devref:")) debian.readPolicy(spec.stripPrefix("devref:"),
       url = "https://www.debian.org/doc/manuals/developers-reference/developers-reference.en.txt",
@@ -120,17 +134,23 @@ final class SourceRegistry(spark: SparkSession,
       s"File or resource ${PyText.pyRepr(spec)} not recognized")
   }
 
-  /** S1/S3: whole file as one entry (UTF-8 text; undecodable → empty,
-    * reader.py:225-239,336-350).
+  /** S1/S2/S3: whole file as one entry. UTF-8 text is read directly;
+    * `.pdf` goes through the pluggable [[PdfExtractor]] (the
+    * reference's pypdf path, reader.py:310-333,415-418); other
+    * undecodable content degrades to an empty entry
+    * (reader.py:225-239,336-350).
     */
-  def readFile(path: String): Dataset[SourceEntry] =
+  def readFile(path: String): Dataset[SourceEntry] = {
+    val p = pdf
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .map { r =>
-        SourceEntry(SourceRegistry.stripScheme(r.getString(0)),
-          SourceRegistry.decodeUtf8OrEmpty(r.getAs[Array[Byte]](1)),
+        val path0 = SourceRegistry.stripScheme(r.getString(0))
+        SourceEntry(path0,
+          SourceRegistry.fileContent(path0, r.getAs[Array[Byte]](1), p),
           Wrap.File, Wrap.FileChunk)
       }
+  }
 
   /** S4: recursive directory walk; `.git`/`__pycache__` subtrees
     * pruned; unsupported (non-UTF-8) files become empty entries
@@ -139,6 +159,7 @@ final class SourceRegistry(spark: SparkSession,
     */
   def readDirectory(path: String): Dataset[SourceEntry] = {
     val skip = Seq(".git", "__pycache__")
+    val p = pdf
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(path)
@@ -146,8 +167,9 @@ final class SourceRegistry(spark: SparkSession,
       .filter(r => !skip.exists(s =>
         SourceRegistry.stripScheme(r.getString(0)).split('/').contains(s)))
       .map { r =>
-        SourceEntry(SourceRegistry.stripScheme(r.getString(0)),
-          SourceRegistry.decodeUtf8OrEmpty(r.getAs[Array[Byte]](1)),
+        val path0 = SourceRegistry.stripScheme(r.getString(0))
+        SourceEntry(path0,
+          SourceRegistry.fileContent(path0, r.getAs[Array[Byte]](1), p),
           Wrap.File, Wrap.FileChunk)
       }
   }
@@ -157,10 +179,65 @@ final class SourceRegistry(spark: SparkSession,
     */
   def readUrl(url: String): Dataset[SourceEntry] = {
     val raw = fetcher.fetchWithRetry(url)
-    val content =
-      if (looksLikeHtml(raw)) PyText.squeezeBlankLines(stripHtml(raw))
-      else raw
-    spark.createDataset(Seq(SourceEntry(url, content, Wrap.Url, Wrap.UrlChunk)))
+    spark.createDataset(Seq(SourceEntry(url,
+      SourceRegistry.urlContent(raw), Wrap.Url, Wrap.UrlChunk)))
+  }
+
+  /** `file://` URLs are served from the LOCAL filesystem (the
+    * reference's pycurl fetch handles the scheme natively,
+    * reader.py:379-483) with the same HTML-strip pipeline and URL wrap
+    * templates as remote URLs.
+    */
+  def readFileUrl(url: String): Dataset[SourceEntry] = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(url.stripPrefix("file://")))
+    val raw = SourceRegistry.decodeUtf8OrEmpty(bytes)
+    spark.createDataset(Seq(SourceEntry(url,
+      SourceRegistry.urlContent(raw), Wrap.Url, Wrap.UrlChunk)))
+  }
+
+  /** S10 `google:`: search-result URLs fan out partition-parallel,
+    * same shape as the ldo thread fetch (reader.py:726-736,943-952).
+    * No results → empty dataset (the reference logs and returns []).
+    */
+  def readGoogle(query: String): Dataset[SourceEntry] = {
+    val urls = new GoogleSearch(spark, fetcher, env).searchUrls(query)
+    val f = fetcher
+    spark.createDataset(urls)
+      .repartition(math.max(1, math.min(urls.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions(_.map { url =>
+        val raw = f.fetchWithRetry(url)
+        SourceEntry(url, SourceRegistry.urlContent(raw),
+          Wrap.UrlBacktick, Wrap.UrlBacktickChunk)
+      })
+  }
+
+  /** `nm:` Debian new-maintainer question templates
+    * (reader.py:875-907). Unknown keys error like the reference's
+    * KeyError. Two questions pull companion sources: pp1e.PH9 reads
+    * the GR vote page, pp2.BT6/BT8 read the BTS how-to pages. The
+    * reference's pp1.PH7 additionally wget-downloads a licenses
+    * tarball and reads the extracted directory; we read a local
+    * `licenses` directory when one exists but never download
+    * (side-effecting shell-out stays outside the engine).
+    */
+  def readNm(key: String): Dataset[SourceEntry] = {
+    val content = NmTemplates.All.getOrElse(key,
+      throw new NoSuchElementException(s"key not found: $key"))
+    val base = spark.createDataset(Seq(
+      SourceEntry(key, content, Wrap.Nm, Wrap.Nm)))
+    val extras: Seq[Dataset[SourceEntry]] = key match {
+      case "pp1.PH7" if new java.io.File("licenses").isDirectory =>
+        Seq(readDirectory("licenses"))
+      case "pp1e.PH9" =>
+        Seq(readUrl("https://www.debian.org/vote/2006/vote_001"))
+      case "pp2.BT6" | "pp2.BT8" =>
+        Seq(read("https://www.debian.org/Bugs/Reporting"),
+          read("https://www.debian.org/Bugs/Developer"))
+      case _ => Seq.empty
+    }
+    extras.foldLeft(base)(_ unionByName _)
   }
 
   /** S6: command output, lines rstripped (reader.py:544-549). */
@@ -187,20 +264,24 @@ final class SourceRegistry(spark: SparkSession,
       read(spec).withColumn("specOrd", lit(i))
     }.reduce(_ unionByName _)
 
-  private def looksLikeHtml(s: String): Boolean = {
-    val head = s.take(512).toLowerCase
-    head.contains("<html") || head.contains("<!doctype html")
-  }
+}
 
-  /** Minimal tag-strip stand-in for the reference's BeautifulSoup
-    * `get_text()` (reader.py:461-466) — script/style dropped, tags
-    * removed, entities for the common five.
-    */
-  private def stripHtml(html: String): String = {
-    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
-    val noTags = noScript.replaceAll("(?s)<[^>]+>", "")
-    noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'").trim
+/** S2: pluggable PDF text extraction (the reference's pypdf path,
+  * reader.py:310-333). The build environment ships no PDF library, so
+  * the default refuses with a clear wiring hint; a deployment binds
+  * Apache PDFBox (or any extractor) here, the same seam pattern as
+  * [[HttpFetcher]].
+  */
+trait PdfExtractor extends Serializable {
+  def extractText(bytes: Array[Byte]): String
+}
+
+object PdfExtractor {
+  object Unavailable extends PdfExtractor {
+    override def extractText(bytes: Array[Byte]): String =
+      throw new UnsupportedOperationException(
+        "PDF extraction needs a PdfExtractor binding (e.g. Apache " +
+          "PDFBox: PDFTextStripper.getText over Loader.loadPDF)")
   }
 }
 
@@ -220,6 +301,43 @@ object SourceRegistry {
     try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     catch { case _: java.nio.charset.CharacterCodingException => "" }
   }
+
+  /** File-content dispatch (reader.py:415-422): decodable text reads
+    * as-is; undecodable `.pdf` goes to the extractor; anything else
+    * degrades to an empty entry (S1 decision — the reference raises
+    * TypeError, but a distributed directory walk must not die on one
+    * stray binary).
+    */
+  def fileContent(path: String, bytes: Array[Byte],
+                  pdf: PdfExtractor): String = {
+    val text = decodeUtf8OrEmpty(bytes)
+    if (text.nonEmpty || bytes.isEmpty) text
+    else if (path.toLowerCase.endsWith(".pdf")) pdf.extractText(bytes)
+    else ""
+  }
+
+  def looksLikeHtml(s: String): Boolean = {
+    val head = s.take(512).toLowerCase
+    head.contains("<html") || head.contains("<!doctype html")
+  }
+
+  /** Minimal tag-strip stand-in for the reference's BeautifulSoup
+    * `get_text()` (reader.py:461-466) — script/style dropped, tags
+    * removed, entities for the common five.
+    */
+  def stripHtml(html: String): String = {
+    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
+    val noTags = noScript.replaceAll("(?s)<[^>]+>", "")
+    noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").trim
+  }
+
+  /** URL content pipeline (reader.py:455-467): HTML → stripped +
+    * blank-line-squeezed text; anything else passes through.
+    */
+  def urlContent(raw: String): String =
+    if (looksLikeHtml(raw)) PyText.squeezeBlankLines(stripHtml(raw))
+    else raw
 }
 
 /** F10: the ldo range-spec expansion (reader.py:586-641):

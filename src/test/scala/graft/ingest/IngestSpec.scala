@@ -62,6 +62,111 @@ class IngestSpec extends SparkTestBase {
     assert(ex.getMessage.startsWith("boom"))
   }
 
+  test("file:// URLs serve local files, never the HTTP fetcher (reader.py:379-483)") {
+    val root = mkTree()
+    // NoNetworkFetcher default: a file:// spec routed to HTTP would throw
+    val reg = new SourceRegistry(spark)
+    val e = reg.read(s"file://$root/a.txt").head()
+    assert(e.content == "hello\nworld")
+    assert(e.template == graft.core.Wrap.Url) // URL wrap, like the reference
+    val html = root.resolve("page.html")
+    Files.writeString(html, "<!doctype html><html><body><p>Hi &amp; bye</p></body></html>")
+    assert(reg.read(s"file://$html").head().content == "Hi & bye")
+  }
+
+  test("pdf dispatch reaches the PdfExtractor seam; default refuses clearly (reader.py:310-333)") {
+    val root = mkTree()
+    // %PDF magic followed by non-UTF-8 bytes → not decodable as text
+    Files.write(root.resolve("doc.pdf"),
+      "%PDF-1.4 ".getBytes ++ Array[Byte](-60, 0, -1, -2))
+    val fake = new PdfExtractor {
+      override def extractText(bytes: Array[Byte]): String =
+        s"extracted ${bytes.length} bytes"
+    }
+    val reg = new SourceRegistry(spark, pdf = fake)
+    val e = reg.read(root.resolve("doc.pdf").toString).head()
+    assert(e.content == "extracted 13 bytes")
+    // directory walks dispatch the same way
+    val dirEntries = reg.readDirectory(root.toString).collect()
+    assert(dirEntries.find(_.path.endsWith("doc.pdf"))
+      .exists(_.content == "extracted 13 bytes"))
+    // the default extractor names the missing binding instead of
+    // silently degrading
+    val bare = new SourceRegistry(spark)
+    val ex = intercept[org.apache.spark.SparkException](
+      bare.readFile(root.resolve("doc.pdf").toString).head())
+    assert(ex.getCause.getMessage.contains("PdfExtractor"))
+  }
+
+  test("google: API fan-out through fixtures; unconfigured and error payloads → empty (reader.py:678-736,943)") {
+    val payload =
+      """{"items": [{"link": "https://r.test/one"}, {"link": "https://r.test/two"},
+        |{"notlink": 5}]}""".stripMargin
+    val key = "k123"
+    val cx = "cx456"
+    val api = s"${GoogleSearch.ApiUrl}?key=$key&cx=$cx&q=spark+tuning"
+    val envMap = Map("GOOGLE_SEARCH_API_KEY" -> key, "GOOGLE_CSE_ID" -> cx)
+    val reg = new SourceRegistry(spark, FixtureFetcher(Map(
+      api -> payload,
+      "https://r.test/one" -> "<html><body>first result</body></html>",
+      "https://r.test/two" -> "plain text two")),
+      env = envMap.get)
+    val entries = reg.read("google:spark tuning").collect().sortBy(_.path)
+    assert(entries.map(_.path).toSeq ==
+      Seq("https://r.test/one", "https://r.test/two"))
+    assert(entries.map(_.content).toSeq == Seq("first result", "plain text two"))
+    assert(entries.head.template == graft.core.Wrap.UrlBacktick)
+    // bare google: falls back to the user question
+    val viaQuestion = reg.read("google:", userQuestion = "spark tuning").collect()
+    assert(viaQuestion.length == 2)
+    intercept[IllegalArgumentException](reg.read("google:"))
+    // no credentials → no results, no fetch attempts
+    val unconfigured = new SourceRegistry(spark, FixtureFetcher(Map.empty),
+      env = _ => None)
+    assert(unconfigured.read("google:x").count() == 0)
+    // API error payload → empty
+    val errReg = new SourceRegistry(spark, FixtureFetcher(Map(
+      s"${GoogleSearch.ApiUrl}?key=$key&cx=$cx&q=x" ->
+        """{"error": {"message": "quota"}}""")), env = envMap.get)
+    assert(errReg.read("google:x").count() == 0)
+    // undecodable payload → empty
+    val badReg = new SourceRegistry(spark, FixtureFetcher(Map(
+      s"${GoogleSearch.ApiUrl}?key=$key&cx=$cx&q=x" -> "not json")),
+      env = envMap.get)
+    assert(badReg.read("google:x").count() == 0)
+  }
+
+  test("nm: question templates + companion sources (reader.py:875-907)") {
+    val reg = new SourceRegistry(spark, FixtureFetcher(Map(
+      "https://www.debian.org/vote/2006/vote_001" ->
+        "<html><body>GR 2006 text</body></html>",
+      "https://www.debian.org/Bugs/Reporting" -> "how to report",
+      "https://www.debian.org/Bugs/Developer" -> "developer info")))
+    val one = reg.read("nm:pp1.PH1").collect()
+    assert(one.length == 1)
+    assert(one.head.content.startsWith("What is Debian's approach to non-free software?"))
+    assert(one.head.wrapped.startsWith(
+      "Here is the question pp1.PH1 from Debian nm-templates:"))
+    val ph9 = reg.read("nm:pp1e.PH9").collect().sortBy(_.path)
+    assert(ph9.length == 2)
+    assert(ph9.exists(_.content == "GR 2006 text"))
+    val bt6 = reg.read("nm:pp2.BT6").collect()
+    assert(bt6.length == 3)
+    assert(bt6.map(_.content).toSet.contains("how to report"))
+    intercept[NoSuchElementException](reg.read("nm:unknown.key"))
+  }
+
+  test("read_stdin: rstripped lines from redirected stdin (reader.py:241-253)") {
+    val orig = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(
+        "line one  \nline two\t\nlast\n".getBytes("UTF-8")))
+      val e = new SourceRegistry(spark).read("stdin").head()
+      assert(e.content == "line one\nline two\nlast")
+      assert(e.template == graft.core.Wrap.Stdin)
+    } finally System.setIn(orig)
+  }
+
   test("SpecExpansion: lists, ranges, all-months, product order (reader.py:603-641)") {
     assert(SpecExpansion.expand("debian-ai/2024/11") == Seq("debian-ai/2024/11"))
     assert(SpecExpansion.expand("debian-ai/2024,2025/11") ==
