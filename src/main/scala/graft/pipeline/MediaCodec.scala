@@ -1,0 +1,275 @@
+package graft.pipeline
+
+/** Pure-JVM decoders for the header-parseable media containers: BMP
+  * and binary PPM (P6) images, PCM WAV audio. No external codec
+  * libraries — these formats are fully specified by their headers, so
+  * the multimodal feature extraction can be REAL for them; formats
+  * that genuinely need a codec library (JPEG, MP3, video containers)
+  * fall back to the documented stub in [[Multimodal]].
+  *
+  * All parsers are total: malformed input returns None, never throws —
+  * a distributed media scan must not die on one corrupt blob.
+  */
+object MediaCodec {
+
+  final case class ImageStats(width: Int, height: Int, channels: Int,
+                              meanR: Double, meanG: Double, meanB: Double) {
+    def brightness: Double = (meanR + meanG + meanB) / 3.0
+  }
+
+  final case class AudioStats(sampleRate: Int, channels: Int, nFrames: Long,
+                              rms: Double, peak: Double, zeroCrossRate: Double) {
+    def durationSec: Double =
+      if (sampleRate == 0) 0.0 else nFrames.toDouble / sampleRate
+  }
+
+  sealed trait Decoded
+  final case class DecodedImage(stats: ImageStats) extends Decoded
+  final case class DecodedAudio(stats: AudioStats) extends Decoded
+  case object Undecodable extends Decoded
+
+  def decode(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length < 4) Undecodable
+    else if (bytes(0) == 'B' && bytes(1) == 'M')
+      decodeBmp(bytes).map(DecodedImage).getOrElse(Undecodable)
+    else if (bytes(0) == 'P' && bytes(1) == '6')
+      decodePpm(bytes).map(DecodedImage).getOrElse(Undecodable)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F')
+      decodeWav(bytes).map(DecodedAudio).getOrElse(Undecodable)
+    else Undecodable
+  }
+
+  // ------------------------------------------------------------ BMP --
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Uncompressed 24/32-bit BITMAPINFOHEADER BMP. Rows are bottom-up
+    * unless height is negative; 24-bit rows pad to 4-byte multiples;
+    * pixels are stored BGR(A).
+    */
+  def decodeBmp(b: Array[Byte]): Option[ImageStats] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = le32(b, 10)
+    val headerSize = le32(b, 14)
+    if (headerSize < 40) return None
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (width <= 0 || height == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val bytesPerPx = bpp / 8
+    val rowSize = ((width * bytesPerPx + 3) / 4) * 4
+    if (dataOffset.toLong + rowSize.toLong * height > b.length) return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = dataOffset + y * rowSize
+      while (x < width) {
+        val p = row + x * bytesPerPx
+        sb += (b(p) & 0xff)
+        sg += (b(p + 1) & 0xff)
+        sr += (b(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height
+    Some(ImageStats(width, height, 3, sr / n / 255.0, sg / n / 255.0,
+      sb / n / 255.0))
+  }
+
+  /** Minimal BMP writer (24-bit, bottom-up) for tests and synthetic
+    * corpora. `pixels(y)(x)` = (r, g, b) with row 0 at the top.
+    */
+  def encodeBmp(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val height = pixels.length
+    val width = if (height == 0) 0 else pixels(0).length
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    out(26) = 1; out(28) = 24
+    putLe32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = 54 + (height - 1 - y) * rowSize // bottom-up storage
+      while (x < width) {
+        val (r, g, b) = pixels(y)(x)
+        out(row + x * 3) = b.toByte
+        out(row + x * 3 + 1) = g.toByte
+        out(row + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ PPM --
+  /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    * `#` comments, one whitespace, then RGB triplets.
+    */
+  def decodePpm(b: Array[Byte]): Option[ImageStats] = {
+    var pos = 0
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos).toChar
+        if (c.isWhitespace) pos += 1
+        else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def token(): Option[String] = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < b.length && !b(pos).toChar.isWhitespace) pos += 1
+      if (pos > start) Some(new String(b, start, pos - start, "US-ASCII"))
+      else None
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    pos = 2
+    val hdr = for {
+      w <- token().flatMap(_.toIntOption)
+      h <- token().flatMap(_.toIntOption)
+      mx <- token().flatMap(_.toIntOption)
+    } yield (w, h, mx)
+    hdr match {
+      case Some((w, h, mx)) if w > 0 && h > 0 && mx > 0 && mx < 65536 =>
+        pos += 1 // the single whitespace after maxval
+        if (mx >= 256 || pos.toLong + 3L * w * h > b.length) None
+        else {
+          var (sr, sg, sb) = (0.0, 0.0, 0.0)
+          var i = pos
+          val end = pos + 3 * w * h
+          while (i < end) {
+            sr += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sb += (b(i + 2) & 0xff)
+            i += 3
+          }
+          val n = w.toDouble * h
+          Some(ImageStats(w, h, 3, sr / n / mx, sg / n / mx, sb / n / mx))
+        }
+      case _ => None
+    }
+  }
+
+  def encodePpm(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val height = pixels.length
+    val width = if (height == 0) 0 else pixels(0).length
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    for (row <- pixels; (r, g, b) <- row) {
+      out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+      i += 3
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ WAV --
+  /** RIFF/WAVE with a PCM (format 1) `fmt ` chunk and 16-bit samples.
+    * Walks the chunk list, so extra chunks (LIST, fact) are fine.
+    */
+  def decodeWav(b: Array[Byte]): Option[AudioStats] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size.toLong > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = le16(b, pos + 8)
+          if (audioFormat != 1) return None // PCM only
+          channels = le16(b, pos + 10)
+          sampleRate = le32(b, pos + 12)
+          blockAlign = le16(b, pos + 20)
+          bits = le16(b, pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (dataOff < 0 || sampleRate <= 0 || channels <= 0 || bits != 16 ||
+      blockAlign != channels * 2) return None
+    val nSamples = dataLen / 2
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < nSamples) {
+      val s = (le16(b, dataOff + i * 2).toShort).toInt / 32768.0
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    val nFrames = nSamples.toLong / channels
+    Some(AudioStats(sampleRate, channels, nFrames,
+      if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+      peak,
+      if (nSamples <= 1) 0.0 else crossings.toDouble / (nSamples - 1)))
+  }
+
+  /** Minimal PCM16 mono/stereo WAV writer for tests and synthetic
+    * corpora. `samples` are interleaved 16-bit values.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int,
+                channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def putTag(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1)
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * 2); putLe16(32, channels * 2)
+    putLe16(34, 16)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(44 + i * 2, samples(i))
+      i += 1
+    }
+    out
+  }
+}

@@ -1088,9 +1088,16 @@ object Queries {
     }),
 
     "multimodal_features" -> ((s, d) => {
+      // REAL decoded features (BMP/PPM pixel means, WAV sample stats;
+      // video rows exercise the stub fallback), checked bit-exactly
+      // against the independent Python reimplementation in
+      // tools/gen_multimodal_golden.py. Float slots widen to double
+      // (exact) for the parquet/oracle compare.
       val media = graft.pipeline.Multimodal.synthetic(s, 99)
+      val feats = (1 to 8).map(k =>
+        element_at(col("features"), k).cast("double").as(s"f${k - 1}"))
       graft.pipeline.Multimodal.extractFeatures(media, featDim = 8)
-        .select(col("id"), col("kind"), round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("id") +: col("kind") +: feats: _*)
         .orderBy(col("id"))
     }),
 
@@ -1193,7 +1200,18 @@ object Queries {
   /** stream_hourly is oracle-checkable: complete-mode streaming over a
     * static source must equal the batch aggregation.
     */
+  /** Committed golden parquet (generated by tools/gen_*_golden.py from
+    * independent reimplementations or reference-executed functions);
+    * the DuckDB oracle reads them directly.
+    */
+  private val goldenDir = "/root/repo/src/test/resources/golden"
+
   val opsSql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT id, kind, f0, f1, f2, f3, f4, f5, f6, f7
+         |FROM '$goldenDir/multimodal_features.parquet'
+         |ORDER BY id""".stripMargin,
+
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("BMP round-trip: header fields and exact channel means") {
+    // 3x2 image, known pixels
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val stats = MediaCodec.decodeBmp(MediaCodec.encodeBmp(px)).get
+    assert(stats.width == 3 && stats.height == 2 && stats.channels == 3)
+    assert(math.abs(stats.meanR - (255 + 10 + 40 + 70) / 6.0 / 255.0) < 1e-12)
+    assert(math.abs(stats.meanG - (255 + 20 + 50 + 80) / 6.0 / 255.0) < 1e-12)
+    assert(math.abs(stats.meanB - (255 + 30 + 60 + 90) / 6.0 / 255.0) < 1e-12)
+  }
+
+  test("BMP: row padding handled (width not a multiple of 4)") {
+    // width 3 → 9 data bytes padded to 12 per row; wrong accounting
+    // would shift every row after the first
+    val px = Array.tabulate(5, 3)((y, x) => (y * 40 + x, 0, 0))
+    val stats = MediaCodec.decodeBmp(MediaCodec.encodeBmp(px)).get
+    val want = (0 until 5).flatMap(y => (0 until 3).map(x => y * 40 + x))
+      .sum / 15.0 / 255.0
+    assert(math.abs(stats.meanR - want) < 1e-12)
+    assert(stats.meanG == 0.0 && stats.meanB == 0.0)
+  }
+
+  test("PPM round-trip incl. comment handling") {
+    val px = Array.tabulate(2, 4)((y, x) => (x * 60, y * 100, 128))
+    val enc = MediaCodec.encodePpm(px)
+    val stats = MediaCodec.decodePpm(enc).get
+    assert(stats.width == 4 && stats.height == 2)
+    assert(math.abs(stats.meanB - 128.0 / 255.0) < 1e-12)
+    // header comments are legal PPM
+    val withComment = ("P6\n# a comment\n4 2\n255\n").getBytes("US-ASCII") ++
+      enc.drop("P6\n4 2\n255\n".length)
+    assert(MediaCodec.decodePpm(withComment).contains(stats))
+  }
+
+  test("WAV round-trip: rate, frames, rms, peak, zero crossings") {
+    // alternating +/-8192 square wave: rms = peak = 0.25, crossing
+    // at every step
+    val samples = Array.tabulate[Short](100)(i =>
+      if (i % 2 == 0) 8192 else -8192)
+    val stats = MediaCodec.decodeWav(MediaCodec.encodeWav(samples, 8000)).get
+    assert(stats.sampleRate == 8000 && stats.channels == 1)
+    assert(stats.nFrames == 100)
+    assert(math.abs(stats.rms - 0.25) < 1e-9)
+    assert(math.abs(stats.peak - 0.25) < 1e-9)
+    assert(math.abs(stats.zeroCrossRate - 1.0) < 1e-9)
+    assert(math.abs(stats.durationSec - 100.0 / 8000) < 1e-12)
+  }
+
+  test("WAV: stereo block align and extra chunks") {
+    val samples = Array.tabulate[Short](64)(i => (i * 100).toShort)
+    val mono = MediaCodec.encodeWav(samples, 44100, channels = 2)
+    val stats = MediaCodec.decodeWav(mono).get
+    assert(stats.channels == 2 && stats.nFrames == 32)
+  }
+
+  test("malformed inputs decode to Undecodable, never throw") {
+    val cases = Seq(
+      Array.empty[Byte],
+      "BM".getBytes, // truncated BMP
+      "P6\n-3 2\n255\n".getBytes, // negative width
+      "RIFFxxxxWAVE".getBytes, // no chunks
+      MediaCodec.encodeWav(Array[Short](1, 2, 3), 8000).take(46), // cut data
+      Array.tabulate[Byte](128)(i => (i * 37).toByte))
+    cases.foreach { b =>
+      assert(MediaCodec.decode(b) match {
+        case MediaCodec.Undecodable => true
+        case _ => false
+      })
+    }
+  }
+
+  test("decode dispatches by magic: BMP, PPM, WAV all recognized") {
+    val px = Array.tabulate(2, 2)((y, x) => (x, y, 0))
+    assert(MediaCodec.decode(MediaCodec.encodeBmp(px))
+      .isInstanceOf[MediaCodec.DecodedImage])
+    assert(MediaCodec.decode(MediaCodec.encodePpm(px))
+      .isInstanceOf[MediaCodec.DecodedImage])
+    assert(MediaCodec.decode(MediaCodec.encodeWav(Array[Short](0, 1), 8000))
+      .isInstanceOf[MediaCodec.DecodedAudio])
+  }
+}

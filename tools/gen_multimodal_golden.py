@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Golden features for the multimodal_features query.
+
+Independent Python reimplementation of Multimodal.synthetic(99) +
+featurize (MediaCodec stats), bit-exact with the Scala engine:
+- double accumulation in the SAME order as the Scala decoders
+  (BMP iterates storage rows bottom-up; PPM row-major; WAV in sample
+  order),
+- float32 narrowing emulated with struct round-trips (the f64->f32
+  double-rounding hazard is asserted away for the stub's b/255 terms).
+
+Output: src/test/resources/golden/multimodal_features.parquet with
+(id BIGINT, kind VARCHAR, f0..f7 DOUBLE) — the DuckDB oracle SELECTs
+it directly.
+"""
+import math
+import pathlib
+import struct
+
+import duckdb
+import pandas as pd
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / \
+    'src/test/resources/golden/multimodal_features.parquet'
+FEAT_DIM = 8
+
+
+def f32(x: float) -> float:
+    return struct.unpack('<f', struct.pack('<f', x))[0]
+
+
+def image_features(i: int):
+    w = 2 + i % 6
+    h = 2 + (i * 7) % 5
+    def px(y, x):
+        return ((i * 31 + y * w + x) % 256, (i * 17 + x) % 256,
+                (i * 7 + y) % 256)
+    sr = sg = sb = 0.0
+    if i % 6 == 0:  # BMP: decoder iterates storage rows = bottom-up
+        rows = [h - 1 - ys for ys in range(h)]
+    else:  # PPM: row-major
+        rows = list(range(h))
+    for y in rows:
+        for x in range(w):
+            r, g, b = px(y, x)
+            sr += r
+            sg += g
+            sb += b
+    n = float(w) * h
+    mean_r, mean_g, mean_b = sr / n / 255.0, sg / n / 255.0, sb / n / 255.0
+    bright = (mean_r + mean_g + mean_b) / 3.0
+    return [1.0, float(w), float(h), 3.0, mean_r, mean_g, mean_b, bright]
+
+
+def audio_features(i: int):
+    sr_hz = 8000
+    nsamp = 160 + (i % 5) * 80
+    sum_sq = 0.0
+    peak = 0.0
+    crossings = 0
+    prev_neg = False
+    for j in range(nsamp):
+        sample = ((i * 31 + j * 997) % 2048 - 1024) * 16
+        s = sample / 32768.0
+        sum_sq += s * s
+        a = abs(s)
+        if a > peak:
+            peak = a
+        neg = s < 0
+        if j > 0 and neg != prev_neg:
+            crossings += 1
+        prev_neg = neg
+    n_frames = nsamp  # mono
+    rms = math.sqrt(sum_sq / nsamp) if nsamp else 0.0
+    zcr = crossings / (nsamp - 1) if nsamp > 1 else 0.0
+    dur = n_frames / sr_hz
+    return [2.0, float(sr_hz), 1.0, dur, rms, peak, zcr, float(n_frames)]
+
+
+def stub_features(i: int):
+    # decodeStub: float32 fold of the opaque blob. f32 addition of two
+    # f32 values is exact in f64, so f32(acc + term) is the correctly
+    # rounded f32 sum; the b/255.0f term is checked below.
+    nbytes = 64 + i % 64
+    out = [0.0] * FEAT_DIM
+    for j in range(nbytes):
+        b = (i * 31 + j) % 251
+        out[j % FEAT_DIM] = f32(out[j % FEAT_DIM] + f32(b / 255.0))
+    return out
+
+
+def assert_no_double_rounding():
+    from fractions import Fraction
+    for b in range(256):
+        via_double = f32(b / 255.0)
+        # correctly-rounded f32 of the exact rational, via extended scan
+        exact = Fraction(b, 255)
+        lo, hi = struct.unpack('<f', struct.pack('<f', float(exact)))[0], None
+        # float(exact) rounds to nearest double; f32 of that must equal
+        # f32 of the exact value — check by comparing against both f32
+        # neighbors of the double approximation
+        cands = set()
+        d = float(exact)
+        for bits_off in (-1, 0, 1):
+            fb = struct.unpack('<I', struct.pack('<f', f32(d)))[0] + bits_off
+            if 0 <= fb < 2**32:
+                cands.add(struct.unpack('<f', struct.pack('<I', fb))[0])
+        best = min(cands, key=lambda c: abs(Fraction(c) - exact))
+        assert via_double == best, f'double rounding at b={b}'
+
+
+def main() -> None:
+    assert_no_double_rounding()
+    rows = []
+    for i in range(99):
+        kind = ['image', 'audio', 'video'][i % 3]
+        feats = {'image': image_features, 'audio': audio_features,
+                 'video': stub_features}[kind](i)
+        # Scala narrows every feature slot to Float, then the query
+        # widens back to double — exact, so narrow here too.
+        feats = [f32(x) for x in feats]
+        rows.append({'id': i, 'kind': kind,
+                     **{f'f{k}': feats[k] for k in range(FEAT_DIM)}})
+    df = pd.DataFrame(rows)
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.register('t', df)
+    con.execute(f"""
+        COPY (SELECT CAST(id AS BIGINT) AS id, kind,
+                     {', '.join(f'CAST(f{k} AS DOUBLE) AS f{k}'
+                                for k in range(FEAT_DIM))}
+              FROM t ORDER BY id)
+        TO '{OUT}' (FORMAT PARQUET)""")
+    print(f'wrote {OUT} ({len(rows)} rows)')
+
+
+if __name__ == '__main__':
+    main()
