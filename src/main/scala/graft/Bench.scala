@@ -24,6 +24,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Leaked state from the previous query (cached frames, the
+      // label-propagation/append-log localCheckpoint blocks) must not
+      // tax THIS query's measurement: r02 measured dedup_exact at 21s
+      // purely because it ran right after dedup_drop_neardups' ~20
+      // checkpointed rounds. Cleanup runs outside the timed window.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -36,12 +43,16 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal formatting: the driver keeps only a bounded tail of the
+    // sbt output and parses the JSON line out of it — full-precision
+    // doubles pushed the line past the window (r01/r02: parsed=null).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

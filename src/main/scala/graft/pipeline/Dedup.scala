@@ -212,6 +212,8 @@ object Dedup {
     * every round is shuffle-bounded by the edge list, so this is the
     * standard large-scale shape (GraphX-free).
     */
+  private def unpersistPinned(df: DataFrame): Unit = graft.core.Pinned.release(df)
+
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // pin the caller's `pairs` FIRST — it is typically an expensive
     // similarity query, and every derived frame below (sym, docs,
@@ -239,9 +241,12 @@ object Dedup {
           .where(col("lbl") =!= col("old")).limit(1).count()
         converged = changed == 0
       }
+      unpersistPinned(labels) // superseded round, blocks no longer needed
       labels = updated
       iter += 1
     }
+    unpersistPinned(p)
+    unpersistPinned(edges)
     labels.withColumnRenamed("lbl", "cluster")
   }
 

@@ -39,19 +39,30 @@ object Ivf {
     }
   }
 
-  /** Train a spherical k-means quantizer. Deterministic: seeds picked
-    * by hashing ids; iterations are full-scan assign + per-cluster
-    * mean, centroids renormalized.
+  /** splitmix64 finalizer — seeds the deterministic centroid init. */
+  @inline private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Train a spherical k-means quantizer on a BOUNDED sample, folded
+    * sequentially on the driver — the faiss design: a coarse quantizer
+    * only needs a representative sample (`maxTrainRows`, ≈50 MB of
+    * float32 at 200k×64), so training costs ONE bounded collect and
+    * zero per-iteration distributed passes; the full-corpus work is
+    * all in [[assign]]/[[search]], which scan once. (The previous
+    * formulation ran a mapPartitions vector-sum + reduceByKey per
+    * iteration — already shuffle-frugal, but its merge order made the
+    * low bits of the centroids partition-nondeterministic, which can
+    * flip boundary assignments and makes the model un-oracle-able.)
     *
-    * The per-cluster mean is a per-partition accumulated vector sum
-    * merged with `reduceByKey` (map-side combined): the shuffle per
-    * iteration carries at most partitions×nlist records of dim
-    * doubles — NOT the earlier posexplode formulation, which
-    * multiplied the row count by the vector dimension (N×dim shuffle
-    * rows) before aggregating. A quantizer only needs a representative
-    * sample, so corpora beyond `maxTrainRows` are seeded-sampled down
-    * before iterating; assignment of the full corpus stays in
-    * [[assign]].
+    * Fully deterministic: the sample is collected sorted by id,
+    * centroids init from a splitmix64 pseudo-shuffle of the ids, and
+    * accumulation is sequential in id order — bit-reproducible across
+    * runs, partitionings, and engines (the Python oracle replays the
+    * identical fold).
     */
   def train(df: DataFrame, vecCol: String, idCol: String, nlist: Int,
             iters: Int = 5, seed: Long = 42L,
@@ -63,45 +74,35 @@ object Ivf {
       if (total <= maxTrainRows) df
       else df.sample(withReplacement = false,
         math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
-    var centroids: Array[Array[Float]] = trainDf
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)))
-      .limit(nlist)
-      .select(col(vecCol)).as[Array[Float]].collect()
+    val sample: Array[(Long, Array[Float])] = trainDf
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
 
-    val vecs = trainDf.select(col(vecCol)).as[Array[Float]]
+    var centroids: Array[Array[Float]] = sample
+      .map { case (id, v) => (splitmix64(id + seed), id, v) }
+      .sortBy { case (h, id, _) => (h, id) }
+      .take(nlist).map(_._3)
+
     for (_ <- 1 to iters) {
-      val modelB = spark.sparkContext.broadcast(IvfModel(centroids))
-      val sums = vecs.rdd
-        .mapPartitions { it =>
-          val model = modelB.value
-          val acc = scala.collection.mutable.HashMap
-            .empty[Int, (Array[Double], Long)]
-          it.foreach { v =>
-            val c = model.nearest(v, 1)(0)
-            val (s, n) = acc.getOrElseUpdate(c, (new Array[Double](v.length), 0L))
-            var i = 0
-            while (i < v.length) { s(i) += v(i); i += 1 }
-            acc(c) = (s, n + 1)
-          }
-          acc.iterator
-        }
-        .reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
-          val (s1, n1) = a
-          val (s2, n2) = b
-          var i = 0
-          while (i < s1.length) { s1(i) += s2(i); i += 1 }
-          (s1, n1 + n2)
-        }
-        .collectAsMap()
-      modelB.destroy()
+      val model = IvfModel(centroids)
+      val dim = centroids.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { case (_, v) =>
+        val c = model.nearest(v, 1)(0)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        sums.get(c) match {
-          case None => old // empty cluster keeps its centroid
-          case Some((s, cnt)) =>
-            val v = s.map(_ / cnt)
-            val n = math.sqrt(v.map(x => x * x).sum)
-            if (n == 0.0) old else v.map(x => (x / n).toFloat)
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else {
+          val v = sums(c).map(_ / counts(c))
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0.0) old else v.map(x => (x / n).toFloat)
         }
       }
     }

@@ -34,13 +34,32 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
-  /** Signed random hyperplane signature: `planes(seed)` rows of
-    * Gaussian-ish hyperplanes; bit i = sign(dot(v, plane_i)).
+  /** splitmix64 finalizer — the plane-coefficient generator. */
+  @inline private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane coefficients in [-1, 1): `(splitmix64(seed + b·dim + i)
+    * >>> 11) / 2^53 · 2 - 1` — exact dyadic rationals from pure integer
+    * mixing, so any engine reproduces them bit-for-bit (no RNG-stream
+    * or libm (`log`/`sqrt`-in-Gaussian) cross-language divergence; the
+    * DuckDB/Python oracle replays the same integers). Coordinate-wise
+    * uniform rather than Gaussian: directions are not perfectly
+    * isotropic, but sign-LSH only needs a symmetric distribution — the
+    * recall floor is asserted against brute force in AnnSpec either way.
     */
+  private[pipeline] def planeCoeffs(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits, dim)((b, i) =>
+      ((splitmix64(seed + b.toLong * dim + i) >>> 11).toDouble /
+        (1L << 53).toDouble) * 2.0 - 1.0)
+
+  /** Signed random hyperplane signature; bit i = sign(dot(v, plane_i)). */
   def hyperplaneSigUdf(dim: Int, bits: Int, seed: Long = 42L):
       org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planes = planeCoeffs(bits, dim, seed)
     udf { (v: Array[Float]) =>
       var sig = 0L
       var b = 0
@@ -63,9 +82,8 @@ object Similarity {
     */
   private def hyperplaneBandsUdf(dim: Int, bands: Int, bitsPerBand: Int,
                                  seed: Long) = {
-    val rnd = new java.util.Random(seed)
     val bits = bands * bitsPerBand
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planes = planeCoeffs(bits, dim, seed)
     udf { (v: Array[Float]) =>
       var sig = 0L
       var b = 0

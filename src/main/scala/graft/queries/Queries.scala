@@ -362,15 +362,26 @@ object Queries {
       both.crossJoin(custOnly).crossJoin(either)
     }),
 
-    "q_approx_distinct" -> ((s, d) =>
+    "q_approx_distinct" -> ((s, d) => {
       // HLL sketch — the 100 TB cardinality path (fixed-size state vs
-      // countDistinct's exact shuffle); rows-only: approx values have
-      // no hash-stable oracle, accuracy is asserted in QueriesSmokeSpec
-      tbl(s, d, "lineitem")
+      // countDistinct's exact shuffle). HLL register values are
+      // implementation-specific (DuckDB's sketch differs), so the
+      // CHECKED output is the exact count; the approx path is
+      // exercised and gated in-query: every group's HLL estimate must
+      // land within 5% of exact (rsd=0.02) or the query throws.
+      val both = tbl(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))),
+      val offBound = both.where(
+        abs(col("approx_parts") - col("n_parts")).cast(DoubleType) /
+          col("n_parts") > 0.05).count()
+      require(offBound == 0,
+        s"approx_count_distinct out of 5% error bound for $offBound groups")
+      both.select(col("l_returnflag"), col("n_parts"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     "q_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem")
@@ -626,6 +637,14 @@ object Queries {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the checked columns are exact; the HLL estimate is verified
+    // in-query against these (within 5%) before the frame is returned
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -1103,7 +1122,19 @@ object Queries {
 
     "ingest_dir" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+      // FIXED path, not createTempDirectory: wrapped_len covers the
+      // absolute path inside the wrap header, so a random temp-dir
+      // segment would make the output length nondeterministic across
+      // runs — un-oracle-able. target/ is build scratch (git-ignored).
+      val root = java.nio.file.Paths.get("/root/repo/target/tmp/graft_ingest_fixed")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).toArray.foreach(q =>
+            rm(q.asInstanceOf[java.nio.file.Path]))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+      java.nio.file.Files.createDirectories(root)
       java.nio.file.Files.writeString(root.resolve("a.txt"), "alpha\nbeta")
       java.nio.file.Files.createDirectories(root.resolve("sub"))
       java.nio.file.Files.writeString(root.resolve("sub/b.txt"), "gamma")
