@@ -1237,11 +1237,62 @@ object Queries {
     */
   private val goldenDir = "/root/repo/src/test/resources/golden"
 
+  /** Golden oracles for algorithms DuckDB SQL cannot express —
+    * independent Python reimplementations (or reference-executed
+    * functions) in tools/gen_pipeline_golden.py, bit-exact with the
+    * engine (sequential-double folds, exact integer hashing, f32
+    * round-trips). The input-dependent ones are generated from the
+    * sf0.01 tables, the scale the driver's correctness gate runs at.
+    */
+  private val pipeGold = s"$goldenDir/pipeline"
+
   val opsSql: Map[String, String] = Map(
     "multimodal_features" ->
       s"""SELECT id, kind, f0, f1, f2, f3, f4, f5, f6, f7
          |FROM '$goldenDir/multimodal_features.parquet'
          |ORDER BY id""".stripMargin,
+
+    "lang_id" ->
+      s"SELECT doc_id, lang, lang_pred, lang_score FROM '$pipeGold/lang_id.parquet' ORDER BY doc_id",
+
+    "text_bpeish_tokens" ->
+      s"SELECT doc_id, n_pieces FROM '$pipeGold/text_bpeish_tokens.parquet' ORDER BY doc_id",
+
+    "simhash_pairs" ->
+      s"SELECT d1, d2, dist FROM '$pipeGold/simhash_pairs.parquet' ORDER BY d1, d2",
+
+    "minhash_pairs" ->
+      s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
+
+    "lsh_topk" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/lsh_topk.parquet' ORDER BY qid, rk",
+
+    "embed_neardup_lsh" ->
+      s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
+    "ivf_topk" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    "store_retrieve" ->
+      s"SELECT sim, source, text FROM '$pipeGold/store_retrieve.parquet' ORDER BY sim DESC",
+
+    "memory_context" ->
+      s"SELECT score, id, role, text, timestamp FROM '$pipeGold/memory_context.parquet' ORDER BY id",
+
+    "ingest_dir" ->
+      s"SELECT file, n_chars, wrapped_len FROM '$pipeGold/ingest_dir.parquet' ORDER BY file",
+
+    "policy_sections" ->
+      s"SELECT idx, sectionId, level, heading FROM '$pipeGold/policy_sections.parquet' ORDER BY idx",
+
+    "chunk_stats" ->
+      s"SELECT doc_id, n_chunks FROM '$pipeGold/chunk_stats.parquet' ORDER BY doc_id",
+
+    "mapreduce_fold" ->
+      s"SELECT len, result FROM '$pipeGold/mapreduce_fold.parquet'",
+
+    "e2e_pipeline" ->
+      s"SELECT sim, source, summary_len FROM '$pipeGold/e2e_pipeline.parquet' ORDER BY sim DESC, source",
 
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

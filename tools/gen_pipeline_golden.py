@@ -1,0 +1,693 @@
+#!/usr/bin/env python3
+"""Golden parquets for the pipeline/ops queries that DuckDB SQL cannot
+express (minhash/simhash/LSH/IVF/chunker/mapreduce/facade paths).
+
+Each golden is an INDEPENDENT Python reimplementation of the documented
+algorithm (or an execution of the REFERENCE's own functions for
+operators the reference defines: chunk_lines, the mapreduce fold),
+bit-exact with the Scala engine by construction:
+
+- all float accumulation is sequential IEEE-double in the same element
+  order as the Scala loops (Python floats ARE IEEE doubles);
+- float32 narrowing goes through numpy.float32 round-trips exactly
+  where the Scala code calls .toFloat;
+- integer hashing (FNV-1a, splitmix64, java.util.Random's LCG,
+  Mersenne-61 universal hashing) is replayed with masked 64-bit
+  integer arithmetic;
+- Spark's round() = java BigDecimal.valueOf(double) half-up is
+  replayed via Decimal(repr(x)).quantize(HALF_UP).
+
+Inputs are the sf0.01 test tables — the scale the driver's correctness
+gate runs at; the oracle SQL in Queries.opsSql reads these files
+directly. Regenerate after intentionally changing any covered
+algorithm:  python3 tools/gen_pipeline_golden.py
+"""
+import math
+import pathlib
+import re
+import sys
+from decimal import Decimal, ROUND_HALF_UP
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLD = REPO / "src/test/resources/golden/pipeline"
+SF = "/root/testdata/sf0.01"
+REF = "/root/reference/debgpt"
+M64 = (1 << 64) - 1
+MERSENNE_P = (1 << 61) - 1
+
+
+# --------------------------------------------------------------- helpers
+def s64(x: int) -> int:
+    """Interpret a masked 64-bit value as signed (Scala Long)."""
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def f32(x) -> float:
+    return float(np.float32(x))
+
+
+def round_half_up(x: float, scale: int) -> float:
+    """Spark round(col, scale) on DOUBLE: BigDecimal.valueOf half-up."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & M64
+    return h
+
+
+def splitmix64(x0: int) -> int:
+    z = (x0 + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return (z ^ (z >> 31)) & M64
+
+
+class JavaRandom:
+    """java.util.Random's 48-bit LCG, exactly."""
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def next(self, bits: int) -> int:
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        r = self.seed >> (48 - bits)
+        return r - (1 << bits) if r >= (1 << (bits - 1)) else r
+
+    def next_long(self) -> int:
+        return s64((self.next(32) << 32) + self.next(32))
+
+
+def java_abs_mod(a: int, m: int) -> int:
+    """math.abs(long) % m with Java remainder semantics."""
+    a = a if a != -(1 << 63) else a  # Math.abs(MIN_VALUE) = MIN_VALUE
+    aa = a if a >= 0 else (-a if a != -(1 << 63) else a)
+    if aa >= 0:
+        return aa % m
+    return -((-aa) % m)  # negative dividend: Java rem keeps the sign
+
+
+def load_documents():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchdf()
+
+
+def load_embeddings():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    # float32 list values arrive as exact python floats of the f32 values
+    return [(int(i), [float(x) for x in v]) for i, v in rows]
+
+
+def write(name: str, df: pd.DataFrame, casts: dict):
+    GOLD.mkdir(parents=True, exist_ok=True)
+    out = GOLD / f"{name}.parquet"
+    con = duckdb.connect()
+    con.register("t", df)
+    cols = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"' for c, t in casts.items())
+    con.execute(f"COPY (SELECT {cols} FROM t) TO '{out}' (FORMAT PARQUET)")
+    print(f"wrote {out.name}: {len(df)} rows")
+
+
+# ------------------------------------------------------------ text goldens
+LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "for", "that", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "para", "en"},
+    "zh": {"的", "是", "不", "了", "在", "人", "有", "我", "他", "这"},
+}
+
+
+def gen_lang_id(docs):
+    rows = []
+    for r in docs.itertuples():
+        toks = [t for t in re.split(r"\s+", r.text) if t]
+        if not toks:
+            pred, score = "und", 0.0
+        else:
+            scores = {l: sum(1 for t in toks if t in p) / len(toks)
+                      for l, p in LANG_PROFILES.items()}
+            pred, score = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+            if score == 0.0:
+                pred, score = "und", 0.0
+        rows.append((r.doc_id, r.lang, pred, round_half_up(score, 4)))
+    write("lang_id",
+          pd.DataFrame(rows, columns=["doc_id", "lang", "lang_pred", "lang_score"]),
+          {"doc_id": "BIGINT", "lang": "VARCHAR", "lang_pred": "VARCHAR",
+           "lang_score": "DOUBLE"})
+
+
+def gen_bpeish(docs):
+    # Spark: split on (?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9]), drop "" and " "
+    pat = re.compile(r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+    rows = [(r.doc_id,
+             sum(1 for p in pat.split(r.text) if p not in ("", " ")))
+            for r in docs.itertuples()]
+    write("text_bpeish_tokens",
+          pd.DataFrame(rows, columns=["doc_id", "n_pieces"]),
+          {"doc_id": "BIGINT", "n_pieces": "BIGINT"})
+
+
+# ------------------------------------------------------- simhash / minhash
+def simhash64(text: str) -> int:
+    acc = [0] * 64
+    for t in text.split(" "):
+        if not t:
+            continue
+        h = fnv1a64(t)
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out  # unsigned view; band keys/xor are mask-safe
+
+
+def gen_simhash_pairs(docs, max_dist=12):
+    sigs = {r.doc_id: simhash64(r.text) for r in docs.itertuples()}
+    buckets = {}
+    for d, sh in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, (sh >> (band * 16)) & 0xFFFF), []).append(d)
+    pairs = set()
+    for mem in buckets.values():
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                pairs.add((mem[i], mem[j]))
+    rows = []
+    for d1, d2 in sorted(pairs):
+        dist = bin(sigs[d1] ^ sigs[d2]).count("1")
+        if dist <= max_dist:
+            rows.append((d1, d2, dist))
+    write("simhash_pairs", pd.DataFrame(rows, columns=["d1", "d2", "dist"]),
+          {"d1": "BIGINT", "d2": "BIGINT", "dist": "INT"})
+
+
+def rolling_shingle_hashes(text: str, w: int):
+    toks = text.split(" ")
+    if len(toks) < w:
+        return []
+    tok_h = [fnv1a64(t) for t in toks]
+    out = []
+    for i in range(len(toks) - w + 1):
+        h = 0
+        for j in range(i, i + w):
+            h = (h * 0x100000001B3 + tok_h[j]) & M64
+        out.append(h)
+    return out
+
+
+def minhash_band_keys(hashes, bands, rows_per_band, seed):
+    rnd = JavaRandom(seed)
+    params = []
+    for _ in range(bands * rows_per_band):
+        a = java_abs_mod(rnd.next_long(), MERSENNE_P - 1) + 1
+        b = java_abs_mod(rnd.next_long(), MERSENNE_P)
+        params.append((a, b))
+    sig = []
+    for a, b in params:
+        mn = (1 << 63) - 1
+        for h in hashes:
+            x = h % MERSENNE_P  # remainderUnsigned of the masked value
+            hv = (a * x + b) % MERSENNE_P
+            if hv < mn:
+                mn = hv
+        sig.append(mn)
+    keys = []
+    for b_idx in range(bands):
+        k = 0xCBF29CE484222325 ^ b_idx
+        for i in range(b_idx * rows_per_band, (b_idx + 1) * rows_per_band):
+            k = ((k ^ sig[i]) * 0x100000001B3) & M64
+        keys.append(k)
+    return keys
+
+
+def gen_minhash_pairs(docs, w=3, bands=16, rows_per_band=4,
+                      threshold=0.2, seed=42):
+    hs = {}
+    for r in docs.itertuples():
+        h = rolling_shingle_hashes(r.text, w)
+        if h:
+            hs[r.doc_id] = h
+    buckets = {}
+    for d, hashes in hs.items():
+        for band, key in enumerate(
+                minhash_band_keys(hashes, bands, rows_per_band, seed)):
+            buckets.setdefault((band, key), []).append(d)
+    cand = set()
+    for mem in buckets.values():
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                cand.add((mem[i], mem[j]))
+    rows = []
+    for d1, d2 in sorted(cand):
+        s1, s2 = set(hs[d1]), set(hs[d2])
+        inter = len(s1 & s2)
+        jac = inter / (len(s1) + len(s2) - inter)
+        if jac >= threshold:
+            rows.append((d1, d2, jac))
+    write("minhash_pairs", pd.DataFrame(rows, columns=["d1", "d2", "jac"]),
+          {"d1": "BIGINT", "d2": "BIGINT", "jac": "DOUBLE"})
+
+
+# --------------------------------------------------------------- vectors
+def cosine_sim_d(x, y):
+    n = min(len(x), len(y))
+    d = nx = ny = 0.0
+    for i in range(n):
+        xv, yv = x[i], y[i]
+        d += xv * yv
+        nx += xv * xv
+        ny += yv * yv
+    return d / (math.sqrt(nx) * math.sqrt(ny))
+
+
+def dot_d(x, y):
+    s = 0.0
+    for a, b in zip(x, y):
+        s += a * b
+    return s
+
+
+def plane_coeffs(bits, dim, seed):
+    return [[((splitmix64((seed + b * dim + i) & M64) >> 11) / (1 << 53)) * 2.0 - 1.0
+             for i in range(dim)] for b in range(bits)]
+
+
+def hyperplane_sig(v, planes):
+    sig = 0
+    for b, p in enumerate(planes):
+        s = 0.0
+        for i in range(min(len(p), len(v))):
+            s += p[i] * v[i]
+        if s >= 0:
+            sig |= 1 << b
+    return sig
+
+
+def rank_topk(cands_by_q, k):
+    """(qid -> {nid: sim}) -> rows (qid, nid, sim, rk) by (-sim, nid)."""
+    rows = []
+    for qid in sorted(cands_by_q):
+        ranked = sorted(cands_by_q[qid].items(), key=lambda t: (-t[1], t[0]))
+        for rk, (nid, sim) in enumerate(ranked[:k], start=1):
+            rows.append((qid, nid, sim, rk))
+    return rows
+
+
+def gen_lsh_topk(emb, k=5, dim=64, bands=16, bits_per_band=4, seed=42):
+    planes = plane_coeffs(bands * bits_per_band, dim, seed)
+    sigs = {i: hyperplane_sig(v, planes) for i, v in emb}
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    buckets = {}
+    for i, _ in emb:
+        sig = sigs[i]
+        for band in range(bands):
+            key = (sig >> (band * bits_per_band)) & ((1 << bits_per_band) - 1)
+            buckets.setdefault((band, key), []).append(i)
+    cands = {q: {} for q in queries}
+    for q in queries:
+        sig = sigs[q]
+        for band in range(bands):
+            key = (sig >> (band * bits_per_band)) & ((1 << bits_per_band) - 1)
+            for n in buckets.get((band, key), []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = cosine_sim_d(vec[n], vec[q])
+    rows = rank_topk(cands, k)
+    write("lsh_topk", pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def gen_embed_neardup_lsh(emb, dim=64, bits=8, seed=42, threshold=0.3):
+    planes = plane_coeffs(bits, dim, seed)
+    by_bucket = {}
+    for i, v in emb:
+        by_bucket.setdefault(hyperplane_sig(v, planes), []).append(i)
+    vec = dict(emb)
+    rows = []
+    for mem in by_bucket.values():
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                sim = cosine_sim_d(vec[mem[i]], vec[mem[j]])
+                if sim >= threshold:
+                    rows.append((mem[i], mem[j], round_half_up(sim, 6)))
+    rows.sort()
+    write("embed_neardup_lsh", pd.DataFrame(rows, columns=["v1", "v2", "sim"]),
+          {"v1": "BIGINT", "v2": "BIGINT", "sim": "DOUBLE"})
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_nearest(centroids, v, n):
+    dots = []
+    for c, cent in enumerate(centroids):
+        s = 0.0
+        for i in range(min(len(cent), len(v))):
+            s += cent[i] * v[i]
+        dots.append((c, s))
+    dots.sort(key=lambda t: (-t[1], t[0]))
+    return [c for c, _ in dots[:n]]
+
+
+def ivf_train(emb, nlist=16, iters=3, seed=42):
+    sample = sorted(emb)  # (id, vec) sorted by id
+    # Scala sorts the splitmix hash as a SIGNED Long — mirror that
+    seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
+                     for i, v in sample),
+                    key=lambda t: (t[0], t[1]))
+    centroids = [list(v) for _, _, v in seeded[:nlist]]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in centroids]
+        counts = [0] * len(centroids)
+        for _, v in sample:
+            c = ivf_nearest(centroids, v, 1)[0]
+            for i in range(min(dim, len(v))):
+                sums[c][i] += v[i]
+            counts[c] += 1
+        new = []
+        for c, old in enumerate(centroids):
+            if counts[c] == 0:
+                new.append(old)
+                continue
+            m = [s / counts[c] for s in sums[c]]
+            nrm = math.sqrt(sum(x * x for x in m))
+            new.append(old if nrm == 0.0 else [f32(x / nrm) for x in m])
+        centroids = new
+    return centroids
+
+
+def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
+    centroids = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        for cl in ivf_nearest(centroids, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = cosine_sim_d(vec[n], vec[q])
+    rows = rank_topk(cands, k)
+    write("ivf_topk", pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+# ------------------------------------------------- embedding / retrieval
+def hash_embed(text: str, dim: int):
+    """graft.embed.HashEmbedding, with exact f32 narrowing."""
+    h = fnv1a64(text)
+    out = []
+    sum_sq = 0.0
+    s = h
+    for _ in range(dim):
+        s = (s + 0x9E3779B97F4A7C15) & M64
+        z = ((s ^ (s >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+        z = (z ^ (z >> 31)) & M64
+        u = ((z >> 11) / (1 << 53)) * 2.0 - 1.0
+        uf = np.float32(u)
+        out.append(uf)
+        sum_sq += float(uf * uf)  # f32 multiply, f64 accumulate
+    norm = math.sqrt(sum_sq)
+    return [f32(float(x) / norm) for x in out]
+
+
+def store_normalize(v):
+    """VectorStore.add: truncateDim (same dim) + L2Normalize(asFloat)."""
+    s = 0.0
+    for x in v:
+        s += x * x
+    nrm = math.sqrt(s)
+    return [f32(x / nrm) for x in v]
+
+
+def query_normalize(v):
+    """VectorStore.retrieve's inline query normalization."""
+    s = 0.0
+    for x in v:
+        s += x * x
+    nrm = math.sqrt(s)
+    return [f32(x / nrm) for x in v]
+
+
+def gen_store_retrieve(docs, dim=64, topk=5, query="spark filter join"):
+    sub = docs[docs.doc_id < 100]
+    stored = [(int(r.doc_id), r.source, r.text,
+               store_normalize(hash_embed(r.text, dim)))
+              for r in sub.itertuples()]
+    qn = query_normalize(hash_embed(query, dim))
+    scored = sorted(
+        ((dot_d(v, qn), pos, src, txt)
+         for pos, (_, src, txt, v) in enumerate(stored)),
+        key=lambda t: (-t[0], t[1]))
+    rows = [(round_half_up(sim, 6), src, txt)
+            for sim, _, src, txt in scored[:topk]]
+    write("store_retrieve", pd.DataFrame(rows, columns=["sim", "source", "text"]),
+          {"sim": "DOUBLE", "source": "VARCHAR", "text": "VARCHAR"})
+
+
+def gen_memory_context():
+    msgs = [("m1", "conv-1", "user", "hello world", 1700000000),
+            ("m2", "conv-1", "assistant", "hi there, how can I help", 1700000010),
+            ("m3", "conv-1", "user", "tell me about spark aggregation", 1700000020),
+            ("m4", "conv-2", "user", "unrelated conversation", 1700000030)]
+    qv = [f32(len("hello"))]
+    scored = [(cosine_sim_d([f32(len(t))], qv), i, r, t, ts)
+              for (i, c, r, t, ts) in msgs if c == "conv-1"]
+    scored.sort(key=lambda x: (-x[0], x[4], x[1]))
+    rows = [(round_half_up(s, 6), i, r, t, ts) for s, i, r, t, ts in scored[:2]]
+    write("memory_context",
+          pd.DataFrame(rows, columns=["score", "id", "role", "text", "timestamp"]),
+          {"score": "DOUBLE", "id": "VARCHAR", "role": "VARCHAR",
+           "text": "VARCHAR", "timestamp": "BIGINT"})
+
+
+# ------------------------------------------------------- ingest / policy
+def wrap_content(template: str, spec: str, content: str) -> str:
+    return "\n".join([template.format(spec), "```"]
+                     + content.split("\n") + ["```", ""])
+
+
+def gen_ingest_dir():
+    root = "/root/repo/target/tmp/graft_ingest_fixed"
+    files = [("a.txt", f"{root}/a.txt", "alpha\nbeta"),
+             ("b.txt", f"{root}/sub/b.txt", "gamma")]
+    tmpl = "Here is the contents of file `{}`:"
+    rows = [(name, len(content), len(wrap_content(tmpl, path, content)))
+            for name, path, content in files]
+    write("ingest_dir", pd.DataFrame(rows, columns=["file", "n_chars", "wrapped_len"]),
+          {"file": "VARCHAR", "n_chars": "BIGINT", "wrapped_len": "BIGINT"})
+
+
+def gen_policy_sections():
+    doc = "\n".join(["1. Scope", "********", "body a", "body b",
+                     "1.1. Details", "============", "detail body",
+                     "2. Refs", "*******", "ref body"])
+    lines = [re.sub(r"\s+$", "", l) for l in doc.split("\n")]
+    rows = []
+    for idx in range(1, len(lines)):
+        line = lines[idx]
+        level = (1 if line.startswith("***") else
+                 2 if line.startswith("===") else
+                 3 if line.startswith("---") else None)
+        if level is None:
+            continue
+        first = lines[idx - 1].split(" ")[0]
+        if not first.endswith("."):
+            continue
+        rows.append((idx, re.sub(r"\.+$", "", first), level, lines[idx - 1]))
+    write("policy_sections",
+          pd.DataFrame(rows, columns=["idx", "sectionId", "level", "heading"]),
+          {"idx": "BIGINT", "sectionId": "VARCHAR", "level": "INT",
+           "heading": "VARCHAR"})
+
+
+# --------------------------------------- reference-executed: chunk + fold
+def extract(path, names):
+    src = open(path).read()
+    out = []
+    for name in names:
+        m = re.search(rf"^def {name}\(.*?(?=^def |\Z)", src, re.S | re.M)
+        assert m, name
+        out.append(m.group(0))
+    return "\n".join(out)
+
+
+def reference_ns():
+    import collections
+    import itertools as it  # noqa: F401
+    import functools as ft  # noqa: F401
+
+    class _Console:
+        def print(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    ns = {"List": list, "Dict": dict, "Tuple": tuple, "Optional": object,
+          "console": _Console(), "track": lambda x, **k: x,
+          "it": it, "ft": ft}
+    ns["Entry"] = collections.namedtuple(
+        "Entry", ["path", "content", "wrapfun", "wrapfun_chunk"])
+    exec("import functools as ft\nimport itertools as it", ns)
+    exec(extract(f"{REF}/reader.py", ["chunk_lines", "chunk_entry"]), ns)
+    src = open(f"{REF}/reader.py").read()
+    for fn in ["create_wrapper", "create_chunk_wrapper"]:
+        m = re.search(
+            rf"^ {{4}}def {fn}\(.*?(?=^ {{4}}def |^ {{4}}\S)", src, re.S | re.M)
+        assert m, fn
+        exec("\n".join(l[4:] if len(l) >= 4 else l
+                       for l in m.group(0).split("\n")), ns)
+    exec(re.sub(r"chunk: Entry", "chunk",
+         re.sub(r"chunks: List\[Entry\]", "chunks",
+         re.sub(r"frtnd: frontend\.AbstractFrontend", "frtnd",
+         re.sub(r"results: List\[str\]", "results",
+         extract(f"{REF}/mapreduce.py", [
+             "shorten", "pad_chunk_before_map", "group_chunks_by_length",
+             "pad_chunks_before_map", "map_chunk", "map_chunks",
+             "map_serial", "map_serial_compact",
+             "pad_two_results_for_reduce", "reduce_two_chunks",
+             "pad_many_results_for_reduce", "reduce_many_chunks",
+             "group_strings_by_length", "reduce_serial",
+             "reduce_serial_compact"]))))), ns)
+    exec("import textwrap", ns)
+    return ns
+
+
+def gen_chunk_stats(docs, ns, max_bytes=100):
+    rows = []
+    for r in docs.itertuples():
+        lines = r.text.replace(" ", "\n").split("\n")
+        rows.append((r.doc_id, len(ns["chunk_lines"](lines, max_bytes))))
+    write("chunk_stats", pd.DataFrame(rows, columns=["doc_id", "n_chunks"]),
+          {"doc_id": "BIGINT", "n_chunks": "BIGINT"})
+
+
+class LossyFrontend:
+    def oneshot(self, s):
+        return s[::2]
+
+
+def reference_fold(ns, entries, chunk_size, question):
+    """mapreduce_super_long_context, compact map + compact reduce,
+    executed with the reference's own functions."""
+    chunks = []
+    for spec, content in entries:
+        wrapfun = ns["create_wrapper"]("Here is the contents of file `{}`:", spec)
+        wrapfun_chunk = ns["create_chunk_wrapper"](
+            "Here is the contents of file {} (lines {}-{}):", spec)
+        e = ns["Entry"](spec, content, wrapfun, wrapfun_chunk)
+        chunks.extend(ns["chunk_entry"](e, chunk_size))
+    if len(chunks) == 1:
+        return chunks[0].wrapfun_chunk(chunks[0].content)
+    frtnd = LossyFrontend()
+    inter = ns["map_serial_compact"](chunks, question, frtnd,
+                                     max_chunk_size=chunk_size)
+    agg = ns["reduce_serial_compact"](inter, question, frtnd,
+                                      max_chunk_size=chunk_size)
+    return agg + "\n\n"
+
+
+def gen_mapreduce_fold(docs, ns):
+    sub = docs[docs.doc_id < 20].sort_values("doc_id")
+    entries = [(r.source, r.text) for r in sub.itertuples()]
+    result = reference_fold(ns, entries, 1024,
+                            "summarize the provided contents.")
+    write("mapreduce_fold", pd.DataFrame([(len(result), result)],
+                                         columns=["len", "result"]),
+          {"len": "BIGINT", "result": "VARCHAR"})
+
+
+def gen_e2e_pipeline(ns, dim=32, k=3):
+    texts = ["spark joins and shuffles explained",
+             "cat pictures considered harmful",
+             "partitioning strategies for spark joins at scale",
+             "a recipe for sourdough bread"]
+    entries = [(f"doc{i}.txt", (t + " ") * 8 + "\n" + (t + " ") * 8)
+               for i, t in enumerate(texts)]
+    stored = [(pos, name, content,
+               store_normalize(hash_embed(content, dim)))
+              for pos, (name, content) in enumerate(entries)]
+    qn = query_normalize(hash_embed(entries[0][1], dim))
+    scored = sorted(((dot_d(v, qn), pos, name, content)
+                     for pos, name, content, v in stored),
+                    key=lambda t: (-t[0], t[1]))
+    hits = scored[:k]
+    summary = reference_fold(
+        ns, [(name, content) for _, _, name, content in hits], 256,
+        "summarize the provided contents.")
+    rows = [(math.floor(sim * 1e6 + 0.5) / 1e6, name, len(summary))
+            for sim, _, name, _ in hits]
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    write("e2e_pipeline",
+          pd.DataFrame(rows, columns=["sim", "source", "summary_len"]),
+          {"sim": "DOUBLE", "source": "VARCHAR", "summary_len": "BIGINT"})
+
+
+def main():
+    which = set(sys.argv[1:])
+
+    def want(n):
+        return not which or n in which
+
+    docs = load_documents()
+    if want("lang_id"):
+        gen_lang_id(docs)
+    if want("text_bpeish_tokens"):
+        gen_bpeish(docs)
+    if want("simhash_pairs"):
+        gen_simhash_pairs(docs)
+    if want("minhash_pairs"):
+        gen_minhash_pairs(docs)
+    emb = None
+    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk"):
+        if want(n):
+            emb = emb or load_embeddings()
+    if want("lsh_topk"):
+        gen_lsh_topk(emb)
+    if want("embed_neardup_lsh"):
+        gen_embed_neardup_lsh(emb)
+    if want("ivf_topk"):
+        gen_ivf_topk(emb)
+    if want("store_retrieve"):
+        gen_store_retrieve(docs)
+    if want("memory_context"):
+        gen_memory_context()
+    if want("ingest_dir"):
+        gen_ingest_dir()
+    if want("policy_sections"):
+        gen_policy_sections()
+    if want("chunk_stats") or want("mapreduce_fold") or want("e2e_pipeline"):
+        ns = reference_ns()
+        if want("chunk_stats"):
+            gen_chunk_stats(docs, ns)
+        if want("mapreduce_fold"):
+            gen_mapreduce_fold(docs, ns)
+        if want("e2e_pipeline"):
+            gen_e2e_pipeline(ns)
+
+
+if __name__ == "__main__":
+    main()
