@@ -1195,7 +1195,11 @@ object Queries {
         embeddingDim = 32)
       val reg = new graft.ingest.SourceRegistry(s)
       val entries = reg.readDirectory(root.toString).collect().sortBy(_.path)
-      entries.foreach(e => app.retrieveAdd(e.path.split('/').last, e.content))
+      // bulk load: ONE embed + store.add pass (one max-id read, one
+      // zipWithIndex, one parquet append) — per-doc retrieveAdd would
+      // re-read max(id) and append per document, O(n²) as a loader
+      app.retrieval.batchAdd(
+        entries.toSeq.map(e => e.path.split('/').last -> e.content))
       val hits = app.retrieveRet(entries.head.content, k = 3)
       val eng = new graft.mapreduce.MapReduceEngine(
         graft.mapreduce.LossyEchoFunctor(2), chunkSize = 256)
