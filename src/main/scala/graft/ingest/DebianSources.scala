@@ -160,26 +160,3 @@ final class DebianSources(spark: SparkSession, fetcher: HttpFetcher) {
   }
 }
 
-/** Minimal HTML helpers standing in for BeautifulSoup. */
-object HtmlText {
-  def text(html: String): String = {
-    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
-    val noTags = noScript.replaceAll("(?s)<[^>]+>", "")
-    noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
-  }
-
-  /** Remove non-nested `<tag class="cls">…</tag>` blocks. */
-  def removeTagged(html: String, tag: String, cls: String): String =
-    html.replaceAll(
-      s"""(?is)<$tag[^>]*class="[^"]*$cls[^"]*"[^>]*>.*?</$tag>""", "")
-
-  def hrefs(html: String): Seq[String] =
-    """(?i)<a\s[^>]*href="([^"]*)"""".r
-      .findAllMatchIn(html).map(_.group(1)).toSeq
-
-  /** href of the first anchor whose text equals `txt`. */
-  def linkWithText(html: String, txt: String): Option[String] =
-    s"""(?is)<a\\s[^>]*href="([^"]*)"[^>]*>\\s*${java.util.regex.Pattern.quote(txt)}\\s*</a>""".r
-      .findFirstMatchIn(html).map(_.group(1))
-}

@@ -321,22 +321,14 @@ object SourceRegistry {
     head.contains("<html") || head.contains("<!doctype html")
   }
 
-  /** Minimal tag-strip stand-in for the reference's BeautifulSoup
-    * `get_text()` (reader.py:461-466) — script/style dropped, tags
-    * removed, entities for the common five.
-    */
-  def stripHtml(html: String): String = {
-    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
-    val noTags = noScript.replaceAll("(?s)<[^>]+>", "")
-    noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'").trim
-  }
-
-  /** URL content pipeline (reader.py:455-467): HTML → stripped +
-    * blank-line-squeezed text; anything else passes through.
+  /** URL content pipeline (reader.py:455-467): HTML → BeautifulSoup-
+    * fidelity text extraction ([[HtmlText]]: stdlib-tokenizer parity,
+    * full entity table, script/style/template exclusion) + the
+    * reference's exact strip/squeeze/rstrip order; anything else
+    * passes through.
     */
   def urlContent(raw: String): String =
-    if (looksLikeHtml(raw)) PyText.squeezeBlankLines(stripHtml(raw))
+    if (looksLikeHtml(raw)) HtmlText.htmlToText(raw)
     else raw
 }
 
