@@ -58,26 +58,33 @@ final class SectionedDoc(spark: SparkSession, content: String) {
 
   /** Extract one section by index (policy.py:85-118): from its heading
     * line up to (exclusive) the next same-level separator's heading.
+    *
+    * ONE job: every same-level separator row carries the next
+    * separator's idx via `lead`, so the matching row alone determines
+    * the `[start, end)` line range; the body then slices the local
+    * line buffer (the frame was built from it). The previous
+    * formulation collected three times per lookup.
     */
   def section(index: String): String = {
     val level = index.split("\\.").length
     val sep = Seq(SepSection, SepSubsection, SepSubsubsection)(level - 1)
     val w = Window.orderBy("idx")
-    val seps = linesDf
+    val hit = linesDf
       .withColumn("prev", lag($"line", 1).over(w))
       .where($"line".startsWith(sep))
-      .select($"idx", $"prev")
-    val start = seps.where($"prev".startsWith(s"$index. "))
-      .orderBy("idx").limit(1).select($"idx").as[Long].collect().headOption
-    start match {
+      .withColumn("nextIdx", lead($"idx", 1).over(Window.orderBy("idx")))
+      .where($"prev".startsWith(s"$index. "))
+      .orderBy("idx").limit(1)
+      .select($"idx", $"nextIdx")
+      .collect().headOption
+    hit match {
       case None => ""
-      case Some(sepIdx) =>
-        val next = seps.where($"idx" > sepIdx).orderBy("idx").limit(1)
-          .select($"idx").as[Long].collect().headOption
+      case Some(r) =>
+        val sepIdx = r.getLong(0)
         // [heading, sep, body...] up to just before the next heading
-        val endExcl = next.fold(lines.length.toLong)(_ - 1L)
-        linesDf.where($"idx" >= sepIdx - 1 && $"idx" < endExcl)
-          .orderBy("idx").select("line").as[String].collect().mkString("\n")
+        val endExcl =
+          if (r.isNullAt(1)) lines.length.toLong else r.getLong(1) - 1L
+        lines.slice((sepIdx - 1).toInt, endExcl.toInt).mkString("\n")
     }
   }
 
