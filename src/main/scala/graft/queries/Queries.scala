@@ -882,6 +882,30 @@ object Queries {
           expr("percentile(l_quantity, 0.75D)").as("q75"))
         .orderBy(col("l_returnflag"))),
 
+    "q_approx_percentiles" -> ((s, d) => {
+      // quantile sketch — the 100 TB path (bounded KLL-style state per
+      // group vs exact percentile's full-sort/collect state). Sketch
+      // internals are engine-specific, so the CHECKED output is the
+      // exact percentile; the sketch is gated in-query: each group's
+      // approx p50/p90 must land within the accuracy the 1000-row
+      // sketch guarantees, or the query throws.
+      val both = tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.9D)").as("p90"),
+          expr("approx_percentile(l_quantity, 0.5D, 1000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.9D, 1000)").as("a90"),
+          count(lit(1)).as("n"))
+      val off = both.where(
+        abs(col("a50") - col("p50")) / col("p50") > 0.05 ||
+          abs(col("a90") - col("p90")) / col("p90") > 0.05).count()
+      require(off == 0, s"approx_percentile out of 5% bound for $off groups")
+      both.select(col("l_returnflag"),
+          round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "text_bpeish_tokens" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"),
@@ -980,6 +1004,15 @@ object Queries {
         |  quantile_cont(l_quantity, 0.25) AS q25,
         |  quantile_cont(l_quantity, 0.5) AS q50,
         |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // checked columns are the exact percentiles; the KLL-style sketch
+    // is verified in-query against them (5% bound) before returning
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+        |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   // ============================== engine ops (rows-only checks) ========
@@ -1223,6 +1256,18 @@ object Queries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "stream_neardup" -> ((s, d) => {
+      // streaming NEAR-dup dedup on ingest: every microbatch probes the
+      // accumulated band-bucketed simhash index (equi-join), drop
+      // policy is batch-boundary-independent (see StreamingDedup), so
+      // the result equals the batch formulation the oracle replays
+      val root = java.nio.file.Files.createTempDirectory("graft_sdedup_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingDedup.ingest(s, d, idx, out, maxDist = 12)
+      s.read.parquet(out).select(col("doc").as("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "sql_topk_cosine" -> ((s, d) => {
       graft.functions.GraftSql.register(s)
       tbl(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
@@ -1297,6 +1342,9 @@ object Queries {
 
     "e2e_pipeline" ->
       s"SELECT sim, source, summary_len FROM '$pipeGold/e2e_pipeline.parquet' ORDER BY sim DESC, source",
+
+    "stream_neardup" ->
+      s"SELECT doc_id FROM '$pipeGold/stream_neardup.parquet' ORDER BY doc_id",
 
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Incremental simhash dedup: batch-boundary independence and the
+  * relational drop contract (doc dropped iff some earlier doc shares a
+  * band within maxDist).
+  */
+class StreamingDedupSpec extends SparkTestBase {
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    // clusters of near-identical docs: same base text with tiny edits
+    (0 until n).map { i =>
+      val base = s"the quick brown fox ${i / 4} jumps over the lazy dog " * 6
+      val noise = if (i % 4 == 0) "" else s"variant ${i % 4}"
+      (i.toLong, base + noise)
+    }.toDF("doc_id", "text")
+  }
+
+  private def runBatches(batches: Seq[org.apache.spark.sql.DataFrame]): Set[Long] = {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_spec")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    batches.foreach(b =>
+      StreamingDedup.processBatch(spark, b, "text", "doc_id", idx, out, 12))
+    spark.read.parquet(out).select(col("doc"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("result is independent of microbatch boundaries") {
+    val docs = docsDf(40).cache()
+    val oneShot = runBatches(Seq(docs))
+    val twoBatches = runBatches(Seq(
+      docs.where(col("doc_id") < 20), docs.where(col("doc_id") >= 20)))
+    val fourBatches = runBatches((0 until 4).map(k =>
+      docs.where(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)))
+    assert(oneShot == twoBatches)
+    assert(oneShot == fourBatches)
+    docs.unpersist()
+  }
+
+  test("relational contract: dropped iff an earlier doc is within maxDist") {
+    import graft.pipeline.Dedup
+    val docs = docsDf(32).cache()
+    val kept = runBatches(Seq(docs))
+    // reference computation from the batch operator: any pair (d1<d2)
+    // sharing a band within distance ⇒ d2 dropped
+    val droppedWant = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 12)
+      .select(col("d2")).distinct().collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- droppedWant)
+    docs.unpersist()
+  }
+
+  test("streaming ingest over the sf0.001 table matches the batch contract") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("sdedup_ingest")
+    StreamingDedup.ingest(spark, d, root.resolve("idx").toString,
+      root.resolve("out").toString, maxDist = 12)
+    val kept = spark.read.parquet(root.resolve("out").toString)
+      .collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val droppedWant = graft.pipeline.Dedup
+      .simhashPairs(docs, "text", "doc_id", maxDist = 12)
+      .select(col("d2")).distinct().collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- droppedWant)
+  }
+}

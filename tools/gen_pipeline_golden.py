@@ -198,6 +198,25 @@ def gen_simhash_pairs(docs, max_dist=12):
           {"d1": "BIGINT", "d2": "BIGINT", "dist": "INT"})
 
 
+def gen_stream_neardup(docs, max_dist=12):
+    """StreamingDedup semantics: doc d kept iff NO earlier doc (any,
+    kept or dropped) shares a 16-bit band and is within max_dist."""
+    buckets = {}
+    kept = []
+    for r in docs.itertuples():  # docs arrive in doc_id order
+        sh = simhash64(r.text)
+        cands = set()
+        keys = [(band, (sh >> (band * 16)) & 0xFFFF) for band in range(4)]
+        for bk in keys:
+            cands.update(buckets.get(bk, ()))
+        if not any(bin(sh ^ c).count("1") <= max_dist for c in cands):
+            kept.append(r.doc_id)
+        for bk in keys:
+            buckets.setdefault(bk, []).append(sh)
+    write("stream_neardup", pd.DataFrame(kept, columns=["doc_id"]),
+          {"doc_id": "BIGINT"})
+
+
 def rolling_shingle_hashes(text: str, w: int):
     toks = text.split(" ")
     if len(toks) < w:
@@ -659,6 +678,8 @@ def main():
         gen_bpeish(docs)
     if want("simhash_pairs"):
         gen_simhash_pairs(docs)
+    if want("stream_neardup"):
+        gen_stream_neardup(docs)
     if want("minhash_pairs"):
         gen_minhash_pairs(docs)
     emb = None
