@@ -66,4 +66,56 @@ object ChatSession {
     require(bad.isEmpty, s"unknown role ${bad.headOption.map(_.getString(0))}")
     df
   }
+
+  /** One replayed entry's render decision — the data content of
+    * replay.py:28-65 `process_entry` with the rich visuals reduced to
+    * directives: user → cyan 'User Input' panel (markup-escaped),
+    * system → red 'System Message' panel (escaped), assistant →
+    * Markdown when `render` else escaped plain text.
+    */
+  final case class RenderDirective(role: String, panelTitle: Option[String],
+                                   borderStyle: Option[String],
+                                   markdown: Boolean, text: String)
+
+  private val EscapePattern =
+    java.util.regex.Pattern.compile("""(\\*)(\[[a-z#/@][^\[]*?])""")
+
+  /** `rich.markup.escape`, exactly: backslash-escape `[tag]`-shaped
+    * openings (doubling any preceding backslashes) and protect a
+    * single trailing backslash.
+    */
+  def richEscape(markup: String): String = {
+    val m = EscapePattern.matcher(markup)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(markup, last, m.start())
+      val bs = m.group(1)
+      sb.append(bs).append(bs).append('\\').append(m.group(2))
+      last = m.end()
+    }
+    sb.append(markup, last, markup.length)
+    val out = sb.toString
+    if (out.endsWith("\\") && !out.endsWith("\\\\")) out + "\\" else out
+  }
+
+  /** replay.py:28-65 per-entry contract over a loaded session. */
+  def renderPlan(session: DataFrame, render: Boolean = true): Seq[RenderDirective] =
+    session.collect().toSeq.map { r =>
+      val role = r.getAs[String]("role")
+      val content = r.getAs[String]("content")
+      role match {
+        case Schemas.RoleUser =>
+          RenderDirective(role, Some("User Input"), Some("cyan"),
+            markdown = false, richEscape(content))
+        case Schemas.RoleSystem =>
+          RenderDirective(role, Some("System Message"), Some("red"),
+            markdown = false, richEscape(content))
+        case Schemas.RoleAssistant =>
+          if (render) RenderDirective(role, None, None, markdown = true, content)
+          else RenderDirective(role, None, None, markdown = false, richEscape(content))
+        case other =>
+          throw new IllegalArgumentException(s"unknown role in $other")
+      }
+    }
 }

@@ -93,6 +93,49 @@ class SessionSpec extends SparkTestBase {
     intercept[IllegalStateException](hardFail("x"))
   }
 
+  test("replay render plan follows process_entry (replay.py:28-65)") {
+    val s = new ChatSession(spark)
+    s.append("system", "be [bold] helpful")
+    s.append("user", "what is [red]x?")
+    s.append("assistant", "# answer\n*markdown*")
+    val p = java.nio.file.Files.createTempDirectory("rp")
+      .resolve("sess.json").toString
+    s.dump(p)
+    val loaded = ChatSession.load(spark, p)
+
+    val rendered = ChatSession.renderPlan(loaded, render = true)
+    assert(rendered.map(d => (d.role, d.panelTitle, d.borderStyle, d.markdown)) ==
+      Seq(("system", Some("System Message"), Some("red"), false),
+        ("user", Some("User Input"), Some("cyan"), false),
+        ("assistant", None, None, true)))
+    assert(rendered(0).text == "be \\[bold] helpful") // panels escape markup
+    assert(rendered(1).text == "what is \\[red]x?")
+    assert(rendered(2).text == "# answer\n*markdown*") // Markdown: verbatim
+
+    val plain = ChatSession.renderPlan(loaded, render = false)
+    assert(plain(2).markdown == false)
+    // unknown role raises, replay.py:56-57
+    import spark.implicits._
+    val badDf = Seq(("tool", "x")).toDF("role", "content")
+    intercept[IllegalArgumentException](ChatSession.renderPlan(badDf))
+  }
+
+  test("richEscape reproduces rich.markup.escape") {
+    import ChatSession.richEscape
+    assert(richEscape("plain") == "plain")
+    assert(richEscape("a [bold] b") == "a \\[bold] b")
+    assert(richEscape("back\\ [red]x") == "back\\ \\[red]x")
+    // a backslash RIGHT BEFORE the bracket doubles, then escapes
+    assert(richEscape("pre\\[red]") == "pre\\\\\\[red]")
+    assert(richEscape("trailing\\") == "trailing\\\\")
+    assert(richEscape("no [Upper] case") == "no [Upper] case")
+    assert(richEscape("[@click] and [/done] and [#ff0000]") ==
+      "\\[@click] and \\[/done] and \\[#ff0000]")
+    assert(richEscape("dbl [[red]]") == "dbl [\\[red]]")
+    assert(richEscape("open [cyan") == "open [cyan") // never closed
+    assert(richEscape("[a]b]") == "\\[a]b]") // lazy match
+  }
+
   test("streaming sessionize matches the batch gaps-and-islands query") {
     val sdf = graft.streaming.EventStream.readEvents(spark, sf())
     val sess = graft.streaming.EventStream.sessionize(spark, sdf).toDF()
