@@ -99,9 +99,59 @@ out.  See the <a href="/releases">release notes</a>&nbsp;&raquo;</p>
 }
 
 
+def fuzz_docs(n=60, seed=2026):
+    """Randomized documents over the tokenizer's alphabet of corners:
+    tags (incl. script/style/template, self-closing, attributes with
+    quoted '>'), entities (named/legacy/numeric/bogus), comments,
+    doctypes, PIs, literal '<'s, newline runs, unicode.
+    """
+    import random
+    rng = random.Random(seed)
+    tags = ["p", "div", "span", "b", "a", "li", "td"]
+    special_open = ["<script>", "<style>", "<template>",
+                    "<script type='t>e'>", "<SCRIPT>"]
+    special_close = {"<script>": "</script>", "<style>": "</style>",
+                     "<template>": "</template>",
+                     "<script type='t>e'>": "</script >",
+                     "<SCRIPT>": "</ScRiPt>"}
+    entities = ["&amp;", "&lt;", "&nbsp;", "&copy", "&ampx", "&notareal;",
+                "&#65;", "&#x42;", "&#0;", "&#xD800;", "&#1114112;",
+                "&bogus;", "&", "&&amp;", "&#", "&mdash;", "&timesb;"]
+    words = ["alpha", "beta", "中文", "γδ", "x<y", "a]b", "7", ""]
+    docs = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(3, 25)):
+            r = rng.random()
+            if r < 0.35:
+                parts.append(rng.choice(words) + rng.choice([" ", "\n", "\n\n",
+                                                             "\n\n\n", "  \n"]))
+            elif r < 0.5:
+                parts.append(rng.choice(entities))
+            elif r < 0.65:
+                t = rng.choice(tags)
+                attr = rng.choice(["", " class='c'", ' href="u>v"', " x=1"])
+                parts.append(f"<{t}{attr}>" + rng.choice(words) + f"</{t}>")
+            elif r < 0.75:
+                o = rng.choice(special_open)
+                parts.append(o + rng.choice(["code < 1", "a&amp;b", "\n\n"])
+                             + special_close[o])
+            elif r < 0.85:
+                parts.append(rng.choice(["<!-- c -->", "<!DOCTYPE html>",
+                                         "<?pi ?>", "<![CDATA[zz]]>",
+                                         "<!- bogus>", "</ odd>"]))
+            else:
+                parts.append(rng.choice(["< loose", "a<1", "tag</",
+                                         "fin<", "self<br/>ok"]))
+        docs.append("".join(parts))
+    return {f"fuzz_{i:02d}": d for i, d in enumerate(docs)}
+
+
 def main() -> None:
+    all_fixtures = dict(FIXTURES)
+    all_fixtures.update(fuzz_docs())
     goldens = {name: {"html": html, "text": html_to_text(html)}
-               for name, html in FIXTURES.items()}
+               for name, html in all_fixtures.items()}
     with open(sys.argv[1], "w") as f:
         json.dump(goldens, f, indent=1, ensure_ascii=False)
     print(f"wrote {sys.argv[1]}: {len(goldens)} cases")
