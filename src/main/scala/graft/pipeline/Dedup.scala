@@ -77,10 +77,13 @@ object Dedup {
     // collision risk at exact-pairwise scale) and CARRYING the doc's
     // distinct-shingle count: the pair aggregation then needs no
     // size-lookup joins, the shingle expression is evaluated once, and
-    // the self-join reuses a single shuffle exchange.
-    val ex0 = df.select(col(idCol).as("doc"), wordShingles(col(textCol), w).as("shs"))
-      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
-      .select(col("doc"), col("n"), xxhash64(col("s")).as("h"))
+    // the self-join reuses a single shuffle exchange. Hashes come from
+    // the single-pass rolling-hash UDF — shingle STRINGS are never
+    // materialized (w-token substrings allocate w× the document text;
+    // the rolling fold allocates nothing).
+    val ex0 = df.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
     val ex =
       if (maxShingleDf <= 0) ex0
       else {
@@ -95,6 +98,54 @@ object Dedup {
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .select(col("d1"), col("d2"),
         (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** EXACT pairwise Jaccard ≥ threshold via prefix filtering
+    * (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08):
+    * order every document's shingles by ascending global document
+    * frequency (ties by hash), keep only the first
+    * `|S| − ⌈t·|S|⌉ + 1` as join keys — any pair with true Jaccard ≥ t
+    * must collide inside both prefixes — then verify candidates
+    * against the full sets.
+    *
+    * Unlike the df-cap in [[jaccardPairs]] this sacrifices NO recall:
+    * corpus-hot shingles (the quadratic-blowup makers) sort to the END
+    * of every prefix order and so drop out of the join keys, while any
+    * qualifying pair still collides on a rarer shared shingle. Shuffle
+    * ledger: df count (map-combined), df lookup join (on hash), prefix
+    * window (on doc), candidate self-join (on hash, prefix postings
+    * only), verify join ×2 (on doc). All linear in postings except the
+    * candidate join, which prefix filtering bounds.
+    */
+  def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                         w: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .where(size(col("shs")) > 0)
+      .localCheckpoint(true) // reused 3×: prefix build + both verify sides
+    val posts = sets.select(col("doc"), size(col("shs")).as("n"),
+      explode(col("shs")).as("h"))
+    val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w1 = Window.partitionBy(col("doc")).orderBy(col("df"), col("h"))
+    val prefix = posts.join(dfreq, Seq("h"))
+      .withColumn("rk", row_number().over(w1))
+      .where(col("rk") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1L)
+      .select(col("h"), col("doc"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    val jacUdf = udf { (h1: Array[Long], h2: Array[Long]) =>
+      val s1 = h1.toSet
+      val inter = h2.count(s1.contains)
+      inter.toDouble / (h1.length + h2.length - inter)
+    }
+    cand
+      .join(sets.select(col("doc").as("d1"), col("shs").as("s1")), Seq("d1"))
+      .join(sets.select(col("doc").as("d2"), col("shs").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"), jacUdf(col("s1"), col("s2")).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -214,13 +265,58 @@ object Dedup {
     */
   private def unpersistPinned(df: DataFrame): Unit = graft.core.Pinned.release(df)
 
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Edge lists at or below this collect to the driver for a
+    * union-find pass (~16 bytes/edge ⇒ ≲80 MB at the default): the
+    * iterative path costs O(diameter) Spark jobs, a multi-second fixed
+    * floor that dwarfs small/medium clusterings. Same labels either
+    * way (min-id per component); the join loop engages beyond the
+    * threshold, where the edge list must stay distributed.
+    */
+  val MaxDriverEdges: Long = 5000000L
+
+  private def unionFindClusters(spark: org.apache.spark.sql.SparkSession,
+                                edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // union by MIN id — the root IS the component label
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(d => (d, find(d))).toDF("doc", "cluster")
+  }
+
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     // pin the caller's `pairs` FIRST — it is typically an expensive
     // similarity query, and every derived frame below (sym, docs,
     // edges, initial labels) would re-evaluate it otherwise.
     // Self-loops fold the keep-own-label update into the same
     // propagate aggregation: one join + one groupBy per round.
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val integralIds = p.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
+    if (integralIds && p.count() <= maxDriverEdges) {
+      val edges = p.select(col("d1").cast("long"), col("d2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = unionFindClusters(p.sparkSession, edges)
+      unpersistPinned(p)
+      return out
+    }
     val sym = p.select(col("d1").as("src"), col("d2").as("dst"))
       .union(p.select(col("d2").as("src"), col("d1").as("dst")))
     val docs = sym.select(col("src").as("doc")).distinct()

@@ -847,6 +847,14 @@ object Queries {
         w = 3, threshold = 0.2, maxShingleDf = 128)
         .orderBy(col("d1"), col("d2"))),
 
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      // EXACT similarity join via AllPairs prefix filtering — no df
+      // cap, no recall loss; the oracle is the uncapped true-Jaccard
+      // pair set
+      graft.pipeline.Dedup.jaccardPairsPrefix(
+        tbl(s, d, "documents"), "text", "doc_id", w = 3, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))),
+
     "dedup_drop_neardups" -> ((s, d) => {
       // the full dedup pipeline: jaccard pairs → connected components
       // → keep the min-id representative per cluster
@@ -945,6 +953,27 @@ object Queries {
         |JOIN sz sa ON sa.doc_id = d1
         |JOIN sz sb ON sb.doc_id = d2
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_jaccard_prefix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = d1
+        |JOIN sz sb ON sb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_drop_neardups" ->

@@ -95,6 +95,22 @@ class PipelineSpec extends SparkTestBase {
     assert(survivors.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 fold into 0's cluster
   }
 
+  test("driver union-find and distributed propagation produce the same labels") {
+    import spark.implicits._
+    // random graph with chains, stars and singleton-joins
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 400).map { _ =>
+      val a = rnd.nextInt(120).toLong
+      val b = a + 1 + rnd.nextInt(30)
+      (a, b)
+    }.distinct.toDF("d1", "d2")
+    val fast = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.nearDupClusters(pairs, maxDriverEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+  }
+
   test("LSH ANN recalls most brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
