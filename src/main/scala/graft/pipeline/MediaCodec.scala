@@ -1,11 +1,11 @@
 package graft.pipeline
 
 /** Pure-JVM decoders for the header-parseable media containers: BMP
-  * and binary PPM (P6) images, PCM WAV audio. No external codec
-  * libraries — these formats are fully specified by their headers, so
-  * the multimodal feature extraction can be REAL for them; formats
-  * that genuinely need a codec library (JPEG, MP3, video containers)
-  * fall back to the documented stub in [[Multimodal]].
+  * and binary PPM (P6) images, PCM WAV audio, YUV4MPEG2 (y4m) video.
+  * No external codec libraries — these formats are fully specified by
+  * their headers, so the multimodal feature extraction can be REAL for
+  * them; formats that genuinely need a codec library (JPEG, MP3,
+  * MP4/H.264) fall back to the documented stub in [[Multimodal]].
   *
   * All parsers are total: malformed input returns None, never throws —
   * a distributed media scan must not die on one corrupt blob.
@@ -23,9 +23,16 @@ object MediaCodec {
       if (sampleRate == 0) 0.0 else nFrames.toDouble / sampleRate
   }
 
+  final case class VideoStats(width: Int, height: Int, fpsNum: Int,
+                              fpsDen: Int, nFrames: Long, sampledFrames: Int,
+                              lumaMean: Double, lumaStd: Double) {
+    def fps: Double = if (fpsDen == 0) 0.0 else fpsNum.toDouble / fpsDen
+  }
+
   sealed trait Decoded
   final case class DecodedImage(stats: ImageStats) extends Decoded
   final case class DecodedAudio(stats: AudioStats) extends Decoded
+  final case class DecodedVideo(stats: VideoStats) extends Decoded
   case object Undecodable extends Decoded
 
   def decode(bytes: Array[Byte]): Decoded = {
@@ -37,6 +44,9 @@ object MediaCodec {
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F')
       decodeWav(bytes).map(DecodedAudio).getOrElse(Undecodable)
+    else if (bytes.length >= 9 &&
+      new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
+      decodeY4m(bytes).map(DecodedVideo).getOrElse(Undecodable)
     else Undecodable
   }
 
@@ -239,6 +249,137 @@ object MediaCodec {
       if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
       peak,
       if (nSamples <= 1) 0.0 else crossings.toDouble / (nSamples - 1)))
+  }
+
+  // ------------------------------------------------------------ Y4M --
+  /** Uncompressed YUV4MPEG2 video ("y4m" — what ffmpeg/mjpegtools pipe
+    * between stages): a text header `YUV4MPEG2 W.. H.. F<num>:<den>
+    * [C<subsampling>] …\n`, then per frame a `FRAME…\n` marker and raw
+    * planar YCbCr data. Header-parseable with zero codec dependencies,
+    * so the video decode path is REAL: luma statistics accumulate over
+    * every `frameStep`-th frame's Y plane (sequential double, frame
+    * then row-major order).
+    */
+  private final case class Y4mHead(w: Int, h: Int, fn: Int, fd: Int,
+                                   ySize: Int, frameBytes: Int, dataStart: Int)
+
+  private def parseY4mHead(b: Array[Byte]): Option[Y4mHead] = {
+    val headEnd = b.indexOf('\n'.toByte)
+    if (headEnd < 0) return None
+    val head = new String(b, 0, headEnd, "US-ASCII")
+    val parts = head.split(" ")
+    if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+    def int(s: String): Int = // -1 on malformed: parsers never throw
+      try s.toInt catch { case _: NumberFormatException => -1 }
+    var w = 0
+    var h = 0
+    var fn = 0
+    var fd = 1
+    var sub = "420"
+    parts.drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = int(p.drop(1))
+        case 'H' => h = int(p.drop(1))
+        case 'F' => p.drop(1).split(":", 2) match {
+          case Array(a, d) => fn = int(a); fd = int(d)
+          case _ => fn = -1
+        }
+        case 'C' => sub = p.drop(1)
+        case _ => ()
+      }
+    }
+    if (w <= 0 || h <= 0 || fn < 0 || fd <= 0) return None
+    val ySize = w * h
+    val chroma =
+      if (sub.startsWith("444")) 2 * ySize
+      else if (sub.startsWith("422")) 2 * ((w + 1) / 2) * h
+      else 2 * ((w + 1) / 2) * ((h + 1) / 2) // 420 variants
+    Some(Y4mHead(w, h, fn, fd, ySize, ySize + chroma, headEnd + 1))
+  }
+
+  /** Walks frames, invoking `onFrame(frameIdx, yPlaneOffset)` for every
+    * `frameStep`-th one. Returns the total frame count, or -1 on a
+    * malformed stream (bad FRAME marker / truncated frame data).
+    */
+  private def walkY4mFrames(b: Array[Byte], hd: Y4mHead, frameStep: Int)
+                           (onFrame: (Long, Int) => Unit): Long = {
+    var i = hd.dataStart
+    var nFrames = 0L
+    while (i < b.length) {
+      // FRAME marker line (may carry parameters)
+      val eol = b.indexOf('\n'.toByte, i)
+      if (eol < 0 || eol - i < 5 ||
+        new String(b, i, 5, "US-ASCII") != "FRAME") return -1L
+      val dataStart = eol + 1
+      if (dataStart + hd.frameBytes > b.length) return -1L
+      if (nFrames % frameStep == 0) onFrame(nFrames, dataStart)
+      nFrames += 1
+      i = dataStart + hd.frameBytes
+    }
+    nFrames
+  }
+
+  def decodeY4m(b: Array[Byte], frameStep: Int = 1): Option[VideoStats] =
+    parseY4mHead(b).flatMap { hd =>
+      var sampled = 0
+      var sum = 0.0
+      var sumSq = 0.0
+      val nFrames = walkY4mFrames(b, hd, frameStep) { (_, dataStart) =>
+        var j = dataStart
+        val end = dataStart + hd.ySize
+        while (j < end) {
+          val y = (b(j) & 0xff).toDouble
+          sum += y
+          sumSq += y * y
+          j += 1
+        }
+        sampled += 1
+      }
+      if (nFrames <= 0) None
+      else {
+        val n = sampled.toDouble * hd.ySize
+        val mean = sum / n
+        val variance = math.max(0.0, sumSq / n - mean * mean)
+        Some(VideoStats(hd.w, hd.h, hd.fn, hd.fd, nFrames, sampled, mean,
+          math.sqrt(variance)))
+      }
+    }
+
+  /** Real frame sampling: per-sampled-frame luma means,
+    * `(frameIdx, meanY)` for every `frameStep`-th frame — what a frame
+    * extractor feeds downstream (thumbnailing, shot detection).
+    */
+  def y4mFrameLuma(b: Array[Byte],
+                   frameStep: Int = 1): Option[Array[(Long, Double)]] =
+    parseY4mHead(b).flatMap { hd =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val nFrames = walkY4mFrames(b, hd, frameStep) { (idx, dataStart) =>
+        var j = dataStart
+        val end = dataStart + hd.ySize
+        var sum = 0.0
+        while (j < end) { sum += (b(j) & 0xff).toDouble; j += 1 }
+        acc += ((idx, sum / hd.ySize))
+      }
+      if (nFrames <= 0) None else Some(acc.toArray)
+    }
+
+  /** Y4M writer (C420, F`fpsNum`:`fpsDen`) for tests and synthetic
+    * corpora: `frames(f)(plane)` with plane 0 = Y (w×h), 1 = U, 2 = V
+    * (⌈w/2⌉×⌈h/2⌉ each).
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                frames: Array[Array[Array[Byte]]]): Array[Byte] = {
+    val head = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      head.length + frames.map(f => marker.length + f.map(_.length).sum).sum)
+    out.put(head)
+    frames.foreach { f =>
+      out.put(marker)
+      f.foreach(out.put)
+    }
+    out.array()
   }
 
   /** Minimal PCM16 mono/stereo WAV writer for tests and synthetic

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed in partition-local batches.
   *
   * The decode step is REAL for the header-parseable containers —
-  * BMP/PPM images and PCM WAV audio via [[MediaCodec]] (pure JVM, no
-  * codec libraries) — and falls back to a clearly-marked deterministic
-  * STUB only for formats that genuinely need an external codec (JPEG,
-  * MP3, video containers, none available in this environment). The
+  * BMP/PPM images, PCM WAV audio, and uncompressed Y4M video via
+  * [[MediaCodec]] (pure JVM, no codec libraries) — and falls back to a
+  * clearly-marked deterministic STUB only for formats that genuinely
+  * need an external codec (JPEG, MP3, MP4/H.264, none available in
+  * this environment). The
   * dataflow (mapPartitions over record batches, one decode per
   * element, metadata carried alongside) is exactly what a Pandas-UDF /
   * `mapInPandas` pipeline does in PySpark.
@@ -45,8 +46,9 @@ object Multimodal {
   }
 
   /** Fixed-dim feature vector from a decoded container. Slot 0 is the
-    * modality tag (1 = image, 2 = audio, 0 = stub fallback); the rest
-    * are the container's real pixel/sample statistics.
+    * modality tag (1 = image, 2 = audio, 3 = video, 0 = stub
+    * fallback); the rest are the container's real pixel/sample
+    * statistics (luma stats scaled to [0,1] like the image means).
     */
   private def featurize(bytes: Array[Byte], featDim: Int): Array[Float] =
     MediaCodec.decode(bytes) match {
@@ -57,6 +59,10 @@ object Multimodal {
         fit(featDim, Array(2.0, s.sampleRate.toDouble, s.channels.toDouble,
           s.durationSec, s.rms, s.peak, s.zeroCrossRate,
           s.nFrames.toDouble))
+      case MediaCodec.DecodedVideo(s) =>
+        fit(featDim, Array(3.0, s.width.toDouble, s.height.toDouble,
+          s.fps, s.lumaMean / 255.0, s.lumaStd / 255.0,
+          s.nFrames.toDouble, s.sampledFrames.toDouble))
       case MediaCodec.Undecodable => decodeStub(bytes, featDim)
     }
 
@@ -90,10 +96,33 @@ object Multimodal {
         explode(sequence(lit(0L), greatest(col("durationMs") - 1, lit(0L)),
           lit(everyMs))).as("frameMs"))
 
+  /** REAL frame sampling for Y4M video rows: decodes every
+    * `frameStep`-th frame's Y plane and emits `(id, frameIdx,
+    * lumaMean)` per sampled frame. Non-Y4M video rows (codec-requiring
+    * containers) produce no rows — the caller sees exactly what was
+    * decodable. Partition-local like [[extractFeatures]].
+    */
+  def sampleFrameStats(df: DataFrame, frameStep: Int = 1): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frameIdx", LongType, nullable = false),
+      StructField("lumaMean", DoubleType, nullable = false)))
+    val bi = df.schema.fieldIndex("bytes")
+    val ii = df.schema.fieldIndex("id")
+    df.where(col("kind") === "video").mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.y4mFrameLuma(r.getAs[Array[Byte]](bi), frameStep)
+          .toSeq.flatten
+          .map { case (f, m) => Row(r.getLong(ii), f, m) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Deterministic synthetic media table for tests/demo: REAL
-    * containers for images (BMP/PPM alternating) and audio (PCM16
-    * WAV); video rows carry an opaque blob (no pure-JVM video
-    * container), exercising the stub fallback.
+    * containers for images (BMP/PPM alternating), audio (PCM16 WAV),
+    * and every other video row (uncompressed Y4M); the remaining video
+    * rows carry an opaque blob (a codec-requiring container stand-in),
+    * exercising the stub fallback.
     */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
@@ -114,6 +143,23 @@ object Multimodal {
             (((i * 31 + j * 997) % 2048 - 1024) * 16).toShort)
           (MediaCodec.encodeWav(samples, sr), 0, 0,
             nsamp * 1000L / sr)
+        case _ if (i / 3) % 2 == 0 =>
+          // real Y4M container (see gen_multimodal_golden.py parity)
+          val v = i / 3
+          val w = 4 + 2 * (v % 3)
+          val h = 4 + 2 * ((v * 5) % 3)
+          val nf = 2 + v % 3
+          val fps = Seq(25, 30, 24)(v % 3)
+          val frames = Array.tabulate(nf) { f =>
+            val yPlane = Array.tabulate[Byte](w * h)(p =>
+              ((i * 31 + f * 97 + p * 13) % 256).toByte)
+            val cSize = (w / 2) * (h / 2)
+            val u = Array.fill[Byte](cSize)(((i * 7 + f) % 256).toByte)
+            val vp = Array.fill[Byte](cSize)(((i * 11 + f) % 256).toByte)
+            Array(yPlane, u, vp)
+          }
+          (MediaCodec.encodeY4m(w, h, fps, 1, frames), w, h,
+            nf * 1000L / fps)
         case _ =>
           val blob = Array.tabulate[Byte](64 + i % 64)(j =>
             ((i * 31 + j) % 251).toByte)
