@@ -1169,8 +1169,9 @@ object Queries {
     }),
 
     "multimodal_features" -> ((s, d) => {
-      // REAL decoded features (BMP/PPM pixel means, WAV sample stats;
-      // video rows exercise the stub fallback), checked bit-exactly
+      // REAL decoded features (BMP/PPM pixel means, WAV sample stats,
+      // Y4M luma stats; codec-requiring video rows exercise the stub
+      // fallback), checked bit-exactly
       // against the independent Python reimplementation in
       // tools/gen_multimodal_golden.py. Float slots widen to double
       // (exact) for the parquet/oracle compare.
@@ -1180,6 +1181,16 @@ object Queries {
       graft.pipeline.Multimodal.extractFeatures(media, featDim = 8)
         .select(col("id") +: col("kind") +: feats: _*)
         .orderBy(col("id"))
+    }),
+
+    "multimodal_frames" -> ((s, d) => {
+      // REAL per-frame video surface: decodes every Y4M frame's Y
+      // plane and emits (id, frameIdx, lumaMean) — golden-checked
+      // against the independent fold in tools/gen_multimodal_golden.py.
+      // Non-Y4M (codec-requiring) video rows produce no frames.
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+      graft.pipeline.Multimodal.sampleFrameStats(media)
+        .orderBy(col("id"), col("frameIdx"))
     }),
 
     "ingest_dir" -> ((s, d) => {
@@ -1329,6 +1340,11 @@ object Queries {
       s"""SELECT id, kind, f0, f1, f2, f3, f4, f5, f6, f7
          |FROM '$goldenDir/multimodal_features.parquet'
          |ORDER BY id""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""SELECT id, "frameIdx", "lumaMean"
+         |FROM '$goldenDir/multimodal_frames.parquet'
+         |ORDER BY id, "frameIdx"""".stripMargin,
 
     "lang_id" ->
       s"SELECT doc_id, lang, lang_pred, lang_score FROM '$pipeGold/lang_id.parquet' ORDER BY doc_id",

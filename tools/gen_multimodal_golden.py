@@ -77,6 +77,59 @@ def audio_features(i: int):
     return [2.0, float(sr_hz), 1.0, dur, rms, peak, zcr, float(n_frames)]
 
 
+def y4m_rows(i: int):
+    """Geometry + Y-plane generator mirroring Multimodal.synthetic's
+    real-Y4M branch (video rows with (i//3) % 2 == 0)."""
+    v = i // 3
+    w = 4 + 2 * (v % 3)
+    h = 4 + 2 * ((v * 5) % 3)
+    nf = 2 + v % 3
+    fps = [25, 30, 24][v % 3]
+    return v, w, h, nf, fps
+
+
+def y4m_features(i: int):
+    # MediaCodec.decodeY4m: sequential double fold over Y planes only,
+    # frame-then-row-major order; chroma skipped.
+    _, w, h, nf, fps = y4m_rows(i)
+    ysize = w * h
+    total = 0.0
+    total_sq = 0.0
+    for f in range(nf):
+        for p in range(ysize):
+            y = float((i * 31 + f * 97 + p * 13) % 256)
+            total += y
+            total_sq += y * y
+    n = float(nf) * ysize
+    mean = total / n
+    variance = max(0.0, total_sq / n - mean * mean)
+    std = math.sqrt(variance)
+    return [3.0, float(w), float(h), float(fps), mean / 255.0, std / 255.0,
+            float(nf), float(nf)]
+
+
+def video_features(i: int):
+    if (i // 3) % 2 == 0:
+        return y4m_features(i)
+    return stub_features(i)
+
+
+def frame_rows(i: int):
+    """MediaCodec.y4mFrameLuma(frameStep=1): per-frame Y-plane mean,
+    sequential double sum, NO float narrowing (emitted as double)."""
+    if (i // 3) % 2 != 0:
+        return []
+    _, w, h, nf, _ = y4m_rows(i)
+    ysize = w * h
+    out = []
+    for f in range(nf):
+        s = 0.0
+        for p in range(ysize):
+            s += float((i * 31 + f * 97 + p * 13) % 256)
+        out.append({'id': i, 'frameIdx': f, 'lumaMean': s / ysize})
+    return out
+
+
 def stub_features(i: int):
     # decodeStub: float32 fold of the opaque blob. f32 addition of two
     # f32 values is exact in f64, so f32(acc + term) is the correctly
@@ -115,7 +168,7 @@ def main() -> None:
     for i in range(99):
         kind = ['image', 'audio', 'video'][i % 3]
         feats = {'image': image_features, 'audio': audio_features,
-                 'video': stub_features}[kind](i)
+                 'video': video_features}[kind](i)
         # Scala narrows every feature slot to Float, then the query
         # widens back to double — exact, so narrow here too.
         feats = [f32(x) for x in feats]
@@ -132,6 +185,18 @@ def main() -> None:
               FROM t ORDER BY id)
         TO '{OUT}' (FORMAT PARQUET)""")
     print(f'wrote {OUT} ({len(rows)} rows)')
+
+    frames = [fr for i in range(99) if i % 3 == 2 for fr in frame_rows(i)]
+    fdf = pd.DataFrame(frames)
+    con.register('fr', fdf)
+    fout = OUT.parent / 'multimodal_frames.parquet'
+    con.execute(f"""
+        COPY (SELECT CAST(id AS BIGINT) AS id,
+                     CAST(frameIdx AS BIGINT) AS "frameIdx",
+                     CAST(lumaMean AS DOUBLE) AS "lumaMean"
+              FROM fr ORDER BY id, "frameIdx")
+        TO '{fout}' (FORMAT PARQUET)""")
+    print(f'wrote {fout} ({len(frames)} rows)')
 
 
 if __name__ == '__main__':
