@@ -23,7 +23,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration; the
+    // driver never sets it, so per-round BENCH stays the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Leaked state from the previous query (cached frames, the
       // label-propagation/append-log localCheckpoint blocks) must not
       // tax THIS query's measurement: r02 measured dedup_exact at 21s

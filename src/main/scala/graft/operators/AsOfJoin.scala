@@ -22,10 +22,15 @@ object AsOfJoin {
 
   /** @param rightCols right-side payload columns to attach (nulls when
     *                  no right row is at-or-before the left row)
+    * @param tiebreakCol right-side column that disambiguates right rows
+    *                  sharing (key, ts) — a scalar compare per row. When
+    *                  None, the whole payload struct is the tiebreaker
+    *                  (same determinism, struct-compare cost).
     */
   def asOfLeft(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               tiebreakCol: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", col(leftTsCol))
@@ -43,12 +48,18 @@ object AsOfJoin {
     val unioned = l.select(
       (leftCols.map(col) ++ Seq(col("_ts"), col("_side"), col("_payload"), col("_key"))): _*)
       .unionByName(r)
-    // _payload as the final sort key makes the pick among right rows
-    // sharing (key, ts) deterministic across runs/partitionings —
-    // without it, last(..., ignoreNulls) would return whichever duplicate
-    // the shuffle happened to order last.
+    // A final sort key makes the pick among right rows sharing
+    // (key, ts) deterministic across runs/partitionings — without it,
+    // last(..., ignoreNulls) would return whichever duplicate the
+    // shuffle happened to order last. A caller-named scalar id column
+    // compares per-row in O(1); the payload-struct fallback is the
+    // same determinism at struct-compare cost. Left rows (_side=1)
+    // carry null in either key — harmless, _side already orders them
+    // after the right rows they must see.
+    val tiebreak = tiebreakCol
+      .map(c => col("_payload").getField(c)).getOrElse(col("_payload"))
     val w = Window.partitionBy(col("_key"))
-      .orderBy(col("_ts"), col("_side"), col("_payload"))
+      .orderBy(col("_ts"), col("_side"), tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = unioned
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))

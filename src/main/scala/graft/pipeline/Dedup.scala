@@ -235,24 +235,35 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             w: Int = 3, bands: Int = 16, rows: Int = 4,
                             threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    // The shingle-hash frame is checkpointed once and reused three
+    // ways: band-key derivation plus both sides of the verify
+    // back-join. Band rows carry (doc, band, bucket) ONLY — three
+    // scalars — so the LSH exchange never ships a signature array;
+    // the naive alternative (hs alongside the band keys) duplicates
+    // every document's full hash set bands× through the shuffle and
+    // drags two arrays per candidate through the dedup, which
+    // dominates at corpus scale.
     val sh = df.select(col(idCol).as("doc"),
         TextAnalysis.shingleHashesUdf(col(textCol), lit(w)).as("hs"))
       .where(size(col("hs")) > 0)
-    val banded = sh.select(col("doc"), col("hs"),
+      .localCheckpoint(true)
+    val banded = sh.select(col("doc"),
         posexplode(minhashBandKeysUdf(bands, rows, seed)(col("hs"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        col("a.hs").as("h1"), col("b.hs").as("h2"))
-      .dropDuplicates("d1", "d2")
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
     val jacUdf = udf { (h1: Array[Long], h2: Array[Long]) =>
       val s1 = h1.toSet; val s2 = h2.toSet
       val inter = s1.intersect(s2).size
       inter.toDouble / (s1.size + s2.size - inter)
     }
-    cand.select(col("d1"), col("d2"), jacUdf(col("h1"), col("h2")).as("jac"))
+    cand
+      .join(sh.select(col("doc").as("d1"), col("hs").as("h1")), Seq("d1"))
+      .join(sh.select(col("doc").as("d2"), col("hs").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"), jacUdf(col("h1"), col("h2")).as("jac"))
       .where(col("jac") >= threshold)
   }
 

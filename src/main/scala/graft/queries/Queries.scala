@@ -246,7 +246,11 @@ object Queries {
           errors.select(col("event_id"), col("user_id"), col("ts")),
           clicks.select(col("user_id"), col("click_id"), col("click_ts")),
           keyCol = "user_id", leftTsCol = "ts", rightTsCol = "click_ts",
-          rightCols = Seq("click_id", "click_ts"))
+          rightCols = Seq("click_id", "click_ts"),
+          // click_ts is tied within a (user_id, ts) group, so ordering
+          // by click_id alone equals the full-struct order — same hash,
+          // scalar compare.
+          tiebreakCol = Some("click_id"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_id"), col("click_ts"))
         .orderBy(col("event_id"))
