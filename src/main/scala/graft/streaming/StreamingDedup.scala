@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *  - per-document work is a single simhash over the text
   *    ([[Dedup.simhash64Udf]], 64-bit signature);
   *  - the accumulated state is a SIGNATURE INDEX, not the corpus: an
-  *    exploded (band, key, doc, sh) table partitioned by `band`
-  *    (4×16-bit bands — pigeonhole guarantees recall for Hamming ≤ 3,
-  *    band-candidate filter beyond that), so the per-batch probe is a
-  *    partition-pruned equi-join on (band, key) touching ~1/2^16 of
-  *    each band's postings;
+  *    exploded (band, key, doc, sh) table partitioned by
+  *    (band, kb = key % [[IndexBuckets]]) — 4×16-bit bands, pigeonhole
+  *    guarantees recall for Hamming ≤ 3, band-candidate filter beyond
+  *    that. The per-batch probe reads ONLY the bucket dirs the batch's
+  *    own keys fall in (PartitionFilters pruning), so probe bytes
+  *    follow the batch's bucket fan-out, not the index size;
   *  - the drop policy is RELATIONAL, not sequential: a document is
   *    dropped iff some prior document — an earlier id inside the same
   *    microbatch, or any already-indexed document — is within
@@ -32,11 +33,34 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
+  /** Key-buckets per band in the on-disk index layout: partition dirs
+    * are (band, kb = key % IndexBuckets), so a microbatch probe prunes
+    * the read to the buckets its own keys fall in. Probe bytes then
+    * scale with the batch's bucket fan-out (≤ 4 × batch-distinct keys,
+    * hard-capped at 4 × IndexBuckets dirs) times per-bucket size —
+    * ~1/256 of the index each — instead of re-reading the whole index
+    * every batch.
+    */
+  val IndexBuckets = 16
+
   private def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .withColumn("kb", col("key") % IndexBuckets)
+
+  /** Partition-pruned index read for a probe's (band·IndexBuckets + kb)
+    * id set: band and kb are partition columns, so the `isin` lands in
+    * PartitionFilters and unmatched bucket directories are never
+    * listed or read. Package-private for the pruning assertion in
+    * StreamingDedupSpec.
+    */
+  private[streaming] def probeIndex(spark: SparkSession, indexPath: String,
+                                    bucketIds: Seq[Long]): DataFrame =
+    spark.read.parquet(indexPath)
+      .where((col("band").cast("long") * IndexBuckets +
+        col("kb").cast("long")).isin(bucketIds: _*))
 
   /** One microbatch step: flag near-dups of prior docs, append all new
     * signatures to the index, append survivors to `outPath`. Exposed
@@ -58,19 +82,31 @@ object StreamingDedup {
       .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
       .select(col("b.doc").as("doc"))
 
-    // against the accumulated index: any prior doc within range
+    // against the accumulated index: any prior doc within range. The
+    // batch's bucket-id set is a bounded driver collect (≤ 4 ×
+    // IndexBuckets = 256 values however large the batch), and feeds
+    // the partition-pruned probe — only matching (band, kb) dirs read.
     val versusIndex =
       if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) intra.limit(0)
-      else spark.read.parquet(indexPath).as("i").join(newBanded.as("b"),
-          col("i.band") === col("b.band") && col("i.key") === col("b.key"))
-        .where(bit_count(col("i.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
-        .select(col("b.doc").as("doc"))
+      else {
+        val bucketIds = newBanded
+          .select((col("band") * IndexBuckets + col("kb")).as("p"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        probeIndex(spark, indexPath, bucketIds).as("i").join(newBanded.as("b"),
+            col("i.band") === col("b.band") && col("i.key") === col("b.key"))
+          .where(bit_count(col("i.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
+          .select(col("b.doc").as("doc"))
+      }
 
     val dropped = intra.union(versusIndex).distinct().localCheckpoint(true)
     val kept = sigs.join(dropped, Seq("doc"), "left_anti").select(col("doc"))
     kept.write.mode(SaveMode.Append).parquet(outPath)
-    newBanded.write.mode(SaveMode.Append)
-      .partitionBy("band").parquet(indexPath)
+    // One file per touched (band, kb) dir per batch: repartition on the
+    // partition keys first, or partitionBy fans every write task out
+    // across all 256 dirs (task-count × dirs tiny files).
+    newBanded.repartition(col("band"), col("kb"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("band", "kb").parquet(indexPath)
     graft.core.Pinned.release(newBanded)
     graft.core.Pinned.release(dropped)
   }

@@ -54,6 +54,35 @@ class StreamingDedupSpec extends SparkTestBase {
     docs.unpersist()
   }
 
+  test("index probe prunes to the batch's bucket dirs, not the full index") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_prune")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    // a wide first batch populates many (band, kb) buckets
+    StreamingDedup.processBatch(spark, docsDf(64), "text", "doc_id",
+      idx, out, 12)
+    val allFiles = spark.read.parquet(idx).inputFiles.length
+    // probe with 4 bucket ids that actually exist in the index — the
+    // fan-out of a realistic single-doc batch
+    val liveIds = spark.read.parquet(idx)
+      .select((col("band").cast("long") * StreamingDedup.IndexBuckets +
+        col("kb").cast("long")).as("p"))
+      .distinct().orderBy(col("p")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = StreamingDedup.probeIndex(spark, idx, liveIds)
+    probe.collect()
+    val scannedFiles = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(scannedFiles > 0, "probe should read the matching buckets")
+    assert(scannedFiles < allFiles,
+      s"probe read $scannedFiles of $allFiles index files — no pruning")
+    // and the plan carries the bucket predicate as a partition filter
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"))
+  }
+
   test("streaming ingest over the sf0.001 table matches the batch contract") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("sdedup_ingest")
