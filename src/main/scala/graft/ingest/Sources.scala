@@ -86,7 +86,7 @@ final class CachingFetcher(inner: HttpFetcher,
   */
 final class SourceRegistry(spark: SparkSession,
                            fetcher: HttpFetcher = NoNetworkFetcher,
-                           pdf: PdfExtractor = PdfExtractor.Unavailable,
+                           pdf: PdfExtractor = PdfExtractor.PureJvm,
                            env: String => Option[String] = k => sys.env.get(k)) {
   import spark.implicits._
 
@@ -282,6 +282,17 @@ object PdfExtractor {
       throw new UnsupportedOperationException(
         "PDF extraction needs a PdfExtractor binding (e.g. Apache " +
           "PDFBox: PDFTextStripper.getText over Loader.loadPDF)")
+  }
+
+  /** Default binding: the pure-JVM [[PdfText]] parser — real text
+    * extraction for unencrypted documents with plain or FlateDecode
+    * content streams (the common case). Encrypted or fully
+    * codec-encoded documents still refuse with the wiring hint, so a
+    * deployment can bind a full library (PDFBox) for those.
+    */
+  object PureJvm extends PdfExtractor {
+    override def extractText(bytes: Array[Byte]): String =
+      PdfText.extract(bytes).getOrElse(Unavailable.extractText(bytes))
   }
 }
 

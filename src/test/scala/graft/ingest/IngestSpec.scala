@@ -90,9 +90,17 @@ class IngestSpec extends SparkTestBase {
     val dirEntries = reg.readDirectory(root.toString).collect()
     assert(dirEntries.find(_.path.endsWith("doc.pdf"))
       .exists(_.content == "extracted 13 bytes"))
-    // the default extractor names the missing binding instead of
-    // silently degrading
+    // the DEFAULT binding is the pure-JVM parser: a real Flate PDF
+    // decodes through the dispatcher with no explicit extractor...
+    val real = java.nio.file.Paths.get(
+      getClass.getResource("/pdf/simple_flate.pdf").toURI)
+    val pdfPath = root.resolve("real.pdf")
+    Files.copy(real, pdfPath)
     val bare = new SourceRegistry(spark)
+    assert(bare.read(pdfPath.toString).head().content
+      .contains("Hello, PDF world!"))
+    // ...while undecodable ones still name the missing binding instead
+    // of silently degrading
     val ex = intercept[org.apache.spark.SparkException](
       bare.readFile(root.resolve("doc.pdf").toString).head())
     assert(ex.getCause.getMessage.contains("PdfExtractor"))

@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM PDF text extraction: fixtures from tools/gen_pdf_fixture.py
+  * (hand-assembled per the PDF 1.4 spec — uncompressed, FlateDecode,
+  * and an /Encrypt-marked document).
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/pdf/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private val WantLines = Seq(
+    "Hello, PDF world!",
+    "Split across TJ (array)",
+    "Line with escapes: \\ ( ) and octal ABC",
+    "Hex string",
+    "apostrophe advances")
+
+  test("uncompressed content stream: Tj, TJ arrays, escapes, hex, '") {
+    val got = PdfText.extract(fixture("simple_plain.pdf"))
+    assert(got.isDefined)
+    assert(got.get.split("\n").toSeq == WantLines)
+  }
+
+  test("FlateDecode content stream inflates to the same text") {
+    val plain = PdfText.extract(fixture("simple_plain.pdf"))
+    val flate = PdfText.extract(fixture("simple_flate.pdf"))
+    assert(flate == plain)
+  }
+
+  test("encrypted documents refuse (None), never garbled output") {
+    assert(PdfText.extract(fixture("encrypted.pdf")).isEmpty)
+  }
+
+  test("non-PDF and truncated inputs refuse") {
+    assert(PdfText.extract(null).isEmpty)
+    assert(PdfText.extract(Array[Byte]()).isEmpty)
+    assert(PdfText.extract("not a pdf at all".getBytes).isEmpty)
+    assert(PdfText.extract("%PDF-1.4 junk with no streams".getBytes).isEmpty)
+    // stream keyword with no endstream: must not loop or throw
+    assert(PdfText.extract(
+      "%PDF-1.4\n1 0 obj\n<< >>\nstream\nBT (x) Tj".getBytes).isEmpty)
+  }
+
+  test("exotic filters are skipped, not fatal; plain streams still extract") {
+    val doc = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Length 5 /Filter /DCTDecode >>\nstream\nBT(x)Tj\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Length 20 >>\nstream\nBT (kept text) Tj ET\nendstream\nendobj\n").getBytes
+    assert(PdfText.extract(doc).exists(_.contains("kept text")))
+  }
+
+  test("default registry binding extracts real PDFs (PureJvm)") {
+    assert(PdfExtractor.PureJvm.extractText(fixture("simple_flate.pdf"))
+      .contains("Hello, PDF world!"))
+    val ex = intercept[UnsupportedOperationException](
+      PdfExtractor.PureJvm.extractText(fixture("encrypted.pdf")))
+    assert(ex.getMessage.contains("PdfExtractor"))
+  }
+}
