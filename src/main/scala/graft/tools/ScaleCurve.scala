@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent measurement for the dedup family: times each
+  * operator on 1×/2×/4× blowups of the documents table and prints the
+  * fitted exponent k in t ∝ n^k (k = log(t_4/t_1) / log 4). Feeds the
+  * scale table in PLANS.md — the claim "linear in postings" gets a
+  * measured curve behind it.
+  *
+  * Blowup copies perturb every word (vowels → copy digit), so copies
+  * are UNRELATED documents, not near-dups of the originals — corpus
+  * growth, not duplicate injection (duplicating text verbatim would
+  * grow the true-pair set quadratically and measure the answer size,
+  * not the algorithm). Each blowup is materialized to parquet first so
+  * generation cost never pollutes the timed window.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.Dedup
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+
+    val mults = Seq(1, 2, 4)
+    val scaleDirs = mults.map { m =>
+      val path = s"target/tmp/scale_curve/x$m"
+      val blown = (0 until m).map { i =>
+        if (i == 0) docs
+        else docs.select((col("doc_id") + lit(i * maxId)).as("doc_id"),
+          regexp_replace(col("text"), "[aeiou]", i.toString).as("text"))
+      }.reduce(_ unionByName _)
+      blown.write.mode("overwrite").parquet(path)
+      m -> path
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "jaccard_capped" -> (d =>
+        Dedup.jaccardPairs(d, "text", "doc_id", w = 3, threshold = 0.2,
+          maxShingleDf = 128)),
+      "jaccard_prefix" -> (d =>
+        Dedup.jaccardPairsPrefix(d, "text", "doc_id", w = 3, threshold = 0.5)),
+      "minhash_lsh" -> (d =>
+        Dedup.minhashCandidatePairs(d, "text", "doc_id", w = 3,
+          bands = 16, rows = 4, threshold = 0.2)),
+      "simhash" -> (d =>
+        Dedup.simhashPairs(d, "text", "doc_id", maxDist = 12)))
+
+    println(f"${"op"}%-16s ${"n_docs"}%8s ${"mult"}%5s ${"sec"}%8s ${"pairs"}%8s")
+    val timings = ops.map { case (name, fn) =>
+      // untimed warm-up at 1x: codegen + JIT for this op's UDFs must
+      // not be billed to the first measured point (it flips the sign
+      // of the fitted exponent otherwise)
+      fn(spark.read.parquet(scaleDirs.head._2)).count()
+      val ts = scaleDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val nDocs = d.count()
+        // warm the input's page cache / footers outside the window
+        d.select(sum(length(col("text")))).collect()
+        val t0 = System.nanoTime()
+        val pairs = fn(d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-16s $nDocs%8d $m%5d $sec%8.2f $pairs%8d")
+        (m, sec)
+      }
+      val k = math.log(ts.last._2 / ts.head._2) / math.log(4.0)
+      println(f"$name%-16s exponent k=$k%.2f  (t ∝ n^k over 1x→4x)")
+      name -> k
+    }
+    println(timings.map { case (n, k) => f"$n=$k%.2f" }.mkString("EXPONENTS: ", " ", ""))
+    spark.stop()
+  }
+}
