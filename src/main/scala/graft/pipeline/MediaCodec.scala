@@ -1,11 +1,11 @@
 package graft.pipeline
 
-/** Pure-JVM decoders for the header-parseable media containers: BMP
-  * and binary PPM (P6) images, PCM WAV audio, YUV4MPEG2 (y4m) video.
-  * No external codec libraries — these formats are fully specified by
-  * their headers, so the multimodal feature extraction can be REAL for
-  * them; formats that genuinely need a codec library (JPEG, MP3,
-  * MP4/H.264) fall back to the documented stub in [[Multimodal]].
+/** Pure-JVM decoders for media containers: BMP and binary PPM (P6)
+  * images, PCM WAV audio, and YUV4MPEG2 (y4m) video are parsed from
+  * their specs directly; PNG, JPEG, and GIF decode through the JDK's
+  * built-in ImageIO codecs (java.desktop — still no external library).
+  * Only formats whose codecs the JDK does not ship (MP3, MP4/H.264)
+  * fall back to the documented stub in [[Multimodal]].
   *
   * All parsers are total: malformed input returns None, never throws —
   * a distributed media scan must not die on one corrupt blob.
@@ -47,6 +47,13 @@ object MediaCodec {
     else if (bytes.length >= 9 &&
       new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
       decodeY4m(bytes).map(DecodedVideo).getOrElse(Undecodable)
+    else if ((bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') || // PNG
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+        bytes(2) == 0xff.toByte) || // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8')) // GIF
+      decodeImageIo(bytes).map(DecodedImage).getOrElse(Undecodable)
     else Undecodable
   }
 
@@ -190,6 +197,79 @@ object MediaCodec {
       i += 3
     }
     out
+  }
+
+  // ------------------------------------- JDK ImageIO (PNG/JPEG/GIF) --
+  /** PNG, JPEG, and GIF via the JDK's own ImageIO codecs — java.desktop
+    * ships them, so these formats need NO external library and are not
+    * stub territory. PNG/GIF are lossless (decoded pixels == source
+    * pixels, means exactly predictable); JPEG is lossy, so its stats
+    * are real but encoder-dependent. Accumulation is row-major
+    * sequential-double, same discipline as [[decodePpm]].
+    */
+  def decodeImageIo(b: Array[Byte]): Option[ImageStats] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0.0
+        var sg = 0.0
+        var sb = 0.0
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        Some(ImageStats(w, h, 3, sr / n / 255.0, sg / n / 255.0,
+          sb / n / 255.0))
+      }
+    } catch { case _: Exception => None } // corrupt container: total, never throws
+
+  private def toBufferedImage(pixels: Array[Array[(Int, Int, Int)]]):
+      java.awt.image.BufferedImage = {
+    val h = pixels.length
+    val w = if (h == 0) 0 else pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixels(y)(x)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Lossless PNG writer (JDK ImageIO) for tests and synthetic corpora. */
+  def encodePng(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(pixels), "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG writer (JDK ImageIO, default quality) — lossy, for the
+    * decode-roundtrip tests.
+    */
+  def encodeJpeg(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(pixels), "jpg", out)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ WAV --

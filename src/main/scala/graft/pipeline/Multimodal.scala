@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `BINARY` columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The decode step is REAL for the header-parseable containers —
-  * BMP/PPM images, PCM WAV audio, and uncompressed Y4M video via
-  * [[MediaCodec]] (pure JVM, no codec libraries) — and falls back to a
-  * clearly-marked deterministic STUB only for formats that genuinely
-  * need an external codec (JPEG, MP3, MP4/H.264, none available in
-  * this environment). The
+  * The decode step is REAL for BMP/PPM/PNG/JPEG/GIF images, PCM WAV
+  * audio, and uncompressed Y4M video via [[MediaCodec]] (pure JVM —
+  * spec-direct parsers plus the JDK's own ImageIO codecs, no external
+  * libraries) — and falls back to a clearly-marked deterministic STUB
+  * only for formats whose codecs the JDK does not ship (MP3,
+  * MP4/H.264, none available in this environment). The
   * dataflow (mapPartitions over record batches, one decode per
   * element, metadata carried alongside) is exactly what a Pandas-UDF /
   * `mapInPandas` pipeline does in PySpark.
@@ -33,7 +33,7 @@ object Multimodal {
     * stubbed rows, so downstream can tell real features apart.
     */
   private def decodeStub(bytes: Array[Byte], featDim: Int): Array[Float] = {
-    // ??? <- external codec (JPEG/MP3/video) would go here
+    // ??? <- external codec (MP3 / MP4-H.264) would go here
     val out = new Array[Float](featDim)
     if (bytes != null) {
       var i = 0
@@ -119,10 +119,13 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table for tests/demo: REAL
-    * containers for images (BMP/PPM alternating), audio (PCM16 WAV),
-    * and every other video row (uncompressed Y4M); the remaining video
-    * rows carry an opaque blob (a codec-requiring container stand-in),
-    * exercising the stub fallback.
+    * containers for images (BMP / PNG / PPM rotating — PNG is lossless
+    * so its decoded means equal the PPM case bit-for-bit, keeping the
+    * golden oracle valid), audio (PCM16 WAV), and every other video
+    * row (uncompressed Y4M); the remaining video rows carry an opaque
+    * blob (a codec-requiring container stand-in), exercising the stub
+    * fallback. JPEG stays out of the oracled synthetic — lossy decode
+    * is encoder-dependent, covered by roundtrip tests instead.
     */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
@@ -134,6 +137,7 @@ object Multimodal {
           val px = Array.tabulate(h, w)((y, x) =>
             ((i * 31 + y * w + x) % 256, (i * 17 + x) % 256, (i * 7 + y) % 256))
           val enc = if (i % 6 == 0) MediaCodec.encodeBmp(px)
+          else if (i % 12 == 3) MediaCodec.encodePng(px)
           else MediaCodec.encodePpm(px)
           (enc, w, h, 0L)
         case "audio" =>

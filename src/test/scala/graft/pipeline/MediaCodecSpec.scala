@@ -76,7 +76,7 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("decode dispatches by magic: BMP, PPM, WAV all recognized") {
+  test("decode dispatches by magic: BMP, PPM, WAV, PNG, JPEG recognized") {
     val px = Array.tabulate(2, 2)((y, x) => (x, y, 0))
     assert(MediaCodec.decode(MediaCodec.encodeBmp(px))
       .isInstanceOf[MediaCodec.DecodedImage])
@@ -84,5 +84,36 @@ class MediaCodecSpec extends AnyFunSuite {
       .isInstanceOf[MediaCodec.DecodedImage])
     assert(MediaCodec.decode(MediaCodec.encodeWav(Array[Short](0, 1), 8000))
       .isInstanceOf[MediaCodec.DecodedAudio])
+    assert(MediaCodec.decode(MediaCodec.encodePng(px))
+      .isInstanceOf[MediaCodec.DecodedImage])
+    assert(MediaCodec.decode(MediaCodec.encodeJpeg(px))
+      .isInstanceOf[MediaCodec.DecodedImage])
+  }
+
+  test("PNG is lossless: decoded means equal the PPM means bit-for-bit") {
+    val px = Array.tabulate(7, 5)((y, x) =>
+      ((y * 31 + x * 7) % 256, (x * 17) % 256, (y * 11) % 256))
+    val png = MediaCodec.decodeImageIo(MediaCodec.encodePng(px)).get
+    val ppm = MediaCodec.decodePpm(MediaCodec.encodePpm(px)).get
+    assert(png == ppm) // exact: same pixels, same row-major double fold
+  }
+
+  test("JPEG decodes for real: lossy, means near the source") {
+    // a flat-ish image keeps JPEG error small
+    val px = Array.tabulate(16, 16)((y, x) => (120 + (x + y) % 8, 64, 200))
+    val stats = MediaCodec.decodeImageIo(MediaCodec.encodeJpeg(px)).get
+    assert(stats.width == 16 && stats.height == 16)
+    val wantR = px.flatten.map(_._1).sum / 256.0 / 255.0
+    assert(math.abs(stats.meanR - wantR) < 0.05)
+    assert(math.abs(stats.meanG - 64 / 255.0) < 0.05)
+    assert(math.abs(stats.meanB - 200 / 255.0) < 0.05)
+  }
+
+  test("corrupt PNG/JPEG bytes decode to None/Undecodable, never throw") {
+    val junkPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    assert(MediaCodec.decodeImageIo(junkPng).isEmpty)
+    assert(MediaCodec.decode(junkPng) == MediaCodec.Undecodable)
+    val junkJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0, 1)
+    assert(MediaCodec.decode(junkJpeg) == MediaCodec.Undecodable)
   }
 }

@@ -38,7 +38,7 @@ def image_features(i: int):
     sr = sg = sb = 0.0
     if i % 6 == 0:  # BMP: decoder iterates storage rows = bottom-up
         rows = [h - 1 - ys for ys in range(h)]
-    else:  # PPM: row-major
+    else:  # PPM, and PNG (i%12==3; lossless ⇒ same pixels): row-major
         rows = list(range(h))
     for y in rows:
         for x in range(w):
