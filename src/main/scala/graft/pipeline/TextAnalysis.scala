@@ -59,6 +59,57 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast(BinaryType))
 
+  /** Fraction of lines that repeat an earlier line (Gopher-style
+    * repetition filter; C4 drops boilerplate the same way): `1 −
+    * distinct/total`. Pure column expression for multiline corpora;
+    * single-line documents score 0.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(lit(1.0) -
+      size(array_distinct(lines)).cast(DoubleType) / size(lines), 4)
+  }
+
+  /** Per-document n-gram repetition signals (Gopher Rule-style quality
+    * filters for training corpora):
+    *  - `top_bigram_frac`: occurrences of the most frequent word
+    *    bigram / total bigrams (boilerplate headers score high);
+    *  - `dup_trigram_frac`: fraction of trigram occurrences whose gram
+    *    appears ≥ 2× in the document.
+    *
+    * Relational shape, no UDFs: grams come from one `transform` over a
+    * pre-projected token array (the array is bound once per row — a
+    * `split` inlined into the lambda would re-tokenize per element),
+    * then explode → two map-side-combined aggregations keyed by
+    * (doc, gram) and doc. Linear in tokens, shuffles bounded by the
+    * gram postings — the same ledger as the dedup family.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array())
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+    def fracs(n: Int, agg: Column, outName: String) = {
+      val counts = toks.select(col("doc"), explode(grams(col("ws"), n)).as("g"))
+        .groupBy(col("doc"), col("g")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc")).agg(agg.as(outName))
+    }
+    val bi = fracs(2,
+      round(max(col("c")).cast(DoubleType) / sum(col("c")), 4), "top_bigram_frac")
+    val tri = fracs(3,
+      round(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+        .cast(DoubleType) / sum(col("c")), 4), "dup_trigram_frac")
+    df.select(col(idCol).as("doc"))
+      .join(bi, Seq("doc"), "left")
+      .join(tri, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
+
   /** 64-bit FNV-1a over UTF-8 — shared by SimHash/MinHash so
     * signatures are stable across runs and engines.
     */

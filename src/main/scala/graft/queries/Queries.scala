@@ -886,6 +886,13 @@ object Queries {
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style n-gram repetition quality signals, relational (no
+      // UDF): most-frequent-bigram share and duplicated-trigram share
+      graft.pipeline.TextAnalysis.repetitionSignals(
+        tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))),
+
     "q_percentiles" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1016,6 +1023,30 @@ object Queries {
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS g FROM tok WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+        |  FROM bc GROUP BY 1),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM tok WHERE len(ws) >= 3),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |tagg AS (SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(c), 4) AS dup_trigram_frac
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(bagg.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  coalesce(tagg.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN bagg ON d.doc_id = bagg.doc_id
+        |LEFT JOIN tagg ON d.doc_id = tagg.doc_id
+        |ORDER BY doc""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents)

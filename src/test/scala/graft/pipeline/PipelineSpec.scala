@@ -156,4 +156,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out(1) == "de")
     assert(out(2) == "und")
   }
+
+  test("dup-line fraction: repeated lines counted, single-line docs 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\nc d\na b\na b"), // 4 lines, 2 distinct → 0.5
+      (2L, "only one line"),      // → 0.0
+      (3L, "x\ny\nz")             // all distinct → 0.0
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.dupLineFraction(col("text")).as("f"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(got.toSeq == Seq(0.5, 0.0, 0.0))
+  }
+
+  test("repetition signals: hand-computed bigram/trigram shares") {
+    import spark.implicits._
+    val docs = Seq(
+      // bigrams: [a b, b a, a b, b a, a b] → top "a b" 3/5 = 0.6
+      // trigrams: [a b a, b a b, a b a, b a b] → all dup'd → 1.0
+      (1L, "a b a b a b"),
+      // bigrams all distinct → 1/4 = 0.25; trigrams distinct → 0.0
+      (2L, "v w x y z"),
+      // too short for trigrams: bigram "p q" 1/1 = 1.0, trigram → 0.0
+      (3L, "p q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 0.6, 1.0), (2L, 0.25, 0.0), (3L, 1.0, 0.0)))
+  }
 }
