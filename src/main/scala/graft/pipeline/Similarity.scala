@@ -101,6 +101,79 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------ int8 quantization --
+  /** Per-vector symmetric int8 quantization — the standard 4× storage /
+    * bandwidth cut for billion-scale vector search: `scale =
+    * max|v|/127`, `code_i = floor(v_i/scale + 0.5)` (explicit
+    * floor(+0.5) so every engine rounds identically; all-zero vectors
+    * quantize to zero codes). One pass per row, emitted as compact
+    * BinaryType.
+    *
+    * Cosine needs no dequantization: the per-vector scales cancel, so
+    * cosine(dequant(a), dequant(b)) == cosine(codes_a, codes_b) — and
+    * the integer dot products are EXACT (≤ dim·127² ≪ 2^53), which
+    * makes the whole scorer bit-reproducible across engines, unlike
+    * float-accumulation-order-sensitive exact cosine.
+    */
+  val int8CodesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Byte]
+      else {
+        var mx = 0.0
+        v.foreach { x => val a = math.abs(x.toDouble); if (a > mx) mx = a }
+        if (mx == 0.0) Array.fill[Byte](v.length)(0)
+        else {
+          val s = mx / 127.0
+          val out = new Array[Byte](v.length)
+          var i = 0
+          while (i < v.length) {
+            out(i) = math.floor(v(i).toDouble / s + 0.5).toByte
+            i += 1
+          }
+          out
+        }
+      }
+    }
+
+  private val int8DotUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    var s = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  private val int8NormSqUdf = udf { (a: Array[Byte]) =>
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * a(i).toLong; i += 1 }
+    s
+  }
+
+  /** Top-k by cosine over int8 codes: quantize corpus and queries once
+    * (codes + integer norm per row), broadcast the quantized queries,
+    * score with integer dots. Same plan shape as [[bruteForceTopK]] —
+    * corpus never shuffles — at a quarter of the scan/broadcast bytes.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+               idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    def quant(df: DataFrame, id: String, pre: String) =
+      df.select(col(id).as(s"${pre}id"),
+          int8CodesUdf(col(vecCol)).as(s"${pre}c"))
+        .withColumn(s"${pre}n", int8NormSqUdf(col(s"${pre}c")))
+    val c = quant(corpus, idCol, "n")
+    val q = quant(queries, idCol, "q")
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("nid") =!= col("qid") else lit(true))
+    val scored = joined.select(col("qid"), col("nid"),
+      when(col("nn") === 0L || col("qn") === 0L, lit(0.0))
+        .otherwise(int8DotUdf(col("nc"), col("qc")).cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("qn").cast("double"))))
+        .as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share at least one b-bit band of the
     * hyperplane signature (equi-join on (band, key)); candidates are
     * re-scored exactly and ranked per query. Approximate: recall

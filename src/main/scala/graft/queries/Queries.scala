@@ -687,6 +687,18 @@ object Queries {
         .limit(3)
     }),
 
+    "vdb_topk_int8" -> ((s, d) => {
+      // int8-quantized cosine top-k: scales cancel in cosine, so the
+      // scorer runs on integer codes — exact cross-engine arithmetic
+      // (integer dots ≪ 2^53), quarter the scan bytes of float32
+      val emb = tbl(s, d, "embeddings")
+      graft.pipeline.Similarity.int8TopK(emb,
+          emb.where(col("vec_id") === 0), "embedding", "vec_id",
+          k = 3, excludeSelf = false)
+        .select(col("nid").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     "vdb_retrieve_docs" -> ((s, d) => {
       // the reference's full retrieve shape (vectordb.py:209-213):
       // top-k over vectors, then the J1 id→row back-join to fetch
@@ -775,6 +787,30 @@ object Queries {
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim
          |FROM embeddings e, q
          |ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin,
+
+    "vdb_topk_int8" ->
+      """WITH mx AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CASE WHEN m = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / (m / 127.0) + 0.5) AS BIGINT))
+        |    END AS c
+        |  FROM mx),
+        |n AS (SELECT vec_id, c,
+        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM codes),
+        |q AS (SELECT c AS qc, nsq AS qn FROM n WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CASE WHEN e.nsq = 0 OR q.qn = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(range(1, len(e.c) + 1),
+        |           i -> e.c[i] * q.qc[i])) AS DOUBLE)
+        |      / (sqrt(CAST(e.nsq AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE)))
+        |  END AS sim
+        |FROM n e, q
+        |ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin,
 
     "vdb_get_byid" ->
       "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",

@@ -80,4 +80,30 @@ class AnnSpec extends SparkTestBase {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == brute)
   }
+
+  test("int8 quantized top-k: self-sim exactly 1, high agreement with float") {
+    val queries = emb.where(col("vec_id") < 5)
+    val int8 = Similarity.int8TopK(emb, queries, "embedding", "vec_id",
+      k = 5, excludeSelf = false)
+    // a non-zero vector against itself: integer dot == normSq, so sim
+    // is 1 up to the sqrt(n)·sqrt(n) ≠ n ulp wobble
+    val self = int8.where(col("qid") === col("nid"))
+      .select("sim").collect().map(_.getDouble(0))
+    assert(self.nonEmpty && self.forall(s => math.abs(s - 1.0) < 1e-12))
+    // quantization noise may swap distant ranks but the neighbor SETS
+    // overlap heavily with exact float cosine
+    val i8 = int8.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id",
+        k = 5, excludeSelf = false)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = brute.intersect(i8).size.toDouble / brute.size
+    assert(agree >= 0.8, s"int8 agreement too low: $agree")
+    // codes are genuinely int8: binary payload is dim bytes, not 4·dim
+    val dim = emb.head().getAs[Seq[Float]]("embedding").length
+    val codeLen = emb.limit(1)
+      .select(Similarity.int8CodesUdf(col("embedding")).as("c"))
+      .head().getAs[Array[Byte]]("c").length
+    assert(codeLen == dim)
+  }
 }
