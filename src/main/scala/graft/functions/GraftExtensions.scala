@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-native registration of the engine's SQL surface:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `dot_d` / `l2norm_d` / `cosine_sim_d` available in every session of
+  * every application — no driver-side [[GraftSql.register]] call, and
+  * the functions exist before any user code runs (thrift server, SQL
+  * notebooks, cross-language clients). [[GraftSql.register]] stays for
+  * ad-hoc sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_d"),
+      info("dot_d", "dot_d(a, b) - sequential-double dot product"),
+      (exprs: Seq[Expression]) => DotProductD(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("l2norm_d"),
+      info("l2norm_d", "l2norm_d(a) - sequential-double L2 norm"),
+      (exprs: Seq[Expression]) => L2NormD(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim_d"),
+      info("cosine_sim_d", "cosine_sim_d(a, b) - sequential-double cosine"),
+      (exprs: Seq[Expression]) => CosineSimD(exprs.head, exprs(1))))
+  }
+}

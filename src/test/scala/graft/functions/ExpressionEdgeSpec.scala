@@ -56,4 +56,29 @@ class ExpressionEdgeSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("GraftExtensions injects the SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // force shared-session init (owns the SparkContext)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session over the same context, with extensions applied
+      // the cluster way (builder-time, no GraftSql.register call)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne orig)
+      val got = s2.sql(
+        "SELECT cosine_sim_d(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS s, " +
+          "dot_d(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS d, " +
+          "l2norm_d(array(3.0F, 4.0F)) AS n").head()
+      assert(got.getDouble(0) == 1.0)
+      assert(got.getDouble(1) == 23.0)
+      assert(got.getDouble(2) == 5.0)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
