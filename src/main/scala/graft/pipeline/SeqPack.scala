@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: concatenate documents (in id order) into
+  * fixed token-budget sequences of length `seqLen`, documents allowed
+  * to span a boundary — the standard LLM-pretraining packing step
+  * (each doc maps to a [seq_first, seq_last] range of sequence ids via
+  * its exclusive prefix token count).
+  *
+  * The 100 TB shape: a global `Window.orderBy` would collapse the
+  * whole table into ONE partition, so the exclusive prefix sum is
+  * computed the distributed way instead — range-repartition by id,
+  * per-partition window cumsum (partitioned by `spark_partition_id`,
+  * stays parallel), plus a driver-side prefix of the per-partition
+  * totals (P values, broadcast back). The partitioned frame is
+  * localCheckpoint'ed so the totals pass and the cumsum pass see the
+  * SAME partition ids (range sampling re-evaluated could move rows
+  * between jobs otherwise). Results are independent of where the
+  * range boundaries land.
+  */
+object SeqPack {
+
+  def packOffsets(spark: SparkSession, df: DataFrame, textCol: String,
+                  idCol: String, seqLen: Long,
+                  numParts: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val base = df
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(parts, col("doc"))
+      .sortWithinPartitions("doc")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // P per-partition totals — a driver-bounded collect (one long per
+    // partition), prefix-summed and broadcast back as a tiny dim table
+    val totals = base.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      (acc, p) => acc + totals.getOrElse(p, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("off"))
+      .select(col("doc"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $seqLen").as("seq_first"),
+        expr(s"(cum_before + n_tokens - 1) div $seqLen").as("seq_last"))
+  }
+}

@@ -922,6 +922,14 @@ object Queries {
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "seq_packing" -> ((s, d) =>
+      // LLM-pretraining sequence packing: distributed exact prefix sum
+      // (range partitions + per-partition window + driver prefix of P
+      // totals) — never a single-partition global window
+      graft.pipeline.SeqPack.packOffsets(s, tbl(s, d, "documents"),
+        "text", "doc_id", seqLen = 2048L)
+        .orderBy(col("doc"))),
+
     "text_repetition" -> ((s, d) =>
       // Gopher-style n-gram repetition quality signals, relational (no
       // UDF): most-frequent-bigram share and duplicated-trigram share
@@ -1059,6 +1067,19 @@ object Queries {
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id AS doc, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cum_before // 2048 AS BIGINT) AS seq_first,
+        |  CAST((cum_before + n_tokens - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc""".stripMargin,
 
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

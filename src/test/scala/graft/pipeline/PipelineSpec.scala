@@ -170,6 +170,30 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq(0.5, 0.0, 0.0))
   }
 
+  test("sequence packing: exact prefix offsets, partitioning-independent") {
+    import spark.implicits._
+    // token counts 3, 5, 4, 6, 2 with seqLen 8:
+    // cum_before: 0, 3, 8, 12, 18
+    // seq_first:  0, 0, 1, 1, 2
+    // seq_last = (cum_before + n - 1) div 8: 0, 0, 1, 2, 2  (doc 3 spans)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d e"), (2L, "a b c d"),
+      (3L, "a b c d e f"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = SeqPack.packOffsets(spark, docs, "text", "doc_id", seqLen = 8L)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L), (1L, 3L, 0L, 0L), (2L, 8L, 1L, 1L),
+      (3L, 12L, 1L, 2L), (4L, 18L, 2L, 2L)))
+    // the distributed prefix must not depend on partition count
+    val one = SeqPack.packOffsets(spark, docs, "text", "doc_id", 8L, numParts = 1)
+      .orderBy("doc").collect().toSeq
+    val many = SeqPack.packOffsets(spark, docs, "text", "doc_id", 8L, numParts = 7)
+      .orderBy("doc").collect().toSeq
+    assert(one == many)
+  }
+
   test("repetition signals: hand-computed bigram/trigram shares") {
     import spark.implicits._
     val docs = Seq(
