@@ -922,6 +922,31 @@ object Queries {
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "corpus_curation" -> ((s, d) => {
+      // the end-to-end curation chain a pretraining pipeline runs:
+      // quality features → exact-dup removal (keep-min per
+      // fingerprint, semi-join) → length + repetition filters →
+      // per-source quota. Every stage is the operator already oracled
+      // individually; this checks the composition.
+      val docs = tbl(s, d, "documents")
+      val rep = graft.pipeline.TextAnalysis
+        .repetitionSignals(docs, "text", "doc_id")
+        .withColumnRenamed("doc", "doc_id")
+      val enriched = docs.select(col("doc_id"), col("lang"), col("source"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(rep, Seq("doc_id"))
+      val keepIds = enriched.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = enriched.join(keepIds, Seq("fp", "doc_id"), "left_semi")
+      val filtered = deduped
+        .where(col("n_tokens") >= 30 && col("top_bigram_frac") <= 0.5)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      filtered.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 15)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "seq_packing" -> ((s, d) =>
       // LLM-pretraining sequence packing: distributed exact prefix sum
       // (range partitions + per-partition window + driver prefix of P
@@ -1067,6 +1092,30 @@ object Queries {
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_curation" ->
+      """WITH tok AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS ws,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS g FROM tok WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+        |  FROM bc GROUP BY 1),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY fp),
+        |filtered AS (
+        |  SELECT t.doc_id, t.lang, t.source,
+        |    CAST(len(t.ws) AS BIGINT) AS n_tokens
+        |  FROM tok t
+        |  JOIN keep k ON t.doc_id = k.doc_id
+        |  LEFT JOIN bagg b ON t.doc_id = b.doc_id
+        |  WHERE len(t.ws) >= 30 AND COALESCE(b.top_bigram_frac, 0.0) <= 0.5),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rk FROM filtered)
+        |SELECT doc_id, lang, source, n_tokens
+        |FROM ranked WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
 
     "seq_packing" ->
       """WITH t AS (SELECT doc_id,
