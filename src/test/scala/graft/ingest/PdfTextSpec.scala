@@ -54,6 +54,27 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(doc).exists(_.contains("kept text")))
   }
 
+  test("fuzz: random garbage and mutated fixtures never throw") {
+    val rnd = new scala.util.Random(20260812L)
+    val base = fixture("simple_flate.pdf")
+    (0 until 200).foreach { i =>
+      val bytes =
+        if (i % 2 == 0) { // pure garbage, sometimes with the magic
+          val b = Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt(256).toByte)
+          if (i % 4 == 0 && b.length >= 5) "%PDF-".getBytes.copyToArray(b)
+          b
+        } else { // fixture with random mutations (truncation + flips)
+          val cut = 1 + rnd.nextInt(base.length)
+          val b = java.util.Arrays.copyOf(base, cut)
+          (0 until 5).foreach { _ =>
+            if (b.length > 0) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          b
+        }
+      PdfText.extract(bytes) // Option out, no exceptions — total parser
+    }
+  }
+
   test("default registry binding extracts real PDFs (PureJvm)") {
     assert(PdfExtractor.PureJvm.extractText(fixture("simple_flate.pdf"))
       .contains("Hello, PDF world!"))
