@@ -41,4 +41,26 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(phase2(aggs.head), aggs.tail.map(phase2): _*)
   }
+
+  /** Skew-resistant inner equi-join for when the build side is too big
+    * to broadcast and a probe key is hot: probe rows scatter uniformly
+    * over `buckets` salted sub-keys, build rows replicate `buckets`×
+    * (explode), and the join runs on (key, salt) — the hot key's rows
+    * land in `buckets` tasks instead of one. Build-side shuffle grows
+    * `buckets`×, so size the salt to the skew, not higher. (AQE's
+    * skew-join split handles the detectable cases at runtime; this is
+    * the explicit tool for when the skew is known up front or AQE's
+    * thresholds don't trigger.) Row multiset equals the plain join's —
+    * each probe row matches exactly its own salt replica.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val l = probe.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()) + spark_partition_id(),
+        lit(buckets)).cast("int"))
+    val r = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

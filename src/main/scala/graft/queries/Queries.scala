@@ -256,6 +256,21 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    "q_salted_join" -> ((s, d) => {
+      // salted join ≡ plain join (oracle is the unsalted SQL): revenue
+      // cents by order priority through a buckets=8 salted lineitem ⋈
+      // orders — the explicit skew tool when AQE's thresholds don't
+      // trigger
+      val li = tbl(s, d, "lineitem").select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = tbl(s, d, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedAgg(tbl(s, d, "events"),
         keys = Seq("event_type"), buckets = 8,
@@ -548,6 +563,13 @@ object Queries {
         |                FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.click_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_value,

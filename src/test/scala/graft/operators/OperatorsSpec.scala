@@ -43,4 +43,22 @@ class OperatorsSpec extends SparkTestBase {
       Skew.saltedAgg(df, Seq("event_type"), 4,
         Seq(Skew.AggSpec("value", "avg", "a"))).collect())
   }
+
+  test("saltedJoin row multiset equals the plain inner join") {
+    import spark.implicits._
+    // a heavily skewed probe side: key 1 holds most rows
+    val probe = ((1 to 200).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => (2L, 1000L + i)) :+ (3L, 9999L))
+      .toDF("k", "v")
+    val build = Seq((1L, "hot"), (2L, "warm"), (4L, "unmatched"))
+      .toDF("k", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+    val salted = canon(Skew.saltedJoin(probe, build, "k", buckets = 8))
+    val plain = canon(probe.join(build, Seq("k")))
+    assert(salted == plain)
+    assert(salted.size == 220) // hot 200 + warm 20, key 3/4 unmatched
+  }
 }
