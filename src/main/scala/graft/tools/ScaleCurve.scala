@@ -55,7 +55,11 @@ object ScaleCurve {
         Dedup.minhashCandidatePairs(d, "text", "doc_id", w = 3,
           bands = 16, rows = 4, threshold = 0.2)),
       "simhash" -> (d =>
-        Dedup.simhashPairs(d, "text", "doc_id", maxDist = 12)))
+        Dedup.simhashPairs(d, "text", "doc_id", maxDist = 12)),
+      "repetition" -> (d =>
+        graft.pipeline.TextAnalysis.repetitionSignals(d, "text", "doc_id")),
+      "seq_packing" -> (d =>
+        graft.pipeline.SeqPack.packOffsets(spark, d, "text", "doc_id", 2048L)))
 
     println(f"${"op"}%-16s ${"n_docs"}%8s ${"mult"}%5s ${"sec"}%8s ${"pairs"}%8s")
     val timings = ops.map { case (name, fn) =>
