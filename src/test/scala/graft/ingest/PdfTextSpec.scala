@@ -33,6 +33,12 @@ class PdfTextSpec extends AnyFunSuite {
     assert(flate == plain)
   }
 
+  test("multi-page documents extract in page order (reader.py:328-332)") {
+    val got = PdfText.extract(fixture("two_page.pdf")).get
+    assert(got.contains("Page one text") && got.contains("Page two text"))
+    assert(got.indexOf("Page one text") < got.indexOf("Page two text"))
+  }
+
   test("encrypted documents refuse (None), never garbled output") {
     assert(PdfText.extract(fixture("encrypted.pdf")).isEmpty)
   }

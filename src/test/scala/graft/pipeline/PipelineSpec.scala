@@ -157,6 +157,17 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2) == "und")
   }
 
+  test("pipeline operators are total on EMPTY input frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(empty, "text", "doc_id", 3, 0.2, 128).count() == 0)
+    assert(Dedup.jaccardPairsPrefix(empty, "text", "doc_id", 3, 0.5).count() == 0)
+    assert(Dedup.minhashCandidatePairs(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashPairs(empty, "text", "doc_id", 12).count() == 0)
+    assert(TextAnalysis.repetitionSignals(empty, "text", "doc_id").count() == 0)
+    assert(SeqPack.packOffsets(spark, empty, "text", "doc_id", 2048L).count() == 0)
+  }
+
   test("dup-line fraction: repeated lines counted, single-line docs 0") {
     import spark.implicits._
     val docs = Seq(
