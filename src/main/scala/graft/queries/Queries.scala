@@ -977,6 +977,22 @@ object Queries {
         "text", "doc_id", seqLen = 2048L)
         .orderBy(col("doc"))),
 
+    "text_dup_lines" -> ((s, d) => {
+      import s.implicits._
+      // the line-level Gopher rule over an inline multiline corpus
+      // (the parquet documents are single-line, so the fixture frame
+      // carries the semantics — same pattern as policy_sections)
+      Seq(
+        (1L, "a b\nc d\na b\na b"),
+        (2L, "only one line"),
+        (3L, "x\ny\nz\nx\ny"),
+        (4L, "dup\ndup\ndup\ndup")
+      ).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, d) =>
       // Gopher-style n-gram repetition quality signals, relational (no
       // UDF): most-frequent-bigram share and duplicated-trigram share
@@ -1151,6 +1167,17 @@ object Queries {
         |  CAST(cum_before // 2048 AS BIGINT) AS seq_first,
         |  CAST((cum_before + n_tokens - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c ORDER BY doc""".stripMargin,
+
+    "text_dup_lines" ->
+      """WITH t(doc_id, text) AS (VALUES
+        |  (1, 'a b' || chr(10) || 'c d' || chr(10) || 'a b' || chr(10) || 'a b'),
+        |  (2, 'only one line'),
+        |  (3, 'x' || chr(10) || 'y' || chr(10) || 'z' || chr(10) || 'x' || chr(10) || 'y'),
+        |  (4, 'dup' || chr(10) || 'dup' || chr(10) || 'dup' || chr(10) || 'dup'))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        |    / len(string_split(text, chr(10))), 4) AS dup_line_frac
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
