@@ -3,9 +3,10 @@ package graft.pipeline
 /** Pure-JVM decoders for media containers: BMP and binary PPM (P6)
   * images, PCM WAV audio, and YUV4MPEG2 (y4m) video are parsed from
   * their specs directly; PNG, JPEG, and GIF decode through the JDK's
-  * built-in ImageIO codecs (java.desktop — still no external library).
-  * Only formats whose codecs the JDK does not ship (MP3, MP4/H.264)
-  * fall back to the documented stub in [[Multimodal]].
+  * built-in ImageIO codecs, and AIFF/AU through javax.sound
+  * (java.desktop — still no external library). Only formats whose
+  * codecs the JDK does not ship (MP3, MP4/H.264) fall back to the
+  * documented stub in [[Multimodal]].
   *
   * All parsers are total: malformed input returns None, never throws —
   * a distributed media scan must not die on one corrupt blob.
@@ -47,6 +48,12 @@ object MediaCodec {
     else if (bytes.length >= 9 &&
       new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
       decodeY4m(bytes).map(DecodedVideo).getOrElse(Undecodable)
+    else if ((bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' &&
+      bytes(2) == 'R' && bytes(3) == 'M' && bytes(8) == 'A' &&
+      bytes(9) == 'I' && bytes(10) == 'F') || // AIFF / AIFC
+      (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' &&
+        bytes(3) == 'd')) // AU
+      decodeAudioSystem(bytes).map(DecodedAudio).getOrElse(Undecodable)
     else if ((bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G') || // PNG
       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
@@ -197,6 +204,82 @@ object MediaCodec {
       i += 3
     }
     out
+  }
+
+  // --------------------------------- JDK javax.sound (AIFF/AU/WAV) --
+  /** AIFF and AU (and any other format the JDK's sampled-audio SPI
+    * parses) via `javax.sound.sampled.AudioSystem` — java.desktop
+    * again, no external codec. Only 16-bit PCM payloads are scored
+    * (same contract as [[decodeWav]]); samples fold sequentially in
+    * the byte stream's frame order, so stats match the WAV path
+    * bit-for-bit for identical PCM.
+    */
+  def decodeAudioSystem(b: Array[Byte]): Option[AudioStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val data = in.readAllBytes()
+          val bigEndian = fmt.isBigEndian
+          val channels = fmt.getChannels
+          val nSamples = data.length / 2
+          var sumSq = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < nSamples) {
+            val o = i * 2
+            val raw =
+              if (bigEndian) ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+              else ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff)
+            val s = raw.toShort.toInt / 32768.0
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          if (nSamples == 0 || channels <= 0) None
+          else {
+            val nFrames = nSamples.toLong / channels
+            val rms = math.sqrt(sumSq / nSamples)
+            val zcr =
+              if (nSamples > 1) crossings.toDouble / (nSamples - 1) else 0.0
+            Some(AudioStats(fmt.getSampleRate.toInt, channels, nFrames, rms,
+              peak, zcr))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None } // unsupported/corrupt: total
+
+  /** AIFF writer (JDK javax.sound) for tests: 16-bit PCM big-endian. */
+  def encodeAiff(samples: Array[Short], sampleRate: Int,
+                 channels: Int = 1): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = (samples(i) >> 8).toByte
+      data(i * 2 + 1) = samples(i).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      samples.length.toLong / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    out.toByteArray
   }
 
   // ------------------------------------- JDK ImageIO (PNG/JPEG/GIF) --

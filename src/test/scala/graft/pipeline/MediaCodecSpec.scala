@@ -109,6 +109,17 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(math.abs(stats.meanB - 200 / 255.0) < 0.05)
   }
 
+  test("AIFF via javax.sound matches the WAV decoder on identical PCM") {
+    val samples = Array.tabulate[Short](400)(j =>
+      (((j * 997) % 2048 - 1024) * 16).toShort)
+    val wav = MediaCodec.decodeWav(MediaCodec.encodeWav(samples, 8000)).get
+    val aiff = MediaCodec.decodeAudioSystem(
+      MediaCodec.encodeAiff(samples, 8000)).get
+    assert(aiff == wav) // same PCM, same sequential fold — bit-equal
+    assert(MediaCodec.decode(MediaCodec.encodeAiff(samples, 8000))
+      .isInstanceOf[MediaCodec.DecodedAudio])
+  }
+
   test("corrupt PNG/JPEG bytes decode to None/Undecodable, never throw") {
     val junkPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     assert(MediaCodec.decodeImageIo(junkPng).isEmpty)
