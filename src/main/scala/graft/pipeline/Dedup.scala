@@ -76,13 +76,18 @@ object Dedup {
     // postings keyed by a 64-bit shingle hash (8-byte shuffle keys, no
     // collision risk at exact-pairwise scale) and CARRYING the doc's
     // distinct-shingle count: the pair aggregation then needs no
-    // size-lookup joins, the shingle expression is evaluated once, and
-    // the self-join reuses a single shuffle exchange. Hashes come from
-    // the single-pass rolling-hash UDF — shingle STRINGS are never
-    // materialized (w-token substrings allocate w× the document text;
-    // the rolling fold allocates nothing).
-    val ex0 = df.select(col(idCol).as("doc"),
+    // size-lookup joins. Hashes come from the single-pass rolling-hash
+    // UDF — shingle STRINGS are never materialized (w-token substrings
+    // allocate w× the document text; the rolling fold allocates
+    // nothing). The sets frame is checkpointed BEFORE fan-out: it has
+    // three consumers (df-cap aggregate + both self-join sides), and
+    // without the pin each consumer re-scans the input and CollapseProject
+    // plus constraint-derived filters re-run the UDF 2-3× per row per
+    // scan (observed in the r3 plan: 4 scans × triple evaluation).
+    val sets = df.select(col(idCol).as("doc"),
         array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .localCheckpoint(true)
+    val ex0 = sets
       .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
     val ex =
       if (maxShingleDf <= 0) ex0
