@@ -106,6 +106,43 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Cross-corpus near-dup pairs — the decontamination shape: which
+    * `left` documents (training corpus) share Jaccard ≥ threshold with
+    * a `right` document (eval/benchmark set)? Same inverted-index
+    * df-capped join ledger as [[jaccardPairs]], but postings join
+    * ACROSS the two frames, so the output is (left_doc, right_doc,
+    * jac) with no within-corpus pairs. The df cap is computed over the
+    * UNION of both corpora (a shingle common across either side is
+    * equally useless as evidence). Right is typically the small side —
+    * at scale its postings broadcast.
+    */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, textCol: String,
+                        idCol: String, w: Int, threshold: Double,
+                        maxShingleDf: Int = 0): DataFrame = {
+    def postings(df: DataFrame) = df.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .localCheckpoint(true)
+      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+    val pl = postings(left)
+    val pr = postings(right)
+    val (fl, fr) =
+      if (maxShingleDf <= 0) (pl, pr)
+      else {
+        val hot = pl.select(col("h")).union(pr.select(col("h")))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select(col("h"))
+        (pl.join(broadcast(hot), Seq("h"), "left_anti"),
+          pr.join(broadcast(hot), Seq("h"), "left_anti"))
+      }
+    fl.as("a").join(fr.as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+      .select(col("left_doc"), col("right_doc"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** EXACT pairwise Jaccard ≥ threshold via prefix filtering
     * (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08):
     * order every document's shingles by ascending global document

@@ -909,6 +909,18 @@ object Queries {
         w = 3, threshold = 0.2, maxShingleDf = 128)
         .orderBy(col("d1"), col("d2"))),
 
+    "decontam_pairs" -> ((s, d) => {
+      // test-set decontamination: even doc_ids play the training
+      // corpus, odd ones the eval set; which train docs near-dup an
+      // eval doc? Cross-corpus inverted-index join, no self pairs.
+      val docs = tbl(s, d, "documents")
+      graft.pipeline.Dedup.crossJaccardPairs(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "text", "doc_id", w = 3, threshold = 0.2)
+        .orderBy(col("left_doc"), col("right_doc"))
+    }),
+
     "dedup_jaccard_prefix" -> ((s, d) =>
       // EXACT similarity join via AllPairs prefix filtering — no df
       // cap, no recall loss; the oracle is the uncapped true-Jaccard
@@ -1072,6 +1084,28 @@ object Queries {
         |JOIN sz sb ON sb.doc_id = d2
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
+
+    "decontam_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS c
+        |  FROM e a JOIN e b ON a.sg = b.sg
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT left_doc, right_doc,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = left_doc
+        |JOIN sz sb ON sb.doc_id = right_doc
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+        |ORDER BY left_doc, right_doc""".stripMargin,
 
     "dedup_jaccard_prefix" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -157,6 +157,24 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2) == "und")
   }
 
+  test("cross-corpus decontamination finds planted train/eval overlap only") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated training document about spark plans"),
+      (4L, "another training doc sharing nothing with evaluation")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // ≈ doc 0
+      (3L, "an eval prompt with its own distinct content entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardPairs(train, eval_, "text", "doc_id",
+        w = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L))) // only the planted contamination
+    // self-pairs impossible by construction: frames are disjoint sides
+  }
+
   test("pipeline operators are total on EMPTY input frames") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
