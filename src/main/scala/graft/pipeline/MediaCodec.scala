@@ -206,6 +206,108 @@ object MediaCodec {
     out
   }
 
+  // ------------------------------------------------- pixels & resize --
+  /** Full RGB pixel decode (logical row-major, packed 0xRRGGBB) for
+    * every image container [[decode]] understands — the access layer
+    * under resize/thumbnail ops. BMP unwinds its bottom-up storage;
+    * PPM reads triplets directly; PNG/JPEG/GIF go through ImageIO.
+    */
+  def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 4) return None
+    if (b(0) == 'B' && b(1) == 'M') {
+      if (b.length < 54) return None
+      val dataOffset = le32(b, 10)
+      val width = le32(b, 18)
+      val rawHeight = le32(b, 22)
+      val height = math.abs(rawHeight)
+      val bpp = le16(b, 28)
+      if (width <= 0 || height == 0 || le32(b, 30) != 0 ||
+        (bpp != 24 && bpp != 32)) return None
+      val bytesPerPx = bpp / 8
+      val rowSize = ((width * bytesPerPx + 3) / 4) * 4
+      if (dataOffset.toLong + rowSize.toLong * height > b.length) return None
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (rawHeight > 0) height - 1 - y else y // bottom-up
+        val row = dataOffset + srcRow * rowSize
+        var x = 0
+        while (x < width) {
+          val p = row + x * bytesPerPx
+          out(y * width + x) = ((b(p + 2) & 0xff) << 16) |
+            ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, out))
+    } else if (b(0) == 'P' && b(1) == '6') {
+      // reuse the stats parser's header walk by re-parsing the header
+      var pos = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < b.length) {
+          val c = b(pos).toChar
+          if (c.isWhitespace) pos += 1
+          else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+          else go = false
+        }
+      }
+      def tok(): Option[Int] = {
+        skipWs()
+        val s = pos
+        while (pos < b.length && !b(pos).toChar.isWhitespace) pos += 1
+        if (pos > s) new String(b, s, pos - s, "US-ASCII").toIntOption else None
+      }
+      (tok(), tok(), tok()) match {
+        case (Some(w), Some(h), Some(mx))
+          if w > 0 && h > 0 && mx > 0 && mx < 256 =>
+          pos += 1
+          if (pos.toLong + 3L * w * h > b.length) None
+          else {
+            val out = new Array[Int](w * h)
+            var i = 0
+            while (i < w * h) {
+              val p = pos + i * 3
+              out(i) = ((b(p) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) |
+                (b(p + 2) & 0xff)
+              i += 1
+            }
+            Some((w, h, out))
+          }
+        case _ => None
+      }
+    } else {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h)
+          img.getRGB(0, 0, w, h, out, 0, w)
+          var i = 0
+          while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+          Some((w, h, out))
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Nearest-neighbor resize to (dw × dh), re-encoded as lossless PPM
+    * so downstream decode/featurize stays bit-predictable. Source
+    * pixel for dest (y, x) is (⌊y·sh/dh⌋, ⌊x·sw/dw⌋) — the standard
+    * integer NN mapping, reproducible in any engine.
+    */
+  def resizeNearest(b: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+    decodePixels(b).map { case (sw, sh, px) =>
+      val out = Array.tabulate(dh, dw) { (y, x) =>
+        val p = px((y * sh / dh) * sw + (x * sw / dw))
+        ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      }
+      encodePpm(out)
+    }
+
   // --------------------------------- JDK javax.sound (AIFF/AU/WAV) --
   /** AIFF and AU (and any other format the JDK's sampled-audio SPI
     * parses) via `javax.sound.sampled.AudioSystem` — java.desktop

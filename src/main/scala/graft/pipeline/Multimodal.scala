@@ -118,6 +118,28 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Thumbnail/normalize step: image rows are nearest-neighbor-resized
+    * to (dw × dh) and re-encoded as lossless PPM (width/height metadata
+    * updated); rows whose bytes aren't a decodable image pass through
+    * untouched. Partition-local like [[extractFeatures]] — the resize
+    * runs where the bytes already are, no shuffle.
+    */
+  def resizeImages(df: DataFrame, dw: Int, dh: Int): DataFrame = {
+    val bi = df.schema.fieldIndex("bytes")
+    val wi = df.schema.fieldIndex("width")
+    val hi = df.schema.fieldIndex("height")
+    df.mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.resizeNearest(r.getAs[Array[Byte]](bi), dw, dh) match {
+          case Some(resized) =>
+            Row.fromSeq(r.toSeq.updated(bi, resized).updated(wi, dw)
+              .updated(hi, dh))
+          case None => r
+        }
+      }
+    }(Encoders.row(df.schema))
+  }
+
   /** Deterministic synthetic media table for tests/demo: REAL
     * containers for images (BMP / PNG / PPM rotating — PNG is lossless
     * so its decoded means equal the PPM case bit-for-bit, keeping the

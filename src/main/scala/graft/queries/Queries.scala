@@ -1407,6 +1407,20 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    "multimodal_resize" -> ((s, d) => {
+      // thumbnail step: NN-resize every image row to 4x3 (lossless PPM
+      // out), then featurize — means are exactly predictable from the
+      // source pixel formula + the integer NN mapping, golden-checked
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val resized = graft.pipeline.Multimodal.resizeImages(media, 4, 3)
+      val feats = (1 to 8).map(k =>
+        element_at(col("features"), k).cast("double").as(s"f${k - 1}"))
+      graft.pipeline.Multimodal.extractFeatures(resized, featDim = 8)
+        .select(col("id") +: feats: _*)
+        .orderBy(col("id"))
+    }),
+
     "multimodal_frames" -> ((s, d) => {
       // REAL per-frame video surface: decodes every Y4M frame's Y
       // plane and emits (id, frameIdx, lumaMean) — golden-checked
@@ -1563,6 +1577,11 @@ object Queries {
     "multimodal_features" ->
       s"""SELECT id, kind, f0, f1, f2, f3, f4, f5, f6, f7
          |FROM '$goldenDir/multimodal_features.parquet'
+         |ORDER BY id""".stripMargin,
+
+    "multimodal_resize" ->
+      s"""SELECT id, f0, f1, f2, f3, f4, f5, f6, f7
+         |FROM '$goldenDir/multimodal_resize.parquet'
          |ORDER BY id""".stripMargin,
 
     "multimodal_frames" ->

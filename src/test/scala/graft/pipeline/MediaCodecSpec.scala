@@ -109,6 +109,30 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(math.abs(stats.meanB - 200 / 255.0) < 0.05)
   }
 
+  test("decodePixels: identical logical pixels across BMP/PPM/PNG") {
+    val px = Array.tabulate(5, 7)((y, x) =>
+      ((y * 40 + x) % 256, (x * 30) % 256, (y * 20) % 256))
+    val want = px.flatten.map { case (r, g, b) => (r << 16) | (g << 8) | b }
+    for (enc <- Seq(MediaCodec.encodeBmp(px), MediaCodec.encodePpm(px),
+      MediaCodec.encodePng(px))) {
+      val (w, h, got) = MediaCodec.decodePixels(enc).get
+      assert(w == 7 && h == 5)
+      assert(got.toSeq == want.toSeq) // BMP bottom-up storage unwound
+    }
+  }
+
+  test("resizeNearest: integer NN mapping, lossless PPM out") {
+    val px = Array.tabulate(4, 6)((y, x) => (y * 50 + x, 0, 0))
+    val resized = MediaCodec.resizeNearest(MediaCodec.encodeBmp(px), 3, 2).get
+    val (w, h, got) = MediaCodec.decodePixels(resized).get
+    assert(w == 3 && h == 2)
+    // dest (y,x) <- src (y*4/2, x*6/3) = (2y, 2x)
+    val want = for (y <- 0 until 2; x <- 0 until 3)
+      yield ((2 * y * 50 + 2 * x) << 16)
+    assert(got.toSeq == want)
+    assert(MediaCodec.resizeNearest("not an image".getBytes, 2, 2).isEmpty)
+  }
+
   test("AIFF via javax.sound matches the WAV decoder on identical PCM") {
     val samples = Array.tabulate[Short](400)(j =>
       (((j * 997) % 2048 - 1024) * 16).toShort)

@@ -142,6 +142,29 @@ def stub_features(i: int):
     return out
 
 
+def resized_features(i: int, dw: int = 4, dh: int = 3):
+    """NN-resize of the synthetic image rows to (dw x dh) then the
+    PPM-path featurize: dest pixel (y, x) = src(floor(y*sh/dh),
+    floor(x*sw/dw)); output is lossless PPM so the decode is exact,
+    row-major."""
+    sw = 2 + i % 6
+    sh = 2 + (i * 7) % 5
+    def px(y, x):
+        return ((i * 31 + y * sw + x) % 256, (i * 17 + x) % 256,
+                (i * 7 + y) % 256)
+    sr = sg = sb = 0.0
+    for y in range(dh):
+        for x in range(dw):
+            r, g, b = px(y * sh // dh, x * sw // dw)
+            sr += r
+            sg += g
+            sb += b
+    n = float(dw) * dh
+    mean_r, mean_g, mean_b = sr / n / 255.0, sg / n / 255.0, sb / n / 255.0
+    bright = (mean_r + mean_g + mean_b) / 3.0
+    return [1.0, float(dw), float(dh), 3.0, mean_r, mean_g, mean_b, bright]
+
+
 def assert_no_double_rounding():
     from fractions import Fraction
     for b in range(256):
@@ -185,6 +208,23 @@ def main() -> None:
               FROM t ORDER BY id)
         TO '{OUT}' (FORMAT PARQUET)""")
     print(f'wrote {OUT} ({len(rows)} rows)')
+
+    rrows = []
+    for i in range(99):
+        if i % 3 != 0:
+            continue
+        feats = [f32(x) for x in resized_features(i)]
+        rrows.append({'id': i, **{f'f{k}': feats[k] for k in range(FEAT_DIM)}})
+    rdf = pd.DataFrame(rrows)
+    con.register('rz', rdf)
+    rout = OUT.parent / 'multimodal_resize.parquet'
+    con.execute(f"""
+        COPY (SELECT CAST(id AS BIGINT) AS id,
+                     {', '.join(f'CAST(f{k} AS DOUBLE) AS f{k}'
+                                for k in range(FEAT_DIM))}
+              FROM rz ORDER BY id)
+        TO '{rout}' (FORMAT PARQUET)""")
+    print(f'wrote {rout} ({len(rrows)} rows)')
 
     frames = [fr for i in range(99) if i % 3 == 2 for fr in frame_rows(i)]
     fdf = pd.DataFrame(frames)
