@@ -270,7 +270,9 @@ final class MapReduceEngine(
         val lens = chunks.select($"ord", $"content")
           .map(r => (r.getLong(0), PyText.utf8Len(r.getString(1))))
           .collect().sortBy(_._1)
-        val ids = BinPack.groupIds(lens.map(_._2), chunkSize, minPerGroup = 0)
+        val ids = BinPack.groupIds(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(lens.map(_._2)),
+          chunkSize, minPerGroup = 0)
         val ord2gid = lens.map(_._1).zip(ids).toMap
         val bc = spark.sparkContext.broadcast(ord2gid)
         val grouped = chunks.groupByKey(c => bc.value(c.ord))
@@ -294,7 +296,9 @@ final class MapReduceEngine(
         if (compactReduce) {
           val lens = results.map { case (ord, s) => (ord, PyText.utf8Len(s)) }
             .collect().sortBy(_._1)
-          val ids = BinPack.groupIds(lens.map(_._2), chunkSize, minPerGroup = 2)
+          val ids = BinPack.groupIds(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(lens.map(_._2)),
+            chunkSize, minPerGroup = 2)
           val ord2gid = lens.map(_._1).zip(ids).toMap
           val bc = spark.sparkContext.broadcast(ord2gid)
           results.groupByKey { case (ord, _) => bc.value(ord) }
