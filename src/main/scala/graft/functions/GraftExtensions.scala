@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim_d"),
       info("cosine_sim_d", "cosine_sim_d(a, b) - sequential-double cosine"),
       (exprs: Seq[Expression]) => CosineSimD(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("int8_cosine_sim"),
+      info("int8_cosine_sim",
+        "int8_cosine_sim(a, b) - cosine over BINARY int8 codes"),
+      (exprs: Seq[Expression]) => Int8CosineSim(exprs.head, exprs(1))))
   }
 }

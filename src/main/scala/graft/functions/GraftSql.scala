@@ -15,5 +15,7 @@ object GraftSql {
       exprs => L2NormD(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim_d",
       exprs => CosineSimD(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_cosine_sim",
+      exprs => Int8CosineSim(exprs.head, exprs(1)), "scala_udf")
   }
 }

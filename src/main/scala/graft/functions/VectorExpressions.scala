@@ -183,6 +183,66 @@ case class CosineSimD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cosine over int8 quantization codes (BinaryType): integer dot and
+  * norm accumulators in LONG — exact for any realistic dim
+  * (≤ dim·127² ≪ 2^63) and therefore bit-reproducible across engines —
+  * with one double division at the end. Zero-norm inputs score 0.0
+  * (matching the SQL oracle's CASE). One pass over min(|a|, |b|).
+  */
+case class Int8CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY code vectors, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var d = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toLong
+      val yv = y(i).toLong
+      d += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0L || ny == 0L) 0.0
+    else d.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $d = 0L; long $nx = 0L; long $ny = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = (long) $a[$i];
+         |  long $yv = (long) $b[$i];
+         |  $d += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0 :
+         |  ((double) $d) / (java.lang.Math.sqrt((double) $nx)
+         |    * java.lang.Math.sqrt((double) $ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** One-pass L2 normalization producing ARRAY<FLOAT> (store contract,
   * reference vectordb.py:81-86) or ARRAY<DOUBLE> (oracle-exact math).
   * A `transform(v, x => x / l2norm(v))` column does the same thing
@@ -236,6 +296,10 @@ object VectorFunctions {
 
   def cosineSimD(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine over BINARY int8 code vectors (codegen'd integer kernel). */
+  def int8CosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Vector literal for a query embedding. */
   def vecLit(v: Array[Float]): Column = typedLit(v.toSeq)

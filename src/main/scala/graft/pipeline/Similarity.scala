@@ -135,40 +135,24 @@ object Similarity {
       }
     }
 
-  private val int8DotUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-    var s = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
-    s
-  }
-
-  private val int8NormSqUdf = udf { (a: Array[Byte]) =>
-    var s = 0L
-    var i = 0
-    while (i < a.length) { s += a(i).toLong * a(i).toLong; i += 1 }
-    s
-  }
-
-  /** Top-k by cosine over int8 codes: quantize corpus and queries once
-    * (codes + integer norm per row), broadcast the quantized queries,
-    * score with integer dots. Same plan shape as [[bruteForceTopK]] —
-    * corpus never shuffles — at a quarter of the scan/broadcast bytes.
+  /** Top-k by cosine over int8 codes: quantize corpus and queries once,
+    * broadcast the quantized queries, score with the codegen'd
+    * [[graft.functions.Int8CosineSim]] integer kernel (one pass, LONG
+    * accumulators, zero-norm rows score 0). Same plan shape as
+    * [[bruteForceTopK]] — corpus never shuffles — at a quarter of the
+    * scan/broadcast bytes.
     */
   def int8TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     def quant(df: DataFrame, id: String, pre: String) =
       df.select(col(id).as(s"${pre}id"),
-          int8CodesUdf(col(vecCol)).as(s"${pre}c"))
-        .withColumn(s"${pre}n", int8NormSqUdf(col(s"${pre}c")))
+        int8CodesUdf(col(vecCol)).as(s"${pre}c"))
     val c = quant(corpus, idCol, "n")
     val q = quant(queries, idCol, "q")
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("nid") =!= col("qid") else lit(true))
     val scored = joined.select(col("qid"), col("nid"),
-      when(col("nn") === 0L || col("qn") === 0L, lit(0.0))
-        .otherwise(int8DotUdf(col("nc"), col("qc")).cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("qn").cast("double"))))
+      graft.functions.VectorFunctions.int8CosineSim(col("nc"), col("qc"))
         .as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)

@@ -57,6 +57,32 @@ class ExpressionEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("int8 cosine: exact integer kernel, zero-norm guard, codegen parity") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[Byte](127, 0, 0), Array[Byte](127, 0, 0)),   // identical
+      (Array[Byte](1, 2, 3), Array[Byte](-1, -2, -3)),    // opposite
+      (Array[Byte](0, 0, 0), Array[Byte](5, 5, 5))        // zero norm
+    ).toDF("a", "b")
+    val viaCodegen = df.select(int8CosineSim(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(viaCodegen(0) - 1.0) < 1e-12)
+    assert(math.abs(viaCodegen(1) + 1.0) < 1e-12)
+    assert(viaCodegen(2) == 0.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(int8CosineSim(col("a"), col("b"))).collect()
+        .map(_.getDouble(0))
+      assert(viaCodegen.zip(interpreted).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      })
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("GraftExtensions injects the SQL functions at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force shared-session init (owns the SparkContext)
