@@ -45,22 +45,9 @@ object Int8Bench {
         .orderBy(col("sim").desc, col("vec_id")).limit(5).collect()
     }
     val qc = codes.where(col("vec_id") === 0).select(col("c").as("qc"))
-    val dot = udf { (a: Array[Byte], b: Array[Byte]) =>
-      var s = 0L; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { s += a(i).toLong * b(i).toLong; i += 1 }
-      s
-    }
-    val norm = udf { (a: Array[Byte]) =>
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i).toLong * a(i).toLong; i += 1 }
-      s
-    }
-    time("int8 dot (udf)") {
+    time("int8 (codegen expr)") {
       codes.crossJoin(broadcast(qc))
-        .select(col("vec_id"), (dot(col("c"), col("qc")).cast("double") /
-          (sqrt(norm(col("c")).cast("double")) *
-            sqrt(norm(col("qc")).cast("double")))).as("sim"))
+        .select(col("vec_id"), int8CosineSim(col("c"), col("qc")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(5).collect()
     }
     spark.stop()
