@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // blowup multipliers; exponent fits last vs first
+    val mults0 = if (args.length > 1) args(1).split(',').map(_.toInt).toSeq
+      else Seq(1, 2, 4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +36,7 @@ object ScaleCurve {
       .select(col("doc_id"), col("text"))
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
 
-    val mults = Seq(1, 2, 4)
+    val mults = mults0
     val scaleDirs = mults.map { m =>
       val path = s"target/tmp/scale_curve/x$m"
       val blown = (0 until m).map { i =>
@@ -80,8 +83,9 @@ object ScaleCurve {
         println(f"$name%-16s $nDocs%8d $m%5d $sec%8.2f $pairs%8d")
         (m, sec)
       }
-      val k = math.log(ts.last._2 / ts.head._2) / math.log(4.0)
-      println(f"$name%-16s exponent k=$k%.2f  (t ∝ n^k over 1x→4x)")
+      val span = ts.last._1.toDouble / ts.head._1
+      val k = math.log(ts.last._2 / ts.head._2) / math.log(span)
+      println(f"$name%-16s exponent k=$k%.2f  (t ∝ n^k over ${ts.head._1}x→${ts.last._1}x)")
       name -> k
     }
     println(timings.map { case (n, k) => f"$n=$k%.2f" }.mkString("EXPONENTS: ", " ", ""))
