@@ -72,6 +72,13 @@ object StreamingDedup {
     val sigs = batch
       .select(col(idCol).as("doc"), Dedup.simhash64Udf(col(textCol)).as("sh"))
     val newBanded = banded(sigs).localCheckpoint(true) // one UDF pass
+    if (newBanded.isEmpty) {
+      // an empty microbatch must write NOTHING: a zero-row partitionBy
+      // append still creates the index directory, and the next batch's
+      // index read then dies on schema inference over zero files
+      graft.core.Pinned.release(newBanded)
+      return
+    }
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -92,7 +99,8 @@ object StreamingDedup {
         val bucketIds = newBanded
           .select((col("band") * IndexBuckets + col("kb")).as("p"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        probeIndex(spark, indexPath, bucketIds).as("i").join(newBanded.as("b"),
+        if (bucketIds.isEmpty) intra.limit(0) // empty microbatch: no probe
+        else probeIndex(spark, indexPath, bucketIds).as("i").join(newBanded.as("b"),
             col("i.band") === col("b.band") && col("i.key") === col("b.key"))
           .where(bit_count(col("i.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
           .select(col("b.doc").as("doc"))

@@ -83,6 +83,21 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(planStr.contains("PartitionFilters"))
   }
 
+  test("empty microbatches are harmless at every stage") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sdedup_empty")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty batch before ANY index exists
+    StreamingDedup.processBatch(spark, empty, "text", "doc_id", idx, out, 12)
+    // real batch, then another empty one probing the now-existing index
+    StreamingDedup.processBatch(spark, docsDf(8), "text", "doc_id", idx, out, 12)
+    StreamingDedup.processBatch(spark, empty, "text", "doc_id", idx, out, 12)
+    val kept = spark.read.parquet(out).count()
+    assert(kept > 0) // the real batch's survivors, empties added nothing
+  }
+
   test("streaming ingest over the sf0.001 table matches the batch contract") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("sdedup_ingest")
