@@ -184,6 +184,10 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(empty, "text", "doc_id", 12).count() == 0)
     assert(TextAnalysis.repetitionSignals(empty, "text", "doc_id").count() == 0)
     assert(SeqPack.packOffsets(spark, empty, "text", "doc_id", 2048L).count() == 0)
+    import spark.implicits._
+    val one = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.crossJaccardPairs(empty, one, "text", "doc_id", 3, 0.2).count() == 0)
+    assert(Dedup.crossJaccardPairs(one, empty, "text", "doc_id", 3, 0.2).count() == 0)
   }
 
   test("dup-line fraction: repeated lines counted, single-line docs 0") {
