@@ -168,9 +168,15 @@ final class SourceRegistry(spark: SparkSession,
         SourceRegistry.stripScheme(r.getString(0)).split('/').contains(s)))
       .map { r =>
         val path0 = SourceRegistry.stripScheme(r.getString(0))
-        SourceEntry(path0,
-          SourceRegistry.fileContent(path0, r.getAs[Array[Byte]](1), p),
-          Wrap.File, Wrap.FileChunk)
+        // bulk-walk semantics: one unextractable PDF (encrypted,
+        // corrupt) degrades to an empty entry like any other stray
+        // binary — a distributed walk must not die on a single file.
+        // readFile keeps the raising contract (reference parity for
+        // an explicitly named file).
+        val content =
+          try SourceRegistry.fileContent(path0, r.getAs[Array[Byte]](1), p)
+          catch { case _: UnsupportedOperationException => "" }
+        SourceEntry(path0, content, Wrap.File, Wrap.FileChunk)
       }
   }
 

@@ -104,6 +104,12 @@ class IngestSpec extends SparkTestBase {
     val ex = intercept[org.apache.spark.SparkException](
       bare.readFile(root.resolve("doc.pdf").toString).head())
     assert(ex.getCause.getMessage.contains("PdfExtractor"))
+    // but a BULK walk degrades the same corrupt PDF to an empty entry
+    // instead of dying — one stray file must not kill the directory
+    val walked = bare.readDirectory(root.toString).collect()
+    assert(walked.find(_.path.endsWith("doc.pdf")).exists(_.content == ""))
+    assert(walked.find(_.path.endsWith("real.pdf"))
+      .exists(_.content.contains("Hello, PDF world!")))
   }
 
   test("google: API fan-out through fixtures; unconfigured and error payloads → empty (reader.py:678-736,943)") {
