@@ -265,10 +265,12 @@ final class SourceRegistry(spark: SparkSession,
   /** U2: multi-spec accumulation in CLI order (cli.py:236-263) —
     * union in spec order with a stable `ord`.
     */
-  def readMany(specs: Seq[String]): DataFrame =
+  def readMany(specs: Seq[String]): DataFrame = {
+    require(specs.nonEmpty, "readMany needs at least one spec")
     specs.zipWithIndex.map { case (spec, i) =>
       read(spec).withColumn("specOrd", lit(i))
     }.reduce(_ unionByName _)
+  }
 
 }
 
