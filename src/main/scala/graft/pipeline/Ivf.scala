@@ -147,4 +147,31 @@ object Ivf {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** Quantized IVF search — the billion-scale composition: cluster
+    * pruning bounds WHICH postings are touched, int8 codes bound the
+    * BYTES per touched posting (4× under float32; at scale the index
+    * stores codes, derived here from the vector column), and the
+    * scorer is the codegen'd exact-integer [[graft.functions.Int8CosineSim]]
+    * kernel. Probe/rank plan identical to [[search]].
+    */
+  def searchInt8(postings: DataFrame, queries: DataFrame, vecCol: String,
+                 idCol: String, model: IvfModel, k: Int,
+                 nprobe: Int = 4): DataFrame = {
+    val probeUdf = mkAssignUdf(model, nprobe)
+    val q = queries.select(col(idCol).as("qid"),
+        Similarity.int8CodesUdf(col(vecCol)).as("qc"), col(vecCol).as("qv"))
+      .withColumn("cluster", explode(probeUdf(col("qv"))))
+      .drop("qv")
+    val c = postings.select(col("cluster"), col(idCol).as("nid"),
+      Similarity.int8CodesUdf(col(vecCol)).as("nc"))
+    val cand = c.join(broadcast(q), Seq("cluster"))
+      .where(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      graft.functions.VectorFunctions.int8CosineSim(col("nc"), col("qc"))
+        .as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
 }

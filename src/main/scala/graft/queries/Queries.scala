@@ -1342,6 +1342,20 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_int8" -> ((s, d) => {
+      // quantized IVF: cluster pruning bounds WHICH postings, int8
+      // codes bound the BYTES — golden-checked against the Python
+      // mirror (same deterministic k-means, exact integer scoring)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.searchInt8(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "chunk_stats" -> ((s, d) => {
       val chunkUdf = udf((t: String) =>
         graft.core.Chunker.chunkContent(t.replace(' ', '\n'), 100L).length.toLong)
@@ -1609,6 +1623,9 @@ object Queries {
 
     "ivf_topk" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_int8" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     "store_retrieve" ->
       s"SELECT sim, source, text FROM '$pipeGold/store_retrieve.parquet' ORDER BY sim DESC",

@@ -81,6 +81,21 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("quantized IVF agrees closely with float IVF on the same probes") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val queries = emb.where(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = ids(Ivf.search(postings, queries, "embedding", "vec_id", model,
+      k = 5, nprobe = 8))
+    val i8 = ids(Ivf.searchInt8(postings, queries, "embedding", "vec_id",
+      model, k = 5, nprobe = 8))
+    val agree = f.intersect(i8).size.toDouble / f.size
+    assert(agree >= 0.8, s"int8-IVF agreement too low: $agree")
+  }
+
   test("int8 quantized top-k: self-sim exactly 1, high agreement with float") {
     val queries = emb.where(col("vec_id") < 5)
     val int8 = Similarity.int8TopK(emb, queries, "embedding", "vec_id",

@@ -432,6 +432,55 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def int8_codes(v):
+    """Similarity.int8CodesUdf: scale = max|v|/127, floor(x/s + 0.5)."""
+    mx = 0.0
+    for x in v:
+        a = abs(float(x))
+        if a > mx:
+            mx = a
+    if mx == 0.0:
+        return [0] * len(v)
+    s = mx / 127.0
+    return [int(math.floor(float(x) / s + 0.5)) for x in v]
+
+
+def int8_cosine(a, b):
+    """Int8CosineSim: exact integer dot/norms, one double division."""
+    n = min(len(a), len(b))
+    d = nx = ny = 0
+    for i in range(n):
+        d += a[i] * b[i]
+        nx += a[i] * a[i]
+        ny += b[i] * b[i]
+    if nx == 0 or ny == 0:
+        return 0.0
+    return float(d) / (math.sqrt(float(nx)) * math.sqrt(float(ny)))
+
+
+def gen_ivf_topk_int8(emb, nlist=16, iters=3, k=5, nprobe=4):
+    """Quantized IVF: same clustering/probing as ivf_topk, scoring over
+    int8 codes (exact integer arithmetic -> bit-reproducible)."""
+    centroids = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    codes = {i: int8_codes(v) for i, v in emb}
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        for cl in ivf_nearest(centroids, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = int8_cosine(codes[n], codes[q])
+    rows = rank_topk(cands, k)
+    write("ivf_topk_int8",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 # ------------------------------------------------- embedding / retrieval
 def hash_embed(text: str, dim: int):
     """graft.embed.HashEmbedding, with exact f32 narrowing."""
@@ -683,7 +732,7 @@ def main():
     if want("minhash_pairs"):
         gen_minhash_pairs(docs)
     emb = None
-    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk"):
+    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8"):
         if want(n):
             emb = emb or load_embeddings()
     if want("lsh_topk"):
@@ -692,6 +741,8 @@ def main():
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
         gen_ivf_topk(emb)
+    if want("ivf_topk_int8"):
+        gen_ivf_topk_int8(emb)
     if want("store_retrieve"):
         gen_store_retrieve(docs)
     if want("memory_context"):
