@@ -129,6 +129,17 @@ object Ivf {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Quantized on-disk index: the vector column is replaced by its
+    * int8 codes (BinaryType), quartering index bytes — the layout
+    * [[searchInt8]] serves from at scale (same cluster partitioning,
+    * same PartitionFilters pruning).
+    */
+  def writeIndexInt8(postings: DataFrame, vecCol: String, path: String): Unit =
+    postings
+      .withColumn("codes", Similarity.int8CodesUdf(col(vecCol)))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
   /** Batched ANN search: probe the nprobe nearest lists per query via
     * a cluster equi-join, rescore exactly, rank per query.
     */

@@ -61,6 +61,30 @@ class AnnSpec extends SparkTestBase {
     assert(fromDisk == brute) // exhaustive probes over the disk index
   }
 
+  test("quantized disk index is a fraction of the float index's bytes") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val root = java.nio.file.Files.createTempDirectory("ivf_i8")
+    Ivf.writeIndex(postings, root.resolve("f32").toString)
+    Ivf.writeIndexInt8(postings, "embedding", root.resolve("i8").toString)
+    def bytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val f32 = bytes(root.resolve("f32"))
+    val i8 = bytes(root.resolve("i8"))
+    // 64-dim float32 = 256 B/vec vs 64 B codes; parquet overhead eats
+    // some of the 4x but the cut must still be big
+    assert(i8.toDouble / f32 < 0.55, s"int8 index $i8 B vs float $f32 B")
+    // and the quantized index serves searches: codes column present,
+    // cluster partitioning intact
+    val disk = Ivf.readIndex(spark, root.resolve("i8").toString)
+    assert(disk.columns.contains("codes") && disk.columns.contains("cluster"))
+    assert(disk.count() == postings.count())
+  }
+
   test("IVF probe search recalls most brute-force neighbors") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
     assert(model.centroids.length == 8)
