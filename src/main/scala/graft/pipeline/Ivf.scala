@@ -168,14 +168,26 @@ object Ivf {
     */
   def searchInt8(postings: DataFrame, queries: DataFrame, vecCol: String,
                  idCol: String, model: IvfModel, k: Int,
-                 nprobe: Int = 4): DataFrame = {
+                 nprobe: Int = 4): DataFrame =
+    searchCodes(
+      postings.select(col("cluster"), col(idCol),
+        Similarity.int8CodesUdf(col(vecCol)).as("codes")),
+      queries, vecCol, idCol, model, k, nprobe)
+
+  /** Serve directly from a quantized index ([[writeIndexInt8]] layout:
+    * cluster, id, codes) — queries quantize on the fly, postings never
+    * touch a float vector.
+    */
+  def searchCodes(index: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, model: IvfModel, k: Int,
+                  nprobe: Int = 4): DataFrame = {
     val probeUdf = mkAssignUdf(model, nprobe)
     val q = queries.select(col(idCol).as("qid"),
         Similarity.int8CodesUdf(col(vecCol)).as("qc"), col(vecCol).as("qv"))
       .withColumn("cluster", explode(probeUdf(col("qv"))))
       .drop("qv")
-    val c = postings.select(col("cluster"), col(idCol).as("nid"),
-      Similarity.int8CodesUdf(col(vecCol)).as("nc"))
+    val c = index.select(col("cluster"), col(idCol).as("nid"),
+      col("codes").as("nc"))
     val cand = c.join(broadcast(q), Seq("cluster"))
       .where(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")

@@ -78,11 +78,19 @@ class AnnSpec extends SparkTestBase {
     // 64-dim float32 = 256 B/vec vs 64 B codes; parquet overhead eats
     // some of the 4x but the cut must still be big
     assert(i8.toDouble / f32 < 0.55, s"int8 index $i8 B vs float $f32 B")
-    // and the quantized index serves searches: codes column present,
-    // cluster partitioning intact
+    // and the quantized disk index actually SERVES searches — same
+    // neighbors as quantizing the in-memory postings on the fly
     val disk = Ivf.readIndex(spark, root.resolve("i8").toString)
     assert(disk.columns.contains("codes") && disk.columns.contains("cluster"))
-    assert(disk.count() == postings.count())
+    val queries = emb.where(col("vec_id") < 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromDisk = ids(Ivf.searchCodes(disk, queries, "embedding", "vec_id",
+      model, k = 5, nprobe = 8))
+    val inMem = ids(Ivf.searchInt8(postings, queries, "embedding", "vec_id",
+      model, k = 5, nprobe = 8))
+    assert(fromDisk == inMem)
   }
 
   test("IVF probe search recalls most brute-force neighbors") {
