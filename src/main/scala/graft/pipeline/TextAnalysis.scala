@@ -110,6 +110,73 @@ object TextAnalysis {
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
+  /** Corpus vocabulary: term frequency + document frequency for every
+    * whitespace token — the tokenizer-training / min-df-filter shape.
+    * One explode feeding a single aggregation keyed by term; tf is
+    * map-side combined, df is a two-phase distinct-by-(term, doc)
+    * count. Shuffle volume is bounded by the token postings (linear in
+    * corpus tokens), never by pairs — the same ledger as the dedup
+    * family, so the plan survives a 100× corpus.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
+
+  /** Top-k characteristic terms per document, scored `tf · N / df` — a
+    * log-free idf surrogate (monotone in 1/df, so it ranks exactly like
+    * `tf·idf` for fixed tf). The score is one IEEE division of exactly
+    * representable integers (tf·N < 2^53), so engines agree bit-for-bit
+    * with no libm or rounding in sight. The df side of the join is the
+    * vocabulary — bounded, broadcast — so the only shuffle is the tf
+    * aggregation; the per-doc top-k window sees tf-rows, not tokens.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val n = df.count()
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(count_distinct(col("doc")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= k)
+      .select(col("doc"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** PII redaction patterns — the subset of regex syntax that Java's
+    * engine and RE2 (DuckDB) interpret identically: character classes,
+    * bounded repeats, no lookaround, no word boundaries.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Scrub emails → [EMAIL], intl phone numbers → [PHONE], IPv4
+    * addresses → [IP]. Email first: once its digits are gone the
+    * narrower numeric patterns can't partially match inside an
+    * address. Pure codegen'd `regexp_replace` chain — per-row work,
+    * no shuffle, scales like any projection.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast(LongType).as("n_emails"),
+    regexp_count(text, lit(PhoneRe)).cast(LongType).as("n_phones"),
+    regexp_count(text, lit(Ipv4Re)).cast(LongType).as("n_ips"))
+
   /** 64-bit FNV-1a over UTF-8 — shared by SimHash/MinHash so
     * signatures are stable across runs and engines.
     */
