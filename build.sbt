@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must bypass the sbt logger: the driver parses the
+// Bench JSON line out of raw stdout, and LoggedOutput's "[info] "
+// prefix broke that parse every round (BENCH_r0{1..4}.json parsed=null).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

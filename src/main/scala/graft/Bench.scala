@@ -26,6 +26,13 @@ object Bench {
     // Optional comma-separated query filter for local iteration; the
     // driver never sets it, so per-round BENCH stays the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // A stray filter must never masquerade as a full-suite run: warn
+    // loudly and tag the JSON so round-over-round comparisons can't be
+    // silently poisoned by a subset measurement.
+    only.foreach { f =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY is set - " +
+        s"this is a FILTERED run (${f.size} queries), not the full suite")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -57,7 +64,8 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val filtered = if (only.isDefined) """"filtered":true,""" else ""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$filtered"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
