@@ -187,10 +187,17 @@ case class CosineSimD(left: Expression, right: Expression)
   * norm accumulators in LONG — exact for any realistic dim
   * (≤ dim·127² ≪ 2^63) and therefore bit-reproducible across engines —
   * with one double division at the end. Zero-norm inputs score 0.0
-  * (matching the SQL oracle's CASE). One pass over min(|a|, |b|).
+  * (matching the SQL oracle's CASE).
+  *
+  * Unlike [[CosineSimD]] — whose min-length fold is a deliberate
+  * contract so Matryoshka-truncated vectors compare against full-dim
+  * ones — a length mismatch between two code vectors can only mean a
+  * corrupt or mixed-dim index row, so it yields NULL rather than a
+  * plausible score over the shared prefix.
   */
 case class Int8CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType)
       TypeCheckResult.TypeCheckSuccess
@@ -203,7 +210,8 @@ case class Int8CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
+    val n = x.length
     var d = 0L; var nx = 0L; var ny = 0L
     var i = 0
     while (i < n) {
@@ -226,16 +234,20 @@ case class Int8CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
-         |long $d = 0L; long $nx = 0L; long $ny = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $xv = (long) $a[$i];
-         |  long $yv = (long) $b[$i];
-         |  $d += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.length;
+         |  long $d = 0L; long $nx = 0L; long $ny = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $xv = (long) $a[$i];
+         |    long $yv = (long) $b[$i];
+         |    $d += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0 :
+         |    ((double) $d) / (java.lang.Math.sqrt((double) $nx)
+         |      * java.lang.Math.sqrt((double) $ny));
          |}
-         |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0 :
-         |  ((double) $d) / (java.lang.Math.sqrt((double) $nx)
-         |    * java.lang.Math.sqrt((double) $ny));
        """.stripMargin
     })
 

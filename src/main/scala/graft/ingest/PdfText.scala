@@ -26,6 +26,14 @@ import java.util.zip.{DataFormatException, Inflater}
   * ASCII/WinAnsi simple documents this targets; custom font CMaps
   * (/ToUnicode) are out of scope and such text may come out garbled,
   * exactly like pypdf on fonts with no unicode map.
+  *
+  * One further scope note: text is taken from EVERY stream that looks
+  * like a content stream, not just streams referenced from a /Page's
+  * /Contents — so Form XObjects and annotation appearance streams
+  * contribute too, and text drawn via an XObject a page also inlines
+  * can appear twice. pypdf walks the page tree instead; for the simple
+  * single-generation documents this targets the two agree, and a
+  * stricter version would resolve /Page /Contents references first.
   */
 object PdfText {
 
@@ -44,7 +52,7 @@ object PdfText {
     // system.
     val raw = new String(bytes, "ISO-8859-1")
     if (!raw.startsWith("%PDF-")) return None
-    if (raw.contains("/Encrypt")) return None
+    if (isEncrypted(raw)) return None
     val pages = scala.collection.mutable.ArrayBuffer.empty[String]
     var from = 0
     var next = nextStreamKeyword(raw, from)
@@ -81,6 +89,43 @@ object PdfText {
     if (pages.isEmpty) None else Some(pages.mkString("\n"))
   }
 
+  /** Encryption is declared by an /Encrypt key in the trailer
+    * dictionary (or, for cross-reference-stream PDFs, in the /XRef
+    * stream's dictionary) — never by the literal byte sequence
+    * "/Encrypt" appearing elsewhere, e.g. inside a content-stream
+    * string. Scanning the whole file for it (the first cut of this
+    * check) refused such innocent documents; this anchors the check to
+    * the dictionaries that can actually carry the key.
+    */
+  private def isEncrypted(raw: String): Boolean = {
+    // Classic form: `trailer << ... /Encrypt n g R ... >>`. A file may
+    // hold several trailers (incremental updates); any declaring
+    // /Encrypt means the document needs the security handler.
+    var t = raw.indexOf("trailer")
+    while (t >= 0) {
+      val open = raw.indexOf("<<", t)
+      if (open >= 0) {
+        val stop = raw.indexOf("startxref", open) match {
+          case -1 => math.min(raw.length, open + 4096)
+          case s  => s
+        }
+        if (raw.substring(open, stop).contains("/Encrypt")) return true
+      }
+      t = raw.indexOf("trailer", t + 7)
+    }
+    // XRef-stream form (PDF 1.5+, no `trailer` keyword): the stream
+    // dictionary of each `/Type /XRef` object doubles as the trailer.
+    var x = raw.indexOf("/XRef")
+    while (x >= 0) {
+      val objStart = raw.lastIndexOf(" obj", x) max 0
+      val kw = raw.indexOf("stream", x)
+      val stop = if (kw >= 0) kw else math.min(raw.length, x + 4096)
+      if (raw.substring(objStart, stop).contains("/Encrypt")) return true
+      x = raw.indexOf("/XRef", x + 5)
+    }
+    false
+  }
+
   /** Next occurrence of the `stream` KEYWORD — token-boundary checked,
     * so the tail of `endstream` never matches.
     */
@@ -104,7 +149,10 @@ object PdfText {
         if (n == 0 && !inf.finished()) return None // stuck: not a zlib stream
         out.write(buf, 0, n)
       }
-      Some(out.toByteArray)
+      // Input drained but the stream never reached its end marker:
+      // truncated/corrupt deflate data. Refuse rather than hand back
+      // garbled partial text as if it decoded cleanly.
+      if (inf.finished()) Some(out.toByteArray) else None
     } catch {
       case _: DataFormatException => None
     } finally inf.end()

@@ -83,6 +83,27 @@ class ExpressionEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("int8 cosine: length mismatch yields NULL, codegen and interpreted") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[Byte](1, 2, 3), Array[Byte](1, 2)),     // corrupt/mixed-dim pair
+      (Array[Byte](1, 2, 3), Array[Byte](1, 2, 3))   // control
+    ).toDF("a", "b")
+    val viaCodegen = df.select(int8CosineSim(col("a"), col("b"))).collect()
+    assert(viaCodegen(0).isNullAt(0))
+    assert(!viaCodegen(1).isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(int8CosineSim(col("a"), col("b"))).collect()
+      assert(interpreted(0).isNullAt(0))
+      assert(!interpreted(1).isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("GraftExtensions injects the SQL functions at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force shared-session init (owns the SparkContext)

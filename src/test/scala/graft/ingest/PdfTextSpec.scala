@@ -43,6 +43,51 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(fixture("encrypted.pdf")).isEmpty)
   }
 
+  test("literal '/Encrypt' inside a content-stream string is NOT encryption") {
+    // The encryption check is anchored to trailer / XRef-stream
+    // dictionaries; this document merely *mentions* /Encrypt in its
+    // visible text and must still extract.
+    val doc = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Length 44 >>\nstream\n" +
+      "BT (Docs about the /Encrypt key go here) Tj ET\n" +
+      "endstream\nendobj\n" +
+      "trailer\n<< /Size 2 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n").getBytes
+    val got = PdfText.extract(doc)
+    assert(got.exists(_.contains("Docs about the /Encrypt key go here")))
+  }
+
+  test("trailer-declared /Encrypt refuses even with extractable streams") {
+    val doc = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Length 20 >>\nstream\nBT (secret) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Size 2 /Root 1 0 R /Encrypt 9 0 R >>\nstartxref\n9\n%%EOF\n").getBytes
+    assert(PdfText.extract(doc).isEmpty)
+  }
+
+  test("truncated FlateDecode stream refuses instead of emitting partial text") {
+    // Compress a long content stream, then cut the deflate bytes short:
+    // the inflater drains its input without reaching the end marker.
+    // Partially-inflated text (which here still looks like a content
+    // stream) must not be passed off as a clean extraction.
+    val content = ("BT " + (1 to 60).map(i => s"(line $i) Tj T* ").mkString + "ET")
+      .getBytes("ISO-8859-1")
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(content); defl.finish()
+    val buf = new Array[Byte](content.length * 2)
+    val clen = defl.deflate(buf)
+    defl.end()
+    val cut = java.util.Arrays.copyOf(buf, clen / 2)
+    val head = s"%PDF-1.4\n1 0 obj\n<< /Length ${cut.length} /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val doc = head ++ cut ++ tail
+    assert(PdfText.extract(doc).isEmpty)
+    // sanity: the untruncated stream extracts fine
+    val full = java.util.Arrays.copyOf(buf, clen)
+    val okDoc = (s"%PDF-1.4\n1 0 obj\n<< /Length ${full.length} /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1")) ++ full ++ tail
+    assert(PdfText.extract(okDoc).exists(_.contains("line 60")))
+  }
+
   test("non-PDF and truncated inputs refuse") {
     assert(PdfText.extract(null).isEmpty)
     assert(PdfText.extract(Array[Byte]()).isEmpty)
