@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** splitmix64's finalizer as a codegen'd Catalyst expression.
+  *
+  * This is the engine's portable per-row randomness primitive: pure
+  * integer mixing (Steele et al., "Fast splittable pseudorandom number
+  * generators", OOPSLA 2014 — same finalizer the JDK's
+  * SplittableRandom uses), so any engine replays it bit-for-bit from
+  * masked 64-bit arithmetic — no RNG stream ordering, no libm. The
+  * deterministic sampling / LSH paths already use the identical mix
+  * driver-side ([[graft.pipeline.Similarity]], [[graft.pipeline.Ivf]]);
+  * this expression brings it to per-row plan code without a UDF.
+  * Wrap-around multiply/add cannot be spelled in plan arithmetic under
+  * ANSI mode (it throws on overflow) — a native expression sidesteps
+  * that and stays inside whole-stage codegen.
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override def nullSafeEval(x: Any): Any =
+    Splitmix64.mix(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $x + 0x9e3779b97f4a7c15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |${ev.value} = $z ^ ($z >>> 31);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Splitmix64 {
+  /** The shared scalar kernel (used by the expression, driver-side
+    * samplers, and tests — one definition, one truth).
+    */
+  @inline def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** mix(x) folded to an exact dyadic rational in [0, 1): the top 53
+    * bits over 2^53 — representable exactly in IEEE double, so the
+    * comparison `unitUniform(x) < p` is bit-identical in any engine
+    * that replays the integer mix.
+    */
+  @inline def unitUniform(x0: Long): Double =
+    (mix(x0) >>> 11).toDouble / (1L << 53).toDouble
+}
+
+/** Column-level API over the hash expressions. */
+object HashFunctions {
+  def splitmix64(x: Column): Column =
+    ColumnBridge.column(Splitmix64(ColumnBridge.expression(x)))
+
+  /** Deterministic per-row uniform in [0, 1) from a long key: exact
+    * dyadic rational (top 53 bits / 2^53) of the splitmix64 mix.
+    */
+  def unitUniform(key: Column): Column = {
+    import org.apache.spark.sql.functions._
+    shiftrightunsigned(splitmix64(key), 11)
+      .cast(DoubleType) / lit((1L << 53).toDouble)
+  }
+}

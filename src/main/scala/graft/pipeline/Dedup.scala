@@ -465,4 +465,46 @@ object Dedup {
       .select(col("d1"), col("d2"), cosineSimD(col("v1"), col("v2")).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with a k-means coarse
+    * quantizer, then dropping, within each cluster, every vector that
+    * has a LOWER-id cluster-mate above the cosine threshold — so each
+    * semantic duplicate group keeps exactly its lowest-id member
+    * (deterministic representative; the paper keeps one arbitrary
+    * point per ε-ball).
+    *
+    * Scale shape: training is [[Ivf.train]]'s bounded driver-side fold
+    * (the faiss design), assignment is one scan, and the duplicate
+    * test is a WITHIN-CLUSTER self-equi-join — candidates are bounded
+    * by cluster size, never all-pairs, exactly like the paper's
+    * per-cluster pairwise pass. At 100 TB, nlist grows with the corpus
+    * (√n clusters keeps per-cluster work flat) and the join stays the
+    * same plan. A pathological giant cluster is the skew risk; AQE's
+    * skew-join split or a salt on the cluster id handles it.
+    *
+    * Output: every input row with its `cluster` id and a `keep` flag —
+    * callers filter `keep` to materialize the deduplicated corpus, or
+    * aggregate the flag for duplication-rate reporting.
+    */
+  def semDedup(emb: DataFrame, vecCol: String, idCol: String,
+               threshold: Double, nlist: Int = 16, iters: Int = 3,
+               seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val model = Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
+    val assigned = Ivf.assign(emb, vecCol, model)
+    val a = assigned.select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    // a row is dropped iff SOME lower-id cluster-mate is near enough:
+    // a semi-join, so no pair row survives past the probe
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("id2") < col("id") &&
+        cosineSimD(col("v"), col("v2")) > threshold)
+      .select(col("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned
+      .join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("keep", coalesce(col("__dropped"), lit(false)) === lit(false))
+      .drop("__dropped")
+  }
 }

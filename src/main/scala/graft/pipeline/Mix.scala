@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic weighted corpus mixing — the "data mixture" step of a
+  * training pipeline: given per-stratum sampling weights (language,
+  * source, quality bucket, ...), emit each row `floor(w)` times plus
+  * one more with probability `frac(w)`, so a stratum with weight 0.25
+  * is 4×-downsampled, weight 1.0 passes through, and weight 2.5 is
+  * repeated 2–3× (expected 2.5) — epoch mixing and downsampling in one
+  * relational pass.
+  *
+  * Scale shape: a pure map-side operator — the keep/repeat decision is
+  * `splitmix64(id + seed)` per row (codegen'd, no UDF), there is no
+  * shuffle, no aggregation, and no driver state beyond the weight map
+  * literal. At 100 TB this is exactly a scan with a generator; the
+  * decision is reproducible row-by-row from (id, seed) alone, so
+  * re-runs, retries, and other engines (the Python oracle) agree
+  * bit-for-bit, and changing one stratum's weight does not reshuffle
+  * any other stratum's sample (per-row hashes are independent of the
+  * weight table).
+  */
+object Mix {
+
+  /** Sample/repeat `df` by per-stratum weight. Output keeps all input
+    * columns and appends `copy` (0-based repetition index, LongType) —
+    * downstream packing/shuffling can use (id, copy) as the row key.
+    *
+    * @param weights  stratum value → weight ≥ 0; missing strata fall
+    *                 back to `defaultWeight`. Weights need not sum to
+    *                 anything: they are per-row multiplicities, not a
+    *                 distribution.
+    */
+  def byWeight(df: DataFrame, idCol: String, stratumCol: String,
+               weights: Map[String, Double], defaultWeight: Double = 1.0,
+               seed: Long = 42L): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
+      "weights must be non-negative")
+    val wMap = typedlit(weights)
+    // try_element_at: ANSI mode (Spark 4 default) makes plain
+    // element_at throw on a missing map key; absent strata must fall
+    // back to defaultWeight instead.
+    val w = coalesce(try_element_at(wMap, col(stratumCol).cast("string")),
+      lit(defaultWeight))
+    // copies = floor(w) + [u < frac(w)]; u is the exact dyadic uniform
+    // from the row id, so the fractional part admits one extra copy
+    // with probability frac(w), independently per row.
+    val u = HashFunctions.unitUniform(col(idCol).cast(LongType) + lit(seed))
+    val base = floor(w).cast("int")
+    val copies = base + when(u < (w - floor(w)), lit(1)).otherwise(lit(0))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .select(df.columns.map(col) :+
+        posexplode(array_repeat(lit(1), col("__copies"))): _*)
+      .withColumnRenamed("pos", "copy")
+      .withColumn("copy", col("copy").cast(LongType))
+      .drop("col", "__copies")
+  }
+}

@@ -1567,7 +1567,58 @@ object Queries {
         """SELECT e.vec_id, cosine_sim_d(e.embedding, q.embedding) AS sim
           |FROM embeddings_v e, (SELECT embedding FROM embeddings_v WHERE vec_id = 0) q
           |ORDER BY sim DESC, vec_id LIMIT 3""".stripMargin)
-    }))
+    }),
+
+    "pii_scrub" -> ((s, d) => {
+      // PII redaction over text with deterministically injected
+      // e-mails / IPv4s / phones (the synthetic docs carry none), so
+      // the counts and replacements are actually exercised; the DuckDB
+      // oracle composes the identical text and runs the identical
+      // RE2-compatible patterns
+      val docs = tbl(s, d, "documents")
+      val injected = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" via 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      graft.pipeline.Pii.scrub(injected, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), col("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_mix" -> ((s, d) =>
+      // deterministic weighted data mixture over language strata:
+      // fr dropped, en 2x-downsampled, zh repeated 2-3x (expected
+      // 2.25), de pass-through, default (es) 4x-downsampled — one
+      // map-side pass, golden-checked against the Python mirror of
+      // the splitmix64 decision
+      graft.pipeline.Mix.byWeight(
+        tbl(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weights = Map("en" -> 0.5, "zh" -> 2.25, "fr" -> 0.0, "de" -> 1.0),
+        defaultWeight = 0.25, seed = 42L)
+        .orderBy(col("doc_id"), col("copy"))),
+
+    "semdedup" -> ((s, d) =>
+      // SemDeDup: k-means-clustered embeddings, drop rows with a
+      // lower-id cluster-mate above the cosine threshold — the
+      // semantic-dedup step of a training pipeline, golden-checked
+      // against the Python mirror (same deterministic k-means, same
+      // sequential-double cosine)
+      graft.pipeline.Dedup.semDedup(
+        tbl(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", threshold = 0.35)
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+          col("keep"))
+        .orderBy(col("vec_id"))))
 
   /** stream_hourly is oracle-checkable: complete-mode streaming over a
     * static source must equal the batch aggregation.
@@ -1605,6 +1656,32 @@ object Queries {
 
     "lang_id" ->
       s"SELECT doc_id, lang, lang_pred, lang_score FROM '$pipeGold/lang_id.parquet' ORDER BY doc_id",
+
+    // Direct SQL oracle: DuckDB's RE2 runs the same portable patterns
+    // on the same composed text. (Java regex and RE2 agree on this
+    // subset: char classes, bounded repeats, \b, alternation-free.)
+    "pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' via 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(txt, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix.parquet' ORDER BY doc_id, copy",
+
+    "semdedup" ->
+      s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",
 
     "text_bpeish_tokens" ->
       s"SELECT doc_id, n_pieces FROM '$pipeGold/text_bpeish_tokens.parquet' ORDER BY doc_id",

@@ -714,6 +714,47 @@ def gen_e2e_pipeline(ns, dim=32, k=3):
           {"sim": "DOUBLE", "source": "VARCHAR", "summary_len": "BIGINT"})
 
 
+def gen_corpus_mix(docs, seed=42,
+                   weights=None, default_w=0.25):
+    """Mirror of graft.pipeline.Mix.byWeight: copies = floor(w) +
+    [unit_uniform(splitmix64(id+seed)) < frac(w)], exact dyadic
+    uniform (top 53 bits / 2^53)."""
+    if weights is None:
+        weights = {"en": 0.5, "zh": 2.25, "fr": 0.0, "de": 1.0}
+    rows = []
+    for r in docs.itertuples():
+        w = weights.get(r.lang, default_w)
+        u = (splitmix64((r.doc_id + seed) & M64) >> 11) / float(1 << 53)
+        copies = math.floor(w) + (1 if u < (w - math.floor(w)) else 0)
+        for c in range(int(copies)):
+            rows.append((int(r.doc_id), r.lang, c))
+    write("corpus_mix", pd.DataFrame(rows, columns=["doc_id", "lang", "copy"]),
+          {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
+
+
+def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42):
+    """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
+    (same deterministic train as ivf_topk), then within each cluster a
+    row is dropped iff some LOWER-id cluster-mate has cosine >
+    threshold (sequential-double fold, same as the Scala kernel)."""
+    cents = ivf_train(emb, nlist=nlist, iters=iters, seed=seed)
+    assigned = [(vid, v, ivf_nearest(cents, v, 1)[0]) for vid, v in emb]
+    by_cluster = {}
+    for vid, v, c in assigned:
+        by_cluster.setdefault(c, []).append((vid, v))
+    dropped = set()
+    for mem in by_cluster.values():
+        for (i1, v1) in mem:
+            for (i2, v2) in mem:
+                if i2 < i1 and cosine_sim_d(v1, v2) > threshold:
+                    dropped.add(i1)
+                    break
+    rows = [(vid, c, vid not in dropped) for vid, _, c in assigned]
+    rows.sort()
+    write("semdedup", pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"]),
+          {"vec_id": "BIGINT", "cluster": "BIGINT", "keep": "BOOLEAN"})
+
+
 def main():
     which = set(sys.argv[1:])
 
@@ -731,10 +772,15 @@ def main():
         gen_stream_neardup(docs)
     if want("minhash_pairs"):
         gen_minhash_pairs(docs)
+    if want("corpus_mix"):
+        gen_corpus_mix(docs)
     emb = None
-    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8"):
+    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
+              "semdedup"):
         if want(n):
             emb = emb or load_embeddings()
+    if want("semdedup"):
+        gen_semdedup(emb)
     if want("lsh_topk"):
         gen_lsh_topk(emb)
     if want("embed_neardup_lsh"):
