@@ -490,9 +490,19 @@ object Dedup {
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nlist: Int = 16, iters: Int = 3,
                seed: Long = 42L): DataFrame = {
-    import graft.functions.VectorFunctions._
     val model = Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
-    val assigned = Ivf.assign(emb, vecCol, model)
+    semDedupPostings(Ivf.assign(emb, vecCol, model), vecCol, idCol, threshold)
+  }
+
+  /** [[semDedup]] from an already-assigned postings frame (a `cluster`
+    * column present — e.g. [[Ivf.readIndex]] over the on-disk layout).
+    * At 100 TB this is the shape to use: materialize the assignment
+    * once, then both sides of the within-cluster join read it instead
+    * of re-running the quantizer per side.
+    */
+  def semDedupPostings(assigned: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
     val a = assigned.select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
     val b = assigned.select(col("cluster"), col(idCol).as("id2"), col(vecCol).as("v2"))
     // a row is dropped iff SOME lower-id cluster-mate is near enough:
