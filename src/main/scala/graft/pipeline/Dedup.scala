@@ -143,6 +143,47 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** [[crossJaccardPairs]] with a Bloom-filter prefilter on the big
+    * side — the decontamination shape at 100 TB: the eval corpus is
+    * small (benchmarks), the training corpus is the 100 TB side, and
+    * without pruning EVERY training posting shuffles into the
+    * cross-corpus join. A Bloom filter over the eval side's distinct
+    * shingle hashes (built once, broadcast, ~10 bits/item) drops
+    * non-colliding training postings AT THE SCAN (map-side, before
+    * the exchange), cutting the shuffled volume to roughly the
+    * colliding fraction × (1 + fpp).
+    *
+    * EXACTLY equal to [[crossJaccardPairs]] by construction: Bloom
+    * filters have no false negatives, so every posting that matches an
+    * eval shingle survives; false positives only pass postings the
+    * equi-join discards anyway; and set sizes (`na`/`nb`) are computed
+    * from the FULL sets before filtering, so Jaccard values are
+    * untouched. The decontam oracle is therefore shared verbatim.
+    */
+  def crossJaccardPairsBloom(left: DataFrame, right: DataFrame,
+                             textCol: String, idCol: String, w: Int,
+                             threshold: Double,
+                             fpp: Double = 0.01): DataFrame = {
+    def postings(df: DataFrame) = df.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .localCheckpoint(true)
+      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+    val pr = postings(right).localCheckpoint(true) // reused: bloom build + join
+    val evalHashes = pr.select(col("h")).distinct()
+    val nItems = math.max(evalHashes.count(), 1L)
+    val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
+    val bc = left.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val fl = postings(left).where(mightContain(col("h")))
+    fl.as("a").join(pr.as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+      .select(col("left_doc"), col("right_doc"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** EXACT pairwise Jaccard ≥ threshold via prefix filtering
     * (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08):
     * order every document's shingles by ascending global document

@@ -59,4 +59,19 @@ object Mix {
       .withColumn("copy", col("copy").cast(LongType))
       .drop("col", "__copies")
   }
+
+  /** Deterministic global training-order shuffle: append
+    * `skey = splitmix64(id + seed)` and sort by it. The sort is
+    * Spark's distributed range-partitioned sort — sampled range
+    * bounds, no single-partition window, no driver materialization —
+    * and the order is a pure function of (id, seed): stable across
+    * re-runs, engines, and partitionings, and re-keyable per epoch by
+    * bumping the seed. (A training pipeline wants exactly this before
+    * sequence packing: mixture-independent, reproducible order.)
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    df.withColumn("skey",
+        graft.functions.HashFunctions.splitmix64(
+          col(idCol).cast(LongType) + lit(seed)))
+      .orderBy(col("skey"), col(idCol))
 }

@@ -1056,6 +1056,31 @@ object Queries {
           graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))))
 
+  /** Cross-corpus contamination oracle — shared by decontam_pairs and
+    * decontam_bloom (the Bloom path is exact by construction).
+    */
+  private val decontamSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+      |  FROM tok WHERE len(ws) >= 3),
+      |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+      |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS c
+      |  FROM e a JOIN e b ON a.sg = b.sg
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |  GROUP BY 1, 2)
+      |SELECT left_doc, right_doc,
+      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = left_doc
+      |JOIN sz sb ON sb.doc_id = right_doc
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+      |ORDER BY left_doc, right_doc""".stripMargin
+
   val textSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
@@ -1085,27 +1110,11 @@ object Queries {
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
 
-    "decontam_pairs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
-        |  FROM tok WHERE len(ws) >= 3),
-        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
-        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
-        |inter AS (
-        |  SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS c
-        |  FROM e a JOIN e b ON a.sg = b.sg
-        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-        |  GROUP BY 1, 2)
-        |SELECT left_doc, right_doc,
-        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = left_doc
-        |JOIN sz sb ON sb.doc_id = right_doc
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
-        |ORDER BY left_doc, right_doc""".stripMargin,
+    "decontam_pairs" -> decontamSql,
+
+    // the Bloom prefilter is exact (no false negatives, full-set
+    // sizes) — the plain decontamination oracle is shared verbatim
+    "decontam_bloom" -> decontamSql,
 
     "dedup_jaccard_prefix" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1594,6 +1603,29 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "decontam_bloom" -> ((s, d) => {
+      // same contamination result as decontam_pairs, but the training
+      // side's postings are Bloom-prefiltered map-side before the
+      // cross-corpus join — the shuffled-bytes reducer at 100 TB.
+      // Exact equality with the plain path is the oracle (no false
+      // negatives; set sizes from full sets).
+      val docs = tbl(s, d, "documents")
+      graft.pipeline.Dedup.crossJaccardPairsBloom(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "text", "doc_id", w = 3, threshold = 0.2)
+        .orderBy(col("left_doc"), col("right_doc"))
+    }),
+
+    "corpus_shuffle" -> ((s, d) =>
+      // deterministic global training order: distributed
+      // range-partitioned sort on splitmix64(doc_id + seed) — the
+      // reproducible pre-packing shuffle of a training pipeline
+      graft.pipeline.Mix.shuffleOrder(
+        tbl(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", seed = 42L)
+        .select(col("doc_id"), col("skey"))),
+
     "corpus_mix" -> ((s, d) =>
       // deterministic weighted data mixture over language strata:
       // fr dropped, en 2x-downsampled, zh repeated 2-3x (expected
@@ -1679,6 +1711,9 @@ object Queries {
 
     "corpus_mix" ->
       s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix.parquet' ORDER BY doc_id, copy",
+
+    "corpus_shuffle" ->
+      s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
 
     "semdedup" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",

@@ -81,6 +81,41 @@ class MixPiiSpec extends SparkTestBase {
     assert(base.toSeq == other.toSeq)
   }
 
+  test("shuffleOrder: splitmix64 order, stable across partitionings") {
+    val in = mixInput()
+    def run(parts: Int): Seq[(Long, Long)] =
+      Mix.shuffleOrder(in.repartition(parts), "id", seed = 9L)
+        .select("id", "skey").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(7)
+    assert(a == run(2)) // partitioning-independent order
+    val want = (0L until 400L).map(i => (i, Splitmix64.mix(i + 9L)))
+      .sortBy { case (id, k) => (k, id) }
+    assert(a == want)
+    // epoch re-key: a different seed is a different permutation
+    assert(Mix.shuffleOrder(in, "id", seed = 10L)
+      .select("id").collect().map(_.getLong(0)).toSeq != a.map(_._1))
+  }
+
+  test("bloom-prefiltered decontamination equals the plain cross join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = (0L until 40L).map { i =>
+      val t = if (i % 8 <= 1) base + s" epoch ${i / 8}"
+              else s"unique content ${i} " + Seq.fill(10)(s"w${i}_%d").zipWithIndex
+                .map { case (w, j) => w.format(j) }.mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    val l = docs.where(col("doc_id") % 2 === 0)
+    val r = docs.where(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1),
+        java.lang.Double.doubleToLongBits(x.getDouble(2)))).toSet
+    val plain = rows(Dedup.crossJaccardPairs(l, r, "text", "doc_id", 3, 0.1))
+    val bloom = rows(Dedup.crossJaccardPairsBloom(l, r, "text", "doc_id", 3, 0.1))
+    assert(bloom == plain)
+    assert(plain.nonEmpty) // the planted near-dups actually collide
+  }
+
   test("pii scrub counts and redacts; idempotent on scrubbed text") {
     import spark.implicits._
     val df = Seq(

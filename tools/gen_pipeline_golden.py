@@ -732,6 +732,18 @@ def gen_corpus_mix(docs, seed=42,
           {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
 
 
+def gen_corpus_shuffle(docs, seed=42):
+    """Mirror of graft.pipeline.Mix.shuffleOrder: skey =
+    splitmix64(doc_id + seed) as SIGNED 64-bit, rows ordered by
+    (skey, doc_id)."""
+    rows = [(int(r.doc_id), s64(splitmix64((r.doc_id + seed) & M64)))
+            for r in docs.itertuples()]
+    rows.sort(key=lambda t: (t[1], t[0]))
+    write("corpus_shuffle",
+          pd.DataFrame(rows, columns=["doc_id", "skey"]),
+          {"doc_id": "BIGINT", "skey": "BIGINT"})
+
+
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
     (same deterministic train as ivf_topk), then within each cluster a
@@ -774,6 +786,8 @@ def main():
         gen_minhash_pairs(docs)
     if want("corpus_mix"):
         gen_corpus_mix(docs)
+    if want("corpus_shuffle"):
+        gen_corpus_shuffle(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "semdedup"):
