@@ -151,31 +151,53 @@ object TextAnalysis {
       .select(col("doc"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
   }
 
-  /** PII redaction patterns — the subset of regex syntax that Java's
-    * engine and RE2 (DuckDB) interpret identically: character classes,
-    * bounded repeats, no lookaround, no word boundaries.
-    */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  // PII detection/redaction lives in [[Pii]] (oracled by pii_scrub).
 
-  /** Scrub emails → [EMAIL], intl phone numbers → [PHONE], IPv4
-    * addresses → [IP]. Email first: once its digits are gone the
-    * narrower numeric patterns can't partially match inside an
-    * address. Pure codegen'd `regexp_replace` chain — per-row work,
-    * no shuffle, scales like any projection.
+  /** Gopher-style document-quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1, adapted): word-count bounds, mean word
+    * length in [3, 10], symbol-word ratio < 0.1, ≥ 80% words with an
+    * alphabetic character, ≥ 2 distinct English stopwords. Emits the
+    * per-rule signals plus the composite `keep` so a pipeline can
+    * filter, or audit which rule fired.
+    *
+    * One pass, map-side: all counters fold over the token array in a
+    * SINGLE `aggregate` higher-order call with a struct accumulator —
+    * the split is evaluated once per row (separate size/filter
+    * consumers would each inline their own copy of the split under
+    * CollapseProject), there is no UDF, no explode, no shuffle.
+    * English-centric by design, like the original: non-Latin scripts
+    * fail the alphabetic rule and space-free text collapses to one
+    * giant token — those documents FLAG false rather than error.
     */
-  def scrubPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]"),
-      Ipv4Re, "[IP]")
-
-  def piiCounts(text: Column): Seq[Column] = Seq(
-    regexp_count(text, lit(EmailRe)).cast(LongType).as("n_emails"),
-    regexp_count(text, lit(PhoneRe)).cast(LongType).as("n_phones"),
-    regexp_count(text, lit(Ipv4Re)).cast(LongType).as("n_ips"))
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String): org.apache.spark.sql.DataFrame = {
+    val stops = Seq("the", "and", "of", "to", "in")
+    val zero = struct(lit(0L).as("n"), lit(0L).as("sumLen"),
+      lit(0L).as("alpha"), lit(0L).as("sym"), lit(0L).as("mask"))
+    def b(c: Column): Column = when(c, lit(1L)).otherwise(lit(0L))
+    val folded = aggregate(split(col(textCol), " "), zero, (acc, w) => struct(
+      (acc("n") + 1L).as("n"),
+      (acc("sumLen") + length(w).cast(LongType)).as("sumLen"),
+      (acc("alpha") + b(w.rlike("[A-Za-z]"))).as("alpha"),
+      (acc("sym") + b(w.rlike("^#|\\.\\.\\.$"))).as("sym"),
+      stops.zipWithIndex.foldLeft(acc("mask")) { case (m, (s, i)) =>
+        m.bitwiseOR(when(w === s, lit(1L << i)).otherwise(lit(0L)))
+      }.as("mask")))
+    val nD = col("f.n").cast(DoubleType)
+    df.select(col(idCol), folded.as("f"))
+      .select(col(idCol),
+        col("f.n").as("n_words"),
+        (col("f.sumLen").cast(DoubleType) / nD).as("mean_word_len"),
+        (col("f.sym").cast(DoubleType) / nD).as("symbol_ratio"),
+        (col("f.alpha").cast(DoubleType) / nD).as("alpha_frac"),
+        bit_count(col("f.mask")).cast(LongType).as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(10L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2L)
+  }
 
   /** 64-bit FNV-1a over UTF-8 — shared by SimHash/MinHash so
     * signatures are stable across runs and engines.

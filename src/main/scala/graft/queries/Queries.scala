@@ -1603,6 +1603,14 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "gopher_filter" -> ((s, d) =>
+      // Gopher-rule quality gate: one single-pass struct-accumulator
+      // fold over the token array (split evaluated once, no UDF, no
+      // shuffle); DuckDB recomputes every rule independently
+      graft.pipeline.TextAnalysis.gopherFlags(
+        tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     "decontam_bloom" -> ((s, d) => {
       // same contamination result as decontam_pairs, but the training
       // side's postings are Bloom-prefiltered map-side before the
@@ -1714,6 +1722,30 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "gopher_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^#|\.\.\.$'))) AS BIGINT) AS sym,
+        |    CAST(list_contains(ws, 'the') AS BIGINT) + CAST(list_contains(ws, 'and') AS BIGINT)
+        |      + CAST(list_contains(ws, 'of') AS BIGINT) + CAST(list_contains(ws, 'to') AS BIGINT)
+        |      + CAST(list_contains(ws, 'in') AS BIGINT) AS n_stop
+        |  FROM tok)
+        |SELECT doc_id, n AS n_words,
+        |  CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
+        |  CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) AS symbol_ratio,
+        |  CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_frac,
+        |  n_stop,
+        |  (n BETWEEN 10 AND 100000)
+        |    AND (CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1)
+        |    AND (CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8)
+        |    AND n_stop >= 2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "semdedup" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",

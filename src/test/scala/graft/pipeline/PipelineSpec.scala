@@ -190,6 +190,31 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.crossJaccardPairs(one, empty, "text", "doc_id", 3, 0.2).count() == 0)
   }
 
+  test("gopher flags: each rule fires on its planted violation") {
+    import spark.implicits._
+    val good = ("the cat and the dog ran of to the house in town " * 3).trim
+    val docs = Seq(
+      (0L, good),                                       // passes all rules
+      (1L, "the and of to in"),                         // too few words
+      (2L, ("xx " * 40 + "the and of in to").trim),     // mean word len < 3
+      (3L, (good.split(' ').map(w => "#" + w).mkString(" ") +
+        " the and of")),                                // symbol ratio ≥ 0.1
+      (4L, ("01 23 45 67 89 " * 8 + "the and of").trim), // alpha frac < 0.8
+      (5L, ("lorem ipsum dolor sit amet " * 6).trim)    // < 2 stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getBoolean(6)).toSeq ==
+      Seq(true, false, false, false, false, false))
+    // signals agree with a direct recompute on the good doc
+    val ws = good.split(' ')
+    assert(got(0).getLong(1) == ws.length)
+    assert(got(0).getDouble(2) == ws.map(_.length).sum.toDouble / ws.length)
+    assert(got(0).getLong(5) == 5L) // all five stopwords present
+    // rule isolation: doc 5 fails ONLY the stopword rule
+    assert(got(5).getLong(5) < 2L && got(5).getDouble(4) >= 0.8)
+  }
+
   test("dup-line fraction: repeated lines counted, single-line docs 0") {
     import spark.implicits._
     val docs = Seq(
