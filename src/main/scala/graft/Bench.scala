@@ -55,17 +55,28 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, ok)
     }
-    // 3-decimal formatting: the driver keeps only a bounded tail of the
-    // sbt output and parses the JSON line out of it — full-precision
-    // doubles pushed the line past the window (r01/r02: parsed=null).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val filtered = if (only.isDefined) """"filtered":true,""" else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$filtered"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2000-char tail of the sbt stdout and
+    // parses the JSON line out of it; sbt's own "[success] Total time"
+    // line eats ~75 chars of that window from the end. At 86 queries a
+    // 3-decimal line is ~2020 chars — the FRONT of the JSON would be
+    // cut. So stdout gets 2-decimal timings and the sf basename
+    // (~1990 chars all-in), and the full-precision per-query JSON goes
+    // to BENCH_DETAIL.json in the working tree, which the end-of-round
+    // commit captures.
+    def fmt(v: Double, prec: Int): String =
+      s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    def jsonLine(prec: Int, sf: String): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      val filtered = if (only.isDefined) """"filtered":true,""" else ""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered"queries":$qs,"errors":$errs,"sf":"$sf"}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_DETAIL.json"), jsonLine(3, sfDir) + "\n")
+    println(jsonLine(2, new java.io.File(sfDir).getName))
     spark.stop()
   }
 }

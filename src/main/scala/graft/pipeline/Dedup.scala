@@ -519,8 +519,10 @@ object Dedup {
     * (the faiss design), assignment is one scan, and the duplicate
     * test is a WITHIN-CLUSTER self-equi-join — candidates are bounded
     * by cluster size, never all-pairs, exactly like the paper's
-    * per-cluster pairwise pass. At 100 TB, nlist grows with the corpus
-    * (√n clusters keeps per-cluster work flat) and the join stays the
+    * per-cluster pairwise pass. Total candidate work is n²/nlist, so
+    * at 100 TB nlist grows PROPORTIONALLY with the corpus (the paper
+    * uses ~100k clusters for billions of points): cluster size — and
+    * with it per-row join work — stays flat, and the join keeps the
     * same plan. A pathological giant cluster is the skew risk; AQE's
     * skew-join split or a salt on the cluster id handles it.
     *

@@ -62,7 +62,15 @@ object ScaleCurve {
       "repetition" -> (d =>
         graft.pipeline.TextAnalysis.repetitionSignals(d, "text", "doc_id")),
       "seq_packing" -> (d =>
-        graft.pipeline.SeqPack.packOffsets(spark, d, "text", "doc_id", 2048L)))
+        graft.pipeline.SeqPack.packOffsets(spark, d, "text", "doc_id", 2048L)),
+      "gopher" -> (d =>
+        graft.pipeline.TextAnalysis.gopherFlags(d, "text", "doc_id")),
+      "pii_scrub" -> (d => graft.pipeline.Pii.scrub(d, "text")),
+      "corpus_mix" -> (d =>
+        graft.pipeline.Mix.byWeight(
+          d.withColumn("lang", (col("doc_id") % 5).cast("string")),
+          "doc_id", "lang",
+          Map("0" -> 0.5, "1" -> 2.25, "2" -> 0.0, "3" -> 1.0), 0.25)))
 
     println(f"${"op"}%-16s ${"n_docs"}%8s ${"mult"}%5s ${"sec"}%8s ${"pairs"}%8s")
     val timings = ops.map { case (name, fn) =>
@@ -89,6 +97,97 @@ object ScaleCurve {
       name -> k
     }
     println(timings.map { case (n, k) => f"$n=$k%.2f" }.mkString("EXPONENTS: ", " ", ""))
+
+    // ---- decontamination: training side grows, eval side FIXED ----
+    // The real contamination-check shape: the eval corpus (odd ids of
+    // the 1x table) never grows; only the training side blows up.
+    // Plain vs Bloom-prefiltered on identical inputs — the bloom curve
+    // should stay near-flat in the non-colliding training mass.
+    // NB: the eval frame is rebuilt inside every iteration — the
+    // cleanup unpersists ALL persistent RDDs, and a localCheckpoint'd
+    // frame held across that has no lineage left to recompute
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    def evalSide() = docs.where(col("doc_id") % 2 === 1)
+    for ((name, fn) <- Seq[(String, (DataFrame, DataFrame) => DataFrame)](
+      "decontam_plain" -> ((l, r) =>
+        Dedup.crossJaccardPairs(l, r, "text", "doc_id", 3, 0.2)),
+      "decontam_bloom" -> ((l, r) =>
+        Dedup.crossJaccardPairsBloom(l, r, "text", "doc_id", 3, 0.2)))) {
+      fn(spark.read.parquet(scaleDirs.head._2)
+        .where(col("doc_id") % 2 === 0), evalSide()).count() // warm-up
+      val ts = scaleDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val train = spark.read.parquet(path).where(col("doc_id") % 2 === 0)
+        val n = train.count()
+        val t0 = System.nanoTime()
+        val pairs = fn(train, evalSide()).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-16s $n%8d $m%5d $sec%8.2f $pairs%8d")
+        (m, sec)
+      }
+      val k = math.log(ts.last._2 / ts.head._2) /
+        math.log(ts.last._1.toDouble / ts.head._1)
+      println(f"$name%-16s exponent k=$k%.2f (train-side growth)")
+    }
+    // Bloom's win at this sf is shuffled VOLUME, not wall time (both
+    // curves sit on fixed costs): quantify the posting rows that
+    // survive the prefilter at the largest blowup.
+    {
+      import graft.pipeline.TextAnalysis
+      val train = spark.read.parquet(scaleDirs.last._2)
+        .where(col("doc_id") % 2 === 0)
+      def postings(d: DataFrame) = d.select(explode(array_distinct(
+        TextAnalysis.shingleHashesUdf(col("text"), lit(3)))).as("h"))
+      val total = postings(train).count()
+      val evalH = postings(evalSide()).distinct()
+      val bloom = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1L), 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mc = udf((h: Long) => bc.value.mightContainLong(h))
+      val kept = postings(train).where(mc(col("h"))).count()
+      println(f"bloom_prefilter  postings $total%d -> $kept%d " +
+        f"(${100.0 * kept / total}%.2f%% shuffle into the join)")
+    }
+
+    // ---- semdedup: embeddings blowup, nlist ∝ corpus ----
+    // Copies are rotated (direction changes, not scalings — cosine is
+    // scale-invariant), so they cluster elsewhere instead of stacking
+    // duplicates. nlist grows with the corpus per the operator
+    // contract (work = n²/nlist stays ∝ n).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embDirs = mults.map { m =>
+      val path = s"target/tmp/scale_curve/emb_x$m"
+      (0 until m).map { i =>
+        if (i == 0) emb
+        else {
+          val rot = (i * 7) % dim max 1
+          emb.select((col("vec_id") + lit(i * maxVid)).as("vec_id"),
+            concat(slice(col("embedding"), rot + 1, dim - rot),
+              slice(col("embedding"), 1, rot)).as("embedding"))
+        }
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+      m -> path
+    }
+    Dedup.semDedup(spark.read.parquet(embDirs.head._2), "embedding",
+      "vec_id", threshold = 0.35, nlist = 16).count() // warm-up
+    val sts = embDirs.map { case (m, path) =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val d = spark.read.parquet(path)
+      val n = d.count()
+      val t0 = System.nanoTime()
+      val kept = Dedup.semDedup(d, "embedding", "vec_id",
+        threshold = 0.35, nlist = 16 * m).where(col("keep")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"semdedup         $n%8d $m%5d $sec%8.2f $kept%8d")
+      (m, sec)
+    }
+    val sk = math.log(sts.last._2 / sts.head._2) /
+      math.log(sts.last._1.toDouble / sts.head._1)
+    println(f"semdedup         exponent k=$sk%.2f (nlist ∝ corpus)")
     spark.stop()
   }
 }
