@@ -184,6 +184,41 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Per-eval-document contamination fraction: the share of a
+    * document's distinct w-gram shingles that appear ANYWHERE in the
+    * training corpus — the number an eval card reports ("x% of
+    * benchmark n-grams occur in training data"), complementing the
+    * pairwise view of [[crossJaccardPairs]].
+    *
+    * Shape: train postings → distinct hashes (one map-combined
+    * aggregation), then a LEFT SEMI equi-join from the eval postings
+    * and a per-doc count — no pair rows ever materialize, so the cost
+    * is linear in postings regardless of how contaminated the corpora
+    * are (the pairwise join degrades when one eval doc matches
+    * thousands of train docs; this never does).
+    */
+  def contaminationFraction(train: DataFrame, eval: DataFrame,
+                            textCol: String, idCol: String,
+                            w: Int): DataFrame = {
+    val evalPosts = eval.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      .localCheckpoint(true) // two consumers: totals + the semi join
+      .select(col("doc"), explode(col("shs")).as("h"))
+    val trainHashes = train.select(
+        explode(array_distinct(
+          TextAnalysis.shingleHashesUdf(col(textCol), lit(w)))).as("h"))
+      .distinct()
+    val contaminated = evalPosts.join(trainHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_contaminated"))
+    evalPosts.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+      .join(contaminated, Seq("doc"), "left")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("frac",
+        col("n_contaminated").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType))
+  }
+
   /** EXACT pairwise Jaccard ≥ threshold via prefix filtering
     * (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08):
     * order every document's shingles by ascending global document

@@ -1603,6 +1603,18 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "eval_contamination" -> ((s, d) => {
+      // the eval-card metric: per eval doc, the share of its distinct
+      // trigram shingles present anywhere in the training split —
+      // semi-join shape, no pair rows, linear in postings
+      val docs = tbl(s, d, "documents")
+      graft.pipeline.Dedup.contaminationFraction(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "text", "doc_id", w = 3)
+        .orderBy(col("doc"))
+    }),
+
     "gopher_filter" -> ((s, d) =>
       // Gopher-rule quality gate: one single-pass struct-accumulator
       // fold over the token array (split evaluated once, no UDF, no
@@ -1722,6 +1734,29 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    // set-membership over shingle STRINGS mirrors the engine's rolling
+    // hashes — same injectivity assumption the decontam oracle already
+    // relies on
+    "eval_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |trainh AS (SELECT DISTINCT sg FROM e WHERE doc_id % 2 = 0),
+        |ev AS (SELECT doc_id, sg FROM e WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+        |cont AS (SELECT doc_id, count(*) AS n_contaminated FROM ev
+        |         WHERE sg IN (SELECT sg FROM trainh) GROUP BY 1)
+        |SELECT t.doc_id AS doc, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(c.n_contaminated, 0) AS DOUBLE)
+        |    / CAST(t.n_shingles AS DOUBLE) AS frac
+        |FROM tot t LEFT JOIN cont c ON c.doc_id = t.doc_id
+        |ORDER BY doc""".stripMargin,
 
     "gopher_filter" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -116,6 +116,26 @@ class MixPiiSpec extends SparkTestBase {
     assert(plain.nonEmpty) // the planted near-dups actually collide
   }
 
+  test("contamination fraction: planted overlap gives the exact share") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "a b c d e"),             // shingles: abc bcd cde
+      (2L, "x y z w")                // xyz yzw
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d q"),             // abc bcd cdq → 2/3 contaminated
+      (3L, "p q r s"),               // pqr qrs → 0/2
+      (5L, "x y z")                  // xyz → 1/1
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(train, eval, "text", "doc_id", 3)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2.0 / 3.0),
+      (3L, 2L, 0L, 0.0),
+      (5L, 1L, 1L, 1.0)))
+  }
+
   test("pii scrub counts and redacts; idempotent on scrubbed text") {
     import spark.implicits._
     val df = Seq(
