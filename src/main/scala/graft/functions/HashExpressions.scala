@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * ANSI mode (it throws on overflow) — a native expression sidesteps
   * that and stays inside whole-stage codegen.
   */
-case class Splitmix64(child: Expression) extends UnaryExpression {
+case class Splitmix64(child: Expression, seed: Long = 0L)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -29,13 +30,17 @@ case class Splitmix64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "splitmix64"
 
   override def nullSafeEval(x: Any): Any =
-    Splitmix64.mix(x.asInstanceOf[Long])
+    Splitmix64.mix(x.asInstanceOf[Long] + seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
       val z = ctx.freshName("z")
+      // the seed is folded in HERE (Java long arithmetic wraps) — a
+      // plan-level `key + seed` Add would throw on overflow in ANSI
+      // mode, breaking the wrap-around contract the Python mirror
+      // ((key + seed) & M64) replays
       s"""
-         |long $z = $x + 0x9e3779b97f4a7c15L;
+         |long $z = $x + ${seed}L + 0x9e3779b97f4a7c15L;
          |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
          |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
          |${ev.value} = $z ^ ($z >>> 31);
@@ -66,17 +71,21 @@ object Splitmix64 {
     (mix(x0) >>> 11).toDouble / (1L << 53).toDouble
 }
 
-/** Column-level API over the hash expressions. */
+/** Column-level API over the hash expressions. The seed rides INSIDE
+  * the expression: wrap-around `key + seed` cannot be written as plan
+  * arithmetic under ANSI mode (Add throws on Long overflow), and ids
+  * near Long.MaxValue are legitimate for hash-derived keys.
+  */
 object HashFunctions {
-  def splitmix64(x: Column): Column =
-    ColumnBridge.column(Splitmix64(ColumnBridge.expression(x)))
+  def splitmix64(x: Column, seed: Long = 0L): Column =
+    ColumnBridge.column(Splitmix64(ColumnBridge.expression(x), seed))
 
   /** Deterministic per-row uniform in [0, 1) from a long key: exact
     * dyadic rational (top 53 bits / 2^53) of the splitmix64 mix.
     */
-  def unitUniform(key: Column): Column = {
+  def unitUniform(key: Column, seed: Long = 0L): Column = {
     import org.apache.spark.sql.functions._
-    shiftrightunsigned(splitmix64(key), 11)
+    shiftrightunsigned(splitmix64(key, seed), 11)
       .cast(DoubleType) / lit((1L << 53).toDouble)
   }
 }

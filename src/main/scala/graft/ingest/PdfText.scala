@@ -101,14 +101,19 @@ object PdfText {
     // Classic form: `trailer << ... /Encrypt n g R ... >>`. A file may
     // hold several trailers (incremental updates); any declaring
     // /Encrypt means the document needs the security handler.
+    // Window bounds fall back to the NEXT structural terminator, or
+    // end-of-file when the document is truncated mid-trailer — a
+    // fixed-size window could stop short of a late /Encrypt key
+    // (large /ID//Info strings first) and extract encrypted garbage.
+    def firstAfter(from: Int, kws: String*): Int = {
+      val hits = kws.map(raw.indexOf(_, from)).filter(_ >= 0)
+      if (hits.isEmpty) raw.length else hits.min
+    }
     var t = raw.indexOf("trailer")
     while (t >= 0) {
       val open = raw.indexOf("<<", t)
       if (open >= 0) {
-        val stop = raw.indexOf("startxref", open) match {
-          case -1 => math.min(raw.length, open + 4096)
-          case s  => s
-        }
+        val stop = firstAfter(open, "startxref", "%%EOF")
         if (raw.substring(open, stop).contains("/Encrypt")) return true
       }
       t = raw.indexOf("trailer", t + 7)
@@ -118,8 +123,7 @@ object PdfText {
     var x = raw.indexOf("/XRef")
     while (x >= 0) {
       val objStart = raw.lastIndexOf(" obj", x) max 0
-      val kw = raw.indexOf("stream", x)
-      val stop = if (kw >= 0) kw else math.min(raw.length, x + 4096)
+      val stop = firstAfter(x, "stream", "endobj")
       if (raw.substring(objStart, stop).contains("/Encrypt")) return true
       x = raw.indexOf("/XRef", x + 5)
     }

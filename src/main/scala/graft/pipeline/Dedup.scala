@@ -164,17 +164,26 @@ object Dedup {
                              textCol: String, idCol: String, w: Int,
                              threshold: Double,
                              fpp: Double = 0.01): DataFrame = {
-    def postings(df: DataFrame) = df.select(col(idCol).as("doc"),
-        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
-      .localCheckpoint(true)
-      .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
-    val pr = postings(right).localCheckpoint(true) // reused: bloom build + join
+    def shingled(df: DataFrame) = df.select(col(idCol).as("doc"),
+      array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+    def explodePostings(sets: DataFrame) = sets.select(col("doc"),
+      size(col("shs")).as("n"), explode(col("shs")).as("h"))
+    // right (eval) side: SMALL by assumption; checkpoint once, reused
+    // by the bloom build and the join probe
+    val pr = explodePostings(shingled(right).localCheckpoint(true))
     val evalHashes = pr.select(col("h")).distinct()
     val nItems = math.max(evalHashes.count(), 1L)
     val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    val fl = postings(left).where(mightContain(col("h")))
+    // left (training) side: NO checkpoint — materializing the 100 TB
+    // side's shingle arrays before the filter would pay exactly the
+    // cost this operator exists to avoid. The price is the shingle
+    // UDF re-evaluating 2-3× per row under constraint-derived filters
+    // (size/explode consumers) — map-side CPU, which beats writing
+    // the whole postings frame to the block manager. Rows stream scan
+    // → filter → exchange, pruned before the shuffle.
+    val fl = explodePostings(shingled(left)).where(mightContain(col("h")))
     fl.as("a").join(pr.as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
@@ -569,7 +578,14 @@ object Dedup {
                threshold: Double, nlist: Int = 16, iters: Int = 3,
                seed: Long = 42L): DataFrame = {
     val model = Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
-    semDedupPostings(Ivf.assign(emb, vecCol, model), vecCol, idCol, threshold)
+    // materialize the assignment ONCE: semDedupPostings scans its
+    // input three times (both join sides + the keep-flag join), and
+    // the assign UDF costs nlist centroid dots per row — at nlist ∝
+    // corpus (the operator contract) a 3× re-run is the dominant
+    // cost. Callers with an on-disk index use semDedupPostings
+    // directly and skip this (parquet re-reads prune by column).
+    semDedupPostings(Ivf.assign(emb, vecCol, model).localCheckpoint(true),
+      vecCol, idCol, threshold)
   }
 
   /** [[semDedup]] from an already-assigned postings frame (a `cluster`

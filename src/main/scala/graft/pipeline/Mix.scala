@@ -39,6 +39,8 @@ object Mix {
                seed: Long = 42L): DataFrame = {
     require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
       "weights must be non-negative")
+    require(!df.columns.contains("copy"),
+      "byWeight appends a `copy` column; rename the existing one first")
     val wMap = typedlit(weights)
     // try_element_at: ANSI mode (Spark 4 default) makes plain
     // element_at throw on a missing map key; absent strata must fall
@@ -47,17 +49,21 @@ object Mix {
       lit(defaultWeight))
     // copies = floor(w) + [u < frac(w)]; u is the exact dyadic uniform
     // from the row id, so the fractional part admits one extra copy
-    // with probability frac(w), independently per row.
-    val u = HashFunctions.unitUniform(col(idCol).cast(LongType) + lit(seed))
+    // with probability frac(w), independently per row. The seed folds
+    // in INSIDE the hash expression — `id + seed` as plan arithmetic
+    // would throw (not wrap) on overflow under ANSI mode.
+    val u = HashFunctions.unitUniform(col(idCol).cast(LongType), seed)
     val base = floor(w).cast("int")
     val copies = base + when(u < (w - floor(w)), lit(1)).otherwise(lit(0))
+    // generator outputs get collision-proof aliases: a user column
+    // named `pos`/`col` must pass through untouched
     df.withColumn("__copies", copies)
       .where(col("__copies") > 0)
       .select(df.columns.map(col) :+
-        posexplode(array_repeat(lit(1), col("__copies"))): _*)
-      .withColumnRenamed("pos", "copy")
-      .withColumn("copy", col("copy").cast(LongType))
-      .drop("col", "__copies")
+        posexplode(array_repeat(lit(1), col("__copies")))
+          .as(Seq("__pos", "__one")): _*)
+      .withColumn("copy", col("__pos").cast(LongType))
+      .drop("__pos", "__one", "__copies")
   }
 
   /** Deterministic global training-order shuffle: append
@@ -72,6 +78,6 @@ object Mix {
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
     df.withColumn("skey",
         graft.functions.HashFunctions.splitmix64(
-          col(idCol).cast(LongType) + lit(seed)))
+          col(idCol).cast(LongType), seed))
       .orderBy(col("skey"), col(idCol))
 }

@@ -28,8 +28,11 @@ object Pii {
     */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** International-prefix phone shape `+CC-NNN-NNNN`. */
-  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  /** International-prefix phone shapes: `+CC-NNN-NNNN` and the NANP
+    * 4-group `+CC-NNN-NNN-NNNN` (the optional middle group's greedy
+    * match keeps the two alternatives unambiguous).
+    */
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3,4}(-\\d{4})?"
 
   /** Append `n_emails`, `n_ips`, `n_phones` (counts in the ORIGINAL
     * text) and `scrubbed` (text with each category replaced by its

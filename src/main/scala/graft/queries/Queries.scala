@@ -1722,11 +1722,11 @@ object Queries {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(txt, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(txt, '\+\d{1,2}-\d{3}-\d{3,4}(-\d{4})?')) AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(txt,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        |    '\+\d{1,2}-\d{3}-\d{3,4}(-\d{4})?', '<PHONE>', 'g') AS scrubbed
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->

@@ -141,7 +141,7 @@ class MixPiiSpec extends SparkTestBase {
     val df = Seq(
       (0L, "reach me at alice.smith+work@corp.example.org or bob@x.io thanks"),
       (1L, "server 192.168.0.1 talked to 10.0.0.255 on schedule"),
-      (2L, "call +1-555-0134 (or +49-030-1234)"),
+      (2L, "call +1-555-0134 (or +49-030-1234) and +1-555-123-4567"),
       (3L, "no pii here, just 3.14 and v1.2.3 and a@b (not an email)"),
       (4L, "mixed: c@d.com from 8.8.8.8 tel +1-555-9999")
     ).toDF("id", "text")
@@ -150,11 +150,11 @@ class MixPiiSpec extends SparkTestBase {
       .collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L, 0L, 1L))
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L, 0L, 0L, 1L))
-    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 2L, 0L, 1L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 3L, 0L, 1L))
     assert(out(0).getString(3) ==
       "reach me at <EMAIL> or <EMAIL> thanks")
     assert(out(1).getString(3) == "server <IP> talked to <IP> on schedule")
-    assert(out(2).getString(3) == "call <PHONE> (or <PHONE>)")
+    assert(out(2).getString(3) == "call <PHONE> (or <PHONE>) and <PHONE>")
     assert(out(3).getString(3) ==
       "no pii here, just 3.14 and v1.2.3 and a@b (not an email)")
     assert(out(4).getString(3) == "mixed: <EMAIL> from <IP> tel <PHONE>")
