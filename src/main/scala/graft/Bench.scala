@@ -57,26 +57,43 @@ object Bench {
     }
     // The driver keeps only a ~2000-char tail of the sbt stdout and
     // parses the JSON line out of it; sbt's own "[success] Total time"
-    // line eats ~75 chars of that window from the end. At 86 queries a
-    // 3-decimal line is ~2020 chars — the FRONT of the JSON would be
-    // cut. So stdout gets 2-decimal timings and the sf basename
-    // (~1990 chars all-in), and the full-precision per-query JSON goes
-    // to BENCH_DETAIL.json in the working tree, which the end-of-round
-    // commit captures.
+    // trailer eats ~75 chars of that window from the end, so anything
+    // past ~1900 chars gets its FRONT cut (87 queries × 3 decimals ≈
+    // 2040). The stdout line auto-fits a conservative budget by
+    // degrading gracefully — fewer decimals, drop the empty errors
+    // array and sf — and the full-precision per-query JSON always
+    // goes to BENCH_DETAIL.json in the working tree (committed per
+    // round), so nothing is ever actually lost.
     def fmt(v: Double, prec: Int): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-    def jsonLine(prec: Int, sf: String): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
-        .mkString("{", ",", "}")
-      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-        .mkString("[", ",", "]")
-      val total = results.collect { case (_, v, true) => v }.sum
-      val filtered = if (only.isDefined) """"filtered":true,""" else ""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered"queries":$qs,"errors":$errs,"sf":"$sf"}"""
+    val total = results.collect { case (_, v, true) => v }.sum
+    val filtered = if (only.isDefined) """"filtered":true,""" else ""
+    def jsonLine(prec: Int, sf: Option[String], dropEmptyErrs: Boolean,
+                 withQueries: Boolean): String = {
+      val qs =
+        if (withQueries)
+          results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+            .mkString(""""queries":{""", ",", "},")
+        else """"queries_file":"BENCH_DETAIL.json","""
+      val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      val errs = if (errList.isEmpty && dropEmptyErrs) ""
+        else errList.mkString(""""errors":[""", ",", "],")
+      val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered$qs$errs"n_queries":${results.size}$sfPart}"""
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_DETAIL.json"), jsonLine(3, sfDir) + "\n")
-    println(jsonLine(2, new java.io.File(sfDir).getName))
+      java.nio.file.Path.of("BENCH_DETAIL.json"),
+      jsonLine(3, Some(sfDir), dropEmptyErrs = false, withQueries = true) + "\n")
+    val sfBase = new java.io.File(sfDir).getName
+    val budget = 1860
+    val line = Seq(
+      jsonLine(3, Some(sfDir), dropEmptyErrs = false, withQueries = true),
+      jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = true),
+      jsonLine(1, Some(sfBase), dropEmptyErrs = true, withQueries = true),
+      jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = false))
+      .find(_.length <= budget)
+      .getOrElse(jsonLine(2, None, dropEmptyErrs = true, withQueries = false))
+    println(line)
     spark.stop()
   }
 }
