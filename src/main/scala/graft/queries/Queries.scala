@@ -1603,6 +1603,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "text_vocabulary" -> ((s, d) =>
+      // corpus vocabulary induction: term -> (tf, df) — the input to
+      // tokenizer training and df-based filtering
+      graft.pipeline.TextAnalysis.vocabulary(
+        tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("term"))),
+
+    "text_tfidf" -> ((s, d) =>
+      // top-5 characteristic terms per doc by tf·N/df (log-free idf
+      // surrogate, rank-equivalent and bit-reproducible)
+      graft.pipeline.TextAnalysis.tfidfTopTerms(
+        tbl(s, d, "documents"), "text", "doc_id", k = 5)
+        .orderBy(col("doc"), col("rk"))),
+
     "eval_contamination" -> ((s, d) => {
       // the eval-card metric: per eval doc, the share of its distinct
       // trigram shingles present anywhere in the training split —
@@ -1734,6 +1748,27 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "text_vocabulary" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |scored AS (
+        |  SELECT doc, tf.term AS term, tf, df,
+        |    CAST(tf AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+        |      / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term),
+        |rked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc ORDER BY score DESC, term) AS rk FROM scored)
+        |SELECT doc, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+        |FROM rked WHERE rk <= 5 ORDER BY doc, rk""".stripMargin,
 
     // set-membership over shingle STRINGS mirrors the engine's rolling
     // hashes — same injectivity assumption the decontam oracle already

@@ -190,6 +190,29 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.crossJaccardPairs(one, empty, "text", "doc_id", 3, 0.2).count() == 0)
   }
 
+  test("vocabulary and tf-idf top terms on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark shuffle join"),
+      (1L, "spark join broadcast"),
+      (2L, "bread flour water water")
+    ).toDF("doc_id", "text")
+    val full = TextAnalysis.vocabulary(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full("spark") == (3L, 2L))   // tf 3 across docs, df 2
+    assert(full("water") == (2L, 1L))
+    assert(full("join") == (2L, 2L))
+    // tf-idf: doc 0's top term must be "spark" (tf 2, df 2 → 3.0),
+    // beating "shuffle" (tf 1, df 1 → 3.0) only via the term tiebreak?
+    // No: spark scores 2*3/2 = 3.0, shuffle 1*3/1 = 3.0 — tie broken
+    // by term asc → "shuffle" before "spark".
+    val top = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .where(col("doc") === 0L).orderBy("rk")
+      .collect().map(r => (r.getString(2), r.getDouble(5)))
+    assert(top.length == 2)
+    assert(top(0) == ("shuffle", 3.0) && top(1) == ("spark", 3.0))
+  }
+
   test("gopher flags: each rule fires on its planted violation") {
     import spark.implicits._
     val good = ("the cat and the dog ran of to the house in town " * 3).trim
