@@ -953,6 +953,7 @@ object Queries {
           graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           graft.pipeline.TextAnalysis.charsPerToken(col("text"), col("n_chars")).as("chars_per_token"),
           graft.pipeline.TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          graft.pipeline.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
           graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
@@ -1247,11 +1248,13 @@ object Queries {
         |ORDER BY doc""".stripMargin,
 
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws, n_chars FROM documents)
          |SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_tokens,
          |  round(CAST(n_chars AS DOUBLE) / len(ws), 4) AS chars_per_token,
          |  round(CAST(len(list_filter(ws, w -> w IN $stopwordsSqlList)) AS DOUBLE) / len(ws), 4) AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |    / length(text), 4) AS punct_ratio,
          |  round(least(1.0, len(ws) / 100.0)
          |    * (0.5 + 0.5 * least(1.0,
          |        (CAST(len(list_filter(ws, w -> w IN $stopwordsSqlList)) AS DOUBLE) / len(ws)) * 5.0)), 4) AS quality
