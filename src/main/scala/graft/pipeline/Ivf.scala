@@ -66,7 +66,44 @@ object Ivf {
     */
   def train(df: DataFrame, vecCol: String, idCol: String, nlist: Int,
             iters: Int = 5, seed: Long = 42L,
-            maxTrainRows: Long = 200000L): IvfModel = {
+            maxTrainRows: Long = 200000L): IvfModel =
+    IvfModel(kmeansFold(collectSample(df, vecCol, idCol, seed, maxTrainRows),
+      nlist, iters, seed))
+
+  /** Two-level (hierarchical) train for LARGE nlist: an L1 quantizer
+    * with ~√nlist centroids partitions the sample, then each L1 cell
+    * trains its own nlist/√nlist sub-centroids — the flat model the
+    * search path consumes is their concatenation. Driver cost drops
+    * from sample×nlist to sample×2√nlist distance evaluations (the
+    * faiss IVF_HNSW/two-level recipe): at nlist = 65536 that is ~128×
+    * less fold work, which is what makes corpus-proportional nlist
+    * (the [[graft.pipeline.Dedup.semDedup]] contract) affordable past
+    * a few thousand clusters. Deterministic by the same construction
+    * as [[train]] — the Python oracle replays L1, the per-cell L2
+    * folds in cell order, and the concatenation order.
+    */
+  def trainHierarchical(df: DataFrame, vecCol: String, idCol: String,
+                        nlist: Int, iters: Int = 5, seed: Long = 42L,
+                        maxTrainRows: Long = 200000L,
+                        branch: Int = 0): IvfModel = {
+    val sample = collectSample(df, vecCol, idCol, seed, maxTrainRows)
+    val b1 = if (branch > 0) branch
+      else math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+    val l1 = IvfModel(kmeansFold(sample, b1, iters, seed))
+    val kc = math.max(1, nlist / b1)
+    val groups = Array.fill(l1.nlist)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+    sample.foreach { case (id, v) => groups(l1.nearest(v, 1)(0)) += ((id, v)) }
+    val cents = groups.zipWithIndex.flatMap { case (g, c) =>
+      if (g.isEmpty) Array(l1.centroids(c)) // empty cell keeps its L1 centroid
+      else kmeansFold(g.toArray, kc, iters, seed)
+    }
+    IvfModel(cents)
+  }
+
+  private def collectSample(df: DataFrame, vecCol: String, idCol: String,
+                            seed: Long,
+                            maxTrainRows: Long): Array[(Long, Array[Float])] = {
     val spark = df.sparkSession
     import spark.implicits._
     val total = df.count()
@@ -79,7 +116,15 @@ object Ivf {
       .as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     require(sample.nonEmpty, "cannot train on an empty corpus")
+    sample
+  }
 
+  /** The sequential k-means fold shared by [[train]] and
+    * [[trainHierarchical]]: splitmix64 pseudo-shuffle init, then
+    * `iters` sequential-in-id-order accumulation passes.
+    */
+  private def kmeansFold(sample: Array[(Long, Array[Float])], nlist: Int,
+                         iters: Int, seed: Long): Array[Array[Float]] = {
     var centroids: Array[Array[Float]] = sample
       .map { case (id, v) => (splitmix64(id + seed), id, v) }
       .sortBy { case (h, id, _) => (h, id) }
@@ -106,7 +151,7 @@ object Ivf {
         }
       }
     }
-    IvfModel(centroids)
+    centroids
   }
 
   private def mkAssignUdf(model: IvfModel, nprobe: Int) =

@@ -1368,6 +1368,20 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_hier" -> ((s, d) => {
+      // two-level quantizer (√nlist L1 cells, per-cell L2 folds):
+      // the train-cost path for corpus-proportional nlist; search is
+      // the same probe plan over the flat concatenated centroid list
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.trainHierarchical(emb, "embedding",
+        "vec_id", nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.search(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "chunk_stats" -> ((s, d) => {
       val chunkUdf = udf((t: String) =>
         graft.core.Chunker.chunkContent(t.replace(' ', '\n'), 100L).length.toLong)
@@ -1843,6 +1857,9 @@ object Queries {
 
     "ivf_topk_int8" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_hier" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_hier.parquet' ORDER BY qid, rk",
 
     "store_retrieve" ->
       s"SELECT sim, source, text FROM '$pipeGold/store_retrieve.parquet' ORDER BY sim DESC",

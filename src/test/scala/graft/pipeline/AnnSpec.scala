@@ -113,6 +113,26 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("hierarchical train: flat-model contract, exhaustive probes = brute force") {
+    val model = Ivf.trainHierarchical(emb, "embedding", "vec_id",
+      nlist = 16, iters = 3)
+    // two-level concat: between b1 (all-but-one cells empty) and
+    // b1*kc centroids; search consumes it as a plain flat model
+    assert(model.nlist >= 4 && model.nlist <= 16)
+    // deterministic across invocations
+    val again = Ivf.trainHierarchical(emb, "embedding", "vec_id",
+      nlist = 16, iters = 3)
+    assert(model.centroids.map(_.toSeq).toSeq == again.centroids.map(_.toSeq).toSeq)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val queries = emb.where(col("vec_id") < 5)
+    val full = Ivf.search(postings, queries, "embedding", "vec_id", model,
+        k = 5, nprobe = model.nlist)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("quantized IVF agrees closely with float IVF on the same probes") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
     val postings = Ivf.assign(emb, "embedding", model)

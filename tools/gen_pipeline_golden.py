@@ -386,7 +386,29 @@ def ivf_nearest(centroids, v, n):
 
 
 def ivf_train(emb, nlist=16, iters=3, seed=42):
-    sample = sorted(emb)  # (id, vec) sorted by id
+    return kmeans_fold(sorted(emb), nlist, iters, seed)
+
+
+def ivf_train_hier(emb, nlist=16, iters=3, seed=42, branch=0):
+    """Mirror of Ivf.trainHierarchical: L1 fold with ~sqrt(nlist)
+    centroids, per-cell L2 folds in cell order, concatenated."""
+    sample = sorted(emb)
+    b1 = branch if branch > 0 else max(1, round(math.sqrt(nlist)))
+    l1 = kmeans_fold(sample, b1, iters, seed)
+    kc = max(1, nlist // b1)
+    groups = [[] for _ in l1]
+    for i, v in sample:
+        groups[ivf_nearest(l1, v, 1)[0]].append((i, v))
+    cents = []
+    for c, g in enumerate(groups):
+        if not g:
+            cents.append(l1[c])
+        else:
+            cents.extend(kmeans_fold(g, kc, iters, seed))
+    return cents
+
+
+def kmeans_fold(sample, nlist, iters, seed):
     # Scala sorts the splitmix hash as a SIGNED Long — mirror that
     seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
                      for i, v in sample),
@@ -429,6 +451,28 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
                     cands[q][n] = cosine_sim_d(vec[n], vec[q])
     rows = rank_topk(cands, k)
     write("ivf_topk", pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def gen_ivf_topk_hier(emb, nlist=16, iters=3, k=5, nprobe=4):
+    """Same probe/rank mirror as gen_ivf_topk over the hierarchical
+    (two-level) quantizer's flat centroid list."""
+    centroids = ivf_train_hier(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        for cl in ivf_nearest(centroids, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = cosine_sim_d(vec[n], vec[q])
+    rows = rank_topk(cands, k)
+    write("ivf_topk_hier",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
@@ -790,11 +834,13 @@ def main():
         gen_corpus_shuffle(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "semdedup"):
+              "ivf_topk_hier", "semdedup"):
         if want(n):
             emb = emb or load_embeddings()
     if want("semdedup"):
         gen_semdedup(emb)
+    if want("ivf_topk_hier"):
+        gen_ivf_topk_hier(emb)
     if want("lsh_topk"):
         gen_lsh_topk(emb)
     if want("embed_neardup_lsh"):
