@@ -171,23 +171,36 @@ object ScaleCurve {
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
       m -> path
     }
-    Dedup.semDedup(spark.read.parquet(embDirs.head._2), "embedding",
-      "vec_id", threshold = 0.35, nlist = 16).count() // warm-up
-    val sts = embDirs.map { case (m, path) =>
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val d = spark.read.parquet(path)
-      val n = d.count()
-      val t0 = System.nanoTime()
-      val kept = Dedup.semDedup(d, "embedding", "vec_id",
-        threshold = 0.35, nlist = 16 * m).where(col("keep")).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"semdedup         $n%8d $m%5d $sec%8.2f $kept%8d")
-      (m, sec)
+    // flat train vs hierarchical train, both with nlist ∝ corpus —
+    // the two-level fold is what keeps the driver-side train cost
+    // affordable as nlist grows with the data
+    for (hier <- Seq(false, true)) {
+      val label = if (hier) "semdedup_hier" else "semdedup_flat"
+      def run(d: DataFrame, nlist: Int): DataFrame = {
+        import graft.pipeline.Ivf
+        val model =
+          if (hier) Ivf.trainHierarchical(d, "embedding", "vec_id", nlist, iters = 3)
+          else Ivf.train(d, "embedding", "vec_id", nlist, iters = 3)
+        Dedup.semDedupPostings(
+          Ivf.assign(d, "embedding", model).localCheckpoint(true),
+          "embedding", "vec_id", threshold = 0.35)
+      }
+      run(spark.read.parquet(embDirs.head._2), 16).count() // warm-up
+      val sts = embDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val n = d.count()
+        val t0 = System.nanoTime()
+        val kept = run(d, 16 * m).where(col("keep")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-16s $n%8d $m%5d $sec%8.2f $kept%8d")
+        (m, sec)
+      }
+      val sk = math.log(sts.last._2 / sts.head._2) /
+        math.log(sts.last._1.toDouble / sts.head._1)
+      println(f"$label%-16s exponent k=$sk%.2f (nlist ∝ corpus)")
     }
-    val sk = math.log(sts.last._2 / sts.head._2) /
-      math.log(sts.last._1.toDouble / sts.head._1)
-    println(f"semdedup         exponent k=$sk%.2f (nlist ∝ corpus)")
     spark.stop()
   }
 }
