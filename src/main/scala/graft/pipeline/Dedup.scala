@@ -172,7 +172,12 @@ object Dedup {
     // by the bloom build and the join probe
     val pr = explodePostings(shingled(right).localCheckpoint(true))
     val evalHashes = pr.select(col("h")).distinct()
-    val nItems = math.max(evalHashes.count(), 1L)
+    val nItems = evalHashes.count()
+    // empty eval side: nothing can be contaminated — and Spark's
+    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
+    if (nItems == 0L)
+      return pr.select(col("doc").as("left_doc"), col("doc").as("right_doc"),
+        lit(0.0).as("jac")).where(lit(false))
     val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
@@ -577,6 +582,11 @@ object Dedup {
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nlist: Int = 16, iters: Int = 3,
                seed: Long = 42L): DataFrame = {
+    // totality: an empty corpus has nothing to train on — return the
+    // empty output frame with the contract schema instead of letting
+    // Ivf.train's non-empty require escape
+    if (emb.isEmpty)
+      return emb.withColumn("cluster", lit(0)).withColumn("keep", lit(true))
     val model = Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
     // materialize the assignment ONCE: semDedupPostings scans its
     // input three times (both join sides + the keep-flag join), and

@@ -188,6 +188,20 @@ class PipelineSpec extends SparkTestBase {
     val one = Seq((1L, "a b c d")).toDF("doc_id", "text")
     assert(Dedup.crossJaccardPairs(empty, one, "text", "doc_id", 3, 0.2).count() == 0)
     assert(Dedup.crossJaccardPairs(one, empty, "text", "doc_id", 3, 0.2).count() == 0)
+    // round-5 operators
+    assert(Dedup.crossJaccardPairsBloom(empty, one, "text", "doc_id", 3, 0.2).count() == 0)
+    assert(Dedup.crossJaccardPairsBloom(one, empty, "text", "doc_id", 3, 0.2).count() == 0)
+    assert(Dedup.contaminationFraction(empty, one, "text", "doc_id", 3).count() == 1)
+    assert(Dedup.contaminationFraction(one, empty, "text", "doc_id", 3).count() == 0)
+    assert(Pii.scrub(empty, "text").count() == 0)
+    assert(TextAnalysis.gopherFlags(empty, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.vocabulary(empty, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(empty, "text", "doc_id", 3).count() == 0)
+    val emptyLang = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Mix.byWeight(emptyLang, "doc_id", "lang", Map("en" -> 2.0)).count() == 0)
+    assert(Mix.shuffleOrder(emptyLang, "doc_id").count() == 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(emptyEmb, "embedding", "vec_id", 0.5).count() == 0)
   }
 
   test("vocabulary and tf-idf top terms on a planted corpus") {
