@@ -1690,6 +1690,21 @@ object Queries {
         defaultWeight = 0.25, seed = 42L)
         .orderBy(col("doc_id"), col("copy"))),
 
+    "semdedup_hier" -> ((s, d) => {
+      // SemDeDup over the two-level quantizer — the train-cost path
+      // for corpus-proportional nlist (9.2x at the 16x curve point,
+      // PLANS.md); same drop rule, golden-checked like the flat one
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.trainHierarchical(emb, "embedding",
+        "vec_id", nlist = 16, iters = 3)
+      graft.pipeline.Dedup.semDedupPostings(
+          graft.pipeline.Ivf.assign(emb, "embedding", model).localCheckpoint(true),
+          "embedding", "vec_id", threshold = 0.35)
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+          col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     "semdedup" -> ((s, d) =>
       // SemDeDup: k-means-clustered embeddings, drop rows with a
       // lower-id cluster-mate above the cosine threshold — the
@@ -1836,6 +1851,9 @@ object Queries {
 
     "semdedup" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",
+
+    "semdedup_hier" ->
+      s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup_hier.parquet' ORDER BY vec_id",
 
     "text_bpeish_tokens" ->
       s"SELECT doc_id, n_pieces FROM '$pipeGold/text_bpeish_tokens.parquet' ORDER BY doc_id",

@@ -788,12 +788,17 @@ def gen_corpus_shuffle(docs, seed=42):
           {"doc_id": "BIGINT", "skey": "BIGINT"})
 
 
-def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42):
+def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
+                 hier=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
-    (same deterministic train as ivf_topk), then within each cluster a
-    row is dropped iff some LOWER-id cluster-mate has cosine >
-    threshold (sequential-double fold, same as the Scala kernel)."""
-    cents = ivf_train(emb, nlist=nlist, iters=iters, seed=seed)
+    (same deterministic train as ivf_topk; two-level when hier), then
+    within each cluster a row is dropped iff some LOWER-id
+    cluster-mate has cosine > threshold (sequential-double fold, same
+    as the Scala kernel)."""
+    if hier:
+        cents = ivf_train_hier(emb, nlist=nlist, iters=iters, seed=seed)
+    else:
+        cents = ivf_train(emb, nlist=nlist, iters=iters, seed=seed)
     assigned = [(vid, v, ivf_nearest(cents, v, 1)[0]) for vid, v in emb]
     by_cluster = {}
     for vid, v, c in assigned:
@@ -807,7 +812,8 @@ def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42):
                     break
     rows = [(vid, c, vid not in dropped) for vid, _, c in assigned]
     rows.sort()
-    write("semdedup", pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"]),
+    name = "semdedup_hier" if hier else "semdedup"
+    write(name, pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"]),
           {"vec_id": "BIGINT", "cluster": "BIGINT", "keep": "BOOLEAN"})
 
 
@@ -834,11 +840,13 @@ def main():
         gen_corpus_shuffle(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "ivf_topk_hier", "semdedup"):
+              "ivf_topk_hier", "semdedup", "semdedup_hier"):
         if want(n):
             emb = emb or load_embeddings()
     if want("semdedup"):
         gen_semdedup(emb)
+    if want("semdedup_hier"):
+        gen_semdedup(emb, hier=True)
     if want("ivf_topk_hier"):
         gen_ivf_topk_hier(emb)
     if want("lsh_topk"):
