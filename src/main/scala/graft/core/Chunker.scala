@@ -52,13 +52,4 @@ object Chunker {
     }
   }
 
-  /** Chunk a full document set, assigning the global `ord` sequence
-    * that the mapreduce fold's order contract needs. Pure; call inside
-    * `flatMap` over `Dataset[Entry]` (ord assigned downstream) or use
-    * [[graft.mapreduce.MapReduceEngine.chunkEntries]].
-    */
-  def chunkEntry(path: String, content: String, maxBytes: Long): Vector[Schemas.Chunk] =
-    chunkContent(content, maxBytes).map { case (s, e, c) =>
-      Schemas.Chunk(path, s, e, c, -1L)
-    }
 }

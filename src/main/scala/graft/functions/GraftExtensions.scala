@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("int8_cosine_sim",
         "int8_cosine_sim(a, b) - cosine over BINARY int8 codes"),
       (exprs: Seq[Expression]) => Int8CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("splitmix64"),
+      info("splitmix64",
+        "splitmix64(x) - deterministic 64-bit mix (sampling/shuffle key)"),
+      (exprs: Seq[Expression]) => Splitmix64(exprs.head)))
   }
 }

@@ -17,5 +17,7 @@ object GraftSql {
       exprs => CosineSimD(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("int8_cosine_sim",
       exprs => Int8CosineSim(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("splitmix64",
+      exprs => Splitmix64(exprs.head), "scala_udf")
   }
 }

@@ -119,10 +119,12 @@ class ExpressionEdgeSpec extends SparkTestBase {
       val got = s2.sql(
         "SELECT cosine_sim_d(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS s, " +
           "dot_d(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS d, " +
-          "l2norm_d(array(3.0F, 4.0F)) AS n").head()
+          "l2norm_d(array(3.0F, 4.0F)) AS n, " +
+          "splitmix64(42L) AS h").head()
       assert(got.getDouble(0) == 1.0)
       assert(got.getDouble(1) == 23.0)
       assert(got.getDouble(2) == 5.0)
+      assert(got.getLong(3) == Splitmix64.mix(42L))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
