@@ -171,14 +171,17 @@ object Dedup {
     // right (eval) side: SMALL by assumption; checkpoint once, reused
     // by the bloom build and the join probe
     val pr = explodePostings(shingled(right).localCheckpoint(true))
-    val evalHashes = pr.select(col("h")).distinct()
-    val nItems = evalHashes.count()
+    // Bloom insertion is idempotent, so the filter builds straight
+    // from the raw postings — no distinct shuffle. Using the posting
+    // count (≥ distinct count) as expectedNumItems only over-sizes
+    // the bits, which tightens the real fpp.
+    val nItems = pr.count()
     // empty eval side: nothing can be contaminated — and Spark's
     // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
     if (nItems == 0L)
       return pr.select(col("doc").as("left_doc"), col("doc").as("right_doc"),
         lit(0.0).as("jac")).where(lit(false))
-    val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
+    val bloom = pr.stat.bloomFilter("h", nItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     // left (training) side: NO checkpoint — materializing the 100 TB
