@@ -61,9 +61,9 @@ object Bench {
     // past ~1900 chars gets its FRONT cut (87 queries × 3 decimals ≈
     // 2040). The stdout line auto-fits a conservative budget by
     // degrading gracefully — fewer decimals, drop the empty errors
-    // array and sf — and the full-precision per-query JSON always
+    // array and sf — and the microsecond-precision per-query JSON
     // goes to BENCH_DETAIL.json in the working tree (committed per
-    // round), so nothing is ever actually lost.
+    // round), so stdout rounding never loses the record.
     def fmt(v: Double, prec: Int): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.collect { case (_, v, true) => v }.sum
@@ -81,18 +81,23 @@ object Bench {
       val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered$qs$errs"n_queries":${results.size}$sfPart}"""
     }
-    java.nio.file.Files.writeString(
+    // the committed detail file records full suites only — a
+    // SPARK_GRAFT_ONLY iteration run must not clobber the round's
+    // per-query record (and its pointer fallback would then lie)
+    if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"),
-      jsonLine(3, Some(sfDir), dropEmptyErrs = false, withQueries = true) + "\n")
+      jsonLine(6, Some(sfDir), dropEmptyErrs = false, withQueries = true) + "\n")
     val sfBase = new java.io.File(sfDir).getName
     val budget = 1860
-    val line = Seq(
+    val candidates = Seq(
       jsonLine(3, Some(sfDir), dropEmptyErrs = false, withQueries = true),
       jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = true),
-      jsonLine(1, Some(sfBase), dropEmptyErrs = true, withQueries = true),
-      jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = false))
-      .find(_.length <= budget)
-      .getOrElse(jsonLine(2, None, dropEmptyErrs = true, withQueries = false))
+      jsonLine(1, Some(sfBase), dropEmptyErrs = true, withQueries = true)) ++
+      // the pointer form only makes sense when the file describes THIS run
+      (if (only.isEmpty)
+        Seq(jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = false))
+      else Nil)
+    val line = candidates.find(_.length <= budget).getOrElse(candidates.last)
     println(line)
     spark.stop()
   }

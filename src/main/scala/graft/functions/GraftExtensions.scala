@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Int8CosineSim(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("splitmix64"),
       info("splitmix64",
-        "splitmix64(x) - deterministic 64-bit mix (sampling/shuffle key)"),
-      (exprs: Seq[Expression]) => Splitmix64(exprs.head)))
+        "splitmix64(x[, seed]) - deterministic 64-bit mix (sampling/shuffle key)"),
+      (exprs: Seq[Expression]) => Splitmix64.fromArgs(exprs)))
   }
 }

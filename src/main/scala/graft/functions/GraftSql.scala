@@ -18,6 +18,6 @@ object GraftSql {
     reg.createOrReplaceTempFunction("int8_cosine_sim",
       exprs => Int8CosineSim(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("splitmix64",
-      exprs => Splitmix64(exprs.head), "scala_udf")
+      Splitmix64.fromArgs, "scala_udf")
   }
 }

@@ -52,6 +52,21 @@ case class Splitmix64(child: Expression, seed: Long = 0L)
 }
 
 object Splitmix64 {
+  /** SQL-surface builder shared by GraftSql and GraftExtensions:
+    * `splitmix64(key)` or `splitmix64(key, seedLiteral)`. The seed
+    * must be a literal — it parameterizes generated code — and wrong
+    * arity fails analysis instead of silently mixing with seed 0.
+    */
+  def fromArgs(exprs: Seq[Expression]): Splitmix64 = exprs match {
+    case Seq(key) => Splitmix64(key)
+    case Seq(key, org.apache.spark.sql.catalyst.expressions.Literal(s, LongType)) =>
+      Splitmix64(key, s.asInstanceOf[Long])
+    case Seq(_, other) => throw new IllegalArgumentException(
+      s"splitmix64 seed must be a BIGINT literal, got ${other.sql}")
+    case _ => throw new IllegalArgumentException(
+      s"splitmix64 expects 1 or 2 arguments, got ${exprs.size}")
+  }
+
   /** The shared scalar kernel (used by the expression, driver-side
     * samplers, and tests — one definition, one truth).
     */

@@ -101,13 +101,17 @@ object PdfText {
     // Classic form: `trailer << ... /Encrypt n g R ... >>`. A file may
     // hold several trailers (incremental updates); any declaring
     // /Encrypt means the document needs the security handler.
-    // Window bounds fall back to the NEXT structural terminator, or
-    // end-of-file when the document is truncated mid-trailer — a
-    // fixed-size window could stop short of a late /Encrypt key
-    // (large /ID//Info strings first) and extract encrypted garbage.
+    // Window bounds run to the NEXT structural terminator — a small
+    // fixed window could stop short of a late /Encrypt key (large
+    // /ID//Info strings first) — but stay capped at 16 KiB: in a
+    // terminator-less (truncated/corrupt) file an unbounded window
+    // would reintroduce the whole-file false positive this check
+    // exists to avoid (a content stream merely *mentioning*
+    // "/Encrypt"), and real trailer dictionaries are far smaller.
     def firstAfter(from: Int, kws: String*): Int = {
       val hits = kws.map(raw.indexOf(_, from)).filter(_ >= 0)
-      if (hits.isEmpty) raw.length else hits.min
+      val stop = if (hits.isEmpty) raw.length else hits.min
+      math.min(stop, from + 16384)
     }
     var t = raw.indexOf("trailer")
     while (t >= 0) {

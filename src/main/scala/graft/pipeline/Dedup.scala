@@ -143,6 +143,22 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** The Bloom build [[crossJaccardPairsBloom]] uses, over a postings
+    * frame with an `h` hash column. One definition, shared with the
+    * ScaleCurve measurement so the quantified filter is the shipped
+    * one. Bloom insertion is idempotent, so it aggregates straight
+    * over raw postings — no distinct shuffle; the posting count
+    * (≥ distinct count) as expectedNumItems only over-sizes the bits,
+    * tightening the real fpp. None on an empty frame (Spark's
+    * stat.bloomFilter NPEs there).
+    */
+  private[graft] def postingsBloom(posts: DataFrame, fpp: Double)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val nItems = posts.count()
+    if (nItems == 0L) None
+    else Some(posts.stat.bloomFilter("h", nItems, fpp))
+  }
+
   /** [[crossJaccardPairs]] with a Bloom-filter prefilter on the big
     * side — the decontamination shape at 100 TB: the eval corpus is
     * small (benchmarks), the training corpus is the 100 TB side, and
@@ -171,17 +187,11 @@ object Dedup {
     // right (eval) side: SMALL by assumption; checkpoint once, reused
     // by the bloom build and the join probe
     val pr = explodePostings(shingled(right).localCheckpoint(true))
-    // Bloom insertion is idempotent, so the filter builds straight
-    // from the raw postings — no distinct shuffle. Using the posting
-    // count (≥ distinct count) as expectedNumItems only over-sizes
-    // the bits, which tightens the real fpp.
-    val nItems = pr.count()
     // empty eval side: nothing can be contaminated — and Spark's
     // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
-    if (nItems == 0L)
+    val bloom = postingsBloom(pr, fpp).getOrElse(
       return pr.select(col("doc").as("left_doc"), col("doc").as("right_doc"),
-        lit(0.0).as("jac")).where(lit(false))
-    val bloom = pr.stat.bloomFilter("h", nItems, fpp)
+        lit(0.0).as("jac")).where(lit(false)))
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     // left (training) side: NO checkpoint — materializing the 100 TB

@@ -90,7 +90,11 @@ object Ivf {
     val b1 = if (branch > 0) branch
       else math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     val l1 = IvfModel(kmeansFold(sample, b1, iters, seed))
-    val kc = math.max(1, nlist / b1)
+    // ceil: b1·kc must be ≥ nlist or a non-square nlist silently
+    // yields fewer clusters than the caller sized for (n²/nlist work
+    // contract); cells with few members under-fill, so the final
+    // count lands in [b1, b1·kc]
+    val kc = math.max(1, (nlist + b1 - 1) / b1)
     val groups = Array.fill(l1.nlist)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
     sample.foreach { case (id, v) => groups(l1.nearest(v, 1)(0)) += ((id, v)) }

@@ -39,8 +39,11 @@ object Mix {
                seed: Long = 42L): DataFrame = {
     require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
       "weights must be non-negative")
-    require(!df.columns.contains("copy"),
-      "byWeight appends a `copy` column; rename the existing one first")
+    val reserved = Seq("copy", "__copies", "__pos", "__one")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"byWeight appends a `copy` column and uses ${reserved.tail.mkString("/")}" +
+        s" internally; rename ${clash.mkString(", ")} first")
     val wMap = typedlit(weights)
     // try_element_at: ANSI mode (Spark 4 default) makes plain
     // element_at throw on a missing map key; absent strata must fall

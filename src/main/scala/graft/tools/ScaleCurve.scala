@@ -140,8 +140,9 @@ object ScaleCurve {
       def postings(d: DataFrame) = d.select(explode(array_distinct(
         TextAnalysis.shingleHashesUdf(col("text"), lit(3)))).as("h"))
       val total = postings(train).count()
-      val evalH = postings(evalSide()).distinct()
-      val bloom = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1L), 0.01)
+      // the SHIPPED filter construction (Dedup.postingsBloom), so the
+      // measured survival rate quantifies the operator's own bloom
+      val bloom = Dedup.postingsBloom(postings(evalSide()), 0.01).get
       val bc = spark.sparkContext.broadcast(bloom)
       val mc = udf((h: Long) => bc.value.mightContainLong(h))
       val kept = postings(train).where(mc(col("h"))).count()

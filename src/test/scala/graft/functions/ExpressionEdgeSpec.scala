@@ -120,11 +120,12 @@ class ExpressionEdgeSpec extends SparkTestBase {
         "SELECT cosine_sim_d(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS s, " +
           "dot_d(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS d, " +
           "l2norm_d(array(3.0F, 4.0F)) AS n, " +
-          "splitmix64(42L) AS h").head()
+          "splitmix64(42L) AS h, splitmix64(42L, 7L) AS hs").head()
       assert(got.getDouble(0) == 1.0)
       assert(got.getDouble(1) == 23.0)
       assert(got.getDouble(2) == 5.0)
       assert(got.getLong(3) == Splitmix64.mix(42L))
+      assert(got.getLong(4) == Splitmix64.mix(49L)) // seeded: mix(x + seed)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

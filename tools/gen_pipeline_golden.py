@@ -395,7 +395,7 @@ def ivf_train_hier(emb, nlist=16, iters=3, seed=42, branch=0):
     sample = sorted(emb)
     b1 = branch if branch > 0 else max(1, round(math.sqrt(nlist)))
     l1 = kmeans_fold(sample, b1, iters, seed)
-    kc = max(1, nlist // b1)
+    kc = max(1, -(-nlist // b1))  # ceil: b1*kc >= nlist (Scala parity)
     groups = [[] for _ in l1]
     for i, v in sample:
         groups[ivf_nearest(l1, v, 1)[0]].append((i, v))
