@@ -153,6 +153,38 @@ object TextAnalysis {
 
   // PII detection/redaction lives in [[Pii]] (oracled by pii_scrub).
 
+  /** C4-style GLOBAL line deduplication: drop every line that occurs
+    * at least `minCount` times across the whole corpus (boilerplate —
+    * nav bars, cookie banners, license headers — repeats verbatim
+    * across pages; C4 removed any three-sentence span occurring more
+    * than once, this is the line-granularity version), then
+    * reconstruct each document from its surviving lines in order.
+    * Documents whose every line was boilerplate come back as "".
+    *
+    * Shape at 100 TB: one map-combined count shuffle over lines, an
+    * anti join against the (small — only lines that DID repeat) dup
+    * set, and one reconstruction shuffle keyed by doc. Occurrence
+    * counting is total (a line repeated within one document counts
+    * toward the threshold), matching C4's corpus-occurrence rule.
+    */
+  def dropDuplicatedLines(df: org.apache.spark.sql.DataFrame,
+                          textCol: String, idCol: String,
+                          minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), "\n")).as(Seq("ord", "line")))
+    val dup = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+      .select(col("line"))
+    val kept = lines.join(dup, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+          x => x("line"))).as("cleaned"))
+    df.select(col(idCol).as("doc"))
+      .join(rebuilt, Seq("doc"), "left")
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** Gopher-style document-quality rules (Rae et al. 2021,
     * arXiv:2112.11446 Table A1, adapted): word-count bounds, mean word
     * length in [3, 10], symbol-word ratio < 0.1, ≥ 80% words with an

@@ -1620,6 +1620,24 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "text_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      // C4-style global line dedup over an inline multiline corpus
+      // (parquet docs are single-line — same fixture pattern as
+      // text_dup_lines): cross-document boilerplate vanishes, unique
+      // prose survives in order, all-boilerplate docs collapse to ""
+      Seq(
+        (1L, "keep me\nshared banner\nunique one"),
+        (2L, "shared banner\nanother keeper"),
+        (3L, "totally unique\ncontent here"),
+        (4L, "shared banner\nshared banner"),
+        (5L, "zz\nzz\nmiddle text")
+      ).toDF("doc_id", "text")
+        .transform(df => graft.pipeline.TextAnalysis
+          .dropDuplicatedLines(df, "text", "doc_id"))
+        .orderBy(col("doc"))
+    }),
+
     "text_vocabulary" -> ((s, d) =>
       // corpus vocabulary induction: term -> (tf, df) — the input to
       // tokenizer training and df-based filtering
@@ -1780,6 +1798,26 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "text_line_dedup" ->
+      """WITH t(doc_id, text) AS (VALUES
+        |  (1, 'keep me' || chr(10) || 'shared banner' || chr(10) || 'unique one'),
+        |  (2, 'shared banner' || chr(10) || 'another keeper'),
+        |  (3, 'totally unique' || chr(10) || 'content here'),
+        |  (4, 'shared banner' || chr(10) || 'shared banner'),
+        |  (5, 'zz' || chr(10) || 'zz' || chr(10) || 'middle text')),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+        |flat AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |  i -> struct_pack(ord := i, line := ls[i]))) AS s FROM ls),
+        |f AS (SELECT doc_id, s.ord AS ord, s.line AS line FROM flat),
+        |dup AS (SELECT line FROM f GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, ord, line FROM f
+        |         WHERE line NOT IN (SELECT line FROM dup)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc, coalesce(agg.cleaned, '') AS cleaned
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY doc""".stripMargin,
 
     "text_vocabulary" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

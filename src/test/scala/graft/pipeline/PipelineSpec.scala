@@ -252,6 +252,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got(5).getLong(5) < 2L && got(5).getDouble(4) >= 0.8)
   }
 
+  test("global line dedup: boilerplate drops, order survives, empty docs stay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nBOILER\nbeta"),
+      (2L, "BOILER\ngamma"),
+      (3L, "BOILER\nBOILER")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dropDuplicatedLines(docs, "text", "doc_id")
+      .orderBy("doc").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "alpha\nbeta"),   // middle line removed, order kept
+      (2L, "gamma"),
+      (3L, "")))             // all-boilerplate doc present but empty
+    // minCount above the repeat count keeps everything
+    val loose = TextAnalysis.dropDuplicatedLines(docs, "text", "doc_id",
+      minCount = 10L).orderBy("doc").collect().map(_.getString(1))
+    assert(loose.toSeq == Seq("alpha\nBOILER\nbeta", "BOILER\ngamma",
+      "BOILER\nBOILER"))
+  }
+
   test("dup-line fraction: repeated lines counted, single-line docs 0") {
     import spark.implicits._
     val docs = Seq(
