@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** splitmix64's finalizer as a codegen'd Catalyst expression.
@@ -86,6 +86,79 @@ object Splitmix64 {
     (mix(x0) >>> 11).toDouble / (1L << 53).toDouble
 }
 
+/** Rolling w-gram shingle hashes of a whitespace-tokenized string —
+  * the candidate keys of the whole dedup family (Jaccard postings,
+  * prefix filtering, MinHash input, decontamination). This replaces a
+  * Scala UDF on the hottest pipeline path: no Catalyst↔Scala
+  * converter boxing per row, and each token is FNV-hashed ONCE with
+  * windows folding over the per-token hashes — the UDF re-hashed
+  * every token w times (identical results, w× less hashing).
+  *
+  * Token semantics are exactly `String.split(" ")` (keeps leading/
+  * interior empties, drops trailing) — the contract every golden and
+  * DuckDB `string_split` oracle is built on.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, INT), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    ShingleHashes.compute(t.toString, w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($t.toString(), $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ShingleHashes {
+  private val FnvPrime = 1099511628211L
+
+  /** 64-bit FNV-1a over UTF-8 bytes (the engine's string hash). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes("UTF-8")
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** Shared kernel for eval and generated code. */
+  def compute(text: String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.split(" ")
+    val empty = w <= 0 || toks.length < w
+    val out =
+      if (empty) Array.empty[Long]
+      else {
+        val th = new Array[Long](toks.length)
+        var i = 0
+        while (i < toks.length) { th(i) = fnv1a64(toks(i)); i += 1 }
+        val n = toks.length - w + 1
+        val hs = new Array[Long](n)
+        i = 0
+        while (i < n) {
+          var h = 0L
+          var j = i
+          while (j < i + w) { h = h * FnvPrime + th(j); j += 1 }
+          hs(i) = h
+          i += 1
+        }
+        hs
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Column-level API over the hash expressions. The seed rides INSIDE
   * the expression: wrap-around `key + seed` cannot be written as plan
   * arithmetic under ANSI mode (Add throws on Long overflow), and ids
@@ -102,5 +175,12 @@ object HashFunctions {
     import org.apache.spark.sql.functions._
     shiftrightunsigned(splitmix64(key, seed), 11)
       .cast(DoubleType) / lit((1L << 53).toDouble)
+  }
+
+  /** Rolling w-gram shingle hashes (codegen'd, see [[ShingleHashes]]). */
+  def shingleHashes(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    ColumnBridge.column(ShingleHashes(
+      ColumnBridge.expression(text), ColumnBridge.expression(lit(w))))
   }
 }

@@ -85,7 +85,7 @@ object Dedup {
     // plus constraint-derived filters re-run the UDF 2-3× per row per
     // scan (observed in the r3 plan: 4 scans × triple evaluation).
     val sets = df.select(col(idCol).as("doc"),
-        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
       .localCheckpoint(true)
     val ex0 = sets
       .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
@@ -120,7 +120,7 @@ object Dedup {
                         idCol: String, w: Int, threshold: Double,
                         maxShingleDf: Int = 0): DataFrame = {
     def postings(df: DataFrame) = df.select(col(idCol).as("doc"),
-        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
       .localCheckpoint(true)
       .select(col("doc"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
     val pl = postings(left)
@@ -181,7 +181,7 @@ object Dedup {
                              threshold: Double,
                              fpp: Double = 0.01): DataFrame = {
     def shingled(df: DataFrame) = df.select(col(idCol).as("doc"),
-      array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
     def explodePostings(sets: DataFrame) = sets.select(col("doc"),
       size(col("shs")).as("n"), explode(col("shs")).as("h"))
     // right (eval) side: SMALL by assumption; checkpoint once, reused
@@ -228,12 +228,12 @@ object Dedup {
                             textCol: String, idCol: String,
                             w: Int): DataFrame = {
     val evalPosts = eval.select(col(idCol).as("doc"),
-        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
       .localCheckpoint(true) // two consumers: totals + the semi join
       .select(col("doc"), explode(col("shs")).as("h"))
     val trainHashes = train.select(
         explode(array_distinct(
-          TextAnalysis.shingleHashesUdf(col(textCol), lit(w)))).as("h"))
+          TextAnalysis.shingleHashes(col(textCol), w))).as("h"))
       .distinct()
     val contaminated = evalPosts.join(trainHashes, Seq("h"), "left_semi")
       .groupBy(col("doc")).agg(count(lit(1)).as("n_contaminated"))
@@ -266,7 +266,7 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                          w: Int, threshold: Double): DataFrame = {
     val sets = df.select(col(idCol).as("doc"),
-        array_distinct(TextAnalysis.shingleHashesUdf(col(textCol), lit(w))).as("shs"))
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
       .where(size(col("shs")) > 0)
       .localCheckpoint(true) // reused 3×: prefix build + both verify sides
     val posts = sets.select(col("doc"), size(col("shs")).as("n"),
@@ -389,7 +389,7 @@ object Dedup {
     // drags two arrays per candidate through the dedup, which
     // dominates at corpus scale.
     val sh = df.select(col(idCol).as("doc"),
-        TextAnalysis.shingleHashesUdf(col(textCol), lit(w)).as("hs"))
+        TextAnalysis.shingleHashes(col(textCol), w).as("hs"))
       .where(size(col("hs")) > 0)
       .localCheckpoint(true)
     val banded = sh.select(col("doc"),

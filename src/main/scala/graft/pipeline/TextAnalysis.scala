@@ -267,17 +267,10 @@ object TextAnalysis {
 
   /** Rolling polynomial hash fingerprints of token w-shingles
     * (Rabin-Karp style) — the building block for content-defined
-    * near-dup detection.
+    * near-dup detection. Backed by the codegen'd
+    * [[graft.functions.ShingleHashes]] expression (was a Scala UDF:
+    * converter boxing per row plus every token FNV-hashed w times).
     */
-  val shingleHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String, w: Int) =>
-      val toks = Option(text).getOrElse("").split(" ")
-      if (toks.length < w) Array.empty[Long]
-      else (0 to toks.length - w).map { i =>
-        var h = 0L
-        var j = i
-        while (j < i + w) { h = h * 1099511628211L + fnv1a64(toks(j)); j += 1 }
-        h
-      }.toArray
-    }
+  def shingleHashes(text: Column, w: Int): Column =
+    graft.functions.HashFunctions.shingleHashes(text, w)
 }

@@ -138,7 +138,7 @@ object ScaleCurve {
       val train = spark.read.parquet(scaleDirs.last._2)
         .where(col("doc_id") % 2 === 0)
       def postings(d: DataFrame) = d.select(explode(array_distinct(
-        TextAnalysis.shingleHashesUdf(col("text"), lit(3)))).as("h"))
+        TextAnalysis.shingleHashes(col("text"), 3))).as("h"))
       val total = postings(train).count()
       // the SHIPPED filter construction (Dedup.postingsBloom), so the
       // measured survival rate quantifies the operator's own bloom

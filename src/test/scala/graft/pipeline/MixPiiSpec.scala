@@ -116,6 +116,48 @@ class MixPiiSpec extends SparkTestBase {
     assert(plain.nonEmpty) // the planted near-dups actually collide
   }
 
+  test("shingle-hash expression matches the reference fold, both codegen modes") {
+    import spark.implicits._
+    // reference reimplementation of the retired UDF's exact algorithm
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
+      h
+    }
+    def ref(text: String, w: Int): Seq[Long] = {
+      val toks = text.split(" ")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map { i =>
+        var h = 0L
+        (i until i + w).foreach { j => h = h * 1099511628211L + fnv(toks(j)) }
+        h
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  b c",        // interior empty token (split keeps it)
+      " leading space", // leading empty token
+      "trailing space ", // trailing empties DROPPED by split
+      "one two",        // fewer tokens than w
+      "",               // single empty token
+      "多字节 文本 here too", // multibyte UTF-8
+      "x y z x y z x y z"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def run(): Seq[(Long, Seq[Long])] =
+      df.select(col("id"), TextAnalysis.shingleHashes(col("text"), 3).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val got = run()
+    assert(got.map(_._2) == texts.map(ref(_, 3)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().map(_._2) == texts.map(ref(_, 3)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("contamination fraction: planted overlap gives the exact share") {
     import spark.implicits._
     val train = Seq(
