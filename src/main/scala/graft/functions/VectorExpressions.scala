@@ -255,6 +255,58 @@ case class Int8CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-vector symmetric int8 quantization codes as BINARY —
+  * `scale = max|v|/127`, `code_i = floor(v_i/scale + 0.5)` (explicit
+  * floor(+0.5) so every engine rounds identically; all-zero vectors
+  * quantize to zero codes). Replaces a Scala UDF: no Seq[Float]
+  * converter boxing per row on the quantized-ANN hot path (corpus
+  * quantization in int8 top-k, IVF index writes/search).
+  */
+case class Int8Codes(child: Expression)
+    extends UnaryExpression with VectorTypeChecks {
+  override protected def vectorChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "int8_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Codes.compute(a.asInstanceOf[ArrayData], elemIsFloat(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isF = elemIsFloat(child)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Int8Codes.compute($a, $isF);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Int8Codes {
+  /** Shared kernel for eval and generated code — bit-identical to the
+    * retired UDF's math (toDouble per element, one floor per code).
+    */
+  def compute(arr: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(VectorKernels.get(arr, i, isFloat))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx != 0.0) {
+      val s = mx / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(VectorKernels.get(arr, i, isFloat) / s + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+}
+
 /** One-pass L2 normalization producing ARRAY<FLOAT> (store contract,
   * reference vectordb.py:81-86) or ARRAY<DOUBLE> (oracle-exact math).
   * A `transform(v, x => x / l2norm(v))` column does the same thing
@@ -312,6 +364,10 @@ object VectorFunctions {
   /** Cosine over BINARY int8 code vectors (codegen'd integer kernel). */
   def int8CosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(Int8CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Symmetric int8 quantization codes (codegen'd, see [[Int8Codes]]). */
+  def int8Codes(a: Column): Column =
+    ColumnBridge.column(Int8Codes(ColumnBridge.expression(a)))
 
   /** Vector literal for a query embedding. */
   def vecLit(v: Array[Float]): Column = typedLit(v.toSeq)

@@ -185,7 +185,7 @@ object Ivf {
     */
   def writeIndexInt8(postings: DataFrame, vecCol: String, path: String): Unit =
     postings
-      .withColumn("codes", Similarity.int8CodesUdf(col(vecCol)))
+      .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
@@ -220,7 +220,7 @@ object Ivf {
                  nprobe: Int = 4): DataFrame =
     searchCodes(
       postings.select(col("cluster"), col(idCol),
-        Similarity.int8CodesUdf(col(vecCol)).as("codes")),
+        Similarity.int8Codes(col(vecCol)).as("codes")),
       queries, vecCol, idCol, model, k, nprobe)
 
   /** Serve directly from a quantized index ([[writeIndexInt8]] layout:
@@ -232,7 +232,7 @@ object Ivf {
                   nprobe: Int = 4): DataFrame = {
     val probeUdf = mkAssignUdf(model, nprobe)
     val q = queries.select(col(idCol).as("qid"),
-        Similarity.int8CodesUdf(col(vecCol)).as("qc"), col(vecCol).as("qv"))
+        Similarity.int8Codes(col(vecCol)).as("qc"), col(vecCol).as("qv"))
       .withColumn("cluster", explode(probeUdf(col("qv"))))
       .drop("qv")
     val c = index.select(col("cluster"), col(idCol).as("nid"),

@@ -115,25 +115,8 @@ object Similarity {
     * makes the whole scorer bit-reproducible across engines, unlike
     * float-accumulation-order-sensitive exact cosine.
     */
-  val int8CodesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
-      if (v == null) Array.empty[Byte]
-      else {
-        var mx = 0.0
-        v.foreach { x => val a = math.abs(x.toDouble); if (a > mx) mx = a }
-        if (mx == 0.0) Array.fill[Byte](v.length)(0)
-        else {
-          val s = mx / 127.0
-          val out = new Array[Byte](v.length)
-          var i = 0
-          while (i < v.length) {
-            out(i) = math.floor(v(i).toDouble / s + 0.5).toByte
-            i += 1
-          }
-          out
-        }
-      }
-    }
+  def int8Codes(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.int8Codes(v)
 
   /** Top-k by cosine over int8 codes: quantize corpus and queries once,
     * broadcast the quantized queries, score with the codegen'd
@@ -146,7 +129,7 @@ object Similarity {
                idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     def quant(df: DataFrame, id: String, pre: String) =
       df.select(col(id).as(s"${pre}id"),
-        int8CodesUdf(col(vecCol)).as(s"${pre}c"))
+        int8Codes(col(vecCol)).as(s"${pre}c"))
     val c = quant(corpus, idCol, "n")
     val q = quant(queries, idCol, "q")
     val joined = c.join(broadcast(q),

@@ -27,7 +27,7 @@ object Int8Bench {
     val n = big.count()
     // quantize once (what a real deployment stores on disk)
     val codes = big.select(col("vec_id"),
-        graft.pipeline.Similarity.int8CodesUdf(col("embedding")).as("c"))
+        graft.pipeline.Similarity.int8Codes(col("embedding")).as("c"))
       .localCheckpoint(true)
     codes.count()
 

@@ -169,7 +169,7 @@ class AnnSpec extends SparkTestBase {
     // codes are genuinely int8: binary payload is dim bytes, not 4·dim
     val dim = emb.head().getAs[Seq[Float]]("embedding").length
     val codeLen = emb.limit(1)
-      .select(Similarity.int8CodesUdf(col("embedding")).as("c"))
+      .select(Similarity.int8Codes(col("embedding")).as("c"))
       .head().getAs[Array[Byte]]("c").length
     assert(codeLen == dim)
   }
