@@ -159,6 +159,58 @@ object ShingleHashes {
   }
 }
 
+/** 64-bit SimHash signature of a whitespace-tokenized string
+  * (Charikar 2002): per-token FNV-1a hashes bit-vote into 64
+  * counters, the sign vector is the signature. Near-duplicate ⇔ small
+  * Hamming distance; the dedup operators band the signature into
+  * 16-bit sub-keys for equi-join candidates. Native expression — one
+  * String in / long out per row on both the batch and streaming
+  * near-dup ingest paths, no UDF converter in the scan. Empty tokens
+  * are skipped (split(" ") artifacts carry no content signal).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any = Simhash64.compute(t.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Simhash64.compute($t.toString());")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Simhash64 {
+  /** Shared kernel for eval and generated code. */
+  def compute(text: String): Long = {
+    val toks = text.split(" ")
+    val acc = new Array[Int](64)
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      if (t.nonEmpty) {
+        val h = ShingleHashes.fnv1a64(t)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      k += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+}
+
 /** Column-level API over the hash expressions. The seed rides INSIDE
   * the expression: wrap-around `key + seed` cannot be written as plan
   * arithmetic under ANSI mode (Add throws on Long overflow), and ids
@@ -183,4 +235,8 @@ object HashFunctions {
     ColumnBridge.column(ShingleHashes(
       ColumnBridge.expression(text), ColumnBridge.expression(lit(w))))
   }
+
+  /** 64-bit SimHash signature (codegen'd, see [[Simhash64]]). */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(Simhash64(ColumnBridge.expression(text)))
 }

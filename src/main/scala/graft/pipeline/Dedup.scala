@@ -514,23 +514,8 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over token hashes. */
-  val simhash64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
-      val acc = new Array[Int](64)
-      toks.foreach { t =>
-        val h = TextAnalysis.fnv1a64(t)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded
     * into 4×16-bit sub-keys (pigeonhole: distance ≤ 3 ⇒ at least one
@@ -541,7 +526,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("doc"),
-      Dedup.simhash64Udf(col(textCol)).as("sh"))
+      Dedup.simhash64(col(textCol)).as("sh"))
     val banded = sig.select(col("doc"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))

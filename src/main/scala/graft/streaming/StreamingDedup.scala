@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Design (the 100 TB ingestion shape):
   *  - per-document work is a single simhash over the text
-  *    ([[Dedup.simhash64Udf]], 64-bit signature);
+  *    ([[Dedup.simhash64]], 64-bit signature);
   *  - the accumulated state is a SIGNATURE INDEX, not the corpus: an
   *    exploded (band, key, doc, sh) table partitioned by
   *    (band, kb = key % [[IndexBuckets]]) — 4×16-bit bands, pigeonhole
@@ -70,7 +70,7 @@ object StreamingDedup {
                    idCol: String, indexPath: String, outPath: String,
                    maxDist: Int): Unit = {
     val sigs = batch
-      .select(col(idCol).as("doc"), Dedup.simhash64Udf(col(textCol)).as("sh"))
+      .select(col(idCol).as("doc"), Dedup.simhash64(col(textCol)).as("sh"))
     val newBanded = banded(sigs).localCheckpoint(true) // one UDF pass
     if (newBanded.isEmpty) {
       // an empty microbatch must write NOTHING: a zero-row partitionBy

@@ -68,7 +68,7 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs((0L, 3L)) == 0L)
     // signature-level ground truth: any pair within maxDist=3 MUST be
     // found (pigeonhole guarantee of the 4×16-bit banding)
-    val sigs = docs.select(col("doc_id"), Dedup.simhash64Udf(col("text")).as("sh"))
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (a <- sigs.keys; b <- sigs.keys if a < b) {
       val dist = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
