@@ -211,6 +211,119 @@ object Simhash64 {
   }
 }
 
+/** MinHash-LSH band keys straight from a shingle-hash array in ONE
+  * pass per row: the minhash signature (bands×rows universal hashes
+  * `(a·x + b) mod 2^61-1`) is computed and immediately folded into
+  * `bands` FNV bucket keys — emitting the signature as its own column
+  * looks natural but CollapseProject inlines the computation into
+  * every band element, re-running the minhash bands× per row. Native
+  * expression: the hash array is read directly from ArrayData (the
+  * UDF predecessor copied it to Array[Long] per row), and the seeded
+  * (a, b) parameter table rides along as a codegen reference object.
+  *
+  * Returns an empty array for empty input (documents with no
+  * shingles produce no band rows after posexplode).
+  */
+case class MinhashBandKeys(child: Expression, bands: Int, rows: Int,
+                           seed: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<BIGINT>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  @transient private lazy val params: Array[Long] =
+    MinhashBandKeys.params(bands * rows, seed)
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashBandKeys.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      params, bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("mhParams", params, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinhashBandKeys.compute($a, $p, $bands, $rows);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinhashBandKeys {
+  private val MersenneP = (1L << 61) - 1
+
+  /** Seeded universal-hash parameters, flattened (a_i at 2i, b_i at
+    * 2i+1) — java.util.Random's sequence, replayed identically by the
+    * Python golden generator.
+    */
+  def params(numHashes: Int, seed: Long): Array[Long] = {
+    val rnd = new java.util.Random(seed)
+    val out = new Array[Long](numHashes * 2)
+    var i = 0
+    while (i < numHashes) {
+      out(2 * i) = math.abs(rnd.nextLong()) % (MersenneP - 1) + 1
+      out(2 * i + 1) = math.abs(rnd.nextLong()) % MersenneP
+      i += 1
+    }
+    out
+  }
+
+  /** `(a·x) mod (2^61-1)` via 128-bit multiply + Mersenne folding:
+    * with `prod = hi·2^64 + lo`, `2^64 ≡ 8` and `2^61 ≡ 1 (mod p)`,
+    * so `prod ≡ hi·8 + (lo >>> 61) + (lo & p)`. `hi < 2^58`, so no
+    * intermediate overflows.
+    */
+  @inline private def mulModP(a: Long, x: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, x)
+    val lo = a * x
+    var r = (hi << 3) + (lo >>> 61) + (lo & MersenneP)
+    r = (r & MersenneP) + (r >>> 61)
+    if (r >= MersenneP) r - MersenneP else r
+  }
+
+  /** Shared kernel for eval and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              params: Array[Long], bands: Int,
+              rows: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out =
+      if (n == 0) Array.empty[Long]
+      else {
+        val nh = bands * rows
+        val sig = new Array[Long](nh)
+        var s = 0
+        while (s < nh) {
+          val a = params(2 * s)
+          val b = params(2 * s + 1)
+          var mn = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            val x = java.lang.Long.remainderUnsigned(arr.getLong(i), MersenneP)
+            var hv = mulModP(a, x) + b
+            if (hv >= MersenneP) hv -= MersenneP
+            if (hv < mn) mn = hv
+            i += 1
+          }
+          sig(s) = mn
+          s += 1
+        }
+        Array.tabulate(bands) { bIdx =>
+          var k = 0xcbf29ce484222325L ^ bIdx
+          var i = bIdx * rows
+          while (i < (bIdx + 1) * rows) {
+            k ^= sig(i); k *= 0x100000001b3L; i += 1
+          }
+          k
+        }
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Column-level API over the hash expressions. The seed rides INSIDE
   * the expression: wrap-around `key + seed` cannot be written as plan
   * arithmetic under ANSI mode (Add throws on Long overflow), and ids

@@ -295,82 +295,18 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- MinHash
-  /** Seeded universal-hash parameters for the minhash family
-    * h_i(x) = ((a_i·x + b_i) mod p), p = 2^61 - 1.
+  /** Band bucket keys from a shingle-hash array — one pass per row,
+    * backed by the codegen'd [[graft.functions.MinhashBandKeys]]
+    * expression (signature + FNV band fold fused; emitting the
+    * signature as its own column gets it re-run bands× under
+    * CollapseProject, and the UDF predecessor copied the hash array
+    * out of ArrayData per row).
     */
-  private val MersenneP = (1L << 61) - 1
-
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (MersenneP - 1) + 1,
-        math.abs(rnd.nextLong()) % MersenneP))
-  }
-
-  /** `(a·x) mod (2^61-1)` via 128-bit multiply + Mersenne folding:
-    * with `prod = hi·2^64 + lo`, `2^64 ≡ 8` and `2^61 ≡ 1 (mod p)`,
-    * so `prod ≡ hi·8 + (lo >>> 61) + (lo & p)`. `hi < 2^58`, so no
-    * intermediate overflows.
-    */
-  @inline private def mulModP(a: Long, x: Long): Long = {
-    val hi = java.lang.Math.multiplyHigh(a, x)
-    val lo = a * x
-    var r = (hi << 3) + (lo >>> 61) + (lo & MersenneP)
-    r = (r & MersenneP) + (r >>> 61)
-    if (r >= MersenneP) r - MersenneP else r
-  }
-
-  /** MinHash signature of a shingle-hash array. */
-  def minhashSignatureUdf(numHashes: Int, seed: Long = 42L):
-      org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val params = hashParams(numHashes, seed)
-    udf { (hashes: Array[Long]) =>
-      if (hashes == null || hashes.isEmpty) Array.empty[Long]
-      else params.map { case (a, b) =>
-        var mn = Long.MaxValue
-        hashes.foreach { h =>
-          val x = java.lang.Long.remainderUnsigned(h, MersenneP)
-          var hv = mulModP(a, x) + b
-          if (hv >= MersenneP) hv -= MersenneP
-          if (hv < mn) mn = hv
-        }
-        mn
-      }
-    }
-  }
-
-  /** Band keys straight from the signature in ONE UDF call per row.
-    * (A separate sig column + per-band slice expressions looks natural
-    * but CollapseProject inlines the sig UDF into every band element,
-    * re-executing the minhash `bands`× per row.)
-    */
-  private def minhashBandKeysUdf(bands: Int, rows: Int, seed: Long):
-      org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val params = hashParams(bands * rows, seed)
-    udf { (hashes: Array[Long]) =>
-      if (hashes == null || hashes.isEmpty) Array.empty[Long]
-      else {
-        val sig = params.map { case (a, b) =>
-          var mn = Long.MaxValue
-          hashes.foreach { h =>
-            val x = java.lang.Long.remainderUnsigned(h, MersenneP)
-            var hv = mulModP(a, x) + b
-            if (hv >= MersenneP) hv -= MersenneP
-            if (hv < mn) mn = hv
-          }
-          mn
-        }
-        Array.tabulate(bands) { bIdx =>
-          var k = 0xcbf29ce484222325L ^ bIdx
-          var i = bIdx * rows
-          while (i < (bIdx + 1) * rows) {
-            k ^= sig(i); k *= 0x100000001b3L; i += 1
-          }
-          k
-        }
-      }
-    }
-  }
+  private def minhashBandKeys(hs: Column, bands: Int, rows: Int,
+                              seed: Long): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.MinhashBandKeys(
+        graft.functions.ColumnBridge.expression(hs), bands, rows, seed))
 
   /** MinHash-LSH near-dup candidate pairs: signature split into
     * `bands` bands of `rows` hashes; docs sharing any band bucket are
@@ -393,7 +329,7 @@ object Dedup {
       .where(size(col("hs")) > 0)
       .localCheckpoint(true)
     val banded = sh.select(col("doc"),
-        posexplode(minhashBandKeysUdf(bands, rows, seed)(col("hs"))))
+        posexplode(minhashBandKeys(col("hs"), bands, rows, seed)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
