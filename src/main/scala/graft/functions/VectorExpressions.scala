@@ -307,6 +307,81 @@ object Int8Codes {
   }
 }
 
+/** Signed-random-hyperplane LSH signature of a vector: bit i =
+  * sign(dot(v, plane_i)). Plane coefficients are splitmix64 dyadic
+  * rationals (deterministic by construction, engine-replayable) and
+  * ride along as a flattened codegen reference object. Replaces the
+  * per-row UDFs on the LSH bucketing paths (corpus + query hashing in
+  * lshTopK, block keys in embedding near-dup). `bands <= 0` emits the
+  * whole signature as a single-element array; otherwise per-band
+  * sub-keys of `bitsPerBand` bits each.
+  */
+case class HyperplaneKeys(child: Expression, dim: Int, bands: Int,
+                          bitsPerBand: Int, seed: Long)
+    extends UnaryExpression with VectorTypeChecks {
+  override protected def vectorChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_keys"
+
+  private def bits: Int = if (bands <= 0) bitsPerBand else bands * bitsPerBand
+
+  @transient private lazy val planes: Array[Double] =
+    HyperplaneKeys.planes(bits, dim, seed)
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneKeys.compute(a.asInstanceOf[ArrayData], elemIsFloat(child),
+      planes, dim, bands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[]")
+    val isF = elemIsFloat(child)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.HyperplaneKeys.compute(
+         |  $a, $isF, $p, $dim, $bands, $bitsPerBand);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneKeys {
+  @inline private def splitmix64(x0: Long): Long = Splitmix64.mix(x0)
+
+  /** Coefficients in [-1, 1) flattened bit-major: plane b's component
+    * i at index b·dim + i — identical values to the driver-side
+    * generator the Python oracle replays.
+    */
+  def planes(bits: Int, dim: Int, seed: Long): Array[Double] =
+    Array.tabulate(bits * dim) { k =>
+      ((splitmix64(seed + k) >>> 11).toDouble /
+        (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** Shared kernel for eval and generated code. */
+  def compute(arr: ArrayData, isFloat: Boolean, planes: Array[Double],
+              dim: Int, bands: Int, bitsPerBand: Int): ArrayData = {
+    val bits = if (bands <= 0) bitsPerBand else bands * bitsPerBand
+    var sig = 0L
+    var b = 0
+    val n = math.min(dim, arr.numElements())
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += planes(b * dim + i) * VectorKernels.get(arr, i, isFloat)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    val out =
+      if (bands <= 0) Array(sig)
+      else Array.tabulate(bands)(band =>
+        (sig >>> (band * bitsPerBand)) & ((1L << bitsPerBand) - 1))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** One-pass L2 normalization producing ARRAY<FLOAT> (store contract,
   * reference vectordb.py:81-86) or ARRAY<DOUBLE> (oracle-exact math).
   * A `transform(v, x => x / l2norm(v))` column does the same thing

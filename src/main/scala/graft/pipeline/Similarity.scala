@@ -34,72 +34,33 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
-  /** splitmix64 finalizer — the plane-coefficient generator. */
-  @inline private def splitmix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Hyperplane coefficients in [-1, 1): `(splitmix64(seed + b·dim + i)
-    * >>> 11) / 2^53 · 2 - 1` — exact dyadic rationals from pure integer
-    * mixing, so any engine reproduces them bit-for-bit (no RNG-stream
-    * or libm (`log`/`sqrt`-in-Gaussian) cross-language divergence; the
-    * DuckDB/Python oracle replays the same integers). Coordinate-wise
-    * uniform rather than Gaussian: directions are not perfectly
-    * isotropic, but sign-LSH only needs a symmetric distribution — the
-    * recall floor is asserted against brute force in AnnSpec either way.
+  /** Signed random hyperplane signature; bit i = sign(dot(v, plane_i)).
+    * Coefficients are exact splitmix64 dyadic rationals
+    * ([[graft.functions.HyperplaneKeys.planes]]) — engine-replayable,
+    * no RNG stream or libm; coordinate-wise uniform rather than
+    * Gaussian (sign-LSH only needs a symmetric distribution; the
+    * recall floor is asserted against brute force in AnnSpec).
+    * Backed by the codegen'd [[graft.functions.HyperplaneKeys]]
+    * expression (no per-row UDF converter).
     */
-  private[pipeline] def planeCoeffs(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
-    Array.tabulate(bits, dim)((b, i) =>
-      ((splitmix64(seed + b.toLong * dim + i) >>> 11).toDouble /
-        (1L << 53).toDouble) * 2.0 - 1.0)
+  def hyperplaneSig(v: org.apache.spark.sql.Column, dim: Int, bits: Int,
+                    seed: Long = 42L): org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.HyperplaneKeys(
+        graft.functions.ColumnBridge.expression(v), dim, 0, bits, seed))
+      .getItem(0)
 
-  /** Signed random hyperplane signature; bit i = sign(dot(v, plane_i)). */
-  def hyperplaneSigUdf(dim: Int, bits: Int, seed: Long = 42L):
-      org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val planes = planeCoeffs(bits, dim, seed)
-    udf { (v: Array[Float]) =>
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        val p = planes(b)
-        var i = 0
-        val n = math.min(dim, v.length)
-        while (i < n) { s += p(i) * v(i); i += 1 }
-        if (s >= 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
-  }
-
-  /** Per-band keys from the hyperplane signature in one UDF call —
-    * a sig column + per-band shift expressions gets the sig UDF
+  /** Per-band keys from the hyperplane signature in one expression —
+    * a sig column + per-band shift expressions gets the signature
     * inlined (and re-executed) per band by CollapseProject.
     */
-  private def hyperplaneBandsUdf(dim: Int, bands: Int, bitsPerBand: Int,
-                                 seed: Long) = {
-    val bits = bands * bitsPerBand
-    val planes = planeCoeffs(bits, dim, seed)
-    udf { (v: Array[Float]) =>
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        val p = planes(b)
-        var i = 0
-        val n = math.min(dim, v.length)
-        while (i < n) { s += p(i) * v(i); i += 1 }
-        if (s >= 0) sig |= (1L << b)
-        b += 1
-      }
-      Array.tabulate(bands)(band =>
-        (sig >>> (band * bitsPerBand)) & ((1L << bitsPerBand) - 1))
-    }
-  }
+  private def hyperplaneBandKeys(v: org.apache.spark.sql.Column, dim: Int,
+                                 bands: Int, bitsPerBand: Int,
+                                 seed: Long): org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.HyperplaneKeys(
+        graft.functions.ColumnBridge.expression(v), dim, bands,
+        bitsPerBand, seed))
 
   // ------------------------------------------------ int8 quantization --
   /** Per-vector symmetric int8 quantization — the standard 4× storage /
@@ -151,9 +112,9 @@ object Similarity {
               bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val bits = bands * bitsPerBand
     require(bits <= 64, "signature must fit in 64 bits")
-    val bandsUdf = hyperplaneBandsUdf(dim, bands, bitsPerBand, seed)
     def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec), posexplode(bandsUdf(col(vec))))
+      df.select(col(id), col(vec),
+          posexplode(hyperplaneBandKeys(col(vec), dim, bands, bitsPerBand, seed)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val c = banded(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv")
     val q = banded(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv")

@@ -1316,10 +1316,10 @@ object Queries {
       // LSH bucket as the blocking key for cosine near-dup — the
       // 100 TB shape (no label column needed, all equi-joins)
       val emb = tbl(s, d, "embeddings")
-      val sig = graft.pipeline.Similarity.hyperplaneSigUdf(64, bits = 8)
       graft.pipeline.Dedup.cosinePairsBlocked(
         emb.select(col("vec_id"), col("embedding"),
-          sig(col("embedding")).as("bucket")),
+          graft.pipeline.Similarity.hyperplaneSig(col("embedding"), 64, bits = 8)
+            .as("bucket")),
         "embedding", "vec_id", "bucket", threshold = 0.3)
         .select(col("d1").as("v1"), col("d2").as("v2"),
           round(col("sim"), 6).as("sim"))
