@@ -324,6 +324,63 @@ object MinhashBandKeys {
   }
 }
 
+/** Language ID by stopword-profile hit ratio — an n-gram-free
+  * heuristic over a small built-in function-word table; best-scoring
+  * language code or "und" with the hit ratio. Struct-returning native
+  * expression (fields `_1` lang, `_2` score — the tuple-encoder names
+  * its UDF predecessor produced, so downstream `pred._1` projections
+  * are unchanged). Ties break toward the lexicographically larger
+  * code, matching the retired UDF's maxBy on (score, lang).
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", StringType, nullable = false),
+    StructField("_2", DoubleType, nullable = false)))
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(t: Any): Any = LangId.compute(t.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.LangId.compute($t.toString());")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LangId {
+  /** Function-word profiles (10 per language). */
+  val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "for", "that", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Set("el", "la", "los", "y", "es", "no", "un", "una", "para", "en"),
+    "zh" -> Set("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Shared kernel for eval and generated code. */
+  def compute(text: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    var lang = "und"
+    var score = 0.0
+    if (toks.nonEmpty) {
+      Profiles.foreach { case (l, p) =>
+        val s = toks.count(p.contains).toDouble / toks.length
+        if (s > score || (s == score && s > 0.0 && l > lang)) {
+          lang = l; score = s
+        }
+      }
+      if (score == 0.0) lang = "und"
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(lang),
+        score))
+  }
+}
+
 /** Column-level API over the hash expressions. The seed rides INSIDE
   * the expression: wrap-around `key + seed` cannot be written as plan
   * arithmetic under ANSI mode (Add throws on Long overflow), and ids

@@ -243,27 +243,13 @@ object TextAnalysis {
   }
 
   /** Language ID by stopword-profile hit ratio — an n-gram-free
-    * heuristic over a small built-in function-word table. Returns the
-    * best-scoring language code or "und".
+    * heuristic; `(code | "und", hit ratio)` struct with tuple-encoder
+    * field names. Backed by the codegen'd
+    * [[graft.functions.LangId]] expression (was a Scala UDF).
     */
-  private val LangProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "for", "that", "it"),
-    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
-    "fr" -> Set("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
-    "es" -> Set("el", "la", "los", "y", "es", "no", "un", "una", "para", "en"),
-    "zh" -> Set("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
-
-  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-      if (toks.isEmpty) ("und", 0.0)
-      else {
-        val scores = LangProfiles.view.mapValues(p =>
-          toks.count(p.contains).toDouble / toks.length).toMap
-        val (lang, score) = scores.maxBy { case (l, s) => (s, l) }
-        if (score == 0.0) ("und", 0.0) else (lang, score)
-      }
-    }
+  def langId(text: Column): Column =
+    graft.functions.ColumnBridge.column(
+      graft.functions.LangId(graft.functions.ColumnBridge.expression(text)))
 
   /** Rolling polynomial hash fingerprints of token w-shingles
     * (Rabin-Karp style) — the building block for content-defined

@@ -1286,7 +1286,7 @@ object Queries {
     "lang_id" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          graft.pipeline.TextAnalysis.langIdUdf(col("text")).as("pred"))
+          graft.pipeline.TextAnalysis.langId(col("text")).as("pred"))
         .select(col("doc_id"), col("lang"), col("pred._1").as("lang_pred"),
           round(col("pred._2"), 4).as("lang_score"))
         .orderBy(col("doc_id"))),

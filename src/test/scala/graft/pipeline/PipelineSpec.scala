@@ -150,7 +150,7 @@ class PipelineSpec extends SparkTestBase {
       (1L, "der hund ist nicht auf der matte und das ist gut"),
       (2L, "xyzzy plugh qwertz"))).toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
-      TextAnalysis.langIdUdf(col("text")).getField("_1").as("lang"))
+      TextAnalysis.langId(col("text")).getField("_1").as("lang"))
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(out(0) == "en")
     assert(out(1) == "de")
