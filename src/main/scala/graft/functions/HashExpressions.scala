@@ -57,14 +57,21 @@ object Splitmix64 {
     * must be a literal — it parameterizes generated code — and wrong
     * arity fails analysis instead of silently mixing with seed 0.
     */
-  def fromArgs(exprs: Seq[Expression]): Splitmix64 = exprs match {
-    case Seq(key) => Splitmix64(key)
-    case Seq(key, org.apache.spark.sql.catalyst.expressions.Literal(s, LongType)) =>
-      Splitmix64(key, s.asInstanceOf[Long])
-    case Seq(_, other) => throw new IllegalArgumentException(
-      s"splitmix64 seed must be a BIGINT literal, got ${other.sql}")
-    case _ => throw new IllegalArgumentException(
-      s"splitmix64 expects 1 or 2 arguments, got ${exprs.size}")
+  def fromArgs(exprs: Seq[Expression]): Splitmix64 = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(key) => Splitmix64(key)
+      case Seq(key, Literal(s, LongType)) => Splitmix64(key, s.asInstanceOf[Long])
+      // SQL integer literals parse as INT (or smaller) unless suffixed
+      // `L` — widen any integral literal seed instead of rejecting it
+      case Seq(key, Literal(s, IntegerType)) => Splitmix64(key, s.asInstanceOf[Int].toLong)
+      case Seq(key, Literal(s, ShortType)) => Splitmix64(key, s.asInstanceOf[Short].toLong)
+      case Seq(key, Literal(s, ByteType)) => Splitmix64(key, s.asInstanceOf[Byte].toLong)
+      case Seq(_, other) => throw new IllegalArgumentException(
+        s"splitmix64 seed must be an integral literal, got ${other.sql}")
+      case _ => throw new IllegalArgumentException(
+        s"splitmix64 expects 1 or 2 arguments, got ${exprs.size}")
+    }
   }
 
   /** The shared scalar kernel (used by the expression, driver-side
@@ -381,6 +388,39 @@ object LangId {
   }
 }
 
+/** Membership probe against a pre-built Bloom filter, as a codegen'd
+  * expression: the sketch rides along as a codegen reference object
+  * (inside the task binary, which Spark broadcasts once per stage), so
+  * the probe runs inside whole-stage codegen with no per-row UDF
+  * converter — this sits on the TRAINING-side scan of Bloom-prefiltered
+  * decontamination ([[graft.pipeline.Dedup.crossJaccardPairsBloom]]),
+  * the single biggest scan in the system at 100 TB. No false negatives
+  * (Bloom contract), so callers may use it as a lossless prefilter in
+  * front of an equi-join.
+  */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got ${child.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(h: Any): Any =
+    bloom.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $b.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API over the hash expressions. The seed rides INSIDE
   * the expression: wrap-around `key + seed` cannot be written as plan
   * arithmetic under ANSI mode (Add throws on Long overflow), and ids
@@ -409,4 +449,9 @@ object HashFunctions {
   /** 64-bit SimHash signature (codegen'd, see [[Simhash64]]). */
   def simhash64(text: Column): Column =
     ColumnBridge.column(Simhash64(ColumnBridge.expression(text)))
+
+  /** Bloom membership probe (codegen'd, see [[BloomMightContain]]). */
+  def bloomMightContain(h: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(h), bloom))
 }

@@ -188,20 +188,26 @@ object Dedup {
     // by the bloom build and the join probe
     val pr = explodePostings(shingled(right).localCheckpoint(true))
     // empty eval side: nothing can be contaminated — and Spark's
-    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer)
+    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer).
+    // The empty result takes left_doc's type from the LEFT frame and
+    // right_doc's from the RIGHT (the non-empty path's schema) — both
+    // limited to zero rows, so the crossJoin is free.
     val bloom = postingsBloom(pr, fpp).getOrElse(
-      return pr.select(col("doc").as("left_doc"), col("doc").as("right_doc"),
-        lit(0.0).as("jac")).where(lit(false)))
-    val bc = left.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+      return left.select(col(idCol).as("left_doc")).limit(0)
+        .crossJoin(right.select(col(idCol).as("right_doc")).limit(0))
+        .withColumn("jac", lit(0.0)))
     // left (training) side: NO checkpoint — materializing the 100 TB
     // side's shingle arrays before the filter would pay exactly the
     // cost this operator exists to avoid. The price is the shingle
-    // UDF re-evaluating 2-3× per row under constraint-derived filters
-    // (size/explode consumers) — map-side CPU, which beats writing
-    // the whole postings frame to the block manager. Rows stream scan
-    // → filter → exchange, pruned before the shuffle.
-    val fl = explodePostings(shingled(left)).where(mightContain(col("h")))
+    // expression re-evaluating 2-3× per row under constraint-derived
+    // filters (size/explode consumers) — map-side CPU, which beats
+    // writing the whole postings frame to the block manager. Rows
+    // stream scan → filter → exchange, pruned before the shuffle. The
+    // probe itself is the codegen'd [[graft.functions.BloomMightContain]]
+    // (sketch as a plan reference object — Spark broadcasts the task
+    // binary), so the biggest scan in the system carries no per-row UDF.
+    val fl = explodePostings(shingled(left)).where(
+      graft.functions.HashFunctions.bloomMightContain(col("h"), bloom))
     fl.as("a").join(pr.as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
@@ -449,9 +455,13 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 64-bit SimHash over token hashes. */
+  /** 64-bit SimHash over token hashes. NULL text signs as the empty
+    * document (signature 0L) rather than propagating NULL — null-text
+    * rows must keep flowing through batch banding and the streaming
+    * index (the pre-conversion UDF's null-to-"" contract).
+    */
   def simhash64(text: Column): Column =
-    graft.functions.HashFunctions.simhash64(text)
+    graft.functions.HashFunctions.simhash64(coalesce(text, lit("")))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded
     * into 4×16-bit sub-keys (pigeonhole: distance ≤ 3 ⇒ at least one

@@ -140,12 +140,12 @@ object ScaleCurve {
       def postings(d: DataFrame) = d.select(explode(array_distinct(
         TextAnalysis.shingleHashes(col("text"), 3))).as("h"))
       val total = postings(train).count()
-      // the SHIPPED filter construction (Dedup.postingsBloom), so the
-      // measured survival rate quantifies the operator's own bloom
+      // the SHIPPED filter construction (Dedup.postingsBloom) and the
+      // shipped probe expression, so the measured survival rate
+      // quantifies the operator's own bloom
       val bloom = Dedup.postingsBloom(postings(evalSide()), 0.01).get
-      val bc = spark.sparkContext.broadcast(bloom)
-      val mc = udf((h: Long) => bc.value.mightContainLong(h))
-      val kept = postings(train).where(mc(col("h"))).count()
+      val kept = postings(train).where(
+        graft.functions.HashFunctions.bloomMightContain(col("h"), bloom)).count()
       println(f"bloom_prefilter  postings $total%d -> $kept%d " +
         f"(${100.0 * kept / total}%.2f%% shuffle into the join)")
     }

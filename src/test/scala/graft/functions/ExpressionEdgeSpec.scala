@@ -104,6 +104,64 @@ class ExpressionEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("bloom_might_contain: no false negatives, null-safe, codegen parity") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(i => bloom.putLong(i * 7L))
+    val df = Seq(Some(7L), Some(14L), Some(1000003L), None).toDF("h")
+    val probe = graft.functions.HashFunctions.bloomMightContain(col("h"), bloom)
+    val viaCodegen = df.select(probe.as("m")).collect()
+    assert(viaCodegen(0).getBoolean(0) && viaCodegen(1).getBoolean(0))
+    assert(viaCodegen(3).isNullAt(0))
+    // inserted keys can NEVER read false (bloom contract)
+    val inserted = (0L until 50L).map(_ * 7L).toDF("h")
+    assert(inserted.select(probe.as("m")).collect().forall(_.getBoolean(0)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.select(probe.as("m")).collect()
+      viaCodegen.zip(interpreted).foreach { case (c, i) =>
+        assert(c.isNullAt(0) == i.isNullAt(0))
+        if (!c.isNullAt(0)) assert(c.getBoolean(0) == i.getBoolean(0))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("operator wrappers pin the pre-conversion NULL-text contract") {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val df = Seq((1L, null: String), (2L, "the cat sat on the mat")).toDF("id", "text")
+    val got = df.select(
+      Dedup.simhash64(col("text")).as("sh"),
+      TextAnalysis.shingleHashes(col("text"), 3).as("hs"),
+      TextAnalysis.langId(col("text")).as("lid")).orderBy(col("sh")).collect()
+    val nullRow = got.find(_.getLong(0) == 0L).get
+    assert(nullRow.getSeq[Long](1).isEmpty)            // no postings
+    assert(nullRow.getStruct(2).getString(0) == "und") // und, not NULL
+    assert(nullRow.getStruct(2).getDouble(1) == 0.0)
+  }
+
+  test("Mix.byWeight raises on a null id instead of silently dropping") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "a")).toDF("id", "lang")
+    val ex = intercept[Exception](
+      graft.pipeline.Mix.byWeight(df, "id", "lang", Map("a" -> 0.5)).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("Mix.byWeight")))
+  }
+
+  test("splitmix64 SQL surface accepts INT literal seeds") {
+    GraftSql.register(spark)
+    val got = spark.sql(
+      "SELECT splitmix64(42L, 7) AS a, splitmix64(42L, 7L) AS b").head()
+    assert(got.getLong(0) == got.getLong(1))
+    assert(got.getLong(0) == Splitmix64.mix(49L))
+  }
+
   test("GraftExtensions injects the SQL functions at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force shared-session init (owns the SparkContext)
