@@ -126,7 +126,11 @@ object PdfText {
     // dictionary of each `/Type /XRef` object doubles as the trailer.
     var x = raw.indexOf("/XRef")
     while (x >= 0) {
-      val objStart = raw.lastIndexOf(" obj", x) max 0
+      // clamp the backward scan too: with no " obj" before the hit the
+      // window would otherwise start at offset 0 — a content stream
+      // mentioning both "/XRef" and "/Encrypt" earlier in the file
+      // would re-trigger the whole-file false positive
+      val objStart = math.max(raw.lastIndexOf(" obj", x), x - 16384) max 0
       val stop = firstAfter(x, "stream", "endobj")
       if (raw.substring(objStart, stop).contains("/Encrypt")) return true
       x = raw.indexOf("/XRef", x + 5)

@@ -50,12 +50,20 @@ object Mix {
     // back to defaultWeight instead.
     val w = coalesce(try_element_at(wMap, col(stratumCol).cast("string")),
       lit(defaultWeight))
+    // A null (or, under non-ANSI configs, non-castable) id leaves the
+    // per-row sampling decision undefined — the `when(u < frac)` below
+    // would silently resolve to 0 extra copies and fractional-weight
+    // strata would be floor-dropped forever. Fail loudly instead.
+    val idLong = coalesce(col(idCol).cast(LongType),
+      raise_error(lit(s"Mix.byWeight: id column '$idCol' must be " +
+        "non-null and castable to BIGINT — the repeat decision is a " +
+        "pure function of (id, seed)")))
     // copies = floor(w) + [u < frac(w)]; u is the exact dyadic uniform
     // from the row id, so the fractional part admits one extra copy
     // with probability frac(w), independently per row. The seed folds
     // in INSIDE the hash expression — `id + seed` as plan arithmetic
     // would throw (not wrap) on overflow under ANSI mode.
-    val u = HashFunctions.unitUniform(col(idCol).cast(LongType), seed)
+    val u = HashFunctions.unitUniform(idLong, seed)
     val base = floor(w).cast("int")
     val copies = base + when(u < (w - floor(w)), lit(1)).otherwise(lit(0))
     // generator outputs get collision-proof aliases: a user column

@@ -245,18 +245,27 @@ object TextAnalysis {
   /** Language ID by stopword-profile hit ratio — an n-gram-free
     * heuristic; `(code | "und", hit ratio)` struct with tuple-encoder
     * field names. Backed by the codegen'd
-    * [[graft.functions.LangId]] expression (was a Scala UDF).
+    * [[graft.functions.LangId]] expression (was a Scala UDF). NULL
+    * text classifies as `("und", 0.0)` — the operator contract
+    * predates the expression conversion (the retired UDF coerced null
+    * to ""), so the null-coalesce is pinned HERE, not in the
+    * null-propagating expression.
     */
   def langId(text: Column): Column =
     graft.functions.ColumnBridge.column(
-      graft.functions.LangId(graft.functions.ColumnBridge.expression(text)))
+      graft.functions.LangId(
+        graft.functions.ColumnBridge.expression(coalesce(text, lit("")))))
 
   /** Rolling polynomial hash fingerprints of token w-shingles
     * (Rabin-Karp style) — the building block for content-defined
     * near-dup detection. Backed by the codegen'd
     * [[graft.functions.ShingleHashes]] expression (was a Scala UDF:
     * converter boxing per row plus every token FNV-hashed w times).
+    * NULL text yields the EMPTY hash array, not NULL — a null-text
+    * document must still flow through the dedup family (producing no
+    * postings and no candidate pairs), matching the pre-conversion
+    * UDF's null-to-"" coercion.
     */
   def shingleHashes(text: Column, w: Int): Column =
-    graft.functions.HashFunctions.shingleHashes(text, w)
+    graft.functions.HashFunctions.shingleHashes(coalesce(text, lit("")), w)
 }

@@ -56,6 +56,22 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got.exists(_.contains("Docs about the /Encrypt key go here")))
   }
 
+  test("far-apart '/Encrypt' and '/XRef' mentions before any object still extract") {
+    // An "/XRef" hit with NO " obj" anywhere before it used to scan
+    // its window from offset 0 — so an "/Encrypt" mention ANYWHERE
+    // earlier (here: >16 KiB away, in header comments) re-triggered
+    // the whole-file false positive. The backward scan is now clamped
+    // to 16 KiB before the hit.
+    val pad = "% filler comment line to push offsets apart\n" * 500 // ~22 KiB
+    val doc = ("%PDF-1.5\n" +
+      "% build notes: the /Encrypt key is never used by this tool\n" +
+      pad +
+      "% more notes: we emit classic tables, not /XRef streams\n" +
+      "1 0 obj\n<< /Length 20 >>\nstream\nBT (kept text) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Size 2 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n").getBytes
+    assert(PdfText.extract(doc).exists(_.contains("kept text")))
+  }
+
   test("trailer-declared /Encrypt refuses even with extractable streams") {
     val doc = ("%PDF-1.4\n" +
       "1 0 obj\n<< /Length 20 >>\nstream\nBT (secret) Tj ET\nendstream\nendobj\n" +
