@@ -1,43 +1,198 @@
 package graft.pipeline
 
-import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF coarse-quantizer model: a flat centroid table, plus — when
+  * trained hierarchically — the L1 (first-level) centroids and each L1
+  * cell's flat-centroid children, so per-row assignment can DESCEND
+  * the two levels (nearest L1 cell, then only its children: O(√nlist)
+  * dots) instead of scanning all nlist centroids. Under the semDedup
+  * contract nlist grows proportionally with the corpus, so flat
+  * per-row assignment cost grows with corpus size too — O(n·nlist·dim)
+  * total, effectively quadratic; the descent keeps the full-corpus
+  * assign scan at O(n·√nlist·dim).
+  *
+  * All selection rules are deterministic (dot descending, ties to the
+  * smaller index; sequential-double accumulation), so any engine — the
+  * Python oracle included — replays assignments bit-for-bit.
+  */
+final case class IvfModel(centroids: Array[Array[Float]],
+                          l1: Array[Array[Float]],
+                          children: Array[Array[Int]]) extends Serializable {
+  def nlist: Int = centroids.length
+
+  def hierarchical: Boolean = l1.nonEmpty
+
+  /** ids of the `n` centroids nearest to `v` by dot product, over the
+    * FLAT table (all nlist centroids scanned).
+    */
+  def nearest(v: Array[Float], n: Int): Array[Int] =
+    IvfModel.topNByDot(centroids, null, v, n)
+
+  /** ids of `n` near centroids via hierarchical descent: rank the L1
+    * cells, then walk them best-first collecting their children until
+    * at least `n` candidates AND at least 2 cells are in (the second
+    * cell is a deliberate boundary oversample: a vector between two L1
+    * cells gets candidates from both, which is what keeps descent
+    * assignments near the flat argmin), then pick the best `n` among
+    * the candidates. Falls back to the flat scan for non-hierarchical
+    * models — so this is safe to call unconditionally.
+    */
+  def nearestDescend(v: Array[Float], n: Int): Array[Int] = {
+    if (!hierarchical) return nearest(v, n)
+    val cellCap = math.min(l1.length, math.max(2, n))
+    val order = IvfModel.topNByDot(l1, null, v, cellCap)
+    var count = 0
+    var ci = 0
+    while (ci < order.length && (count < n || ci < 2)) {
+      count += children(order(ci)).length
+      ci += 1
+    }
+    val cand = new Array[Int](count)
+    var off = 0
+    var cj = 0
+    while (cj < ci) {
+      val ch = children(order(cj))
+      System.arraycopy(ch, 0, cand, off, ch.length)
+      off += ch.length
+      cj += 1
+    }
+    IvfModel.topNByDot(centroids, cand, v, n)
+  }
+
+  /** The executor-side kernel behind [[IvfNearest]]: same selection as
+    * [[nearestDescend]], reading the vector straight from Catalyst
+    * ArrayData (FLOAT arrays copy exactly; DOUBLE input narrows to
+    * float first — the model itself is float32).
+    */
+  def nearestData(arr: ArrayData, isFloat: Boolean, n: Int): ArrayData = {
+    val v: Array[Float] =
+      if (isFloat) arr.toFloatArray()
+      else {
+        val d = arr.toDoubleArray()
+        val f = new Array[Float](d.length)
+        var i = 0
+        while (i < d.length) { f(i) = d(i).toFloat; i += 1 }
+        f
+      }
+    ArrayData.toArrayData(nearestDescend(v, n))
+  }
+}
+
+object IvfModel {
+  /** Flat (non-hierarchical) model. */
+  def apply(centroids: Array[Array[Float]]): IvfModel =
+    IvfModel(centroids, Array.empty, Array.empty)
+
+  /** Indices of the `n` best candidates by (dot desc, index asc) —
+    * ONE pass with an insertion-sorted top-n buffer (n is 1 or the
+    * probe width; the previous formulation allocated and sorted an
+    * nlist-sized tuple list per row). `cands == null` scans the whole
+    * table; otherwise only the given candidate ids.
+    */
+  private[pipeline] def topNByDot(table: Array[Array[Float]],
+                                  cands: Array[Int], v: Array[Float],
+                                  n: Int): Array[Int] = {
+    val m = if (cands == null) table.length else cands.length
+    val k = math.min(n, m)
+    if (k <= 0) return Array.empty[Int]
+    val idx = new Array[Int](k)
+    val sc = new Array[Double](k)
+    var filled = 0
+    var j = 0
+    while (j < m) {
+      val c = if (cands == null) j else cands(j)
+      val s = dot(table(c), v)
+      val full = filled == k
+      if (!full || s > sc(k - 1) || (s == sc(k - 1) && c < idx(k - 1))) {
+        var p = if (full) k - 1 else filled
+        while (p > 0 && (sc(p - 1) < s || (sc(p - 1) == s && idx(p - 1) > c))) p -= 1
+        var q = if (full) k - 1 else filled
+        while (q > p) { sc(q) = sc(q - 1); idx(q) = idx(q - 1); q -= 1 }
+        sc(p) = s
+        idx(p) = c
+        if (!full) filled += 1
+      }
+      j += 1
+    }
+    idx
+  }
+
+  /** Sequential-in-double dot — the numeric contract every oracle
+    * replays (same fold as [[graft.functions.VectorKernels.dot]]).
+    */
+  @inline private[pipeline] def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+}
+
+/** Per-row IVF centroid assignment/probe as a codegen'd Catalyst
+  * expression: the model rides along as a plan reference object (the
+  * task binary Spark broadcasts once per stage), the kernel is
+  * [[IvfModel.nearestData]] — hierarchical descent when the model has
+  * two levels, flat scan otherwise. This is the corpus-wide assign
+  * scan of the IVF/semDedup family; its UDF predecessor paid a
+  * Catalyst↔Scala converter per row AND evaluated all nlist centroids.
+  */
+case class IvfNearest(child: Expression, model: IvfModel, nprobe: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_nearest"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    model.nearestData(a.asInstanceOf[ArrayData], elemIsFloat, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfModel", model, classOf[IvfModel].getName)
+    val isF = elemIsFloat
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $m.nearestData($a, $isF, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
 
 /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
   * built with DataFrame ops, then search = probe the `nprobe` nearest
   * centroid lists and rescore exactly.
   *
   * This is the batch-index-build path the north star asks for: train
-  * and assignment are full scans (one shuffle per iteration, keyed by
-  * cluster id — nlist×dim floats to the driver, never vectors), and a
-  * search touches ~nprobe/nlist of the corpus via a cluster-id
-  * equi-join on the pre-partitioned postings. At 100 TB the postings
-  * table is written back partitioned by `cluster` so probes prune
-  * partitions at the parquet level. Online serving stays out of scope
-  * (BASELINE.json); this is offline index build + batch query.
+  * is a bounded driver-side fold (the faiss design), assignment is a
+  * full scan through the codegen'd [[IvfNearest]] kernel — O(√nlist)
+  * dots per row on hierarchical models — and a search touches
+  * ~nprobe/nlist of the corpus via a cluster-id equi-join on the
+  * pre-partitioned postings. At 100 TB the postings table is written
+  * back partitioned by `cluster` so probes prune partitions at the
+  * parquet level. Online serving stays out of scope (BASELINE.json);
+  * this is offline index build + batch query.
   */
 object Ivf {
 
-  final case class IvfModel(centroids: Array[Array[Float]]) extends Serializable {
-    def nlist: Int = centroids.length
-
-    /** ids of the `n` centroids nearest to `v` by dot product. */
-    def nearest(v: Array[Float], n: Int): Array[Int] =
-      centroids.indices
-        .map(c => (c, dot(centroids(c), v)))
-        .sortBy { case (c, s) => (-s, c) }
-        .take(n).map(_._1).toArray
-
-    private def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-  }
+  /** Back-compat alias: the model type now lives at package level
+    * (codegen references it by its Java binary name).
+    */
+  type IvfModel = graft.pipeline.IvfModel
+  val IvfModel: graft.pipeline.IvfModel.type = graft.pipeline.IvfModel
 
   /** splitmix64 finalizer — seeds the deterministic centroid init. */
   @inline private def splitmix64(x0: Long): Long = {
@@ -73,14 +228,16 @@ object Ivf {
   /** Two-level (hierarchical) train for LARGE nlist: an L1 quantizer
     * with ~√nlist centroids partitions the sample, then each L1 cell
     * trains its own nlist/√nlist sub-centroids — the flat model the
-    * search path consumes is their concatenation. Driver cost drops
-    * from sample×nlist to sample×2√nlist distance evaluations (the
-    * faiss IVF_HNSW/two-level recipe): at nlist = 65536 that is ~128×
-    * less fold work, which is what makes corpus-proportional nlist
-    * (the [[graft.pipeline.Dedup.semDedup]] contract) affordable past
-    * a few thousand clusters. Deterministic by the same construction
-    * as [[train]] — the Python oracle replays L1, the per-cell L2
-    * folds in cell order, and the concatenation order.
+    * search path consumes is their concatenation, and the L1 table +
+    * per-cell child ranges are kept on the model so ASSIGNMENT can
+    * descend the same two levels. Driver train cost drops from
+    * sample×nlist to sample×2√nlist distance evaluations, and per-row
+    * assign cost from nlist to ~3√nlist (L1 scan + two cells'
+    * children) — which is what makes corpus-proportional nlist (the
+    * [[graft.pipeline.Dedup.semDedup]] contract) affordable end to
+    * end. Deterministic by the same construction as [[train]] — the
+    * Python oracle replays L1, the per-cell L2 folds in cell order,
+    * the concatenation order, and the descent rule.
     */
   def trainHierarchical(df: DataFrame, vecCol: String, idCol: String,
                         nlist: Int, iters: Int = 5, seed: Long = 42L,
@@ -98,11 +255,14 @@ object Ivf {
     val groups = Array.fill(l1.nlist)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
     sample.foreach { case (id, v) => groups(l1.nearest(v, 1)(0)) += ((id, v)) }
-    val cents = groups.zipWithIndex.flatMap { case (g, c) =>
-      if (g.isEmpty) Array(l1.centroids(c)) // empty cell keeps its L1 centroid
-      else kmeansFold(g.toArray, kc, iters, seed)
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val childIdx = groups.zipWithIndex.map { case (g, c) =>
+      val start = cents.length
+      if (g.isEmpty) cents += l1.centroids(c) // empty cell keeps its L1 centroid
+      else cents ++= kmeansFold(g.toArray, kc, iters, seed)
+      Array.range(start, cents.length)
     }
-    IvfModel(cents)
+    IvfModel(cents.toArray, l1.centroids, childIdx)
   }
 
   private def collectSample(df: DataFrame, vecCol: String, idCol: String,
@@ -158,14 +318,18 @@ object Ivf {
     centroids
   }
 
-  private def mkAssignUdf(model: IvfModel, nprobe: Int) =
-    udf((v: Array[Float]) => model.nearest(v, nprobe))
+  /** Cluster id(s) of the `nprobe` nearest centroids, as a codegen'd
+    * column ([[IvfNearest]] — descent on hierarchical models).
+    */
+  private def nearestCol(vec: Column, model: IvfModel, nprobe: Int): Column =
+    graft.functions.ColumnBridge.column(
+      IvfNearest(graft.functions.ColumnBridge.expression(vec), model, nprobe))
 
   /** Postings table: corpus rows + their cluster id. Persist this
     * partitioned by `cluster` for partition-pruned probes at scale.
     */
   def assign(df: DataFrame, vecCol: String, model: IvfModel): DataFrame =
-    df.withColumn("cluster", mkAssignUdf(model, 1)(col(vecCol)).getItem(0))
+    df.withColumn("cluster", nearestCol(col(vecCol), model, 1).getItem(0))
 
   /** Persist the postings partitioned by cluster id — probes then
     * prune at the directory level (`PartitionFilters` in the scan), so
@@ -195,9 +359,9 @@ object Ivf {
   def search(postings: DataFrame, queries: DataFrame, vecCol: String,
              idCol: String, model: IvfModel, k: Int,
              nprobe: Int = 4): DataFrame = {
-    val probeUdf = mkAssignUdf(model, nprobe)
+    import graft.functions.VectorFunctions.cosineSimD
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("cluster", explode(probeUdf(col("qv"))))
+      .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
     val c = postings.select(col("cluster"), col(idCol).as("nid"), col(vecCol).as("nv"))
     val cand = c.join(broadcast(q), Seq("cluster"))
       .where(col("nid") =!= col("qid"))
@@ -230,10 +394,9 @@ object Ivf {
   def searchCodes(index: DataFrame, queries: DataFrame, vecCol: String,
                   idCol: String, model: IvfModel, k: Int,
                   nprobe: Int = 4): DataFrame = {
-    val probeUdf = mkAssignUdf(model, nprobe)
     val q = queries.select(col(idCol).as("qid"),
         Similarity.int8Codes(col(vecCol)).as("qc"), col(vecCol).as("qv"))
-      .withColumn("cluster", explode(probeUdf(col("qv"))))
+      .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
       .drop("qv")
     val c = index.select(col("cluster"), col(idCol).as("nid"),
       col("codes").as("nc"))

@@ -133,6 +133,53 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("topN kernel matches the sort-based selection rule exactly") {
+    // the insertion top-n must replay sortBy((-dot, idx)).take(n),
+    // including ties — random vectors plus a crafted all-ties table
+    val rnd = new scala.util.Random(20260812L)
+    val dim = 8
+    val table = Array.fill(32)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    def reference(v: Array[Float], n: Int): Seq[Int] =
+      table.indices.map(c => (c, IvfModel.dot(table(c), v)))
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      (Seq(1, 3, 7, 32, 40)).foreach { n =>
+        assert(IvfModel.topNByDot(table, null, v, n).toSeq == reference(v, n))
+      }
+    }
+    val ties = IvfModel(Array.fill(5)(Array(1.0f, 0.0f)))
+    assert(ties.nearest(Array(1.0f, 1.0f), 3).toSeq == Seq(0, 1, 2))
+    // candidate-subset path honors the same rule
+    assert(IvfModel.topNByDot(Array.fill(5)(Array(1.0f)), Array(4, 2, 3), Array(1.0f), 2)
+      .toSeq == Seq(2, 3))
+  }
+
+  test("hierarchical assign descends (no UDF) and stays near the flat argmin") {
+    val model = Ivf.trainHierarchical(emb, "embedding", "vec_id",
+      nlist = 16, iters = 3)
+    assert(model.hierarchical)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val plan = postings.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"assign still carries a UDF:\n$plan")
+    assert(plan.contains("ivf_nearest"), s"expected the native kernel:\n$plan")
+    // descent picks the true flat argmin away from L1 boundaries; the
+    // 2-cell oversample covers most boundary vectors too
+    val viaDescend = postings.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaFlat = Ivf.assign(emb, "embedding", IvfModel(model.centroids))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = viaDescend.count { case (id, c) => viaFlat(id) == c }.toDouble /
+      viaDescend.size
+    assert(agree >= 0.8, s"descent/flat agreement too low: $agree")
+    // and the descent is itself deterministic across plans
+    val again = Ivf.assign(emb, "embedding", model)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == viaDescend)
+  }
+
   test("quantized IVF agrees closely with float IVF on the same probes") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
     val postings = Ivf.assign(emb, "embedding", model)

@@ -391,7 +391,9 @@ def ivf_train(emb, nlist=16, iters=3, seed=42):
 
 def ivf_train_hier(emb, nlist=16, iters=3, seed=42, branch=0):
     """Mirror of Ivf.trainHierarchical: L1 fold with ~sqrt(nlist)
-    centroids, per-cell L2 folds in cell order, concatenated."""
+    centroids, per-cell L2 folds in cell order, concatenated. Returns
+    (flat centroids, l1 centroids, per-cell child index lists) — the
+    descent structure the Scala model carries."""
     sample = sorted(emb)
     b1 = branch if branch > 0 else max(1, round(math.sqrt(nlist)))
     l1 = kmeans_fold(sample, b1, iters, seed)
@@ -400,12 +402,38 @@ def ivf_train_hier(emb, nlist=16, iters=3, seed=42, branch=0):
     for i, v in sample:
         groups[ivf_nearest(l1, v, 1)[0]].append((i, v))
     cents = []
+    children = []
     for c, g in enumerate(groups):
+        start = len(cents)
         if not g:
             cents.append(l1[c])
         else:
             cents.extend(kmeans_fold(g, kc, iters, seed))
-    return cents
+        children.append(list(range(start, len(cents))))
+    return cents, l1, children
+
+
+def ivf_nearest_descend(cents, l1, children, v, n):
+    """Mirror of IvfModel.nearestDescend: rank L1 cells, walk best-first
+    collecting children until >= n candidates AND >= 2 cells (boundary
+    oversample), then best n among the candidates by (dot desc, idx
+    asc)."""
+    if not l1:
+        return ivf_nearest(cents, v, n)
+    order = ivf_nearest(l1, v, min(len(l1), max(2, n)))
+    cand = []
+    ci = 0
+    while ci < len(order) and (len(cand) < n or ci < 2):
+        cand.extend(children[order[ci]])
+        ci += 1
+    dots = []
+    for c in cand:
+        s = 0.0
+        for i in range(min(len(cents[c]), len(v))):
+            s += cents[c][i] * v[i]
+        dots.append((c, s))
+    dots.sort(key=lambda t: (-t[1], t[0]))
+    return [c for c, _ in dots[:n]]
 
 
 def kmeans_fold(sample, nlist, iters, seed):
@@ -456,9 +484,12 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
 
 def gen_ivf_topk_hier(emb, nlist=16, iters=3, k=5, nprobe=4):
     """Same probe/rank mirror as gen_ivf_topk over the hierarchical
-    (two-level) quantizer's flat centroid list."""
-    centroids = ivf_train_hier(emb, nlist, iters)
-    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    (two-level) quantizer — assignment AND probing descend the two
+    levels (ivf_nearest_descend), matching the Scala IvfNearest
+    kernel."""
+    centroids, l1, children = ivf_train_hier(emb, nlist, iters)
+    assign = {i: ivf_nearest_descend(centroids, l1, children, v, 1)[0]
+              for i, v in emb}
     postings = {}
     for i, _ in emb:
         postings.setdefault(assign[i], []).append(i)
@@ -466,7 +497,7 @@ def gen_ivf_topk_hier(emb, nlist=16, iters=3, k=5, nprobe=4):
     queries = [i for i, _ in emb if i < 10]
     cands = {q: {} for q in queries}
     for q in queries:
-        for cl in ivf_nearest(centroids, vec[q], nprobe):
+        for cl in ivf_nearest_descend(centroids, l1, children, vec[q], nprobe):
             for n in postings.get(cl, []):
                 if n != q and n not in cands[q]:
                     cands[q][n] = cosine_sim_d(vec[n], vec[q])
@@ -796,10 +827,13 @@ def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
     cluster-mate has cosine > threshold (sequential-double fold, same
     as the Scala kernel)."""
     if hier:
-        cents = ivf_train_hier(emb, nlist=nlist, iters=iters, seed=seed)
+        cents, l1, children = ivf_train_hier(emb, nlist=nlist, iters=iters,
+                                             seed=seed)
     else:
-        cents = ivf_train(emb, nlist=nlist, iters=iters, seed=seed)
-    assigned = [(vid, v, ivf_nearest(cents, v, 1)[0]) for vid, v in emb]
+        cents, l1, children = (ivf_train(emb, nlist=nlist, iters=iters,
+                                         seed=seed), [], [])
+    assigned = [(vid, v, ivf_nearest_descend(cents, l1, children, v, 1)[0])
+                for vid, v in emb]
     by_cluster = {}
     for vid, v, c in assigned:
         by_cluster.setdefault(c, []).append((vid, v))
