@@ -22,6 +22,11 @@ object ScaleCurve {
     // blowup multipliers; exponent fits last vs first
     val mults0 = if (args.length > 1) args(1).split(',').map(_.toInt).toSeq
       else Seq(1, 2, 4)
+    // optional third arg: comma list of sections to run
+    // (dedup,decontam,semdedup,ivf_assign); default all
+    val sections = if (args.length > 2) args(2).split(',').toSet
+      else Set("dedup", "decontam", "semdedup", "ivf_assign")
+    def want(s: String): Boolean = sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,7 +78,7 @@ object ScaleCurve {
           Map("0" -> 0.5, "1" -> 2.25, "2" -> 0.0, "3" -> 1.0), 0.25)))
 
     println(f"${"op"}%-16s ${"n_docs"}%8s ${"mult"}%5s ${"sec"}%8s ${"pairs"}%8s")
-    val timings = ops.map { case (name, fn) =>
+    val timings = (if (want("dedup")) ops else Seq.empty).map { case (name, fn) =>
       // untimed warm-up at 1x: codegen + JIT for this op's UDFs must
       // not be billed to the first measured point (it flips the sign
       // of the fitted exponent otherwise)
@@ -108,11 +113,12 @@ object ScaleCurve {
     // frame held across that has no lineage left to recompute
     // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     def evalSide() = docs.where(col("doc_id") % 2 === 1)
-    for ((name, fn) <- Seq[(String, (DataFrame, DataFrame) => DataFrame)](
+    for ((name, fn) <- (if (want("decontam")) Seq[(String, (DataFrame, DataFrame) => DataFrame)](
       "decontam_plain" -> ((l, r) =>
         Dedup.crossJaccardPairs(l, r, "text", "doc_id", 3, 0.2)),
       "decontam_bloom" -> ((l, r) =>
-        Dedup.crossJaccardPairsBloom(l, r, "text", "doc_id", 3, 0.2)))) {
+        Dedup.crossJaccardPairsBloom(l, r, "text", "doc_id", 3, 0.2)))
+      else Seq.empty)) {
       fn(spark.read.parquet(scaleDirs.head._2)
         .where(col("doc_id") % 2 === 0), evalSide()).count() // warm-up
       val ts = scaleDirs.map { case (m, path) =>
@@ -133,7 +139,7 @@ object ScaleCurve {
     // Bloom's win at this sf is shuffled VOLUME, not wall time (both
     // curves sit on fixed costs): quantify the posting rows that
     // survive the prefilter at the largest blowup.
-    {
+    if (want("decontam")) {
       import graft.pipeline.TextAnalysis
       val train = spark.read.parquet(scaleDirs.last._2)
         .where(col("doc_id") % 2 === 0)
@@ -175,7 +181,7 @@ object ScaleCurve {
     // flat train vs hierarchical train, both with nlist ∝ corpus —
     // the two-level fold is what keeps the driver-side train cost
     // affordable as nlist grows with the data
-    for (hier <- Seq(false, true)) {
+    for (hier <- (if (want("semdedup")) Seq(false, true) else Seq.empty)) {
       val label = if (hier) "semdedup_hier" else "semdedup_flat"
       def run(d: DataFrame, nlist: Int): DataFrame = {
         import graft.pipeline.Ivf
@@ -201,6 +207,42 @@ object ScaleCurve {
       val sk = math.log(sts.last._2 / sts.head._2) /
         math.log(sts.last._1.toDouble / sts.head._1)
       println(f"$label%-16s exponent k=$sk%.2f (nlist ∝ corpus)")
+    }
+
+    // ---- IVF assignment: nlist grows, corpus FIXED ----
+    // The assign scan is the full-corpus cost of the IVF/semDedup
+    // family. Train ONCE hierarchically per nlist, then time the same
+    // centroid table two ways: flat scan (all nlist dots per row,
+    // IvfModel(cents)) vs two-level descent (~3·√nlist dots). The
+    // flat curve grows ~linearly with nlist; the descent curve is what
+    // makes corpus-proportional nlist viable.
+    if (want("ivf_assign")) {
+      import graft.pipeline.{Ivf, IvfModel}
+      val d = spark.read.parquet(embDirs.last._2).localCheckpoint(true)
+      val n = d.count()
+      val nlists = Seq(16, 256, 4096)
+      for (hier <- Seq(false, true)) {
+        val label = if (hier) "ivf_assign_hier" else "ivf_assign_flat"
+        val ts = nlists.map { nlist =>
+          val trained = Ivf.trainHierarchical(d, "embedding", "vec_id",
+            nlist, iters = 3)
+          val model = if (hier) trained else IvfModel(trained.centroids)
+          // force the kernel: a bare count() lets Catalyst prune the
+          // cluster column and times an empty scan
+          def run(): Unit =
+            Ivf.assign(d, "embedding", model).agg(sum(col("cluster"))).head()
+          run() // warm-up: codegen+JIT
+          val reps = 5
+          val t0 = System.nanoTime()
+          (0 until reps).foreach(_ => run())
+          val sec = (System.nanoTime() - t0) / 1e9 / reps
+          println(f"$label%-16s $n%8d nlist=$nlist%5d $sec%8.3f")
+          (nlist, sec)
+        }
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f (t ∝ nlist^k, corpus fixed)")
+      }
     }
     spark.stop()
   }
