@@ -43,6 +43,25 @@ object StreamingDedup {
     */
   val IndexBuckets = 16
 
+  /** Per-key page pruning inside touched buckets: batch key sets up to
+    * this size are pushed down to parquet (in sorted chunks of
+    * [[ProbeKeyChunk]] values, one unioned sub-scan per chunk); larger
+    * sets fall back to the plain bucket read — they cover so much of
+    * the 16-bit key space that page pruning stops paying.
+    */
+  val ProbeKeyFilterCutoff = 4096
+
+  /** Keys per pushed In-filter chunk. Parquet evaluates an In of ≤
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values as an
+    * or-of-eq chain against page (column-index) stats — the only form
+    * that prunes per VALUE (native set predicates and the min/max
+    * range fallback both collapse to the set's span, which is the
+    * whole key space for a uniform batch; measured). The chain is
+    * evaluated recursively, so chunks stay small — thousands-deep
+    * chains overflow the stack (measured at 2000).
+    */
+  val ProbeKeyChunk = 256
+
   private def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc"), col("sh"),
       posexplode(array((0 until 4).map(b =>
@@ -55,12 +74,46 @@ object StreamingDedup {
     * PartitionFilters and unmatched bucket directories are never
     * listed or read. Package-private for the pruning assertion in
     * StreamingDedupSpec.
+    *
+    * `keys` — the batch's distinct 16-bit band keys — adds DATA-level
+    * pruning WITHIN the touched buckets: index files are key-sorted
+    * with small pages at write, so a pushed per-key filter skips every
+    * page whose key range holds none of the batch's keys (parquet
+    * column-index stats). That is what keeps a large batch's probe
+    * sublinear in the index: a batch touching all 64 bucket dirs still
+    * reads only the pages its own keys can land in, and as the index
+    * grows each 512-row page covers an ever-narrower key range, so the
+    * scanned fraction keeps shrinking (measured 4× at ~200k rows,
+    * asymptotically the rows actually bearing the probed keys).
+    *
+    * Two structural details carry the pruning power: the probe is
+    * split into one sub-scan per kb residue, so each pushed key set
+    * contains only keys its dirs can hold (a foreign-residue key
+    * almost always falls inside some page's [min, max] and defeats the
+    * stat check — measured 72% scanned without the split, 24% with);
+    * and each key set is chunked per [[ProbeKeyChunk]], because
+    * parquet only evaluates In per VALUE as an or-of-eq chain (the
+    * recursive chain overflows the stack past ~2000 legs, and the
+    * over-threshold fallbacks collapse to the set's [min, max] span —
+    * the whole key space for a uniform batch). Key sets past
+    * [[ProbeKeyFilterCutoff]] read the buckets whole.
     */
   private[streaming] def probeIndex(spark: SparkSession, indexPath: String,
-                                    bucketIds: Seq[Long]): DataFrame =
-    spark.read.parquet(indexPath)
+                                    bucketIds: Seq[Long],
+                                    keys: Seq[Long] = Nil): DataFrame = {
+    def read(ids: Seq[Long]) = spark.read.parquet(indexPath)
       .where((col("band").cast("long") * IndexBuckets +
-        col("kb").cast("long")).isin(bucketIds: _*))
+        col("kb").cast("long")).isin(ids: _*))
+    if (keys.isEmpty || keys.length > ProbeKeyFilterCutoff) read(bucketIds)
+    else keys.groupBy(_ % IndexBuckets).toSeq.sortBy(_._1).flatMap {
+      case (kb, ks) =>
+        val ids = bucketIds.filter(_ % IndexBuckets == kb)
+        if (ids.isEmpty) Nil
+        else ks.sorted.grouped(ProbeKeyChunk).map(chunk =>
+          read(ids).where(col("key").isin(chunk: _*)))
+    }.reduceOption(_ union _) // groups disjoint: plain concat, no dedupe
+      .getOrElse(read(bucketIds).limit(0))
+  }
 
   /** One microbatch step: flag near-dups of prior docs, append all new
     * signatures to the index, append survivors to `outPath`. Exposed
@@ -90,41 +143,103 @@ object StreamingDedup {
       .select(col("b.doc").as("doc"))
 
     // against the accumulated index: any prior doc within range. The
-    // batch's bucket-id set is a bounded driver collect (≤ 4 ×
-    // IndexBuckets = 256 values however large the batch), and feeds
-    // the partition-pruned probe — only matching (band, kb) dirs read.
+    // batch's bucket-id and key sets are bounded driver collects
+    // (≤ 4 × IndexBuckets = 256 bucket ids; ≤ 2^16 distinct 16-bit
+    // keys, however large the batch), and feed the partition- and
+    // page-pruned probe — only matching (band, kb) dirs are read, and
+    // within them only the pages holding the batch's own keys.
     val versusIndex =
       if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) intra.limit(0)
       else {
-        val bucketIds = newBanded
-          .select((col("band") * IndexBuckets + col("kb")).as("p"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+        val pk = newBanded
+          .select((col("band") * IndexBuckets + col("kb")).as("p"), col("key"))
+          .distinct().collect()
+        val bucketIds = pk.map(_.getLong(0)).distinct.toSeq
+        val keys = pk.map(_.getLong(1)).distinct.toSeq
         if (bucketIds.isEmpty) intra.limit(0) // empty microbatch: no probe
-        else probeIndex(spark, indexPath, bucketIds).as("i").join(newBanded.as("b"),
+        else probeIndex(spark, indexPath, bucketIds, keys).as("i")
+          .join(newBanded.as("b"),
             col("i.band") === col("b.band") && col("i.key") === col("b.key"))
           .where(bit_count(col("i.sh").bitwiseXOR(col("b.sh"))) <= maxDist)
           .select(col("b.doc").as("doc"))
       }
 
-    val dropped = intra.union(versusIndex).distinct().localCheckpoint(true)
+    // the probe's chunked key filters only prune per-value while
+    // parquet converts them to or-of-eq chains — raise the In
+    // threshold past the chunk size for the probe-consuming action
+    // (restored below; batches run sequentially)
+    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prevThresh = spark.conf.getOption(threshKey)
+    spark.conf.set(threshKey, ProbeKeyChunk + 1)
+    val dropped =
+      try intra.union(versusIndex).distinct().localCheckpoint(true)
+      finally prevThresh match {
+        case Some(v) => spark.conf.set(threshKey, v)
+        case None => spark.conf.unset(threshKey)
+      }
     val kept = sigs.join(dropped, Seq("doc"), "left_anti").select(col("doc"))
     kept.write.mode(SaveMode.Append).parquet(outPath)
-    // One file per touched (band, kb) dir per batch: repartition on the
-    // partition keys first, or partitionBy fans every write task out
-    // across all 256 dirs (task-count × dirs tiny files).
-    newBanded.repartition(col("band"), col("kb"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("band", "kb").parquet(indexPath)
+    appendIndex(newBanded, indexPath)
     graft.core.Pinned.release(newBanded)
     graft.core.Pinned.release(dropped)
   }
 
+  /** Append banded signature rows to the on-disk index. One file per
+    * touched (band, kb) dir per batch: repartition on the partition
+    * keys first, or partitionBy fans every write task out across all
+    * 256 dirs (task-count × dirs tiny files). Rows are KEY-SORTED
+    * within each file and pages kept small (512 rows) so probe-time
+    * per-key filters prune at the parquet column-index level — the
+    * piece that keeps a large batch's probe sublinear in index size.
+    */
+  private[streaming] def appendIndex(banded: DataFrame,
+                                     indexPath: String): Unit =
+    // the sort leads with the partition columns ON PURPOSE: a dynamic
+    // partitionBy write REQUIRES (band, kb) ordering, and a sort that
+    // doesn't already satisfy it gets replaced by the writer's own
+    // (band, kb)-only sort — silently destroying the key order the
+    // probe's page pruning depends on (measured: zero pruning)
+    banded.repartition(col("band"), col("kb"))
+      .sortWithinPartitions(col("band"), col("kb"), col("key"))
+      .write.mode(SaveMode.Append)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("band", "kb").parquet(indexPath)
+
+  /** LSM-style compaction: rewrite the accumulated index into one
+    * key-sorted file per (band, kb) dir. Per-batch appends keep each
+    * file small — a tiny file is a single parquet page, so the probe's
+    * per-key page filters have nothing to skip and probe cost grows
+    * with FILE COUNT; compaction restores the big-sorted-file shape
+    * where a probe reads only the pages its keys land in, whatever the
+    * index size. Contents are invariant (same rows, one layout), so
+    * results never change — run it every K batches ([[ingest]]'s
+    * `compactEvery`) or offline between runs.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(hc)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
+    spark.read.parquet(indexPath)
+      .repartition(col("band"), col("kb"))
+      .sortWithinPartitions(col("band"), col("kb"), col("key")) // see appendIndex
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("band", "kb").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction rename failed: $tmp -> $p")
+  }
+
   /** Stream the documents table through the incremental dedup; kept
     * doc ids land in `outPath`, signatures in `indexPath`. Returns
-    * after the static source is fully processed.
+    * after the static source is fully processed. `compactEvery` > 0
+    * runs [[compactIndex]] after every that-many batches (results are
+    * layout-invariant; 0 disables — compact offline instead).
     */
   def ingest(spark: SparkSession, dir: String, indexPath: String,
-             outPath: String, maxDist: Int = 12): Unit = {
+             outPath: String, maxDist: Int = 12,
+             compactEvery: Int = 0): Unit = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
     java.nio.file.Files.copy(
@@ -132,9 +247,11 @@ object StreamingDedup {
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, "text", "doc_id",
           indexPath, outPath, maxDist)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexPath)
       }
       .start()
     try q.processAllAvailable() finally q.stop()

@@ -83,6 +83,89 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(planStr.contains("PartitionFilters"))
   }
 
+  test("large-batch probe prunes per key inside buckets (sublinear in index)") {
+    // The degenerate case r5 flagged: a batch whose keys cover ALL 64
+    // (band, kb) dirs — partition pruning reads the index whole. With
+    // key-sorted files + small pages (the writer layout) and the
+    // probe's pushed per-key filters, the scan must instead stay
+    // proportional to the BATCH's key fan-out, not the index size.
+    val root = java.nio.file.Files.createTempDirectory("sdedup_keyprune")
+    val idx = root.resolve("idx").toString
+    // one large banded write (192k rows ≈ a 48k-doc batch, or a
+    // compacted index) through the shipped writer
+    val banded = spark.range(192000).select(
+      col("id").as("doc"),
+      graft.functions.HashFunctions.splitmix64(col("id"), 99L).as("sh"),
+      (col("id") % 4).cast("int").as("band"),
+      pmod(graft.functions.HashFunctions.splitmix64(col("id"), 7L), lit(65536L)).as("key"))
+      .withColumn("kb", col("key") % StreamingDedup.IndexBuckets)
+    StreamingDedup.appendIndex(banded, idx)
+    val index = spark.read.parquet(idx)
+    val indexRows = index.count()
+    val allBuckets = index
+      .select((col("band").cast("long") * StreamingDedup.IndexBuckets +
+        col("kb").cast("long")).as("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(allBuckets.length == 4 * StreamingDedup.IndexBuckets)
+    // 32 probe keys present in the index, spread across buckets
+    val keys = index.select(col("key")).distinct().orderBy(col("key"))
+      .collect().map(_.getLong(0)).filter(_ % 97 == 0).take(32).toSeq
+    assert(keys.length == 32)
+    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(threshKey)
+    spark.conf.set(threshKey, StreamingDedup.ProbeKeyChunk + 1)
+    try {
+      val probe = StreamingDedup.probeIndex(spark, idx, allBuckets, keys)
+      val got = probe.collect()
+      val scanned = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      assert(scanned > 0 && scanned < indexRows / 3,
+        s"probe scanned $scanned of $indexRows index rows — key filter not pruning")
+      // and the key filter is lossless: same rows as the unfiltered
+      // probe restricted to those keys
+      val want = StreamingDedup.probeIndex(spark, idx, allBuckets)
+        .where(col("key").isin(keys: _*)).collect()
+      def rowKey(r: org.apache.spark.sql.Row) =
+        (r.getLong(r.fieldIndex("doc")), r.getInt(r.fieldIndex("band")),
+          r.getLong(r.fieldIndex("key")))
+      assert(got.map(rowKey).toSet == want.map(rowKey).toSet)
+    } finally prev match {
+      case Some(v) => spark.conf.set(threshKey, v)
+      case None => spark.conf.unset(threshKey)
+    }
+  }
+
+  test("compaction is layout-only: same probe results, one file per dir") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_compact")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    // many small appends — the shape that degrades probes (tiny files)
+    (0 until 4).foreach { k =>
+      StreamingDedup.processBatch(spark,
+        docsDf(40).where(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10),
+        "text", "doc_id", idx, out, 12)
+    }
+    val before = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc")), r.getInt(r.fieldIndex("band")),
+        r.getLong(r.fieldIndex("key")), r.getLong(r.fieldIndex("sh")))).toSet
+    val filesBefore = spark.read.parquet(idx).inputFiles.length
+    StreamingDedup.compactIndex(spark, idx)
+    val after = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc")), r.getInt(r.fieldIndex("band")),
+        r.getLong(r.fieldIndex("key")), r.getLong(r.fieldIndex("sh")))).toSet
+    assert(after == before)
+    val filesAfter = spark.read.parquet(idx).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction should shrink file count: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 4 * StreamingDedup.IndexBuckets)
+    // dedup keeps working against the compacted index
+    StreamingDedup.processBatch(spark,
+      docsDf(50).where(col("doc_id") >= 40), "text", "doc_id", idx, out, 12)
+    assert(spark.read.parquet(out).count() > 0)
+  }
+
   test("empty microbatches are harmless at every stage") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sdedup_empty")
