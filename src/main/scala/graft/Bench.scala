@@ -55,50 +55,69 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       (name, sec, ok)
     }
-    // The driver keeps only a ~2000-char tail of the sbt stdout and
-    // parses the JSON line out of it; sbt's own "[success] Total time"
-    // trailer eats ~75 chars of that window from the end, so anything
-    // past ~1900 chars gets its FRONT cut (87 queries × 3 decimals ≈
-    // 2040). The stdout line auto-fits a conservative budget by
-    // degrading gracefully — fewer decimals, drop the empty errors
-    // array and sf — and the microsecond-precision per-query JSON
-    // goes to BENCH_DETAIL.json in the working tree (committed per
-    // round), so stdout rounding never loses the record.
-    def fmt(v: Double, prec: Int): String =
-      s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.collect { case (_, v, true) => v }.sum
-    val filtered = if (only.isDefined) """"filtered":true,""" else ""
-    def jsonLine(prec: Int, sf: Option[String], dropEmptyErrs: Boolean,
-                 withQueries: Boolean): String = {
-      val qs =
-        if (withQueries)
-          results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
-            .mkString(""""queries":{""", ",", "},")
-        else """"queries_file":"BENCH_DETAIL.json","""
-      val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      val errs = if (errList.isEmpty && dropEmptyErrs) ""
-        else errList.mkString(""""errors":[""", ",", "],")
-      val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered$qs$errs"n_queries":${results.size}$sfPart}"""
-    }
     // the committed detail file records full suites only — a
     // SPARK_GRAFT_ONLY iteration run must not clobber the round's
     // per-query record (and its pointer fallback would then lie)
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"),
-      jsonLine(6, Some(sfDir), dropEmptyErrs = false, withQueries = true) + "\n")
-    val sfBase = new java.io.File(sfDir).getName
-    val budget = 1860
-    val candidates = Seq(
-      jsonLine(3, Some(sfDir), dropEmptyErrs = false, withQueries = true),
-      jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = true),
-      jsonLine(1, Some(sfBase), dropEmptyErrs = true, withQueries = true)) ++
-      // the pointer form only makes sense when the file describes THIS run
-      (if (only.isEmpty)
-        Seq(jsonLine(2, Some(sfBase), dropEmptyErrs = true, withQueries = false))
-      else Nil)
-    val line = candidates.find(_.length <= budget).getOrElse(candidates.last)
-    println(line)
+      jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
+        withQueries = true, filteredRun = false) + "\n")
+    println(fitLine(results, sfDir, filteredRun = only.isDefined))
     spark.stop()
+  }
+
+  /** The driver keeps only a ~2000-char tail of the sbt stdout and
+    * parses the JSON line out of it; sbt's own "[success] Total time"
+    * trailer eats ~75 chars of that window from the end, so anything
+    * past ~1900 chars gets its FRONT cut (87 queries × 3 decimals ≈
+    * 2040). The stdout line auto-fits [[StdoutBudget]] by degrading
+    * gracefully — fewer decimals, drop the empty errors array and the
+    * sf path — and the microsecond-precision per-query JSON goes to
+    * BENCH_DETAIL.json in the working tree (committed per round), so
+    * stdout rounding never loses the record. The final fallback is a
+    * pointer form with no per-query map at all, so the line fits at
+    * ANY suite size (BenchLineSpec pins 110+ queries).
+    */
+  val StdoutBudget = 1860
+
+  private[graft] def fitLine(results: Seq[(String, Double, Boolean)],
+                             sfDir: String, filteredRun: Boolean,
+                             budget: Int = StdoutBudget): String = {
+    val sfBase = new java.io.File(sfDir).getName
+    val candidates = Seq(
+      jsonLine(results, 3, Some(sfDir), dropEmptyErrs = false,
+        withQueries = true, filteredRun),
+      jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
+        withQueries = true, filteredRun),
+      jsonLine(results, 1, Some(sfBase), dropEmptyErrs = true,
+        withQueries = true, filteredRun)) ++
+      // the pointer form only makes sense when the detail file
+      // describes THIS run (full suites only)
+      (if (!filteredRun)
+        Seq(jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
+          withQueries = false, filteredRun))
+      else Nil)
+    candidates.find(_.length <= budget).getOrElse(candidates.last)
+  }
+
+  private def fmt(v: Double, prec: Int): String =
+    s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+
+  private[graft] def jsonLine(results: Seq[(String, Double, Boolean)],
+                              prec: Int, sf: Option[String],
+                              dropEmptyErrs: Boolean, withQueries: Boolean,
+                              filteredRun: Boolean): String = {
+    val total = results.collect { case (_, v, true) => v }.sum
+    val filtered = if (filteredRun) """"filtered":true,""" else ""
+    val qs =
+      if (withQueries)
+        results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+          .mkString(""""queries":{""", ",", "},")
+      else """"queries_file":"BENCH_DETAIL.json","""
+    val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = if (errList.isEmpty && dropEmptyErrs) ""
+      else errList.mkString(""""errors":[""", ",", "],")
+    val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered$qs$errs"n_queries":${results.size}$sfPart}"""
   }
 }

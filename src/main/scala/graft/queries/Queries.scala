@@ -1432,6 +1432,26 @@ object Queries {
           col("text"), col("timestamp"))
     }),
 
+    // M4 `/generate` end-to-end (app.py:333-356): last-20 history
+    // window joined as `role: text` lines + the user prompt, through
+    // the deterministic lossy-echo functor, reply persisted as an
+    // assistant message. 25 prior messages so the 20-window TRUNCATES;
+    // the reference quirk (the user prompt itself is NOT persisted)
+    // shows in the exported table. Oracle: Python mirror replays the
+    // window, the prompt assembly, and text[::2].
+    "memory_generate" -> ((s, d) => {
+      val log = new graft.memory.MessageLog(s, graft.embed.LengthEmbedding)
+      (0 until 25).foreach { i =>
+        val role = if (i % 2 == 0) "user" else "assistant"
+        log.append(f"m$i%02d", "conv-1", role,
+          s"message number $i about topic ${i % 5}", 1700000000L + i * 10)
+      }
+      log.append("x1", "conv-2", "user", "other conversation", 1700000500L)
+      log.generate("conv-1", "please summarize the conversation",
+        graft.mapreduce.LossyEchoFunctor(2), "r1", 1700001000L)
+      log.export("conv-1")
+    }),
+
     "multimodal_features" -> ((s, d) => {
       // REAL decoded features (BMP/PPM pixel means, WAV sample stats,
       // Y4M luma stats; codec-requiring video rows exercise the stub
@@ -1922,6 +1942,9 @@ object Queries {
 
     "memory_context" ->
       s"SELECT score, id, role, text, timestamp FROM '$pipeGold/memory_context.parquet' ORDER BY id",
+
+    "memory_generate" ->
+      s"SELECT id, role, text, timestamp FROM '$pipeGold/memory_generate.parquet' ORDER BY timestamp, id",
 
     "ingest_dir" ->
       s"SELECT file, n_chars, wrapped_len FROM '$pipeGold/ingest_dir.parquet' ORDER BY file",

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line must fit the driver's capture window at any
+  * suite size — r1–r4 lost their JSON to the ~2000-char tail cut, and
+  * the suite keeps growing (92 queries in r5, 93 now). Pins the
+  * auto-fit ladder at and past the next tier boundary.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def synth(n: Int, failed: Set[Int] = Set.empty) =
+    (0 until n).map { i =>
+      // realistic name lengths (current suite: 6..22 chars)
+      val name = f"op_${"x" * (6 + i % 16)}_$i%03d"
+      (name, 1.234567 + i * 0.01, !failed.contains(i))
+    }
+
+  private def realNames = SparkEntry.queries.keys.toSeq.sorted
+
+  test("the CURRENT suite fits the budget") {
+    val results = realNames.zipWithIndex.map { case (n, i) =>
+      (n, 1.234567 + i * 0.01, true)
+    }
+    val line = Bench.fitLine(results, "/root/testdata/sf0.1", filteredRun = false)
+    assert(line.length <= Bench.StdoutBudget,
+      s"line is ${line.length} chars for ${results.size} real queries")
+    // at 93 real queries even the 1-decimal map overflows, so the
+    // pointer form is the expected tier (per-query detail lives in the
+    // committed BENCH_DETAIL.json); either form is valid, overflow is not
+    assert(line.contains("\"queries\":{") || line.contains("queries_file"))
+    assert(line.contains(s""""n_queries":${results.size}"""))
+  }
+
+  test("110 queries (real names + growth) still fit the budget") {
+    val grown = realNames ++ (realNames.size until 110).map(i => f"new_op_$i%03d")
+    val results = grown.zipWithIndex.map { case (n, i) =>
+      (n, 1.234567 + i * 0.01, true)
+    }
+    val line = Bench.fitLine(results, "/root/testdata/sf0.1", filteredRun = false)
+    assert(line.length <= Bench.StdoutBudget,
+      s"line is ${line.length} chars at 110 queries")
+    assert(line.contains("\"n_queries\":110"))
+    assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
+  }
+
+  test("absurd suite sizes degrade to the pointer form, never overflow") {
+    Seq(150, 300, 1000).foreach { n =>
+      val line = Bench.fitLine(synth(n), "/root/testdata/sf0.1", filteredRun = false)
+      assert(line.length <= Bench.StdoutBudget, s"overflow at $n queries")
+      assert(line.contains("\"queries_file\":\"BENCH_DETAIL.json\"") ||
+        line.contains("\"queries\":{"))
+    }
+  }
+
+  test("filtered runs are tagged and never use the stale pointer form") {
+    val line = Bench.fitLine(synth(300), "/root/testdata/sf0.1", filteredRun = true)
+    assert(line.contains("\"filtered\":true"))
+    assert(!line.contains("queries_file"),
+      "a filtered run must not point at a detail file describing another run")
+  }
+
+  test("failures surface in errors and never drop from degraded tiers") {
+    val line = Bench.fitLine(synth(110, failed = Set(5)), "/root/testdata/sf0.1",
+      filteredRun = false)
+    assert(line.length <= Bench.StdoutBudget)
+    assert(line.contains("\"errors\":["), s"errors list missing: $line")
+  }
+}

@@ -626,6 +626,26 @@ def gen_memory_context():
            "text": "VARCHAR", "timestamp": "BIGINT"})
 
 
+def gen_memory_generate():
+    """Mirror of the memory_generate query: 25 conv-1 messages, M4
+    /generate with the lossy-echo functor (text[::2]) over the last-20
+    window, reply persisted; the user prompt is NOT (reference
+    app.py:333-356 quirk). Output = export('conv-1')."""
+    msgs = [(f"m{i:02d}", "user" if i % 2 == 0 else "assistant",
+             f"message number {i} about topic {i % 5}", 1700000000 + i * 10)
+            for i in range(25)]
+    last20 = sorted(msgs, key=lambda m: (m[3], m[0]))[-20:]
+    hist = "\n".join(f"{r}: {t}" for _, r, t, _ in last20)
+    full = hist + "\nuser: please summarize the conversation\nassistant:"
+    reply = full[::2]
+    rows = msgs + [("r1", "assistant", reply, 1700001000)]
+    rows.sort(key=lambda m: (m[3], m[0]))
+    write("memory_generate",
+          pd.DataFrame(rows, columns=["id", "role", "text", "timestamp"]),
+          {"id": "VARCHAR", "role": "VARCHAR", "text": "VARCHAR",
+           "timestamp": "BIGINT"})
+
+
 # ------------------------------------------------------- ingest / policy
 def wrap_content(template: str, spec: str, content: str) -> str:
     return "\n".join([template.format(spec), "```"]
@@ -895,6 +915,8 @@ def main():
         gen_store_retrieve(docs)
     if want("memory_context"):
         gen_memory_context()
+    if want("memory_generate"):
+        gen_memory_generate()
     if want("ingest_dir"):
         gen_ingest_dir()
     if want("policy_sections"):
