@@ -27,13 +27,16 @@ import java.util.zip.{DataFormatException, Inflater}
   * (/ToUnicode) are out of scope and such text may come out garbled,
   * exactly like pypdf on fonts with no unicode map.
   *
-  * One further scope note: text is taken from EVERY stream that looks
-  * like a content stream, not just streams referenced from a /Page's
-  * /Contents — so Form XObjects and annotation appearance streams
-  * contribute too, and text drawn via an XObject a page also inlines
-  * can appear twice. pypdf walks the page tree instead; for the simple
-  * single-generation documents this targets the two agree, and a
-  * stricter version would resolve /Page /Contents references first.
+  * Stream selection follows pypdf's page walk where the document
+  * structure allows it: objects are indexed, /Type /Page dictionaries'
+  * /Contents references are resolved (array or single ref) in document
+  * order, and `Do` operators descend into the page's /Resources
+  * /XObject forms (cycle-guarded) — so a Form XObject's text appears
+  * once per DRAW, like pypdf, rather than once per stream, and
+  * appearance streams no page references contribute nothing. Documents
+  * where no /Page yields text (odd generations, object-stream xrefs,
+  * nonstandard structure) fall back to the previous behavior: text
+  * from EVERY stream that looks like a content stream.
   */
 object PdfText {
 
@@ -53,6 +56,173 @@ object PdfText {
     val raw = new String(bytes, "ISO-8859-1")
     if (!raw.startsWith("%PDF-")) return None
     if (isEncrypted(raw)) return None
+    extractByPages(raw, bytes).orElse(extractEveryStream(raw, bytes))
+  }
+
+  // ------------------------------------------------- page-tree walk --
+  /** An indexed object: its dictionary text and, when it carries a
+    * stream, the decoded-payload byte range.
+    */
+  private final case class PdfObj(dict: String, dataStart: Int, dataEnd: Int) {
+    def hasStream: Boolean = dataStart >= 0
+  }
+
+  private val ObjHeader = java.util.regex.Pattern
+    .compile("""(\d+)\s+(\d+)\s+obj\b""")
+
+  /** Index every `N G obj` in document order. Later definitions of the
+    * same object number win (incremental updates append re-definitions
+    * and the live one is the last).
+    */
+  private def parseObjects(raw: String): (Map[Int, PdfObj], Seq[Int]) = {
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, PdfObj]
+    val m = ObjHeader.matcher(raw)
+    while (m.find()) {
+      val num = try m.group(1).toInt catch { case _: Exception => -1 }
+      if (num >= 0) {
+        val bodyStart = m.end()
+        val endobj = raw.indexOf("endobj", bodyStart)
+        val bodyEnd = if (endobj < 0) raw.length else endobj
+        val kw = nextStreamKeyword(raw, bodyStart)
+        if (kw >= 0 && kw < bodyEnd) {
+          var ds = kw + "stream".length
+          if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+          if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+          val end = raw.indexOf("endstream", ds)
+          var de = if (end < 0) -1 else end
+          if (de > ds && raw.charAt(de - 1) == '\n') de -= 1
+          if (de > ds && raw.charAt(de - 1) == '\r') de -= 1
+          if (de >= ds)
+            objs(num) = PdfObj(raw.substring(bodyStart, kw), ds, de)
+          else objs(num) = PdfObj(raw.substring(bodyStart, bodyEnd), -1, -1)
+        } else {
+          objs(num) = PdfObj(raw.substring(bodyStart, bodyEnd), -1, -1)
+        }
+      }
+    }
+    (objs.toMap, objs.keys.toSeq)
+  }
+
+  /** Decode an object's stream payload per its dict's filters; None for
+    * exotic filters, object streams, or corrupt deflate data.
+    */
+  private def decodeStream(bytes: Array[Byte], o: PdfObj): Option[String] = {
+    if (!o.hasStream || ExoticFilters.exists(o.dict.contains) ||
+      o.dict.contains("/ObjStm")) return None
+    val data =
+      if (o.dict.contains("/FlateDecode"))
+        inflate(bytes, o.dataStart, o.dataEnd - o.dataStart)
+      else Some(java.util.Arrays.copyOfRange(bytes, o.dataStart, o.dataEnd))
+    data.map(new String(_, "ISO-8859-1"))
+  }
+
+  private val Ref = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+R""")
+
+  /** Object numbers referenced by the value following `key` in `dict`:
+    * a single `N G R` or an array of them. Nil when the key is absent
+    * or its value carries no reference.
+    */
+  private def refsAfter(dict: String, key: String): Seq[Int] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return Nil
+    var i = at + key.length
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    if (i >= dict.length) return Nil
+    val value =
+      if (dict.charAt(i) == '[') {
+        val close = dict.indexOf(']', i)
+        dict.substring(i, if (close < 0) dict.length else close)
+      } else dict.substring(i, math.min(dict.length, i + 32))
+    val m = Ref.matcher(value)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (dict.charAt(i) == '[') {
+      while (m.find()) out += m.group(1).toInt
+    } else if (m.find() && m.start() == 0) out += m.group(1).toInt
+    out.toSeq
+  }
+
+  /** The balanced `<< ... >>` dictionary following `key` in `dict`, or
+    * the dict of the object `key`'s value references. None otherwise.
+    */
+  private def dictAfter(dict: String, key: String,
+                        objs: Map[Int, PdfObj]): Option[String] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<') {
+      var depth = 0
+      var j = i
+      while (j + 1 < dict.length) {
+        if (dict.charAt(j) == '<' && dict.charAt(j + 1) == '<') { depth += 1; j += 2 }
+        else if (dict.charAt(j) == '>' && dict.charAt(j + 1) == '>') {
+          depth -= 1; j += 2
+          if (depth == 0) return Some(dict.substring(i, j))
+        } else j += 1
+      }
+      Some(dict.substring(i))
+    } else refsAfter(dict, key).headOption.flatMap(objs.get).map(_.dict)
+  }
+
+  /** Name → object number pairs of an /XObject resource dictionary. */
+  private def xobjectMap(pageDict: String,
+                         objs: Map[Int, PdfObj]): Map[String, Int] =
+    dictAfter(pageDict, "/Resources", objs)
+      .flatMap(res => dictAfter(res, "/XObject", objs)) match {
+      case None => Map.empty
+      case Some(xd) =>
+        val m = java.util.regex.Pattern
+          .compile("""/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""").matcher(xd)
+        val out = scala.collection.mutable.Map.empty[String, Int]
+        while (m.find()) out(m.group(1)) = m.group(2).toInt
+        out.toMap
+    }
+
+  private val PageType = java.util.regex.Pattern
+    .compile("""/Type\s*/Page(?![a-zA-Z])""")
+
+  /** pypdf-shaped extraction: walk /Type /Page objects in document
+    * order, decode each page's /Contents streams, descend into Form
+    * XObjects on `Do` (so shared forms contribute once per draw).
+    * None when no page yields text — caller falls back to the
+    * every-stream scan.
+    */
+  private def extractByPages(raw: String, bytes: Array[Byte]): Option[String] = {
+    val (objs, order) = parseObjects(raw)
+    val pageNums = order.filter(n => PageType.matcher(objs(n).dict).find())
+    if (pageNums.isEmpty) return None
+
+    def textOf(objNum: Int, xobjs: Map[String, Int],
+               visiting: Set[Int]): Option[String] =
+      if (visiting.contains(objNum)) None // cycle guard
+      else objs.get(objNum).flatMap(o => decodeStream(bytes, o)).map { s =>
+        streamText(s, name => xobjs.get(name).flatMap { xn =>
+          // a form's own /Resources may rebind names; fall back to the
+          // page's map when it has none
+          val inner = objs.get(xn).map(x => xobjectMap(x.dict, objs))
+            .filter(_.nonEmpty).getOrElse(xobjs)
+          textOf(xn, inner, visiting + objNum)
+        })
+      }
+
+    val pages = pageNums.flatMap { pn =>
+      val pd = objs(pn).dict
+      val xobjs = xobjectMap(pd, objs)
+      val t = refsAfter(pd, "/Contents")
+        .flatMap(cn => textOf(cn, xobjs, Set(pn)))
+        .filter(_.nonEmpty)
+      if (t.isEmpty) None else Some(t.mkString("\n"))
+    }
+    if (pages.isEmpty) None else Some(pages.mkString("\n"))
+  }
+
+  // ----------------------------------------- every-stream fallback --
+  /** The previous behavior: text from every stream that scans like a
+    * content stream, in document order — the safety net for documents
+    * whose page tree this parser cannot resolve.
+    */
+  private def extractEveryStream(raw: String,
+                                 bytes: Array[Byte]): Option[String] = {
     val pages = scala.collection.mutable.ArrayBuffer.empty[String]
     var from = 0
     var next = nextStreamKeyword(raw, from)
@@ -78,7 +248,7 @@ object PdfText {
             else Some(java.util.Arrays.copyOfRange(bytes, ds, de))
           data.map(new String(_, "ISO-8859-1"))
             .filter(looksLikeContentStream)
-            .map(streamText)
+            .map(streamText(_, _ => None))
             .filter(_.nonEmpty)
             .foreach(pages += _)
         }
@@ -177,11 +347,16 @@ object PdfText {
   /** Token scan of one decoded content stream: strings accumulate into
     * a pending buffer that the next text-showing operator flushes;
     * line-advance operators emit newlines. Numbers, names, and
-    * non-text operators are skipped.
+    * non-text operators are skipped — except `Do`, which hands the
+    * preceding name to `resolveXObject` and inlines whatever text the
+    * drawn Form XObject produces (pypdf's behavior; the every-stream
+    * fallback passes a no-op resolver).
     */
-  private def streamText(s: String): String = {
+  private def streamText(s: String,
+                         resolveXObject: String => Option[String]): String = {
     val out = new java.lang.StringBuilder
     val pending = new java.lang.StringBuilder
+    var lastName = ""
     def newline(): Unit =
       if (out.length() > 0 && out.charAt(out.length() - 1) != '\n')
         out.append('\n')
@@ -198,7 +373,9 @@ object PdfText {
         case '/' => // name token: consume so /Tj-style names can't
           // masquerade as operators
           i += 1
+          val n0 = i
           while (i < n && !" \t\r\n\f()<>[]{}/%".contains(s.charAt(i))) i += 1
+          lastName = s.substring(n0, i)
         case '\'' =>
           newline(); out.append(pending); pending.setLength(0); i += 1
         case '"' =>
@@ -213,6 +390,10 @@ object PdfText {
             case "Td" | "TD" => newline()
             case "T*" => newline()
             case "ET" => newline()
+            case "Do" =>
+              resolveXObject(lastName).filter(_.nonEmpty).foreach { t =>
+                newline(); out.append(t); newline()
+              }
             case _ => () // BT, Tf, Tm, re, W, n, cm, ...: no text effect
           }
         case _ => i += 1

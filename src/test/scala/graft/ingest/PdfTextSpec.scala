@@ -104,6 +104,58 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(okDoc).exists(_.contains("line 60")))
   }
 
+  test("shared Form XObject: once per draw, orphan appearance streams excluded") {
+    // two pages share one Form XObject (/Fm0) and each draws it once;
+    // an appearance-like stream (object 8) is referenced by NO page.
+    // pypdf semantics: the form's text appears once per Do, the orphan
+    // contributes nothing (the old every-stream scan extracted the
+    // orphan and the form exactly once each, regardless of draws).
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def streamObj(n: Int, dict: String, content: String) =
+      s"$n 0 obj\n<< $dict /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    val res = "/Resources << /XObject << /Fm0 7 0 R >> >>"
+    val doc = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>") +
+      obj(3, s"<< /Type /Page /Parent 2 0 R /Contents 4 0 R $res >>") +
+      streamObj(4, "", "BT (Page one body) Tj ET /Fm0 Do") +
+      obj(5, s"<< /Type /Page /Parent 2 0 R /Contents 6 0 R $res >>") +
+      streamObj(6, "", "BT (Page two body) Tj ET /Fm0 Do") +
+      streamObj(7, "/Type /XObject /Subtype /Form", "BT (Shared footer) Tj ET") +
+      streamObj(8, "", "BT (Orphan appearance text) Tj ET") +
+      "trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n").getBytes
+    val got = PdfText.extract(doc).get
+    assert(got.contains("Page one body") && got.contains("Page two body"))
+    assert(!got.contains("Orphan appearance text"))
+    assert(got.sliding("Shared footer".length).count(_ == "Shared footer") == 2,
+      s"form text should appear once per draw:\n$got")
+    // draw order: page 1 body, footer, page 2 body, footer
+    assert(got.indexOf("Page one body") < got.indexOf("Shared footer"))
+    assert(got.indexOf("Shared footer") < got.indexOf("Page two body"))
+    assert(got.indexOf("Page two body") <
+      got.lastIndexOf("Shared footer"))
+  }
+
+  test("XObject cycles and missing /Contents refs refuse gracefully") {
+    // a form that draws itself must not loop; a page whose /Contents
+    // points at a missing object falls back to the every-stream scan
+    def streamObj(n: Int, dict: String, content: String) =
+      s"$n 0 obj\n<< $dict /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    val cyc = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Page /Contents 2 0 R " +
+      "/Resources << /XObject << /F 3 0 R >> >> >>\nendobj\n" +
+      streamObj(2, "", "BT (top) Tj ET /F Do") +
+      streamObj(3, "/Type /XObject /Subtype /Form", "BT (inner) Tj ET /F Do") +
+      "trailer\n<< /Size 4 /Root 1 0 R >>\n%%EOF\n").getBytes
+    val got = PdfText.extract(cyc).get
+    assert(got.contains("top") && got.contains("inner")) // one level, no loop
+    val dangling = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Page /Contents 9 0 R >>\nendobj\n" +
+      streamObj(2, "", "BT (fallback text) Tj ET") +
+      "trailer\n<< /Size 3 /Root 1 0 R >>\n%%EOF\n").getBytes
+    assert(PdfText.extract(dangling).exists(_.contains("fallback text")))
+  }
+
   test("non-PDF and truncated inputs refuse") {
     assert(PdfText.extract(null).isEmpty)
     assert(PdfText.extract(Array[Byte]()).isEmpty)
