@@ -388,6 +388,34 @@ object LangId {
   }
 }
 
+/** Recursive-bisection chunk count of a text (the F8 chunker's
+  * partition of the line sequence under a byte budget,
+  * [[graft.core.Chunker.chunkContent]]) as a codegen'd expression —
+  * the chunk-statistics scan over a corpus was the last per-row Scala
+  * UDF on a table scan. The kernel is the golden-checked chunker
+  * itself; only the converter boxing goes away.
+  */
+case class ChunkCount(child: Expression, maxBytes: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "chunk_count"
+
+  override def nullSafeEval(t: Any): Any =
+    graft.core.Chunker.chunkContent(t.toString, maxBytes).length.toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (long) graft.core.Chunker.chunkContent(
+         |  $t.toString(), ${maxBytes}L).length();""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Membership probe against a pre-built Bloom filter, as a codegen'd
   * expression: the sketch rides along as a codegen reference object
   * (inside the task binary, which Spark broadcasts once per stage), so
@@ -454,4 +482,8 @@ object HashFunctions {
   def bloomMightContain(h: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(h), bloom))
+
+  /** Recursive-bisection chunk count (codegen'd, see [[ChunkCount]]). */
+  def chunkCount(text: Column, maxBytes: Long): Column =
+    ColumnBridge.column(ChunkCount(ColumnBridge.expression(text), maxBytes))
 }

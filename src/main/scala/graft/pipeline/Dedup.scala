@@ -523,6 +523,16 @@ object Dedup {
     * callers filter `keep` to materialize the deduplicated corpus, or
     * aggregate the flag for duplication-rate reporting.
     */
+  /** nlist at or above which [[semDedup]] trains the two-level
+    * quantizer: under the nlist-∝-corpus contract both the flat
+    * driver fold (sample×nlist dots/iter) and the flat per-row assign
+    * (nlist dots/row) stop scaling around here, and the hierarchical
+    * model bounds both at ~√nlist while [[graft.pipeline.IvfNearest]]
+    * descends it on the corpus scan. Below it the flat model is
+    * cheaper and bit-stable with the existing oracle.
+    */
+  val SemDedupHierNlist = 1024
+
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nlist: Int = 16, iters: Int = 3,
                seed: Long = 42L): DataFrame = {
@@ -531,7 +541,10 @@ object Dedup {
     // Ivf.train's non-empty require escape
     if (emb.isEmpty)
       return emb.withColumn("cluster", lit(0)).withColumn("keep", lit(true))
-    val model = Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
+    val model =
+      if (nlist >= SemDedupHierNlist)
+        Ivf.trainHierarchical(emb, vecCol, idCol, nlist, iters, seed)
+      else Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
     // materialize the assignment ONCE: semDedupPostings scans its
     // input three times (both join sides + the keep-flag join), and
     // the assign UDF costs nlist centroid dots per row — at nlist ∝

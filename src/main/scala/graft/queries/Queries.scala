@@ -1383,10 +1383,13 @@ object Queries {
     }),
 
     "chunk_stats" -> ((s, d) => {
-      val chunkUdf = udf((t: String) =>
-        graft.core.Chunker.chunkContent(t.replace(' ', '\n'), 100L).length.toLong)
+      // space→newline in-plan (translate is codegen'd); the chunk
+      // count itself is the native ChunkCount expression — no UDF on
+      // the corpus scan
       tbl(s, d, "documents")
-        .select(col("doc_id"), chunkUdf(col("text")).as("n_chunks"))
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.chunkCount(
+            translate(col("text"), " ", "\n"), 100L).as("n_chunks"))
         .orderBy(col("doc_id"))
     }),
 
