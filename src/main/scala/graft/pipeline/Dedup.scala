@@ -252,6 +252,85 @@ object Dedup {
           col("n_shingles").cast(DoubleType))
   }
 
+  // ---------------------------------------- exact substring spans --
+  /** Exact duplicate-SPAN detection (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr family): every maximal token
+    * span whose w-token windows ALL occur at least `minCount` times
+    * corpus-wide. A duplicated substring of ≥ w tokens shares every
+    * one of its windows with its other occurrence(s), so rolling
+    * w-window fingerprints give the same detection power as the
+    * paper's suffix array for repeats of length ≥ w, quantized to
+    * token windows (64-bit FNV fingerprints stand in for byte-exact
+    * comparison; collisions are ~n²/2⁶⁴).
+    *
+    * Scale shape (the reason this beats a suffix array on Spark): the
+    * postings are one explode of the codegen'd
+    * [[graft.functions.ShingleHashes]] scan — no vectors, no pairs;
+    * the hot-window set is one map-combined count aggregation whose
+    * OUTPUT is only the windows occurring ≥ minCount (the true
+    * duplication mass, tiny next to the corpus); a semi-join marks
+    * duplicate windows; and consecutive windows merge into maximal
+    * spans with one per-document sort (gaps-and-islands — windows
+    * whose positions differ by ≤ w overlap or touch, so they fuse).
+    * Pairwise anything never materializes, so heavy duplication costs
+    * linear work, not quadratic.
+    *
+    * Output: (doc, start_tok, end_tok) — token offsets in the
+    * split(" ") coordinate system, end exclusive.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     w: Int = 50, minCount: Int = 2): DataFrame = {
+    val posts = dupPostings(df, textCol, idCol, w)
+    val dup = posts.join(hotWindows(posts, minCount), Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    dup
+      // first window of a doc: lag is NULL → comparison NULL → break
+      .withColumn("brk", when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w,
+        lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(w)).as("end_tok"))
+      .select(col("doc"), col("start_tok"), col("end_tok"))
+  }
+
+  /** Per-document duplication signal from the same window fingerprints
+    * as [[duplicateSpans]]: how many of a document's w-token windows
+    * occur ≥ minCount times corpus-wide, and the fraction — the
+    * curation-side number ("x% of this document is boilerplate /
+    * copied") that decides filtering before any span surgery.
+    * Documents shorter than w tokens have no windows and report 0/0/0.
+    */
+  def duplicateWindowStats(df: DataFrame, textCol: String, idCol: String,
+                           w: Int = 50, minCount: Int = 2): DataFrame = {
+    val posts = dupPostings(df, textCol, idCol, w)
+    val dupPerDoc = posts.join(hotWindows(posts, minCount), Seq("h"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("dup_windows"))
+    df.select(col(idCol).as("doc"),
+        size(TextAnalysis.shingleHashes(col(textCol), w)).as("n_windows"))
+      .join(dupPerDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_windows").cast(LongType).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          col("dup_windows").cast(DoubleType) / col("n_windows").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** (doc, pos, h) window postings shared by the span operators. */
+  private def dupPostings(df: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.shingleHashes(col(textCol), w)).as(Seq("pos", "h")))
+
+  /** Window hashes occurring ≥ minCount times — map-combined count,
+    * output bounded by the true duplication mass.
+    */
+  private def hotWindows(posts: DataFrame, minCount: Int): DataFrame =
+    posts.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select(col("h"))
+
   /** EXACT pairwise Jaccard ≥ threshold via prefix filtering
     * (AllPairs / PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08):
     * order every document's shingles by ascending global document

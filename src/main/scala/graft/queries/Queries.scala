@@ -1643,6 +1643,24 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact substring (duplicate-span) detection, Lee et al. 2022:
+    // maximal token spans whose w-token windows all repeat corpus-wide
+    // — over the real documents table (near/exact dup docs exist at
+    // every sf), w=8 so the synthetic texts carry detectable repeats
+    "text_dup_spans" -> ((s, d) =>
+      graft.pipeline.Dedup.duplicateSpans(
+          tbl(s, d, "documents"), "text", "doc_id", w = 8)
+        .orderBy(col("doc"), col("start_tok"))),
+
+    // the per-document duplication fraction from the same windows —
+    // the curation-side signal that gates filtering
+    "text_dup_fraction" -> ((s, d) =>
+      graft.pipeline.Dedup.duplicateWindowStats(
+          tbl(s, d, "documents"), "text", "doc_id", w = 8)
+        .select(col("doc"), col("n_windows"), col("dup_windows"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy(col("doc"))),
+
     "text_line_dedup" -> ((s, d) => {
       import s.implicits._
       // C4-style global line dedup over an inline multiline corpus
@@ -1821,6 +1839,12 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "text_dup_spans" ->
+      s"SELECT doc, start_tok, end_tok FROM '$pipeGold/text_dup_spans.parquet' ORDER BY doc, start_tok",
+
+    "text_dup_fraction" ->
+      s"SELECT doc, n_windows, dup_windows, dup_frac FROM '$pipeGold/text_dup_fraction.parquet' ORDER BY doc",
 
     "text_line_dedup" ->
       """WITH t(doc_id, text) AS (VALUES

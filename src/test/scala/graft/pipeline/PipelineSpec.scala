@@ -157,6 +157,37 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2) == "und")
   }
 
+  test("duplicate spans: planted repeat found, merged maximally, offsets exact") {
+    import spark.implicits._
+    // a 6-token phrase shared by docs 10 and 11 at known offsets; doc
+    // 12 repeats a phrase WITHIN itself; doc 13 is unique; doc 14 is
+    // shorter than the window
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (10L, s"one two three $phrase four five"),     // phrase at tok 3..8
+      (11L, s"$phrase tail words here"),             // phrase at tok 0..5
+      (12L, "x y rep1 rep2 rep3 rep4 mid1 mid2 rep1 rep2 rep3 rep4 z"),
+      (13L, "entirely unique tokens without any duplication at all thanks"),
+      (14L, "too short")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "text", "doc_id", w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // w=4 windows of the 6-token phrase: 3 consecutive windows merge
+    // into one span covering exactly the phrase tokens
+    assert(spans.contains((10L, 3, 9)), s"got $spans")
+    assert(spans.contains((11L, 0, 6)), s"got $spans")
+    // within-doc repeat: both occurrences of the 4-token run are spans
+    assert(spans.contains((12L, 2, 6)) && spans.contains((12L, 8, 12)), s"got $spans")
+    assert(!spans.exists(_._1 == 13L) && !spans.exists(_._1 == 14L))
+    val stats = Dedup.duplicateWindowStats(docs, "text", "doc_id", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats(13L) == ((6L, 0L, 0.0))) // 9 tokens -> 6 windows, none dup
+    assert(stats(14L) == ((0L, 0L, 0.0))) // shorter than w: no windows
+    assert(stats(11L)._2 == 3L) // the 3 phrase windows
+    assert(stats(12L)._2 == 2L) // one dup window per occurrence
+  }
+
   test("cross-corpus decontamination finds planted train/eval overlap only") {
     import spark.implicits._
     val train = Seq(

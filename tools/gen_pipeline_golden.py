@@ -626,6 +626,45 @@ def gen_memory_context():
            "text": "VARCHAR", "timestamp": "BIGINT"})
 
 
+def gen_dup_spans(docs, w=8, min_count=2):
+    """Mirror of Dedup.duplicateSpans + duplicateWindowStats: rolling
+    w-token window fingerprints, windows occurring >= min_count times
+    corpus-wide are duplicates; consecutive duplicate windows (position
+    gap <= w) merge into maximal (start_tok, end_tok) spans."""
+    per_doc = {int(r.doc_id): rolling_shingle_hashes(r.text, w)
+               for r in docs.itertuples()}
+    counts = {}
+    for hs in per_doc.values():
+        for h in hs:
+            counts[h] = counts.get(h, 0) + 1
+    spans = []
+    stats = []
+    for doc in sorted(per_doc):
+        hs = per_doc[doc]
+        dup_pos = [i for i, h in enumerate(hs) if counts[h] >= min_count]
+        stats.append((doc, len(hs), len(dup_pos),
+                      round_half_up(len(dup_pos) / len(hs), 6) if hs else 0.0))
+        start = prev = None
+        for p in dup_pos:
+            if start is None:
+                start = prev = p
+            elif p - prev <= w:
+                prev = p
+            else:
+                spans.append((doc, start, prev + w))
+                start = prev = p
+        if start is not None:
+            spans.append((doc, start, prev + w))
+    write("text_dup_spans",
+          pd.DataFrame(spans, columns=["doc", "start_tok", "end_tok"]),
+          {"doc": "BIGINT", "start_tok": "INT", "end_tok": "INT"})
+    write("text_dup_fraction",
+          pd.DataFrame(stats,
+                       columns=["doc", "n_windows", "dup_windows", "dup_frac"]),
+          {"doc": "BIGINT", "n_windows": "BIGINT", "dup_windows": "BIGINT",
+           "dup_frac": "DOUBLE"})
+
+
 def gen_memory_generate():
     """Mirror of the memory_generate query: 25 conv-1 messages, M4
     /generate with the lossy-echo functor (text[::2]) over the last-20
@@ -917,6 +956,8 @@ def main():
         gen_memory_context()
     if want("memory_generate"):
         gen_memory_generate()
+    if want("text_dup_spans") or want("text_dup_fraction"):
+        gen_dup_spans(docs)
     if want("ingest_dir"):
         gen_ingest_dir()
     if want("policy_sections"):
