@@ -318,6 +318,38 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Span surgery completing the family: rebuild every document with
+    * the tokens covered by a duplicate span REMOVED (the aggressive
+    * all-occurrences variant — the production boilerplate-strip; the
+    * paper's keep-one variant needs a global occurrence order and is
+    * rarely what curation wants for templated text). Tokens and spans
+    * share the split(" ") coordinate system of [[duplicateSpans]];
+    * fully-duplicated documents come back as "" rather than vanishing.
+    *
+    * Shape: the span set is the OUTPUT of duplicate detection —
+    * bounded by duplication mass — joined back to the exploded tokens
+    * per document (equi-join on doc + a range predicate against that
+    * doc's few spans), then one ordered rebuild per document. Three
+    * shuffles total (hot-window agg, span join, rebuild), no pairs.
+    */
+  def dropDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                         w: Int = 50, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, w, minCount)
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("doc") === spans("doc") &&
+        col("pos") >= col("start_tok") && col("pos") < col("end_tok"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as("cleaned"))
+    df.select(col(idCol).as("doc"))
+      .join(rebuilt, Seq("doc"), "left")
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** (doc, pos, h) window postings shared by the span operators. */
   private def dupPostings(df: DataFrame, textCol: String, idCol: String,
                           w: Int): DataFrame =

@@ -1661,6 +1661,13 @@ object Queries {
           round(col("dup_frac"), 6).as("dup_frac"))
         .orderBy(col("doc"))),
 
+    // the span surgery over the same windows: duplicated spans removed
+    // from every document (all occurrences), order preserved
+    "text_span_dedup" -> ((s, d) =>
+      graft.pipeline.Dedup.dropDuplicateSpans(
+          tbl(s, d, "documents"), "text", "doc_id", w = 8)
+        .orderBy(col("doc"))),
+
     "text_line_dedup" -> ((s, d) => {
       import s.implicits._
       // C4-style global line dedup over an inline multiline corpus
@@ -1845,6 +1852,9 @@ object Queries {
 
     "text_dup_fraction" ->
       s"SELECT doc, n_windows, dup_windows, dup_frac FROM '$pipeGold/text_dup_fraction.parquet' ORDER BY doc",
+
+    "text_span_dedup" ->
+      s"SELECT doc, cleaned FROM '$pipeGold/text_span_dedup.parquet' ORDER BY doc",
 
     "text_line_dedup" ->
       """WITH t(doc_id, text) AS (VALUES

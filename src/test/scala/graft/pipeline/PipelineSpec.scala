@@ -188,6 +188,23 @@ class PipelineSpec extends SparkTestBase {
     assert(stats(12L)._2 == 2L) // one dup window per occurrence
   }
 
+  test("span surgery removes duplicated tokens, keeps order, empties survive") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (10L, s"one two three $phrase four five"),
+      (11L, s"$phrase tail words here"),
+      (12L, phrase), // fully duplicated -> ""
+      (13L, "entirely unique tokens without any duplication at all thanks")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateSpans(docs, "text", "doc_id", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "one two three four five")
+    assert(got(11L) == "tail words here")
+    assert(got(12L) == "")
+    assert(got(13L) == "entirely unique tokens without any duplication at all thanks")
+  }
+
   test("cross-corpus decontamination finds planted train/eval overlap only") {
     import spark.implicits._
     val train = Seq(

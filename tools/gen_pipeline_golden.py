@@ -663,6 +663,22 @@ def gen_dup_spans(docs, w=8, min_count=2):
                        columns=["doc", "n_windows", "dup_windows", "dup_frac"]),
           {"doc": "BIGINT", "n_windows": "BIGINT", "dup_windows": "BIGINT",
            "dup_frac": "DOUBLE"})
+    # Dedup.dropDuplicateSpans: tokens covered by any span removed,
+    # order preserved, fully-duplicated docs -> ""
+    by_doc = {}
+    for doc, a, b in spans:
+        by_doc.setdefault(doc, []).append((a, b))
+    cleaned_rows = []
+    for r in docs.itertuples():
+        doc = int(r.doc_id)
+        toks = r.text.split(" ")
+        cov = by_doc.get(doc, [])
+        kept = [t for i, t in enumerate(toks)
+                if not any(a <= i < b for a, b in cov)]
+        cleaned_rows.append((doc, " ".join(kept)))
+    write("text_span_dedup",
+          pd.DataFrame(cleaned_rows, columns=["doc", "cleaned"]),
+          {"doc": "BIGINT", "cleaned": "VARCHAR"})
 
 
 def gen_memory_generate():
@@ -956,7 +972,8 @@ def main():
         gen_memory_context()
     if want("memory_generate"):
         gen_memory_generate()
-    if want("text_dup_spans") or want("text_dup_fraction"):
+    if (want("text_dup_spans") or want("text_dup_fraction")
+            or want("text_span_dedup")):
         gen_dup_spans(docs)
     if want("ingest_dir"):
         gen_ingest_dir()
