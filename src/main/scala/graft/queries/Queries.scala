@@ -1643,6 +1643,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // budgeted greedy selection: best-scored documents (avg word
+    // length as the deterministic score proxy) until the token budget
+    // is spent — distributed prefix sum, never a one-partition window
+    "corpus_budget_select" -> ((s, d) =>
+      graft.pipeline.Curation.selectByBudget(s,
+          tbl(s, d, "documents").withColumn("score",
+            col("n_chars").cast("double") /
+              graft.pipeline.TextAnalysis.tokenCount(col("text"))),
+          "score", "doc_id", "text", budget = 10000L)
+        .select(col("doc"), round(col("score"), 6).as("score"),
+          col("n_tokens"), col("cum_tokens"), col("selected"))
+        .orderBy(col("doc"))),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -1846,6 +1859,20 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "corpus_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id AS doc,
+        |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc, score, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY score DESC, doc) AS cum_tokens
+        |  FROM t)
+        |SELECT doc, round(score, 6) AS score, n_tokens, cum_tokens,
+        |       cum_tokens <= 10000 AS selected
+        |FROM c ORDER BY doc""".stripMargin,
 
     "text_dup_spans" ->
       s"SELECT doc, start_tok, end_tok FROM '$pipeGold/text_dup_spans.parquet' ORDER BY doc, start_tok",

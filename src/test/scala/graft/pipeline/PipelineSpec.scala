@@ -205,6 +205,33 @@ class PipelineSpec extends SparkTestBase {
     assert(got(13L) == "entirely unique tokens without any duplication at all thanks")
   }
 
+  test("budgeted selection: exact prefix, partitioning-independent") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (3 + (i % 7)).toInt).map(k => s"t$k").mkString(" "),
+        (100 - i).toDouble)) // score strictly decreasing with id
+      .toDF("doc_id", "text", "score")
+    def run(parts: Int) =
+      Curation.selectByBudget(spark, docs, "score", "doc_id", "text",
+          budget = 50L, numParts = parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1)
+    val one = run(1)
+    val seven = run(7)
+    assert(one.toSeq == seven.toSeq) // range boundaries don't matter
+    // reference: greedy prefix over ids (score order == id order here)
+    var cum = 0L
+    one.foreach { case (id, n, c, sel) =>
+      cum += n
+      assert(c == cum, s"cum mismatch at $id")
+      assert(sel == (cum <= 50L), s"selection flag wrong at $id")
+    }
+    // the selection is a true prefix
+    val flags = one.map(_._4)
+    assert(flags.dropWhile(identity).forall(!_))
+  }
+
   test("cross-corpus decontamination finds planted train/eval overlap only") {
     import spark.implicits._
     val train = Seq(
