@@ -75,7 +75,11 @@ object ScaleCurve {
         graft.pipeline.Mix.byWeight(
           d.withColumn("lang", (col("doc_id") % 5).cast("string")),
           "doc_id", "lang",
-          Map("0" -> 0.5, "1" -> 2.25, "2" -> 0.0, "3" -> 1.0), 0.25)))
+          Map("0" -> 0.5, "1" -> 2.25, "2" -> 0.0, "3" -> 1.0), 0.25)),
+      "dup_spans" -> (d =>
+        Dedup.duplicateSpans(d, "text", "doc_id", w = 8)),
+      "span_dedup" -> (d =>
+        Dedup.dropDuplicateSpans(d, "text", "doc_id", w = 8)))
 
     println(f"${"op"}%-16s ${"n_docs"}%8s ${"mult"}%5s ${"sec"}%8s ${"pairs"}%8s")
     val timings = (if (want("dedup")) ops else Seq.empty).map { case (name, fn) =>
