@@ -1643,6 +1643,21 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality scoring: add-one bigram model trained on
+    // the even-id half, every document scored by cross-entropy. The
+    // score is engine-exact (integer rationals + fixed-point log2, no
+    // libm) so the Python mirror replays xent_fp bit-for-bit.
+    "text_lm_quality" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val lm = graft.pipeline.LmQuality.train(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+        vocabSize = 2000, maxBigrams = 50000)
+      graft.pipeline.LmQuality.crossEntropy(docs, "text", "doc_id", lm)
+        .select(col("doc"), col("n_bigrams"), col("xent_fp"),
+          round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc"))
+    }),
+
     // budgeted greedy selection: best-scored documents (avg word
     // length as the deterministic score proxy) until the token budget
     // is spent — distributed prefix sum, never a one-partition window
@@ -1859,6 +1874,9 @@ object Queries {
 
     "corpus_shuffle" ->
       s"SELECT doc_id, skey FROM '$pipeGold/corpus_shuffle.parquet' ORDER BY skey, doc_id",
+
+    "text_lm_quality" ->
+      s"SELECT doc, n_bigrams, xent_fp, xent FROM '$pipeGold/text_lm_quality.parquet' ORDER BY doc",
 
     "corpus_budget_select" ->
       """WITH t AS (

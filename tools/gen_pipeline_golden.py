@@ -681,6 +681,67 @@ def gen_dup_spans(docs, w=8, min_count=2):
           {"doc": "BIGINT", "cleaned": "VARCHAR"})
 
 
+def lm_log2fix(a, b, frac=20, prec=64):
+    """Mirror of LmQuality.log2fix: exact fixed-point floor-log2 of a
+    rational a/b (a >= b > 0) — shifts and floor divisions only."""
+    k = a.bit_length() - b.bit_length()
+    if (b << k) > a:
+        k -= 1
+    m = (a << prec) // (b << k)
+    out = k
+    for _ in range(frac):
+        m = (m * m) >> prec
+        out <<= 1
+        if m.bit_length() > prec + 1:
+            m >>= 1
+            out |= 1
+    return out
+
+
+def gen_lm_quality(docs, vocab_size=2000, max_bigrams=50000):
+    """Mirror of LmQuality: add-one bigram LM on even doc_ids, every
+    doc scored by exact fixed-point cross-entropy."""
+    def toks(text):
+        return [t for t in text.split(" ") if t]
+    train = [(int(r.doc_id), toks(r.text)) for r in docs.itertuples()
+             if int(r.doc_id) % 2 == 0]
+    uni = {}
+    for _, ts in train:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    ranked = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = {t: i for i, (t, _) in enumerate(ranked)}
+    unk = len(vocab)
+    vprime = unk + 1
+    bi = {}
+    for _, ts in train:
+        ids = [vocab.get(t, unk) for t in ts]
+        for a, b in zip(ids, ids[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    ctx = [0] * (unk + 1)
+    for (a, _), c in bi.items():
+        ctx[a] += c
+    kept = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:max_bigrams])
+    rows = []
+    for r in docs.itertuples():
+        ids = [vocab.get(t, unk) for t in toks(r.text)]
+        if len(ids) < 2:
+            rows.append((int(r.doc_id), 0, 0, 0.0))
+            continue
+        num = den = 1
+        for a, b in zip(ids, ids[1:]):
+            num *= kept.get((a, b), 0) + 1
+            den *= ctx[a] + vprime
+        fp = lm_log2fix(den, num)
+        n = len(ids) - 1
+        xent = round_half_up(float(fp) / float(1 << 20) / float(n), 6)
+        rows.append((int(r.doc_id), n, fp, xent))
+    write("text_lm_quality",
+          pd.DataFrame(rows, columns=["doc", "n_bigrams", "xent_fp", "xent"]),
+          {"doc": "BIGINT", "n_bigrams": "INT", "xent_fp": "BIGINT",
+           "xent": "DOUBLE"})
+
+
 def gen_memory_generate():
     """Mirror of the memory_generate query: 25 conv-1 messages, M4
     /generate with the lossy-echo functor (text[::2]) over the last-20
@@ -972,6 +1033,8 @@ def main():
         gen_memory_context()
     if want("memory_generate"):
         gen_memory_generate()
+    if want("text_lm_quality"):
+        gen_lm_quality(docs)
     if (want("text_dup_spans") or want("text_dup_fraction")
             or want("text_span_dedup")):
         gen_dup_spans(docs)
