@@ -1643,6 +1643,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // PCA projection of the embedding corpus: bounded-driver-fold
+    // train (sample covariance + fixed-sweep sqrt-form Jacobi — only
+    // IEEE-exact ops, engine-replayable), codegen'd map-side matvec
+    "embed_pca" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Pca.train(emb, "embedding", "vec_id", k = 8)
+      val proj = (1 to 8).map(i =>
+        round(element_at(col("p"), i), 6).as(s"p${i - 1}"))
+      emb.select(col("vec_id"),
+          graft.pipeline.Pca.project(col("embedding"), model).as("p"))
+        .select(col("vec_id") +: proj: _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // CCNet-style LM quality scoring: add-one bigram model trained on
     // the even-id half, every document scored by cross-entropy. The
     // score is engine-exact (integer rationals + fixed-point log2, no
@@ -1877,6 +1891,9 @@ object Queries {
 
     "text_lm_quality" ->
       s"SELECT doc, n_bigrams, xent_fp, xent FROM '$pipeGold/text_lm_quality.parquet' ORDER BY doc",
+
+    "embed_pca" ->
+      s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",
 
     "corpus_budget_select" ->
       """WITH t AS (

@@ -742,6 +742,83 @@ def gen_lm_quality(docs, vocab_size=2000, max_bigrams=50000):
            "xent": "DOUBLE"})
 
 
+def gen_embed_pca(emb, k=8, sweeps=30):
+    """Mirror of Pca.train + project: sequential-in-id mean/covariance
+    fold, cyclic sqrt-form Jacobi with a fixed sweep count (only
+    IEEE-exact ops), eigenvalue-desc order, largest-|component|-positive
+    sign, per-row centered matvec."""
+    sample = [v for _, v in sorted(emb)]
+    n = len(sample)
+    dim = len(sample[0])
+    mean = [0.0] * dim
+    for v in sample:
+        for i in range(dim):
+            mean[i] += float(v[i])
+    for i in range(dim):
+        mean[i] /= n
+    cov = [[0.0] * dim for _ in range(dim)]
+    for v in sample:
+        d = [float(v[i]) - mean[i] for i in range(dim)]
+        for a in range(dim):
+            da = d[a]
+            for b in range(a, dim):
+                cov[a][b] += da * d[b]
+    for i in range(dim):
+        for j in range(i, dim):
+            cov[i][j] /= n
+            cov[j][i] = cov[i][j]
+    a = [row[:] for row in cov]
+    vm = [[1.0 if r == c else 0.0 for c in range(dim)] for r in range(dim)]
+    for _ in range(sweeps):
+        for p in range(dim - 1):
+            for q in range(p + 1, dim):
+                apq = a[p][q]
+                if apq != 0.0:
+                    tau = (a[q][q] - a[p][p]) / (2.0 * apq)
+                    if tau >= 0.0:
+                        t = 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+                    else:
+                        t = -1.0 / (-tau + math.sqrt(1.0 + tau * tau))
+                    c = 1.0 / math.sqrt(1.0 + t * t)
+                    s = t * c
+                    for r in range(dim):
+                        arp, arq = a[r][p], a[r][q]
+                        a[r][p] = c * arp - s * arq
+                        a[r][q] = s * arp + c * arq
+                    for r in range(dim):
+                        apr, aqr = a[p][r], a[q][r]
+                        a[p][r] = c * apr - s * aqr
+                        a[q][r] = s * apr + c * aqr
+                    for r in range(dim):
+                        vrp, vrq = vm[r][p], vm[r][q]
+                        vm[r][p] = c * vrp - s * vrq
+                        vm[r][q] = s * vrp + c * vrq
+    values = [a[i][i] for i in range(dim)]
+    order = sorted(range(dim), key=lambda c: (-values[c], c))[:k]
+    basis = []
+    for c in order:
+        vec = [vm[r][c] for r in range(dim)]
+        best = 0
+        for r in range(1, dim):
+            if abs(vec[r]) > abs(vec[best]):
+                best = r
+        if vec[best] < 0:
+            vec = [-x for x in vec]
+        basis.append(vec)
+    rows = []
+    for vid, v in sorted(emb):
+        out = [vid]
+        for b in basis:
+            s = 0.0
+            for i in range(min(dim, len(v))):
+                s += b[i] * (float(v[i]) - mean[i])
+            out.append(round_half_up(s, 6))
+        rows.append(tuple(out))
+    cols = ["vec_id"] + [f"p{i}" for i in range(k)]
+    write("embed_pca", pd.DataFrame(rows, columns=cols),
+          dict([("vec_id", "BIGINT")] + [(f"p{i}", "DOUBLE") for i in range(k)]))
+
+
 def gen_memory_generate():
     """Mirror of the memory_generate query: 25 conv-1 messages, M4
     /generate with the lossy-echo functor (text[::2]) over the last-20
@@ -1010,9 +1087,11 @@ def main():
         gen_corpus_shuffle(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "ivf_topk_hier", "semdedup", "semdedup_hier"):
+              "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca"):
         if want(n):
             emb = emb or load_embeddings()
+    if want("embed_pca"):
+        gen_embed_pca(emb)
     if want("semdedup"):
         gen_semdedup(emb)
     if want("semdedup_hier"):
