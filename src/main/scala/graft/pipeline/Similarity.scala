@@ -102,6 +102,36 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Two-stage PCA ANN: candidates ranked by cosine in PCA-reduced
+    * space (k·`oversample` per query), then exact full-dimension
+    * rescore and final top-k — the classic dimensionality-reduction
+    * retrieval shape: the CANDIDATE scan reads reduced vectors (model
+    * dim / input dim of the bytes; at scale the reduced column is the
+    * stored index and the full vectors are back-joined only for the
+    * oversampled candidates), recall governed by how much variance the
+    * basis captures × the oversample dial. Everything is exact-replay
+    * arithmetic (PCA projection + sequential-double cosine), so the
+    * whole two-stage pipeline is oracle-checkable.
+    */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, model: Pca.PcaModel,
+              oversample: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      Pca.project(col(vecCol), model).as("nr"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      Pca.project(col(vecCol), model).as("qr"))
+    val stage1 = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("nv"), col("qv"),
+        cosineSimD(col("nr"), col("qr")).as("simr"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("simr").desc, col("nid").asc)
+    val cand = stage1.withColumn("rk1", row_number().over(w1))
+      .where(col("rk1") <= k * oversample)
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    cand.select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share at least one b-bit band of the
     * hyperplane signature (equi-join on (band, key)); candidates are
     * re-scored exactly and ranked per query. Approximate: recall

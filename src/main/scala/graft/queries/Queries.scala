@@ -1657,6 +1657,18 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // two-stage PCA ANN: reduced-space candidates (16 of 64 dims
+    // scanned), oversample x4, exact rescore — fully oracle-checked
+    "ann_topk_pca" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Pca.train(emb, "embedding", "vec_id", k = 16)
+      graft.pipeline.Similarity.pcaTopK(emb, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5, model, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // CCNet-style LM quality scoring: add-one bigram model trained on
     // the even-id half, every document scored by cross-entropy. The
     // score is engine-exact (integer rationals + fixed-point log2, no
@@ -1894,6 +1906,9 @@ object Queries {
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",
+
+    "ann_topk_pca" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pca.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
       """WITH t AS (

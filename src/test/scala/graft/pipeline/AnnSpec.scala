@@ -195,6 +195,34 @@ class AnnSpec extends SparkTestBase {
     assert(agree >= 0.8, s"int8-IVF agreement too low: $agree")
   }
 
+  test("PCA two-stage ANN recalls most brute-force neighbors") {
+    val model = Pca.train(emb, "embedding", "vec_id", k = 16)
+    val queries = emb.where(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 5))
+    def recallAt(dims: Int, os: Int): Double = {
+      val m = Pca.train(emb, "embedding", "vec_id", k = dims)
+      val pca = ids(Similarity.pcaTopK(emb, queries, "embedding", "vec_id",
+        k = 5, m, oversample = os))
+      brute.intersect(pca).size.toDouble / brute.size
+    }
+    // the synthetic embeddings are near-isotropic — PCA's worst case
+    // (16/64 dims ≈ a quarter of the variance), so the floor is modest
+    // and the CONTRACT under test is the dial: more dims + oversample
+    // must buy recall
+    val low = recallAt(16, 4)
+    val high = recallAt(32, 16)
+    assert(low >= 0.3, s"PCA-ANN recall floor broken: $low")
+    assert(high > low && high >= 0.8, s"recall dial broken: $low -> $high")
+    // oversample = corpus size ⇒ candidates are everything ⇒ exact
+    val full = ids(Similarity.pcaTopK(emb, queries, "embedding", "vec_id",
+      k = 5, model, oversample = Int.MaxValue / 8))
+    assert(full == brute)
+  }
+
   test("int8 quantized top-k: self-sim exactly 1, high agreement with float") {
     val queries = emb.where(col("vec_id") < 5)
     val int8 = Similarity.int8TopK(emb, queries, "embedding", "vec_id",

@@ -205,6 +205,44 @@ class PipelineSpec extends SparkTestBase {
     assert(got(13L) == "entirely unique tokens without any duplication at all thanks")
   }
 
+  test("duplicate spans match a string-based brute-force reference (random corpora)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val w = 3
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 25).map { i =>
+        val n = rnd.nextInt(20)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+      }
+      // reference on token STRINGS (independent of the hash kernel):
+      // window occurrences counted corpus-wide, dup positions merged
+      val winOf = docs.map { case (id, text) =>
+        val toks = text.split(" ")
+        id -> (if (toks.length < w || text.isEmpty) Array.empty[String]
+               else toks.sliding(w).map(_.mkString(" ")).toArray)
+      }.toMap
+      val counts = winOf.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+      val want = winOf.toSeq.flatMap { case (id, wins) =>
+        val dup = wins.zipWithIndex.collect {
+          case (win, p) if counts(win) >= 2 => p
+        }
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+        var start = -1
+        var prev = -1
+        dup.foreach { p =>
+          if (start < 0) { start = p; prev = p }
+          else if (p - prev <= w) prev = p
+          else { spans += ((id, start, prev + w)); start = p; prev = p }
+        }
+        if (start >= 0) spans += ((id, start, prev + w))
+        spans
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id", w = w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("budgeted selection: exact prefix, partitioning-independent") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>

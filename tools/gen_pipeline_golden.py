@@ -742,11 +742,11 @@ def gen_lm_quality(docs, vocab_size=2000, max_bigrams=50000):
            "xent": "DOUBLE"})
 
 
-def gen_embed_pca(emb, k=8, sweeps=30):
-    """Mirror of Pca.train + project: sequential-in-id mean/covariance
-    fold, cyclic sqrt-form Jacobi with a fixed sweep count (only
-    IEEE-exact ops), eigenvalue-desc order, largest-|component|-positive
-    sign, per-row centered matvec."""
+def pca_fit(emb, k, sweeps=30):
+    """Mirror of Pca.train: sequential-in-id mean/covariance fold,
+    cyclic sqrt-form Jacobi with a fixed sweep count (only IEEE-exact
+    ops), eigenvalue-desc order, largest-|component|-positive sign.
+    Returns (mean, basis)."""
     sample = [v for _, v in sorted(emb)]
     n = len(sample)
     dim = len(sample[0])
@@ -805,18 +805,48 @@ def gen_embed_pca(emb, k=8, sweeps=30):
         if vec[best] < 0:
             vec = [-x for x in vec]
         basis.append(vec)
+    return mean, basis
+
+
+def pca_project(v, mean, basis):
+    out = []
+    for b in basis:
+        s = 0.0
+        for i in range(min(len(b), len(v))):
+            s += b[i] * (float(v[i]) - mean[i])
+        out.append(s)
+    return out
+
+
+def gen_embed_pca(emb, k=8):
+    mean, basis = pca_fit(emb, k)
     rows = []
     for vid, v in sorted(emb):
-        out = [vid]
-        for b in basis:
-            s = 0.0
-            for i in range(min(dim, len(v))):
-                s += b[i] * (float(v[i]) - mean[i])
-            out.append(round_half_up(s, 6))
+        out = [vid] + [round_half_up(x, 6) for x in pca_project(v, mean, basis)]
         rows.append(tuple(out))
     cols = ["vec_id"] + [f"p{i}" for i in range(k)]
     write("embed_pca", pd.DataFrame(rows, columns=cols),
           dict([("vec_id", "BIGINT")] + [(f"p{i}", "DOUBLE") for i in range(k)]))
+
+
+def gen_ann_pca(emb, k=5, pca_k=16, oversample=4):
+    """Mirror of Similarity.pcaTopK: reduced-space candidate top
+    k*oversample per query by (-sim_reduced, nid), exact full-dim
+    rescore, final top-k by (-sim, nid)."""
+    mean, basis = pca_fit(emb, pca_k)
+    red = {i: pca_project(v, mean, basis) for i, v in emb}
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        scored = sorted(((cosine_sim_d(red[n], red[q]), n)
+                         for n, _ in emb if n != q),
+                        key=lambda t: (-t[0], t[1]))[:k * oversample]
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q]) for _, n in scored}
+    rows = rank_topk(cands, k)
+    write("ann_topk_pca",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
 def gen_memory_generate():
@@ -1087,11 +1117,14 @@ def main():
         gen_corpus_shuffle(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca"):
+              "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
+              "ann_topk_pca"):
         if want(n):
             emb = emb or load_embeddings()
     if want("embed_pca"):
         gen_embed_pca(emb)
+    if want("ann_topk_pca"):
+        gen_ann_pca(emb)
     if want("semdedup"):
         gen_semdedup(emb)
     if want("semdedup_hier"):
