@@ -1,0 +1,311 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search", IEEE TPAMI) — the vector-compression
+  * workhorse under billion-scale indexes (faiss IVF-PQ): the vector
+  * splits into `m` subspaces, each quantized by its own small L2
+  * k-means codebook, so a dim-float vector stores as m BYTES (dim=64,
+  * m=8 → 32× under float32, 8× under int8 codes). Search scores codes
+  * WITHOUT reconstruction: per query, one m×ksub lookup table of
+  * subspace dot products (ADC — asymmetric distance computation),
+  * then each candidate costs m table lookups instead of dim
+  * multiplies.
+  *
+  * Train is the bounded-driver-fold shape of every quantizer here
+  * (sample collected sorted by id, sequential plain-L2 k-means per
+  * subspace — assignment by min squared distance with index ties,
+  * mean updates, NO normalization: PQ quantizes positions, not
+  * directions). All arithmetic is sequential IEEE double, so codes,
+  * tables, and ADC scores replay bit-for-bit in the Python oracle.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j (dsub floats each). */
+  final class PqModel(val m: Int, val dsub: Int,
+                      val codebooks: Array[Array[Array[Float]]])
+      extends Serializable {
+    def ksub: Int = codebooks(0).length
+
+    /** m-byte code of one vector read from ArrayData. */
+    def encodeData(arr: ArrayData, isFloat: Boolean): Array[Byte] = {
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val idx = j * dsub + i
+            val x = if (idx < arr.numElements()) {
+              if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
+            } else 0.0
+            val diff = x - cb(c)(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      out
+    }
+
+    /** ADC lookup table for one query: lut(j·ksub + c) = dot(q_j, cb_j_c). */
+    def lutData(arr: ArrayData, isFloat: Boolean): ArrayData = {
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            val idx = j * dsub + i
+            val x = if (idx < arr.numElements()) {
+              if (isFloat) arr.getFloat(idx).toDouble else arr.getDouble(idx)
+            } else 0.0
+            s += x * cb(c)(i)
+            i += 1
+          }
+          out(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+  }
+
+  def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+            ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
+            maxTrainRows: Long = 200000L): PqModel = {
+    require(ksub >= 1 && ksub <= 256, "ksub must fit one byte")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    val trainDf =
+      if (total <= maxTrainRows) df
+      else df.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
+    val sample = trainDf.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      }
+      kmeansFoldL2(sub, ksub, iters, seed + j)
+    }
+    new PqModel(m, dsub, codebooks)
+  }
+
+  /** splitmix64 finalizer — seeds the deterministic centroid init. */
+  @inline private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Plain (non-spherical) L2 k-means, sequential in id order:
+    * splitmix64 pseudo-shuffle init, min-squared-distance assignment
+    * (ties to the smaller index), mean updates, empty clusters keep
+    * their centroid. The spherical fold in [[Ivf]] normalizes — right
+    * for a coarse direction quantizer, wrong for PQ's positional
+    * codebooks.
+    */
+  private def kmeansFoldL2(sample: Array[(Long, Array[Float])], k: Int,
+                           iters: Int, seed: Long): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = sample
+      .map { case (id, v) => (splitmix64(id + seed), id, v) }
+      .sortBy { case (h, id, _) => (h, id) }
+      .take(k).map(_._3)
+    val dsub = centroids.head.length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dsub))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { case (_, v) =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v(i).toDouble - centroids(c)(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val nc = new Array[Float](dsub)
+          var i = 0
+          while (i < dsub) { nc(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          nc
+        }
+      }
+    }
+    centroids
+  }
+
+  /** m-byte PQ codes column (codegen'd). */
+  def encode(vec: Column, model: PqModel): Column =
+    graft.functions.ColumnBridge.column(
+      PqEncode(graft.functions.ColumnBridge.expression(vec), model))
+
+  /** Per-query ADC lookup table column (codegen'd; queries side). */
+  def lut(vec: Column, model: PqModel): Column =
+    graft.functions.ColumnBridge.column(
+      PqLut(graft.functions.ColumnBridge.expression(vec), model))
+
+  /** ADC dot product: Σ_j lut[j·ksub + code_j] (codegen'd). */
+  def adcDot(codes: Column, lutCol: Column, ksub: Int): Column =
+    graft.functions.ColumnBridge.column(PqAdcDot(
+      graft.functions.ColumnBridge.expression(codes),
+      graft.functions.ColumnBridge.expression(lutCol), ksub))
+
+  /** Two-stage PQ ANN: ADC-scored candidates from m-byte codes
+    * (corpus scan reads codes + ids only), oversampled top-k per
+    * query, exact full-vector rescore. At scale the codes column is
+    * the stored index (32× under float32) and the full vectors are
+    * back-joined for the oversampled candidates; here they ride along
+    * for simplicity, which does not change results.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, k: Int, model: PqModel,
+             oversample: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimD
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      encode(col(vecCol), model).as("nc"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      lut(col(vecCol), model).as("qt"))
+    val stage1 = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("nv"), col("qv"),
+        adcDot(col("nc"), col("qt"), model.ksub).as("sima"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("sima").desc, col("nid").asc)
+    val cand = stage1.withColumn("rk1", row_number().over(w1))
+      .where(col("rk1") <= k * oversample)
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    cand.select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
+}
+
+/** m-byte PQ code of a vector (model as plan reference object). */
+case class PqEncode(child: Expression, model: Pq.PqModel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    model.encodeData(a.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdl = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
+    val isF = elemIsFloat
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mdl.encodeData($a, $isF);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-query ADC lookup table (m×ksub subspace dots, flattened). */
+case class PqLut(child: Expression, model: Pq.PqModel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    model.lutData(a.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdl = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
+    val isF = elemIsFloat
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mdl.lutData($a, $isF);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ADC dot: Σ_j lut[j·ksub + (code_j & 0xff)] — m lookups per pair. */
+case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, ARRAY<DOUBLE>), got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcDot.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.pipeline.PqAdcDot.compute($a, $b, $ksub);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqAdcDot {
+  /** Shared kernel for eval and generated code. */
+  def compute(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < codes.length) {
+      s += lut.getDouble(j * ksub + (codes(j) & 0xff))
+      j += 1
+    }
+    s
+  }
+}

@@ -1657,6 +1657,19 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // two-stage PQ ANN: ADC-scored candidates from 8-byte product
+    // quantization codes (32x under float32), exact rescore
+    "ann_topk_pq" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      graft.pipeline.Pq.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5, model, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // two-stage PCA ANN: reduced-space candidates (16 of 64 dims
     // scanned), oversample x4, exact rescore — fully oracle-checked
     "ann_topk_pca" -> ((s, d) => {
@@ -1909,6 +1922,9 @@ object Queries {
 
     "ann_topk_pca" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pca.parquet' ORDER BY qid, rk",
+
+    "ann_topk_pq" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pq.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
       """WITH t AS (

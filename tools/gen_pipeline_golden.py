@@ -849,6 +849,97 @@ def gen_ann_pca(emb, k=5, pca_k=16, oversample=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def pq_fit(emb, m=8, ksub=16, iters=3, seed=42):
+    """Mirror of Pq.train: per-subspace plain-L2 k-means, sequential in
+    id order — splitmix init, min-squared-distance assignment with
+    index ties, mean updates (f32 narrowed), empty clusters keep their
+    centroid."""
+    sample = sorted(emb)
+    dim = len(sample[0][1])
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = [(i, v[j * dsub:(j + 1) * dsub]) for i, v in sample]
+        sj = seed + j
+        seeded = sorted(((s64(splitmix64((i + sj) & M64)), i, v)
+                         for i, v in sub), key=lambda t: (t[0], t[1]))
+        cents = [list(v) for _, _, v in seeded[:ksub]]
+        for _ in range(iters):
+            sums = [[0.0] * dsub for _ in cents]
+            counts = [0] * len(cents)
+            for _, v in sub:
+                best, bd = 0, float("inf")
+                for c, cent in enumerate(cents):
+                    d = 0.0
+                    for i in range(dsub):
+                        diff = float(v[i]) - float(cent[i])
+                        d += diff * diff
+                    if d < bd:
+                        bd, best = d, c
+                for i in range(dsub):
+                    sums[best][i] += float(v[i])
+                counts[best] += 1
+            cents = [cents[c] if counts[c] == 0
+                     else [f32(sums[c][i] / counts[c]) for i in range(dsub)]
+                     for c in range(len(cents))]
+        books.append(cents)
+    return dsub, books
+
+
+def pq_encode(v, dsub, books):
+    code = []
+    for j, cents in enumerate(books):
+        best, bd = 0, float("inf")
+        for c, cent in enumerate(cents):
+            d = 0.0
+            for i in range(dsub):
+                diff = float(v[j * dsub + i]) - float(cent[i])
+                d += diff * diff
+            if d < bd:
+                bd, best = d, c
+        code.append(best)
+    return code
+
+
+def pq_lut(v, dsub, books):
+    lut = []
+    for j, cents in enumerate(books):
+        for cent in cents:
+            s = 0.0
+            for i in range(dsub):
+                s += float(v[j * dsub + i]) * float(cent[i])
+            lut.append(s)
+    return lut
+
+
+def gen_ann_pq(emb, k=5, m=8, ksub=16, oversample=4):
+    """Mirror of Pq.pqTopK: ADC candidates (sum of per-subspace LUT
+    entries, sequential in j), top k*oversample by (-adc, nid), exact
+    cosine rescore, top-k by (-sim, nid)."""
+    dsub, books = pq_fit(emb, m=m, ksub=ksub)
+    codes = {i: pq_encode(v, dsub, books) for i, v in emb}
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        lut = pq_lut(vec[q], dsub, books)
+        scored = []
+        for n, _ in emb:
+            if n == q:
+                continue
+            s = 0.0
+            for j in range(m):
+                s += lut[j * ksub + codes[n][j]]
+            scored.append((s, n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q])
+                    for _, n in scored[:k * oversample]}
+    rows = rank_topk(cands, k)
+    write("ann_topk_pq",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def gen_memory_generate():
     """Mirror of the memory_generate query: 25 conv-1 messages, M4
     /generate with the lossy-echo functor (text[::2]) over the last-20
@@ -1118,13 +1209,15 @@ def main():
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca"):
+              "ann_topk_pca", "ann_topk_pq"):
         if want(n):
             emb = emb or load_embeddings()
     if want("embed_pca"):
         gen_embed_pca(emb)
     if want("ann_topk_pca"):
         gen_ann_pca(emb)
+    if want("ann_topk_pq"):
+        gen_ann_pq(emb)
     if want("semdedup"):
         gen_semdedup(emb)
     if want("semdedup_hier"):
