@@ -321,7 +321,7 @@ object Ivf {
   /** Cluster id(s) of the `nprobe` nearest centroids, as a codegen'd
     * column ([[IvfNearest]] — descent on hierarchical models).
     */
-  private def nearestCol(vec: Column, model: IvfModel, nprobe: Int): Column =
+  private[pipeline] def nearestCol(vec: Column, model: IvfModel, nprobe: Int): Column =
     graft.functions.ColumnBridge.column(
       IvfNearest(graft.functions.ColumnBridge.expression(vec), model, nprobe))
 
@@ -386,6 +386,39 @@ object Ivf {
       postings.select(col("cluster"), col(idCol),
         Similarity.int8Codes(col(vecCol)).as("codes")),
       queries, vecCol, idCol, model, k, nprobe)
+
+  /** IVF-PQ search — the standard billion-scale index composition
+    * (faiss IVFPQ): the coarse quantizer bounds WHICH postings a
+    * query touches (~nprobe/nlist of the corpus, partition-pruned on
+    * disk), product-quantization codes bound the BYTES per touched
+    * posting (m bytes, 32× under float32) and the CPU per candidate
+    * (m ADC table lookups instead of dim multiplies), and the
+    * oversampled survivors rescore exactly against the full vectors.
+    * Probe plan identical to [[search]]; scorer/rescore identical to
+    * [[graft.pipeline.Pq.pqTopK]].
+    */
+  def searchPq(postings: DataFrame, queries: DataFrame, vecCol: String,
+               idCol: String, model: IvfModel, pq: Pq.PqModel, k: Int,
+               nprobe: Int = 4, oversample: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimD
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        Pq.lut(col(vecCol), pq).as("qt"))
+      .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
+    val c = postings.select(col("cluster"), col(idCol).as("nid"),
+      col(vecCol).as("nv"), Pq.encode(col(vecCol), pq).as("nc"))
+    val cand = c.join(broadcast(q), Seq("cluster"))
+      .where(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val stage1 = cand.select(col("qid"), col("nid"), col("nv"), col("qv"),
+      Pq.adcDot(col("nc"), col("qt"), pq.ksub).as("sima"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("sima").desc, col("nid").asc)
+    val short = stage1.withColumn("rk1", row_number().over(w1))
+      .where(col("rk1") <= k * oversample)
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    short.select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
 
   /** Serve directly from a quantized index ([[writeIndexInt8]] layout:
     * cluster, id, codes) — queries quantize on the fly, postings never

@@ -1657,6 +1657,22 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF-PQ: coarse clusters bound WHICH postings are touched, PQ
+    // codes bound bytes/CPU per candidate, exact rescore on survivors
+    "ivf_topk_pq" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", ivf)
+      graft.pipeline.Ivf.searchPq(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // two-stage PQ ANN: ADC-scored candidates from 8-byte product
     // quantization codes (32x under float32), exact rescore
     "ann_topk_pq" -> ((s, d) => {
@@ -1925,6 +1941,9 @@ object Queries {
 
     "ann_topk_pq" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pq.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_pq" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
       """WITH t AS (

@@ -223,6 +223,26 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("IVF-PQ: reasonable recall at working settings, exact when exhaustive") {
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val postings = Ivf.assign(emb, "embedding", ivf)
+    val queries = emb.where(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 5))
+    val working = ids(Ivf.searchPq(postings, queries, "embedding", "vec_id",
+      ivf, pq, k = 5, nprobe = 4, oversample = 4))
+    val recall = brute.intersect(working).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
+    // exhaustive probes + exhaustive oversample ⇒ exact
+    val full = ids(Ivf.searchPq(postings, queries, "embedding", "vec_id",
+      ivf, pq, k = 5, nprobe = 8, oversample = Int.MaxValue / 8))
+    assert(full == brute)
+  }
+
   test("int8 quantized top-k: self-sim exactly 1, high agreement with float") {
     val queries = emb.where(col("vec_id") < 5)
     val int8 = Similarity.int8TopK(emb, queries, "embedding", "vec_id",

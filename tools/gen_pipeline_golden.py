@@ -940,6 +940,42 @@ def gen_ann_pq(emb, k=5, m=8, ksub=16, oversample=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def gen_ivf_pq(emb, k=5, nlist=16, iters=3, nprobe=4, m=8, ksub=16,
+               oversample=4):
+    """Mirror of Ivf.searchPq: flat IVF clusters bound the candidate
+    set, ADC over PQ codes ranks it, exact cosine rescores the
+    oversampled survivors."""
+    cents = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(cents, v, 1)[0] for i, v in emb}
+    dsub, books = pq_fit(emb, m=m, ksub=ksub, iters=iters)
+    codes = {i: pq_encode(v, dsub, books) for i, v in emb}
+    vec = dict(emb)
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        lut = pq_lut(vec[q], dsub, books)
+        seen = set()
+        scored = []
+        for cl in ivf_nearest(cents, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in seen:
+                    seen.add(n)
+                    s = 0.0
+                    for j in range(m):
+                        s += lut[j * ksub + codes[n][j]]
+                    scored.append((s, n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q])
+                    for _, n in scored[:k * oversample]}
+    rows = rank_topk(cands, k)
+    write("ivf_topk_pq",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def gen_memory_generate():
     """Mirror of the memory_generate query: 25 conv-1 messages, M4
     /generate with the lossy-echo functor (text[::2]) over the last-20
@@ -1209,7 +1245,7 @@ def main():
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca", "ann_topk_pq"):
+              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq"):
         if want(n):
             emb = emb or load_embeddings()
     if want("embed_pca"):
@@ -1218,6 +1254,8 @@ def main():
         gen_ann_pca(emb)
     if want("ann_topk_pq"):
         gen_ann_pq(emb)
+    if want("ivf_topk_pq"):
+        gen_ivf_pq(emb)
     if want("semdedup"):
         gen_semdedup(emb)
     if want("semdedup_hier"):
