@@ -420,6 +420,61 @@ object Ivf {
       .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
   }
 
+  /** Quantized PQ on-disk index: cluster-partitioned (PartitionFilters
+    * pruning at probe time) with the vector column replaced by its
+    * m-byte PQ codes — the layout [[searchPqIndex]] serves from.
+    */
+  def writeIndexPq(postings: DataFrame, vecCol: String, pq: Pq.PqModel,
+                   path: String): Unit =
+    postings
+      .withColumn("codes", Pq.encode(col(vecCol), pq))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** IVF-PQ serving from the on-disk codes index — the full 100 TB
+    * shape: the probe touches only matching cluster partitions and
+    * reads m BYTES per posting (no float vector anywhere in the
+    * candidate path), and only the ≤ k·oversample ADC survivors
+    * back-join to the full-vector table for the exact rescore (the
+    * survivors broadcast — queries × k × oversample rows — so the
+    * rescore is a broadcast semi-probe of the vector table, never a
+    * shuffle of it). Results identical to [[searchPq]] by
+    * construction.
+    */
+  def searchPqIndex(index: DataFrame, vectors: DataFrame,
+                    queries: DataFrame, vecCol: String, idCol: String,
+                    model: IvfModel, pq: Pq.PqModel, k: Int,
+                    nprobe: Int = 4, oversample: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimD
+    val q = queriesWithLut(queries, vecCol, idCol, model, pq, nprobe)
+    val c = index.select(col("cluster"), col(idCol).as("nid"), col("codes"))
+    val cand = c.join(broadcast(q.drop("qv")), Seq("cluster"))
+      .where(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("sima").desc, col("nid").asc)
+    val short = cand
+      .select(col("qid"), col("nid"),
+        Pq.adcDot(col("codes"), col("qt"), pq.ksub).as("sima"))
+      .withColumn("rk1", row_number().over(w1))
+      .where(col("rk1") <= k * oversample)
+      .select(col("qid"), col("nid"))
+    val nv = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val qv = q.select(col("qid"), col("qv")).dropDuplicates("qid")
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    nv.join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
+
+  private def queriesWithLut(queries: DataFrame, vecCol: String,
+                             idCol: String, model: IvfModel,
+                             pq: Pq.PqModel, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        Pq.lut(col(vecCol), pq).as("qt"))
+      .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
+
   /** Serve directly from a quantized index ([[writeIndexInt8]] layout:
     * cluster, id, codes) — queries quantize on the fly, postings never
     * touch a float vector.

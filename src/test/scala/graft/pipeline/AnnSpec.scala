@@ -243,6 +243,25 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("disk PQ index serves identically to in-memory IVF-PQ, codes only") {
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val postings = Ivf.assign(emb, "embedding", ivf)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Ivf.writeIndexPq(postings, "embedding", pq, path)
+    val index = Ivf.readIndex(spark, path)
+    assert(index.columns.sorted.toSeq == Seq("cluster", "codes", "vec_id"))
+    val queries = emb.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromDisk = rows(Ivf.searchPqIndex(index, emb, queries, "embedding",
+      "vec_id", ivf, pq, k = 5, nprobe = 4, oversample = 4))
+    val inMem = rows(Ivf.searchPq(postings, queries, "embedding", "vec_id",
+      ivf, pq, k = 5, nprobe = 4, oversample = 4))
+    assert(fromDisk == inMem)
+  }
+
   test("int8 quantized top-k: self-sim exactly 1, high agreement with float") {
     val queries = emb.where(col("vec_id") < 5)
     val int8 = Similarity.int8TopK(emb, queries, "embedding", "vec_id",
