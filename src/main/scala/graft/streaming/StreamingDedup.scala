@@ -98,7 +98,7 @@ object StreamingDedup {
     * the whole key space for a uniform batch). Key sets past
     * [[ProbeKeyFilterCutoff]] read the buckets whole.
     */
-  private[streaming] def probeIndex(spark: SparkSession, indexPath: String,
+  private[graft] def probeIndex(spark: SparkSession, indexPath: String,
                                     bucketIds: Seq[Long],
                                     keys: Seq[Long] = Nil): DataFrame = {
     def read(ids: Seq[Long]) = spark.read.parquet(indexPath)
@@ -192,7 +192,7 @@ object StreamingDedup {
     * per-key filters prune at the parquet column-index level — the
     * piece that keeps a large batch's probe sublinear in index size.
     */
-  private[streaming] def appendIndex(banded: DataFrame,
+  private[graft] def appendIndex(banded: DataFrame,
                                      indexPath: String): Unit =
     // the sort leads with the partition columns ON PURPOSE: a dynamic
     // partitionBy write REQUIRES (band, kb) ordering, and a sort that

@@ -23,9 +23,9 @@ object ScaleCurve {
     val mults0 = if (args.length > 1) args(1).split(',').map(_.toInt).toSeq
       else Seq(1, 2, 4)
     // optional third arg: comma list of sections to run
-    // (dedup,decontam,semdedup,ivf_assign); default all
+    // (dedup,decontam,semdedup,ivf_assign,stream_probe); default all
     val sections = if (args.length > 2) args(2).split(',').toSet
-      else Set("dedup", "decontam", "semdedup", "ivf_assign")
+      else Set("dedup", "decontam", "semdedup", "ivf_assign", "stream_probe")
     def want(s: String): Boolean = sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -246,6 +246,54 @@ object ScaleCurve {
         val k = math.log(ts.last._2 / ts.head._2) /
           math.log(ts.last._1.toDouble / ts.head._1)
         println(f"$label%-16s exponent k=$k%.2f (t ∝ nlist^k, corpus fixed)")
+      }
+    }
+    // ---- streaming-dedup probe: index grows, batch key set FIXED ----
+    // The r5 degenerate case: a batch touching all 64 (band, kb) dirs.
+    // With key-sorted pages + per-key pushdown the probe's scanned
+    // rows must track the BATCH's keys, not the index — measured as
+    // scan-node output rows with and without the key filter.
+    if (want("stream_probe")) {
+      import graft.streaming.StreamingDedup
+      import graft.functions.HashFunctions
+      val keys = (1 to 128).map(i => (i * 2654435761L) % 65536L)
+      val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val prevT = spark.conf.getOption(threshKey)
+      spark.conf.set(threshKey, StreamingDedup.ProbeKeyChunk + 1)
+      try {
+        println(f"${"stream_probe"}%-16s ${"index_rows"}%10s ${"mult"}%5s " +
+          f"${"scanned"}%10s ${"no_filter"}%10s")
+        for (m <- mults) {
+          val path = s"target/tmp/scale_curve/sidx_x$m"
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          val banded = spark.range(192000L * m).select(
+            col("id").as("doc"),
+            HashFunctions.splitmix64(col("id"), 99L).as("sh"),
+            (col("id") % 4).cast("int").as("band"),
+            pmod(HashFunctions.splitmix64(col("id"), 7L), lit(65536L)).as("key"))
+            .withColumn("kb", col("key") % StreamingDedup.IndexBuckets)
+          StreamingDedup.appendIndex(banded, path)
+          val allBuckets = (0L until 4L * StreamingDedup.IndexBuckets).toSeq
+          def scanned(probe: org.apache.spark.sql.DataFrame): Long = {
+            val qe = probe.queryExecution
+            qe.executedPlan.execute().count()
+            qe.executedPlan.collectLeaves().collect {
+              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+                s.metrics("numOutputRows").value
+            }.sum
+          }
+          val withKeys = scanned(
+            StreamingDedup.probeIndex(spark, path, allBuckets, keys))
+          val noFilter = scanned(
+            StreamingDedup.probeIndex(spark, path, allBuckets))
+          println(f"${"stream_probe"}%-16s ${192000L * m}%10d $m%5d " +
+            f"$withKeys%10d $noFilter%10d")
+        }
+      } finally prevT match {
+        case Some(v) => spark.conf.set(threshKey, v)
+        case None => spark.conf.unset(threshKey)
       }
     }
     spark.stop()
