@@ -388,6 +388,170 @@ object LangId {
   }
 }
 
+/** Exact distinct-set Jaccard similarity of two ARRAY<BIGINT> hash
+  * sets — the verify kernel of the whole dedup family (prefix-filter
+  * and MinHash candidate verification). Replaces the last per-row
+  * Scala UDFs on the dedup surface: the verify stage runs only on
+  * candidate pairs, but a codegen expression drops the
+  * Catalyst↔Scala converter boxing and keeps the stage inside
+  * whole-stage codegen. Sort-merge kernel (copies + two
+  * `Arrays.sort`), counting DISTINCT intersection and union — inputs
+  * need not be sorted or deduplicated, matching both retired lambdas
+  * (one took distinct arrays, one built sets first; the arithmetic
+  * `inter / (|A| + |B| − inter)` over distinct counts is identical).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+          s"${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSim.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaccardSim {
+  /** Distinct count of a sorted array. */
+  @inline private def distinct(a: Array[Long]): Int = {
+    if (a.length == 0) return 0
+    var d = 1
+    var i = 1
+    while (i < a.length) { if (a(i) != a(i - 1)) d += 1; i += 1 }
+    d
+  }
+
+  /** Shared kernel for eval and generated code. */
+  def compute(aa: org.apache.spark.sql.catalyst.util.ArrayData,
+              bb: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val a = aa.toLongArray()
+    val b = bb.toLongArray()
+    java.util.Arrays.sort(a)
+    java.util.Arrays.sort(b)
+    val da = distinct(a)
+    val db = distinct(b)
+    // merge over sorted arrays, counting distinct common values
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else {
+        inter += 1
+        val v = a(i)
+        while (i < a.length && a(i) == v) i += 1
+        while (j < b.length && b(j) == v) j += 1
+      }
+    }
+    val union = da + db - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+}
+
+/** Per-document n-gram repetition statistics (Gopher-style quality
+  * signals, Rae et al. 2021) in ONE pass over the token array:
+  * `top_frac` = occurrences of the most frequent n-gram / total
+  * n-grams, `dup_frac` = fraction of n-gram occurrences whose gram
+  * appears ≥ 2× in the document. Both are PER-DOCUMENT numbers, so
+  * computing them map-side with a per-row gram hashmap is the
+  * scale-correct plan — the relational predecessor exploded every
+  * gram into a corpus-wide (doc, gram) aggregation plus a join back,
+  * shipping per-document statistics through four shuffles. Grams are
+  * exact strings (space-joined tokens — injective, since tokens from
+  * a single-space split cannot contain spaces), not hashes, so the
+  * result is bit-identical to the string-grouped relational oracle.
+  * Rounding replays Spark's `round(x, 4)` (BigDecimal HALF_UP) that
+  * the oracle was validated against. Fewer than n tokens → (0, 0),
+  * matching the old left-join + coalesce contract.
+  */
+case class GramRepetition(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects n >= 1, got $n")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<STRING>, got ${other.sql}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "gram_repetition"
+
+  override def nullSafeEval(a: Any): Any =
+    GramRepetition.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramRepetition.compute($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GramRepetition {
+  /** Spark's `round(x, 4)` for doubles: decimal HALF_UP. */
+  @inline private def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Shared kernel for eval and generated code. Linear in tokens:
+    * one StringBuilder join and one hashmap merge per gram.
+    */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val sz = arr.numElements()
+    var top = 0.0
+    var dup = 0.0
+    if (sz >= n) {
+      val toks = new Array[String](sz)
+      var i = 0
+      while (i < sz) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+      val total = sz - n + 1
+      val counts = new java.util.HashMap[String, Integer](total * 2)
+      i = 0
+      while (i < total) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        counts.merge(sb.toString, Integer.valueOf(1),
+          (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue))
+        i += 1
+      }
+      var mx = 0L
+      var dupOcc = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().longValue
+        if (c > mx) mx = c
+        if (c >= 2) dupOcc += c
+      }
+      top = round4(mx.toDouble / total.toDouble)
+      dup = round4(dupOcc.toDouble / total.toDouble)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, dup))
+  }
+}
+
 /** Recursive-bisection chunk count of a text (the F8 chunker's
   * partition of the line sequence under a byte budget,
   * [[graft.core.Chunker.chunkContent]]) as a codegen'd expression —
@@ -486,4 +650,17 @@ object HashFunctions {
   /** Recursive-bisection chunk count (codegen'd, see [[ChunkCount]]). */
   def chunkCount(text: Column, maxBytes: Long): Column =
     ColumnBridge.column(ChunkCount(ColumnBridge.expression(text), maxBytes))
+
+  /** Per-document n-gram repetition stats as a struct
+    * `(top_frac, dup_frac)` (codegen'd, see [[GramRepetition]]).
+    */
+  def gramRepetition(tokens: Column, n: Int): Column =
+    ColumnBridge.column(GramRepetition(ColumnBridge.expression(tokens), n))
+
+  /** Exact distinct-set Jaccard of two hash arrays (codegen'd, see
+    * [[JaccardSim]]).
+    */
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

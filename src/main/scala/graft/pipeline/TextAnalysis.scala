@@ -77,38 +77,34 @@ object TextAnalysis {
     *  - `dup_trigram_frac`: fraction of trigram occurrences whose gram
     *    appears ≥ 2× in the document.
     *
-    * Relational shape, no UDFs: grams come from one `transform` over a
-    * pre-projected token array (the array is bound once per row — a
-    * `split` inlined into the lambda would re-tokenize per element),
-    * then explode → two map-side-combined aggregations keyed by
-    * (doc, gram) and doc. Linear in tokens, shuffles bounded by the
-    * gram postings — the same ledger as the dedup family.
+    * Both are PER-DOCUMENT numbers, so the whole computation is one
+    * map-side projection: a codegen'd per-row gram hashmap
+    * ([[graft.functions.GramRepetition]]) — zero shuffles, zero joins.
+    * (The relational predecessor exploded bigrams AND trigrams into
+    * corpus-wide (doc, gram) aggregations plus two joins back: four
+    * shuffles to move per-document statistics nowhere.) Linear in
+    * tokens per row; survives any corpus size by construction.
     */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
-                        idCol: String): org.apache.spark.sql.DataFrame = {
-    def grams(ws: Column, n: Int): Column =
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-        .otherwise(array())
-    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
-    def fracs(n: Int, agg: Column, outName: String) = {
-      val counts = toks.select(col("doc"), explode(grams(col("ws"), n)).as("g"))
-        .groupBy(col("doc"), col("g")).agg(count(lit(1)).as("c"))
-      counts.groupBy(col("doc")).agg(agg.as(outName))
-    }
-    val bi = fracs(2,
-      round(max(col("c")).cast(DoubleType) / sum(col("c")), 4), "top_bigram_frac")
-    val tri = fracs(3,
-      round(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
-        .cast(DoubleType) / sum(col("c")), 4), "dup_trigram_frac")
-    df.select(col(idCol).as("doc"))
-      .join(bi, Seq("doc"), "left")
-      .join(tri, Seq("doc"), "left")
-      .select(col("doc"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
-  }
+                        idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc"),
+      topNgramFrac(col(textCol), 2).as("top_bigram_frac"),
+      dupNgramFrac(col(textCol), 3).as("dup_trigram_frac"))
+
+  /** Most-frequent-n-gram share of a document, as a plain column
+    * (composable into any projection — e.g. the curation chain
+    * computes it alongside token counts with no join).
+    */
+  def topNgramFrac(text: Column, n: Int): Column =
+    coalesce(graft.functions.HashFunctions
+      .gramRepetition(tokens(text), n).getField("top_frac"), lit(0.0))
+
+  /** Duplicated-n-gram occurrence share of a document (fraction of
+    * n-gram occurrences whose gram appears ≥ 2×), as a plain column.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    coalesce(graft.functions.HashFunctions
+      .gramRepetition(tokens(text), n).getField("dup_frac"), lit(0.0))
 
   /** Corpus vocabulary: term frequency + document frequency for every
     * whitespace token — the tokenizer-training / min-df-filter shape.

@@ -964,13 +964,16 @@ object Queries {
       // per-source quota. Every stage is the operator already oracled
       // individually; this checks the composition.
       val docs = tbl(s, d, "documents")
-      val rep = graft.pipeline.TextAnalysis
-        .repetitionSignals(docs, "text", "doc_id")
-        .withColumnRenamed("doc", "doc_id")
+      // repetition signals are per-row column expressions
+      // (codegen'd gram hashmap) — computed IN the projection, no
+      // gram shuffles and no join back
       val enriched = docs.select(col("doc_id"), col("lang"), col("source"),
           graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(rep, Seq("doc_id"))
+          graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.pipeline.TextAnalysis.topNgramFrac(col("text"), 2)
+            .as("top_bigram_frac"),
+          graft.pipeline.TextAnalysis.dupNgramFrac(col("text"), 3)
+            .as("dup_trigram_frac"))
       val keepIds = enriched.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val deduped = enriched.join(keepIds, Seq("fp", "doc_id"), "left_semi")
       val filtered = deduped
@@ -1953,7 +1956,7 @@ object Queries {
         |  FROM documents),
         |c AS (
         |  SELECT doc, score, n_tokens,
-        |         SUM(n_tokens) OVER (ORDER BY score DESC, doc) AS cum_tokens
+        |         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc) AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT doc, round(score, 6) AS score, n_tokens, cum_tokens,
         |       cum_tokens <= 10000 AS selected

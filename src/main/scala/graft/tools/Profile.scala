@@ -23,11 +23,11 @@ object Profile {
     }
     time("warmup")(spark.range(1000000L).selectExpr("sum(id)").collect())
     val sh = docs.select(col("doc_id").as("doc"),
-      Dedup.wordShingles(col("text"), 3).as("shs"))
+      array_distinct(graft.functions.HashFunctions
+        .shingleHashes(col("text"), 3)).as("shs"))
     time("shingles-only")(sh.select(sum(size(col("shs")))).collect())
     val ex = sh.select(col("doc"), size(col("shs")).as("n"),
-        explode(col("shs")).as("s"))
-      .select(col("doc"), col("n"), xxhash64(col("s")).as("h"))
+        explode(col("shs")).as("h"))
     time("explode+hash")(ex.count())
     val joined = ex.as("a").join(ex.as("b"),
       col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
