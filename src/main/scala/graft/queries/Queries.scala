@@ -1553,6 +1553,63 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "stream_hourly_watermark" -> ((s, d) => {
+      // the WATERMARKED event-time path (EventStream.hourlyWindowed,
+      // append mode) under real late data: four micro-batches
+      // (maxFilesPerTrigger=1, mtime-ordered files). Spark filters
+      // late events with the PREVIOUS batch's watermark while state
+      // eviction uses the current one (SPARK-40925; measured — a late
+      // row landing in the same batch its window closes is still
+      // merged, one batch later it is dropped). So batches 2 and 3
+      // each carry one row whose window closed ≥ one full batch
+      // earlier (dropped) plus on-time rows (kept). The oracle replays
+      // exactly that in SQL: late-filter watermark for batch b = max
+      // event time over batches < b−1, minus 1h; a row survives iff
+      // its window end > that; a window is emitted iff its end ≤ the
+      // final watermark.
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = Files.createTempDirectory("graft_wm_q")
+      val streamDir = Files.createDirectory(root.resolve("stream"))
+      def writeBatch(i: Int, rows: Seq[(String, String, Double)]): Unit = {
+        val tmp = root.resolve(s"tmp$i").toString
+        rows.toDF("t", "event_type", "value")
+          .select(to_timestamp(col("t")).as("ts"), col("event_type"), col("value"))
+          .coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(
+          _.getFileName.toString.endsWith(".parquet")).findFirst.get
+        val dst = streamDir.resolve(f"b$i%03d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+      }
+      writeBatch(0, Seq(
+        ("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:20:00", "view", 2.0),
+        ("2026-01-01 10:40:00", "click", 3.0),
+        ("2026-01-01 11:10:00", "click", 4.0),
+        ("2026-01-01 12:30:00", "view", 5.0)))   // evict-wm → 11:30
+      writeBatch(1, Seq(
+        ("2026-01-01 11:45:00", "view", 6.0),    // window still open: kept
+        ("2026-01-01 13:45:00", "click", 7.0)))  // evict-wm → 12:45
+      writeBatch(2, Seq(
+        ("2026-01-01 10:15:00", "click", 99.0),  // late-wm 11:30: DROPPED
+        ("2026-01-01 12:50:00", "view", 8.0),    // kept
+        ("2026-01-01 14:30:00", "view", 9.0)))   // evict-wm → 13:30
+      writeBatch(3, Seq(
+        ("2026-01-01 11:50:00", "click", 98.0),  // late-wm 12:45: DROPPED
+        ("2026-01-01 15:20:00", "click", 10.0))) // final wm → 14:20
+      val schema = s.read.parquet(streamDir.toString).schema
+      val sdf = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val agg = graft.streaming.EventStream.hourlyWindowed(sdf)
+      graft.streaming.EventStream.runToMemory(s, agg,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     "e2e_pipeline" -> ((s, d) => {
       // the §7.2 minimum end-to-end slice as one composition:
       // ingest(dir) → chunk → embed → store.add → retrieve(k=3),
@@ -2124,6 +2181,40 @@ object Queries {
     // stateful streaming sessionization over a static source must
     // equal the batch gaps-and-islands query
     "stream_sessionize" -> analyticsSql("events_sessionize"),
+
+    // watermark semantics replayed as batch SQL over the inline
+    // 4-micro-batch fixture. Spark's late filter lags eviction by one
+    // batch (SPARK-40925): the filter watermark for batch b is the
+    // max event time over batches < b−1 (the `2 PRECEDING` frame),
+    // minus the 1h delay; a row survives iff its window end > that;
+    // a window is emitted iff its end ≤ the final watermark.
+    "stream_hourly_watermark" ->
+      """WITH ev(batch, ts, event_type, value) AS (VALUES
+        |  (0, TIMESTAMP '2026-01-01 10:05:00', 'click', 1.0),
+        |  (0, TIMESTAMP '2026-01-01 10:20:00', 'view', 2.0),
+        |  (0, TIMESTAMP '2026-01-01 10:40:00', 'click', 3.0),
+        |  (0, TIMESTAMP '2026-01-01 11:10:00', 'click', 4.0),
+        |  (0, TIMESTAMP '2026-01-01 12:30:00', 'view', 5.0),
+        |  (1, TIMESTAMP '2026-01-01 11:45:00', 'view', 6.0),
+        |  (1, TIMESTAMP '2026-01-01 13:45:00', 'click', 7.0),
+        |  (2, TIMESTAMP '2026-01-01 10:15:00', 'click', 99.0),
+        |  (2, TIMESTAMP '2026-01-01 12:50:00', 'view', 8.0),
+        |  (2, TIMESTAMP '2026-01-01 14:30:00', 'view', 9.0),
+        |  (3, TIMESTAMP '2026-01-01 11:50:00', 'click', 98.0),
+        |  (3, TIMESTAMP '2026-01-01 15:20:00', 'click', 10.0)),
+        |wm AS (SELECT *, max(ts) OVER (ORDER BY batch
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |    - INTERVAL 1 HOUR AS wm_late FROM ev),
+        |kept AS (SELECT * FROM wm
+        |  WHERE wm_late IS NULL
+        |     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm_late)
+        |SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM kept
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM ev)
+        |ORDER BY 1, 2""".stripMargin,
 
     // the SQL-registered cosine function must agree with the Column API
     "sql_topk_cosine" -> vectorSql("vdb_topk_cosine"),
