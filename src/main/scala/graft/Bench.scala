@@ -33,36 +33,53 @@ object Bench {
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY is set - " +
         s"this is a FILTERED run (${f.size} queries), not the full suite")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Each query runs `runs` times back to back; "value" stays the
+    // FIRST-run total (round-over-round comparable with r1–r6) and
+    // "value_median" is the sum of per-query medians — the
+    // load-spike-robust number. r6's driver capture read 115.7 s on a
+    // loaded machine for a suite that re-measures at ~59 s; the
+    // median makes that distinguishable from a real plan regression.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(_.toInt).getOrElse(3).max(1)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // Leaked state from the previous query (cached frames, the
-      // label-propagation/append-log localCheckpoint blocks) must not
-      // tax THIS query's measurement: r02 measured dedup_exact at 21s
-      // purely because it ran right after dedup_drop_neardups' ~20
-      // checkpointed rounds. Cleanup runs outside the timed window.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (0 until runs).map { _ =>
+        // Leaked state from the previous query (cached frames, the
+        // label-propagation/append-log localCheckpoint blocks) must not
+        // tax THIS query's measurement: r02 measured dedup_exact at 21s
+        // purely because it ran right after dedup_drop_neardups' ~20
+        // checkpointed rounds. Cleanup runs outside the timed window.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          -1.0
         }
-      // A crashed query must not contribute a plausible-looking duration:
-      // report -1 for it and list it in "errors" so the driver sees it.
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, ok)
+      }
+      // A crashed query must not contribute a plausible-looking
+      // duration: any failed repeat poisons the whole entry (-1 +
+      // errors listing) so the driver sees it.
+      val ok = times.forall(_ >= 0)
+      val sorted = times.sorted
+      val med = if (ok) sorted((runs - 1) / 2) else -1.0
+      (name, if (ok) times.head else -1.0, med, ok)
     }
+    val results = timed.map { case (n, cold, _, ok) => (n, cold, ok) }
+    val medianTotal =
+      if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
     // the committed detail file records full suites only — a
     // SPARK_GRAFT_ONLY iteration run must not clobber the round's
     // per-query record (and its pointer fallback would then lie)
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"),
       jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
-        withQueries = true, filteredRun = false) + "\n")
-    println(fitLine(results, sfDir, filteredRun = only.isDefined))
+        withQueries = true, filteredRun = false, medianTotal = medianTotal,
+        queryMedians = Some(timed.map(t => (t._1, t._3)))) + "\n")
+    println(fitLine(results, sfDir, filteredRun = only.isDefined,
+      medianTotal = medianTotal))
     spark.stop()
   }
 
@@ -82,20 +99,21 @@ object Bench {
 
   private[graft] def fitLine(results: Seq[(String, Double, Boolean)],
                              sfDir: String, filteredRun: Boolean,
-                             budget: Int = StdoutBudget): String = {
+                             budget: Int = StdoutBudget,
+                             medianTotal: Option[Double] = None): String = {
     val sfBase = new java.io.File(sfDir).getName
     val candidates = Seq(
       jsonLine(results, 3, Some(sfDir), dropEmptyErrs = false,
-        withQueries = true, filteredRun),
+        withQueries = true, filteredRun, medianTotal),
       jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun),
+        withQueries = true, filteredRun, medianTotal),
       jsonLine(results, 1, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun)) ++
+        withQueries = true, filteredRun, medianTotal)) ++
       // the pointer form only makes sense when the detail file
       // describes THIS run (full suites only)
       (if (!filteredRun)
         Seq(jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
-          withQueries = false, filteredRun))
+          withQueries = false, filteredRun, medianTotal))
       else Nil)
     candidates.find(_.length <= budget).getOrElse(candidates.last)
   }
@@ -106,18 +124,25 @@ object Bench {
   private[graft] def jsonLine(results: Seq[(String, Double, Boolean)],
                               prec: Int, sf: Option[String],
                               dropEmptyErrs: Boolean, withQueries: Boolean,
-                              filteredRun: Boolean): String = {
+                              filteredRun: Boolean,
+                              medianTotal: Option[Double] = None,
+                              queryMedians: Option[Seq[(String, Double)]] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
+    val med = medianTotal
+      .map(m => s""""value_median":${fmt(m, prec)},""").getOrElse("")
     val qs =
       if (withQueries)
         results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
           .mkString(""""queries":{""", ",", "},")
       else """"queries_file":"BENCH_DETAIL.json","""
+    val qMed = queryMedians.map(_.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v, prec) }
+      .mkString(""""queries_median":{""", ",", "},")).getOrElse("")
     val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$filtered$qs$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$errs"n_queries":${results.size}$sfPart}"""
   }
 }

@@ -60,6 +60,20 @@ class BenchLineSpec extends AnyFunSuite {
       "a filtered run must not point at a detail file describing another run")
   }
 
+  test("value_median rides along at any tier and never overflows") {
+    Seq(realNames.size, 110, 300).foreach { n =>
+      val grown = realNames ++ (realNames.size until n).map(i => f"new_op_$i%03d")
+      val results = grown.take(n).zipWithIndex.map { case (nm, i) =>
+        (nm, 1.234567 + i * 0.01, true)
+      }
+      val line = Bench.fitLine(results, "/root/testdata/sf0.1",
+        filteredRun = false, medianTotal = Some(42.123456))
+      assert(line.length <= Bench.StdoutBudget, s"overflow at $n with median")
+      assert(line.contains("\"value_median\":42.1"),
+        s"median missing from stdout line at $n queries")
+    }
+  }
+
   test("failures surface in errors and never drop from degraded tiers") {
     val line = Bench.fitLine(synth(110, failed = Set(5)), "/root/testdata/sf0.1",
       filteredRun = false)
