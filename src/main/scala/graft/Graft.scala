@@ -87,4 +87,40 @@ final class Graft(
   // --------------------------------------------------------- replay ----
   def replay(sessionJsonPath: String): DataFrame =
     ChatSession.load(spark, sessionJsonPath)
+
+  // ----------------------------------------------------- git commit ----
+  /** `debgpt git commit` message synthesis (cli.py:141-176
+    * `subcmd_git_commit`): assemble recent commit titles + the staged
+    * diff into the reference's verbatim prompt, fold it through the
+    * functor (the reference's one LLM turn), return the message.
+    * Running `git commit -m <result>` stays caller-side — the engine
+    * produces the message, it never mutates the caller's repository
+    * (the reference only commits under its `--inplace` flags, which
+    * are frontend, not engine, surface).
+    *
+    * `cwd` scopes both git invocations to a target repository; the
+    * command outputs are rstripped per readCmd's S6 contract.
+    */
+  def gitCommit(functor: TextFunctor, cwd: Option[String] = None): String = {
+    def cmdOut(cmd: String): String = {
+      val prefixed = cwd.fold(cmd)(d => s"cd ${shq(d)} && $cmd")
+      sources.readCmd(prefixed).collect().head.content
+    }
+    val titles = cmdOut("git log --pretty=format:%s --max-count=10")
+    val diff = cmdOut("git diff --staged")
+    // reference prompt, byte-for-byte (cli.py:143-153): note the
+    // missing newline after the opening titles fence — observable
+    // output parity, same rule as the F9 templates
+    val msg = "Previous commit titles:\n" +
+      "```" + titles + "```" + "\n" +
+      "Change diff:\n" +
+      "```\n" + diff + "```\n" +
+      "\n" +
+      "Write a good git commit message subject line for the change " +
+      "diff shown above, using the project style visible in previous " +
+      "commits titles above."
+    functor(msg)
+  }
+
+  private def shq(s: String): String = "'" + s.replace("'", "'\\''") + "'"
 }

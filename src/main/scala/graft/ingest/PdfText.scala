@@ -72,17 +72,24 @@ object PdfText {
 
   /** Index every `N G obj` in document order. Later definitions of the
     * same object number win (incremental updates append re-definitions
-    * and the live one is the last).
+    * and the live one is the last). The scan resumes AFTER each
+    * object's `endstream`/`endobj`, never inside a stream payload —
+    * compressed bytes that happen to spell `N G obj` would otherwise
+    * shadow a real page/contents object and silently redirect the
+    * page walk (wrong or truncated text with no fallback).
     */
   private def parseObjects(raw: String): (Map[Int, PdfObj], Seq[Int]) = {
     val objs = scala.collection.mutable.LinkedHashMap.empty[Int, PdfObj]
     val m = ObjHeader.matcher(raw)
-    while (m.find()) {
+    var from = 0
+    while (from < raw.length && m.find(from)) {
       val num = try m.group(1).toInt catch { case _: Exception => -1 }
+      val bodyStart = m.end()
+      var resume = bodyStart
       if (num >= 0) {
-        val bodyStart = m.end()
         val endobj = raw.indexOf("endobj", bodyStart)
         val bodyEnd = if (endobj < 0) raw.length else endobj
+        resume = if (endobj < 0) raw.length else endobj + "endobj".length
         val kw = nextStreamKeyword(raw, bodyStart)
         if (kw >= 0 && kw < bodyEnd) {
           var ds = kw + "stream".length
@@ -92,13 +99,17 @@ object PdfText {
           var de = if (end < 0) -1 else end
           if (de > ds && raw.charAt(de - 1) == '\n') de -= 1
           if (de > ds && raw.charAt(de - 1) == '\r') de -= 1
-          if (de >= ds)
+          if (de >= ds) {
             objs(num) = PdfObj(raw.substring(bodyStart, kw), ds, de)
-          else objs(num) = PdfObj(raw.substring(bodyStart, bodyEnd), -1, -1)
+            // the payload may contain `endobj` bytes too — resume
+            // after the real endstream, not an in-payload endobj
+            resume = end + "endstream".length
+          } else objs(num) = PdfObj(raw.substring(bodyStart, bodyEnd), -1, -1)
         } else {
           objs(num) = PdfObj(raw.substring(bodyStart, bodyEnd), -1, -1)
         }
       }
+      from = math.max(resume, bodyStart)
     }
     (objs.toMap, objs.keys.toSeq)
   }

@@ -267,21 +267,8 @@ object Ivf {
 
   private def collectSample(df: DataFrame, vecCol: String, idCol: String,
                             seed: Long,
-                            maxTrainRows: Long): Array[(Long, Array[Float])] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val total = df.count()
-    val trainDf =
-      if (total <= maxTrainRows) df
-      else df.sample(withReplacement = false,
-        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
-    val sample: Array[(Long, Array[Float])] = trainDf
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-    require(sample.nonEmpty, "cannot train on an empty corpus")
-    sample
-  }
+                            maxTrainRows: Long): Array[(Long, Array[Float])] =
+    TrainSample.collect(df, vecCol, idCol, seed, maxTrainRows)
 
   /** The sequential k-means fold shared by [[train]] and
     * [[trainHierarchical]]: splitmix64 pseudo-shuffle init, then
@@ -395,7 +382,9 @@ object Ivf {
     * (m ADC table lookups instead of dim multiplies), and the
     * oversampled survivors rescore exactly against the full vectors.
     * Probe plan identical to [[search]]; scorer/rescore identical to
-    * [[graft.pipeline.Pq.pqTopK]].
+    * [[graft.pipeline.Pq.pqTopK]] — including its METRIC CONTRACT
+    * (IP shortlist, cosine rescore: L2-normalize first for cosine
+    * recall guarantees on un-normalized corpora).
     */
   def searchPq(postings: DataFrame, queries: DataFrame, vecCol: String,
                idCol: String, model: IvfModel, pq: Pq.PqModel, k: Int,

@@ -65,16 +65,8 @@ object Pca {
 
   def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
             maxTrainRows: Long = 200000L, seed: Long = 42L): PcaModel = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val total = df.count()
-    val trainDf =
-      if (total <= maxTrainRows) df
-      else df.sample(withReplacement = false,
-        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
-    val sample = trainDf.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
-    require(sample.nonEmpty, "cannot train PCA on an empty corpus")
+    val sample = TrainSample.collect(df, vecCol, idCol, seed, maxTrainRows)
+      .map(_._2)
     val dim = sample.head.length
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
     val n = sample.length

@@ -96,16 +96,7 @@ object Pq {
             ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
             maxTrainRows: Long = 200000L): PqModel = {
     require(ksub >= 1 && ksub <= 256, "ksub must fit one byte")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val total = df.count()
-    val trainDf =
-      if (total <= maxTrainRows) df
-      else df.sample(withReplacement = false,
-        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed)
-    val sample = trainDf.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(sample.nonEmpty, "cannot train on an empty corpus")
+    val sample = TrainSample.collect(df, vecCol, idCol, seed, maxTrainRows)
     val dim = sample.head._2.length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
@@ -197,6 +188,19 @@ object Pq {
     * the stored index (32× under float32) and the full vectors are
     * back-joined for the oversampled candidates; here they ride along
     * for simplicity, which does not change results.
+    *
+    * METRIC CONTRACT: stage 1 ranks by ADC INNER PRODUCT while the
+    * rescore (and the reported `sim`) is cosine — the same pairing
+    * faiss's `IndexIVFPQ` + IP metric gives. On a corpus with wildly
+    * varying vector norms, large-norm vectors dominate the shortlist
+    * and small-norm true cosine neighbors can fall outside it
+    * regardless of `oversample`; callers who want cosine recall
+    * guarantees should L2-normalize the corpus and queries first
+    * (the F4 normalizer, [[graft.functions.VectorFunctions]]), after
+    * which IP ranking IS cosine ranking and the shortlist is
+    * metric-consistent. Same contract applies to
+    * [[graft.pipeline.Ivf.searchPq]]/`searchPqIndex`, which reuse
+    * this scorer.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
              idCol: String, k: Int, model: PqModel,

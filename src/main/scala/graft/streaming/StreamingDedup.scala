@@ -219,6 +219,12 @@ object StreamingDedup {
     val hc = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(hc)
+    // a crashed earlier compaction may have left the live index parked
+    // at __old (crash between the two renames below): restore it first
+    // so the dedup state is never lost and this run starts clean
+    val old = new org.apache.hadoop.fs.Path(indexPath + "__old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"compaction recovery failed: $old -> $p")
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
     spark.read.parquet(indexPath)
@@ -227,8 +233,14 @@ object StreamingDedup {
       .write.mode(SaveMode.Overwrite)
       .option("parquet.page.row.count.limit", "512")
       .partitionBy("band", "kb").parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compaction rename failed: $tmp -> $p")
+    // two-rename swap, never a delete-then-rename window: park the
+    // live index aside, promote the compacted copy, only then delete
+    // the parked copy. A crash at ANY point leaves a complete index
+    // recoverable — either still live, or at __old (restored above).
+    if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
+    require(fs.rename(p, old), s"compaction park failed: $p -> $old")
+    require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
+    fs.delete(old, true)
   }
 
   /** Stream the documents table through the incremental dedup; kept

@@ -63,6 +63,37 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(out.nonEmpty && out.endsWith("\n\n"))
   }
 
+  test("gitCommit assembles the reference prompt from a staged diff (cli.py:141-153)") {
+    import scala.sys.process._
+    val repo = Files.createTempDirectory("graft_git").toString
+    def git(args: String*): Unit =
+      assert(Process("git" +: args.toSeq, new java.io.File(repo),
+        "GIT_AUTHOR_NAME" -> "t", "GIT_AUTHOR_EMAIL" -> "t@t",
+        "GIT_COMMITTER_NAME" -> "t", "GIT_COMMITTER_EMAIL" -> "t@t").! == 0)
+    git("init", "-q")
+    Files.writeString(java.nio.file.Path.of(repo, "a.txt"), "hello\n")
+    git("add", "a.txt")
+    git("commit", "-qm", "Add greeting file")
+    Files.writeString(java.nio.file.Path.of(repo, "a.txt"), "hello world\n")
+    git("add", "a.txt")
+    val app = mkApp()
+    // identity functor: the returned "message" IS the prompt, so the
+    // test can pin the reference's verbatim assembly
+    val prompt = app.gitCommit(graft.mapreduce.EchoFunctor,
+      cwd = Some(repo))
+    assert(prompt.startsWith("Previous commit titles:\n```Add greeting file```\n"),
+      prompt.take(120))
+    assert(prompt.contains("Change diff:\n```\n"))
+    assert(prompt.contains("-hello") && prompt.contains("+hello world"))
+    assert(prompt.endsWith("using the project style visible in previous " +
+      "commits titles above."))
+    // a real functor sees the same prompt and its output is returned
+    val msg = app.gitCommit(new graft.mapreduce.TextFunctor {
+      def apply(p: String): String = "Update greeting"
+    }, cwd = Some(repo))
+    assert(msg == "Update greeting")
+  }
+
   test("replay round-trips a dumped session") {
     val app = mkApp()
     val s = new graft.session.ChatSession(spark)

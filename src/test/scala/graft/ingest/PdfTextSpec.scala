@@ -136,6 +136,32 @@ class PdfTextSpec extends AnyFunSuite {
       got.lastIndexOf("Shared footer"))
   }
 
+  test("object-header bytes inside a stream payload cannot shadow real objects") {
+    // the content stream of object 4 contains the raw bytes
+    // `5 0 obj ... endobj` — under a payload-blind scan that fake
+    // definition wins ("later definitions win") and redirects the
+    // page walk of the REAL object 5 (the second page), truncating
+    // extraction. The scanner must resume after endstream instead.
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def streamObj(n: Int, dict: String, content: String) =
+      s"$n 0 obj\n<< $dict /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    val trojan = "BT (Before) Tj ET\n" +
+      "5 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "BT (After) Tj ET"
+    val doc = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>") +
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+      streamObj(4, "", trojan) +
+      obj(5, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>") +
+      streamObj(6, "", "BT (Real page two) Tj ET") +
+      "trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n").getBytes
+    val got = PdfText.extract(doc).get
+    assert(got.contains("Before") && got.contains("After"))
+    assert(got.contains("Real page two"),
+      s"payload bytes shadowed the real page object:\n$got")
+  }
+
   test("XObject cycles and missing /Contents refs refuse gracefully") {
     // a form that draws itself must not loop; a page whose /Contents
     // points at a missing object falls back to the every-stream scan

@@ -166,6 +166,29 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() > 0)
   }
 
+  test("compaction recovers a crash that left the index parked at __old") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_crash")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    StreamingDedup.processBatch(spark, docsDf(20), "text", "doc_id",
+      idx, out, 12)
+    val before = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc")), r.getInt(r.fieldIndex("band")),
+        r.getLong(r.fieldIndex("key")))).toSet
+    // simulate a crash between the park and promote renames: the live
+    // index sits at __old, nothing at idx
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(hc)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(idx + "__old")))
+    StreamingDedup.compactIndex(spark, idx)
+    val after = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc")), r.getInt(r.fieldIndex("band")),
+        r.getLong(r.fieldIndex("key")))).toSet
+    assert(after == before, "recovery must restore and compact the parked index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "__old")))
+  }
+
   test("empty microbatches are harmless at every stage") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sdedup_empty")
