@@ -271,6 +271,26 @@ object Queries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_bucketed_join" -> ((s, d) => {
+      // bucketed co-located join ≡ plain join (oracle is the plain
+      // SQL): customer ⋈ orders on custkey through two
+      // bucketBy(8).sortBy tables — at scale the bucketing happens
+      // once at ingest and every later join on the key shuffles
+      // nothing (BucketingSpec pins the zero-Exchange plan)
+      val c = tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = tbl(s, d, "orders").select(col("o_custkey").as("c_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Bucketing.writeBucketed(c, "graft_bkt_customer",
+        "c_custkey", 8)
+      graft.operators.Bucketing.writeBucketed(o, "graft_bkt_orders",
+        "c_custkey", 8)
+      graft.operators.Bucketing.colocatedJoin(s, "graft_bkt_customer",
+          "graft_bkt_orders", Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_salted_agg" -> ((s, d) =>
       graft.operators.Skew.saltedAgg(tbl(s, d, "events"),
         keys = Seq("event_type"), buckets = 8,
@@ -575,6 +595,13 @@ object Queries {
       """SELECT event_type, count(*) AS n, min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -1553,6 +1580,28 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "stream_interval_join" -> ((s, d) => {
+      // watermarked stream-stream interval join: every view within 30
+      // minutes after a click by the same user. Over a static source
+      // run to completion the inner join equals the batch join — the
+      // oracle is the plain SQL interval join.
+      val a = graft.streaming.EventStream.readEvents(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val b = graft.streaming.EventStream.readEvents(s, d)
+        .where(col("event_type") === "view")
+        .select(col("user_id").as("view_user"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val j = graft.streaming.EventStream.intervalJoin(
+        a, "click_ts", b, "view_ts",
+        col("user_id") === col("view_user"), within = "30 MINUTES")
+      graft.streaming.EventStream.runToMemory(s, j,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .orderBy(col("user_id"), col("click_id"), col("view_id"))
+    }),
+
     "stream_hourly_watermark" -> ((s, d) => {
       // the WATERMARKED event-time path (EventStream.hourlyWindowed,
       // append mode) under real late data: four micro-batches
@@ -2181,6 +2230,15 @@ object Queries {
     // stateful streaming sessionization over a static source must
     // equal the batch gaps-and-islands query
     "stream_sessionize" -> analyticsSql("events_sessionize"),
+
+    // a static source run to completion makes the watermarked
+    // stream-stream inner join equal the batch interval join
+    "stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |AND a.event_type = 'click' AND b.event_type = 'view'
+        |AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // watermark semantics replayed as batch SQL over the inline
     // 4-micro-batch fixture. Spark's late filter lags eviction by one

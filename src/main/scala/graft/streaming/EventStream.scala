@@ -40,6 +40,25 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream INNER interval join — the standard
+    * event-correlation shape (click→view attribution, request→error
+    * matching): rows of `b` join rows of `a` sharing `keys` with
+    * `bTime` inside `[aTime, aTime + within]`. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark evicts join state as the watermark passes — state is
+    * O(delay × rate), never the whole stream, which is what makes the
+    * operator runnable forever at production rates. Run to completion
+    * over a static source the inner join emits exactly the batch
+    * join's rows (the stream_interval_join oracle replays it in SQL).
+    */
+  def intervalJoin(a: DataFrame, aTime: String, b: DataFrame, bTime: String,
+                   keys: org.apache.spark.sql.Column, within: String,
+                   delay: String = "1 hour"): DataFrame =
+    a.withWatermark(aTime, delay)
+      .join(b.withWatermark(bTime, delay),
+        keys && col(bTime) >= col(aTime) &&
+          col(bTime) <= col(aTime) + expr(s"INTERVAL $within"))
+
   /** Gap-based sessionization with explicit per-user state: sessions
     * split on >gapSec silence. Within one micro-batch the group's
     * events are sorted by (ts, event_id) — the same deterministic
