@@ -27,6 +27,15 @@ object Bucketing {
                     buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the in-memory catalog doesn't survive the JVM but the warehouse
+    // directory does: a stale location from an earlier session makes
+    // CREATE TABLE fail with LOCATION_ALREADY_EXISTS even after the
+    // DROP above (which only clears the catalog). Clear it too.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite)
