@@ -1596,9 +1596,16 @@ object Queries {
       val j = graft.streaming.EventStream.intervalJoin(
         a, "click_ts", b, "view_ts",
         col("user_id") === col("view_user"), within = "30 MINUTES")
-      graft.streaming.EventStream.runToMemory(s, j,
+      // the join keeps 4 state stores per shuffle partition; size the
+      // partition count to the few-thousand-row test stream instead
+      // of inheriting the batch-suite 32 (fixed per-batch overhead)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val mem =
+        try graft.streaming.EventStream.runToMemory(s, j,
           org.apache.spark.sql.streaming.OutputMode.Append())
-        .select(col("user_id"), col("click_id"), col("view_id"))
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      mem.select(col("user_id"), col("click_id"), col("view_id"))
         .orderBy(col("user_id"), col("click_id"), col("view_id"))
     }),
 
@@ -1652,9 +1659,16 @@ object Queries {
       val sdf = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
       val agg = graft.streaming.EventStream.hourlyWindowed(sdf)
-      graft.streaming.EventStream.runToMemory(s, agg,
+      // state-store partition count = shuffle partitions at stream
+      // start; 32 stores × 6 micro-batches for a 12-row fixture is
+      // pure fixed overhead (measured ~5 s). Size state to the data.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      val mem =
+        try graft.streaming.EventStream.runToMemory(s, agg,
           org.apache.spark.sql.streaming.OutputMode.Append())
-        .select(col("window.start").as("hour"), col("event_type"),
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      mem.select(col("window.start").as("hour"), col("event_type"),
           col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
