@@ -34,6 +34,92 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** MMR-diversified top-k retrieval (Carbonell & Goldstein, SIGIR
+    * 1998): greedy selection maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance
+    * traded against redundancy, the standard fix when plain top-k
+    * returns k near-copies of the same document.
+    *
+    * Scale shape: candidate generation is the DISTRIBUTED stage (the
+    * broadcast-queries brute-force top-N here; swap in any ANN path
+    * for bigger corpora) and the greedy rerank is a BOUNDED driver
+    * fold over queries × candidates rows (the selection is inherently
+    * sequential — each pick depends on all previous picks — so
+    * distributing it buys nothing and costs a shuffle per pick).
+    * Deterministic: candidates ordered by (sim desc, nid), scores are
+    * sequential IEEE-double folds in that order, ties keep the first
+    * (highest-relevance) candidate — the Python golden replays the
+    * identical arithmetic.
+    *
+    * Output: (qid, nid, sim, rk) with rk = 1-based SELECTION order
+    * (the diversified ranking, not the cosine ranking).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, lambda: Double = 0.7,
+              candidates: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nCand = if (candidates > 0) candidates else 4 * k
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("nid") =!= col("qid") else lit(true))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    // vectors ride along so the rerank needs no second corpus pass;
+    // the collect is contract-bounded: queries × nCand rows
+    val cands = joined.select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"), col("nv"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= nCand)
+      .select(col("qid"), col("nid"), col("sim"), col("nv"))
+      .as[(Long, Long, Double, Array[Float])].collect()
+    val out = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, arr) =>
+        val sorted = arr.sortBy(t => (-t._3, t._2))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val open = scala.collection.mutable.ArrayBuffer.range(0, sorted.length)
+        while (picked.length < math.min(k, sorted.length)) {
+          var bestAt = -1
+          var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < open.length) {
+            val i = open(j)
+            // true max over selected (cosines can be negative); 0.0
+            // only for the empty set (first pick = pure relevance)
+            var red = if (picked.isEmpty) 0.0 else Double.NegativeInfinity
+            picked.foreach { p =>
+              val s = cosD(sorted(i)._4, sorted(p)._4)
+              if (s > red) red = s
+            }
+            val score = lambda * sorted(i)._3 - (1.0 - lambda) * red
+            if (score > bestScore) { bestScore = score; bestAt = j }
+            j += 1
+          }
+          picked += open.remove(bestAt)
+        }
+        picked.zipWithIndex.map { case (i, r) =>
+          (qid, sorted(i)._2, sorted(i)._3, (r + 1).toLong)
+        }
+    }
+    spark.createDataset(out).toDF("qid", "nid", "sim", "rk")
+  }
+
+  /** The CosineSimD kernel over driver-side float arrays — the SAME
+    * sequential fold (element-order adds, one division) so the rerank
+    * agrees bit-for-bit with the distributed stage and the golden.
+    */
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Signed random hyperplane signature; bit i = sign(dot(v, plane_i)).
     * Coefficients are exact splitmix64 dyadic rationals
     * ([[graft.functions.HyperplaneKeys.planes]]) — engine-replayable,

@@ -803,6 +803,18 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ann_topk_mmr" -> ((s, d) => {
+      // MMR-diversified retrieval: distributed candidate top-N +
+      // bounded driver greedy rerank (relevance − λ-weighted
+      // redundancy); golden from the independent Python mirror
+      val emb = tbl(s, d, "embeddings")
+      graft.pipeline.Similarity.mmrTopK(
+        emb.select(col("vec_id"), col("embedding")),
+        emb.where(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", k = 5, lambda = 0.7)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ann_topk_heap" -> ((s, d) => {
       // same result as ann_topk_batch, but via the bounded-heap
       // TypedImperativeAggregate — O(k) state per query, partial
@@ -2196,6 +2208,9 @@ object Queries {
 
     "lsh_topk" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/lsh_topk.parquet' ORDER BY qid, rk",
+
+    "ann_topk_mmr" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/mmr_topk.parquet' ORDER BY qid, rk",
 
     "embed_neardup_lsh" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",

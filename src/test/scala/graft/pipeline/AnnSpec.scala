@@ -42,6 +42,33 @@ class AnnSpec extends SparkTestBase {
     assert(out.toSeq == Seq((0.9, 7L), (0.5, 5L)))
   }
 
+  test("MMR: first pick is the cosine best; near-copies are displaced by diversity") {
+    import spark.implicits._
+    // a corpus where the 3 nearest neighbors of the query are
+    // near-copies of each other and one farther doc points elsewhere:
+    // plain top-3 returns the three copies, MMR must swap in the
+    // diverse doc
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1.0, 0.0, 0.0)),
+      (2L, v(0.999, 0.01, 0.0)),   // near-copy of 1
+      (3L, v(0.998, 0.02, 0.0)),   // near-copy of 1
+      (4L, v(0.5, 0.86, 0.0))      // relevant but different direction
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, v(1.0, 0.05, 0.0))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(corpus, q, "embedding", "vec_id", k = 3)
+      .orderBy(col("rk")).select("nid").as[Long].collect().toSeq
+    val mmr = Similarity.mmrTopK(corpus, q, "embedding", "vec_id",
+      k = 3, lambda = 0.5).orderBy(col("rk")).select("nid").as[Long].collect().toSeq
+    assert(plain == Seq(3L, 2L, 1L), s"plain=$plain") // q tilts toward y, so 3 > 2 > 1
+    assert(mmr.head == plain.head, "rk=1 must be the pure-relevance best")
+    assert(mmr.contains(4L), s"diversity must displace a near-copy: $mmr")
+    // λ=1 degenerates to plain top-k exactly
+    val lam1 = Similarity.mmrTopK(corpus, q, "embedding", "vec_id",
+      k = 3, lambda = 1.0).orderBy(col("rk")).select("nid").as[Long].collect().toSeq
+    assert(lam1 == plain, s"lambda=1 must equal plain top-k: $lam1")
+  }
+
   test("IVF persisted index: partition-pruned probes, same results") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"

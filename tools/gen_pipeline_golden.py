@@ -354,6 +354,40 @@ def gen_lsh_topk(emb, k=5, dim=64, bands=16, bits_per_band=4, seed=42):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def gen_mmr_topk(emb, k=5, lam=0.7, n_cand=20):
+    """MMR greedy rerank (Carbonell & Goldstein 1998), mirror of
+    Similarity.mmrTopK: candidates = brute-force top-(4k) by
+    (sim desc, nid), then greedy argmax of
+    lam*sim(q,d) - (1-lam)*max_{s in picked} sim(d,s); redundancy is
+    0.0 for the first pick; ties keep the earlier (higher-relevance)
+    candidate. All scores are sequential IEEE-double folds in the
+    Scala loop's element order."""
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    rows = []
+    for q in queries:
+        scored = sorted(((cosine_sim_d(vec[n], vec[q]), n)
+                         for n, _ in emb if n != q),
+                        key=lambda t: (-t[0], t[1]))[:n_cand]
+        cand = [(n, s) for s, n in scored]
+        picked = []
+        open_ = list(range(len(cand)))
+        while len(picked) < min(k, len(cand)):
+            best_at, best = -1, float("-inf")
+            for j, i in enumerate(open_):
+                red = (0.0 if not picked else
+                       max(cosine_sim_d(vec[cand[i][0]], vec[cand[p][0]])
+                           for p in picked))
+                score = lam * cand[i][1] - (1.0 - lam) * red
+                if score > best:
+                    best, best_at = score, j
+            picked.append(open_.pop(best_at))
+        for r, i in enumerate(picked):
+            rows.append((q, cand[i][0], cand[i][1], r + 1))
+    write("mmr_topk", pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def gen_embed_neardup_lsh(emb, dim=64, bits=8, seed=42, threshold=0.3):
     planes = plane_coeffs(bits, dim, seed)
     by_bucket = {}
@@ -1245,7 +1279,7 @@ def main():
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq"):
+              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "mmr_topk"):
         if want(n):
             emb = emb or load_embeddings()
     if want("embed_pca"):
@@ -1264,6 +1298,8 @@ def main():
         gen_ivf_topk_hier(emb)
     if want("lsh_topk"):
         gen_lsh_topk(emb)
+    if want("mmr_topk"):
+        gen_mmr_topk(emb)
     if want("embed_neardup_lsh"):
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
