@@ -1592,6 +1592,32 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "stream_session_window" -> ((s, d) => {
+      // Spark's NATIVE session windows (the third sessionization
+      // surface next to the batch gaps-and-islands query and the
+      // flatMapGroupsWithState operator): 30-minute-gap sessions per
+      // user, append mode. With a zero watermark delay the final
+      // no-data batch's watermark is max(ts), so exactly the sessions
+      // whose window end (last event + gap) ≤ max(ts) are emitted —
+      // the oracle replays that cutoff. Session merge uses half-open
+      // windows ([start, last+gap)), so a gap of EXACTLY the window
+      // size splits — hence >= in the oracle's break condition.
+      val sdf = graft.streaming.EventStream.readEvents(s, d)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val mem =
+        try graft.streaming.EventStream.runToMemory(s, sdf,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      mem.select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "stream_interval_join" -> ((s, d) => {
       // watermarked stream-stream interval join: every view within 30
       // minutes after a click by the same user. Over a static source
@@ -2259,6 +2285,30 @@ object Queries {
     // stateful streaming sessionization over a static source must
     // equal the batch gaps-and-islands query
     "stream_sessionize" -> analyticsSql("events_sessionize"),
+
+    // native session windows: gaps-and-islands with session_window's
+    // half-open merge rule (gap >= window size splits) and the final
+    // watermark's emission cutoff (window end <= max ts, since the
+    // watermark delay is zero)
+    "stream_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |agg AS (SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n FROM agg
+        |WHERE session_end <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // a static source run to completion makes the watermarked
     // stream-stream inner join equal the batch interval join
