@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -328,6 +328,22 @@ object Ivf {
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Incremental index maintenance: assign NEW vectors against the
+    * frozen coarse quantizer and append them into the same
+    * cluster-partitioned layout — no retrain, no rewrite of existing
+    * postings (a dynamic-partition append only touches the cluster
+    * dirs the new rows land in). This is how a serving index absorbs
+    * a daily ingest batch at 100 TB: train rarely, append forever.
+    * Because assignment is a pure function of (vector, model), the
+    * grown index is row-identical to one built in a single shot over
+    * the union corpus — ivf_topk_incremental is oracled against
+    * exactly the one-shot golden.
+    */
+  def appendToIndex(df: DataFrame, vecCol: String, model: IvfModel,
+                    path: String): Unit =
+    assign(df, vecCol, model)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
 
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout

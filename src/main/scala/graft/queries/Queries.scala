@@ -1396,6 +1396,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_incremental" -> ((s, d) => {
+      // incremental index maintenance: build the on-disk index from
+      // half the corpus, APPEND the rest against the frozen quantizer
+      // (no retrain, no rewrite), search the grown index — results
+      // must equal the one-shot build, so the oracle is the ivf_topk
+      // golden itself
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), idx)
+      graft.pipeline.Ivf.appendToIndex(emb.where(col("vec_id") > half),
+        "embedding", model, idx)
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_int8" -> ((s, d) => {
       // quantized IVF: cluster pruning bounds WHICH postings, int8
       // codes bound the BYTES — golden-checked against the Python
@@ -2242,6 +2266,11 @@ object Queries {
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     "ivf_topk" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // incremental append must be indistinguishable from the one-shot
+    // build — same golden
+    "ivf_topk_incremental" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
     "ivf_topk_int8" ->

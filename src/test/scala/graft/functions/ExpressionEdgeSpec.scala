@@ -189,4 +189,52 @@ class ExpressionEdgeSpec extends SparkTestBase {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("gram_repetition: property vs brute-force counts on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "bb", "c", "dd", "e")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, doc())).toDF("id", "text")
+    def brute(text: String, n: Int): (Double, Double) = {
+      val toks = text.split(" ", -1) // Spark split keeps trailing empties
+      if (toks.length < n) return (0.0, 0.0)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      def r4(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      (r4(counts.values.max.toDouble / grams.size),
+        r4(counts.values.filter(_ >= 2).sum.toDouble / grams.size))
+    }
+    val got = graft.pipeline.TextAnalysis
+      .repetitionSignals(docs, "text", "id")
+      .orderBy(col("doc")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val texts = docs.orderBy(col("id")).select("text").as[String].collect()
+    texts.zip(got).foreach { case (t, (top, dup)) =>
+      assert((brute(t, 2)._1, brute(t, 3)._2) == (top, dup),
+        s"mismatch for: '$t'")
+    }
+  }
+
+  test("jaccard_sim: property vs set math on random hash arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      def arr() = Array.fill(rnd.nextInt(20))(rnd.nextInt(12).toLong)
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.jaccardSim(col("a"), col("b")).as("j"))
+      .orderBy(col("id")).collect().map(_.getDouble(1))
+    rows.map { case (_, a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val u = sa.union(sb).size
+      if (u == 0) 0.0 else sa.intersect(sb).size.toDouble / u
+    }.zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(want == g, s"row $i: want $want got $g")
+    }
+  }
 }
