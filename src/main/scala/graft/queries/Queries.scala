@@ -192,6 +192,31 @@ object Queries {
         .orderBy(col("event_type"))
     }),
 
+    "ingest_cmd" -> ((s, d) => {
+      // S6 read_cmd through the dispatcher, driver-oracled: command
+      // output lines rstripped and joined (reader.py:544-549)
+      val reg = new graft.ingest.SourceRegistry(s)
+      reg.readCmd("seq 3").toDF().select(col("path"), col("content"))
+    }),
+
+    "session_roundtrip" -> ((s, d) => {
+      // S16 session dump + F13 JSON encode/decode, driver-oracled:
+      // append → dump → load must preserve roles, order, and content
+      // bytes (quotes, newlines, unicode) exactly
+      val sess = new graft.session.ChatSession(s)
+      sess.append("system", "be terse")
+      sess.append("user", "line one\nline \"two\" [x]")
+      sess.append("assistant", "café \\ backslash")
+      val p = java.nio.file.Files.createTempDirectory("sess_rt")
+        .resolve("s.json").toString
+      sess.dump(p)
+      graft.session.ChatSession.load(s, p)
+        .withColumn("role_order",
+          when(col("role") === "system", 0)
+            .when(col("role") === "user", 1).otherwise(2))
+        .orderBy(col("role_order")).drop("role_order")
+    }),
+
     "history_window" -> ((s, d) =>
       tbl(s, d, "events")
         .where(col("user_id") === 7)
@@ -552,6 +577,16 @@ object Queries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ingest_cmd" ->
+      """SELECT 'seq 3' AS path,
+        |  '1' || chr(10) || '2' || chr(10) || '3' AS content""".stripMargin,
+
+    "session_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('be terse', 'system'),
+        |  ('line one' || chr(10) || 'line "two" [x]', 'user'),
+        |  ('café \ backslash', 'assistant')) AS t(content, role)""".stripMargin,
 
     "history_window" ->
       """SELECT event_id, ts, event_type FROM (
