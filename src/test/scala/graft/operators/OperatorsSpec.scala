@@ -61,4 +61,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(salted == plain)
     assert(salted.size == 220) // hot 200 + warm 20, key 3/4 unmatched
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // the OTHER half of the skew story next to explicit salting: AQE's
+    // OptimizeSkewedJoin re-plans a sort-merge join whose largest
+    // partition dwarfs the advisory size. Thresholds lowered so the
+    // ~190k-row hot key trips it at test scale.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.range(200000L)
+        .select((col("id") % 20 === 0).cast("long").as("k"), col("id").as("v"))
+      val build = Seq((0L, "cold"), (1L, "hot")).toDF("k", "name")
+      val joined = probe.join(build, Seq("k"))
+      // collect() drives THIS DataFrame's own QueryExecution (count()
+      // would plan a different query), so executedPlan is the final
+      // adaptive plan afterwards
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n${plan.take(2000)}")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
