@@ -192,6 +192,37 @@ object Queries {
         .orderBy(col("event_type"))
     }),
 
+    "ingest_url" -> ((s, d) => {
+      // S5 read_url through the main-scope FixtureFetcher (zero-egress
+      // environment): HTML strip + entity decode + blank-line squeeze,
+      // driver-oracled against the expected text
+      val reg = new graft.ingest.SourceRegistry(s,
+        graft.ingest.FixtureFetcher(Map(
+          "https://example.test/doc" ->
+            ("<html><head><title>T</title><style>p{}</style></head>" +
+              "<body><h1>Header</h1><p>Hello &amp; goodbye.</p>" +
+              "<p>Second &lt;para&gt;.</p></body></html>"))))
+      reg.readUrl("https://example.test/doc").toDF()
+        .select(col("path"), col("content"))
+    }),
+
+    "ingest_sbuild" -> ((s, d) => {
+      // S14 read_sbuild: newest *.build by mtime (A6 max-by), sliced
+      // between the Build/Changes box markers (F11)
+      val dir = java.nio.file.Files.createTempDirectory("sbuild_q")
+      val old = dir.resolve("old.build")
+      val newer = dir.resolve("new.build")
+      java.nio.file.Files.writeString(old,
+        "x\n+--+\n| Build |\n+--+\nOLD BODY\n+--+\n| Changes |\n+--+\n")
+      java.nio.file.Files.writeString(newer,
+        "x\n+--+\n| Build |\n+--+\nNEW BODY\n+--+\n| Changes |\n+--+\n")
+      java.nio.file.Files.setLastModifiedTime(old,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      new graft.ingest.SourceRegistry(s)
+        .read(s"sbuild:$dir/*.build").toDF()
+        .select(col("content"))
+    }),
+
     "ingest_cmd" -> ((s, d) => {
       // S6 read_cmd through the dispatcher, driver-oracled: command
       // output lines rstripped and joined (reader.py:544-549)
@@ -581,6 +612,16 @@ object Queries {
     "ingest_cmd" ->
       """SELECT 'seq 3' AS path,
         |  '1' || chr(10) || '2' || chr(10) || '3' AS content""".stripMargin,
+
+    // expected strip output; HtmlText's fidelity to the reference is
+    // separately golden-tested (HtmlTextSpec), this row pins the
+    // dispatcher path end to end
+    "ingest_url" ->
+      """SELECT 'https://example.test/doc' AS path,
+        |  'THeaderHello & goodbye.Second <para>.' AS content""".stripMargin,
+
+    "ingest_sbuild" ->
+      "SELECT chr(10) || 'NEW BODY' || chr(10) AS content",
 
     "session_roundtrip" ->
       """SELECT * FROM (VALUES
