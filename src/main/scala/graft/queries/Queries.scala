@@ -223,6 +223,33 @@ object Queries {
         .select(col("content"))
     }),
 
+    "ingest_pdf" -> ((s, d) => {
+      // S2 read_file_pdf through the dispatcher's default PureJvm
+      // extractor: a two-page spec-assembled PDF, page-ordered text
+      def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+      def streamObj(n: Int, content: String) =
+        s"$n 0 obj\n<< /Length ${content.length} >>\n" +
+          s"stream\n$content\nendstream\nendobj\n"
+      // the high-byte comment line (every real PDF writer emits one)
+      // makes the bytes non-UTF-8, which is what routes a .pdf to the
+      // extractor instead of the plain-text path (fileContent tries
+      // UTF-8 first, like the reference)
+      val doc = ("%PDF-1.4\n%âãÏÓ\n" +
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+        obj(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>") +
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>") +
+        streamObj(4, "BT (Page one.) Tj ET") +
+        obj(5, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>") +
+        streamObj(6, "BT (Page two.) Tj ET") +
+        "trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+      val dir = java.nio.file.Files.createTempDirectory("pdf_q")
+      java.nio.file.Files.write(dir.resolve("doc.pdf"), doc)
+      new graft.ingest.SourceRegistry(s)
+        .read(dir.resolve("doc.pdf").toString).toDF()
+        .select(col("content"))
+    }),
+
     "ingest_cmd" -> ((s, d) => {
       // S6 read_cmd through the dispatcher, driver-oracled: command
       // output lines rstripped and joined (reader.py:544-549)
@@ -622,6 +649,12 @@ object Queries {
 
     "ingest_sbuild" ->
       "SELECT chr(10) || 'NEW BODY' || chr(10) AS content",
+
+    // pypdf-shaped page walk: page texts in Kids order, double-newline
+    // page separator (PdfTextSpec golden-checks the extractor itself)
+    "ingest_pdf" ->
+      """SELECT 'Page one.' || chr(10) || chr(10)
+        |  || 'Page two.' || chr(10) AS content""".stripMargin,
 
     "session_roundtrip" ->
       """SELECT * FROM (VALUES
