@@ -223,6 +223,37 @@ object Queries {
         .select(col("content"))
     }),
 
+    "ingest_debian" -> ((s, d) => {
+      // S7 (bts bug + src), S8/S9 (ldo thread fan-out with next-page
+      // recursion), S11 (archwiki) through one FixtureFetcher — the
+      // Debian source family driver-oracled in a single dispatch sweep
+      val reg = new graft.ingest.SourceRegistry(s,
+        graft.ingest.FixtureFetcher(Map(
+          "https://bugs.debian.org/12345" ->
+            ("<html><body><h1>Bug #12345</h1>\n" +
+              "<p class=\"msgreceived\">system noise</p>\n" +
+              "<p>real content line</p></body></html>"),
+          "https://bugs.debian.org/src:foo" ->
+            ("<html><body><p>src page header</p>\n<p>useful line</p>\n" +
+              "<p>Options</p>\n<p>useless tail</p></body></html>"),
+          "https://wiki.archlinux.org/title/Tar" ->
+            "<html><body><p>tar archives   </p></body></html>",
+          "https://lists.debian.org/debian-ai/2024/11/threads.html" ->
+            ("<html><body><a href=\"msg00001.html\">t1</a>" +
+              "<a href=\"threads2.html\">next page</a></body></html>"),
+          "https://lists.debian.org/debian-ai/2024/11/threads2.html" ->
+            "<html><body><a href=\"msg00002.html\">t2</a></body></html>",
+          "https://lists.debian.org/debian-ai/2024/11/msg00001.html" ->
+            "<html><body>mail one</body></html>",
+          "https://lists.debian.org/debian-ai/2024/11/msg00002.html" ->
+            "<html><body>mail two</body></html>")))
+      Seq("bts:12345", "bts:src:foo", "archwiki:Tar",
+          "ldo:debian-ai/2024/11")
+        .map(sp => reg.read(sp).toDF().select(col("path"), col("content")))
+        .reduce(_ unionByName _)
+        .orderBy(col("path"))
+    }),
+
     "ingest_pdf" -> ((s, d) => {
       // S2 read_file_pdf through the dispatcher's default PureJvm
       // extractor: a two-page spec-assembled PDF, page-ordered text
@@ -655,6 +686,18 @@ object Queries {
     "ingest_pdf" ->
       """SELECT 'Page one.' || chr(10) || chr(10)
         |  || 'Page two.' || chr(10) AS content""".stripMargin,
+
+    // the Debian source family end to end: bts system-message removal,
+    // bts src: Options cut, archwiki rstrip, ldo thread fan-out with
+    // next-page recursion
+    "ingest_debian" ->
+      """SELECT * FROM (VALUES
+        |  ('12345', 'Bug #12345' || chr(10) || chr(10) || 'real content line'),
+        |  ('Tar', 'tar archives'),
+        |  ('https://lists.debian.org/debian-ai/2024/11/msg00001.html', 'mail one'),
+        |  ('https://lists.debian.org/debian-ai/2024/11/msg00002.html', 'mail two'),
+        |  ('src:foo', 'src page header' || chr(10) || 'useful line')
+        |) AS t(path, content) ORDER BY path""".stripMargin,
 
     "session_roundtrip" ->
       """SELECT * FROM (VALUES
