@@ -254,6 +254,21 @@ object Queries {
         .orderBy(col("path"))
     }),
 
+    "ingest_google" -> ((s, d) => {
+      // S10 google search: credential resolution (injected env), API
+      // JSON parse via from_json, URL fan-out, HTML strip on results
+      val key = "k123"; val cx = "cx456"
+      val api = s"${graft.ingest.GoogleSearch.ApiUrl}?key=$key&cx=$cx&q=spark+tuning"
+      val reg = new graft.ingest.SourceRegistry(s,
+        graft.ingest.FixtureFetcher(Map(
+          api -> """{"items": [{"link": "https://r.test/one"}, {"link": "https://r.test/two"}]}""",
+          "https://r.test/one" -> "<html><body>first result</body></html>",
+          "https://r.test/two" -> "plain text two")),
+        env = Map("GOOGLE_SEARCH_API_KEY" -> key, "GOOGLE_CSE_ID" -> cx).get)
+      reg.read("google:spark tuning").toDF()
+        .select(col("path"), col("content")).orderBy(col("path"))
+    }),
+
     "ingest_pdf" -> ((s, d) => {
       // S2 read_file_pdf through the dispatcher's default PureJvm
       // extractor: a two-page spec-assembled PDF, page-ordered text
@@ -686,6 +701,19 @@ object Queries {
     "ingest_pdf" ->
       """SELECT 'Page one.' || chr(10) || chr(10)
         |  || 'Page two.' || chr(10) AS content""".stripMargin,
+
+    "ingest_google" ->
+      """SELECT * FROM (VALUES
+        |  ('https://r.test/one', 'first result'),
+        |  ('https://r.test/two', 'plain text two')
+        |) AS t(path, content) ORDER BY path""".stripMargin,
+
+    // conversation delete removes exactly conv-1; conv-2 survives
+    "memory_delete" ->
+      """SELECT * FROM (VALUES
+        |  ('conv-2', 'm3', 'user', 'keep me', CAST(1700000020 AS BIGINT)),
+        |  ('conv-2', 'm4', 'assistant', 'kept too', CAST(1700000030 AS BIGINT))
+        |) AS t(conv, id, role, text, timestamp) ORDER BY id""".stripMargin,
 
     // the Debian source family end to end: bts system-message removal,
     // bts src: Options cut, archwiki rstrip, ldo thread fan-out with
@@ -1651,6 +1679,24 @@ object Queries {
       log.context("hello", Some("conv-1"), topK = 2)
         .select(round(col("score"), 6).as("score"), col("id"), col("role"),
           col("text"), col("timestamp"))
+    }),
+
+    "memory_delete" -> ((s, d) => {
+      // M5/J2 conversation delete: the anti-filter must remove exactly
+      // the target conversation and leave the other untouched
+      val log = new graft.memory.MessageLog(s, graft.embed.LengthEmbedding)
+      Seq(
+        ("m1", "conv-1", "user", "hello world", 1700000000L),
+        ("m2", "conv-1", "assistant", "hi there", 1700000010L),
+        ("m3", "conv-2", "user", "keep me", 1700000020L),
+        ("m4", "conv-2", "assistant", "kept too", 1700000030L)
+      ).foreach { case (id, c, r, t, ts) => log.append(id, c, r, t, ts) }
+      log.deleteConversation("conv-1")
+      log.history("conv-1").withColumn("conv", lit("conv-1"))
+        .unionByName(log.history("conv-2").withColumn("conv", lit("conv-2")))
+        .select(col("conv"), col("id"), col("role"), col("text"),
+          col("timestamp"))
+        .orderBy(col("id"))
     }),
 
     // M4 `/generate` end-to-end (app.py:333-356): last-20 history
