@@ -708,6 +708,20 @@ object Queries {
         |  ('https://r.test/two', 'plain text two')
         |) AS t(path, content) ORDER BY path""".stripMargin,
 
+    // the injected session: system prompt lands at [-2], content is
+    // the verbatim frontend.py:242-269 assembly
+    "memory_inject" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'user', 'earlier q'),
+        |  (1, 'assistant', 'earlier a'),
+        |  (2, 'system',
+        |   'You have access to the following retrieved conversation snippets. Use them to ground your response when relevant.'
+        |   || chr(10) || '1. assistant (score=0.125): snippet one'
+        |   || chr(10) || '2. user: ' || repeat('x', 509) || '...'
+        |   || chr(10) || 'If none of the snippets apply, continue normally.'),
+        |  (3, 'user', 'final question')
+        |) AS t(idx, role, content) ORDER BY idx""".stripMargin,
+
     // conversation delete removes exactly conv-1; conv-2 survives
     "memory_delete" ->
       """SELECT * FROM (VALUES
@@ -1697,6 +1711,23 @@ object Queries {
         .select(col("conv"), col("id"), col("role"), col("text"),
           col("timestamp"))
         .orderBy(col("id"))
+    }),
+
+    "memory_inject" -> ((s, d) => {
+      // M3: context-injection prompt verbatim (header/footer lines,
+      // 1-based numbering, .3f score, newline flatten + 512-char cut)
+      // and the [-2] session placement
+      import s.implicits._
+      val log = new graft.memory.MessageLog(s, graft.embed.LengthEmbedding)
+      val prompt = log.contextPrompt(Seq(
+        ("assistant", Some(0.125), "snippet one"),
+        ("user", None, "x" * 520 + "\ntail"))) // flatten + cut at 509+"..."
+      val session = Seq("user" -> "earlier q", "assistant" -> "earlier a",
+        "user" -> "final question")
+      log.injectContext(session, prompt).zipWithIndex
+        .map { case ((r, c), i) => (i.toLong, r, c) }
+        .toDF("idx", "role", "content")
+        .orderBy(col("idx"))
     }),
 
     // M4 `/generate` end-to-end (app.py:333-356): last-20 history

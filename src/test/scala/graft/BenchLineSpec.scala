@@ -32,15 +32,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(s""""n_queries":${results.size}"""))
   }
 
-  test("110 queries (real names + growth) still fit the budget") {
-    val grown = realNames ++ (realNames.size until 110).map(i => f"new_op_$i%03d")
+  test("the suite plus ten more queries still fits the budget") {
+    val target = math.max(realNames.size + 10, 110)
+    val grown = realNames ++ (realNames.size until target).map(i => f"new_op_$i%03d")
     val results = grown.zipWithIndex.map { case (n, i) =>
       (n, 1.234567 + i * 0.01, true)
     }
     val line = Bench.fitLine(results, "/root/testdata/sf0.1", filteredRun = false)
     assert(line.length <= Bench.StdoutBudget,
-      s"line is ${line.length} chars at 110 queries")
-    assert(line.contains("\"n_queries\":110"))
+      s"line is ${line.length} chars at $target queries")
+    assert(line.contains(s""""n_queries":$target"""))
     assert(line.startsWith("""{"metric":"total"""") && line.endsWith("}"))
   }
 
