@@ -254,6 +254,44 @@ object Queries {
         .orderBy(col("path"))
     }),
 
+    "chunks_union_lastwins" -> ((s, d) => {
+      // U1: duplicate-spec chunk union with Python `dict |` semantics
+      // — RIGHT (later specOrd) side wins on (path, start, end)
+      import s.implicits._
+      val a = Seq(
+        ("f1", 0L, 10L, "old body", 0L),
+        ("f2", 0L, 8L, "only in a", 0L)
+      ).toDF("path", "start", "end", "text", "specOrd")
+      val b = Seq(
+        ("f1", 0L, 10L, "NEW body", 1L),
+        ("f3", 0L, 5L, "only in b", 1L)
+      ).toDF("path", "start", "end", "text", "specOrd")
+      graft.core.SetOps.unionLastWins(Seq(a, b))
+        .select(col("path"), col("start"), col("end"), col("text"))
+        .orderBy(col("path"))
+    }),
+
+    "ingest_retry" -> ((s, d) => {
+      // X3: the 3×5s tenacity policy — two failures then success must
+      // yield the page with exactly 3 attempts (zero fixture wait)
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val flaky = new graft.ingest.HttpFetcher {
+        override def fetch(url: String): String = {
+          if (calls.incrementAndGet() < 3)
+            throw new java.io.IOException("flaky")
+          "<html><body>finally up</body></html>"
+        }
+        override def fetchWithRetry(url: String, attempts: Int,
+                                    waitMs: Long): String =
+          super.fetchWithRetry(url, attempts, 0L)
+      }
+      val reg = new graft.ingest.SourceRegistry(s, flaky)
+      import s.implicits._
+      val e = reg.readUrl("https://flaky.test/x").collect().head
+      Seq((e.path, e.content, calls.get().toLong))
+        .toDF("path", "content", "attempts")
+    }),
+
     "ingest_google" -> ((s, d) => {
       // S10 google search: credential resolution (injected env), API
       // JSON parse via from_json, URL fan-out, HTML strip on results
@@ -707,6 +745,17 @@ object Queries {
         |  ('https://r.test/one', 'first result'),
         |  ('https://r.test/two', 'plain text two')
         |) AS t(path, content) ORDER BY path""".stripMargin,
+
+    "chunks_union_lastwins" ->
+      """SELECT * FROM (VALUES
+        |  ('f1', CAST(0 AS BIGINT), CAST(10 AS BIGINT), 'NEW body'),
+        |  ('f2', CAST(0 AS BIGINT), CAST(8 AS BIGINT), 'only in a'),
+        |  ('f3', CAST(0 AS BIGINT), CAST(5 AS BIGINT), 'only in b')
+        |) AS t(path, start, "end", text) ORDER BY path""".stripMargin,
+
+    "ingest_retry" ->
+      """SELECT 'https://flaky.test/x' AS path, 'finally up' AS content,
+        |  CAST(3 AS BIGINT) AS attempts""".stripMargin,
 
     // the injected session: system prompt lands at [-2], content is
     // the verbatim frontend.py:242-269 assembly
