@@ -292,6 +292,19 @@ object Queries {
         .toDF("path", "content", "attempts")
     }),
 
+    "gather_ordered" -> ((s, d) => {
+      // U2 + the -f prompt assembly (cli.py:222-270): specs consumed
+      // in CLI order, each wrapped with its F9 template, ask last —
+      // fully deterministic via cmd: specs
+      import s.implicits._
+      val app = new graft.Graft(s,
+        java.nio.file.Files.createTempDirectory("gi_q").toString + "/store",
+        embeddingDim = 32)
+      val prompt = app.gatherInformation(
+        Seq("cmd:echo one", "cmd:echo two"), ask = Some("what do these say?"))
+      Seq(prompt.get).toDF("prompt")
+    }),
+
     "ingest_google" -> ((s, d) => {
       // S10 google search: credential resolution (injected env), API
       // JSON parse via from_json, URL fan-out, HTML strip on results
@@ -745,6 +758,16 @@ object Queries {
         |  ('https://r.test/one', 'first result'),
         |  ('https://r.test/two', 'plain text two')
         |) AS t(path, content) ORDER BY path""".stripMargin,
+
+    // the verbatim -f prompt: wrapped blocks in spec order, blank line
+    // between, ask last
+    "gather_ordered" ->
+      """SELECT 'Here is the output of command `echo one`:' || chr(10)
+        |  || '```' || chr(10) || 'one' || chr(10) || '```' || chr(10)
+        |  || chr(10)
+        |  || 'Here is the output of command `echo two`:' || chr(10)
+        |  || '```' || chr(10) || 'two' || chr(10) || '```' || chr(10)
+        |  || chr(10) || 'what do these say?' AS prompt""".stripMargin,
 
     "chunks_union_lastwins" ->
       """SELECT * FROM (VALUES
