@@ -238,6 +238,10 @@ object Queries {
               "<p>Options</p>\n<p>useless tail</p></body></html>"),
           "https://wiki.archlinux.org/title/Tar" ->
             "<html><body><p>tar archives   </p></body></html>",
+          "https://lists.debian.org/debian-ai/2024/10/threads.html" ->
+            "<html><body><a href=\"msg00009.html\">t0</a></body></html>",
+          "https://lists.debian.org/debian-ai/2024/10/msg00009.html" ->
+            "<html><body>october mail</body></html>",
           "https://lists.debian.org/debian-ai/2024/11/threads.html" ->
             ("<html><body><a href=\"msg00001.html\">t1</a>" +
               "<a href=\"threads2.html\">next page</a></body></html>"),
@@ -247,8 +251,10 @@ object Queries {
             "<html><body>mail one</body></html>",
           "https://lists.debian.org/debian-ai/2024/11/msg00002.html" ->
             "<html><body>mail two</body></html>")))
+      // the ldo spec uses an F10 month RANGE (10:11) — expansion
+      // fans out to both months' thread indexes
       Seq("bts:12345", "bts:src:foo", "archwiki:Tar",
-          "ldo:debian-ai/2024/11")
+          "ldo:debian-ai/2024/10:11")
         .map(sp => reg.read(sp).toDF().select(col("path"), col("content")))
         .reduce(_ unionByName _)
         .orderBy(col("path"))
@@ -803,11 +809,12 @@ object Queries {
 
     // the Debian source family end to end: bts system-message removal,
     // bts src: Options cut, archwiki rstrip, ldo thread fan-out with
-    // next-page recursion
+    // F10 month-range expansion and next-page recursion
     "ingest_debian" ->
       """SELECT * FROM (VALUES
         |  ('12345', 'Bug #12345' || chr(10) || chr(10) || 'real content line'),
         |  ('Tar', 'tar archives'),
+        |  ('https://lists.debian.org/debian-ai/2024/10/msg00009.html', 'october mail'),
         |  ('https://lists.debian.org/debian-ai/2024/11/msg00001.html', 'mail one'),
         |  ('https://lists.debian.org/debian-ai/2024/11/msg00002.html', 'mail two'),
         |  ('src:foo', 'src page header' || chr(10) || 'useful line')
