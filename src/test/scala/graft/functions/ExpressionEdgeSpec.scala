@@ -193,7 +193,9 @@ class ExpressionEdgeSpec extends SparkTestBase {
   test("gram_repetition: property vs brute-force counts on random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val vocab = Array("a", "bb", "c", "dd", "e")
+    // multibyte vocab on purpose: gram identity must be string-exact
+    // for multilingual corpora, not byte- or ASCII-approximate
+    val vocab = Array("a", "bb", "c", "dd", "e", "日本", "é", "🚀")
     def doc(): String =
       Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
     val docs = (0 until 200).map(i => (i.toLong, doc())).toDF("id", "text")
