@@ -81,8 +81,19 @@ object Dedup {
           .select(col("h"))
         ex0.join(broadcast(hot), Seq("h"), "left_anti")
       }
+    // AllPairs length filter (Bayardo et al. WWW'07), same bound as
+    // jaccardPairsPrefix: c ≤ min(na,nb) and J = c/(na+nb−c) ≥ t force
+    // na ≥ t·nb and nb ≥ t·na (valid here too — with a df cap, c only
+    // shrinks while na/nb stay full, so the computed jac is a lower
+    // bound and the same necessary condition applies).
+    // Size-incompatible collisions die inside the join instead of
+    // surviving to the pair aggregation. 1e-9 slack keeps
+    // exact-boundary pairs (t·n is a float; the true bound is rational).
+    val eps = 1e-9
     ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(eps) &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(eps))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .select(col("d1"), col("d2"),
@@ -118,7 +129,13 @@ object Dedup {
         (pl.join(broadcast(hot), Seq("h"), "left_anti"),
           pr.join(broadcast(hot), Seq("h"), "left_anti"))
       }
-    fl.as("a").join(fr.as("b"), col("a.h") === col("b.h"))
+    // Same AllPairs length bound as jaccardPairs — necessary for
+    // J ≥ t, so the oracle is unchanged; size-incompatible collisions
+    // never reach the pair aggregation.
+    val eps = 1e-9
+    fl.as("a").join(fr.as("b"), col("a.h") === col("b.h") &&
+        col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(eps) &&
+        col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(eps))
       .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
         first(col("b.n")).as("nb"))
@@ -192,7 +209,13 @@ object Dedup {
     // binary), so the biggest scan in the system carries no per-row UDF.
     val fl = explodePostings(shingled(left)).where(
       graft.functions.HashFunctions.bloomMightContain(col("h"), bloom))
-    fl.as("a").join(pr.as("b"), col("a.h") === col("b.h"))
+    // AllPairs length bound, as in crossJaccardPairs (the Bloom filter
+    // prunes by hash membership, this prunes by size compatibility —
+    // independent, both necessary conditions for J ≥ t).
+    val eps = 1e-9
+    fl.as("a").join(pr.as("b"), col("a.h") === col("b.h") &&
+        col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(eps) &&
+        col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(eps))
       .groupBy(col("a.doc").as("left_doc"), col("b.doc").as("right_doc"))
       .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"),
         first(col("b.n")).as("nb"))
