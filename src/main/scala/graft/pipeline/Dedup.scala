@@ -667,15 +667,19 @@ object Dedup {
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nlist: Int = 16, iters: Int = 3,
                seed: Long = 42L): DataFrame = {
-    // totality: an empty corpus has nothing to train on — return the
-    // empty output frame with the contract schema instead of letting
-    // Ivf.train's non-empty require escape
-    if (emb.isEmpty)
+    // ONE Spark job covers totality check + corpus count + train
+    // sample (r7 paid three: emb.isEmpty, TrainSample's count(), the
+    // filtered collect) — an empty sample means an empty corpus, so
+    // return the contract schema instead of letting the trainers'
+    // non-empty require escape
+    val sample = TrainSample.collectWithTotal(emb, vecCol, idCol, seed,
+      maxTrainRows = 200000L)._1
+    if (sample.isEmpty)
       return emb.withColumn("cluster", lit(0)).withColumn("keep", lit(true))
     val model =
       if (nlist >= SemDedupHierNlist)
-        Ivf.trainHierarchical(emb, vecCol, idCol, nlist, iters, seed)
-      else Ivf.train(emb, vecCol, idCol, nlist, iters, seed)
+        Ivf.trainHierarchicalFromSample(sample, nlist, iters, seed)
+      else Ivf.trainFromSample(sample, nlist, iters, seed)
     // materialize the assignment ONCE: semDedupPostings scans its
     // input three times (both join sides + the keep-flag join), and
     // the assign UDF costs nlist centroid dots per row — at nlist ∝

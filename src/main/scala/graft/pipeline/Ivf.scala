@@ -222,8 +222,18 @@ object Ivf {
   def train(df: DataFrame, vecCol: String, idCol: String, nlist: Int,
             iters: Int = 5, seed: Long = 42L,
             maxTrainRows: Long = 200000L): IvfModel =
-    IvfModel(kmeansFold(collectSample(df, vecCol, idCol, seed, maxTrainRows),
-      nlist, iters, seed))
+    trainFromSample(collectSample(df, vecCol, idCol, seed, maxTrainRows),
+      nlist, iters, seed)
+
+  /** [[train]] from an already-collected [[TrainSample]] — for callers
+    * that need the sample (or its row count) for their own control
+    * flow and must not pay a second collection pass. Non-empty.
+    */
+  def trainFromSample(sample: Array[(Long, Array[Float])], nlist: Int,
+                      iters: Int = 5, seed: Long = 42L): IvfModel = {
+    require(sample.nonEmpty, "cannot train on an empty sample")
+    IvfModel(kmeansFold(sample, nlist, iters, seed))
+  }
 
   /** Two-level (hierarchical) train for LARGE nlist: an L1 quantizer
     * with ~√nlist centroids partitions the sample, then each L1 cell
@@ -242,8 +252,19 @@ object Ivf {
   def trainHierarchical(df: DataFrame, vecCol: String, idCol: String,
                         nlist: Int, iters: Int = 5, seed: Long = 42L,
                         maxTrainRows: Long = 200000L,
-                        branch: Int = 0): IvfModel = {
-    val sample = collectSample(df, vecCol, idCol, seed, maxTrainRows)
+                        branch: Int = 0): IvfModel =
+    trainHierarchicalFromSample(
+      collectSample(df, vecCol, idCol, seed, maxTrainRows),
+      nlist, iters, seed, branch)
+
+  /** [[trainHierarchical]] from an already-collected sample — same
+    * fold, no collection pass. Non-empty.
+    */
+  def trainHierarchicalFromSample(sample: Array[(Long, Array[Float])],
+                                  nlist: Int, iters: Int = 5,
+                                  seed: Long = 42L,
+                                  branch: Int = 0): IvfModel = {
+    require(sample.nonEmpty, "cannot train on an empty sample")
     val b1 = if (branch > 0) branch
       else math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     val l1 = IvfModel(kmeansFold(sample, b1, iters, seed))
