@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Crash-safe LSM-style compaction of a partitioned parquet layout,
+  * shared by the incremental indexes
+  * ([[graft.streaming.StreamingDedup.compactIndex]] — (band, kb)
+  * dirs, key-sorted pages — and [[graft.pipeline.Ivf.compactIndex]]
+  * — cluster dirs): per-batch/per-increment appends leave one small
+  * file set per write in each partition dir, and small files are
+  * single parquet pages, so scan/probe cost grows with FILE COUNT
+  * rather than data size. Compaction rewrites each partition dir into
+  * one file (repartition on the partition columns sends every row of
+  * a dir to one task), restoring the big-sorted-file shape. Contents
+  * are invariant — same rows, one layout — so query results never
+  * change.
+  *
+  * Crash safety is a two-rename swap, never a delete-then-rename
+  * window: write the compacted copy to `__compacting`, park the live
+  * layout at `__old`, promote, then delete the parked copy. A crash
+  * at ANY point leaves a complete layout — either still live, or at
+  * `__old`, which the next run restores before doing anything else.
+  */
+object ParquetCompact {
+  /** Compact `path` in place. `partitionCols` must be the layout's
+    * `partitionBy` columns; `sortCols` (appended after the partition
+    * columns in the within-partition sort) preserve any key order the
+    * readers' page pruning depends on — the explicit sort must lead
+    * with the partition columns or the dynamic-partition writer
+    * replaces it with its own partition-only sort (measured in r7:
+    * zero page pruning after a silent re-sort). `options` are passed
+    * to the writer (e.g. a parquet page row limit).
+    */
+  def compact(spark: SparkSession, path: String,
+              partitionCols: Seq[String], sortCols: Seq[String] = Nil,
+              options: Map[String, String] = Map.empty): Unit = {
+    require(partitionCols.nonEmpty, "compact needs the partition columns")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hc)
+    // a crashed earlier compaction may have left the live layout
+    // parked at __old (crash between the two renames below): restore
+    // it first so the data is never lost and this run starts clean
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"compaction recovery failed: $old -> $p")
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val keyCols = (partitionCols ++ sortCols).map(col)
+    spark.read.parquet(path)
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(keyCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .options(options)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
+    require(fs.rename(p, old), s"compaction park failed: $p -> $old")
+    require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
+    fs.delete(old, true)
+  }
+}

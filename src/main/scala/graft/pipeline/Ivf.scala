@@ -366,6 +366,21 @@ object Ivf {
     assign(df, vecCol, model)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
 
+  /** Rewrite an append-grown index into one file per cluster dir —
+    * each [[appendToIndex]] leaves its own file set in every cluster
+    * it touched, and after many increments a probe pays file-open
+    * cost proportional to the APPEND COUNT, not the data it reads.
+    * Crash-safe (two-rename swap) and contents-invariant — search
+    * results are identical before and after, pinned by IvfSpec's
+    * compaction-invariance case — via the shared
+    * [[graft.core.ParquetCompact]] pass ([[graft.streaming.StreamingDedup.compactIndex]]'s
+    * LSM shape applied to the cluster layout). Run every K appends or
+    * offline, like the streaming index.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    graft.core.ParquetCompact.compact(spark, path,
+      partitionCols = Seq("cluster"))
+
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout
     * [[searchInt8]] serves from at scale (same cluster partitioning,

@@ -1686,6 +1686,10 @@ object Queries {
           "embedding", model), idx)
       graft.pipeline.Ivf.appendToIndex(emb.where(col("vec_id") > half),
         "embedding", model, idx)
+      // compaction is contents-invariant, so the one-shot oracle
+      // also pins the compacted layout — the full incremental
+      // lifecycle (build, append, compact, search) in one green row
+      graft.pipeline.Ivf.compactIndex(s, idx)
       graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
           emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
           k = 5, nprobe = 4)

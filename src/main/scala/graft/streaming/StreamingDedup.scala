@@ -215,33 +215,11 @@ object StreamingDedup {
     * results never change — run it every K batches ([[ingest]]'s
     * `compactEvery`) or offline between runs.
     */
-  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
-    val hc = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(hc)
-    // a crashed earlier compaction may have left the live index parked
-    // at __old (crash between the two renames below): restore it first
-    // so the dedup state is never lost and this run starts clean
-    val old = new org.apache.hadoop.fs.Path(indexPath + "__old")
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"compaction recovery failed: $old -> $p")
-    if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
-    spark.read.parquet(indexPath)
-      .repartition(col("band"), col("kb"))
-      .sortWithinPartitions(col("band"), col("kb"), col("key")) // see appendIndex
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.page.row.count.limit", "512")
-      .partitionBy("band", "kb").parquet(tmp.toString)
-    // two-rename swap, never a delete-then-rename window: park the
-    // live index aside, promote the compacted copy, only then delete
-    // the parked copy. A crash at ANY point leaves a complete index
-    // recoverable — either still live, or at __old (restored above).
-    if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
-    require(fs.rename(p, old), s"compaction park failed: $p -> $old")
-    require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
-    fs.delete(old, true)
-  }
+  def compactIndex(spark: SparkSession, indexPath: String): Unit =
+    graft.core.ParquetCompact.compact(spark, indexPath,
+      partitionCols = Seq("band", "kb"),
+      sortCols = Seq("key"), // see appendIndex — probe page pruning needs key order
+      options = Map("parquet.page.row.count.limit" -> "512"))
 
   /** Stream the documents table through the incremental dedup; kept
     * doc ids land in `outPath`, signatures in `indexPath`. Returns

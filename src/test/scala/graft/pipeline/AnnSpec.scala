@@ -314,4 +314,60 @@ class AnnSpec extends SparkTestBase {
       .head().getAs[Array[Byte]]("c").length
     assert(codeLen == dim)
   }
+
+  test("IVF compaction: file count drops, search results invariant") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_cmp").toString + "/index"
+    // one-shot build + 4 increments = 5 file sets per touched cluster
+    val ids = Seq(100L, 200L, 300L, 400L)
+    Ivf.writeIndex(
+      Ivf.assign(emb.where(col("vec_id") <= ids.head), "embedding", model), path)
+    ids.sliding(2).foreach { case Seq(lo, hi) =>
+      Ivf.appendToIndex(
+        emb.where(col("vec_id") > lo && col("vec_id") <= hi), "embedding", model, path)
+    }
+    Ivf.appendToIndex(emb.where(col("vec_id") > ids.last), "embedding", model, path)
+    def parquetFiles(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val queries = emb.where(col("vec_id") < 5)
+    def results() = Ivf.search(Ivf.readIndex(spark, path), queries,
+        "embedding", "vec_id", model, k = 5, nprobe = 8)
+      .select("qid", "rk", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val (filesBefore, before) = (parquetFiles(), results())
+    Ivf.compactIndex(spark, path)
+    val (filesAfter, after) = (parquetFiles(), results())
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file pile: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 8, s"expected ~one file per cluster dir, got $filesAfter")
+    assert(after == before, "compaction must not change search results")
+    // idempotent: a second pass is a no-op layout-wise and result-wise
+    Ivf.compactIndex(spark, path)
+    assert(parquetFiles() == filesAfter && results() == before)
+  }
+
+  test("compaction recovery: a parked __old layout is restored and compacted") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_rec").toString
+    val path = root + "/index"
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), path)
+    val queries = emb.where(col("vec_id") < 3)
+    def results(p: String) = Ivf.search(Ivf.readIndex(spark, p), queries,
+        "embedding", "vec_id", model, k = 5, nprobe = 8)
+      .select("qid", "rk", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = results(path)
+    // simulate a crash between park and promote: live layout sits at
+    // __old, nothing at the index path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    Ivf.compactIndex(spark, path)
+    assert(results(path) == want, "recovery must restore the parked layout")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
 }
