@@ -99,7 +99,9 @@ final class Graft(
     * are frontend, not engine, surface).
     *
     * `cwd` scopes both git invocations to a target repository; the
-    * command outputs are rstripped per readCmd's S6 contract.
+    * command outputs keep their trailing newline per readCmd's S6
+    * contract, so the staged diff's closing fence sits on its own
+    * line exactly as the reference assembles it.
     */
   def gitCommit(functor: TextFunctor, cwd: Option[String] = None): String = {
     def cmdOut(cmd: String): String = {

@@ -246,11 +246,23 @@ final class SourceRegistry(spark: SparkSession,
     extras.foldLeft(base)(_ unionByName _)
   }
 
-  /** S6: command output, lines rstripped (reader.py:544-549). */
+  /** S6: command output, lines rstripped (reader.py:544-549). The
+    * per-line rstrip is the ONLY normalization — `'\n'.join` over
+    * `split('\n')` keeps a trailing empty line, so output ending in a
+    * newline keeps it (r7 stripped it, which glued the closing fence
+    * to the last diff line in the git-commit prompt).
+    */
   def readCmd(cmd: String): Dataset[SourceEntry] = {
-    val out = scala.sys.process.Process(Seq("sh", "-c", cmd)).!!
+    // raw byte capture: Process.!! re-joins lines and ALWAYS appends a
+    // final newline, so it cannot tell "1\n2\n3" from "1\n2\n3\n" —
+    // the reference's check_output sees the exact stream
+    val buf = new java.io.ByteArrayOutputStream()
+    val code = (scala.sys.process.Process(Seq("sh", "-c", cmd)) #> buf).!
+    if (code != 0)
+      throw new RuntimeException(s"command failed with exit $code: $cmd")
+    val out = new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     val content = PyText.splitLines(out).map(_.replaceAll("\\s+$", ""))
-      .mkString("\n").stripSuffix("\n")
+      .mkString("\n")
     spark.createDataset(Seq(SourceEntry(cmd, content, Wrap.Cmd, Wrap.CmdChunk)))
   }
 

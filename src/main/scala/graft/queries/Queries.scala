@@ -739,9 +739,11 @@ object Queries {
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // reference read_cmd('seq 3') = '1\n2\n3\n' — the trailing
+    // newline survives the per-line rstrip (reader.py:544-549)
     "ingest_cmd" ->
       """SELECT 'seq 3' AS path,
-        |  '1' || chr(10) || '2' || chr(10) || '3' AS content""".stripMargin,
+        |  '1' || chr(10) || '2' || chr(10) || '3' || chr(10) AS content""".stripMargin,
 
     // expected strip output; HtmlText's fidelity to the reference is
     // separately golden-tested (HtmlTextSpec), this row pins the
@@ -767,12 +769,15 @@ object Queries {
 
     // the verbatim -f prompt: wrapped blocks in spec order, blank line
     // between, ask last
+    // cmd content keeps echo's trailing newline (reader.py:544-549),
+    // and the F9 wrapper's content.split('\n') turns it into a blank
+    // line before the closing fence — the reference's exact assembly
     "gather_ordered" ->
       """SELECT 'Here is the output of command `echo one`:' || chr(10)
-        |  || '```' || chr(10) || 'one' || chr(10) || '```' || chr(10)
+        |  || '```' || chr(10) || 'one' || chr(10) || chr(10) || '```' || chr(10)
         |  || chr(10)
         |  || 'Here is the output of command `echo two`:' || chr(10)
-        |  || '```' || chr(10) || 'two' || chr(10) || '```' || chr(10)
+        |  || '```' || chr(10) || 'two' || chr(10) || chr(10) || '```' || chr(10)
         |  || chr(10) || 'what do these say?' AS prompt""".stripMargin,
 
     "chunks_union_lastwins" ->
@@ -2633,14 +2638,14 @@ object Queries {
     // watermark delay is zero)
     "stream_session_window" ->
       """WITH s AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, user_id
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM s),
         |agg AS (SELECT user_id, sid, min(ts) AS session_start,

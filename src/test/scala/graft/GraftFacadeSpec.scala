@@ -85,6 +85,11 @@ class GraftFacadeSpec extends SparkTestBase {
       prompt.take(120))
     assert(prompt.contains("Change diff:\n```\n"))
     assert(prompt.contains("-hello") && prompt.contains("+hello world"))
+    // the diff's trailing newline survives readCmd (reader.py:544-549),
+    // so the closing fence is NOT glued to the last diff line: the
+    // exact '\n```\n\n' boundary into the instruction sentence
+    assert(prompt.contains("\n```\n\nWrite a good git commit message"),
+      prompt.takeRight(200))
     assert(prompt.endsWith("using the project style visible in previous " +
       "commits titles above."))
     // a real functor sees the same prompt and its output is returned

@@ -43,7 +43,9 @@ class IngestSpec extends SparkTestBase {
   test("read dispatch: cmd, missing spec error (reader.py:1029-1031)") {
     val reg = new SourceRegistry(spark)
     val e = reg.read("cmd:printf 'x  \\ny\\n'").head()
-    assert(e.content == "x\ny")
+    // reference read_cmd: per-line rstrip, trailing newline PRESERVED
+    // ('\n'.join over split('\n') keeps the final empty line)
+    assert(e.content == "x\ny\n")
     intercept[java.io.FileNotFoundException](reg.read("no:such:thing"))
   }
 
