@@ -88,6 +88,27 @@ final class Graft(
   def replay(sessionJsonPath: String): DataFrame =
     ChatSession.load(spark, sessionJsonPath)
 
+  // ---------------------------------------------------------- cache ----
+  /** The session's read-through fetch cache (reference defaults.CACHE
+    * SQLite, cache.py:45-183) — [[graft.cache.TtlCache.memoize]] is
+    * the `enable_cache` contract.
+    */
+  val cache = new graft.cache.TtlCache(spark)
+
+  /** `debgpt delete_cache` (cli.py:85-91): drop the cache — the
+    * reference `os.remove`s the SQLite file at defaults.CACHE; here
+    * the in-session table is cleared and the persisted parquet copy,
+    * if given, removed.
+    */
+  def deleteCache(persistedPath: Option[String] = None): Unit = {
+    cache.clear()
+    persistedPath.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+  }
+
   // ----------------------------------------------------- git commit ----
   /** `debgpt git commit` message synthesis (cli.py:141-176
     * `subcmd_git_commit`): assemble recent commit titles + the staged

@@ -47,6 +47,20 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
     maybeCompact()
   }
 
+  /** Bulk upsert — one anti-join instead of a per-row [[put]] loop
+    * (the dict-protocol assignment, set-oriented). `rows` needs
+    * (key, value); last-wins against the existing table, stamped at
+    * insert time like [[put]]. Eagerly pinned so later mutations of
+    * `rows`' lineage can't drift the inserted values.
+    */
+  def putAll(rows: DataFrame): Unit = {
+    val r = rows.select($"key", $"value", lit(now()).as("stamp"))
+      .dropDuplicates("key")
+      .localCheckpoint(true)
+    table = table.join(r, Seq("key"), "left_anti").unionByName(r)
+    maybeCompact()
+  }
+
   def get(key: String): Option[String] =
     table.where($"key" === key).select($"value").as[String].collect().headOption
 

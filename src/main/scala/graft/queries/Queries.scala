@@ -192,6 +192,29 @@ object Queries {
         .orderBy(col("event_type"))
     }),
 
+    "cache_memoize" -> ((s, d) => {
+      // the enable_cache read-through contract (reader.py:157-175 +
+      // cache.py:66-142 dict protocol): seeded keys return their
+      // cached value untouched, misses run the fetch and are APPENDED
+      // to the cache. Pass 1 memoizes over half-seeded keys; pass 2
+      // re-memoizes the same keys with a POISONING fetcher — if the
+      // append didn't happen, pass 2's values read 'REFETCHED:' and
+      // the oracle hash catches it.
+      val docs = tbl(s, d, "documents")
+      val cache = new graft.cache.TtlCache(s)
+      cache.putAll(docs.where(col("doc_id") < 20 && col("doc_id") % 2 === 0)
+        .select(concat(lit("k"), col("doc_id")).as("key"),
+          concat(lit("cached:"), col("doc_id")).as("value")))
+      val keys = docs.where(col("doc_id") < 20)
+        .select(concat(lit("k"), col("doc_id")).as("key"))
+      val pass1 = cache.memoize(keys, k => "fetched:" + k)
+        .withColumn("pass", lit(1))
+      val pass2 = cache.memoize(keys, k => "REFETCHED:" + k)
+        .withColumn("pass", lit(2))
+      pass1.unionByName(pass2).select(col("pass"), col("key"), col("value"))
+        .orderBy(col("pass"), col("key"))
+    }),
+
     "ingest_url" -> ((s, d) => {
       // S5 read_url through the main-scope FixtureFetcher (zero-egress
       // environment): HTML strip + entity decode + blank-line squeeze,
@@ -738,6 +761,20 @@ object Queries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // read-through memoize: hits keep the seeded value, misses take
+    // the pass-1 fetcher's value — in BOTH passes (pass 2 must be all
+    // hits; any 'REFETCHED:' value means the miss append was lost)
+    "cache_memoize" ->
+      """WITH t AS (
+        |  SELECT 'k' || CAST(doc_id AS VARCHAR) AS key,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'cached:' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'fetched:k' || CAST(doc_id AS VARCHAR) END AS value
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT CAST(1 AS INTEGER) AS pass, key, value FROM t
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER) AS pass, key, value FROM t
+        |ORDER BY pass, key""".stripMargin,
 
     // reference read_cmd('seq 3') = '1\n2\n3\n' — the trailing
     // newline survives the per-line rstrip (reader.py:544-549)

@@ -99,6 +99,19 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(msg == "Update greeting")
   }
 
+  test("deleteCache drops the session table and the persisted copy (cli.py:85-91)") {
+    val app = mkApp()
+    app.cache.put("k", "v")
+    val p = java.nio.file.Files.createTempDirectory("dc").toString + "/cache.parquet"
+    app.cache.save(p)
+    assert(app.cache.size() == 1)
+    app.deleteCache(Some(p))
+    assert(app.cache.size() == 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    // idempotent on a missing path
+    app.deleteCache(Some(p))
+  }
+
   test("replay round-trips a dumped session") {
     val app = mkApp()
     val s = new graft.session.ChatSession(spark)

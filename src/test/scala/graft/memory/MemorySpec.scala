@@ -150,6 +150,21 @@ class MemorySpec extends SparkTestBase {
     assert(c.size() == 0)
   }
 
+  test("cache putAll: bulk last-wins upsert, stamped at insert") {
+    import spark.implicits._
+    val c = new TtlCache(spark)
+    c.put("a", "old_a")
+    c.putAll(spark.createDataset(Seq(
+      ("a", "new_a"), ("b", "v_b"), ("b", "v_b"))).toDF("key", "value"))
+    assert(c.size() == 2)
+    assert(c.get("a").contains("new_a")) // bulk row wins over existing
+    assert(c.get("b").contains("v_b"))
+    // bulk-inserted entries expire like put ones
+    c.purgeExpired(new java.sql.Timestamp(
+      System.currentTimeMillis() + 100L * 24 * 3600 * 1000))
+    assert(c.size() == 0)
+  }
+
   test("cache memoize: misses fetched exactly once, hits served from table") {
     import spark.implicits._
     val c = new TtlCache(spark)
