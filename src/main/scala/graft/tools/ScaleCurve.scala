@@ -25,7 +25,8 @@ object ScaleCurve {
     // optional third arg: comma list of sections to run
     // (dedup,decontam,semdedup,ivf_assign,stream_probe); default all
     val sections = if (args.length > 2) args(2).split(',').toSet
-      else Set("dedup", "decontam", "semdedup", "ivf_assign", "stream_probe")
+      else Set("dedup", "decontam", "semdedup", "ivf_assign", "stream_probe",
+        "r7new")
     def want(s: String): Boolean = sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -295,6 +296,152 @@ object ScaleCurve {
         case Some(v) => spark.conf.set(threshKey, v)
         case None => spark.conf.unset(threshKey)
       }
+    }
+    // ---- r7 newcomers: mmr, ivf incremental, session window, bucketed join ----
+    if (want("r7new")) {
+      import graft.pipeline.{Ivf, Similarity}
+      def fitK(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      // queries rebuilt per iteration — the cleanup unpersists all
+      // RDDs, so no localCheckpoint may be held across it
+      def q8() = emb.where(col("vec_id") < 8)
+
+      // MMR: corpus grows, query set fixed. The candidate top-N is
+      // the distributed stage; the greedy rerank is the
+      // contract-bounded driver fold (8 queries × 4k rows, constant).
+      Similarity.mmrTopK(spark.read.parquet(embDirs.head._2), q8(),
+        "embedding", "vec_id", k = 10).count() // warm-up
+      val mts = embDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val n = d.count()
+        val t0 = System.nanoTime()
+        val rows = Similarity.mmrTopK(d, q8(), "embedding", "vec_id",
+          k = 10).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"mmr"}%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK(mts, "mmr")
+
+      // IVF incremental: each blowup's index is grown by 1 base write
+      // + 7 equal appends against the frozen quantizer, then searched
+      // (compacted curve). At the largest blowup, search is also
+      // timed on the UNCOMPACTED 8-file-set pile to quantify what
+      // compaction buys.
+      val its = embDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val n = d.count()
+        val model = Ivf.train(d, "embedding", "vec_id", nlist = 16, iters = 3)
+        val idx = s"target/tmp/scale_curve/ivfinc_x$m"
+        val ip = new org.apache.hadoop.fs.Path(idx)
+        val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(ip, true)
+        val hi = maxVid * m
+        val step = hi / 8 + 1
+        Ivf.writeIndex(Ivf.assign(
+          d.where(col("vec_id") < step), "embedding", model), idx)
+        (1 until 8).foreach { i =>
+          Ivf.appendToIndex(d.where(col("vec_id") >= i.toLong * step &&
+            col("vec_id") < (i + 1).toLong * step), "embedding", model, idx)
+        }
+        def files(): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+          try s.filter(f => f.toString.endsWith(".parquet")).count()
+          finally s.close()
+        }
+        def timeSearch(): Double = {
+          val t0 = System.nanoTime()
+          Ivf.search(Ivf.readIndex(spark, idx), q8(), "embedding",
+            "vec_id", model, k = 10, nprobe = 4).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timeSearch() // warm-up
+        val uncompacted = timeSearch()
+        val fBefore = files()
+        Ivf.compactIndex(spark, idx)
+        val fAfter = files()
+        val sec = timeSearch()
+        println(f"${"ivf_incremental"}%-16s $n%8d $m%5d $sec%8.2f " +
+          f"(uncompacted $uncompacted%.2f s, files $fBefore%d -> $fAfter%d)")
+        (m, sec)
+      }
+      fitK(its, "ivf_incremental")
+
+      // native session windows, BATCH semantics (session_window is
+      // the same aggregation in both modes; the streaming run adds a
+      // fixed micro-batch floor that would drown the curve): events
+      // blowup offsets user ids, so sessions per user stay constant
+      // and the state/shuffle volume grows ∝ n.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val maxUid = ev0.agg(max("user_id")).head().getLong(0) + 1
+      val evDirs = mults.map { m =>
+        val path = s"target/tmp/scale_curve/ev_x$m"
+        (0 until m).map { i =>
+          if (i == 0) ev0
+          else ev0.select((col("user_id") + lit(i * maxUid)).as("user_id"),
+            col("event_id"), col("ts"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+        m -> path
+      }
+      def sessWin(d: DataFrame) = d
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      sessWin(spark.read.parquet(evDirs.head._2)).count() // warm-up
+      val sts = evDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val n = d.count()
+        val t0 = System.nanoTime()
+        val rows = sessWin(d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"session_window"}%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK(sts, "session_window")
+
+      // bucketed join: both sides blown up and re-bucketed (at scale
+      // bucketing happens once at ingest; the per-query cost under
+      // test is the zero-exchange merge join, so only the join+agg is
+      // timed).
+      val cust0 = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_custkey").as("c_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val maxCk = cust0.agg(max("c_custkey")).head().getLong(0) + 1
+      val bts = mults.map { m =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        def blow(d: DataFrame) = (0 until m).map { i =>
+          if (i == 0) d
+          else d.withColumn("c_custkey", col("c_custkey") + lit(i * maxCk))
+        }.reduce(_ unionByName _)
+        graft.operators.Bucketing.writeBucketed(blow(cust0),
+          "graft_sc_customer", "c_custkey", 8)
+        graft.operators.Bucketing.writeBucketed(blow(ord0),
+          "graft_sc_orders", "c_custkey", 8)
+        val n = spark.table("graft_sc_orders").count()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Bucketing.colocatedJoin(spark,
+            "graft_sc_customer", "graft_sc_orders", Seq("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("cents")).as("cents")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"bucketed_join"}%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK(bts, "bucketed_join")
     }
     spark.stop()
   }
