@@ -80,6 +80,12 @@ object Bench {
         queryMedians = Some(timed.map(t => (t._1, t._3)))) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
       medianTotal = medianTotal))
+    // iteration aid: a filtered run's stdout JSON carries first-run
+    // times only, but the load-robust per-query signal is the median —
+    // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
+    // without touching the driver-facing stdout contract
+    if (only.isDefined) System.err.println(timed.map { case (n, _, m, _) =>
+      f"$n=$m%.3f" }.mkString("[bench] medians: ", " ", ""))
     spark.stop()
   }
 

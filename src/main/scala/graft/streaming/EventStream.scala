@@ -87,13 +87,53 @@ object EventStream {
       }
   }
 
+  /** Fast local scratch for ephemeral streaming checkpoints. A
+    * run-to-completion query writes dozens of small fsync+rename files
+    * (offset log, commit log, one state-store delta per partition per
+    * micro-batch); on a disk-backed temp dir that I/O is the dominant
+    * fixed cost of a small stream. Deployments point
+    * `spark.graft.streaming.scratchDir` at executor-local fast storage;
+    * the default prefers tmpfs (/dev/shm) when writable, else the JVM
+    * temp dir. Durable checkpoints for restartable production streams
+    * belong on shared storage — this scratch is only for ephemeral
+    * run-to-completion queries whose state dies with the run.
+    */
+  def scratchCheckpointDir(spark: SparkSession, prefix: String): java.nio.file.Path = {
+    val base = spark.conf.getOption("spark.graft.streaming.scratchDir")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix)
+  }
+
+  /** Remove a scratch checkpoint created by [[scratchCheckpointDir]]. */
+  def deleteScratch(p: java.nio.file.Path): Unit = deleteRecursively(p)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Run a streaming Dataset to completion against a static source via
     * the memory sink; returns the materialized table.
     */
   def runToMemory(spark: SparkSession, ds: DataFrame, mode: OutputMode): DataFrame = {
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = ds.writeStream.format("memory").queryName(qn).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val ckpt = scratchCheckpointDir(spark, "graft_ckpt_")
+    val q = ds.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     spark.table(qn)
   }
 }

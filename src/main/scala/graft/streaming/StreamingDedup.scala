@@ -236,7 +236,9 @@ object StreamingDedup {
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdedup_ckpt_")
     val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, "text", "doc_id",
           indexPath, outPath, maxDist)
@@ -244,6 +246,9 @@ object StreamingDedup {
           compactIndex(batch.sparkSession, indexPath)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      EventStream.deleteScratch(ckpt)
+    }
   }
 }
