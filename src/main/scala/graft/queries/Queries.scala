@@ -2276,6 +2276,20 @@ object Queries {
           col("n_tokens"), col("cum_tokens"), col("selected"))
         .orderBy(col("doc"))),
 
+    // DSIR importance selection (Xie et al. 2023): hashed
+    // unigram+bigram multinomials over target (lang='en') vs raw (all
+    // docs), every document weighted by its exact fixed-point log2
+    // likelihood ratio, deterministic top-k. Fit = one bounded-key
+    // aggregation per corpus; scoring = broadcast-model codegen map
+    // pass; selection = TakeOrderedAndProject
+    "dsir_select" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val model = graft.pipeline.Dsir.fit(
+        docs.where(col("lang") === "en"), docs, "text", buckets = 512)
+      graft.pipeline.Dsir.selectTopK(docs, "text", "doc_id", model, k = 50)
+        .orderBy(col("logw_fp").desc, col("doc"))
+    }),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2482,6 +2496,9 @@ object Queries {
 
     "text_lm_quality" ->
       s"SELECT doc, n_bigrams, xent_fp, xent FROM '$pipeGold/text_lm_quality.parquet' ORDER BY doc",
+
+    "dsir_select" ->
+      s"SELECT doc, n_feats, logw_fp, logw FROM '$pipeGold/dsir_select.parquet' ORDER BY logw_fp DESC, doc",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

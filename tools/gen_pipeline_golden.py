@@ -1223,6 +1223,52 @@ def gen_corpus_shuffle(docs, seed=42):
           {"doc_id": "BIGINT", "skey": "BIGINT"})
 
 
+def gen_dsir_select(docs, buckets=512, k=50):
+    """Mirror of graft.pipeline.Dsir: hashed unigram+bigram features
+    (rolling_shingle_hashes w=1,2 in document order), Laplace-smoothed
+    target (lang='en') vs raw (all docs) multinomials, per-doc log2
+    importance weight as a signed exact fixed-point log2 of one
+    big-integer ratio (lm_log2fix), deterministic top-k."""
+    def feats(text):
+        return (rolling_shingle_hashes(text, 1) +
+                rolling_shingle_hashes(text, 2))
+    tc = [0] * buckets
+    rc = [0] * buckets
+    fx = {}
+    for r in docs.itertuples():
+        # masked hash -> signed, then Python % == Java pmod
+        bs = [s64(h) % buckets for h in feats(r.text)]
+        fx[int(r.doc_id)] = bs
+        for b in bs:
+            rc[b] += 1
+        if r.lang == "en":
+            for b in bs:
+                tc[b] += 1
+    tden = sum(tc) + buckets
+    rden = sum(rc) + buckets
+    rows = []
+    for r in docs.itertuples():
+        bs = fx[int(r.doc_id)]
+        n = len(bs)
+        if n == 0:
+            rows.append((int(r.doc_id), 0, 0, 0.0))
+            continue
+        num = den = 1
+        for b in bs:
+            num *= tc[b] + 1
+            den *= rc[b] + 1
+        a = num * rden ** n
+        d = den * tden ** n
+        fp = lm_log2fix(a, d) if a >= d else -lm_log2fix(d, a)
+        rows.append((int(r.doc_id), n, fp, float(fp) / float(1 << 20)))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    write("dsir_select",
+          pd.DataFrame(rows[:k],
+                       columns=["doc", "n_feats", "logw_fp", "logw"]),
+          {"doc": "BIGINT", "n_feats": "INT", "logw_fp": "BIGINT",
+           "logw": "DOUBLE"})
+
+
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
                  hier=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
@@ -1276,6 +1322,8 @@ def main():
         gen_corpus_mix(docs)
     if want("corpus_shuffle"):
         gen_corpus_shuffle(docs)
+    if want("dsir_select"):
+        gen_dsir_select(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
