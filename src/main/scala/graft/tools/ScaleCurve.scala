@@ -443,6 +443,37 @@ object ScaleCurve {
       }
       fitK(bts, "bucketed_join")
     }
+
+    if (want("r8new")) {
+      // DSIR: fit (two bounded-key aggregations) + score (broadcast-
+      // model map pass) + top-k. Target = even doc ids (the blown-up
+      // corpora carry no lang column); both corpus scans grow ∝ n,
+      // driver/broadcast state is the fixed 512-bucket pair.
+      def fitK8(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      def dsirRun(d: DataFrame): Long = {
+        val m = graft.pipeline.Dsir.fit(
+          d.where(col("doc_id") % 2 === 0), d, "text", buckets = 512)
+        graft.pipeline.Dsir.selectTopK(d, "text", "doc_id", m, k = 100)
+          .count()
+      }
+      dsirRun(spark.read.parquet(scaleDirs.head._2)) // warm-up
+      val dts = scaleDirs.map { case (m, path) =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val d = spark.read.parquet(path)
+        val n = d.count()
+        val t0 = System.nanoTime()
+        val rows = dsirRun(d)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"dsir_select"}%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK8(dts, "dsir_select")
+    }
     spark.stop()
   }
 }
