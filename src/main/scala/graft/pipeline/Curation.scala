@@ -57,4 +57,44 @@ object Curation {
       .select(col("doc"), col("score"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("selected"))
   }
+
+  /** Cluster-balanced sampling — flatten the topic distribution: rows
+    * are k-means-assigned to their nearest centroid (the engine's
+    * deterministic IVF quantizer) and AT MOST `quota` rows survive per
+    * cluster, chosen by the engine's deterministic per-row uniform
+    * (splitmix64 of (id + seed)) with id tie-break. Over-represented
+    * topics are cut to the quota, rare topics are kept whole — the
+    * standard re-balancing step after clustering a web-scale corpus
+    * (cf. the cluster-dedup + balance stage of SemDeDup-style
+    * pipelines and DataComp's cluster-based filtering).
+    *
+    * The 100 TB shape: assignment is a map-side codegen pass
+    * ([[Ivf.assign]]); the per-cluster cut uses the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate — O(quota) state per
+    * cluster, partial heaps combined map-side, only quota rows per
+    * cluster cross the shuffle. A `Window.partitionBy(cluster)` +
+    * row_number plan would shuffle and sort EVERY row; this never
+    * materializes more than the survivors. Selection is a pure
+    * function of (id, seed, model) — partition- and run-invariant.
+    *
+    * Output: (cluster, vec_id, u) — survivors only, `u` the uniform
+    * that ranked them (exact dyadic, oracle-replayable).
+    */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
+                            model: IvfModel, quota: Int,
+                            seed: Long = 42L): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val u = graft.functions.HashFunctions.unitUniform(col(idCol), seed)
+    Ivf.assign(df, vecCol, model)
+      .select(col("cluster"), col(idCol).as("vec_id"), u.as("u"))
+      // heap keeps the k HIGHEST scores — negate so the k smallest
+      // uniforms survive (ties to lower id, matching the mirror's
+      // (u, id) sort)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKByScore.topKBy(-col("u"), col("vec_id"),
+        quota).as("tk"))
+      .select(col("cluster"), explode(col("tk")).as("s"))
+      .select(col("cluster"), col("s.id").as("vec_id"),
+        (-col("s.score")).as("u"))
+  }
 }

@@ -2418,6 +2418,23 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // cluster-balanced sampling: k-means-assign embeddings, keep at
+    // most `quota` rows per cluster by the deterministic splitmix
+    // uniform — flattens the topic distribution (bounded-heap
+    // aggregate: only survivors cross the shuffle, never a full
+    // per-cluster sort). Golden-checked against the Python mirror
+    // (same deterministic k-means + uniform).
+    "corpus_cluster_sample" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      graft.pipeline.Curation.clusterBalancedSample(
+          emb, "embedding", "vec_id", model, quota = 20, seed = 42L)
+        .select(col("cluster").cast(LongType).as("cluster"),
+          col("vec_id"), col("u"))
+        .orderBy(col("cluster"), col("vec_id"))
+    }),
+
     "semdedup" -> ((s, d) =>
       // SemDeDup: k-means-clustered embeddings, drop rows with a
       // lower-id cluster-mate above the cosine threshold — the
@@ -2625,6 +2642,9 @@ object Queries {
 
     "semdedup" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",
+
+    "corpus_cluster_sample" ->
+      s"SELECT cluster, vec_id, u FROM '$pipeGold/corpus_cluster_sample.parquet' ORDER BY cluster, vec_id",
 
     "semdedup_hier" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup_hier.parquet' ORDER BY vec_id",

@@ -1223,6 +1223,29 @@ def gen_corpus_shuffle(docs, seed=42):
           {"doc_id": "BIGINT", "skey": "BIGINT"})
 
 
+def gen_corpus_cluster_sample(emb, nlist=16, iters=3, seed=42, quota=20,
+                              useed=42):
+    """Mirror of graft.pipeline.Curation.clusterBalancedSample: same
+    deterministic IVF k-means assignment as semdedup, then per cluster
+    keep the `quota` rows with the smallest splitmix uniform (id
+    tie-break)."""
+    cents = ivf_train(emb, nlist=nlist, iters=iters, seed=seed)
+    by_cluster = {}
+    for vid, v in emb:
+        c = ivf_nearest_descend(cents, [], [], v, 1)[0]
+        u = (splitmix64((vid + useed) & M64) >> 11) / float(1 << 53)
+        by_cluster.setdefault(c, []).append((u, int(vid)))
+    rows = []
+    for c, mem in by_cluster.items():
+        mem.sort()
+        for u, vid in mem[:quota]:
+            rows.append((int(c), vid, u))
+    rows.sort(key=lambda t: (t[0], t[1]))
+    write("corpus_cluster_sample",
+          pd.DataFrame(rows, columns=["cluster", "vec_id", "u"]),
+          {"cluster": "BIGINT", "vec_id": "BIGINT", "u": "DOUBLE"})
+
+
 def gen_dsir_select(docs, buckets=512, k=50):
     """Mirror of graft.pipeline.Dsir: hashed unigram+bigram features
     (rolling_shingle_hashes w=1,2 in document order), Laplace-smoothed
@@ -1327,7 +1350,8 @@ def main():
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "mmr_topk"):
+              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "mmr_topk",
+              "corpus_cluster_sample"):
         if want(n):
             emb = emb or load_embeddings()
     if want("embed_pca"):
@@ -1340,6 +1364,8 @@ def main():
         gen_ivf_pq(emb)
     if want("semdedup"):
         gen_semdedup(emb)
+    if want("corpus_cluster_sample"):
+        gen_corpus_cluster_sample(emb)
     if want("semdedup_hier"):
         gen_semdedup(emb, hier=True)
     if want("ivf_topk_hier"):
