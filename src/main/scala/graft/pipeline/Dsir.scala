@@ -103,6 +103,32 @@ object Dsir {
     new DsirModel(buckets, tc, tt, rc, rt)
   }
 
+  /** [[fit]] for the common target ⊆ raw case (the target is a
+    * labeled subset of the corpus being weighted): ONE corpus scan
+    * computes both bucket arrays — `count` for raw, `count_if(pred)`
+    * for target — instead of hashing the raw side twice. At 100 TB
+    * the fit cost IS the raw scan, so this halves it. Exactly
+    * equivalent to `fit(raw.where(targetPred), raw, ...)` by
+    * construction (same counts, same totals).
+    */
+  def fitSplit(raw: DataFrame, targetPred: Column, textCol: String,
+               buckets: Int = 1024): DsirModel = {
+    require(buckets > 0, "buckets must be positive")
+    val tc = new Array[Long](buckets)
+    val rc = new Array[Long](buckets)
+    raw.select(featureHashesCol(col(textCol)).as("hs"),
+        targetPred.as("is_t"))
+      .select(explode(col("hs")).as("h"), col("is_t"))
+      .groupBy(pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("r"), count_if(col("is_t")).as("t"))
+      .collect().foreach { row =>
+        val b = row.getLong(0).toInt
+        rc(b) = row.getLong(1)
+        tc(b) = row.getLong(2)
+      }
+    new DsirModel(buckets, tc, tc.sum, rc, rc.sum)
+  }
+
   /** Shared scoring kernel: the document's exact fixed-point log2
     * importance weight. With instances b_1..b_n and Laplace-smoothed
     * p_b = (tc_b+1)/(N+B), q_b = (rc_b+1)/(M+B):

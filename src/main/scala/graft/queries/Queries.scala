@@ -2284,8 +2284,11 @@ object Queries {
     // pass; selection = TakeOrderedAndProject
     "dsir_select" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val model = graft.pipeline.Dsir.fit(
-        docs.where(col("lang") === "en"), docs, "text", buckets = 512)
+      // target ⊆ raw: the fused single-scan fit (one corpus pass
+      // computes both multinomials; at 100 TB the fit cost IS that
+      // scan)
+      val model = graft.pipeline.Dsir.fitSplit(
+        docs, col("lang") === "en", "text", buckets = 512)
       graft.pipeline.Dsir.selectTopK(docs, "text", "doc_id", model, k = 50)
         .orderBy(col("logw_fp").desc, col("doc"))
     }),

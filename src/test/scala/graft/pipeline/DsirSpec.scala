@@ -67,6 +67,18 @@ class DsirSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("fitSplit (fused single-scan) equals the two-pass fit") {
+    val docs = docsDf
+    val twoPass = Dsir.fit(docs.where(col("lang") === "en"), docs,
+      "text", buckets = 64)
+    val onePass = Dsir.fitSplit(docs, col("lang") === "en", "text",
+      buckets = 64)
+    assert(onePass.targetCounts.toSeq == twoPass.targetCounts.toSeq)
+    assert(onePass.rawCounts.toSeq == twoPass.rawCounts.toSeq)
+    assert(onePass.targetTotal == twoPass.targetTotal)
+    assert(onePass.rawTotal == twoPass.rawTotal)
+  }
+
   test("fit and selectTopK are partition-invariant") {
     val docs = docsDf
     val target = docs.where(col("lang") === "en")
