@@ -67,13 +67,13 @@ object Dsir {
   }
 
   /** Column form of [[featureHashes]] for the distributed fit path. */
-  private def featureHashesCol(text: Column): Column = {
+  private[pipeline] def featureHashesCol(text: Column): Column = {
     val t = coalesce(text, lit(""))
     concat(graft.functions.HashFunctions.shingleHashes(t, 1),
       graft.functions.HashFunctions.shingleHashes(t, 2))
   }
 
-  private def bucketOf(h: Long, buckets: Int): Int = {
+  private[pipeline] def bucketOf(h: Long, buckets: Int): Int = {
     val m = (h % buckets).toInt
     if (m < 0) m + buckets else m
   }

@@ -2293,6 +2293,19 @@ object Queries {
         .orderBy(col("logw_fp").desc, col("doc"))
     }),
 
+    // fastText/DCLM-style NB quality classifier: pluggable boolean
+    // labeler (here the corpus's real n-gram signal, Germanic
+    // langs), one-scan fit + pruned prior scan, exact fixed-point
+    // log2 posterior odds via broadcast-model codegen pass, Bayes
+    // decision + confident-positive top-k cut
+    "nb_classifier_select" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val model = graft.pipeline.Classify.fit(
+        docs, col("lang").isin("en", "de"), "text", buckets = 512)
+      graft.pipeline.Classify.selectTopK(docs, "text", "doc_id", model, k = 80)
+        .orderBy(col("logodds_fp").desc, col("doc"))
+    }),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2519,6 +2532,9 @@ object Queries {
 
     "dsir_select" ->
       s"SELECT doc, n_feats, logw_fp, logw FROM '$pipeGold/dsir_select.parquet' ORDER BY logw_fp DESC, doc",
+
+    "nb_classifier_select" ->
+      s"SELECT doc, n_feats, logodds_fp, pred FROM '$pipeGold/nb_classifier_select.parquet' ORDER BY logodds_fp DESC, doc",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

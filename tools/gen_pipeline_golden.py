@@ -1292,6 +1292,55 @@ def gen_dsir_select(docs, buckets=512, k=50):
            "logw": "DOUBLE"})
 
 
+def gen_nb_classifier_select(docs, buckets=512, k=80):
+    """Mirror of graft.pipeline.Classify: multinomial NB over hashed
+    unigram+bigram features (same feature map as dsir_select),
+    positive class lang IN ('en','de'), Laplace-smoothed
+    class-conditionals AND prior odds, per-doc log2 posterior odds as
+    a signed exact fixed-point log2 of one big-integer ratio
+    (lm_log2fix), Bayes decision pred = odds >= 0, top-k by odds."""
+    def feats(text):
+        return (rolling_shingle_hashes(text, 1) +
+                rolling_shingle_hashes(text, 2))
+    pc = [0] * buckets
+    nc = [0] * buckets
+    pos_docs = neg_docs = 0
+    fx = {}
+    for r in docs.itertuples():
+        bs = [s64(h) % buckets for h in feats(r.text)]
+        fx[int(r.doc_id)] = bs
+        if r.lang in ("en", "de"):
+            pos_docs += 1
+            for b in bs:
+                pc[b] += 1
+        else:
+            neg_docs += 1
+            for b in bs:
+                nc[b] += 1
+    pden = sum(pc) + buckets
+    nden = sum(nc) + buckets
+    rows = []
+    for r in docs.itertuples():
+        bs = fx[int(r.doc_id)]
+        n = len(bs)
+        num = pos_docs + 1
+        den = neg_docs + 1
+        for b in bs:
+            num *= pc[b] + 1
+            den *= nc[b] + 1
+        if n > 0:
+            num *= nden ** n
+            den *= pden ** n
+        fp = lm_log2fix(num, den) if num >= den else -lm_log2fix(den, num)
+        rows.append((int(r.doc_id), n, fp, fp >= 0))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    write("nb_classifier_select",
+          pd.DataFrame(rows[:k],
+                       columns=["doc", "n_feats", "logodds_fp", "pred"]),
+          {"doc": "BIGINT", "n_feats": "INT", "logodds_fp": "BIGINT",
+           "pred": "BOOLEAN"})
+
+
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
                  hier=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
@@ -1347,6 +1396,8 @@ def main():
         gen_corpus_shuffle(docs)
     if want("dsir_select"):
         gen_dsir_select(docs)
+    if want("nb_classifier_select"):
+        gen_nb_classifier_select(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
