@@ -2306,6 +2306,27 @@ object Queries {
         .orderBy(col("logodds_fp").desc, col("doc"))
     }),
 
+    // train/val/test split, map-side proportional variant: zero
+    // shuffle, codegen'd when-chain over the deterministic per-row
+    // uniform — the 100 TB default (append-stable across corpus
+    // versions)
+    "corpus_split_assign" -> ((s, d) =>
+      graft.pipeline.Split.assignSplits(
+          tbl(s, d, "documents").select("doc_id", "lang"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // exact-quota stratified split: every lang stratum cut precisely
+    // at floor(cumF·n_s) by (u, id) rank — distributed rank via the
+    // SeqPack range-partition + driver-prefix pattern, never a
+    // one-reducer per-stratum window
+    "corpus_split_stratified" -> ((s, d) =>
+      graft.pipeline.Split.splitStratified(s,
+          tbl(s, d, "documents"), "doc_id", "lang",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+        .orderBy(col("doc"))),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2535,6 +2556,12 @@ object Queries {
 
     "nb_classifier_select" ->
       s"SELECT doc, n_feats, logodds_fp, pred FROM '$pipeGold/nb_classifier_select.parquet' ORDER BY logodds_fp DESC, doc",
+
+    "corpus_split_assign" ->
+      s"SELECT doc_id, lang, split FROM '$pipeGold/corpus_split_assign.parquet' ORDER BY doc_id",
+
+    "corpus_split_stratified" ->
+      s"SELECT doc, stratum, u, split FROM '$pipeGold/corpus_split_stratified.parquet' ORDER BY doc",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

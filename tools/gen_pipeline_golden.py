@@ -1341,6 +1341,64 @@ def gen_nb_classifier_select(docs, buckets=512, k=80):
            "pred": "BOOLEAN"})
 
 
+SPLIT_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def split_bounds(fractions):
+    """Cumulative fraction bounds, same IEEE left-scan as
+    Split.cumBounds (scanLeft(0.0)(_+_).tail)."""
+    out, cum = [], 0.0
+    for _, f in fractions:
+        cum = cum + f
+        out.append(cum)
+    return out
+
+
+def gen_corpus_split_assign(docs, fractions=None, seed=42):
+    """Mirror of graft.pipeline.Split.assignSplits: u =
+    splitmix64(id+seed) top-53-bit uniform; first split whose
+    cumulative bound exceeds u, last split the catch-all."""
+    fractions = fractions or SPLIT_FRACTIONS
+    bounds = split_bounds(fractions)
+    rows = []
+    for r in docs.itertuples():
+        u = (splitmix64((r.doc_id + seed) & M64) >> 11) / float(1 << 53)
+        name = fractions[-1][0]
+        for (nm, _), b in zip(fractions[:-1], bounds[:-1]):
+            if u < b:
+                name = nm
+                break
+        rows.append((int(r.doc_id), r.lang, name))
+    write("corpus_split_assign",
+          pd.DataFrame(rows, columns=["doc_id", "lang", "split"]),
+          {"doc_id": "BIGINT", "lang": "VARCHAR", "split": "VARCHAR"})
+
+
+def gen_corpus_split_stratified(docs, fractions=None, seed=42):
+    """Mirror of graft.pipeline.Split.splitStratified: per lang
+    stratum, rank rows by (u, doc); cut j ends at
+    floor(cumF_j * n_s) (last = n_s)."""
+    fractions = fractions or SPLIT_FRACTIONS
+    bounds = split_bounds(fractions)
+    by_s = {}
+    for r in docs.itertuples():
+        u = (splitmix64((r.doc_id + seed) & M64) >> 11) / float(1 << 53)
+        by_s.setdefault(str(r.lang), []).append((u, int(r.doc_id)))
+    rows = []
+    for s, mem in by_s.items():
+        mem.sort()
+        n = len(mem)
+        cuts = [math.floor(b * n) for b in bounds[:-1]] + [n]
+        for rank, (u, doc) in enumerate(mem):
+            j = next(i for i, c in enumerate(cuts) if rank < c)
+            rows.append((doc, s, u, fractions[j][0]))
+    rows.sort()
+    write("corpus_split_stratified",
+          pd.DataFrame(rows, columns=["doc", "stratum", "u", "split"]),
+          {"doc": "BIGINT", "stratum": "VARCHAR", "u": "DOUBLE",
+           "split": "VARCHAR"})
+
+
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
                  hier=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
@@ -1398,6 +1456,10 @@ def main():
         gen_dsir_select(docs)
     if want("nb_classifier_select"):
         gen_nb_classifier_select(docs)
+    if want("corpus_split_assign"):
+        gen_corpus_split_assign(docs)
+    if want("corpus_split_stratified"):
+        gen_corpus_split_stratified(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
