@@ -2327,6 +2327,24 @@ object Queries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
         .orderBy(col("doc"))),
 
+    // RefinedWeb-style URL/domain blocklist: host via native
+    // parse_url, suffix-blocklist probe as a codegen'd broadcast-set
+    // expression (zero shuffle, no explode, no per-entry regex) —
+    // the documents table carries no URL so the fixture derives one
+    // deterministically from (source, doc_id); the operator path
+    // (hostOf → hostBlocked) is the real one
+    "url_blocklist" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 2 === 1, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/doc/"), col("doc_id")))
+      graft.pipeline.UrlFilter.flagBlockedUrls(docs, "url",
+          Seq("src3.example.com", "src7.example.com",
+            "cdn.src1.example.com"))
+        .select(col("doc_id"), col("host"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2556,6 +2574,21 @@ object Queries {
 
     "nb_classifier_select" ->
       s"SELECT doc, n_feats, logodds_fp, pred FROM '$pipeGold/nb_classifier_select.parquet' ORDER BY logodds_fp DESC, doc",
+
+    // Direct SQL oracle: the same derived host, suffix semantics as
+    // EXISTS(exact-or-dot-suffix) over the same 3-entry blocklist.
+    "url_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
+        |      source || '.example.com' AS host
+        |  FROM documents),
+        |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+        |                 ('cdn.src1.example.com'))
+        |SELECT doc_id, host,
+        |  EXISTS(SELECT 1 FROM bl
+        |         WHERE t.host = bl.h OR t.host LIKE '%.' || bl.h) AS blocked
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "corpus_split_assign" ->
       s"SELECT doc_id, lang, split FROM '$pipeGold/corpus_split_assign.parquet' ORDER BY doc_id",
