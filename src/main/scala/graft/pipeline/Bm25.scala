@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 batch retrieval — Okapi BM25 (Robertson & Zaragoza 2009) top-k
+  * document retrieval for a SET of queries at once, the lexical
+  * counterpart of the engine's ANN family (and the retrieval stage of
+  * RAG-style data pipelines).
+  *
+  * Engine-exact scoring: every factor is an integer rational, so the
+  * score is an exact fixed-point long and the final aggregation is an
+  * INTEGER sum — associative, commutative, partition-order-free (no
+  * sequential-IEEE fold needed, unlike the cosine family):
+  *
+  *  - idf(t): Robertson's log(1 + (N−df+½)/(df+½)) collapses to
+  *    log2((2N+2)/(2df+1)) — one big-integer ratio,
+  *    [[LmQuality.log2fix]], no libm;
+  *  - the tf-saturation factor with k1 = 6/5, b = 3/4 and
+  *    avgdl = T/N (T = corpus token count):
+  *        tf·(k1+1) / (tf + k1(1−b) + k1·b·len/avgdl)
+  *      = 22·tf·T / (10·T·tf + 3·T + 9·len·N)
+  *    — an exact long rational (documented bound: 10·T·tf < 2^63,
+  *    fine through ~10¹⁷ corpus tokens × 10⁴-token docs);
+  *  - contribution = floor(idf_fp · num / den) via the overflow-safe
+  *    [[graft.functions.MulDivFloor]]; score = Σ contributions.
+  *
+  * 100 TB shape: ONE corpus scan builds query-term postings
+  * (explode → filter on the broadcast term set → map-side-combinable
+  * count agg) with the doc length CARRIED through the aggregation
+  * (max of a constant) — no corpus-side join for lengths. Corpus
+  * stats (N, T) are one map-side agg; per-term df and idf are a
+  * driver map over ≤ |query vocabulary| rows, broadcast back. The
+  * per-query cut is the bounded-heap [[graft.functions.TopKByScore]]
+  * aggregate — O(k) state, map-side partials, only k rows per query
+  * cross the shuffle.
+  */
+object Bm25 {
+
+  /** Query tokenization — driver-side twin of
+    * [[TextAnalysis.tokens]] (single-space split, empties kept).
+    */
+  private[pipeline] def queryTerms(q: String): Seq[String] =
+    q.split(" ", -1).toSeq.distinct
+
+  /** Top-k docs per query: (qid, doc, score_fp, rk), rk 1-based by
+    * (score desc, doc asc).
+    */
+  def topK(spark: SparkSession, docs: DataFrame, textCol: String,
+           idCol: String, queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+
+    val lens = docs.select(col(idCol).as("doc"),
+      TextAnalysis.tokenCount(col(textCol)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val tTokens = stats.getLong(1)
+    require(nDocs > 0, "empty corpus")
+
+    val terms = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
+    // one corpus scan: explode, keep query terms, count tf per
+    // (term, doc) map-side-combinably, doc length rides along (max of
+    // a per-doc constant)
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("len"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+
+    // per-term df over the candidate postings (exact corpus df for
+    // those terms), collected (≤ |query vocab| rows), idf_fp computed
+    // driver-side with the exact fixed-point log2, broadcast back
+    val dfMap = postings.groupBy(col("term")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfRows = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      (t, LmQuality.log2fix(BigInt(2L * nDocs + 2L), BigInt(2L * df + 1L)))
+    }
+    val qtRows = for {
+      (qid, q) <- queries
+      t <- queryTerms(q)
+    } yield (qid, t)
+    val idfDf = idfRows.toDF("term", "idf_fp")
+    val qtDf = qtRows.toDF("qid", "term")
+
+    val num = lit(22L) * col("tf") * lit(tTokens)
+    val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
+      lit(9L) * col("len") * lit(nDocs)
+    val scored = postings
+      .join(broadcast(idfDf), Seq("term"))
+      .join(broadcast(qtDf), Seq("term"))
+      .withColumn("contrib_fp",
+        graft.functions.MulDivFloor.column(col("idf_fp"), num, den))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+
+    // bounded-heap per-query cut; score_fp < 2^53 so the double
+    // round-trip through the heap is exact
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topKBy(
+        col("score_fp").cast(DoubleType), col("doc"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("doc"),
+        col("hit.score").cast(LongType).as("score_fp"),
+        (col("pos") + 1).cast(IntegerType).as("rk"))
+  }
+}

@@ -2345,6 +2345,17 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Okapi BM25 batch retrieval: one postings scan (doc length
+    // carried through the agg — no corpus-side length join),
+    // driver-computed exact fixed-point idf broadcast back,
+    // order-free integer score sum, bounded-heap per-query top-k
+    "bm25_topk" -> ((s, d) =>
+      graft.pipeline.Bm25.topK(s, tbl(s, d, "documents"), "text",
+          "doc_id",
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2595,6 +2606,9 @@ object Queries {
 
     "corpus_split_stratified" ->
       s"SELECT doc, stratum, u, split FROM '$pipeGold/corpus_split_stratified.parquet' ORDER BY doc",
+
+    "bm25_topk" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

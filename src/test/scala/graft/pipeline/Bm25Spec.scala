@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 contracts: the exact fixed-point score replays a hand-built
+  * arithmetic mirror; rarer terms out-score common ones; results are
+  * partition-invariant; k bounds the per-query rows; and the
+  * MulDivFloor kernel survives the >2^63 product path.
+  */
+class Bm25Spec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "hash join fast"),
+      (1L, "hash hash hash table"),
+      (2L, "merge sort slow"),
+      (3L, "join scan join filter"),
+      (4L, "table scan fast fast")
+    ).toDF("doc_id", "text")
+  }
+
+  test("score replays the exact integer mirror") {
+    val out = Bm25.topK(spark, corpus, "text", "doc_id",
+        Seq(0L -> "hash join"), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // mirror: N=5, T=3+4+3+4+4=18; df(hash)=2, df(join)=2
+    val n = 5L; val t = 18L
+    val idf = LmQuality.log2fix(BigInt(2 * n + 2), BigInt(2 * 2 + 1))
+    def contrib(tf: Long, len: Long): Long =
+      (BigInt(idf) * BigInt(22 * tf * t) /
+        BigInt(10 * t * tf + 3 * t + 9 * len * n)).toLong
+    val expect = Map(
+      0L -> (contrib(1, 3) + contrib(1, 3)), // hash + join
+      1L -> contrib(3, 4),                   // hash x3
+      3L -> contrib(2, 4))                   // join x2
+    assert(out == expect)
+  }
+
+  test("a rarer term out-scores a common one at equal tf and length") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "rare pad pad"), (1L, "common pad pad"), (2L, "common x y"),
+      (3L, "common y z"), (4L, "z q w")
+    ).toDF("doc_id", "text")
+    val out = Bm25.topK(spark, df, "text", "doc_id",
+        Seq(0L -> "rare", 1L -> "common"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) > out(1L),
+      s"rare-term hit ${out(0L)} must out-score common-term hit ${out(1L)}")
+  }
+
+  test("partition-invariant and k-bounded") {
+    val q = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val a = Bm25.topK(spark, corpus, "text", "doc_id", q, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(x => (x._1, x._4))
+    val b = Bm25.topK(spark, corpus.repartition(7), "text", "doc_id", q, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(x => (x._1, x._4))
+    assert(a.toSeq == b.toSeq)
+    assert(a.count(_._1 == 0L) <= 2 && a.count(_._1 == 1L) <= 2)
+    // ranks are 1-based and consecutive within a query
+    assert(a.filter(_._1 == 0L).map(_._4).toSeq == (1 to a.count(_._1 == 0L)))
+  }
+
+  test("MulDivFloor: long fast path and BigInt overflow path agree") {
+    import graft.functions.MulDivFloor
+    assert(MulDivFloor.evalExact(7L, 9L, 2L) == 31L)
+    // a*b overflows a long: (2^40)·(2^40) / 2^50 = 2^30
+    assert(MulDivFloor.evalExact(1L << 40, 1L << 40, 1L << 50) == (1L << 30))
+    val big = Long.MaxValue / 2
+    assert(MulDivFloor.evalExact(big, 4L, 8L) ==
+      (BigInt(big) * 4 / 8).toLong)
+    intercept[IllegalArgumentException] { MulDivFloor.evalExact(-1L, 1L, 1L) }
+    intercept[IllegalArgumentException] { MulDivFloor.evalExact(1L, 1L, 0L) }
+  }
+}

@@ -1399,6 +1399,58 @@ def gen_corpus_split_stratified(docs, fractions=None, seed=42):
            "split": "VARCHAR"})
 
 
+BM25_QUERIES = [(0, "hash join"), (1, "fast table scan"),
+                (2, "merge sort window")]
+
+
+def gen_bm25_topk(docs, queries=None, k=10):
+    """Mirror of graft.pipeline.Bm25.topK: exact fixed-point BM25.
+    idf_fp = lm_log2fix(2N+2, 2df+1); tf factor with k1=6/5, b=3/4,
+    avgdl=T/N as the exact rational 22·tf·T / (10·T·tf + 3·T +
+    9·len·N); contribution = floor(idf_fp·num/den); integer score sum;
+    top-k by (score desc, doc asc)."""
+    queries = queries or BM25_QUERIES
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    lens = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(toks)
+    t_tokens = sum(lens.values())
+    terms = []
+    for _, q in queries:
+        for t in q.split(" "):
+            if t not in terms:
+                terms.append(t)
+    tf = {}  # (term, doc) -> count
+    df = {t: 0 for t in terms}
+    tset = set(terms)
+    for d, ws in toks.items():
+        seen = set()
+        for w in ws:
+            if w in tset:
+                tf[(w, d)] = tf.get((w, d), 0) + 1
+                seen.add(w)
+        for w in seen:
+            df[w] += 1
+    idf = {t: lm_log2fix(2 * n_docs + 2, 2 * df[t] + 1) for t in terms}
+    rows = []
+    for qid, q in queries:
+        qts = list(dict.fromkeys(q.split(" ")))
+        scores = {}
+        for t in qts:
+            for (tt, d), f in tf.items():
+                if tt != t:
+                    continue
+                num = 22 * f * t_tokens
+                den = 10 * t_tokens * f + 3 * t_tokens + 9 * lens[d] * n_docs
+                scores[d] = scores.get(d, 0) + (idf[t] * num) // den
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rk, (d, s) in enumerate(top, 1):
+            rows.append((int(qid), d, s, rk))
+    write("bm25_topk",
+          pd.DataFrame(rows, columns=["qid", "doc", "score_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "score_fp": "BIGINT",
+           "rk": "INT"})
+
+
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
                  hier=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
@@ -1460,6 +1512,8 @@ def main():
         gen_corpus_split_assign(docs)
     if want("corpus_split_stratified"):
         gen_corpus_split_stratified(docs)
+    if want("bm25_topk"):
+        gen_bm25_topk(docs)
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
