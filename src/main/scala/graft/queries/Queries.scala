@@ -2356,6 +2356,22 @@ object Queries {
             2L -> "merge sort window"), k = 10)
         .orderBy(col("qid"), col("rk"))),
 
+    // hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009)
+    // of the BM25 lexical list and the dense cosine list — only ranks
+    // cross the fusion boundary (no score calibration), fused score =
+    // exact integer floor(2^20/(60+rk)) sum, bounded-heap cut
+    "hybrid_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      graft.pipeline.Hybrid.hybridTopK(s, tbl(s, d, "documents"),
+          "text", "doc_id", emb, "vec_id", "embedding",
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          kCand = 20, k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2609,6 +2625,9 @@ object Queries {
 
     "bm25_topk" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
+    "hybrid_topk" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

@@ -474,6 +474,57 @@ object ScaleCurve {
       }
       fitK8(dts, "dsir_select")
     }
+
+    // ---- r8 late newcomers: NB classifier, stratified split, BM25,
+    // URL blocklist — corpus grows, models/queries/blocklist fixed ----
+    if (want("r8new2")) {
+      import graft.pipeline.{Bm25, Classify, Split, UrlFilter}
+      def fitK8(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      val runs: Seq[(String, DataFrame => Long)] = Seq(
+        "nb_classifier" -> { d =>
+          val m = Classify.fit(d, col("doc_id") % 2 === 0, "text",
+            buckets = 512)
+          Classify.selectTopK(d, "text", "doc_id", m, k = 100).count()
+        },
+        "split_stratified" -> { d =>
+          Split.splitStratified(spark,
+            d.withColumn("stratum", (col("doc_id") % 20).cast("string")),
+            "doc_id", "stratum",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42L).count()
+        },
+        "bm25_topk" -> { d =>
+          Bm25.topK(spark, d, "text", "doc_id",
+            Seq(0L -> "hash join", 1L -> "fast table scan",
+              2L -> "merge sort window"), k = 10).count()
+        },
+        "url_blocklist" -> { d =>
+          UrlFilter.flagBlockedUrls(
+            d.withColumn("url", concat(lit("https://h"),
+              col("doc_id") % 97, lit(".example.com/d"))), "url",
+            Seq("h13.example.com", "h31.example.com"))
+            .agg(count_if(col("blocked"))).head()
+          1L
+        })
+      for ((label, run) <- runs) {
+        run(spark.read.parquet(scaleDirs.head._2)) // warm-up
+        val ts = scaleDirs.map { case (m, path) =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          val d = spark.read.parquet(path)
+          val n = d.count()
+          val t0 = System.nanoTime()
+          val rows = run(d)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"$label%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+          (m, sec)
+        }
+        fitK8(ts, label)
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** RRF fusion contracts: the fused score replays the exact integer
+  * mirror; a doc ranked by both lists beats single-list docs; k
+  * bounds output; fusion is partition-invariant; and the e2e hybrid
+  * path (BM25 + cosine) runs and favors the both-retrievers doc.
+  */
+class HybridSpec extends SparkTestBase {
+
+  private def fp(rk: Int): Long = (1L << 20) / (60L + rk)
+
+  test("rrfFuse replays the exact integer mirror") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("qid", "doc", "rk")
+    val dense = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("qid", "doc", "rk")
+    val out = Hybrid.rrfFuse(Seq(lex, dense), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    val expect = Seq(
+      (11L, fp(2) + fp(1), 1), // in both lists
+      (10L, fp(1), 2),
+      (13L, fp(2), 3),
+      (12L, fp(3), 4))
+    assert(out.toSeq == expect)
+  }
+
+  test("ties break by doc id; k bounds the output") {
+    import spark.implicits._
+    val a = Seq((0L, 5L, 1), (0L, 9L, 1), (0L, 3L, 1)).toDF("qid", "doc", "rk")
+    val out = Hybrid.rrfFuse(Seq(a), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((3L, 1), (5L, 2)))
+  }
+
+  test("fusion is partition-invariant") {
+    import spark.implicits._
+    val lex = (0L until 50L).map(i => (i % 3, i, (i / 3 + 1).toInt))
+      .toDF("qid", "doc", "rk")
+    val dense = (0L until 50L).map(i => (i % 3, (i * 7) % 50, (i / 3 + 1).toInt))
+      .toDF("qid", "doc", "rk")
+    def run(l: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      Hybrid.rrfFuse(Seq(l, d), 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._4))
+    assert(run(lex, dense).toSeq ==
+      run(lex.repartition(7), dense.repartition(5)).toSeq)
+  }
+
+  test("e2e hybrid: the both-retrievers doc wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hash join fast"), (1L, "merge sort"), (2L, "scan filter"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qv = Seq((0L, Array(1.0f, 0.05f))).toDF("qid", "vec")
+    val out = Hybrid.hybridTopK(spark, docs, "text", "doc_id", emb,
+        "vec_id", "embedding", Seq(0L -> "hash join"), qv,
+        kCand = 3, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // doc 0 is BM25 rank 1 AND cosine rank 1 -> must fuse first
+    assert(out.head == (0L, 1))
+  }
+}

@@ -1403,13 +1403,9 @@ BM25_QUERIES = [(0, "hash join"), (1, "fast table scan"),
                 (2, "merge sort window")]
 
 
-def gen_bm25_topk(docs, queries=None, k=10):
-    """Mirror of graft.pipeline.Bm25.topK: exact fixed-point BM25.
-    idf_fp = lm_log2fix(2N+2, 2df+1); tf factor with k1=6/5, b=3/4,
-    avgdl=T/N as the exact rational 22·tf·T / (10·T·tf + 3·T +
-    9·len·N); contribution = floor(idf_fp·num/den); integer score sum;
-    top-k by (score desc, doc asc)."""
-    queries = queries or BM25_QUERIES
+def bm25_rank_lists(docs, queries, k):
+    """Exact fixed-point BM25 ranked lists (see gen_bm25_topk):
+    {qid: [(doc, score_fp)] top-k by (score desc, doc asc)}."""
     toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
     lens = {d: len(ws) for d, ws in toks.items()}
     n_docs = len(toks)
@@ -1431,7 +1427,7 @@ def gen_bm25_topk(docs, queries=None, k=10):
         for w in seen:
             df[w] += 1
     idf = {t: lm_log2fix(2 * n_docs + 2, 2 * df[t] + 1) for t in terms}
-    rows = []
+    out = {}
     for qid, q in queries:
         qts = list(dict.fromkeys(q.split(" ")))
         scores = {}
@@ -1442,12 +1438,54 @@ def gen_bm25_topk(docs, queries=None, k=10):
                 num = 22 * f * t_tokens
                 den = 10 * t_tokens * f + 3 * t_tokens + 9 * lens[d] * n_docs
                 scores[d] = scores.get(d, 0) + (idf[t] * num) // den
-        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        for rk, (d, s) in enumerate(top, 1):
+        out[int(qid)] = sorted(scores.items(),
+                               key=lambda kv: (-kv[1], kv[0]))[:k]
+    return out
+
+
+def gen_bm25_topk(docs, queries=None, k=10):
+    """Mirror of graft.pipeline.Bm25.topK: exact fixed-point BM25.
+    idf_fp = lm_log2fix(2N+2, 2df+1); tf factor with k1=6/5, b=3/4,
+    avgdl=T/N as the exact rational 22·tf·T / (10·T·tf + 3·T +
+    9·len·N); contribution = floor(idf_fp·num/den); integer score sum;
+    top-k by (score desc, doc asc)."""
+    queries = queries or BM25_QUERIES
+    lists = bm25_rank_lists(docs, queries, k)
+    rows = []
+    for qid, q in queries:
+        for rk, (d, s) in enumerate(lists[int(qid)], 1):
             rows.append((int(qid), d, s, rk))
     write("bm25_topk",
           pd.DataFrame(rows, columns=["qid", "doc", "score_fp", "rk"]),
           {"qid": "BIGINT", "doc": "BIGINT", "score_fp": "BIGINT",
+           "rk": "INT"})
+
+
+def gen_hybrid_topk(docs, emb, queries=None, k_cand=20, k=10):
+    """Mirror of graft.pipeline.Hybrid.hybridTopK: BM25 top-k_cand +
+    brute-force cosine top-k_cand (sim desc, nid asc; self kept),
+    RRF-fused with integer contributions floor(2^20/(60+rk)), top-k
+    by (fused desc, doc asc)."""
+    queries = queries or BM25_QUERIES
+    lex = bm25_rank_lists(docs, queries, k_cand)
+    vecs = dict(emb)
+    rows = []
+    for qid, _ in queries:
+        qv = vecs[int(qid)]
+        sims = sorted(((cosine_sim_d(v, qv), -i) for i, v in emb),
+                      reverse=True)[:k_cand]
+        fused = {}
+        for rk, (d, _) in enumerate(lex[int(qid)], 1):
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        for rk, (_, negi) in enumerate(sims, 1):
+            d = -negi
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rk, (d, s) in enumerate(top, 1):
+            rows.append((int(qid), d, s, rk))
+    write("hybrid_topk",
+          pd.DataFrame(rows, columns=["qid", "doc", "rrf_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "rrf_fp": "BIGINT",
            "rk": "INT"})
 
 
@@ -1514,6 +1552,8 @@ def main():
         gen_corpus_split_stratified(docs)
     if want("bm25_topk"):
         gen_bm25_topk(docs)
+    if want("hybrid_topk"):
+        gen_hybrid_topk(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
