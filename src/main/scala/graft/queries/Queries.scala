@@ -2372,6 +2372,15 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // exact top-k frequent terms via the two-pass heavy-hitters
+    // design: Misra-Gries bounded-state candidate sketch (shuffle =
+    // capacity counters per partition, not the vocabulary), then an
+    // exact filtered re-count of the <= capacity candidates — output
+    // is exact, so plain SQL oracles it
+    "corpus_top_terms" -> ((s, d) =>
+      graft.pipeline.HeavyHitters.topTerms(s,
+        tbl(s, d, "documents"), "text", k = 30, capacity = 512)),
+
     // exact substring (duplicate-span) detection, Lee et al. 2022:
     // maximal token spans whose w-token windows all repeat corpus-wide
     // — over the real documents table (near/exact dup docs exist at
@@ -2601,6 +2610,14 @@ object Queries {
 
     "nb_classifier_select" ->
       s"SELECT doc, n_feats, logodds_fp, pred FROM '$pipeGold/nb_classifier_select.parquet' ORDER BY logodds_fp DESC, doc",
+
+    // Direct SQL oracle: the two-pass output is EXACT top-k, so plain
+    // explode + group + order replays it (same tie-break).
+    "corpus_top_terms" ->
+      """SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |      FROM documents) t
+        |GROUP BY t.term ORDER BY cnt DESC, t.term LIMIT 30""".stripMargin,
 
     // Direct SQL oracle: the same derived host, suffix semantics as
     // EXISTS(exact-or-dot-suffix) over the same 3-entry blocklist.
