@@ -86,6 +86,44 @@ object Mix {
     * bumping the seed. (A training pipeline wants exactly this before
     * sequence packing: mixture-independent, reproducible order.)
     */
+  /** Temperature-scaled stratum re-weighting — the mT5/XLM-R
+    * multilingual sampling recipe (Xue et al. 2021 §3.1; Conneau et
+    * al. 2020 α-sampling): target share q_s ∝ p_s^(1/τ), so τ = 1
+    * keeps the natural distribution and larger τ flattens it toward
+    * uniform (up-sampling low-resource strata, down-sampling the
+    * head). Per-row multiplicity w_s = (q_s/p_s) normalized to keep
+    * the expected corpus size: w_s = (r_s/Z)·N/n_s with
+    * r_s = p_s^(1/τ), Z = Σ r_s.
+    *
+    * Scale shape: ONE pruned count aggregation over the stratum
+    * column (driver state = #strata, the usual lang/source
+    * cardinality), then the map-side [[byWeight]] pass — no further
+    * shuffle. Determinism: the weight table is computed driver-side
+    * with a FIXED fold order (strata sorted) and, for τ = 2, the
+    * correctly-rounded `sqrt` (IEEE-exact in every engine — the
+    * oracle fixture pins τ = 2; general τ goes through `pow`, which
+    * is 1-ulp across platforms and therefore spec-covered, not
+    * oracle-hashed).
+    */
+  def byTemperature(df: DataFrame, idCol: String, stratumCol: String,
+                    tau: Double, seed: Long = 42L): DataFrame = {
+    require(tau > 0.0, "temperature must be positive")
+    val counts = df.groupBy(col(stratumCol).cast("string").as("s"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!counts.contains(null),
+      "byTemperature: stratum column must be non-null")
+    val n = counts.values.sum.toDouble
+    val strata = counts.keys.toSeq.sorted
+    def root(p: Double): Double =
+      if (tau == 2.0) math.sqrt(p) else math.pow(p, 1.0 / tau)
+    val rs = strata.map(s => s -> root(counts(s).toDouble / n))
+    val z = rs.map(_._2).sum // fixed fold order: sorted strata
+    val weights = rs.map { case (s, r) =>
+      s -> ((r / z) * n / counts(s).toDouble)
+    }.toMap
+    byWeight(df, idCol, stratumCol, weights, defaultWeight = 1.0, seed)
+  }
+
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
     df.withColumn("skey",
         graft.functions.HashFunctions.splitmix64(

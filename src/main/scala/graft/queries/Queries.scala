@@ -2372,6 +2372,17 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // temperature-scaled multilingual mixing (mT5/XLM-R alpha
+    // sampling): one pruned stratum-count agg -> driver weight table
+    // (sorted fold, sqrt at tau=2 for cross-engine IEEE exactness) ->
+    // the zero-shuffle byWeight map pass
+    "corpus_mix_temperature" -> ((s, d) =>
+      graft.pipeline.Mix.byTemperature(
+          tbl(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", tau = 2.0, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // exact top-k frequent terms via the two-pass heavy-hitters
     // design: Misra-Gries bounded-state candidate sketch (shuffle =
     // capacity counters per partition, not the vocabulary), then an
@@ -2645,6 +2656,9 @@ object Queries {
 
     "hybrid_topk" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    "corpus_mix_temperature" ->
+      s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix_temperature.parquet' ORDER BY doc_id, copy",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

@@ -71,6 +71,38 @@ class MixPiiSpec extends SparkTestBase {
     assert(zhCopies.values.forall(cs => cs.length == 2 || cs.length == 3))
   }
 
+  test("byTemperature: tau=1 is identity; tau=2 flattens toward uniform") {
+    import spark.implicits._
+    // head stratum a (300 rows) vs tail stratum b (30)
+    val df = ((0L until 300L).map((_, "a")) ++ (300L until 330L).map((_, "b")))
+      .toDF("doc_id", "lang")
+    val id = Mix.byTemperature(df, "doc_id", "lang", tau = 1.0)
+    assert(id.count() == 330L &&
+      id.agg(max(col("copy"))).head().getLong(0) == 0L,
+      "tau=1 must reproduce every row exactly once")
+    val flat = Mix.byTemperature(df, "doc_id", "lang", tau = 2.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected: w_a < 1 (downsample head), w_b > 1 (upsample tail);
+    // corpus size preserved in expectation
+    assert(flat("a") < 300L, s"head must shrink, got ${flat("a")}")
+    assert(flat("b") > 30L, s"tail must grow, got ${flat("b")}")
+    val total = flat.values.sum
+    assert(math.abs(total - 330L) < 40L,
+      s"expected-size preservation, got $total")
+  }
+
+  test("byTemperature is deterministic and partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 4 == 0) "x" else "y"))
+      .toDF("doc_id", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mix.byTemperature(d, "doc_id", "lang", tau = 2.0)
+        .select("doc_id", "copy").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(run(df).toSeq == run(df.repartition(7)).toSeq)
+  }
+
   test("byWeight: one stratum's weight never perturbs another's sample") {
     val base = Mix.byWeight(mixInput(), "id", "lang", Map("en" -> 0.5),
       defaultWeight = 1.0, seed = 7L)

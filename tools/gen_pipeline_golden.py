@@ -1211,6 +1211,31 @@ def gen_corpus_mix(docs, seed=42,
           {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
 
 
+def gen_corpus_mix_temperature(docs, tau=2.0, seed=42):
+    """Mirror of graft.pipeline.Mix.byTemperature: per-lang counts,
+    r_s = sqrt(n_s/N) (tau=2 -> correctly-rounded sqrt), Z = sum of
+    r_s in SORTED stratum order, w_s = (r_s/Z)*N/n_s (same IEEE op
+    order), then the byWeight copies rule."""
+    counts = docs.groupby("lang").size().to_dict()
+    n = float(sum(counts.values()))
+    strata = sorted(counts)
+    rs = {s: math.sqrt(counts[s] / n) for s in strata}
+    z = 0.0
+    for s in strata:
+        z = z + rs[s]
+    weights = {s: (rs[s] / z * n) / float(counts[s]) for s in strata}
+    rows = []
+    for r in docs.itertuples():
+        w = weights[r.lang]
+        u = (splitmix64((r.doc_id + seed) & M64) >> 11) / float(1 << 53)
+        copies = math.floor(w) + (1 if u < (w - math.floor(w)) else 0)
+        for c in range(int(copies)):
+            rows.append((int(r.doc_id), r.lang, c))
+    write("corpus_mix_temperature",
+          pd.DataFrame(rows, columns=["doc_id", "lang", "copy"]),
+          {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
+
+
 def gen_corpus_shuffle(docs, seed=42):
     """Mirror of graft.pipeline.Mix.shuffleOrder: skey =
     splitmix64(doc_id + seed) as SIGNED 64-bit, rows ordered by
@@ -1540,6 +1565,8 @@ def main():
         gen_minhash_pairs(docs)
     if want("corpus_mix"):
         gen_corpus_mix(docs)
+    if want("corpus_mix_temperature"):
+        gen_corpus_mix_temperature(docs)
     if want("corpus_shuffle"):
         gen_corpus_shuffle(docs)
     if want("dsir_select"):
