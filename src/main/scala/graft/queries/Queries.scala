@@ -2147,6 +2147,14 @@ object Queries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "stream_top_terms" -> ((s, d) =>
+      // the MisraGries aggregate unchanged inside a streaming
+      // Complete-mode aggregation: state store checkpoints the
+      // serialized partial buffer between micro-batches; weights are
+      // exact here (vocab << capacity), so plain SQL oracles it
+      graft.streaming.StreamingTopTerms.summarize(s, d, capacity = 512)
+        .orderBy(col("cnt").desc, col("term")).limit(30)),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -2625,6 +2633,14 @@ object Queries {
     // Direct SQL oracle: the two-pass output is EXACT top-k, so plain
     // explode + group + order replays it (same tie-break).
     "corpus_top_terms" ->
+      """SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |      FROM documents) t
+        |GROUP BY t.term ORDER BY cnt DESC, t.term LIMIT 30""".stripMargin,
+
+    // streaming MG over a static source run to completion: weights
+    // are exact counts (vocab << capacity), so the same SQL applies
+    "stream_top_terms" ->
       """SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term
         |      FROM documents) t

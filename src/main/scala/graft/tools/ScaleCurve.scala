@@ -508,6 +508,15 @@ object ScaleCurve {
             Seq("h13.example.com", "h31.example.com"))
             .agg(count_if(col("blocked"))).head()
           1L
+        },
+        "top_terms" -> { d =>
+          graft.pipeline.HeavyHitters.topTerms(spark, d, "text",
+            k = 30, capacity = 512).count()
+        },
+        "mix_temperature" -> { d =>
+          graft.pipeline.Mix.byTemperature(
+            d.withColumn("lang", (col("doc_id") % 7).cast("string")),
+            "doc_id", "lang", tau = 2.0).count()
         })
       for ((label, run) <- runs) {
         run(spark.read.parquet(scaleDirs.head._2)) // warm-up

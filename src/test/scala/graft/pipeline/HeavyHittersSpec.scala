@@ -65,6 +65,20 @@ class HeavyHittersSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Complete-mode MG equals the batch counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hh_stream")
+    corpus(Seq("a a b c", "b a d", "d d d e"))
+      .write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    // summarize stages dir/documents.parquet itself; here the staged
+    // copy IS a parquet dir, which the planner reads identically
+    val got = graft.streaming.StreamingTopTerms
+      .summarize(spark, dir.toString, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 4L, "e" -> 1L))
+  }
+
   test("serialize/deserialize round-trips a partial buffer") {
     val agg = graft.functions.MisraGries(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
