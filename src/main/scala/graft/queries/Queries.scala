@@ -2380,6 +2380,24 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // BPE tokenizer training (Sennrich et al. 2016): one distributed
+    // word-count agg feeds the driver merge loop over the bounded
+    // vocabulary — the learned merge table is the exported artifact
+    "bpe_train" -> ((s, d) =>
+      graft.pipeline.Bpe.trainTable(s, tbl(s, d, "documents"), "text",
+          numMerges = 60)
+        .orderBy(col("rank"))),
+
+    // encoding under the trained model: broadcast-model codegen map
+    // pass, per-doc BPE token count
+    "bpe_token_count" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val m = graft.pipeline.Bpe.train(docs, "text", numMerges = 60)
+      docs.select(col("doc_id"),
+          graft.pipeline.Bpe.bpeTokenCount(col("text"), m).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled multilingual mixing (mT5/XLM-R alpha
     // sampling): one pruned stratum-count agg -> driver weight table
     // (sorted fold, sqrt at tau=2 for cross-engine IEEE exactness) ->
@@ -2675,6 +2693,12 @@ object Queries {
 
     "corpus_mix_temperature" ->
       s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix_temperature.parquet' ORDER BY doc_id, copy",
+
+    "bpe_train" ->
+      s"""SELECT "rank", "left", "right", pair_count FROM '$pipeGold/bpe_train.parquet' ORDER BY "rank"""",
+
+    "bpe_token_count" ->
+      s"SELECT doc_id, n_bpe FROM '$pipeGold/bpe_token_count.parquet' ORDER BY doc_id",
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",

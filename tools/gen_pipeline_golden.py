@@ -1236,6 +1236,82 @@ def gen_corpus_mix_temperature(docs, tau=2.0, seed=42):
           {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
 
 
+def bpe_merge_all(s, l, r):
+    """Merge all non-overlapping (l, r) occurrences, left to right."""
+    out, i = [], 0
+    while i < len(s):
+        if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def bpe_train_from_counts(word_counts, num_merges, min_pair_count=2):
+    """Mirror of graft.pipeline.Bpe.trainFromCounts: classic Sennrich
+    merge loop over the word-frequency table — max pair count,
+    lexicographic (left, right) tie-break, non-overlapping
+    left-to-right merges."""
+    vocab = [(list(w) + ["</w>"], c) for w, c in sorted(word_counts.items())]
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for s, c in vocab:
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, l, r, cnt))
+        vocab = [(bpe_merge_all(s, l, r), c) for s, c in vocab]
+    return merges
+
+
+def bpe_encode_word(word, ranks):
+    """Mirror of Bpe.encodeWord: merge the lowest-rank adjacent pair
+    until none remains."""
+    s = list(word) + ["</w>"]
+    while len(s) > 1:
+        best, bl, br = None, None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bl, br = r, s[i], s[i + 1]
+        if best is None:
+            break
+        s = bpe_merge_all(s, bl, br)
+    return s
+
+
+def gen_bpe(docs, num_merges=60):
+    """Mirrors of bpe_train (merge table) and bpe_token_count
+    (per-doc encoded length under the learned merges)."""
+    wc = {}
+    for r in docs.itertuples():
+        for w in r.text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    merges = bpe_train_from_counts(wc, num_merges)
+    write("bpe_train",
+          pd.DataFrame(merges, columns=["rank", "left", "right",
+                                        "pair_count"]),
+          {"rank": "INT", "left": "VARCHAR", "right": "VARCHAR",
+           "pair_count": "BIGINT"})
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    rows = []
+    for r in docs.itertuples():
+        n = sum(len(bpe_encode_word(w, ranks))
+                for w in r.text.split(" "))
+        rows.append((int(r.doc_id), n))
+    write("bpe_token_count",
+          pd.DataFrame(rows, columns=["doc_id", "n_bpe"]),
+          {"doc_id": "BIGINT", "n_bpe": "BIGINT"})
+
+
 def gen_corpus_shuffle(docs, seed=42):
     """Mirror of graft.pipeline.Mix.shuffleOrder: skey =
     splitmix64(doc_id + seed) as SIGNED 64-bit, rows ordered by
@@ -1567,6 +1643,8 @@ def main():
         gen_corpus_mix(docs)
     if want("corpus_mix_temperature"):
         gen_corpus_mix_temperature(docs)
+    if want("bpe_train") or want("bpe_token_count"):
+        gen_bpe(docs)
     if want("corpus_shuffle"):
         gen_corpus_shuffle(docs)
     if want("dsir_select"):
