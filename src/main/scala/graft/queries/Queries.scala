@@ -2380,6 +2380,38 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // flagship composition of the round-8 families — the curation
+    // recipe a web corpus actually runs: URL blocklist (codegen
+    // suffix-set probe) -> NB quality gate (Bayes-positive under the
+    // prior-calibrated exact log-odds) -> exact fingerprint dedup
+    // (min-id per md5 group) -> temperature-flattened mixing; every
+    // stage map-side or bounded-key, mirrored stage-by-stage by the
+    // Python golden
+    "corpus_curation_v2" -> ((s, d) => {
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src1.example.com")
+      val docs = tbl(s, d, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 2 === 1, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/doc/"), col("doc_id")))
+      val kept = graft.pipeline.UrlFilter.dropBlockedUrls(docs, "url", bl)
+        .localCheckpoint(true) // classifier fit + score reuse it 3x
+      val m = graft.pipeline.Classify.fit(
+        kept, col("lang").isin("en", "de"), "text", buckets = 512)
+      val classified = kept.where(
+        graft.pipeline.Classify.nbLogOdds(col("text"), m)
+          .getField("_2") >= 0L)
+      val withFp = classified.withColumn("fp",
+        graft.pipeline.TextAnalysis.fingerprint(col("text")))
+      val minIds = withFp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+      graft.pipeline.Mix.byTemperature(
+          deduped.select("doc_id", "lang"), "doc_id", "lang", tau = 2.0)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // BPE tokenizer training (Sennrich et al. 2016): one distributed
     // word-count agg feeds the driver merge loop over the bounded
     // vocabulary — the learned merge table is the exported artifact
@@ -2696,6 +2728,9 @@ object Queries {
 
     "bpe_train" ->
       s"""SELECT "rank", "left", "right", pair_count FROM '$pipeGold/bpe_train.parquet' ORDER BY "rank"""",
+
+    "corpus_curation_v2" ->
+      s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_curation_v2.parquet' ORDER BY doc_id, copy",
 
     "bpe_token_count" ->
       s"SELECT doc_id, n_bpe FROM '$pipeGold/bpe_token_count.parquet' ORDER BY doc_id",

@@ -1312,6 +1312,92 @@ def gen_bpe(docs, num_merges=60):
           {"doc_id": "BIGINT", "n_bpe": "BIGINT"})
 
 
+def gen_corpus_curation_v2(docs, buckets=512, tau=2.0, seed=42):
+    """Mirror of the corpus_curation_v2 chain: URL blocklist (host =
+    optional 'cdn.' + source + '.example.com', suffix semantics) ->
+    NB Bayes-positive gate (fit on the kept docs, label lang in
+    (en, de), exact fixed-point log-odds >= 0) -> exact fingerprint
+    dedup (min doc_id per md5 of lower(strip(squeeze(text)))) ->
+    byTemperature mixing (tau=2, sqrt weights, sorted fold)."""
+    import hashlib
+    bl = ["src3.example.com", "src7.example.com", "cdn.src1.example.com"]
+
+    def blocked(host):
+        return any(host == e or host.endswith("." + e) for e in bl)
+
+    kept = [r for r in docs.itertuples()
+            if not blocked((("cdn." if r.doc_id % 2 == 1 else "") +
+                            r.source + ".example.com"))]
+
+    # NB fit over kept docs (same machinery as nb_classifier_select)
+    def feats(text):
+        return (rolling_shingle_hashes(text, 1) +
+                rolling_shingle_hashes(text, 2))
+    pc = [0] * buckets
+    nc = [0] * buckets
+    pos_docs = neg_docs = 0
+    fx = {}
+    for r in kept:
+        bs = [s64(h) % buckets for h in feats(r.text)]
+        fx[int(r.doc_id)] = bs
+        if r.lang in ("en", "de"):
+            pos_docs += 1
+            for b in bs:
+                pc[b] += 1
+        else:
+            neg_docs += 1
+            for b in bs:
+                nc[b] += 1
+    pden = sum(pc) + buckets
+    nden = sum(nc) + buckets
+    survivors = []
+    for r in kept:
+        bs = fx[int(r.doc_id)]
+        num = pos_docs + 1
+        den = neg_docs + 1
+        for b in bs:
+            num *= pc[b] + 1
+            den *= nc[b] + 1
+        if bs:
+            num *= nden ** len(bs)
+            den *= pden ** len(bs)
+        fp = lm_log2fix(num, den) if num >= den else -lm_log2fix(den, num)
+        if fp >= 0:
+            survivors.append(r)
+
+    # exact fingerprint dedup: min doc_id per md5 group (Java \s is
+    # ASCII-only -> re.ASCII)
+    best = {}
+    for r in survivors:
+        norm = re.sub(r"\s+", " ", r.text, flags=re.ASCII).strip().lower()
+        h = hashlib.md5(norm.encode("utf-8")).hexdigest()
+        if h not in best or r.doc_id < best[h].doc_id:
+            best[h] = r
+    deduped = sorted(best.values(), key=lambda r: r.doc_id)
+
+    # temperature mixing over the survivor strata
+    counts = {}
+    for r in deduped:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    n = float(sum(counts.values()))
+    strata = sorted(counts)
+    rs = {s: math.sqrt(counts[s] / n) for s in strata}
+    z = 0.0
+    for s in strata:
+        z = z + rs[s]
+    weights = {s: (rs[s] / z * n) / float(counts[s]) for s in strata}
+    rows = []
+    for r in deduped:
+        w = weights[r.lang]
+        u = (splitmix64((r.doc_id + seed) & M64) >> 11) / float(1 << 53)
+        copies = math.floor(w) + (1 if u < (w - math.floor(w)) else 0)
+        for c in range(int(copies)):
+            rows.append((int(r.doc_id), r.lang, c))
+    write("corpus_curation_v2",
+          pd.DataFrame(rows, columns=["doc_id", "lang", "copy"]),
+          {"doc_id": "BIGINT", "lang": "VARCHAR", "copy": "BIGINT"})
+
+
 def gen_corpus_shuffle(docs, seed=42):
     """Mirror of graft.pipeline.Mix.shuffleOrder: skey =
     splitmix64(doc_id + seed) as SIGNED 64-bit, rows ordered by
@@ -1645,6 +1731,8 @@ def main():
         gen_corpus_mix_temperature(docs)
     if want("bpe_train") or want("bpe_token_count"):
         gen_bpe(docs)
+    if want("corpus_curation_v2"):
+        gen_corpus_curation_v2(docs)
     if want("corpus_shuffle"):
         gen_corpus_shuffle(docs)
     if want("dsir_select"):
