@@ -60,6 +60,17 @@ class BpeSpec extends SparkTestBase {
     assert(viaSpark.merges.toSeq == viaKernel)
   }
 
+  test("trainCapped equals full train when the vocab fits the cap") {
+    import spark.implicits._
+    val df = Seq("low low newest", "newest widest low", "lower newest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = Bpe.train(df, "text", numMerges = 6)
+    val capped = Bpe.trainCapped(spark, df, "text", numMerges = 6,
+      maxVocab = 16)
+    assert(capped.merges.toSeq == full.merges.toSeq)
+  }
+
   test("codegen'd count expression agrees with the kernel") {
     import spark.implicits._
     val df = Seq((0L, "low lower newest"), (1L, ""), (2L, "zq low"))
