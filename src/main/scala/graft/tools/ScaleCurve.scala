@@ -533,6 +533,42 @@ object ScaleCurve {
         }
         fitK8(ts, label)
       }
+
+      // the MG claim, measured: shuffle volume of the bounded-state
+      // sketch vs the naive groupBy(term).count, on a HIGH-cardinality
+      // term universe (corpus token × doc-id bucket — the fixture
+      // vocabulary alone is only ~31 words, too small to show the
+      // effect the sketch exists for)
+      {
+        val d = spark.read.parquet(scaleDirs.last._2)
+        def shuffleStats(df: DataFrame): (Long, Long) = {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val qe = df.queryExecution
+          qe.executedPlan.execute().count()
+          // AQE replaces Exchange nodes with materialized query
+          // stages — walk through both wrappers to the real exchanges
+          def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case s: QueryStageExec => s +: walk(s.plan)
+            case other => other +: other.children.flatMap(walk)
+          }
+          val ex = walk(qe.executedPlan).collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }
+          (ex.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum,
+            ex.map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum)
+        }
+        val terms = d.select(col("doc_id"),
+            explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("t"))
+          .select(concat(col("t"), lit("#"),
+            pmod(col("doc_id"), lit(5000L))).as("term"))
+        val (mgR, mgB) = shuffleStats(terms.agg(
+          graft.functions.MisraGries.misraGries(col("term"), 512).as("s")))
+        val (nvR, nvB) = shuffleStats(terms.groupBy(col("term")).count())
+        println(f"mg_shuffle  sketch rows=$mgR%d bytes=$mgB%d " +
+          f"vs naive groupBy rows=$nvR%d bytes=$nvB%d")
+      }
     }
     spark.stop()
   }

@@ -65,6 +65,17 @@ class Bm25Spec extends SparkTestBase {
     assert(a.filter(_._1 == 0L).map(_._4).toSeq == (1 to a.count(_._1 == 0L)))
   }
 
+  test("plan shape: broadcast dims, partial aggs, heap before the qid shuffle") {
+    val plan = Bm25.topK(spark, corpus, "text", "doc_id",
+        Seq(0L -> "hash join"), k = 2)
+      .queryExecution.executedPlan.toString
+    // idf and query-term dims must broadcast, never shuffle-join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the heap aggregate partials run before the qid exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("MulDivFloor: long fast path and BigInt overflow path agree") {
     import graft.functions.MulDivFloor
     assert(MulDivFloor.evalExact(7L, 9L, 2L) == 31L)
