@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -102,6 +102,10 @@ object Bm25 {
 
     // bounded-heap per-query cut; score_fp < 2^53 so the double
     // round-trip through the heap is exact
+    cutTopK(scored, k)
+  }
+
+  private def cutTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopKByScore.topKBy(
         col("score_fp").cast(DoubleType), col("doc"), k).as("top"))
@@ -109,5 +113,84 @@ object Bm25 {
       .select(col("qid"), col("hit.id").as("doc"),
         col("hit.score").cast(LongType).as("score_fp"),
         (col("pos") + 1).cast(IntegerType).as("rk"))
+
+  /** Number of term-hash buckets in the on-disk index layout. */
+  val IndexBuckets = 64
+
+  private def bucketOf(term: Column): Column =
+    pmod(xxhash64(term), lit(IndexBuckets.toLong))
+
+  /** Persist the build-once/query-many index: full-corpus postings
+    * (term, doc, tf, len) PARTITIONED BY term-hash bucket, per-term
+    * df in the same bucketed layout, and a one-row stats table
+    * (N, T). A query touching q terms then reads at most q of the
+    * [[IndexBuckets]] partition directories — partition pruning does
+    * the postings cut before any row is deserialized, which is the
+    * whole point of persisting at 100 TB (the scan-per-query-batch
+    * [[topK]] path re-reads the corpus instead).
+    */
+  def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+                 idCol: String, path: String): Unit = {
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("len"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      .withColumn("bucket", bucketOf(col("term")))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("bucket"), col("term")).count()
+      .withColumnRenamed("count", "df")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df")
+    import spark.implicits._
+    docs.select(TextAnalysis.tokenCount(col(textCol)).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Search the persisted index: identical results to [[topK]] over
+    * the same corpus (spec + oracle pinned). Only the query terms'
+    * buckets are read from both postings and df.
+    */
+  def searchIndex(spark: SparkSession, path: String,
+                  queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    val nDocs = stats.getLong(0)
+    val tTokens = stats.getLong(1)
+    val terms = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
+    // bucket ids via the SAME expression the writer used — no
+    // driver-side hash replication to drift
+    val bucketSet = terms.toDF("term")
+      .select(bucketOf(col("term"))).collect().map(_.getLong(0))
+      .distinct.toSeq
+    val dfMap = spark.read.parquet(s"$path/df")
+      .where(col("bucket").isInCollection(bucketSet) &&
+        col("term").isInCollection(terms))
+      .select(col("term"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfDf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      (t, LmQuality.log2fix(BigInt(2L * nDocs + 2L), BigInt(2L * df + 1L)))
+    }.toDF("term", "idf_fp")
+    val qtDf = (for { (qid, q) <- queries; t <- queryTerms(q) }
+      yield (qid, t)).toDF("qid", "term")
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isInCollection(bucketSet) &&
+        col("term").isInCollection(terms))
+    val num = lit(22L) * col("tf") * lit(tTokens)
+    val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
+      lit(9L) * col("len") * lit(nDocs)
+    val scored = postings
+      .join(broadcast(idfDf), Seq("term"))
+      .join(broadcast(qtDf), Seq("term"))
+      .withColumn("contrib_fp",
+        graft.functions.MulDivFloor.column(col("idf_fp"), num, den))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+    cutTopK(scored, k)
   }
 }

@@ -2364,6 +2364,22 @@ object Queries {
             2L -> "merge sort window"), k = 10)
         .orderBy(col("qid"), col("rk"))),
 
+    // the build-once/query-many BM25 lifecycle: persist the
+    // term-bucket-partitioned postings/df/stats index, search it —
+    // results must equal the direct scan path, so the oracle is the
+    // bm25_topk golden itself; a query touching q terms reads at most
+    // q of the 64 bucket partitions (partition pruning)
+    "bm25_topk_indexed" -> ((s, d) => {
+      val idx = java.nio.file.Files.createTempDirectory("bm25_idx")
+        .resolve("index").toString
+      graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
+        "doc_id", idx)
+      graft.pipeline.Bm25.searchIndex(s, idx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009)
     // of the BM25 lexical list and the dense cosine list — only ranks
     // cross the fusion boundary (no score calibration), fused score =
@@ -2722,6 +2738,9 @@ object Queries {
 
     "hybrid_topk" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    "bm25_topk_indexed" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
     "corpus_mix_temperature" ->
       s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix_temperature.parquet' ORDER BY doc_id, copy",

@@ -76,6 +76,34 @@ class Bm25Spec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("persisted index search equals the direct scan path; buckets prune") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25spec")
+      .resolve("index").toString
+    Bm25.writeIndex(spark, corpus, "text", "doc_id", idx)
+    val q = Seq(0L -> "hash join", 1L -> "merge")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(rows(Bm25.searchIndex(spark, idx, q, 3)).toSeq ==
+      rows(Bm25.topK(spark, corpus, "text", "doc_id", q, 3)).toSeq)
+    // partition pruning: a single-bucket filter must cut the files
+    // the scan actually reads (numFiles metric, post-execution —
+    // inputFiles ignores partition filters)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = filesRead(spark.read.parquet(s"$idx/postings"))
+    val pruned = filesRead(spark.read.parquet(s"$idx/postings")
+      .where(col("bucket").isInCollection(Seq(0L, 1L))))
+    assert(pruned < all,
+      s"bucket filter must cut files read: all=$all pruned=$pruned")
+  }
+
   test("MulDivFloor: long fast path and BigInt overflow path agree") {
     import graft.functions.MulDivFloor
     assert(MulDivFloor.evalExact(7L, 9L, 2L) == 31L)
