@@ -150,6 +150,46 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a DISJOINT corpus increment to an existing index (the
+    * same frozen-layout contract as the IVF incremental append: new
+    * docs only — a doc split across appends would double-count).
+    * Postings and df rows append into the bucket layout; stats gains
+    * a row (readers SUM the stats table and the per-term df rows, so
+    * search over the grown index is bit-identical to a one-shot build
+    * over the union). Each append adds a file set per touched bucket;
+    * run [[compactIndex]] periodically.
+    */
+  def appendToIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+                    idCol: String, path: String): Unit = {
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("len"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      .withColumn("bucket", bucketOf(col("term")))
+    postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("bucket"), col("term")).count()
+      .withColumnRenamed("count", "df")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/df")
+    docs.select(TextAnalysis.tokenCount(col(textCol)).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Crash-safe in-place small-file compaction of the postings and
+    * df layouts (the shared [[graft.core.ParquetCompact]] pass);
+    * contents-invariant, so search results are unchanged.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    graft.core.ParquetCompact.compact(spark, s"$path/postings",
+      Seq("bucket"), Seq("term", "doc"))
+    graft.core.ParquetCompact.compact(spark, s"$path/df",
+      Seq("bucket"), Seq("term"))
+  }
+
   /** Search the persisted index: identical results to [[topK]] over
     * the same corpus (spec + oracle pinned). Only the query terms'
     * buckets are read from both postings and df.
@@ -158,7 +198,9 @@ object Bm25 {
                   queries: Seq[(Long, String)], k: Int): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    // SUM over stats rows: one row per build/append increment
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")), sum(col("t"))).collect()(0)
     val nDocs = stats.getLong(0)
     val tTokens = stats.getLong(1)
     val terms = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
@@ -167,10 +209,11 @@ object Bm25 {
     val bucketSet = terms.toDF("term")
       .select(bucketOf(col("term"))).collect().map(_.getLong(0))
       .distinct.toSeq
+    // SUM per-term df rows: appends contribute one row per increment
     val dfMap = spark.read.parquet(s"$path/df")
       .where(col("bucket").isInCollection(bucketSet) &&
         col("term").isInCollection(terms))
-      .select(col("term"), col("df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idfDf = terms.map { t =>
       val df = dfMap.getOrElse(t, 0L)

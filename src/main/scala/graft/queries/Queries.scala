@@ -2380,6 +2380,25 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the full incremental lifecycle (build half, append the rest,
+    // compact, search) — grown index must equal the one-shot build,
+    // so the oracle is again the bm25_topk golden
+    "bm25_topk_incremental" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("bm25_inc")
+        .resolve("index").toString
+      val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.pipeline.Bm25.writeIndex(s,
+        docs.where(col("doc_id") <= half), "text", "doc_id", idx)
+      graft.pipeline.Bm25.appendToIndex(s,
+        docs.where(col("doc_id") > half), "text", "doc_id", idx)
+      graft.pipeline.Bm25.compactIndex(s, idx)
+      graft.pipeline.Bm25.searchIndex(s, idx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009)
     // of the BM25 lexical list and the dense cosine list — only ranks
     // cross the fusion boundary (no score calibration), fused score =
@@ -2740,6 +2759,9 @@ object Queries {
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     "bm25_topk_indexed" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
+    "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
     "corpus_mix_temperature" ->

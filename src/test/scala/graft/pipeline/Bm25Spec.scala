@@ -104,6 +104,33 @@ class Bm25Spec extends SparkTestBase {
       s"bucket filter must cut files read: all=$all pruned=$pruned")
   }
 
+  test("append + compact: grown index equals one-shot; files drop") {
+    import org.apache.spark.sql.functions.col
+    val oneShot = java.nio.file.Files.createTempDirectory("bm25os")
+      .resolve("index").toString
+    val grown = java.nio.file.Files.createTempDirectory("bm25gr")
+      .resolve("index").toString
+    Bm25.writeIndex(spark, corpus, "text", "doc_id", oneShot)
+    Bm25.writeIndex(spark, corpus.where(col("doc_id") <= 2), "text",
+      "doc_id", grown)
+    Bm25.appendToIndex(spark, corpus.where(col("doc_id") > 2), "text",
+      "doc_id", grown)
+    val q = Seq(0L -> "hash join", 1L -> "fast table scan")
+    def rows(idx: String) = Bm25.searchIndex(spark, idx, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(rows(grown) == rows(oneShot))
+    def files(idx: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = files(grown)
+    Bm25.compactIndex(spark, grown)
+    assert(files(grown) < before, s"compaction must cut ${before} files")
+    assert(rows(grown) == rows(oneShot), "compaction is contents-invariant")
+  }
+
   test("MulDivFloor: long fast path and BigInt overflow path agree") {
     import graft.functions.MulDivFloor
     assert(MulDivFloor.evalExact(7L, 9L, 2L) == 31L)
