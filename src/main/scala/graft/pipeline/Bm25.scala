@@ -130,7 +130,22 @@ object Bm25 {
     * [[topK]] path re-reads the corpus instead).
     */
   def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-                 idCol: String, path: String): Unit = {
+                 idCol: String, path: String): Unit =
+    writeLayout(spark, docs, textCol, idCol, path, "overwrite")
+
+  /** One write pass shared by build and append. The corpus is
+    * scanned ONCE for postings: the df table is then derived by
+    * re-reading the just-written postings (a column-pruned
+    * (bucket, term) scan of the small index, not a second corpus
+    * explode), and stats is a map-side-only corpus agg. Postings are
+    * repartitioned on the bucket column before the
+    * dynamic-partition write, so every bucket's rows land in exactly
+    * one task — one file per bucket directory per pass, instead of
+    * (tasks x buckets) small files.
+    */
+  private def writeLayout(spark: SparkSession, docs: DataFrame,
+                          textCol: String, idCol: String, path: String,
+                          mode: String): Unit = {
     val postings = docs
       .select(col(idCol).as("doc"),
         TextAnalysis.tokenCount(col(textCol)).as("len"),
@@ -138,16 +153,27 @@ object Bm25 {
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
       .withColumn("bucket", bucketOf(col("term")))
-    postings.write.mode("overwrite").partitionBy("bucket")
+      .repartition(IndexBuckets, col("bucket"))
+    postings.write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
-    postings.groupBy(col("bucket"), col("term")).count()
+    // df rows for THIS pass only (readers SUM across increments). In
+    // overwrite mode the written layout IS this pass, so derive df by
+    // reading it back — a (bucket, term)-pruned scan of the compact
+    // index, not a second corpus explode. In append mode the written
+    // pile also holds prior increments, so recompute from the
+    // increment's postings plan (increments are small by the append
+    // contract; the build-sized scan is the overwrite path).
+    val dfSource =
+      if (mode == "overwrite") spark.read.parquet(s"$path/postings")
+      else postings
+    dfSource.groupBy(col("bucket"), col("term")).count()
       .withColumnRenamed("count", "df")
-      .write.mode("overwrite").partitionBy("bucket")
+      .repartition(IndexBuckets, col("bucket"))
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/df")
-    import spark.implicits._
     docs.select(TextAnalysis.tokenCount(col(textCol)).as("len"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** Append a DISJOINT corpus increment to an existing index (the
@@ -160,24 +186,8 @@ object Bm25 {
     * run [[compactIndex]] periodically.
     */
   def appendToIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-                    idCol: String, path: String): Unit = {
-    val postings = docs
-      .select(col(idCol).as("doc"),
-        TextAnalysis.tokenCount(col(textCol)).as("len"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("term"), col("doc"))
-      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
-      .withColumn("bucket", bucketOf(col("term")))
-    postings.write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    postings.groupBy(col("bucket"), col("term")).count()
-      .withColumnRenamed("count", "df")
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/df")
-    docs.select(TextAnalysis.tokenCount(col(textCol)).as("len"))
-      .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
-      .write.mode("append").parquet(s"$path/stats")
-  }
+                    idCol: String, path: String): Unit =
+    writeLayout(spark, docs, textCol, idCol, path, "append")
 
   /** Crash-safe in-place small-file compaction of the postings and
     * df layouts (the shared [[graft.core.ParquetCompact]] pass);

@@ -3,6 +3,8 @@ package graft.pipeline
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** BM25 contracts: the exact fixed-point score replays a hand-built
   * arithmetic mirror; rarer terms out-score common ones; results are
   * partition-invariant; k bounds the per-query rows; and the
@@ -102,6 +104,24 @@ class Bm25Spec extends SparkTestBase {
       .where(col("bucket").isInCollection(Seq(0L, 1L))))
     assert(pruned < all,
       s"bucket filter must cut files read: all=$all pruned=$pruned")
+    // the bucket-aligned repartition before the dynamic-partition
+    // write means ONE file per bucket directory per pass — not
+    // (write tasks x buckets) small files
+    val dirs = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idx/postings"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .toList
+      finally s.close()
+    }
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val s = java.nio.file.Files.list(d)
+      val n = try s.filter(_.toString.endsWith(".parquet")).count()
+        finally s.close()
+      assert(n == 1L, s"expected 1 file per bucket dir after build, got $n in $d")
+    }
   }
 
   test("append + compact: grown index equals one-shot; files drop") {
