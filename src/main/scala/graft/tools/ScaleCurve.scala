@@ -570,6 +570,91 @@ object ScaleCurve {
           f"vs naive groupBy rows=$nvR%d bytes=$nvB%d")
       }
     }
+
+    // ---- r8 latest newcomers: BPE train/encode, curation v2, and
+    // the BM25 persisted-index lifecycle (build cost ∝ corpus; search
+    // cost over the GROWN index with fixed queries — bucket pruning
+    // keeps the scan to the q query-term buckets) ----
+    if (want("r8new3")) {
+      import graft.pipeline.{Bm25, Bpe, Classify, Mix, UrlFilter}
+      def fitK8(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      // encode model trained ONCE on the 1x corpus (the model is the
+      // fixed artifact; what scales is the encode pass)
+      val bpeModel = Bpe.train(
+        spark.read.parquet(scaleDirs.head._2), "text", numMerges = 60)
+      def curationCols(d: DataFrame): DataFrame = d
+        .withColumn("lang", (col("doc_id") % 7).cast("string"))
+        .withColumn("url", concat(lit("https://h"),
+          col("doc_id") % 97, lit(".example.com/d"), col("doc_id")))
+      val runs: Seq[(String, DataFrame => Long)] = Seq(
+        "bpe_train" -> { d =>
+          Bpe.train(d, "text", numMerges = 60).merges.size.toLong
+        },
+        "bpe_encode" -> { d =>
+          d.select(Bpe.bpeTokenCount(col("text"), bpeModel).as("n"))
+            .agg(sum(col("n"))).head()
+          1L
+        },
+        "curation_v2" -> { d =>
+          val docs = curationCols(d)
+          val kept = UrlFilter.dropBlockedUrls(docs, "url",
+            Seq("h13.example.com", "h31.example.com")).localCheckpoint(true)
+          val m = Classify.fit(kept, col("doc_id") % 2 === 0, "text",
+            buckets = 512)
+          val classified = kept.where(
+            Classify.nbLogOdds(col("text"), m).getField("_2") >= 0L)
+          val withFp = classified.withColumn("fp",
+            graft.pipeline.TextAnalysis.fingerprint(col("text")))
+          val minIds = withFp.groupBy(col("fp"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+          Mix.byTemperature(deduped.select("doc_id", "lang"),
+            "doc_id", "lang", tau = 2.0).count()
+        },
+        "bm25_index_build" -> { d =>
+          Bm25.writeIndex(spark, d, "text", "doc_id",
+            "target/tmp/scale_curve/bm25_idx")
+          1L
+        })
+      for ((label, run) <- runs) {
+        run(spark.read.parquet(scaleDirs.head._2)) // warm-up
+        val ts = scaleDirs.map { case (m, path) =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          val d = spark.read.parquet(path)
+          val n = d.count()
+          val t0 = System.nanoTime()
+          val rows = run(d)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"$label%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+          (m, sec)
+        }
+        fitK8(ts, label)
+      }
+      // search over the grown index: one index per blowup built
+      // OUTSIDE the timed window, fixed 3-query batch timed
+      val sq = Seq(0L -> "hash join", 1L -> "fast table scan",
+        2L -> "merge sort window")
+      Bm25.searchIndex(spark, "target/tmp/scale_curve/bm25_idx", sq, 10)
+        .count() // warm-up (idx currently holds the last blowup)
+      val sts = scaleDirs.map { case (m, path) =>
+        val idx = s"target/tmp/scale_curve/bm25_idx_x$m"
+        Bm25.writeIndex(spark, spark.read.parquet(path), "text", "doc_id", idx)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = Bm25.searchIndex(spark, idx, sq, 10).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"bm25_idx_search"}%-16s ${"-"}%8s $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      val sk = math.log(sts.last._2 / sts.head._2) /
+        math.log(sts.last._1.toDouble / sts.head._1)
+      println(f"${"bm25_idx_search"}%-16s exponent k=$sk%.2f")
+    }
     spark.stop()
   }
 }
