@@ -2335,6 +2335,29 @@ object Queries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
         .orderBy(col("doc"))),
 
+    // weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race, exact fixed-point keys): ONE codegen map pass
+    // computes the race key, the bounded-heap top-k aggregate cuts
+    // the winners — O(k) state, only k rows cross the shuffle. Weight
+    // = token count (length-proportional inclusion)
+    "corpus_weighted_sample" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("w", graft.pipeline.TextAnalysis.tokenCount(col("text")))
+      graft.pipeline.Sample.weightedSample(docs, "doc_id", "w",
+          k = 20, seed = 42L)
+        .orderBy(col("rk"))
+    }),
+
+    // per-stratum variant: the same heap keyed by lang — k winners
+    // inside every stratum, one O(k) buffer per stratum
+    "corpus_weighted_sample_strat" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("w", graft.pipeline.TextAnalysis.tokenCount(col("text")))
+      graft.pipeline.Sample.weightedSampleStratified(docs, "doc_id",
+          "lang", "w", k = 5, seed = 7L)
+        .orderBy(col("stratum"), col("rk"))
+    }),
+
     // RefinedWeb-style URL/domain blocklist: host via native
     // parse_url, suffix-blocklist probe as a codegen'd broadcast-set
     // expression (zero shuffle, no explode, no per-entry regex) —
@@ -2751,6 +2774,10 @@ object Queries {
 
     "corpus_split_stratified" ->
       s"SELECT doc, stratum, u, split FROM '$pipeGold/corpus_split_stratified.parquet' ORDER BY doc",
+    "corpus_weighted_sample" ->
+      s"SELECT doc, w, key_fp, rk FROM '$pipeGold/corpus_weighted_sample.parquet' ORDER BY rk",
+    "corpus_weighted_sample_strat" ->
+      s"SELECT stratum, doc, key_fp, rk FROM '$pipeGold/corpus_weighted_sample_strat.parquet' ORDER BY stratum, rk",
 
     "bm25_topk" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",

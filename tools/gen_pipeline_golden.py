@@ -1410,6 +1410,40 @@ def gen_corpus_shuffle(docs, seed=42):
           {"doc_id": "BIGINT", "skey": "BIGINT"})
 
 
+def aes_race_key(doc, w, seed):
+    """Mirror of graft.pipeline.Sample.keyKernel: A-ES exponential-race
+    key floor(log2fix(2^62, u) << 20 / w), u = (splitmix64(doc+seed)
+    >> 2) + 1."""
+    u = (splitmix64((doc + seed) & M64) >> 2) + 1
+    race = lm_log2fix(1 << 62, u)
+    return (race << 20) // w
+
+
+def gen_weighted_sample(docs, k=20, seed=42, sk=5, sseed=7):
+    """Mirror of graft.pipeline.Sample.weightedSample(+Stratified):
+    weight = len(text.split(' ')) (tokenCount, empties kept), k
+    smallest (key, doc) globally / per lang stratum."""
+    keyed = [(int(r.doc_id), len(r.text.split(" ")), str(r.lang))
+             for r in docs.itertuples()]
+    glob = sorted(((d, w, aes_race_key(d, w, seed)) for d, w, _ in keyed),
+                  key=lambda t: (t[2], t[0]))[:k]
+    rows = [(d, w, kfp, i) for i, (d, w, kfp) in enumerate(glob, 1)]
+    write("corpus_weighted_sample",
+          pd.DataFrame(rows, columns=["doc", "w", "key_fp", "rk"]),
+          {"doc": "BIGINT", "w": "BIGINT", "key_fp": "BIGINT",
+           "rk": "INT"})
+    srows = []
+    for lang in sorted({l for _, _, l in keyed}):
+        sub = sorted(((d, aes_race_key(d, w, sseed))
+                      for d, w, l in keyed if l == lang),
+                     key=lambda t: (t[1], t[0]))[:sk]
+        srows += [(lang, d, kfp, i) for i, (d, kfp) in enumerate(sub, 1)]
+    write("corpus_weighted_sample_strat",
+          pd.DataFrame(srows, columns=["stratum", "doc", "key_fp", "rk"]),
+          {"stratum": "VARCHAR", "doc": "BIGINT", "key_fp": "BIGINT",
+           "rk": "INT"})
+
+
 def gen_corpus_cluster_sample(emb, nlist=16, iters=3, seed=42, quota=20,
                               useed=42):
     """Mirror of graft.pipeline.Curation.clusterBalancedSample: same
@@ -1741,6 +1775,8 @@ def main():
         gen_nb_classifier_select(docs)
     if want("corpus_split_assign"):
         gen_corpus_split_assign(docs)
+    if want("corpus_weighted_sample") or want("corpus_weighted_sample_strat"):
+        gen_weighted_sample(docs)
     if want("corpus_split_stratified"):
         gen_corpus_split_stratified(docs)
     if want("bm25_topk"):
