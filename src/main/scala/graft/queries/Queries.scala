@@ -2348,6 +2348,18 @@ object Queries {
         .orderBy(col("rk"))
     }),
 
+    // exact per-lang length percentiles by integer rank selection
+    // (lower rule: 0-based rank floor(pct·(n−1)/100) over
+    // (value, id) order) — the distributed-rank pattern: range
+    // partition + per-partition window + O(P+#groups) driver prefix
+    // + broadcast target-rank join; never percentile_approx's sketch,
+    // never a one-reducer window
+    "corpus_length_percentiles" -> ((s, d) =>
+      graft.pipeline.OrderStats.exactPercentiles(s,
+          tbl(s, d, "documents"), "lang", "n_chars", "doc_id",
+          Seq(0, 25, 50, 75, 100))
+        .orderBy(col("grp"), col("pct"))),
+
     // per-stratum variant: the same heap keyed by lang — k winners
     // inside every stratum, one O(k) buffer per stratum
     "corpus_weighted_sample_strat" -> ((s, d) => {
@@ -2776,6 +2788,16 @@ object Queries {
       s"SELECT doc, stratum, u, split FROM '$pipeGold/corpus_split_stratified.parquet' ORDER BY doc",
     "corpus_weighted_sample" ->
       s"SELECT doc, w, key_fp, rk FROM '$pipeGold/corpus_weighted_sample.parquet' ORDER BY rk",
+    "corpus_length_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS r0,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |pcts(pct) AS (VALUES (0), (25), (50), (75), (100))
+        |SELECT grp, CAST(pct AS INT) AS pct, v
+        |FROM ranked JOIN pcts ON r0 = (pct * (n - 1)) // 100
+        |ORDER BY grp, pct""".stripMargin,
     "corpus_weighted_sample_strat" ->
       s"SELECT stratum, doc, key_fp, rk FROM '$pipeGold/corpus_weighted_sample_strat.parquet' ORDER BY stratum, rk",
 
