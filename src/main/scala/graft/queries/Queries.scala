@@ -2155,6 +2155,15 @@ object Queries {
       graft.streaming.StreamingTopTerms.summarize(s, d, capacity = 512)
         .orderBy(col("cnt").desc, col("term")).limit(30)),
 
+    // the A-ES race maintained incrementally: the bounded O(k) heap
+    // checkpoints between micro-batches; heap merge is associative,
+    // so the stream's sample equals the one-shot batch sample — the
+    // SAME golden as corpus_weighted_sample oracles both
+    "stream_weighted_sample" -> ((s, d) =>
+      graft.streaming.StreamingWeightedSample.sample(s, d, k = 20,
+          seed = 42L)
+        .orderBy(col("rk"))),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -2788,6 +2797,8 @@ object Queries {
       s"SELECT doc, stratum, u, split FROM '$pipeGold/corpus_split_stratified.parquet' ORDER BY doc",
     "corpus_weighted_sample" ->
       s"SELECT doc, w, key_fp, rk FROM '$pipeGold/corpus_weighted_sample.parquet' ORDER BY rk",
+    "stream_weighted_sample" ->
+      s"SELECT doc, key_fp, rk FROM '$pipeGold/corpus_weighted_sample.parquet' ORDER BY rk",
     "corpus_length_percentiles" ->
       """WITH ranked AS (
         |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
