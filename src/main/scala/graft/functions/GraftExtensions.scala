@@ -36,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("splitmix64",
         "splitmix64(x[, seed]) - deterministic 64-bit mix (sampling/shuffle key)"),
       (exprs: Seq[Expression]) => Splitmix64.fromArgs(exprs)))
+    ext.injectFunction((FunctionIdentifier("race_key"),
+      info("race_key",
+        "race_key(id, w[, seed]) - A-ES weighted-sampling race key " +
+          "(k smallest = weighted sample without replacement)"),
+      (exprs: Seq[Expression]) => graft.pipeline.RaceKey.fromArgs(exprs)))
   }
 }

@@ -19,5 +19,7 @@ object GraftSql {
       exprs => Int8CosineSim(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("splitmix64",
       Splitmix64.fromArgs, "scala_udf")
+    reg.createOrReplaceTempFunction("race_key",
+      graft.pipeline.RaceKey.fromArgs, "scala_udf")
   }
 }

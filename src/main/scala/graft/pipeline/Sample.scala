@@ -126,3 +126,28 @@ case class RaceKey(left: Expression, right: Expression, seed: Long)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+object RaceKey {
+  /** SQL-surface builder shared by GraftSql and GraftExtensions:
+    * `race_key(id, w)` or `race_key(id, w, seedLiteral)` — the seed
+    * parameterizes generated code, so it must be a literal.
+    */
+  def fromArgs(exprs: Seq[Expression]): RaceKey = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(id, w) => RaceKey(id, w, 0L)
+      case Seq(id, w, Literal(s, LongType)) =>
+        RaceKey(id, w, s.asInstanceOf[Long])
+      case Seq(id, w, Literal(s, IntegerType)) =>
+        RaceKey(id, w, s.asInstanceOf[Int].toLong)
+      case Seq(id, w, Literal(s, ShortType)) =>
+        RaceKey(id, w, s.asInstanceOf[Short].toLong)
+      case Seq(id, w, Literal(s, ByteType)) =>
+        RaceKey(id, w, s.asInstanceOf[Byte].toLong)
+      case Seq(_, _, other) => throw new IllegalArgumentException(
+        s"race_key seed must be an integral literal, got ${other.sql}")
+      case _ => throw new IllegalArgumentException(
+        s"race_key expects 2 or 3 arguments, got ${exprs.size}")
+    }
+  }
+}

@@ -619,6 +619,17 @@ object ScaleCurve {
           Bm25.writeIndex(spark, d, "text", "doc_id",
             "target/tmp/scale_curve/bm25_idx")
           1L
+        },
+        "weighted_sample" -> { d =>
+          graft.pipeline.Sample.weightedSample(
+            d.withColumn("w",
+              graft.pipeline.TextAnalysis.tokenCount(col("text"))),
+            "doc_id", "w", k = 100, seed = 42L).count()
+        },
+        "percentiles" -> { d =>
+          graft.pipeline.OrderStats.exactPercentiles(spark,
+            d.withColumn("grp", (col("doc_id") % 7).cast("string")),
+            "grp", "doc_id", "doc_id", Seq(0, 25, 50, 75, 100)).count()
         })
       for ((label, run) <- runs) {
         run(spark.read.parquet(scaleDirs.head._2)) // warm-up

@@ -162,6 +162,19 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(got.getLong(0) == Splitmix64.mix(49L))
   }
 
+  test("race_key SQL surface matches the kernel; seed must be literal") {
+    GraftSql.register(spark)
+    val got = spark.sql(
+      "SELECT race_key(7L, 3L) AS a, race_key(7L, 3L, 42) AS b, " +
+        "race_key(7L, 3L, 42L) AS c").head()
+    assert(got.getLong(0) == graft.pipeline.Sample.keyKernel(7L, 3L, 0L))
+    assert(got.getLong(1) == graft.pipeline.Sample.keyKernel(7L, 3L, 42L))
+    assert(got.getLong(1) == got.getLong(2))
+    val ex = intercept[Exception](spark.sql(
+      "SELECT race_key(7L, 3L, id) FROM range(1)").collect())
+    assert(ex.getMessage.contains("literal"))
+  }
+
   test("GraftExtensions injects the SQL functions at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force shared-session init (owns the SparkContext)
