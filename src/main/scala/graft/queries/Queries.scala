@@ -2397,6 +2397,36 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deequ-style data-quality gate, profile half: single fused
+    // aggregation pass for nulls/min/max/length stats (one scan, one
+    // single-row exchange) + one (name, value) two-level aggregation
+    // for exact distincts — never an Expand-based multi-distinct
+    "profile_documents" -> ((s, d) =>
+      graft.pipeline.Validate.profile(tbl(s, d, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"), col("metric"))),
+
+    // constraint half: every row-level check fused into ONE
+    // aggregation over ONE scan per table; uniqueness a two-level
+    // agg; referential containment a broadcast anti-join count.
+    // accepted(lang) and in_range(n_chars) have real violations in
+    // the fixture; the rest pin the zero path
+    "check_constraints" -> ((s, d) => {
+      import graft.pipeline.Validate._
+      val a = check(tbl(s, d, "orders"), Seq(
+        Constraint.notNull("o_custkey"),
+        Constraint.accepted("o_orderstatus", Seq("O", "F", "P")),
+        Constraint.inRange("o_totalprice", 0, 1000000),
+        Unique(Seq("o_orderkey")),
+        SubsetOf("o_custkey", tbl(s, d, "customer"), "c_custkey",
+          "customer")))
+      val b = check(tbl(s, d, "documents"), Seq(
+        Constraint.accepted("lang", Seq("en", "de")),
+        Constraint.inRange("n_chars", 100, 1000),
+        Constraint.matches("source", "^src[0-9]+$")))
+      a.unionByName(b).orderBy(col("constraint_name"))
+    }),
+
     // Okapi BM25 batch retrieval: one postings scan (doc length
     // carried through the agg — no corpus-side length join),
     // driver-computed exact fixed-point idf broadcast back,
@@ -2811,6 +2841,45 @@ object Queries {
         |ORDER BY grp, pct""".stripMargin,
     "corpus_weighted_sample_strat" ->
       s"SELECT stratum, doc, key_fp, rk FROM '$pipeGold/corpus_weighted_sample_strat.parquet' ORDER BY stratum, rk",
+
+    "profile_documents" ->
+      """SELECT col_name, metric, value FROM (
+        |  SELECT 'doc_id' AS col_name, 'n_nulls' AS metric, CAST(count(*) - count(doc_id) AS BIGINT) AS value FROM documents
+        |  UNION ALL SELECT 'doc_id', 'n_distinct', CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'n_nulls', CAST(count(*) - count(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'n_distinct', CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'n_nulls', CAST(count(*) - count(text) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'n_distinct', CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_min', CAST(min(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_max', CAST(max(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_sum', CAST(sum(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'n_nulls', CAST(count(*) - count(lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'n_distinct', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_min', CAST(min(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_max', CAST(max(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_sum', CAST(sum(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'n_nulls', CAST(count(*) - count(source) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'n_distinct', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_min', CAST(min(length(source)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_max', CAST(max(length(source)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_sum', CAST(sum(length(source)) AS BIGINT) FROM documents
+        |) ORDER BY col_name, metric""".stripMargin,
+
+    "check_constraints" ->
+      """SELECT constraint_name, violations FROM (
+        |  SELECT 'not_null(o_custkey)' AS constraint_name, CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+        |  UNION ALL SELECT 'accepted(o_orderstatus)', CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'in_range(o_totalprice)', CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 0 AND o_totalprice <= 1000000)) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'unique(o_orderkey)', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'subset(o_custkey,customer.c_custkey)', CAST((SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NOT NULL) AS BIGINT)
+        |  UNION ALL SELECT 'accepted(lang)', CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en','de')) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'in_range(n_chars)', CAST(count(*) FILTER (WHERE n_chars IS NOT NULL AND NOT (n_chars >= 100 AND n_chars <= 1000)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'matches(source)', CAST(count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')) AS BIGINT) FROM documents
+        |) ORDER BY constraint_name""".stripMargin,
 
     "bm25_topk" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
