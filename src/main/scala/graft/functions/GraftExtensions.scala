@@ -41,5 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "race_key(id, w[, seed]) - A-ES weighted-sampling race key " +
           "(k smallest = weighted sample without replacement)"),
       (exprs: Seq[Expression]) => graft.pipeline.RaceKey.fromArgs(exprs)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - UAX #15 NFC canonicalization (pre-dedup)"),
+      (exprs: Seq[Expression]) => NormalizeExpressions.nfcFromArgs(exprs)))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(s) - NFD + drop combining marks (CCNet canon)"),
+      (exprs: Seq[Expression]) => NormalizeExpressions.stripFromArgs(exprs)))
   }
 }

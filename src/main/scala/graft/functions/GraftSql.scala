@@ -21,5 +21,9 @@ object GraftSql {
       Splitmix64.fromArgs, "scala_udf")
     reg.createOrReplaceTempFunction("race_key",
       graft.pipeline.RaceKey.fromArgs, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      NormalizeExpressions.nfcFromArgs, "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents",
+      NormalizeExpressions.stripFromArgs, "scala_udf")
   }
 }

@@ -30,6 +30,15 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** [[exactGroups]] over the NFC-normalized fingerprint: byte-level
+    * dedup that merges composed/decomposed Unicode spellings
+    * ([[TextAnalysis.normalizedFingerprint]]). Same hash-groupBy
+    * scale shape — one map-side-combinable aggregation, no pairs.
+    */
+  def normalizedGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.normalizedFingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
   /** Exact dedup: keep the lowest id per fingerprint. */
   def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))

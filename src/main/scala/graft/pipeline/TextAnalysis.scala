@@ -59,6 +59,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast(BinaryType))
 
+  /** [[fingerprint]] with UAX #15 NFC prepended: composed and
+    * decomposed spellings of the same visual text (é vs e+U+0301)
+    * collapse to one key — the CCNet-style canonicalization every
+    * byte-level dedup needs on real web text. The NFC pass is a
+    * codegen expression with an already-normalized fast path
+    * ([[graft.functions.NormalizeExpressions]]), so an ASCII-heavy
+    * corpus pays ~nothing for it.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(
+      graft.functions.NormalizeExpressions.nfcNormalize(text),
+      "\\s+", " "))).cast(BinaryType))
+
   /** Fraction of lines that repeat an earlier line (Gopher-style
     * repetition filter; C4 drops boilerplate the same way): `1 −
     * distinct/total`. Pure column expression for multiline corpora;

@@ -1263,6 +1263,22 @@ object Queries {
       graft.pipeline.Dedup.exactGroups(tbl(s, d, "documents"), "text", "doc_id")
         .orderBy(col("fp"))),
 
+    // Unicode-normalized dedup: the fixture fabricates two byte-
+    // distinct spellings of every doc (composed á vs decomposed
+    // a+́); the NFC fingerprint must merge each pair — every
+    // group has exactly n=2, and a drifted normalization shows up as
+    // a hash mismatch on fp itself
+    "dedup_normalized" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val composed = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "a", "\u00E1").as("text"))
+      val decomposed = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("text"))
+      graft.pipeline.Dedup.normalizedGroups(
+          composed.unionByName(decomposed), "text", "doc_id")
+        .orderBy(col("keep_id"))
+    }),
+
     "dedup_jaccard_pairs" -> ((s, d) =>
       graft.pipeline.Dedup.jaccardPairs(tbl(s, d, "documents"), "text", "doc_id",
         w = 3, threshold = 0.2, maxShingleDf = 128)
@@ -1449,6 +1465,16 @@ object Queries {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH un AS (
+        |  SELECT doc_id, replace(text, 'a', 'á') AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, replace(text, 'a', 'á') AS text
+        |  FROM documents)
+        |SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
+        |FROM un GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
