@@ -72,6 +72,38 @@ object Split {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe split: assignment is keyed by the NORMALIZED
+    * CONTENT fingerprint ([[TextAnalysis.normalizedFingerprint]]),
+    * not the row id — exact and Unicode-equivalent duplicates land in
+    * the SAME split by construction, so a duplicate pair can never
+    * straddle train/test (the classic eval leak a row-keyed split
+    * permits). Buckets are the first two hex chars of the md5
+    * fingerprint — 256 uniform buckets whose threshold compare is a
+    * pure lowercase-hex STRING compare (hex is lexicographically
+    * ordered), so any engine replays the assignment from md5 alone.
+    * Fractions round DOWN to 1/256 granularity (cut_j =
+    * floor(cumF_j·256); the last split absorbs the remainder); `salt`
+    * re-keys the assignment like a seed. Map-side, zero shuffle,
+    * whole-stage codegen.
+    */
+  def splitByContent(df: DataFrame, textCol: String,
+                     fractions: Seq[(String, Double)], salt: String = "",
+                     splitCol: String = "split"): DataFrame = {
+    checkFractions(fractions)
+    val fp = md5(concat(lit(salt),
+      lower(trim(regexp_replace(
+        graft.functions.NormalizeExpressions.nfcNormalize(col(textCol)),
+        "\\s+", " ")))).cast(BinaryType))
+    val bucket = substring(fp, 1, 2)
+    val cuts = cumBounds(fractions).init
+      .map(b => f"${math.floor(b * 256).toLong}%02x")
+    val assigned = fractions.init.map(_._1).zip(cuts)
+      .foldRight(lit(fractions.last._1)) { case ((name, hex), rest) =>
+        when(bucket < lit(hex), lit(name)).otherwise(rest)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Exact-quota stratified split: (doc, stratum, split) with every
     * stratum cut precisely at floor(cumF_j · n_s) by (u, id) rank.
     * See the object doc for the distributed-rank construction.

@@ -2453,6 +2453,40 @@ object Queries {
       a.unionByName(b).orderBy(col("constraint_name"))
     }),
 
+    // leakage-safe split: assignment keyed by the NFC-normalized
+    // content fingerprint, so the composed/decomposed variant pairs
+    // fabricated here MUST land in the same split (row-keyed splits
+    // leak one variant into test while its twin trains); md5-hex
+    // bucket thresholds are replayed by the oracle as string compares
+    "corpus_split_content" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val composed = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "a", "á").as("text"))
+      val decomposed = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "á").as("text"))
+      graft.pipeline.Split.splitByContent(
+          composed.unionByName(decomposed), "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
+    // corpus snapshot diff: content-keyed added/removed/changed/
+    // unchanged between two versions — each side reduced map-side to
+    // (id, fingerprint), one slim id-keyed full-outer join
+    "corpus_snapshot_diff" -> ((s, d) => {
+      val base = tbl(s, d, "documents")
+      val mod = base
+        .withColumn("text", when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        .where(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("text"))
+      val extra = base.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      graft.pipeline.Snapshot.diff(mod.unionByName(extra), base,
+          "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     // Okapi BM25 batch retrieval: one postings scan (doc length
     // carried through the agg — no corpus-side length join),
     // driver-computed exact fixed-point idf broadcast back,
@@ -2867,6 +2901,33 @@ object Queries {
         |ORDER BY grp, pct""".stripMargin,
     "corpus_weighted_sample_strat" ->
       s"SELECT stratum, doc, key_fp, rk FROM '$pipeGold/corpus_weighted_sample_strat.parquet' ORDER BY stratum, rk",
+
+    "corpus_split_content" ->
+      """WITH un AS (
+        |  SELECT doc_id, replace(text, 'a', 'á') AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, replace(text, 'a', 'á') AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |  substring(md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))), 1, 2) AS b
+        |  FROM un)
+        |SELECT doc_id,
+        |  CASE WHEN b < 'cc' THEN 'train' WHEN b < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "corpus_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5),
+        |o AS (SELECT doc_id AS id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fo FROM old),
+        |n AS (SELECT doc_id AS id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fn FROM documents)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added' WHEN n.id IS NULL THEN 'removed'
+        |       WHEN fo = fn THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id ORDER BY id""".stripMargin,
 
     "profile_documents" ->
       """SELECT col_name, metric, value FROM (

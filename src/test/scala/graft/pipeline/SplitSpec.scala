@@ -93,4 +93,47 @@ class SplitSpec extends SparkTestBase {
     }.toMap
     assert(s1 == expect)
   }
+
+  test("splitByContent: duplicates and Unicode variants share a split") {
+    import spark.implicits._
+    // three spellings of one doc (plain dup + decomposed variant) must
+    // land together; distinct docs spread across splits
+    val rows = (0 until 300).flatMap { i =>
+      val t = s"caf\u00e9 document number $i with some text"
+      Seq((i.toLong, t), (i + 1000L, t),
+        (i + 2000L, t.replace("caf\u00e9", "cafe\u0301")))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Split.splitByContent(df, "text", fracs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (0 until 300).foreach { i =>
+      assert(got(i.toLong) == got(i + 1000L) && got(i.toLong) == got(i + 2000L),
+        s"variants of doc $i straddle splits")
+    }
+    val dist = got.filter(_._1 < 300).values.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    // 300 uniform md5 buckets at 0.8/0.1/0.1 — loose proportional bands
+    assert(dist("train") > 200 && dist.getOrElse("val", 0) > 5 &&
+      dist.getOrElse("test", 0) > 5, dist.toString)
+  }
+
+  test("splitByContent: cut rule is floor(cumF·256) on the hex bucket; salt re-keys") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val got = Split.splitByContent(df, "text", fracs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // driver replay of the documented rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 500).foreach { i =>
+      val fp = md.digest(s"doc $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      val want =
+        if (fp < "cc") "train" else if (fp < "e6") "val" else "test"
+      assert(got(i.toLong) == want, s"doc $i bucket $fp")
+    }
+    val salted = Split.splitByContent(df, "text", fracs, salt = "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(salted != got) // a salt re-keys the assignment
+  }
 }
