@@ -26,15 +26,20 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to micros — the
-    // same truncation DuckDB applies converting NS → its native
-    // microsecond timestamps, so oracle comparisons agree.
+    // events.parquet's ts has shipped as TIMESTAMP(NANOS) (which
+    // Spark's vectorized reader rejects — read nanos as long,
+    // truncate to micros like DuckDB does) and as naive micros (which
+    // Spark reads as TIMESTAMP_NTZ — no event-time arithmetic or
+    // watermarks). Normalize both to TimestampType; the session runs
+    // UTC, so the NTZ cast re-tags the same wall-clock instant the
+    // oracle reads, identical to what the NANOS path produced.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       else acc
     }
   }

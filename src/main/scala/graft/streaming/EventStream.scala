@@ -31,6 +31,11 @@ object EventStream {
     val raw = spark.readStream.schema(rawSchema).parquet(stageDir.toString)
     if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (rawSchema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      // naive micros → session-UTC instants, mirroring Queries.tbl
+      raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
 

@@ -380,8 +380,7 @@ object ScaleCurve {
       // blowup offsets user ids, so sessions per user stay constant
       // and the state/shuffle volume grows ∝ n.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev0 = graft.queries.Queries.tbl(spark, sfDir, "events")
         .select(col("user_id"), col("event_id"), col("ts"))
       val maxUid = ev0.agg(max("user_id")).head().getLong(0) + 1
       val evDirs = mults.map { m =>
