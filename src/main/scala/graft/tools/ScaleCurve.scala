@@ -665,6 +665,56 @@ object ScaleCurve {
         math.log(sts.last._1.toDouble / sts.head._1)
       println(f"${"bm25_idx_search"}%-16s exponent k=$sk%.2f")
     }
+
+    // ---- r8 closing newcomers: fused validation, snapshot diff,
+    // normalized dedup, content-keyed split ----
+    if (want("r8new4")) {
+      import graft.pipeline.{Snapshot, Split, Validate}
+      def fitK8(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      val runs: Seq[(String, DataFrame => Long)] = Seq(
+        "validate_profile" -> { d =>
+          Validate.profile(d, Seq("doc_id", "text")).count()
+        },
+        "validate_check" -> { d =>
+          Validate.check(d, Seq(
+            Validate.Constraint.notNull("text"),
+            Validate.Constraint.matches("text", "^[\\x20-\\x7e\\s]*$"),
+            Validate.Unique(Seq("doc_id")))).count()
+        },
+        "snapshot_diff" -> { d =>
+          val newer = d.where(col("doc_id") % 11 =!= 0)
+            .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          Snapshot.diff(d, newer, "doc_id", "text").count()
+        },
+        "dedup_normalized" -> { d =>
+          Dedup.normalizedGroups(d, "text", "doc_id").count()
+        },
+        "split_content" -> { d =>
+          Split.splitByContent(d, "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .groupBy(col("split")).agg(count(lit(1))).count()
+        })
+      for ((label, run) <- runs) {
+        run(spark.read.parquet(scaleDirs.head._2)) // warm-up
+        val ts = scaleDirs.map { case (m, path) =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          val d = spark.read.parquet(path)
+          val n = d.count()
+          val t0 = System.nanoTime()
+          val rows = run(d)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"$label%-16s $n%8d $m%5d $sec%8.2f $rows%8d")
+          (m, sec)
+        }
+        fitK8(ts, label)
+      }
+    }
     spark.stop()
   }
 }
