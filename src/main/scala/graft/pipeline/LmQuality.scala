@@ -166,6 +166,47 @@ object LmQuality {
           col("xent_fp").cast(DoubleType) / lit((1L << FracBits).toDouble) /
             col("n_bigrams").cast(DoubleType))
           .otherwise(lit(0.0)))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    * documents split into head / middle / tail by per-bigram LM
+    * cross-entropy thresholds at the p1-th / p2-th EXACT percentiles
+    * of the corpus score distribution — the quality-stratification
+    * step CCNet runs before sampling by bucket.
+    *
+    * The score is the exact fixed-point per-bigram cross-entropy
+    * `avg_fp = floor(xent_fp · 2^10 / n_bigrams)` (overflow-safe
+    * [[graft.functions.MulDivFloor]]; 0 for sub-2-token docs, which
+    * land in head) — a pure integer function any engine replays.
+    * Thresholds come from [[OrderStats.exactPercentiles]] (lower
+    * rule over (value, doc)), a ≤2-row driver collect; assignment is
+    * a map-side threshold compare with ties taking the lower bucket,
+    * so equal-scoring documents always share a bucket.
+    *
+    * 100 TB shape: one codegen scoring pass + the distributed-rank
+    * percentile selection (range partitions, never a one-reducer
+    * window) + a broadcast 2-value compare. Output: (doc, n_bigrams,
+    * xent_fp, xent, avg_fp, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        lm: BigramLm, p1: Int = 33, p2: Int = 66): DataFrame = {
+    require(0 <= p1 && p1 <= p2 && p2 <= 100,
+      s"need 0 <= p1 <= p2 <= 100, got ($p1, $p2)")
+    val scored = crossEntropy(df, textCol, idCol, lm)
+      .withColumn("avg_fp",
+        when(col("n_bigrams") > 0,
+          graft.functions.MulDivFloor.column(col("xent_fp"), lit(1024L),
+            col("n_bigrams").cast(LongType)))
+          .otherwise(lit(0L)))
+    val th = OrderStats.exactPercentiles(df.sparkSession,
+        scored.withColumn("g", lit("all")), "g", "avg_fp", "doc",
+        Seq(p1, p2).distinct)
+      .collect().map(r => r.getAs[Int]("pct") -> r.getAs[Long]("v")).toMap
+    if (th.isEmpty) scored.withColumn("bucket", lit("head")) // empty corpus
+    else scored.withColumn("bucket",
+      when(col("avg_fp") <= lit(th(p1)), "head")
+        .when(col("avg_fp") <= lit(th(p2)), "middle")
+        .otherwise(lit("tail")))
+  }
 }
 
 /** Per-row bigram cross-entropy under a broadcast [[LmQuality.BigramLm]]

@@ -2311,6 +2311,20 @@ object Queries {
         .orderBy(col("doc"))
     }),
 
+    // CCNet-style perplexity bucketing: head/middle/tail by exact
+    // integer per-bigram cross-entropy thresholds at the 33rd/66th
+    // exact percentiles — same LM train config as text_lm_quality, so
+    // the oracle replays the bucketing in SQL over that golden
+    "ccnet_buckets" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val lm = graft.pipeline.LmQuality.train(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+        vocabSize = 2000, maxBigrams = 50000)
+      graft.pipeline.LmQuality.perplexityBuckets(docs, "text", "doc_id", lm)
+        .select(col("doc"), col("avg_fp"), col("bucket"))
+        .orderBy(col("doc"))
+    }),
+
     // budgeted greedy selection: best-scored documents (avg word
     // length as the deterministic score proxy) until the token budget
     // is spent — distributed prefix sum, never a one-partition window
@@ -2847,6 +2861,26 @@ object Queries {
 
     "text_lm_quality" ->
       s"SELECT doc, n_bigrams, xent_fp, xent FROM '$pipeGold/text_lm_quality.parquet' ORDER BY doc",
+
+    "ccnet_buckets" ->
+      s"""WITH s AS (
+         |  SELECT doc,
+         |    CASE WHEN n_bigrams > 0
+         |      THEN CAST((CAST(xent_fp AS HUGEINT) * 1024) // n_bigrams AS BIGINT)
+         |      ELSE 0 END AS avg_fp
+         |  FROM '$pipeGold/text_lm_quality.parquet'),
+         |c AS (SELECT count(*) AS n FROM s),
+         |r AS (SELECT avg_fp, doc,
+         |        row_number() OVER (ORDER BY avg_fp, doc) - 1 AS rk FROM s),
+         |t AS (SELECT
+         |    max(CASE WHEN rk = (33 * (n - 1)) // 100 THEN avg_fp END) AS t1,
+         |    max(CASE WHEN rk = (66 * (n - 1)) // 100 THEN avg_fp END) AS t2
+         |  FROM r, c)
+         |SELECT s.doc, s.avg_fp,
+         |  CASE WHEN s.avg_fp <= t.t1 THEN 'head'
+         |       WHEN s.avg_fp <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM s, t ORDER BY s.doc""".stripMargin,
 
     "dsir_select" ->
       s"SELECT doc, n_feats, logw_fp, logw FROM '$pipeGold/dsir_select.parquet' ORDER BY logw_fp DESC, doc",

@@ -60,6 +60,43 @@ class LmQualitySpec extends SparkTestBase {
     assert(scored(3L) == 0.0)
   }
 
+  test("perplexityBuckets: driver mirror, tie cohesion, empty totality") {
+    import spark.implicits._
+    val train = (0L until 40L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val lm = LmQuality.train(train, "text", "doc_id", vocabSize = 50)
+    // mixed corpus: in-domain, shuffled, OOV, and sub-2-token docs
+    val docs = ((0L until 30L).map(i => (i, "the quick brown fox")) ++
+      (30L until 60L).map(i => (i, "fox the over dog quick")) ++
+      (60L until 90L).map(i => (i, s"zzz$i qqq www")) ++
+      Seq((90L, ""), (91L, "one"))).toDF("doc_id", "text")
+    val out = LmQuality.perplexityBuckets(docs, "text", "doc_id", lm)
+      .select("doc", "avg_fp", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // driver mirror of the exact rule: thresholds at rank
+    // floor(p*(n-1)/100) over (avg_fp, doc), ties to the lower bucket
+    val scores = out.map { case (d, a, _) => (a, d) }.sorted
+    val n = scores.size
+    def thAt(p: Int) = scores((p.toLong * (n - 1) / 100).toInt)._1
+    val (t1, t2) = (thAt(33), thAt(66))
+    out.foreach { case (d, a, b) =>
+      val want = if (a <= t1) "head" else if (a <= t2) "middle" else "tail"
+      assert(b == want, s"doc $d avg_fp=$a got $b want $want")
+    }
+    // equal scores never straddle buckets
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1)
+    }
+    // sub-2-token docs score 0 -> head
+    assert(out.filter(r => r._1 >= 90L).forall(_._3 == "head"))
+    // all three buckets are populated on this trimodal corpus
+    assert(out.map(_._3).distinct.toSet == Set("head", "middle", "tail"))
+    // empty corpus: empty output, schema intact, no throw
+    val empty = LmQuality.perplexityBuckets(
+      docs.where(col("doc_id") < 0), "text", "doc_id", lm)
+    assert(empty.columns.contains("bucket") && empty.count() == 0)
+  }
+
   test("codegen and interpreted eval agree bit-for-bit") {
     import spark.implicits._
     val train = Seq((0L, "x y z x y x")).toDF("doc_id", "text")
