@@ -1268,6 +1268,24 @@ object Queries {
       graft.pipeline.Dedup.exactGroups(tbl(s, d, "documents"), "text", "doc_id")
         .orderBy(col("fp"))),
 
+    // persisted fingerprint-index lifecycle: build on the %3==0 ids,
+    // append the %3==1 increment's novel fps, compact, probe the
+    // %3==2 increment — keepers must equal the staged min-id rule the
+    // oracle replays in SQL
+    "dedup_index_incremental" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val path = "target/tmp/queries/dedup_fp_idx"
+      graft.pipeline.DedupIndex.writeIndex(s,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", path)
+      graft.pipeline.DedupIndex.appendNovel(s,
+        docs.where(col("doc_id") % 3 === 1), "text", "doc_id", path)
+      graft.pipeline.DedupIndex.compactIndex(s, path)
+      graft.pipeline.DedupIndex.probe(s, path,
+          docs.where(col("doc_id") % 3 === 2), "text", "doc_id")
+        .select(col("doc"), col("keep_id"), col("dup"))
+        .orderBy(col("doc"))
+    }),
+
     // Unicode-normalized dedup: the fixture fabricates two byte-
     // distinct spellings of every doc (composed á vs decomposed
     // a+́); the NFC fingerprint must merge each pair — every
@@ -1470,6 +1488,27 @@ object Queries {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_index_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS doc,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |idx0 AS (SELECT fp, min(doc) AS keep FROM fp
+        |         WHERE doc % 3 = 0 GROUP BY fp),
+        |idx1 AS (SELECT f.fp, min(f.doc) AS keep FROM fp f
+        |         LEFT JOIN idx0 i ON f.fp = i.fp
+        |         WHERE f.doc % 3 = 1 AND i.fp IS NULL GROUP BY f.fp),
+        |idx AS (SELECT * FROM idx0 UNION ALL SELECT * FROM idx1),
+        |batch AS (SELECT fp, min(doc) AS bkeep FROM fp
+        |          WHERE doc % 3 = 2 GROUP BY fp)
+        |SELECT f.doc, CAST(coalesce(i.keep, b.bkeep) AS BIGINT) AS keep_id,
+        |  coalesce(i.keep, b.bkeep) <> f.doc AS dup
+        |FROM fp f
+        |LEFT JOIN idx i ON f.fp = i.fp
+        |JOIN batch b ON f.fp = b.fp
+        |WHERE f.doc % 3 = 2
+        |ORDER BY f.doc""".stripMargin,
 
     "dedup_normalized" ->
       """WITH un AS (

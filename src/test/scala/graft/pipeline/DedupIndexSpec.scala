@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The persisted fingerprint-index lifecycle: incremental probes
+  * equal the one-shot exact-dedup rule, small-increment probes prune
+  * the bucket partitions they don't touch, appends keep one file per
+  * touched bucket, and compaction is contents-invariant.
+  */
+class DedupIndexSpec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    // 30 docs, every third a duplicate of doc 0's text, plus a
+    // cross-increment dup pair (10 <-> 25)
+    (0L until 30L).map { i =>
+      val text =
+        if (i % 3 == 0) "the shared duplicate   body"
+        else if (i == 25L) "unique text 10"
+        else s"unique text $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("id-ordered increments replay the one-shot exact-dedup keepers") {
+    val docs = corpus
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    DedupIndex.writeIndex(spark, docs.where(col("doc_id") < 10), "text",
+      "doc_id", idx)
+    val probes = Seq(10L -> 20L, 20L -> 30L).map { case (lo, hi) =>
+      val inc = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      val out = DedupIndex.probe(spark, idx, inc, "text", "doc_id")
+        .select("doc", "keep_id", "dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      DedupIndex.appendNovel(spark, inc, "text", "doc_id", idx)
+      out
+    }.reduce(_ ++ _)
+    // one-shot rule: keeper = global min id per fingerprint
+    val oneShot = docs
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fpOf = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    probes.foreach { case (doc, keep, dup) =>
+      assert(keep == oneShot(fpOf(doc)), s"doc $doc keeper")
+      assert(dup == (keep != doc), s"doc $doc dup flag")
+    }
+    assert(probes.length == 20)
+    // the cross-increment dup pair resolved to the earlier id
+    assert(probes.find(_._1 == 25L).get._2 == 10L)
+  }
+
+  test("small-increment probe prunes untouched bucket partitions") {
+    import spark.implicits._
+    val docs = corpus
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx_prune").toString
+    DedupIndex.writeIndex(spark, docs, "text", "doc_id", idx)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = filesRead(spark.read.parquet(idx))
+    val one = Seq((999L, "unique text 7")).toDF("doc_id", "text")
+    val buckets = one
+      .select(pmod(xxhash64(TextAnalysis.fingerprint(col("text"))),
+        lit(DedupIndex.IndexBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = filesRead(spark.read.parquet(idx)
+      .where(col("bucket").isInCollection(buckets)))
+    assert(pruned < all, s"expected pruning: all=$all pruned=$pruned")
+    // and the probe itself flags the duplicate against the index
+    val out = DedupIndex.probe(spark, idx, one, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Boolean]("dup")))
+    assert(out.toSeq == Seq((7L, true)))
+  }
+
+  test("append keeps one file per touched bucket; compaction invariant") {
+    val docs = corpus
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx_compact").toString
+    DedupIndex.writeIndex(spark, docs.where(col("doc_id") < 10), "text",
+      "doc_id", idx)
+    DedupIndex.appendNovel(spark,
+      docs.where(col("doc_id") >= 10 && col("doc_id") < 20), "text",
+      "doc_id", idx)
+    DedupIndex.appendNovel(spark,
+      docs.where(col("doc_id") >= 20), "text", "doc_id", idx)
+    def files(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val probe = docs.limit(0)
+    def decisions() = DedupIndex.probe(spark, idx,
+        corpus.where(col("doc_id") % 2 === 1), "text", "doc_id")
+      .select("doc", "keep_id", "dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val before = decisions()
+    val nBefore = files().size
+    DedupIndex.compactIndex(spark, idx)
+    val nAfter = files().size
+    assert(nAfter < nBefore,
+      s"compaction must drop the append pile: $nBefore -> $nAfter")
+    assert(decisions() == before, "compaction changed probe results")
+    // index invariant: one row per fingerprint
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.groupBy("fp").count().where(col("count") > 1).count() == 0)
+    // empty increment: probe empty, append a no-op
+    assert(DedupIndex.probe(spark, idx, probe, "text", "doc_id").count() == 0)
+    DedupIndex.appendNovel(spark, probe, "text", "doc_id", idx)
+    assert(decisions() == before)
+  }
+}
