@@ -298,7 +298,15 @@ object Dedup {
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      w: Int = 50, minCount: Int = 2): DataFrame = {
     val posts = dupPostings(df, textCol, idCol, w)
-    val dup = posts.join(hotWindows(posts, minCount), Seq("h"), "left_semi")
+    windowsToSpans(
+      posts.join(hotWindows(posts, minCount), Seq("h"), "left_semi"), w)
+  }
+
+  /** Gaps-and-islands merge of flagged (doc, pos) windows into
+    * maximal (doc, start_tok, end_tok) spans — windows whose
+    * positions differ by ≤ w overlap or touch, so they fuse.
+    */
+  private def windowsToSpans(dup: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
     dup
       // first window of a doc: lag is NULL → comparison NULL → break
@@ -349,8 +357,17 @@ object Dedup {
     * shuffles total (hot-window agg, span join, rebuild), no pairs.
     */
   def dropDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                         w: Int = 50, minCount: Int = 2): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, w, minCount)
+                         w: Int = 50, minCount: Int = 2): DataFrame =
+    removeSpans(df, duplicateSpans(df, textCol, idCol, w, minCount),
+      textCol, idCol)
+
+  /** Rebuild every document with the tokens covered by any span in
+    * `spans` removed; fully-covered documents come back as "" rather
+    * than vanishing. Tokens and spans share the split(" ") coordinate
+    * system; end is exclusive.
+    */
+  private def removeSpans(df: DataFrame, spans: DataFrame,
+                          textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val kept = toks.join(spans,
@@ -364,6 +381,32 @@ object Dedup {
     df.select(col(idCol).as("doc"))
       .join(rebuilt, Seq("doc"), "left")
       .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
+  /** Cross-corpus decontamination by SPAN SURGERY — the
+    * minimal-removal alternative to dropping whole contaminated
+    * documents ([[crossJaccardPairs]] flags; this excises): every
+    * maximal training-side span whose w-token windows appear ANYWHERE
+    * in the eval corpus is removed, and the rest of the document
+    * survives — templated boilerplate around a quoted benchmark item
+    * no longer costs the whole document.
+    *
+    * Shape: training windows are the usual [[dupPostings]] scan; the
+    * eval side contributes only its window-hash SET (benchmark-sized,
+    * so the semi-join's build side is tiny — Spark broadcasts it),
+    * flagged windows merge gaps-and-islands into spans, and the
+    * rebuild is [[dropDuplicateSpans]]'s. Eval text never joins
+    * against training text — only 8-byte window hashes cross.
+    */
+  def decontamSpanScrub(train: DataFrame, eval: DataFrame,
+                        textCol: String, idCol: String,
+                        w: Int = 50): DataFrame = {
+    val posts = dupPostings(train, textCol, idCol, w)
+    val evalWindows = eval.select(
+      explode(TextAnalysis.shingleHashes(col(textCol), w)).as("h"))
+    val spans = windowsToSpans(
+      posts.join(evalWindows, Seq("h"), "left_semi"), w)
+    removeSpans(train, spans, textCol, idCol)
   }
 
   /** (doc, pos, h) window postings shared by the span operators. */

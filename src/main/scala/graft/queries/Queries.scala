@@ -2702,6 +2702,17 @@ object Queries {
           tbl(s, d, "documents"), "text", "doc_id", w = 8)
         .orderBy(col("doc"))),
 
+    // cross-corpus decontamination by span surgery: training spans
+    // whose 8-token windows appear anywhere in the eval third are
+    // excised, the rest of each document survives
+    "decontam_span_scrub" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.pipeline.Dedup.decontamSpanScrub(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0), "text", "doc_id", w = 8)
+        .orderBy(col("doc"))
+    }),
+
     "text_line_dedup" -> ((s, d) => {
       import s.implicits._
       // C4-style global line dedup over an inline multiline corpus
@@ -3104,6 +3115,45 @@ object Queries {
 
     "text_span_dedup" ->
       s"SELECT doc, cleaned FROM '$pipeGold/text_span_dedup.parquet' ORDER BY doc",
+
+    "decontam_span_scrub" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |evw AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS wnd
+        |  FROM tok WHERE doc_id % 3 = 0 AND len(ws) >= 8),
+        |tr AS (SELECT doc_id, ws FROM tok WHERE doc_id % 3 <> 0),
+        |posts AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> struct_pack(pos := i - 1,
+        |      wnd := array_to_string(ws[i:i+7], ' ')))) AS s
+        |  FROM tr WHERE len(ws) >= 8),
+        |dup AS (
+        |  SELECT p.doc_id, p.s.pos AS pos
+        |  FROM posts p JOIN evw e ON p.s.wnd = e.wnd),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      <= 8 THEN 0 ELSE 1 END AS b
+        |  FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM brk),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |    i -> struct_pack(pos := i - 1, tok := ws[i]))) AS t
+        |  FROM tr),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.t.pos AS pos, tk.t.tok AS tok FROM toks tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tk.doc_id
+        |      AND tk.t.pos >= sp.s AND tk.t.pos < sp.e)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id AS doc, coalesce(r.cleaned, '') AS cleaned
+        |FROM tr t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY doc""".stripMargin,
 
     "text_line_dedup" ->
       """WITH t(doc_id, text) AS (VALUES

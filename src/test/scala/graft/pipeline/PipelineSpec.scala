@@ -205,6 +205,32 @@ class PipelineSpec extends SparkTestBase {
     assert(got(13L) == "entirely unique tokens without any duplication at all thanks")
   }
 
+  test("decontam span scrub excises only eval-matching spans") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"intro words here $leaked outro words"), // span inside
+      (2L, leaked), // fully contaminated -> ""
+      (3L, "a clean training document with no overlap whatsoever present"),
+      // train-internal duplicate of doc 3: NOT eval-matching, so the
+      // scrub (unlike dropDuplicateSpans) must leave both intact
+      (4L, "a clean training document with no overlap whatsoever present")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"benchmark question: $leaked answer follows")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontamSpanScrub(train, eval, "text", "doc_id", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "intro words here outro words")
+    assert(got(2L) == "")
+    assert(got(3L) == "a clean training document with no overlap whatsoever present")
+    assert(got(4L) == got(3L))
+    // empty eval corpus: everything survives untouched
+    val noEval = Dedup.decontamSpanScrub(train, eval.limit(0), "text",
+      "doc_id", w = 4).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noEval(1L).contains(leaked) && noEval(2L) == leaked)
+  }
+
   test("duplicate spans match a string-based brute-force reference (random corpora)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
@@ -219,7 +245,7 @@ class PipelineSpec extends SparkTestBase {
       val winOf = docs.map { case (id, text) =>
         val toks = text.split(" ")
         id -> (if (toks.length < w || text.isEmpty) Array.empty[String]
-               else toks.sliding(w).map(_.mkString(" ")).toArray)
+               else toks.sliding(w).map(_.mkString("\u0000")).toArray)
       }.toMap
       val counts = winOf.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
       val want = winOf.toSeq.flatMap { case (id, wins) =>
