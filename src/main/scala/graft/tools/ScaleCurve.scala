@@ -667,15 +667,32 @@ object ScaleCurve {
     }
 
     // ---- r8 closing newcomers: fused validation, snapshot diff,
-    // normalized dedup, content-keyed split ----
+    // normalized dedup, content-keyed split, CCNet buckets, span
+    // scrub, dedup-index probe ----
     if (want("r8new4")) {
-      import graft.pipeline.{Snapshot, Split, Validate}
+      import graft.pipeline.{DedupIndex, LmQuality, Snapshot, Split, Validate}
       def fitK8(ts: Seq[(Int, Double)], label: String): Unit = {
         val k = math.log(ts.last._2 / ts.head._2) /
           math.log(ts.last._1.toDouble / ts.head._1)
         println(f"$label%-16s exponent k=$k%.2f")
       }
+      // fixed artifacts trained/held on the 1x corpus: what scales is
+      // the per-blowup pass (bpe_encode pattern)
+      val ccnetLm = LmQuality.train(
+        spark.read.parquet(scaleDirs.head._2)
+          .where(col("doc_id") % 2 === 0), "text", "doc_id",
+        vocabSize = 2000, maxBigrams = 50000)
+      val evalThird = spark.read.parquet(scaleDirs.head._2)
+        .where(col("doc_id") % 3 === 0).localCheckpoint(true)
       val runs: Seq[(String, DataFrame => Long)] = Seq(
+        "ccnet_buckets" -> { d =>
+          LmQuality.perplexityBuckets(d, "text", "doc_id", ccnetLm)
+            .groupBy(col("bucket")).count().count()
+        },
+        "decontam_scrub" -> { d =>
+          Dedup.decontamSpanScrub(d, evalThird, "text", "doc_id", w = 8)
+            .count()
+        },
         "validate_profile" -> { d =>
           Validate.profile(d, Seq("doc_id", "text")).count()
         },
@@ -714,6 +731,26 @@ object ScaleCurve {
         }
         fitK8(ts, label)
       }
+      // dedup-index probe over a GROWING index: one index per blowup
+      // built OUTSIDE the timed window, a FIXED 100-doc increment
+      // probed — bucket pruning must hold probe time ~flat as the
+      // indexed corpus grows (the bm25_idx_search pattern)
+      val inc = spark.read.parquet(scaleDirs.head._2)
+        .limit(100)
+        .select((col("doc_id") + lit(10_000_000L)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val pts = scaleDirs.map { case (m, path) =>
+        val idx = s"target/tmp/scale_curve/dedup_idx_x$m"
+        DedupIndex.writeIndex(spark, spark.read.parquet(path), "text",
+          "doc_id", idx)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = DedupIndex.probe(spark, idx, inc, "text", "doc_id").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"dedup_idx_probe"}%-16s ${"-"}%8s $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK8(pts, "dedup_idx_probe")
     }
     spark.stop()
   }
