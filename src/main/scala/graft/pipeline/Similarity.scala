@@ -242,4 +242,26 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * the evaluation harness every ANN deployment runs before trusting
+    * an index: per query, the fraction of the true top-k
+    * ([[bruteForceTopK]]'s output, the ground truth) that the
+    * approximate method ([[lshTopK]], [[Ivf.search]], …) returned.
+    * Both inputs are (qid, nid[, …]) top-k lists — queries × k rows —
+    * so the cost is independent of corpus size; every exact qid
+    * appears in the output (0 hits ⇒ recall 0.0), and extra columns
+    * on either side are ignored.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ap = approx.select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    exact.select(col("qid"), col("nid"))
+      .join(ap, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall",
+        col("hits").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(k.toDouble))
+  }
 }

@@ -1128,6 +1128,23 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ANN evaluation harness: recall@5 of the LSH index against the
+    // exact brute-force ground truth, per query — the number a
+    // deployment checks before trusting an approximate index
+    "ann_recall_lsh" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            corpus, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Similarity.lshTopK(
+            corpus, qs, "embedding", "vec_id", k = 5, dim = 64),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     "ann_topk_mmr" -> ((s, d) => {
       // MMR-diversified retrieval: distributed candidate top-N +
       // bounded driver greedy rerank (relevance − λ-weighted
@@ -3263,6 +3280,23 @@ object Queries {
 
     "lsh_topk" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/lsh_topk.parquet' ORDER BY qid, rk",
+
+    "ann_recall_lsh" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/lsh_topk.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / 5.0 AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     "ann_topk_mmr" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/mmr_topk.parquet' ORDER BY qid, rk",

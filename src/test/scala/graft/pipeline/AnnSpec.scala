@@ -160,6 +160,20 @@ class AnnSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("recallAtK: hand-built lists, zero-hit queries kept, self = 1.0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L),
+      (3L, 31L)).toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 21L), (2L, 99L), (3L, 98L),
+      (3L, 99L)).toDF("qid", "nid")
+    val got = Similarity.recallAtK(exact, approx, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+    // an exact list evaluated against itself is perfect recall
+    val self = Similarity.recallAtK(exact, exact, k = 2).collect()
+    assert(self.forall(_.getDouble(2) == 1.0))
+  }
+
   test("topN kernel matches the sort-based selection rule exactly") {
     // the insertion top-n must replay sortBy((-dot, idx)).take(n),
     // including ties — random vectors plus a crafted all-ties table
