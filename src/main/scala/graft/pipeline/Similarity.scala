@@ -256,8 +256,11 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val ap = approx.select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    // the approx side is queries × k rows by contract — broadcast it
+    // rather than letting the estimator pick a sort-merge join off
+    // the (large) upstream plan's size guess
     exact.select(col("qid"), col("nid"))
-      .join(ap, Seq("qid", "nid"), "left")
+      .join(broadcast(ap), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
       .withColumn("recall",
