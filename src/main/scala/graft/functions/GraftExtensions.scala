@@ -49,5 +49,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("strip_accents",
         "strip_accents(s) - NFD + drop combining marks (CCNet canon)"),
       (exprs: Seq[Expression]) => NormalizeExpressions.stripFromArgs(exprs)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, w) - rolling 64-bit w-token window hashes"),
+      (exprs: Seq[Expression]) => SqlBuilders.shingleHashes(exprs)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit near-dup signature"),
+      (exprs: Seq[Expression]) => SqlBuilders.simhash64(exprs)))
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id",
+        "lang_id(text) - heuristic language id (struct lang, score)"),
+      (exprs: Seq[Expression]) => SqlBuilders.langId(exprs)))
+    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim",
+        "jaccard_sim(a, b) - exact Jaccard of two BIGINT shingle arrays"),
+      (exprs: Seq[Expression]) => SqlBuilders.jaccardSim(exprs)))
+    ext.injectFunction((FunctionIdentifier("mul_div_floor"),
+      info("mul_div_floor",
+        "mul_div_floor(a, b, c) - exact floor(a*b/c), overflow-safe"),
+      (exprs: Seq[Expression]) => SqlBuilders.mulDivFloor(exprs)))
+    ext.injectFunction((FunctionIdentifier("fingerprint"),
+      info("fingerprint",
+        "fingerprint(text) - md5 of whitespace/case-normalized text"),
+      (exprs: Seq[Expression]) => SqlBuilders.fingerprint(exprs)))
+    ext.injectFunction((FunctionIdentifier("normalized_fingerprint"),
+      info("normalized_fingerprint",
+        "normalized_fingerprint(text) - NFC-canonical dedup fingerprint"),
+      (exprs: Seq[Expression]) => SqlBuilders.normalizedFingerprint(exprs)))
   }
 }

@@ -25,5 +25,19 @@ object GraftSql {
       NormalizeExpressions.nfcFromArgs, "scala_udf")
     reg.createOrReplaceTempFunction("strip_accents",
       NormalizeExpressions.stripFromArgs, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      SqlBuilders.shingleHashes, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      SqlBuilders.simhash64, "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id",
+      SqlBuilders.langId, "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      SqlBuilders.jaccardSim, "scala_udf")
+    reg.createOrReplaceTempFunction("mul_div_floor",
+      SqlBuilders.mulDivFloor, "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint",
+      SqlBuilders.fingerprint, "scala_udf")
+    reg.createOrReplaceTempFunction("normalized_fingerprint",
+      SqlBuilders.normalizedFingerprint, "scala_udf")
   }
 }

@@ -175,6 +175,45 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(ex.getMessage.contains("literal"))
   }
 
+  test("text-kernel SQL surface agrees with the Column API") {
+    import spark.implicits._
+    GraftSql.register(spark)
+    Seq((1L, "the quick brown fox the quick brown fox"),
+      (2L, "caf\u00e9 row"), (3L, "")).toDF("id", "text")
+      .createOrReplaceTempView("sqlsurf")
+    val got = spark.sql(
+      """SELECT id, fingerprint(text) AS fp, normalized_fingerprint(text) AS nfp,
+        |  simhash64(text) AS sh, lang_id(text) AS li,
+        |  shingle_hashes(text, 3) AS shs,
+        |  jaccard_sim(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS js,
+        |  mul_div_floor(7L, 3L, 2L) AS mdf
+        |FROM sqlsurf ORDER BY id""".stripMargin).collect()
+    val api = spark.table("sqlsurf")
+      .select(col("id"),
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.pipeline.TextAnalysis.normalizedFingerprint(col("text")).as("nfp"))
+      .orderBy(col("id")).collect()
+    got.zip(api).foreach { case (g, a) =>
+      assert(g.getString(1) == a.getString(1), s"fingerprint id=${g.getLong(0)}")
+      assert(g.getString(2) == a.getString(2), s"nfp id=${g.getLong(0)}")
+    }
+    // NFC: the DECOMPOSED spelling (e + combining acute) shares the
+    // normalized fp with the composed row, while the plain
+    // fingerprints differ
+    val dec = spark.sql(
+      "SELECT fingerprint('cafe\u0301 row') AS fp, " +
+        "normalized_fingerprint('cafe\u0301 row') AS nfp").head()
+    assert(got(1).getString(2) == dec.getString(1))
+    assert(got(1).getString(1) != dec.getString(0))
+    // identical shingle sets -> jaccard 1.0 (docs with >= w tokens)
+    assert(got.head.getDouble(6) == 1.0)
+    assert(got.head.getLong(7) == 10L) // floor(7*3/2)
+    // arity errors are typed, not IndexOutOfBounds
+    val ex = intercept[Exception](
+      spark.sql("SELECT simhash64('a', 'b')").collect())
+    assert(ex.getMessage.contains("expects 1 argument"))
+  }
+
   test("GraftExtensions injects the SQL functions at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force shared-session init (owns the SparkContext)
