@@ -1319,6 +1319,27 @@ object Queries {
         .orderBy(col("keep_id"))
     }),
 
+    // the registered SQL surface end-to-end: the same normalized
+    // dedup expressed in PLAIN spark.sql — no Column API anywhere on
+    // the query path, so the gate exercises the function registry
+    "sql_dedup_normalized" -> ((s, d) => {
+      graft.functions.GraftSql.register(s)
+      tbl(s, d, "documents").createOrReplaceTempView("documents_sqlv")
+      val comp = "\u00e1"
+      val dec = "a\u0301"
+      s.sql(
+        s"""SELECT normalized_fingerprint(text) AS fp,
+           |  min(doc_id) AS keep_id, count(*) AS n
+           |FROM (
+           |  SELECT doc_id, regexp_replace(text, 'a', '$comp') AS text
+           |  FROM documents_sqlv
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id,
+           |    regexp_replace(text, 'a', '$dec') AS text
+           |  FROM documents_sqlv)
+           |GROUP BY 1 ORDER BY keep_id""".stripMargin)
+    }),
+
     "dedup_jaccard_pairs" -> ((s, d) =>
       graft.pipeline.Dedup.jaccardPairs(tbl(s, d, "documents"), "text", "doc_id",
         w = 3, threshold = 0.2, maxShingleDf = 128)
@@ -1528,6 +1549,17 @@ object Queries {
         |ORDER BY f.doc""".stripMargin,
 
     "dedup_normalized" ->
+      """WITH un AS (
+        |  SELECT doc_id, replace(text, 'a', 'á') AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, replace(text, 'a', 'á') AS text
+        |  FROM documents)
+        |SELECT md5(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
+        |FROM un GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // same rule, replayed for the spark.sql-surface variant
+    "sql_dedup_normalized" ->
       """WITH un AS (
         |  SELECT doc_id, replace(text, 'a', 'á') AS text FROM documents
         |  UNION ALL
