@@ -15,6 +15,19 @@ import java.sql.Timestamp
   */
 object Schemas {
 
+  /** Guard for the naive-timestamp readers: casting TIMESTAMP_NTZ →
+    * TIMESTAMP re-tags the wall-clock value in the SESSION time zone,
+    * which is only instant-preserving because every entry point pins
+    * UTC. Assert it where the cast happens, so a future non-UTC
+    * caller fails loudly instead of silently shifting event times.
+    */
+  def requireUtcSession(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"naive-timestamp (TIMESTAMP_NTZ) columns are re-tagged in the " +
+        s"session time zone; the engine's readers assume UTC, got '$tz'")
+  }
+
   /** One readable document: source path/spec + full text content. */
   final case class Entry(path: String, content: String)
 

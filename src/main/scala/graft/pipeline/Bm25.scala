@@ -146,7 +146,7 @@ object Bm25 {
   private def writeLayout(spark: SparkSession, docs: DataFrame,
                           textCol: String, idCol: String, path: String,
                           mode: String): Unit = {
-    val postings = docs
+    val postingsPlan = docs
       .select(col(idCol).as("doc"),
         TextAnalysis.tokenCount(col(textCol)).as("len"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -154,6 +154,15 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
       .withColumn("bucket", bucketOf(col("term")))
       .repartition(IndexBuckets, col("bucket"))
+    // In append mode the postings plan feeds TWO writes (postings and
+    // df below) — pin it once so the increment corpus is exploded and
+    // aggregated exactly once, not re-run per consumer (the same
+    // pattern as DedupIndex.probeRaw). Increments are small by the
+    // append contract, so the materialization is cheap. The overwrite
+    // (build) pass is consumed once and must stream, not materialize.
+    val postings =
+      if (mode == "append") postingsPlan.localCheckpoint(true)
+      else postingsPlan
     postings.write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
     // df rows for THIS pass only (readers SUM across increments). In
@@ -161,8 +170,7 @@ object Bm25 {
     // reading it back — a (bucket, term)-pruned scan of the compact
     // index, not a second corpus explode. In append mode the written
     // pile also holds prior increments, so recompute from the
-    // increment's postings plan (increments are small by the append
-    // contract; the build-sized scan is the overwrite path).
+    // increment's pinned postings (no second explode).
     val dfSource =
       if (mode == "overwrite") spark.read.parquet(s"$path/postings")
       else postings
@@ -220,8 +228,9 @@ object Bm25 {
       .select(bucketOf(col("term"))).collect().map(_.getLong(0))
       .distinct.toSeq
     // SUM per-term df rows: appends contribute one row per increment
-    val dfMap = spark.read.parquet(s"$path/df")
-      .where(col("bucket").isInCollection(bucketSet) &&
+    val dfRead = spark.read.parquet(s"$path/df")
+    val dfMap = dfRead
+      .where(graft.core.PartitionIn.inSet(dfRead, "bucket", bucketSet) &&
         col("term").isInCollection(terms))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -231,8 +240,9 @@ object Bm25 {
     }.toDF("term", "idf_fp")
     val qtDf = (for { (qid, q) <- queries; t <- queryTerms(q) }
       yield (qid, t)).toDF("qid", "term")
-    val postings = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isInCollection(bucketSet) &&
+    val postRead = spark.read.parquet(s"$path/postings")
+    val postings = postRead
+      .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
         col("term").isInCollection(terms))
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +

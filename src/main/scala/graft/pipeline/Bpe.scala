@@ -117,13 +117,30 @@ object Bpe {
     */
   def trainCapped(spark: SparkSession, df: DataFrame, textCol: String,
                   numMerges: Int, maxVocab: Int,
-                  minPairCount: Long = 2L): BpeModel = {
+                  minPairCount: Long = 2L): BpeModel =
+    new BpeModel(cappedMerges(spark, df, textCol, numMerges, maxVocab,
+      minPairCount).map(m => (m._2, m._3)).toArray)
+
+  /** The capped merge table as a DataFrame — [[trainTable]] for the
+    * open-vocabulary path (this is the variant whose shape survives
+    * 100 TB: the driver only ever sees maxVocab rows).
+    */
+  def trainCappedTable(spark: SparkSession, df: DataFrame, textCol: String,
+                       numMerges: Int, maxVocab: Int,
+                       minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    cappedMerges(spark, df, textCol, numMerges, maxVocab, minPairCount)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  private def cappedMerges(spark: SparkSession, df: DataFrame,
+                           textCol: String, numMerges: Int, maxVocab: Int,
+                           minPairCount: Long): Seq[(Int, String, String, Long)] = {
     require(maxVocab > 0, "maxVocab must be positive")
     val wc = HeavyHitters.topTerms(spark, df, textCol, k = maxVocab,
         capacity = 4 * maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    new BpeModel(trainFromCounts(wc, numMerges, minPairCount)
-      .map(m => (m._2, m._3)).toArray)
+    trainFromCounts(wc, numMerges, minPairCount)
   }
 
   /** The merge table as a DataFrame (rank, left, right, pair_count) —

@@ -59,8 +59,9 @@ object DedupIndex {
     if (buckets.isEmpty)
       return fps.withColumn("idx_keep", lit(null).cast("long"))
         .withColumn("batch_keep", col("doc"))
-    val idx = spark.read.parquet(path)
-      .where(col("bucket").isInCollection(buckets))
+    val idx0 = spark.read.parquet(path)
+    val idx = idx0
+      .where(graft.core.PartitionIn.inSet(idx0, "bucket", buckets))
       .select(col("fp"), col("doc").as("idx_keep"))
     val batchKeep = fps.groupBy(col("fp"))
       .agg(min(col("doc")).as("batch_keep"))

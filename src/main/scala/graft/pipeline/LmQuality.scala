@@ -191,12 +191,18 @@ object LmQuality {
                         lm: BigramLm, p1: Int = 33, p2: Int = 66): DataFrame = {
     require(0 <= p1 && p1 <= p2 && p2 <= 100,
       s"need 0 <= p1 <= p2 <= 100, got ($p1, $p2)")
+    // pinned once: the percentile pass below EXECUTES the scoring
+    // plan, and the returned frame is consumed again by the caller —
+    // without the checkpoint that second consumption re-runs the full
+    // codegen scoring scan (the probeRaw pattern), making the "one
+    // scoring pass" claim off by a whole corpus scan
     val scored = crossEntropy(df, textCol, idCol, lm)
       .withColumn("avg_fp",
         when(col("n_bigrams") > 0,
           graft.functions.MulDivFloor.column(col("xent_fp"), lit(1024L),
             col("n_bigrams").cast(LongType)))
           .otherwise(lit(0L)))
+      .localCheckpoint(true)
     val th = OrderStats.exactPercentiles(df.sparkSession,
         scored.withColumn("g", lit("all")), "g", "avg_fp", "doc",
         Seq(p1, p2).distinct)

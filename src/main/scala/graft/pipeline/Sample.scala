@@ -65,16 +65,16 @@ object Sample {
       .withColumn("key_fp", raceKey(col("doc"), col("w"), seed))
     // heap keeps HIGHEST score with ties to lower id — negate the key
     // so the smallest keys win; |key_fp| < 2^47 so the double
-    // round-trip through the heap is exact
-    val cut = keyed
-      .agg(graft.functions.TopKByScore.topKBy(
-        -col("key_fp").cast(DoubleType), col("doc"), k).as("top"))
+    // round-trip through the heap is exact. The weight rides the heap
+    // as the tag payload, so no winners-back-to-input re-join (which
+    // would recompute the un-pinned upstream a second time).
+    keyed
+      .agg(graft.functions.TopKByScore.topKByTag(
+        -col("key_fp").cast(DoubleType), col("doc"), col("w"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "hit")))
-      .select(col("hit.id").as("doc"),
+      .select(col("hit.id").as("doc"), col("hit.tag").as("w"),
         (-col("hit.score")).cast(LongType).as("key_fp"),
         (col("pos") + 1).cast(IntegerType).as("rk"))
-    cut.join(keyed.select(col("doc"), col("w")), Seq("doc"))
-      .select(col("doc"), col("w"), col("key_fp"), col("rk"))
   }
 
   /** Per-stratum weighted sample: k winners within EACH stratum —

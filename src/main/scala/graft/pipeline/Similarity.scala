@@ -255,16 +255,26 @@ object Similarity {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val ap = approx.select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    // dedupe defensively: a repeated (qid, nid) row on the approx side
+    // (a top-k contract violation) would double-count through the join
+    // and push recall past 1.0 — silently
+    val ap = approx.select(col("qid"), col("nid")).dropDuplicates("qid", "nid")
+      .withColumn("hit", lit(1L))
     // the approx side is queries × k rows by contract — broadcast it
     // rather than letting the estimator pick a sort-merge join off
     // the (large) upstream plan's size guess
     exact.select(col("qid"), col("nid"))
       .join(broadcast(ap), Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
-      .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"),
+        count(lit(1)).as("n_exact"))
+      // denominate by what the exact list actually holds (≤ k): a
+      // query whose true neighborhood has fewer than k members can
+      // still reach recall 1.0
       .withColumn("recall",
         col("hits").cast(org.apache.spark.sql.types.DoubleType) /
-          lit(k.toDouble))
+          least(lit(k.toLong), col("n_exact"))
+            .cast(org.apache.spark.sql.types.DoubleType))
+      .drop("n_exact")
   }
 }

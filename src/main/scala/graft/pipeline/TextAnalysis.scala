@@ -139,8 +139,14 @@ object TextAnalysis {
     * `tf·idf` for fixed tf). The score is one IEEE division of exactly
     * representable integers (tf·N < 2^53), so engines agree bit-for-bit
     * with no libm or rounding in sight. The df side of the join is the
-    * vocabulary — bounded, broadcast — so the only shuffle is the tf
-    * aggregation; the per-doc top-k window sees tf-rows, not tokens.
+    * per-term document-frequency table — one row per DISTINCT corpus
+    * token, which Heaps' law puts at 10⁸–10⁹ for an open web corpus,
+    * so it is deliberately NOT broadcast-hinted: the tf⋈df join is a
+    * plain equi-join on `term` and AQE promotes it to a broadcast only
+    * when the measured vocabulary genuinely fits (small corpora), the
+    * same unbounded-side discipline as the dedup family's
+    * `maxShingleDf`. The per-doc top-k window sees tf-rows, not
+    * tokens.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -152,7 +158,7 @@ object TextAnalysis {
     val dfreq = toks.groupBy(col("term")).agg(count_distinct(col("doc")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .withColumn("score",
         col("tf").cast(DoubleType) * lit(n.toDouble) / col("df").cast(DoubleType))
       .withColumn("rk", row_number().over(w).cast(LongType))

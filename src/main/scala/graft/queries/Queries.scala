@@ -38,9 +38,11 @@ object Queries {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+      else if (f.name == "ts" && f.dataType == TimestampNTZType) {
+        // instant-preserving only under a UTC session — assert it
+        graft.core.Schemas.requireUtcSession(spark)
         acc.withColumn("ts", col("ts").cast(TimestampType))
-      else acc
+      } else acc
     }
   }
 
@@ -1145,6 +1147,44 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // the same harness over the IVF index — the coarse-quantized
+    // family a deployment actually tunes (nlist/nprobe), so ITS
+    // recall@k is the number that matters operationally
+    "ann_recall_ivf" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.search(postings, qs, "embedding", "vec_id",
+            model, k = 5, nprobe = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
+    // and over IVF-PQ — coarse pruning + ADC shortlist + exact
+    // rescore; quantization loss makes this the list whose recall a
+    // billion-scale deployment must verify before trusting the codes
+    "ann_recall_ivfpq" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", ivf)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.searchPq(postings, qs, "embedding", "vec_id",
+            ivf, pq, k = 5, nprobe = 4, oversample = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     "ann_topk_mmr" -> ((s, d) => {
       // MMR-diversified retrieval: distributed candidate top-N +
       // bounded driver greedy rerank (relevance − λ-weighted
@@ -1291,7 +1331,11 @@ object Queries {
     // oracle replays in SQL
     "dedup_index_incremental" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val path = "target/tmp/queries/dedup_fp_idx"
+      // fresh dir per run (not a fixed relative path): two gate runs
+      // sharing a working directory must not interleave their
+      // writeIndex/appendNovel passes into one corrupt index
+      val path = java.nio.file.Files.createTempDirectory("dedup_fp_idx")
+        .resolve("index").toString
       graft.pipeline.DedupIndex.writeIndex(s,
         docs.where(col("doc_id") % 3 === 0), "text", "doc_id", path)
       graft.pipeline.DedupIndex.appendNovel(s,
@@ -2696,6 +2740,16 @@ object Queries {
           numMerges = 60)
         .orderBy(col("rank"))),
 
+    // the OPEN-VOCABULARY training path — the word table is first
+    // capped to the maxVocab most frequent words via the two-pass
+    // heavy-hitters cut, so the driver collect is maxVocab rows
+    // regardless of corpus vocabulary; this is the variant whose
+    // shape survives 100 TB, so it is the one the gate must pin
+    "bpe_train_capped" -> ((s, d) =>
+      graft.pipeline.Bpe.trainCappedTable(s, tbl(s, d, "documents"), "text",
+          numMerges = 40, maxVocab = 20)
+        .orderBy(col("rank"))),
+
     // encoding under the trained model: broadcast-model codegen map
     // pass, per-doc BPE token count
     "bpe_token_count" -> ((s, d) => {
@@ -3124,6 +3178,9 @@ object Queries {
     "bpe_train" ->
       s"""SELECT "rank", "left", "right", pair_count FROM '$pipeGold/bpe_train.parquet' ORDER BY "rank"""",
 
+    "bpe_train_capped" ->
+      s"""SELECT "rank", "left", "right", pair_count FROM '$pipeGold/bpe_train_capped.parquet' ORDER BY "rank"""",
+
     "corpus_curation_v2" ->
       s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_curation_v2.parquet' ORDER BY doc_id, copy",
 
@@ -3326,7 +3383,41 @@ object Queries {
          |  WHERE rk <= 5),
          |ap AS (SELECT qid, nid FROM '$pipeGold/lsh_topk.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
-         |  count(a.nid) / 5.0 AS recall
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    "ann_recall_ivf" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    "ann_recall_ivfpq" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_pq.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
          |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 

@@ -32,10 +32,13 @@ object EventStream {
     if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else if (rawSchema("ts").dataType ==
-        org.apache.spark.sql.types.TimestampNTZType)
-      // naive micros → session-UTC instants, mirroring Queries.tbl
+        org.apache.spark.sql.types.TimestampNTZType) {
+      // naive micros → session-UTC instants, mirroring Queries.tbl;
+      // only instant-preserving under a UTC session — assert it
+      graft.core.Schemas.requireUtcSession(spark)
       raw.withColumn("ts",
         col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     else raw
   }
 

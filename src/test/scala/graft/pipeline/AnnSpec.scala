@@ -174,6 +174,36 @@ class AnnSpec extends SparkTestBase {
     assert(self.forall(_.getDouble(2) == 1.0))
   }
 
+  test("recallAtK: dup approx rows don't double-count; short exact list reaches 1.0") {
+    import spark.implicits._
+    // approx repeats (1, 10) — a top-k contract violation that must
+    // not push recall past 1.0 through the join
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val dupApprox = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val got = Similarity.recallAtK(exact, dupApprox, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    // query 2's true neighborhood has only ONE member: finding it is
+    // recall 1.0, not 1/k
+    val shortExact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L)).toDF("qid", "nid")
+    val got2 = Similarity.recallAtK(shortExact, approx, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("tagged heap carries the payload of exactly the winners") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5, 105L), (1L, 5L, 0.5, 55L),
+      (1L, 7L, 0.9, 77L), (1L, 2L, 0.1, 22L)).toDF("g", "id", "score", "tag")
+    val out = df.groupBy("g")
+      .agg(TopKByScore.topKByTag(col("score"), col("id"), col("tag"), 2).as("tk"))
+      .select(posexplode(col("tk"))).select("col.score", "col.id", "col.tag")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // same selection + tie-break as the untagged heap, tags attached
+    assert(out.toSeq == Seq((0.9, 7L, 77L), (0.5, 5L, 55L)))
+  }
+
   test("topN kernel matches the sort-based selection rule exactly") {
     // the insertion top-n must replay sortBy((-dot, idx)).take(n),
     // including ties — random vectors plus a crafted all-ties table

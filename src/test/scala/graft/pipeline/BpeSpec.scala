@@ -69,6 +69,26 @@ class BpeSpec extends SparkTestBase {
     val capped = Bpe.trainCapped(spark, df, "text", numMerges = 6,
       maxVocab = 16)
     assert(capped.merges.toSeq == full.merges.toSeq)
+    // the table form exports the same merges with their pair counts
+    val table = Bpe.trainCappedTable(spark, df, "text", numMerges = 6,
+        maxVocab = 16).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(table == full.merges.toSeq)
+  }
+
+  test("a biting cap trains on the head words only") {
+    import spark.implicits._
+    // "ab" dominates; cap=1 must drop "xy" entirely, so no merge can
+    // involve x or y even though the full vocab would merge them
+    val df = Seq((0L, "ab ab ab xy xy")).toDF("doc_id", "text")
+    val capped = Bpe.trainCappedTable(spark, df, "text", numMerges = 4,
+        maxVocab = 1).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (l, r, _) =>
+      !(l + r).contains("x") && !(l + r).contains("y") })
+    // counts are the TRUE counts of the head word (3× "ab")
+    assert(capped.head == ("a", "b", 3L))
   }
 
   test("codegen'd count expression agrees with the kernel") {

@@ -364,6 +364,13 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getString(2), r.getDouble(5)))
     assert(top.length == 2)
     assert(top(0) == ("shuffle", 3.0) && top(1) == ("spark", 3.0))
+    // scale shape: the per-term df side is an OPEN vocabulary (Heaps'
+    // law at 100 TB) — it must never be broadcast unconditionally;
+    // the tf⋈df join stays a plain equi-join and only AQE's runtime
+    // size measurement may promote it
+    val analyzed = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
   }
 
   test("gopher flags: each rule fires on its planted violation") {

@@ -83,5 +83,8 @@ class SampleSpec extends SparkTestBase {
     assert(plan.contains("race_key"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
+    // the weight rides the heap as payload — no winners-back-to-input
+    // re-join anywhere in the plan
+    assert(!plan.contains("Join"), plan)
   }
 }

@@ -1312,6 +1312,24 @@ def gen_bpe(docs, num_merges=60):
           {"doc_id": "BIGINT", "n_bpe": "BIGINT"})
 
 
+def gen_bpe_capped(docs, num_merges=40, max_vocab=20):
+    """Mirror of Bpe.trainCapped: the word table is first capped to
+    the max_vocab most frequent words (HeavyHitters.topTerms order:
+    count desc, term asc — exact, so the mirror is a plain sort), then
+    the same merge loop runs on the true counts of the head words."""
+    wc = {}
+    for r in docs.itertuples():
+        for w in r.text.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    head = dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab])
+    merges = bpe_train_from_counts(head, num_merges)
+    write("bpe_train_capped",
+          pd.DataFrame(merges, columns=["rank", "left", "right",
+                                        "pair_count"]),
+          {"rank": "INT", "left": "VARCHAR", "right": "VARCHAR",
+           "pair_count": "BIGINT"})
+
+
 def gen_corpus_curation_v2(docs, buckets=512, tau=2.0, seed=42):
     """Mirror of the corpus_curation_v2 chain: URL blocklist (host =
     optional 'cdn.' + source + '.example.com', suffix semantics) ->
@@ -1765,6 +1783,8 @@ def main():
         gen_corpus_mix_temperature(docs)
     if want("bpe_train") or want("bpe_token_count"):
         gen_bpe(docs)
+    if want("bpe_train_capped"):
+        gen_bpe_capped(docs)
     if want("corpus_curation_v2"):
         gen_corpus_curation_v2(docs)
     if want("corpus_shuffle"):
