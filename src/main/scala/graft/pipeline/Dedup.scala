@@ -495,8 +495,8 @@ object Dedup {
     * CollapseProject, and the UDF predecessor copied the hash array
     * out of ArrayData per row).
     */
-  private def minhashBandKeys(hs: Column, bands: Int, rows: Int,
-                              seed: Long): Column =
+  private[pipeline] def minhashBandKeys(hs: Column, bands: Int, rows: Int,
+                                        seed: Long): Column =
     graft.functions.ColumnBridge.column(
       graft.functions.MinhashBandKeys(
         graft.functions.ColumnBridge.expression(hs), bands, rows, seed))

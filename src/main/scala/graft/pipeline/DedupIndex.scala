@@ -83,6 +83,11 @@ object DedupIndex {
       .withColumn("keep_id", coalesce(col("idx_keep"), col("batch_keep")))
       .withColumn("dup", col("keep_id") =!= col("doc"))
       .select(col("doc"), col("fp"), col("keep_id"), col("dup"))
+      // snapshot semantics: the decisions are pinned NOW, so a caller
+      // following the documented probe→append→compact order can
+      // consume them after the compaction rewrote the files a lazy
+      // plan would still be pointing at
+      .localCheckpoint(true)
 
   /** Append the increment's NOVEL fingerprints (not in the index) as
     * one (fp, min-id) row each. Disjoint-increment contract as the

@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH near-dup index — the BATCH incremental
+  * lifecycle for near-duplicate detection, completing the
+  * persisted-index family ([[DedupIndex]] exact-fp, [[Bm25]] lexical,
+  * [[Ivf]] dense, streaming near-dup in
+  * [[graft.streaming.StreamingDedup]]): a periodically-recrawled
+  * corpus probes each increment against everything indexed so far
+  * without ever re-minhashing history.
+  *
+  * Layout under `path` (two slim sub-layouts, text never stored):
+  *  - `bands/`: one (doc, bucket) row per band key, PARTITIONED BY
+  *    (band, kb = pmod(bucket, [[IndexBuckets]])) — the
+  *    StreamingDedup partition scheme. A probe touches at most
+  *    bands × IndexBuckets directories and prunes to the (band, kb)
+  *    cells its own keys fall in before any row is deserialized.
+  *  - `sets/`: one (doc, hs) row per document — the shingle-hash set
+  *    the verify step needs — PARTITIONED BY
+  *    db = pmod(xxhash64(doc), IndexBuckets); the probe reads only
+  *    the buckets holding its candidates' docs.
+  *
+  * Probe semantics are RELATIONAL (same contract as the streaming
+  * twin): the emitted pairs are every (d1 < d2, jac ≥ threshold)
+  * pair with d2 in the increment and d1 in the index OR the
+  * increment, candidates blocked by a shared MinHash band. Probing
+  * increments in sequence therefore reproduces EXACTLY the one-shot
+  * [[Dedup.minhashCandidatePairs]] over the union (spec + oracle
+  * pinned) — pairs within the first build corpus come from the
+  * one-shot pass at build time; every later pair involves some
+  * increment's probe.
+  *
+  * Contracts mirrored from the index family: disjoint increments
+  * (a doc appears in exactly one build/append), FROZEN parameters
+  * (w, bands, rows, seed fixed at build — band keys must be
+  * comparable across passes), additive appends with periodic
+  * crash-safe [[compactIndex]].
+  *
+  * 100 TB: per-increment work is one shingle scan of the increment,
+  * one bucket-pruned read of the touched band cells, one
+  * doc-bucket-pruned read of the candidate sets, and equi-joins
+  * throughout — probe bytes follow the increment's band fan-out and
+  * candidate count, not the index size (the incremental-dedup claim,
+  * measured for the shared layout in StreamingDedupSpec).
+  */
+object NearDupIndex {
+
+  /** Key-buckets per band (and doc-buckets for `sets/`) in the
+    * on-disk layout — same constant as the streaming twin, so both
+    * indexes share the partition scheme.
+    */
+  val IndexBuckets = 16
+
+  private def kbOf(bucket: Column): Column =
+    pmod(bucket, lit(IndexBuckets.toLong))
+
+  private def dbOf(doc: Column): Column =
+    pmod(xxhash64(doc), lit(IndexBuckets.toLong))
+
+  /** The increment's (doc, hs) frame, pinned: every consumer (band
+    * derivation, both verify sides, the writes) reuses one
+    * materialization of the shingle scan.
+    */
+  private def shingledW(docs: DataFrame, textCol: String, idCol: String,
+                        w: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        TextAnalysis.shingleHashes(col(textCol), w).as("hs"))
+      .where(size(col("hs")) > 0)
+      .localCheckpoint(true)
+
+  /** (doc, band, bucket, kb) band rows of a pinned (doc, hs) frame. */
+  private def banded(sh: DataFrame, bands: Int, rows: Int,
+                     seed: Long): DataFrame =
+    sh.select(col("doc"),
+        posexplode(Dedup.minhashBandKeys(col("hs"), bands, rows, seed)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("kb", kbOf(col("bucket")))
+
+  private def writeLayout(sh: DataFrame, path: String, mode: String,
+                          bands: Int, rows: Int, seed: Long): Unit = {
+    // repartition on the partition columns before the dynamic write:
+    // each (band, kb) cell's rows land in one task — one file per
+    // touched cell per pass, not (tasks × cells) small files
+    banded(sh, bands, rows, seed)
+      .repartition(bands * IndexBuckets, col("band"), col("kb"))
+      .write.mode(mode).partitionBy("band", "kb")
+      .parquet(s"$path/bands")
+    sh.select(col("doc"), col("hs"))
+      .withColumn("db", dbOf(col("doc")))
+      .repartition(IndexBuckets, col("db"))
+      .write.mode(mode).partitionBy("db")
+      .parquet(s"$path/sets")
+  }
+
+  /** Build the index over the corpus so far (overwrite). Pairs WITHIN
+    * this corpus are the build-time one-shot
+    * [[Dedup.minhashCandidatePairs]] — the index serves every probe
+    * after it.
+    */
+  def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+                 idCol: String, path: String, w: Int = 3, bands: Int = 16,
+                 rows: Int = 4, seed: Long = 42L): Unit =
+    writeLayout(shingledW(docs, textCol, idCol, w), path, "overwrite",
+      bands, rows, seed)
+
+  /** Append a disjoint increment's band rows and shingle sets. Run
+    * [[probe]] FIRST (the probe classifies against the pre-append
+    * index; appending first would report every doc as its own
+    * near-dup via self-pairs — the same probe-then-append order as
+    * [[DedupIndex.appendNovel]]). ALL increment docs are indexed,
+    * kept and dropped alike — a near-dup of a dropped document is
+    * still a near-dup of the corpus (the training-data contract,
+    * same as the streaming twin).
+    */
+  def append(spark: SparkSession, docs: DataFrame, textCol: String,
+             idCol: String, path: String, w: Int = 3, bands: Int = 16,
+             rows: Int = 4, seed: Long = 42L): Unit =
+    writeLayout(shingledW(docs, textCol, idCol, w), path, "append",
+      bands, rows, seed)
+
+  /** Near-dup pairs of the increment against the index AND itself:
+    * (d1, d2, jac) with d1 < d2, d2 (and possibly d1) in the
+    * increment, jac ≥ threshold, candidates blocked by a shared
+    * MinHash band. Parameters MUST match the build's.
+    */
+  def probe(spark: SparkSession, path: String, docs: DataFrame,
+            textCol: String, idCol: String, w: Int = 3, bands: Int = 16,
+            rows: Int = 4, threshold: Double = 0.5,
+            seed: Long = 42L): DataFrame = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    val bnd = banded(sh, bands, rows, seed).localCheckpoint(true)
+    // in-batch candidates: the one-shot LSH self-join shape
+    val candIn = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+    // index candidates: read ONLY the (band, kb) cells the batch's own
+    // keys fall in — ≤ bands × IndexBuckets cell ids, one tiny agg
+    val cellIds = bnd
+      .select((col("band").cast("long") * IndexBuckets + col("kb")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val candIdx =
+      if (cellIds.isEmpty) candIn.limit(0)
+      else {
+        val idx = spark.read.parquet(s"$path/bands")
+          .where((col("band").cast("long") * IndexBuckets +
+            col("kb").cast("long")).isin(cellIds: _*))
+        idx.select(col("band"), col("bucket"), col("doc").as("idoc"))
+          .join(bnd.select(col("band"), col("bucket"), col("doc").as("bdoc")),
+            Seq("band", "bucket"))
+          .where(col("idoc") =!= col("bdoc"))
+          .select(least(col("idoc"), col("bdoc")).as("d1"),
+            greatest(col("idoc"), col("bdoc")).as("d2"))
+      }
+    val cand = candIn.unionByName(candIdx).distinct().localCheckpoint(true)
+    // verify needs each candidate doc's shingle set: increment docs
+    // from the pinned sh, historical docs from sets/ pruned to the
+    // doc-buckets the candidates actually touch (≤ IndexBuckets ids)
+    val dbIds = cand.select(explode(array(col("d1"), col("d2"))).as("doc"))
+      .select(dbOf(col("doc")).as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val hist =
+      if (dbIds.isEmpty) sh.limit(0)
+      else {
+        val sets = spark.read.parquet(s"$path/sets")
+        sets.where(graft.core.PartitionIn.inSet(sets, "db", dbIds))
+          .select(col("doc"), col("hs"))
+      }
+    // disjoint-increment contract ⇒ a doc is in sh xor sets; the
+    // dropDuplicates is belt-and-braces against contract violations
+    val hsAll = sh.select(col("doc"), col("hs")).unionByName(hist)
+      .dropDuplicates("doc")
+    // materialize the pairs NOW: the probe result is a snapshot of
+    // the pre-append index state. A lazy plan over the index files
+    // breaks (FILE_NOT_EXIST) or silently shifts (sees appended rows)
+    // when the caller appends/compacts before consuming — which is
+    // exactly the documented probe→append→compact order.
+    cand
+      .join(hsAll.select(col("doc").as("d1"), col("hs").as("h1")), Seq("d1"))
+      .join(hsAll.select(col("doc").as("d2"), col("hs").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        graft.functions.HashFunctions.jaccardSim(col("h1"), col("h2")).as("jac"))
+      .where(col("jac") >= threshold)
+      .localCheckpoint(true)
+  }
+
+  /** Crash-safe in-place small-file compaction of both sub-layouts
+    * (the shared [[graft.core.ParquetCompact]] pass);
+    * contents-invariant, so probe results are unchanged.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    graft.core.ParquetCompact.compact(spark, s"$path/bands",
+      Seq("band", "kb"), Seq("bucket", "doc"))
+    graft.core.ParquetCompact.compact(spark, s"$path/sets",
+      Seq("db"), Seq("doc"))
+  }
+}

@@ -1347,6 +1347,31 @@ object Queries {
         .orderBy(col("doc"))
     }),
 
+    // persisted MinHash-band near-dup index lifecycle: build on the
+    // %3==0 ids (their internal pairs are the build-time one-shot),
+    // probe the %3==1 increment (cross + internal pairs), append it,
+    // compact, probe the %3==2 increment — the union of the three
+    // pair sets must equal the one-shot LSH pass over the whole
+    // corpus, so the oracle is the minhash_pairs golden verbatim
+    "neardup_index_incremental" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("neardup_idx")
+        .resolve("index").toString
+      val a = docs.where(col("doc_id") % 3 === 0)
+      val b = docs.where(col("doc_id") % 3 === 1)
+      val c = docs.where(col("doc_id") % 3 === 2)
+      graft.pipeline.NearDupIndex.writeIndex(s, a, "text", "doc_id", path)
+      val p0 = graft.pipeline.Dedup.minhashCandidatePairs(
+        a, "text", "doc_id", w = 3, bands = 16, rows = 4, threshold = 0.2)
+      val p1 = graft.pipeline.NearDupIndex.probe(s, path, b, "text",
+        "doc_id", threshold = 0.2)
+      graft.pipeline.NearDupIndex.append(s, b, "text", "doc_id", path)
+      graft.pipeline.NearDupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.NearDupIndex.probe(s, path, c, "text",
+        "doc_id", threshold = 0.2)
+      p0.unionByName(p1).unionByName(p2).orderBy(col("d1"), col("d2"))
+    }),
+
     // Unicode-normalized dedup: the fixture fabricates two byte-
     // distinct spellings of every doc (composed á vs decomposed
     // a+́); the NFC fingerprint must merge each pair — every
@@ -3365,6 +3390,10 @@ object Queries {
       s"SELECT d1, d2, dist FROM '$pipeGold/simhash_pairs.parquet' ORDER BY d1, d2",
 
     "minhash_pairs" ->
+      s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
+
+    // the grown near-dup index must reproduce the one-shot pass
+    "neardup_index_incremental" ->
       s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
 
     "lsh_topk" ->

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash-band near-dup index: incremental probes
+  * union to the one-shot LSH pass, compaction is contents-invariant,
+  * and a probe reads only the band cells its own keys touch.
+  */
+class NearDupIndexSpec extends SparkTestBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("d1", "d2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("grown-index probes reproduce the one-shot LSH pairs exactly") {
+    val oneShot = pairs(Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      w = 3, bands = 16, rows = 4, threshold = 0.2))
+    val idx = java.nio.file.Files.createTempDirectory("ndi")
+      .resolve("index").toString
+    val a = docs.where(col("doc_id") % 3 === 0)
+    val b = docs.where(col("doc_id") % 3 === 1)
+    val c = docs.where(col("doc_id") % 3 === 2)
+    NearDupIndex.writeIndex(spark, a, "text", "doc_id", idx)
+    val p0 = Dedup.minhashCandidatePairs(a, "text", "doc_id",
+      w = 3, bands = 16, rows = 4, threshold = 0.2)
+    val p1 = NearDupIndex.probe(spark, idx, b, "text", "doc_id",
+      threshold = 0.2)
+    NearDupIndex.append(spark, b, "text", "doc_id", idx)
+    val p2 = NearDupIndex.probe(spark, idx, c, "text", "doc_id",
+      threshold = 0.2)
+    val grown = pairs(p0.unionByName(p1).unionByName(p2))
+    assert(grown == oneShot)
+    assert(grown.nonEmpty, "fixture must actually contain near-dups")
+  }
+
+  test("compaction is contents-invariant for probe results") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),   // near-dup of 0
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of 0
+      (11L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("ndi_c")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, base, "text", "doc_id", idx)
+    val before = pairs(NearDupIndex.probe(spark, idx, inc, "text", "doc_id",
+      threshold = 0.3))
+    NearDupIndex.compactIndex(spark, idx)
+    val after = pairs(NearDupIndex.probe(spark, idx, inc, "text", "doc_id",
+      threshold = 0.3))
+    assert(before == after)
+    assert(before.exists { case (d1, d2, _) => d1 == 0L && d2 == 10L })
+    assert(!before.exists { case (d1, d2, _) => d1 == 11L || d2 == 11L })
+  }
+
+  test("probe prunes the bands read to the batch's own cells") {
+    import spark.implicits._
+    val base = (0L until 40L)
+      .map(i => (i, s"completely unique document number $i with filler"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("ndi_p")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, base, "text", "doc_id", idx)
+    // a 1-doc probe touches ≤ bands cells of the bands × IndexBuckets
+    // layout — the pruned read must list at most that many partition
+    // directories' files
+    val one = Seq((100L, "completely unique document number 7 with filler"))
+      .toDF("doc_id", "text")
+    val out = NearDupIndex.probe(spark, idx, one, "text", "doc_id",
+      threshold = 0.2)
+    assert(pairs(out).exists { case (d1, d2, _) => d1 == 7L && d2 == 100L })
+    val allCells = new java.io.File(idx + "/bands").listFiles()
+      .count(_.getName.startsWith("band="))
+    assert(allCells > 0)
+    // structural pruning check: the band-cell filter collapses the
+    // isin to ≤ 16 cell ids (one per band of the single doc)
+    val cells = Dedup.minhashBandKeys(col("hs"), 16, 4, 42L)
+    val n = one.select(col("doc_id").as("doc"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("hs"))
+      .select(posexplode(cells)).select(col("pos"),
+        pmod(col("col"), lit(16L)).as("kb"))
+      .distinct().count()
+    assert(n <= 16L)
+  }
+}
