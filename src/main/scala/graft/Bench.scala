@@ -65,26 +65,31 @@ object Bench {
       val ok = times.forall(_ >= 0)
       val sorted = times.sorted
       val med = if (ok) sorted((runs - 1) / 2) else -1.0
-      (name, if (ok) times.head else -1.0, med, ok)
+      (name, if (ok) times.head else -1.0, med, ok, times)
     }
-    val results = timed.map { case (n, cold, _, ok) => (n, cold, ok) }
+    val results = timed.map { case (n, cold, _, ok, _) => (n, cold, ok) }
     val medianTotal =
       if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
     // the committed detail file records full suites only — a
     // SPARK_GRAFT_ONLY iteration run must not clobber the round's
-    // per-query record (and its pointer fallback would then lie)
+    // per-query record (and its pointer fallback would then lie).
+    // It carries runs_per_query and EVERY rep's time per query, so a
+    // reader can tell a repeated measurement whose median happens to
+    // equal its first run (the index-lifecycle queries rebuild from a
+    // fresh temp dir each rep — they ARE repeated) from a run-once.
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"),
       jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
         withQueries = true, filteredRun = false, medianTotal = medianTotal,
-        queryMedians = Some(timed.map(t => (t._1, t._3)))) + "\n")
+        queryMedians = Some(timed.map(t => (t._1, t._3))),
+        queryRuns = Some((runs, timed.map(t => (t._1, t._5))))) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
       medianTotal = medianTotal))
     // iteration aid: a filtered run's stdout JSON carries first-run
     // times only, but the load-robust per-query signal is the median —
     // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
     // without touching the driver-facing stdout contract
-    if (only.isDefined) System.err.println(timed.map { case (n, _, m, _) =>
+    if (only.isDefined) System.err.println(timed.map { case (n, _, m, _, _) =>
       f"$n=$m%.3f" }.mkString("[bench] medians: ", " ", ""))
     spark.stop()
   }
@@ -132,7 +137,8 @@ object Bench {
                               dropEmptyErrs: Boolean, withQueries: Boolean,
                               filteredRun: Boolean,
                               medianTotal: Option[Double] = None,
-                              queryMedians: Option[Seq[(String, Double)]] = None): String = {
+                              queryMedians: Option[Seq[(String, Double)]] = None,
+                              queryRuns: Option[(Int, Seq[(String, Seq[Double])])] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
     val med = medianTotal
@@ -145,10 +151,15 @@ object Bench {
     val qMed = queryMedians.map(_.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v, prec) }
       .mkString(""""queries_median":{""", ",", "},")).getOrElse("")
+    val qRuns = queryRuns.map { case (n, per) =>
+      s""""runs_per_query":$n,""" + per.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(fmt(_, prec)).mkString(",") + "]" }
+        .mkString(""""queries_runs":{""", ",", "},")
+    }.getOrElse("")
     val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$errs"n_queries":${results.size}$sfPart}"""
   }
 }

@@ -81,4 +81,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.StdoutBudget)
     assert(line.contains("\"errors\":["), s"errors list missing: $line")
   }
+
+  test("detail form records runs_per_query and every rep's time") {
+    val results = Seq(("q_a", 1.5, true), ("q_b", 2.5, true))
+    val line = Bench.jsonLine(results, 6, Some("/sf"), dropEmptyErrs = false,
+      withQueries = true, filteredRun = false, medianTotal = Some(3.9),
+      queryMedians = Some(Seq(("q_a", 1.4), ("q_b", 2.4))),
+      queryRuns = Some((3, Seq(("q_a", Seq(1.5, 1.3, 1.4)),
+        ("q_b", Seq(2.5, 2.4, 2.3))))))
+    assert(line.contains(""""runs_per_query":3"""), line)
+    assert(line.contains(""""queries_runs":{"q_a":[1.500000,1.300000,1.400000]"""),
+      line)
+    // and it parses: balanced braces, one top-level object
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+  }
 }
