@@ -752,6 +752,63 @@ object ScaleCurve {
       }
       fitK8(pts, "dedup_idx_probe")
     }
+
+    // ---- r9 newcomers: near-dup index probe over a growing index,
+    // IVF/IVF-PQ recall@5 as a function of nprobe (the tuning table
+    // the recall harness exists to produce) ----
+    if (want("r9new")) {
+      import graft.pipeline.{Ivf, NearDupIndex, Pq, Similarity}
+      def fitK9(ts: Seq[(Int, Double)], label: String): Unit = {
+        val k = math.log(ts.last._2 / ts.head._2) /
+          math.log(ts.last._1.toDouble / ts.head._1)
+        println(f"$label%-16s exponent k=$k%.2f")
+      }
+      // FIXED 100-doc increment probed against a growing band index —
+      // cell pruning + candidate-set pruning must hold probe time
+      // ~flat (the dedup_idx_probe claim for the near-dup layout)
+      val inc = spark.read.parquet(scaleDirs.head._2)
+        .limit(100)
+        .select((col("doc_id") + lit(10_000_000L)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val nts = scaleDirs.map { case (m, path) =>
+        val idx = s"target/tmp/scale_curve/neardup_idx_x$m"
+        NearDupIndex.writeIndex(spark, spark.read.parquet(path), "text",
+          "doc_id", idx)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = NearDupIndex.probe(spark, idx, inc, "text", "doc_id",
+          threshold = 0.2).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"neardup_probe"}%-16s ${"-"}%8s $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      fitK9(nts, "neardup_probe")
+
+      // recall@5 vs nprobe on the full sf embeddings (fixed data, the
+      // knob sweeps): what a deployment reads off before picking
+      // nprobe. Exact parity at nprobe = nlist is the sanity anchor.
+      val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qs = embAll.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(embAll, qs, "embedding",
+        "vec_id", k = 5).localCheckpoint(true)
+      val ivf = Ivf.train(embAll, "embedding", "vec_id", nlist = 16, iters = 3)
+      val pq = Pq.train(embAll, "embedding", "vec_id", m = 8, ksub = 16,
+        iters = 3)
+      val postings = Ivf.assign(embAll, "embedding", ivf).localCheckpoint(true)
+      for (np <- Seq(2, 4, 8, 16)) {
+        def mean(df: DataFrame): Double =
+          df.agg(avg(col("recall"))).head().getDouble(0)
+        val rIvf = mean(Similarity.recallAtK(truth,
+          Ivf.search(postings, qs, "embedding", "vec_id", ivf, k = 5,
+            nprobe = np), k = 5))
+        val rPq = mean(Similarity.recallAtK(truth,
+          Ivf.searchPq(postings, qs, "embedding", "vec_id", ivf, pq,
+            k = 5, nprobe = np, oversample = 4), k = 5))
+        println(f"${"recall_sweep"}%-16s nprobe=$np%2d ivf=$rIvf%.3f " +
+          f"ivfpq=$rPq%.3f")
+      }
+    }
     spark.stop()
   }
 }
