@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path` (two slim sub-layouts, text never stored):
   *  - `bands/`: one (doc, bucket) row per band key, PARTITIONED BY
-  *    (band, kb = pmod(bucket, [[IndexBuckets]])) — the
-  *    StreamingDedup partition scheme. A probe touches at most
-  *    bands × IndexBuckets directories and prunes to the (band, kb)
+  *    (band, kb = pmod(bucket, [[BandBuckets]])) — the
+  *    StreamingDedup partition scheme at the same 64-cell total. A
+  *    probe touches at most bands × BandBuckets directories and prunes to the (band, kb)
   *    cells its own keys fall in before any row is deserialized.
   *  - `sets/`: one (doc, hs) row per document — the shingle-hash set
   *    the verify step needs — PARTITIONED BY
-  *    db = pmod(xxhash64(doc), IndexBuckets); the probe reads only
+  *    db = pmod(xxhash64(doc), SetBuckets); the probe reads only
   *    the buckets holding its candidates' docs.
   *
   * Probe semantics are RELATIONAL (same contract as the streaming
@@ -47,17 +47,25 @@ import org.apache.spark.sql.functions._
   */
 object NearDupIndex {
 
-  /** Key-buckets per band (and doc-buckets for `sets/`) in the
-    * on-disk layout — same constant as the streaming twin, so both
-    * indexes share the partition scheme.
+  /** Key-buckets per band in the `bands/` layout: 16 bands × 4 kb =
+    * 64 partition cells, the same TOTAL as the streaming twin's
+    * 4 bands × 16 (dir-count drives fixed per-pass cost: every
+    * write/compact touches every cell, and 256 cells measured ~2×
+    * slower per lifecycle pass than 64 at fixture scale for zero
+    * added pruning power at 100 TB — within a touched cell, page
+    * stats over the bucket-sorted files do the value-level cut, the
+    * StreamingDedup lesson).
     */
-  val IndexBuckets = 16
+  val BandBuckets = 4
+
+  /** Doc-buckets for the `sets/` layout. */
+  val SetBuckets = 16
 
   private def kbOf(bucket: Column): Column =
-    pmod(bucket, lit(IndexBuckets.toLong))
+    pmod(bucket, lit(BandBuckets.toLong))
 
   private def dbOf(doc: Column): Column =
-    pmod(xxhash64(doc), lit(IndexBuckets.toLong))
+    pmod(xxhash64(doc), lit(SetBuckets.toLong))
 
   /** The increment's (doc, hs) frame, pinned: every consumer (band
     * derivation, both verify sides, the writes) reuses one
@@ -84,12 +92,12 @@ object NearDupIndex {
     // each (band, kb) cell's rows land in one task — one file per
     // touched cell per pass, not (tasks × cells) small files
     banded(sh, bands, rows, seed)
-      .repartition(bands * IndexBuckets, col("band"), col("kb"))
+      .repartition(bands * BandBuckets, col("band"), col("kb"))
       .write.mode(mode).partitionBy("band", "kb")
       .parquet(s"$path/bands")
     sh.select(col("doc"), col("hs"))
       .withColumn("db", dbOf(col("doc")))
-      .repartition(IndexBuckets, col("db"))
+      .repartition(SetBuckets, col("db"))
       .write.mode(mode).partitionBy("db")
       .parquet(s"$path/sets")
   }
@@ -120,6 +128,39 @@ object NearDupIndex {
     writeLayout(shingledW(docs, textCol, idCol, w), path, "append",
       bands, rows, seed)
 
+  /** Build the index AND return the build corpus's own near-dup
+    * pairs from ONE shingle scan — what a deployment wants when first
+    * indexing a corpus (the separate
+    * [[Dedup.minhashCandidatePairs]] + [[writeIndex]] composition
+    * scans the corpus twice). The pairs are exactly the one-shot LSH
+    * pass (spec-pinned).
+    */
+  def buildWithPairs(spark: SparkSession, docs: DataFrame, textCol: String,
+                     idCol: String, path: String, w: Int = 3,
+                     bands: Int = 16, rows: Int = 4,
+                     threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    writeLayout(sh, path, "overwrite", bands, rows, seed)
+    probeShingled(spark, path, sh, bands, rows, threshold, seed,
+      againstIndex = false)
+  }
+
+  /** [[probe]] + [[append]] from ONE shingle scan of the increment —
+    * the standard lifecycle step (classify the increment, then index
+    * it) without re-shingling. The probe half runs BEFORE the band
+    * rows land, so the pair set is identical to probe-then-append.
+    */
+  def probeAndAppend(spark: SparkSession, path: String, docs: DataFrame,
+                     textCol: String, idCol: String, w: Int = 3,
+                     bands: Int = 16, rows: Int = 4,
+                     threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
+      againstIndex = true)
+    writeLayout(sh, path, "append", bands, rows, seed)
+    pairs
+  }
+
   /** Near-dup pairs of the increment against the index AND itself:
     * (d1, d2, jac) with d1 < d2, d2 (and possibly d1) in the
     * increment, jac ≥ threshold, candidates blocked by a shared
@@ -128,8 +169,18 @@ object NearDupIndex {
   def probe(spark: SparkSession, path: String, docs: DataFrame,
             textCol: String, idCol: String, w: Int = 3, bands: Int = 16,
             rows: Int = 4, threshold: Double = 0.5,
-            seed: Long = 42L): DataFrame = {
-    val sh = shingledW(docs, textCol, idCol, w)
+            seed: Long = 42L): DataFrame =
+    probeShingled(spark, path, shingledW(docs, textCol, idCol, w),
+      bands, rows, threshold, seed, againstIndex = true)
+
+  /** Probe core over a pinned (doc, hs) frame. With
+    * `againstIndex = false` only in-batch pairs are emitted (the
+    * build-time one-shot; no index read — there may be no index yet).
+    */
+  private def probeShingled(spark: SparkSession, path: String,
+                            sh: DataFrame, bands: Int, rows: Int,
+                            threshold: Double, seed: Long,
+                            againstIndex: Boolean): DataFrame = {
     val bnd = banded(sh, bands, rows, seed).localCheckpoint(true)
     // in-batch candidates: the one-shot LSH self-join shape
     val candIn = bnd.as("a").join(bnd.as("b"),
@@ -137,15 +188,17 @@ object NearDupIndex {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
     // index candidates: read ONLY the (band, kb) cells the batch's own
-    // keys fall in — ≤ bands × IndexBuckets cell ids, one tiny agg
-    val cellIds = bnd
-      .select((col("band").cast("long") * IndexBuckets + col("kb")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // keys fall in — ≤ bands × BandBuckets cell ids, one tiny agg
+    val cellIds =
+      if (!againstIndex) Nil
+      else bnd
+        .select((col("band").cast("long") * BandBuckets + col("kb")).as("cell"))
+        .distinct().collect().map(_.getLong(0)).toSeq
     val candIdx =
       if (cellIds.isEmpty) candIn.limit(0)
       else {
         val idx = spark.read.parquet(s"$path/bands")
-          .where((col("band").cast("long") * IndexBuckets +
+          .where((col("band").cast("long") * BandBuckets +
             col("kb").cast("long")).isin(cellIds: _*))
         idx.select(col("band"), col("bucket"), col("doc").as("idoc"))
           .join(bnd.select(col("band"), col("bucket"), col("doc").as("bdoc")),
@@ -157,10 +210,12 @@ object NearDupIndex {
     val cand = candIn.unionByName(candIdx).distinct().localCheckpoint(true)
     // verify needs each candidate doc's shingle set: increment docs
     // from the pinned sh, historical docs from sets/ pruned to the
-    // doc-buckets the candidates actually touch (≤ IndexBuckets ids)
-    val dbIds = cand.select(explode(array(col("d1"), col("d2"))).as("doc"))
-      .select(dbOf(col("doc")).as("db")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // doc-buckets the candidates actually touch (≤ SetBuckets ids)
+    val dbIds =
+      if (!againstIndex) Nil // in-batch only: every candidate doc is in sh
+      else cand.select(explode(array(col("d1"), col("d2"))).as("doc"))
+        .select(dbOf(col("doc")).as("db")).distinct()
+        .collect().map(_.getLong(0)).toSeq
     val hist =
       if (dbIds.isEmpty) sh.limit(0)
       else {

@@ -1360,12 +1360,12 @@ object Queries {
       val a = docs.where(col("doc_id") % 3 === 0)
       val b = docs.where(col("doc_id") % 3 === 1)
       val c = docs.where(col("doc_id") % 3 === 2)
-      graft.pipeline.NearDupIndex.writeIndex(s, a, "text", "doc_id", path)
-      val p0 = graft.pipeline.Dedup.minhashCandidatePairs(
-        a, "text", "doc_id", w = 3, bands = 16, rows = 4, threshold = 0.2)
-      val p1 = graft.pipeline.NearDupIndex.probe(s, path, b, "text",
-        "doc_id", threshold = 0.2)
-      graft.pipeline.NearDupIndex.append(s, b, "text", "doc_id", path)
+      // each slice is shingled ONCE: build emits the within-build
+      // pairs, probeAndAppend classifies then indexes the increment
+      val p0 = graft.pipeline.NearDupIndex.buildWithPairs(s, a, "text",
+        "doc_id", path, threshold = 0.2)
+      val p1 = graft.pipeline.NearDupIndex.probeAndAppend(s, path, b,
+        "text", "doc_id", threshold = 0.2)
       graft.pipeline.NearDupIndex.compactIndex(s, path)
       val p2 = graft.pipeline.NearDupIndex.probe(s, path, c, "text",
         "doc_id", threshold = 0.2)

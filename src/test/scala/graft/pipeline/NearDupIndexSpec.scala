@@ -38,6 +38,35 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(grown.nonEmpty, "fixture must actually contain near-dups")
   }
 
+  test("shared-shingle lifecycle equals the composed operations") {
+    val a = docs.where(col("doc_id") % 3 === 0)
+    val b = docs.where(col("doc_id") % 3 === 1)
+    // composed: separate one-shot pass + writeIndex + probe + append
+    val idx1 = java.nio.file.Files.createTempDirectory("ndi_s1")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, a, "text", "doc_id", idx1)
+    val c0 = pairs(Dedup.minhashCandidatePairs(a, "text", "doc_id",
+      w = 3, bands = 16, rows = 4, threshold = 0.2))
+    val c1 = pairs(NearDupIndex.probe(spark, idx1, b, "text", "doc_id",
+      threshold = 0.2))
+    NearDupIndex.append(spark, b, "text", "doc_id", idx1)
+    // fused: buildWithPairs + probeAndAppend (one shingle scan each)
+    val idx2 = java.nio.file.Files.createTempDirectory("ndi_s2")
+      .resolve("index").toString
+    val f0 = pairs(NearDupIndex.buildWithPairs(spark, a, "text", "doc_id",
+      idx2, threshold = 0.2))
+    val f1 = pairs(NearDupIndex.probeAndAppend(spark, idx2, b, "text",
+      "doc_id", threshold = 0.2))
+    assert(f0 == c0)
+    assert(f1 == c1)
+    // and both indexes answer a later probe identically
+    val probe = docs.where(col("doc_id") % 3 === 2)
+    assert(pairs(NearDupIndex.probe(spark, idx2, probe, "text", "doc_id",
+        threshold = 0.2)) ==
+      pairs(NearDupIndex.probe(spark, idx1, probe, "text", "doc_id",
+        threshold = 0.2)))
+  }
+
   test("compaction is contents-invariant for probe results") {
     import spark.implicits._
     val base = Seq(
@@ -87,8 +116,8 @@ class NearDupIndexSpec extends SparkTestBase {
     val n = one.select(col("doc_id").as("doc"),
         TextAnalysis.shingleHashes(col("text"), 3).as("hs"))
       .select(posexplode(cells)).select(col("pos"),
-        pmod(col("col"), lit(16L)).as("kb"))
+        pmod(col("col"), lit(NearDupIndex.BandBuckets.toLong)).as("kb"))
       .distinct().count()
-    assert(n <= 16L)
+    assert(n <= 16L) // one (band, kb) cell per band
   }
 }
