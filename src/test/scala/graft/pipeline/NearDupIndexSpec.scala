@@ -113,11 +113,28 @@ class NearDupIndexSpec extends SparkTestBase {
     // structural pruning check: the band-cell filter collapses the
     // isin to ≤ 16 cell ids (one per band of the single doc)
     val cells = Dedup.minhashBandKeys(col("hs"), 16, 4, 42L)
-    val n = one.select(col("doc_id").as("doc"),
+    val cellIds = one.select(col("doc_id").as("doc"),
         TextAnalysis.shingleHashes(col("text"), 3).as("hs"))
-      .select(posexplode(cells)).select(col("pos"),
-        pmod(col("col"), lit(NearDupIndex.BandBuckets.toLong)).as("kb"))
-      .distinct().count()
-    assert(n <= 16L) // one (band, kb) cell per band
+      .select(posexplode(cells)).select(
+        (col("pos").cast("long") * NearDupIndex.BandBuckets +
+          pmod(col("col"), lit(NearDupIndex.BandBuckets.toLong))).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(cellIds.size <= 16) // one (band, kb) cell per band
+    // and the pruning is REAL: the probe's cell filter shape reads
+    // strictly fewer files than the full bands layout (the
+    // DedupIndexSpec numFiles pattern)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = filesRead(spark.read.parquet(idx + "/bands"))
+    val pruned = filesRead(spark.read.parquet(idx + "/bands")
+      .where((col("band").cast("long") * NearDupIndex.BandBuckets +
+        col("kb").cast("long")).isin(cellIds: _*)))
+    assert(pruned < all, s"expected cell pruning: all=$all pruned=$pruned")
   }
 }
