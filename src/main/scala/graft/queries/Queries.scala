@@ -1165,6 +1165,22 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // and over the PCA two-stage path — with this row every
+    // approximate family (LSH / IVF / IVF-PQ / PCA) carries a
+    // recall@k row against the same brute-force truth
+    "ann_recall_pca" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Pca.train(emb, "embedding", "vec_id", k = 16)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Similarity.pcaTopK(emb, qs, "embedding", "vec_id",
+            k = 5, model, oversample = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     // and over IVF-PQ — coarse pruning + ADC shortlist + exact
     // rescore; quantization loss makes this the list whose recall a
     // billion-scale deployment must verify before trusting the codes
@@ -3428,6 +3444,23 @@ object Queries {
          |    FROM p) t
          |  WHERE rk <= 5),
          |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    "ann_recall_pca" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ann_topk_pca.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid

@@ -808,6 +808,21 @@ object ScaleCurve {
         println(f"${"recall_sweep"}%-16s nprobe=$np%2d ivf=$rIvf%.3f " +
           f"ivfpq=$rPq%.3f")
       }
+      // the plateau diagnosis: if nprobe can't buy IVF-PQ recall, the
+      // CODES are the bottleneck — sweep the quantizer knobs (m = code
+      // bytes, oversample = exact-rescore shortlist factor) at a fixed
+      // generous nprobe and watch recall move
+      for (m <- Seq(8, 16); os <- Seq(4, 8, 16)) {
+        val pqm = if (m == 8) pq
+          else Pq.train(embAll, "embedding", "vec_id", m = m, ksub = 16,
+            iters = 3)
+        val r = Similarity.recallAtK(truth,
+            Ivf.searchPq(postings, qs, "embedding", "vec_id", ivf, pqm,
+              k = 5, nprobe = 8, oversample = os), k = 5)
+          .agg(avg(col("recall"))).head().getDouble(0)
+        println(f"${"pq_knob_sweep"}%-16s m=$m%2d os=$os%2d nprobe=8 " +
+          f"recall=$r%.3f")
+      }
     }
     spark.stop()
   }
