@@ -60,9 +60,11 @@ object Dedup {
     * distinct-shingle count, so the reported jac is a lower bound of
     * true Jaccard and pairs sharing only stop-shingles are dropped —
     * the intended behavior, since corpus-common boilerplate shingles
-    * carry no near-duplicate signal. The hot set is a tiny aggregate
-    * output, broadcast for the anti-join (at extreme corpus sizes the
-    * df scan could run on a sample, since df > cap survives sampling).
+    * carry no near-duplicate signal. The hot set is the HEAD of the
+    * shingle frequency curve, so it GROWS with the corpus — the
+    * anti-join is left un-hinted (AQE broadcasts only while it
+    * measures small; at extreme corpus sizes the df scan could also
+    * run on a sample, since df > cap survives sampling).
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, w: Int,
                    threshold: Double, maxShingleDf: Int = 0): DataFrame = {
@@ -88,7 +90,11 @@ object Dedup {
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .where(col("df") > maxShingleDf)
           .select(col("h"))
-        ex0.join(broadcast(hot), Seq("h"), "left_anti")
+        // no broadcast hint: the hot set is the HEAD of the shingle
+        // Zipf curve and grows with the corpus (#{df > cap} ∝ N/cap —
+        // 10⁸+ at 100 TB); AQE broadcasts it only while it measures
+        // small, the same unbounded-side rule as tfidfTopTerms
+        ex0.join(hot, Seq("h"), "left_anti")
       }
     // AllPairs length filter (Bayardo et al. WWW'07), same bound as
     // jaccardPairsPrefix: c ≤ min(na,nb) and J = c/(na+nb−c) ≥ t force
@@ -135,8 +141,9 @@ object Dedup {
         val hot = pl.select(col("h")).union(pr.select(col("h")))
           .groupBy(col("h")).agg(count(lit(1)).as("df"))
           .where(col("df") > maxShingleDf).select(col("h"))
-        (pl.join(broadcast(hot), Seq("h"), "left_anti"),
-          pr.join(broadcast(hot), Seq("h"), "left_anti"))
+        // un-hinted for the same Zipf-head reason as jaccardPairs
+        (pl.join(hot, Seq("h"), "left_anti"),
+          pr.join(hot, Seq("h"), "left_anti"))
       }
     // Same AllPairs length bound as jaccardPairs — necessary for
     // J ≥ t, so the oracle is unchanged; size-incompatible collisions
