@@ -61,6 +61,24 @@ object NearDupIndex {
   /** Doc-buckets for the `sets/` layout. */
   val SetBuckets = 16
 
+  /** Per-bucket page pruning inside touched cells: batch
+    * (band, bucket) key sets up to this size are pushed down to
+    * parquet (in sorted chunks of [[ProbeBucketChunk]] values, one
+    * sub-scan per cell); larger sets read the cells whole. Unlike the
+    * streaming twin's 16-bit keys, buckets here are 64-bit FNV folds,
+    * so the key-set collect must be gated by a COUNT first — a huge
+    * increment's distinct-bucket set is not driver-boundable.
+    */
+  val ProbeBucketFilterCutoff = 4096
+
+  /** Buckets per pushed In-filter chunk (parquet evaluates an In of ≤
+    * inFilterThreshold values as an or-of-eq chain against page
+    * column-index stats — the only form that prunes per VALUE; the
+    * recursive chain overflows the stack past ~2000 legs — the
+    * StreamingDedup measurements).
+    */
+  val ProbeBucketChunk = 256
+
   private def kbOf(bucket: Column): Column =
     pmod(bucket, lit(BandBuckets.toLong))
 
@@ -90,10 +108,20 @@ object NearDupIndex {
                           bands: Int, rows: Int, seed: Long): Unit = {
     // repartition on the partition columns before the dynamic write:
     // each (band, kb) cell's rows land in one task — one file per
-    // touched cell per pass, not (tasks × cells) small files
+    // touched cell per pass, not (tasks × cells) small files. Rows
+    // are BUCKET-SORTED within each file with small (512-row) pages
+    // so probe-time per-bucket In filters prune at the parquet
+    // column-index level — the StreamingDedup.appendIndex design (the
+    // sort leads with the partition columns on purpose: a dynamic
+    // partitionBy write REQUIRES that order, and a sort that doesn't
+    // satisfy it is silently replaced by the writer's partition-only
+    // sort, destroying the key order the page pruning depends on).
     banded(sh, bands, rows, seed)
       .repartition(bands * BandBuckets, col("band"), col("kb"))
-      .write.mode(mode).partitionBy("band", "kb")
+      .sortWithinPartitions(col("band"), col("kb"), col("bucket"))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("band", "kb")
       .parquet(s"$path/bands")
     sh.select(col("doc"), col("hs"))
       .withColumn("db", dbOf(col("doc")))
@@ -173,6 +201,41 @@ object NearDupIndex {
     probeShingled(spark, path, shingledW(docs, textCol, idCol, w),
       bands, rows, threshold, seed, againstIndex = true)
 
+  /** Partition- and page-pruned read of the bands layout for a probe:
+    * only the given (band·BandBuckets + kb) cells are LISTED (dir
+    * pruning), and within them — when the batch's distinct
+    * (cell, bucket) set is driver-boundable per
+    * [[ProbeBucketFilterCutoff]] — per-cell chunked bucket In-filters
+    * skip every page whose [min, max] holds none of the batch's
+    * buckets (the files are bucket-sorted with 512-row pages at
+    * write/compact). Each pushed set contains only buckets its own
+    * cell can hold — a foreign-cell bucket usually falls inside some
+    * page's span and defeats the stat check (the StreamingDedup
+    * per-residue-split measurement). Package-private for the pruning
+    * assertions in NearDupIndexSpec.
+    */
+  private[graft] def probeBands(spark: SparkSession, path: String,
+                                bnd: DataFrame,
+                                cellIds: Seq[Long]): DataFrame = {
+    def read(ids: Seq[Long]) = spark.read.parquet(s"$path/bands")
+      .where((col("band").cast("long") * BandBuckets +
+        col("kb").cast("long")).isin(ids: _*))
+    val nKeys = bnd.select(col("band"), col("bucket")).distinct().count()
+    if (nKeys > ProbeBucketFilterCutoff) read(cellIds)
+    else {
+      val cellKeys = bnd.select(
+          (col("band").cast("long") * BandBuckets + col("kb")).as("cell"),
+          col("bucket"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1)
+      cellKeys.toSeq.sortBy(_._1).flatMap { case (cell, ks) =>
+        ks.map(_._2).sorted.grouped(ProbeBucketChunk).map(chunk =>
+          read(Seq(cell)).where(col("bucket").isin(chunk: _*)))
+      }.reduceOption(_ union _) // cells disjoint: plain concat
+        .getOrElse(read(cellIds).limit(0))
+    }
+  }
+
   /** Probe core over a pinned (doc, hs) frame. With
     * `againstIndex = false` only in-batch pairs are emitted (the
     * build-time one-shot; no index read — there may be no index yet).
@@ -197,9 +260,7 @@ object NearDupIndex {
     val candIdx =
       if (cellIds.isEmpty) candIn.limit(0)
       else {
-        val idx = spark.read.parquet(s"$path/bands")
-          .where((col("band").cast("long") * BandBuckets +
-            col("kb").cast("long")).isin(cellIds: _*))
+        val idx = probeBands(spark, path, bnd, cellIds)
         idx.select(col("band"), col("bucket"), col("doc").as("idoc"))
           .join(bnd.select(col("band"), col("bucket"), col("doc").as("bdoc")),
             Seq("band", "bucket"))
@@ -207,7 +268,19 @@ object NearDupIndex {
           .select(least(col("idoc"), col("bdoc")).as("d1"),
             greatest(col("idoc"), col("bdoc")).as("d2"))
       }
-    val cand = candIn.unionByName(candIdx).distinct().localCheckpoint(true)
+    // the chunked bucket filters only prune per-value while parquet
+    // converts them to or-of-eq chains — raise the In threshold past
+    // the chunk size for the candidate materialization (restored
+    // after; the StreamingDedup.processBatch pattern)
+    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prevThresh = spark.conf.getOption(threshKey)
+    spark.conf.set(threshKey, ProbeBucketChunk + 1)
+    val cand =
+      try candIn.unionByName(candIdx).distinct().localCheckpoint(true)
+      finally prevThresh match {
+        case Some(v) => spark.conf.set(threshKey, v)
+        case None => spark.conf.unset(threshKey)
+      }
     // verify needs each candidate doc's shingle set: increment docs
     // from the pinned sh, historical docs from sets/ pruned to the
     // doc-buckets the candidates actually touch (≤ SetBuckets ids)
@@ -247,7 +320,11 @@ object NearDupIndex {
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     graft.core.ParquetCompact.compact(spark, s"$path/bands",
-      Seq("band", "kb"), Seq("bucket", "doc"))
+      Seq("band", "kb"), Seq("bucket", "doc"),
+      // restore the big-sorted-file small-page shape the probe's
+      // per-bucket page pruning depends on (per-pass appends keep
+      // files small — a tiny file is one page, nothing to skip)
+      options = Map("parquet.page.row.count.limit" -> "512"))
     graft.core.ParquetCompact.compact(spark, s"$path/sets",
       Seq("db"), Seq("doc"))
   }

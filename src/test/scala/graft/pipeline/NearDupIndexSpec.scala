@@ -91,6 +91,60 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(!before.exists { case (d1, d2, _) => d1 == 11L || d2 == 11L })
   }
 
+  test("bucket In-filters page-prune within touched cells") {
+    import spark.implicits._
+    // enough docs that each (band, kb) cell spans MANY 512-row pages
+    // (16k docs × 16 bands / 64 cells ≈ 4k rows ≈ 8 pages per cell) —
+    // page pruning can only skip whole pages, so the pruned fraction
+    // approaches 1/pages-per-cell
+    val corpus = (0L until 16000L)
+      .map(i => (i, s"doc number $i carries words w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("ndi_pp")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, corpus, "text", "doc_id", idx)
+    val one = Seq((99999L, "doc number 1234 carries words w1234a w1234b w1234c w1234d"))
+      .toDF("doc_id", "text")
+    val bnd = one.select(col("doc_id").as("doc"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("hs"))
+      .select(col("doc"),
+        posexplode(Dedup.minhashBandKeys(col("hs"), 16, 4, 42L)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("kb", pmod(col("bucket"), lit(NearDupIndex.BandBuckets.toLong)))
+      .localCheckpoint(true)
+    val cellIds = bnd.select((col("band").cast("long") *
+        NearDupIndex.BandBuckets + col("kb")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val threshKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(threshKey)
+    spark.conf.set(threshKey, NearDupIndex.ProbeBucketChunk + 1)
+    try {
+      val cellOnly = scanned(spark.read.parquet(idx + "/bands")
+        .where((col("band").cast("long") * NearDupIndex.BandBuckets +
+          col("kb").cast("long")).isin(cellIds: _*)))
+      val pruned = scanned(
+        NearDupIndex.probeBands(spark, idx, bnd, cellIds))
+      assert(pruned > 0 && pruned < cellOnly / 3,
+        s"bucket filter not page-pruning: $pruned of $cellOnly cell rows")
+      // and the filter is lossless: the probed doc's own bands match
+      val hits = NearDupIndex.probeBands(spark, idx, bnd, cellIds)
+        .join(bnd.select(col("band"), col("bucket")), Seq("band", "bucket"))
+        .select("doc").distinct().collect().map(_.getLong(0))
+      assert(hits.contains(1234L), s"lost the true match: ${hits.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(threshKey, v)
+      case None => spark.conf.unset(threshKey)
+    }
+  }
+
   test("probe prunes the bands read to the batch's own cells") {
     import spark.implicits._
     val base = (0L until 40L)
