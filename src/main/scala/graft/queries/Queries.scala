@@ -2444,6 +2444,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the PERSISTED IVF-PQ lifecycle: write the cluster-partitioned
+    // m-byte codes layout, serve from disk (probe reads codes only;
+    // the ≤ k·oversample ADC survivors back-join the vector table for
+    // the exact rescore) — ≡ the in-memory searchPq by construction,
+    // so the oracle is the ivf_topk_pq golden itself
+    "ivf_topk_pq_indexed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPq(
+        graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding", pq, idx)
+      graft.pipeline.Ivf.searchPqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // two-stage PQ ANN: ADC-scored candidates from 8-byte product
     // quantization codes (32x under float32), exact rescore
     "ann_topk_pq" -> ((s, d) => {
@@ -3238,6 +3262,10 @@ object Queries {
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pq.parquet' ORDER BY qid, rk",
 
     "ivf_topk_pq" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
+
+    // disk-served codes ≡ the in-memory IVF-PQ (same golden)
+    "ivf_topk_pq_indexed" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
