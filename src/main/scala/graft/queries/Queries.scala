@@ -1962,6 +1962,26 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the PERSISTED int8 lifecycle: cluster-partitioned 1-byte-per-dim
+    // codes on disk, served by searchCodes (queries quantize on the
+    // fly; postings never touch a float) — ≡ the in-memory searchInt8
+    // by construction, so the oracle is the ivf_topk_int8 golden
+    "ivf_topk_int8_indexed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf8_idx")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_hier" -> ((s, d) => {
       // two-level quantizer (√nlist L1 cells, per-cell L2 folds):
       // the train-cost path for corpus-proportional nlist; search is
@@ -3526,6 +3546,10 @@ object Queries {
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
     "ivf_topk_int8" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // disk-served int8 codes ≡ the in-memory quantized IVF (same golden)
+    "ivf_topk_int8_indexed" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     "ivf_topk_hier" ->
