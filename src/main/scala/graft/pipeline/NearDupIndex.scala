@@ -106,6 +106,12 @@ object NearDupIndex {
 
   private def writeLayout(sh: DataFrame, path: String, mode: String,
                           bands: Int, rows: Int, seed: Long): Unit = {
+    // an empty corpus/increment must write NOTHING: a zero-row
+    // partitionBy write still creates the directory, and a later read
+    // dies on schema inference over zero files (the StreamingDedup
+    // empty-microbatch guard); probeBands treats a missing layout as
+    // an empty index, which is exactly what it is
+    if (sh.isEmpty) return
     // repartition on the partition columns before the dynamic write:
     // each (band, kb) cell's rows land in one task — one file per
     // touched cell per pass, not (tasks × cells) small files. Rows
@@ -217,6 +223,12 @@ object NearDupIndex {
   private[graft] def probeBands(spark: SparkSession, path: String,
                                 bnd: DataFrame,
                                 cellIds: Seq[Long]): DataFrame = {
+    // a never-written layout (empty build, or probe before any build)
+    // IS an empty index — not an error
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bandsPath))
+      return bnd.select(col("band"), col("bucket"), col("doc")).limit(0)
     def read(ids: Seq[Long]) = spark.read.parquet(s"$path/bands")
       .where((col("band").cast("long") * BandBuckets +
         col("kb").cast("long")).isin(ids: _*))
@@ -289,8 +301,11 @@ object NearDupIndex {
       else cand.select(explode(array(col("d1"), col("d2"))).as("doc"))
         .select(dbOf(col("doc")).as("db")).distinct()
         .collect().map(_.getLong(0)).toSeq
+    val setsPath = new org.apache.hadoop.fs.Path(s"$path/sets")
+    val setsExist = setsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(setsPath)
     val hist =
-      if (dbIds.isEmpty) sh.limit(0)
+      if (dbIds.isEmpty || !setsExist) sh.limit(0) // empty index: all cands in-batch
       else {
         val sets = spark.read.parquet(s"$path/sets")
         sets.where(graft.core.PartitionIn.inSet(sets, "db", dbIds))

@@ -91,6 +91,31 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(!before.exists { case (d1, d2, _) => d1 == 11L || d2 == 11L })
   }
 
+  test("empty corpora and never-written indexes are empty, not errors") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("ndi_e")
+      .resolve("index").toString
+    // an empty build writes nothing; probing the never-written index
+    // still classifies the increment against ITSELF
+    NearDupIndex.writeIndex(spark, emptyDocs, "text", "doc_id", idx)
+    val p = pairs(NearDupIndex.probe(spark, idx, some, "text", "doc_id",
+      threshold = 0.5))
+    assert(p.map(x => (x._1, x._2)) == Seq((1L, 2L)))
+    // an empty increment probes empty and appends nothing
+    assert(NearDupIndex.probe(spark, idx, emptyDocs, "text", "doc_id")
+      .count() == 0)
+    NearDupIndex.append(spark, emptyDocs, "text", "doc_id", idx)
+    // the layout still doesn't exist — and a real build after all
+    // this works from scratch
+    NearDupIndex.writeIndex(spark, some, "text", "doc_id", idx)
+    val q = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(pairs(NearDupIndex.probe(spark, idx, q, "text", "doc_id",
+      threshold = 0.5)).map(x => (x._1, x._2)) == Seq((1L, 10L), (2L, 10L)))
+  }
+
   test("bucket In-filters page-prune within touched cells") {
     import spark.implicits._
     // enough docs that each (band, kb) cell spans MANY 512-row pages
