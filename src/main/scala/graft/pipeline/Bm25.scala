@@ -163,7 +163,18 @@ object Bm25 {
     val postings =
       if (mode == "append") postingsPlan.localCheckpoint(true)
       else postingsPlan
-    postings.write.mode(mode).partitionBy("bucket")
+    // term-sorted rows + small pages: searchIndex pushes the query
+    // terms as an In filter, and with page column-index stats over a
+    // sorted term column the scan skips every page holding none of
+    // them — a q-term query then reads ~q pages of a bucket, not the
+    // bucket (the NearDupIndex/StreamingDedup page-pruning design;
+    // the sort MUST lead with the partition column or the dynamic
+    // writer silently replaces it)
+    postings
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc"))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("bucket")
       .parquet(s"$path/postings")
     // df rows for THIS pass only (readers SUM across increments). In
     // overwrite mode the written layout IS this pass, so derive df by
@@ -177,7 +188,10 @@ object Bm25 {
     dfSource.groupBy(col("bucket"), col("term")).count()
       .withColumnRenamed("count", "df")
       .repartition(IndexBuckets, col("bucket"))
-      .write.mode(mode).partitionBy("bucket")
+      .sortWithinPartitions(col("bucket"), col("term"))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("bucket")
       .parquet(s"$path/df")
     docs.select(TextAnalysis.tokenCount(col(textCol)).as("len"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
@@ -202,10 +216,13 @@ object Bm25 {
     * contents-invariant, so search results are unchanged.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
+    // small-page option: restore the big-sorted-file shape the
+    // search-time per-term page pruning depends on (see writeLayout)
+    val pages = Map("parquet.page.row.count.limit" -> "512")
     graft.core.ParquetCompact.compact(spark, s"$path/postings",
-      Seq("bucket"), Seq("term", "doc"))
+      Seq("bucket"), Seq("term", "doc"), pages)
     graft.core.ParquetCompact.compact(spark, s"$path/df",
-      Seq("bucket"), Seq("term"))
+      Seq("bucket"), Seq("term"), pages)
   }
 
   /** Search the persisted index: identical results to [[topK]] over

@@ -124,6 +124,45 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("query-term In filters page-prune within touched buckets") {
+    import spark.implicits._
+    // a vocabulary big enough that each bucket's postings span MANY
+    // 512-row pages — page pruning can only skip whole pages, so the
+    // pruned fraction approaches 1/pages-per-bucket (40k docs × ~7
+    // distinct terms / 64 buckets ≈ 4.4k rows ≈ 9 pages per bucket)
+    val big = (0L until 40000L)
+      .map(i => (i, s"filler common words t${i}a t${i}b t${i}c t${i}d t${i}e"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25pp")
+      .resolve("index").toString
+    Bm25.writeIndex(spark, big, "text", "doc_id", idx)
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // one rare term: its bucket holds ~1/64 of ~48k postings rows
+    // (~750 rows over 2 pages); the term filter must cut the READ
+    // well below the whole bucket thanks to the term-sorted pages
+    val term = "t1234c"
+    val bucket = Seq(term).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(64L))).head().getLong(0)
+    val bucketOnly = scanned(spark.read.parquet(s"$idx/postings")
+      .where(col("bucket").isInCollection(Seq(bucket))))
+    val termPruned = scanned(spark.read.parquet(s"$idx/postings")
+      .where(col("bucket").isInCollection(Seq(bucket)) &&
+        col("term").isInCollection(Seq(term))))
+    assert(termPruned > 0 && termPruned < bucketOnly / 2,
+      s"term filter not page-pruning: $termPruned of $bucketOnly bucket rows")
+    // and the search itself still finds the document
+    val hit = Bm25.searchIndex(spark, idx, Seq(0L -> term), 3)
+      .select("doc").collect().map(_.getLong(0))
+    assert(hit.contains(1234L), s"lost the match: ${hit.toSeq}")
+  }
+
   test("append + compact: grown index equals one-shot; files drop") {
     import org.apache.spark.sql.functions.col
     val oneShot = java.nio.file.Files.createTempDirectory("bm25os")
