@@ -29,11 +29,32 @@ object DedupIndex {
 
   val IndexBuckets = 64
 
+  /** Increment fp sets up to this size are pushed down to parquet as
+    * per-bucket chunked In filters (page pruning over the fp-sorted
+    * files); larger probes read the touched buckets whole. The
+    * cutoff is deliberately SMALL: the pushdown plan costs one
+    * sub-scan per touched bucket plus per-row In evaluation on the
+    * survivors, which only pays when the increment is tiny relative
+    * to the index (the periodic-recrawl probe) — a measured 1667-fp
+    * probe at the old 4096 cutoff ran ~2.5× SLOWER than the plain
+    * bucket read it replaced.
+    */
+  val ProbeFpFilterCutoff = 512
+
+  /** Fps per pushed In-filter chunk (or-of-eq chains are the only
+    * per-value pruning form — the StreamingDedup measurements).
+    */
+  val ProbeFpChunk = 256
+
   private def bucketOf(fp: Column): Column =
     pmod(xxhash64(fp), lit(IndexBuckets.toLong))
 
   /** Build the index: one (fp, doc) row per distinct fingerprint,
     * doc = min id (the keeper), overwriting any existing layout.
+    * Build/append writes use default page sizes (small pages cost a
+    * measured ~25% on corpus-sized writes); [[compactIndex]] restores
+    * the fp-sorted small-page shape that [[probeIndexRead]]'s per-fp
+    * page pruning needs — compact-then-probe is the steady state.
     */
   def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
                  idCol: String, path: String): Unit =
@@ -54,20 +75,55 @@ object DedupIndex {
     val fps = docs.select(col(idCol).as("doc"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .localCheckpoint(true)
-    val buckets = fps.select(bucketOf(col("fp")).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // ONE aggregation job yields both the touched-bucket set and the
+    // distinct-fp count that gates the page-pruning pushdown — the
+    // gate must not cost big increments an extra Spark job
+    val gate = fps.agg(
+      count_distinct(col("fp")).as("n"),
+      collect_set(bucketOf(col("fp"))).as("bs")).head()
+    val nFps = gate.getLong(0)
+    val buckets = gate.getSeq[Long](1)
     if (buckets.isEmpty)
       return fps.withColumn("idx_keep", lit(null).cast("long"))
         .withColumn("batch_keep", col("doc"))
-    val idx0 = spark.read.parquet(path)
-    val idx = idx0
-      .where(graft.core.PartitionIn.inSet(idx0, "bucket", buckets))
+    val idx = probeIndexRead(spark, path, fps, buckets, nFps)
       .select(col("fp"), col("doc").as("idx_keep"))
     val batchKeep = fps.groupBy(col("fp"))
       .agg(min(col("doc")).as("batch_keep"))
     // left join is safe against row blowup: the index invariant is
     // one row per fp (build groups, appends add only novel fps)
     fps.join(idx, Seq("fp"), "left").join(batchKeep, Seq("fp"))
+  }
+
+  /** Bucket- AND page-pruned index read for a probe: the touched
+    * bucket partitions are filtered as before, and — when the
+    * increment's distinct fp set is ≤ [[ProbeFpFilterCutoff]] —
+    * per-bucket chunked fp In-filters additionally skip every page
+    * whose fp range holds none of the increment's fps (files are
+    * fp-sorted with 512-row pages at write/compact). Each pushed set
+    * contains only fps its own bucket can hold; a small increment
+    * then reads ~|increment| PAGES of the index, not whole buckets.
+    * Package-private for the pruning assertion in DedupIndexSpec.
+    */
+  private[graft] def probeIndexRead(spark: SparkSession, path: String,
+                                    fps: DataFrame, buckets: Seq[Long],
+                                    nFps: Long): DataFrame = {
+    val idx0 = spark.read.parquet(path)
+    def bucketRead = idx0
+      .where(graft.core.PartitionIn.inSet(idx0, "bucket", buckets))
+    if (nFps > ProbeFpFilterCutoff) bucketRead
+    else {
+      val byBucket = fps
+        .select(bucketOf(col("fp")).as("b"), col("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1)
+      byBucket.toSeq.sortBy(_._1).flatMap { case (b, xs) =>
+        xs.map(_._2).sorted.grouped(ProbeFpChunk).map(chunk =>
+          idx0.where(graft.core.PartitionIn.inSet(idx0, "bucket", Seq(b)) &&
+            col("fp").isInCollection(chunk)))
+      }.reduceOption(_ union _) // buckets disjoint: plain concat
+        .getOrElse(bucketRead.limit(0))
+    }
   }
 
   /** Classify every increment doc against the index AND the increment
@@ -79,15 +135,33 @@ object DedupIndex {
     */
   def probe(spark: SparkSession, path: String, docs: DataFrame,
             textCol: String, idCol: String): DataFrame =
-    probeRaw(spark, path, docs, textCol, idCol)
-      .withColumn("keep_id", coalesce(col("idx_keep"), col("batch_keep")))
-      .withColumn("dup", col("keep_id") =!= col("doc"))
-      .select(col("doc"), col("fp"), col("keep_id"), col("dup"))
-      // snapshot semantics: the decisions are pinned NOW, so a caller
-      // following the documented probe→append→compact order can
-      // consume them after the compaction rewrote the files a lazy
-      // plan would still be pointing at
-      .localCheckpoint(true)
+    withFpPushdown(spark) {
+      probeRaw(spark, path, docs, textCol, idCol)
+        .withColumn("keep_id", coalesce(col("idx_keep"), col("batch_keep")))
+        .withColumn("dup", col("keep_id") =!= col("doc"))
+        .select(col("doc"), col("fp"), col("keep_id"), col("dup"))
+        // snapshot semantics: the decisions are pinned NOW, so a caller
+        // following the documented probe→append→compact order can
+        // consume them after the compaction rewrote the files a lazy
+        // plan would still be pointing at
+        .localCheckpoint(true)
+    }
+
+  /** The chunked fp filters only prune per-value while parquet
+    * converts them to or-of-eq chains — raise the In threshold past
+    * the chunk size around the executing action (the
+    * StreamingDedup.processBatch pattern).
+    */
+  private def withFpPushdown[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, ProbeFpChunk + 1)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Append the increment's NOVEL fingerprints (not in the index) as
     * one (fp, min-id) row each. Disjoint-increment contract as the
@@ -97,16 +171,21 @@ object DedupIndex {
     */
   def appendNovel(spark: SparkSession, docs: DataFrame, textCol: String,
                   idCol: String, path: String): Unit =
-    probeRaw(spark, path, docs, textCol, idCol)
-      .where(col("idx_keep").isNull)
-      .groupBy(col("fp")).agg(min(col("batch_keep")).as("doc"))
-      .withColumn("bucket", bucketOf(col("fp")))
-      .repartition(IndexBuckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    withFpPushdown(spark) {
+      probeRaw(spark, path, docs, textCol, idCol)
+        .where(col("idx_keep").isNull)
+        .groupBy(col("fp")).agg(min(col("batch_keep")).as("doc"))
+        .withColumn("bucket", bucketOf(col("fp")))
+        .repartition(IndexBuckets, col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
 
   /** Crash-safe in-place small-file compaction; contents-invariant,
-    * so probe results are unchanged (spec-pinned).
+    * so probe results are unchanged (spec-pinned). Restores the
+    * big-fp-sorted-file small-page shape the probe's per-fp page
+    * pruning depends on.
     */
   def compactIndex(spark: SparkSession, path: String): Unit =
-    graft.core.ParquetCompact.compact(spark, path, Seq("bucket"), Seq("fp"))
+    graft.core.ParquetCompact.compact(spark, path, Seq("bucket"), Seq("fp"),
+      options = Map("parquet.page.row.count.limit" -> "512"))
 }

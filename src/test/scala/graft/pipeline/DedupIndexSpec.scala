@@ -83,6 +83,56 @@ class DedupIndexSpec extends SparkTestBase {
     assert(out.toSeq == Seq((7L, true)))
   }
 
+  test("fp In filters page-prune within touched buckets") {
+    import spark.implicits._
+    // many distinct fps per bucket so files span MANY 512-row pages
+    // (256k fps / 64 buckets = 4k rows = 8 pages per bucket) — page
+    // pruning can only skip whole pages, so the pruned fraction
+    // approaches 1/pages-per-bucket
+    val big = spark.range(262144L).select(col("id").as("doc_id"),
+      concat(lit("unique text "), col("id")).as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx_pp").toString
+    DedupIndex.writeIndex(spark, big, "text", "doc_id", idx)
+    // builds write default pages; COMPACTION restores the fp-sorted
+    // small-page shape the probe's page pruning needs (the steady
+    // state: compact-then-probe)
+    DedupIndex.compactIndex(spark, idx)
+    val one = Seq((99999L, "unique text 1234")).toDF("doc_id", "text")
+    val fps = one.select(col("doc_id").as("doc"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).localCheckpoint(true)
+    val buckets = fps
+      .select(pmod(xxhash64(col("fp")),
+        lit(DedupIndex.IndexBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, DedupIndex.ProbeFpChunk + 1)
+    try {
+      val idx0 = spark.read.parquet(idx)
+      val bucketOnly = scanned(
+        idx0.where(graft.core.PartitionIn.inSet(idx0, "bucket", buckets)))
+      val pruned = scanned(
+        DedupIndex.probeIndexRead(spark, idx, fps, buckets, nFps = 1L))
+      assert(pruned > 0 && pruned < bucketOnly / 2,
+        s"fp filter not page-pruning: $pruned of $bucketOnly bucket rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // and the probe still classifies the duplicate correctly
+    val out = DedupIndex.probe(spark, idx, one, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Boolean]("dup")))
+    assert(out.toSeq == Seq((1234L, true)))
+  }
+
   test("append keeps one file per touched bucket; compaction invariant") {
     val docs = corpus
     val idx = java.nio.file.Files.createTempDirectory("dedup_idx_compact").toString
