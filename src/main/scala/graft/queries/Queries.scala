@@ -2388,6 +2388,19 @@ object Queries {
           seed = 42L)
         .orderBy(col("rk"))),
 
+    "stream_exact_dedup" -> ((s, d) => {
+      // streaming EXACT dedup on ingest, riding the persisted
+      // DedupIndex: each microbatch probes the (fp, min-id) index,
+      // keeps the new fingerprints' min-id holders, appends the novel
+      // fps. Relational drop policy + id-ordered arrival ⇒ kept set
+      // equals the one-shot min-id-per-fp rule the oracle replays.
+      val root = java.nio.file.Files.createTempDirectory("graft_sxdedup_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingExactDedup.ingest(s, d, idx, out)
+      s.read.parquet(out).select(col("doc").as("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -3581,6 +3594,16 @@ object Queries {
 
     "stream_neardup" ->
       s"SELECT doc_id FROM '$pipeGold/stream_neardup.parquet' ORDER BY doc_id",
+
+    // kept ⇔ the document is its fingerprint group's min id — the
+    // one-shot exact-dedup rule, replayed in plain SQL
+    "stream_exact_dedup" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    ) AS keep_id
+        |  FROM documents) t
+        |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
 
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

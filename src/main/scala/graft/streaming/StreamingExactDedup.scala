@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.pipeline.DedupIndex
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication ON INGEST — the exact-fingerprint sibling of
+  * [[StreamingDedup]], riding the persisted [[DedupIndex]] layout:
+  * each microbatch probes the accumulated (fp, min-id) index, keeps
+  * the documents whose fingerprint is genuinely new (or who are the
+  * batch's own min-id holder for a new fingerprint), and appends the
+  * novel fingerprints — the corpus is never re-fingerprinted.
+  *
+  * Drop policy is RELATIONAL, so the kept set is independent of
+  * batch boundaries with id-ordered arrival: kept(d) ⇔ d = min id of
+  * its fingerprint group over everything seen — exactly the one-shot
+  * exact-dedup rule, which is what the oracle replays in SQL.
+  *
+  * 100 TB shape inherited from DedupIndex: per batch one fingerprint
+  * scan, one bucket-pruned (page-pruned for small batches) index
+  * read, slim (fp, doc) frames only — probe bytes follow the batch,
+  * not the index.
+  */
+object StreamingExactDedup {
+
+  /** One microbatch: classify against the index (and the batch
+    * itself), append kept doc ids to `outPath`, append novel
+    * fingerprints to the index. Exposed for testing; [[ingest]]
+    * wires it into foreachBatch.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+                   idCol: String, indexPath: String,
+                   outPath: String): Unit = {
+    if (batch.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
+        // first batch: the index IS this batch's distinct fps; keepers
+        // are the batch's own min-id holders
+        DedupIndex.writeIndex(spark, batch, textCol, idCol, indexPath)
+        batch.select(col(idCol).as("doc"),
+            graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+          .withColumn("keep",
+            min(col("doc")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp"))))
+          .where(col("doc") === col("keep"))
+          .select(col("doc"))
+      } else {
+        val decisions = DedupIndex.probe(spark, indexPath, batch,
+          textCol, idCol)
+        DedupIndex.appendNovel(spark, batch, textCol, idCol, indexPath)
+        decisions.where(!col("dup")).select(col("doc"))
+      }
+    kept.write.mode(SaveMode.Append).parquet(outPath)
+  }
+
+  /** Stream the documents table through the incremental exact dedup;
+    * kept doc ids land in `outPath`, fingerprints in `indexPath`.
+    * `compactEvery` > 0 runs [[DedupIndex.compactIndex]] after every
+    * that-many batches (contents-invariant).
+    */
+  def ingest(spark: SparkSession, dir: String, indexPath: String,
+             outPath: String, compactEvery: Int = 0): Unit = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_sxdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sxdedup_ckpt_")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, "text", "doc_id",
+          indexPath, outPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          DedupIndex.compactIndex(batch.sparkSession, indexPath)
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      EventStream.deleteScratch(ckpt)
+    }
+  }
+}
