@@ -2401,6 +2401,19 @@ object Queries {
       s.read.parquet(out).select(col("doc").as("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "stream_minhash_dedup" -> ((s, d) => {
+      // streaming MinHash near-dup on ingest, riding the persisted
+      // NearDupIndex (probeAndAppend per microbatch): dropped ⇔ the
+      // doc is some pair's later side over the one-shot LSH pass,
+      // which the oracle replays from the minhash_pairs golden
+      val root = java.nio.file.Files.createTempDirectory("graft_smdedup_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingMinhashDedup.ingest(s, d, idx, out,
+        threshold = 0.2)
+      s.read.parquet(out).select(col("doc").as("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -3594,6 +3607,13 @@ object Queries {
 
     "stream_neardup" ->
       s"SELECT doc_id FROM '$pipeGold/stream_neardup.parquet' ORDER BY doc_id",
+
+    // kept ⇔ the doc is nobody's LATER near-dup in the one-shot LSH
+    // pair set (the minhash_pairs golden, threshold 0.2)
+    "stream_minhash_dedup" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT d2 FROM '$pipeGold/minhash_pairs.parquet')
+         |ORDER BY doc_id""".stripMargin,
 
     // kept ⇔ the document is its fingerprint group's min id — the
     // one-shot exact-dedup rule, replayed in plain SQL
