@@ -644,6 +644,33 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST-scoring representative per near-dup cluster
+    * (highest `scoreCol`, ties to the smallest id) instead of
+    * [[dropNearDups]]'s min-id rule — the curation-grade variant: of
+    * a scrape/re-scrape near-dup family, keep the longest/cleanest
+    * copy, not whichever crawled first. Docs in no pair survive
+    * untouched.
+    *
+    * 100 TB shape: only CLUSTERED docs (the slim (doc, cluster)
+    * frame) join the score column and rank inside their cluster
+    * (near-dup clusters are small); the corpus itself sees one
+    * anti-join against the slim loser set — the big table is never
+    * windowed or shuffled on cluster.
+    */
+  def dropNearDupsBy(df: DataFrame, pairs: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col("doc"))
+    val losers = clusters
+      .join(df.select(col(idCol).as("doc"), col(scoreCol)), Seq("doc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select(col("doc").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over token hashes. NULL text signs as the empty
     * document (signature 0L) rather than propagating NULL — null-text

@@ -1461,6 +1461,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_drop_neardups_best" -> ((s, d) => {
+      // quality-aware representative selection: same pairs/clusters
+      // as dedup_drop_neardups, but keep the LONGEST doc per cluster
+      // (ties to the smallest id) — the curation-grade keep rule (of
+      // a near-dup scrape family, keep the best copy, not whichever
+      // crawled first)
+      val docs = tbl(s, d, "documents")
+      val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "text", "doc_id",
+        w = 3, threshold = 0.2, maxShingleDf = 128)
+      graft.pipeline.Dedup.dropNearDupsBy(docs, pairs, "doc_id", "n_chars")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tokens" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"),
@@ -1735,6 +1749,46 @@ object Queries {
         |         FROM reach GROUP BY a)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc FROM comp WHERE cluster < doc)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same transitive closure, but the representative is the
+    // HIGHEST-n_chars doc per cluster (ties to the smallest id)
+    "dedup_drop_neardups_best" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |ef AS (SELECT * FROM e WHERE sg NOT IN (
+        |  SELECT sg FROM e GROUP BY sg HAVING count(*) > 128)),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM ef a JOIN ef b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON sa.doc_id = d1
+        |  JOIN sz sb ON sb.doc_id = d2
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS doc, LEAST(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a),
+        |ranked AS (
+        |  SELECT c.doc,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY dd.n_chars DESC, c.doc) AS rn
+        |  FROM comp c JOIN documents dd ON dd.doc_id = c.doc)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
@@ -2412,6 +2466,45 @@ object Queries {
       graft.streaming.StreamingMinhashDedup.ingest(s, d, idx, out,
         threshold = 0.2)
       s.read.parquet(out).select(col("doc").as("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "stream_bm25_search" -> ((s, d) => {
+      // BM25 index maintained ON INGEST: 4 id-ordered microbatches
+      // append postings/df/stats increments into the persisted bucket
+      // layout, with a mid-stream compaction. The layout is additive
+      // (readers SUM stats and per-term df rows), so searching the
+      // grown index must equal the one-shot build — the bm25_topk
+      // golden oracles both
+      val idx = java.nio.file.Files.createTempDirectory("graft_sbm25_q")
+        .resolve("index").toString
+      graft.streaming.StreamingBm25.ingest(s, d, idx, nBatches = 4,
+        compactEvery = 2)
+      graft.pipeline.Bm25.searchIndex(s, idx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_ivf_search" -> ((s, d) => {
+      // IVF index maintained ON INGEST against a frozen coarse
+      // quantizer (train offline, add online): 4 microbatches of
+      // embeddings append into the cluster-partitioned layout, with a
+      // mid-stream compaction. Assignment is per-row against the
+      // frozen model, so the grown index searches identically to the
+      // one-shot build — the ivf_topk golden oracles both
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("graft_sivf_q")
+        .resolve("index").toString
+      graft.streaming.StreamingIvf.ingest(s, d, model, idx, nBatches = 4,
+        compactEvery = 2)
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
     }),
 
     "stream_neardup" -> ((s, d) => {
@@ -3614,6 +3707,16 @@ object Queries {
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM '$pipeGold/minhash_pairs.parquet')
          |ORDER BY doc_id""".stripMargin,
+
+    // the stream-grown BM25 layout is additive ⇒ search ≡ the
+    // one-shot build's golden
+    "stream_bm25_search" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
+    // the stream-grown IVF index holds exactly the one-shot build's
+    // postings (frozen quantizer, per-row assignment) ⇒ same golden
+    "stream_ivf_search" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
     // kept ⇔ the document is its fingerprint group's min id — the
     // one-shot exact-dedup rule, replayed in plain SQL

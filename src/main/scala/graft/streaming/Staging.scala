@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** File-stream staging for the streaming-ingest queries: split a
+  * single-file parquet table into `n` id-range parquet files in a
+  * fresh temp dir, mtime-ordered so a file stream with
+  * `maxFilesPerTrigger=1` replays them as id-ordered microbatches.
+  * The single-file copy the earlier ingests stage collapses the
+  * whole table into one batch; this makes the ORACLED streaming rows
+  * actually exercise the multi-batch probe/append path, not just the
+  * first-batch build branch.
+  */
+private[streaming] object Staging {
+
+  /** Returns the stage dir containing `n` mtime-ordered split files
+    * of `src` (a single parquet file), partitioned by equal-width
+    * ranges of the long `idCol`. Empty ranges still yield a (0-row)
+    * file — downstream processBatch impls guard on isEmpty.
+    */
+  def idRangeSplits(spark: SparkSession, src: String, idCol: String,
+                    n: Int): java.nio.file.Path = {
+    require(n >= 1, "need at least one split")
+    val df = spark.read.parquet(src)
+    val r = df.agg(min(col(idCol)), max(col(idCol))).head()
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage")
+    if (r.isNullAt(0)) return stage // empty table: zero batches
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = math.max(1L, (hi - lo) / n + 1L) // ceil width, >= 1
+    for (i <- 0 until n) {
+      val a = lo + i * span
+      val b = a + span // [a, b)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_w")
+      df.where(col(idCol) >= a && col(idCol) < b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = java.nio.file.Files.list(tmp)
+        try {
+          val it = s.iterator()
+          var found: java.nio.file.Path = null
+          while (it.hasNext && found == null) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        } finally s.close()
+      }
+      val dst = stage.resolve(f"b$i%04d.parquet")
+      java.nio.file.Files.move(part, dst)
+      // distinct, increasing mtimes: the file source orders new files
+      // by timestamp, so the replay is deterministic and id-ordered
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      EventStream.deleteScratch(tmp)
+    }
+    stage
+  }
+}

@@ -95,6 +95,26 @@ class PipelineSpec extends SparkTestBase {
     assert(survivors.toSeq == Seq(0L, 2L, 4L)) // 1 and 3 fold into 0's cluster
   }
 
+  test("score-aware representatives: best score wins, ties to min id") {
+    import spark.implicits._
+    // chain 1-2-3 (3 has the top score), pair 5-6 (tied score → min
+    // id 5), untouched doc 9 survives regardless of its score
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 50L), (5L, 20L),
+      (6L, 20L), (9L, 1L)).toDF("doc_id", "quality")
+    val kept = Dedup.dropNearDupsBy(docs, pairs, "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L, 9L))
+    // with a score that mirrors min-id (higher for smaller ids), the
+    // score-aware rule degenerates to dropNearDups exactly
+    val docsInv = docs.withColumn("inv", -col("doc_id"))
+    val keptInv = Dedup.dropNearDupsBy(docsInv, pairs, "doc_id", "inv")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val keptMin = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptInv.toSeq == keptMin.toSeq)
+  }
+
   test("driver union-find and distributed propagation produce the same labels") {
     import spark.implicits._
     // random graph with chains, stars and singleton-joins

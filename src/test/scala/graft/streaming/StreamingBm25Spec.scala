@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.pipeline.Bm25
+import org.apache.spark.sql.functions._
+
+/** Streaming BM25 index maintenance: the stream-grown layout is
+  * search-identical to a one-shot build whatever the batch
+  * boundaries, and mid-stream compaction changes nothing.
+  */
+class StreamingBm25Spec extends SparkTestBase {
+
+  private val queries = Seq(0L -> "hash join", 1L -> "fast table scan",
+    2L -> "merge sort window")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+    df.select("qid", "doc", "score_fp", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("batched appends replay the one-shot build; compaction invariant") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))
+    val idx = java.nio.file.Files.createTempDirectory("sbm25")
+      .resolve("index").toString
+    // three id-ordered microbatches with a compaction between
+    Seq(0L -> 150L, 150L -> 300L, 300L -> 10000L).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        StreamingBm25.processBatch(spark,
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          "text", "doc_id", idx)
+        if (i == 1) Bm25.compactIndex(spark, idx)
+    }
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+    // multi-batch appends really happened: one stats row per increment
+    assert(spark.read.parquet(s"$idx/stats").count() == 3L)
+    // empty batch: a no-op
+    StreamingBm25.processBatch(spark, docs.limit(0), "text", "doc_id", idx)
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+  }
+
+  test("foreachBatch ingest end-to-end matches the one-shot build") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_e2e")
+      .resolve("index").toString
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 4, compactEvery = 2)
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+    // the stage split really produced multiple microbatches
+    assert(spark.read.parquet(s"$idx/stats").count() >= 2L)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.pipeline.Ivf
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF index maintenance against a frozen quantizer: the
+  * stream-grown index searches identically to a one-shot build
+  * whatever the batch boundaries, and mid-stream compaction changes
+  * nothing.
+  */
+class StreamingIvfSpec extends SparkTestBase {
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+    df.select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("batched appends equal the one-shot build; boundary-invariant") {
+    val e = emb
+    val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
+    val qs = e.where(col("vec_id") < 10)
+    val want = rows(Ivf.search(Ivf.assign(e, "embedding", model), qs,
+      "embedding", "vec_id", model, k = 5, nprobe = 4))
+
+    def grown(splits: Seq[(Long, Long)], compactAt: Int): Seq[(Long, Long, Int)] = {
+      val idx = java.nio.file.Files.createTempDirectory("sivf")
+        .resolve("index").toString
+      splits.zipWithIndex.foreach { case ((lo, hi), i) =>
+        StreamingIvf.processBatch(
+          e.where(col("vec_id") >= lo && col("vec_id") < hi),
+          "embedding", model, idx)
+        if (i == compactAt) Ivf.compactIndex(spark, idx)
+      }
+      // grown postings are exactly the one-shot assignment's rows
+      assert(spark.read.parquet(idx).count() == e.count())
+      rows(Ivf.search(Ivf.readIndex(spark, idx), qs, "embedding",
+        "vec_id", model, k = 5, nprobe = 4))
+    }
+
+    assert(grown(Seq(0L -> 250L, 250L -> 100000L), compactAt = 0) == want)
+    assert(grown(Seq(0L -> 120L, 120L -> 240L, 240L -> 360L,
+      360L -> 100000L), compactAt = 2) == want)
+  }
+
+  test("foreachBatch ingest end-to-end matches the one-shot build") {
+    val e = emb
+    val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
+    val qs = e.where(col("vec_id") < 10)
+    val want = rows(Ivf.search(Ivf.assign(e, "embedding", model), qs,
+      "embedding", "vec_id", model, k = 5, nprobe = 4))
+    val idx = java.nio.file.Files.createTempDirectory("sivf_e2e")
+      .resolve("index").toString
+    StreamingIvf.ingest(spark, sf(), model, idx, nBatches = 4,
+      compactEvery = 2)
+    assert(rows(Ivf.search(Ivf.readIndex(spark, idx), qs, "embedding",
+      "vec_id", model, k = 5, nprobe = 4)) == want)
+    assert(spark.read.parquet(idx).count() == e.count())
+  }
+}
