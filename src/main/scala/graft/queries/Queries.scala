@@ -2904,6 +2904,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "hybrid_recall" -> ((s, d) => {
+      // the recall harness pointed at the RRF hybrid retriever: how
+      // much of the true semantic top-5 (brute-force cosine) does the
+      // lexical+dense fusion keep? — completes the tuning instrument
+      // across retrieval families (LSH/IVF/PQ/PCA already measured)
+      val emb = tbl(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding"))
+      val hybrid = graft.pipeline.Hybrid.hybridTopK(s, tbl(s, d, "documents"),
+          "text", "doc_id", emb, "vec_id", "embedding",
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          kCand = 20, k = 10)
+        .select(col("qid"), col("doc").as("nid"))
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            corpus, qs, "embedding", "vec_id", k = 5),
+          hybrid, k = 5)
+        .orderBy(col("qid"))
+    }),
+
     // flagship composition of the round-8 families — the curation
     // recipe a web corpus actually runs: URL blocklist (codegen
     // suffix-set probe) -> NB quality gate (Bayes-positive under the
@@ -3594,6 +3618,25 @@ object Queries {
          |    FROM p) t
          |  WHERE rk <= 5),
          |ap AS (SELECT qid, nid FROM '$pipeGold/lsh_topk.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // same harness, approx side = the RRF hybrid's fused top-10 (its
+    // own golden), truth = inline brute-force cosine top-5
+    "hybrid_recall" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, doc AS nid FROM '$pipeGold/hybrid_topk.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
