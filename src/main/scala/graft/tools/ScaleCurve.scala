@@ -824,6 +824,80 @@ object ScaleCurve {
           f"recall=$r%.3f")
       }
     }
+
+    // ---- streaming index ingest: corpus grows, batch COUNT fixed ----
+    // The claim behind StreamingBm25/StreamingIvf: per-batch cost
+    // follows the batch (each append explodes/assigns only its
+    // increment and dynamic-partition-appends only touched dirs), so
+    // total ingest over a fixed number of batches is ∝ corpus (k≈1),
+    // and post-ingest search stays flat (bucket/cluster-pruned).
+    if (want("stream_ingest")) {
+      def splitRanges(path: String, idCol: String, n: Int) = {
+        val d = spark.read.parquet(path)
+        val r = d.agg(min(col(idCol)), max(col(idCol))).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val span = math.max(1L, (hi - lo) / n + 1L)
+        (0 until n).map(i => d.where(col(idCol) >= lo + i * span &&
+          col(idCol) < lo + (i + 1) * span))
+      }
+      import graft.streaming.{StreamingBm25, StreamingIvf}
+      val bmQs = Seq(0L -> "hash join", 1L -> "fast table scan")
+      // warm-up at 1x (codegen for the explode/agg/search pipelines)
+      locally {
+        val w = java.nio.file.Files.createTempDirectory("sc_bm_w")
+          .resolve("i").toString
+        splitRanges(scaleDirs.head._2, "doc_id", 2).foreach(b =>
+          StreamingBm25.processBatch(spark, b, "text", "doc_id", w))
+        graft.pipeline.Bm25.searchIndex(spark, w, bmQs, k = 10).count()
+      }
+      val bmTs = scaleDirs.map { case (m, path) =>
+        val idx = java.nio.file.Files.createTempDirectory("sc_bm")
+          .resolve("i").toString
+        val batches = splitRanges(path, "doc_id", 4)
+        val t0 = System.nanoTime()
+        batches.foreach(b =>
+          StreamingBm25.processBatch(spark, b, "text", "doc_id", idx))
+        graft.pipeline.Bm25.compactIndex(spark, idx)
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.pipeline.Bm25.searchIndex(spark, idx, bmQs, k = 10).count()
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        println(f"${"sbm25_ingest"}%-16s $m%5d ingest=$tIngest%8.2f " +
+          f"search=$tSearch%6.2f")
+        (m, tIngest)
+      }
+      val kBm = math.log(bmTs.last._2 / bmTs.head._2) /
+        math.log(bmTs.last._1.toDouble / bmTs.head._1)
+      println(f"${"sbm25_ingest"}%-16s exponent k=$kBm%.2f")
+
+      // frozen quantizer trained once on the 1x table (the deployment
+      // contract: train offline on a sample, add online)
+      val ivfModel = graft.pipeline.Ivf.train(
+        spark.read.parquet(embDirs.head._2), "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val ivfTs = embDirs.map { case (m, path) =>
+        val idx = java.nio.file.Files.createTempDirectory("sc_ivf")
+          .resolve("i").toString
+        val batches = splitRanges(path, "vec_id", 4)
+        val t0 = System.nanoTime()
+        batches.foreach(b =>
+          StreamingIvf.processBatch(b, "embedding", ivfModel, idx))
+        graft.pipeline.Ivf.compactIndex(spark, idx)
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val qs = spark.read.parquet(embDirs.head._2)
+          .where(col("vec_id") < 10)
+        val t1 = System.nanoTime()
+        graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(spark, idx),
+          qs, "embedding", "vec_id", ivfModel, k = 5, nprobe = 4).count()
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        println(f"${"sivf_ingest"}%-16s $m%5d ingest=$tIngest%8.2f " +
+          f"search=$tSearch%6.2f")
+        (m, tIngest)
+      }
+      val kIvf = math.log(ivfTs.last._2 / ivfTs.head._2) /
+        math.log(ivfTs.last._1.toDouble / ivfTs.head._1)
+      println(f"${"sivf_ingest"}%-16s exponent k=$kIvf%.2f")
+    }
     spark.stop()
   }
 }
