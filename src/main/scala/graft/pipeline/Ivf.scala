@@ -397,13 +397,13 @@ object Ivf {
     */
   def search(postings: DataFrame, queries: DataFrame, vecCol: String,
              idCol: String, model: IvfModel, k: Int,
-             nprobe: Int = 4): DataFrame = {
+             nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimD
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
     val c = postings.select(col("cluster"), col(idCol).as("nid"), col(vecCol).as("nv"))
     val cand = c.join(broadcast(q), Seq("cluster"))
-      .where(col("nid") =!= col("qid"))
+      .where(if (excludeSelf) col("nid") =!= col("qid") else lit(true))
       .dropDuplicates("qid", "nid")
     val scored = cand.select(col("qid"), col("nid"),
       cosineSimD(col("nv"), col("qv")).as("sim"))

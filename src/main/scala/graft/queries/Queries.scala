@@ -2904,6 +2904,37 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "hybrid_topk_indexed" -> ((s, d) => {
+      // the fully DISK-SERVED hybrid: the lexical list from the
+      // persisted BM25 bucket layout (searchIndex ≡ topK, pinned) and
+      // the dense list from the persisted IVF index probed
+      // exhaustively (nprobe = nlist ⇒ exact, AnnSpec-pinned;
+      // excludeSelf=false to match the scan-based hybrid's contract),
+      // RRF-fused — byte-identical to hybrid_topk, so its golden
+      // oracles the entire served path
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("hybrid_idx")
+      val bmIdx = root.resolve("bm25").toString
+      val ivfIdx = root.resolve("ivf").toString
+      graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
+        "doc_id", bmIdx)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), ivfIdx)
+      val lexical = graft.pipeline.Bm25.searchIndex(s, bmIdx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 20)
+        .select(col("qid"), col("doc"), col("rk"))
+      val dense = graft.pipeline.Ivf.search(
+          graft.pipeline.Ivf.readIndex(s, ivfIdx),
+          emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+          k = 20, nprobe = 16, excludeSelf = false)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      graft.pipeline.Hybrid.rrfFuse(Seq(lexical, dense), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "hybrid_recall" -> ((s, d) => {
       // the recall harness pointed at the RRF hybrid retriever: how
       // much of the true semantic top-5 (brute-force cosine) does the
@@ -3392,6 +3423,11 @@ object Queries {
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
     "hybrid_topk" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    // the disk-served hybrid (persisted BM25 + exhaustively-probed
+    // persisted IVF) must be byte-identical to the scan-based fusion
+    "hybrid_topk_indexed" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     "bm25_topk_indexed" ->

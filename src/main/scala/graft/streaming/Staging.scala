@@ -28,31 +28,40 @@ private[streaming] object Staging {
     if (r.isNullAt(0)) return stage // empty table: zero batches
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = math.max(1L, (hi - lo) / n + 1L) // ceil width, >= 1
+    // ONE corpus pass: dynamic-partition write on the batch id (the
+    // partition column never reaches file contents, so the split
+    // schema equals the source schema), hash-repartitioned so each
+    // batch lands as a single file in its directory — vs a
+    // scan-per-split loop, which reads the source n times
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_w")
+    df.withColumn("__b",
+        least(lit(n - 1), expr(s"(`$idCol` - $lo) div $span").cast("int")))
+      .repartition(n, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
     for (i <- 0 until n) {
-      val a = lo + i * span
-      val b = a + span // [a, b)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_w")
-      df.where(col(idCol) >= a && col(idCol) < b)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val s = java.nio.file.Files.list(tmp)
-        try {
-          val it = s.iterator()
-          var found: java.nio.file.Path = null
-          while (it.hasNext && found == null) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found = p
-          }
-          found
-        } finally s.close()
+      val dir = tmp.resolve(s"__b=$i")
+      if (java.nio.file.Files.isDirectory(dir)) { // empty ranges: no dir
+        val part = {
+          val s = java.nio.file.Files.list(dir)
+          try {
+            val it = s.iterator()
+            var found: java.nio.file.Path = null
+            while (it.hasNext && found == null) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet")) found = p
+            }
+            found
+          } finally s.close()
+        }
+        val dst = stage.resolve(f"b$i%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        // distinct, increasing mtimes: the file source orders new
+        // files by timestamp, so the replay is deterministic and
+        // id-ordered
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
       }
-      val dst = stage.resolve(f"b$i%04d.parquet")
-      java.nio.file.Files.move(part, dst)
-      // distinct, increasing mtimes: the file source orders new files
-      // by timestamp, so the replay is deterministic and id-ordered
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      EventStream.deleteScratch(tmp)
     }
+    EventStream.deleteScratch(tmp)
     stage
   }
 }

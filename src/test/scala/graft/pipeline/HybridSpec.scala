@@ -67,4 +67,35 @@ class HybridSpec extends SparkTestBase {
     // doc 0 is BM25 rank 1 AND cosine rank 1 -> must fuse first
     assert(out.head == (0L, 1))
   }
+
+  test("disk-served hybrid equals the scan-based fusion") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val qVecs = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val want = Hybrid.hybridTopK(spark, docs, "text", "doc_id", emb,
+        "vec_id", "embedding", queries, qVecs, kCand = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("hyb_idx")
+    val bmIdx = root.resolve("bm25").toString
+    val ivfIdx = root.resolve("ivf").toString
+    Bm25.writeIndex(spark, docs, "text", "doc_id", bmIdx)
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 16, iters = 3)
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), ivfIdx)
+    val lexical = Bm25.searchIndex(spark, bmIdx, queries, k = 20)
+      .select(col("qid"), col("doc"), col("rk"))
+    // exhaustive probes (nprobe = nlist) make the IVF list exact; the
+    // scan-based hybrid keeps self-hits, so the served one must too
+    val dense = Ivf.search(Ivf.readIndex(spark, ivfIdx),
+        emb.where(col("vec_id") < 2), "embedding", "vec_id", model,
+        k = 20, nprobe = 16, excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc"), col("rk"))
+    val got = Hybrid.rrfFuse(Seq(lexical, dense), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(got == want)
+  }
 }
