@@ -2477,7 +2477,7 @@ object Queries {
       // golden oracles both
       val idx = java.nio.file.Files.createTempDirectory("graft_sbm25_q")
         .resolve("index").toString
-      graft.streaming.StreamingBm25.ingest(s, d, idx, nBatches = 4,
+      graft.streaming.StreamingBm25.ingest(s, d, idx, nBatches = 3,
         compactEvery = 2)
       graft.pipeline.Bm25.searchIndex(s, idx,
           Seq(0L -> "hash join", 1L -> "fast table scan",

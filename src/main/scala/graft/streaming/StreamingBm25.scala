@@ -22,18 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingBm25 {
 
-  /** One microbatch: build the layout on first contact, append after.
-    * Exposed for testing; [[ingest]] wires it into foreachBatch.
+  /** One microbatch: append the batch's increment (append mode
+    * creates the layout on first contact, and its pinned-postings df
+    * derivation skips overwrite mode's written-index read-back — the
+    * right trade for batch-sized increments). Exposed for testing;
+    * [[ingest]] wires it into foreachBatch.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, textCol: String,
                    idCol: String, indexPath: String): Unit = {
     if (batch.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-      Bm25.writeIndex(spark, batch, textCol, idCol, indexPath)
-    else
-      Bm25.appendToIndex(spark, batch, textCol, idCol, indexPath)
+    Bm25.appendToIndex(spark, batch, textCol, idCol, indexPath)
   }
 
   /** Stream the documents table (replayed as `nBatches` id-ordered
