@@ -25,15 +25,29 @@ object SeqPack {
 
   def packOffsets(spark: SparkSession, df: DataFrame, textCol: String,
                   idCol: String, seqLen: Long,
-                  numParts: Int = 0): DataFrame = {
+                  numParts: Int = 0): DataFrame =
+    packOffsetsBy(spark, df, textCol, idCol, seqLen, Seq.empty, numParts)
+
+  /** [[packOffsets]] under a caller-chosen TRAINING ORDER: documents
+    * are packed in `(orderCols…, id)` order instead of id order — the
+    * curriculum-learning shape (e.g. shortest-first: order by length,
+    * so early training sequences hold easy/short documents). Same
+    * distributed prefix-sum plan; the range partitioner and the
+    * per-partition window just lead with the order columns.
+    */
+  def packOffsetsBy(spark: SparkSession, df: DataFrame, textCol: String,
+                    idCol: String, seqLen: Long, orderCols: Seq[String],
+                    numParts: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val order = orderCols.map(col) :+ col("doc")
     val base = df
-      .select(col(idCol).as("doc"),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
-      .repartitionByRange(parts, col("doc"))
-      .sortWithinPartitions("doc")
+      .select((Seq(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens")) ++
+        orderCols.map(col)): _*)
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     // P per-partition totals — a driver-bounded collect (one long per
@@ -45,7 +59,7 @@ object SeqPack {
     }
     import spark.implicits._
     val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("pid", "off")
-    val w = Window.partitionBy(col("pid")).orderBy(col("doc"))
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offDf), Seq("pid"))
       .withColumn("cum_before",

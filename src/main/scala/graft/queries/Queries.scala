@@ -1475,6 +1475,18 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_family_sizes" -> ((s, d) => {
+      // duplicate-family size distribution: per near-dup cluster, how
+      // many members — the corpus-health histogram a dedup run
+      // reports (how much of the corpus is families of 2, of 3, …)
+      val docs = tbl(s, d, "documents")
+      val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "text", "doc_id",
+        w = 3, threshold = 0.2, maxShingleDf = 128)
+      graft.pipeline.Dedup.nearDupClusters(pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster"))
+    }),
+
     "text_tokens" -> ((s, d) =>
       tbl(s, d, "documents")
         .select(col("doc_id"),
@@ -1526,6 +1538,16 @@ object Queries {
       // totals) — never a single-partition global window
       graft.pipeline.SeqPack.packOffsets(s, tbl(s, d, "documents"),
         "text", "doc_id", seqLen = 2048L)
+        .orderBy(col("doc"))),
+
+    "corpus_curriculum_pack" -> ((s, d) =>
+      // curriculum-ordered packing: shortest documents first
+      // (n_chars, then id) — early training sequences hold the
+      // easy/short docs, the curriculum-learning shape; same
+      // distributed prefix-sum plan as seq_packing, the range
+      // partitioner and windows just lead with the order column
+      graft.pipeline.SeqPack.packOffsetsBy(s, tbl(s, d, "documents"),
+        "text", "doc_id", seqLen = 2048L, orderCols = Seq("n_chars"))
         .orderBy(col("doc"))),
 
     "text_dup_lines" -> ((s, d) => {
@@ -1791,6 +1813,40 @@ object Queries {
         |WHERE doc_id NOT IN (SELECT doc FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
 
+    // the same transitive closure, reduced to the family-size
+    // histogram (cluster label = its min member id)
+    "dedup_family_sizes" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+        |  FROM tok WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sg FROM sh),
+        |ef AS (SELECT * FROM e WHERE sg NOT IN (
+        |  SELECT sg FROM e GROUP BY sg HAVING count(*) > 128)),
+        |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM ef a JOIN ef b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON sa.doc_id = d1
+        |  JOIN sz sb ON sb.doc_id = d2
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS doc, LEAST(a, min(b)) AS cluster
+        |         FROM reach GROUP BY a)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1825,6 +1881,21 @@ object Queries {
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id AS doc, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cum_before // 2048 AS BIGINT) AS seq_first,
+        |  CAST((cum_before + n_tokens - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc""".stripMargin,
+
+    // the same exclusive prefix sum, but the packing order is the
+    // curriculum (n_chars, doc_id) instead of id order
+    "corpus_curriculum_pack" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY n_chars, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
         |SELECT doc_id AS doc, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,

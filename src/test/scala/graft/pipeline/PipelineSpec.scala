@@ -475,6 +475,33 @@ class PipelineSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("curriculum packing: offsets follow the order column, not the id") {
+    import spark.implicits._
+    // difficulty 2, 0, 1 -> pack order is docs 1 (5 tok), 2 (4), 0 (3)
+    // cum_before in pack order: 0, 5, 9
+    val docs = Seq(
+      (0L, "a b c", 2L), (1L, "a b c d e", 0L), (2L, "a b c d", 1L)
+    ).toDF("doc_id", "text", "diff")
+    val got = SeqPack.packOffsetsBy(spark, docs, "text", "doc_id",
+        seqLen = 8L, orderCols = Seq("diff"))
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 9L, 1L, 1L), (1L, 0L, 0L, 0L), (2L, 5L, 0L, 1L)))
+    // empty order list degenerates to id-ordered packOffsets
+    val a = SeqPack.packOffsetsBy(spark, docs, "text", "doc_id", 8L,
+      Seq.empty, numParts = 5).orderBy("doc").collect().toSeq
+    val b = SeqPack.packOffsets(spark, docs, "text", "doc_id", 8L)
+      .orderBy("doc").collect().toSeq
+    assert(a == b)
+    // partition-count independence holds under the curriculum order
+    val one = SeqPack.packOffsetsBy(spark, docs, "text", "doc_id", 8L,
+      Seq("diff"), numParts = 1).orderBy("doc").collect().toSeq
+    val many = SeqPack.packOffsetsBy(spark, docs, "text", "doc_id", 8L,
+      Seq("diff"), numParts = 7).orderBy("doc").collect().toSeq
+    assert(one == many)
+  }
+
   test("repetition signals: hand-computed bigram/trigram shares") {
     import spark.implicits._
     val docs = Seq(
