@@ -39,6 +39,31 @@ class StreamingBm25Spec extends SparkTestBase {
     assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
   }
 
+  test("stream-grown layout still partition-prunes, even pre-compaction") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_pr")
+      .resolve("index").toString
+    // three appends, NO compaction: the many-small-files shape
+    Seq(0L -> 150L, 150L -> 300L, 300L -> 10000L).foreach { case (lo, hi) =>
+      StreamingBm25.processBatch(spark,
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        "text", "doc_id", idx)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = filesRead(spark.read.parquet(s"$idx/postings"))
+    val pruned = filesRead(spark.read.parquet(s"$idx/postings")
+      .where(col("bucket").isInCollection(Seq(0L, 1L))))
+    assert(pruned < all,
+      s"bucket filter must cut files on the grown layout: all=$all pruned=$pruned")
+  }
+
   test("foreachBatch ingest end-to-end matches the one-shot build") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))

@@ -46,6 +46,24 @@ class StreamingIvfSpec extends SparkTestBase {
       360L -> 100000L), compactAt = 2) == want)
   }
 
+  test("stream-grown cluster layout still partition-prunes probes") {
+    val e = emb
+    val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
+    val idx = java.nio.file.Files.createTempDirectory("sivf_pr")
+      .resolve("index").toString
+    // two appends, no compaction: multiple file sets per cluster dir
+    Seq(0L -> 250L, 250L -> 100000L).foreach { case (lo, hi) =>
+      StreamingIvf.processBatch(
+        e.where(col("vec_id") >= lo && col("vec_id") < hi),
+        "embedding", model, idx)
+    }
+    val postings = Ivf.readIndex(spark, idx)
+    val one = postings.where(col("cluster") === 0)
+    val planStr = one.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(cluster"),
+      s"cluster filter not pushed on the grown layout:\n$planStr")
+  }
+
   test("foreachBatch ingest end-to-end matches the one-shot build") {
     val e = emb
     val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
