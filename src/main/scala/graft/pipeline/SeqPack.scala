@@ -37,14 +37,30 @@ object SeqPack {
     */
   def packOffsetsBy(spark: SparkSession, df: DataFrame, textCol: String,
                     idCol: String, seqLen: Long, orderCols: Seq[String],
-                    numParts: Int = 0): DataFrame = {
+                    numParts: Int = 0): DataFrame =
+    packOffsetsCounted(spark, df, TextAnalysis.tokenCount(col(textCol)),
+      idCol, seqLen, orderCols, numParts)
+
+  /** [[packOffsetsBy]] under a caller-chosen TOKEN COUNTER: `countCol`
+    * is any Column producing the per-document token count — pass the
+    * codegen [[Bpe.bpeTokenCount]] to pack by REAL tokenizer lengths
+    * instead of whitespace counts (what a production packing run
+    * does: sequence budgets are model-tokenizer budgets). The counter
+    * evaluates map-side in the first select; the prefix-sum plan is
+    * unchanged.
+    */
+  def packOffsetsCounted(spark: SparkSession, df: DataFrame,
+                         countCol: org.apache.spark.sql.Column,
+                         idCol: String, seqLen: Long,
+                         orderCols: Seq[String],
+                         numParts: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
     val order = orderCols.map(col) :+ col("doc")
     val base = df
       .select((Seq(col(idCol).as("doc"),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens")) ++
+        countCol.as("n_tokens")) ++
         orderCols.map(col)): _*)
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)

@@ -1550,6 +1550,19 @@ object Queries {
         "text", "doc_id", seqLen = 2048L, orderCols = Seq("n_chars"))
         .orderBy(col("doc"))),
 
+    "corpus_pack_bpe" -> ((s, d) => {
+      // packing under the REAL tokenizer: per-doc lengths from the
+      // codegen broadcast-model BPE encoder (trained in-query, same
+      // merges as bpe_token_count — its golden feeds the oracle's
+      // prefix sum), budgets are model-tokenizer budgets
+      val docs = tbl(s, d, "documents")
+      val m = graft.pipeline.Bpe.train(docs, "text", numMerges = 60)
+      graft.pipeline.SeqPack.packOffsetsCounted(s, docs,
+          graft.pipeline.Bpe.bpeTokenCount(col("text"), m),
+          "doc_id", seqLen = 1024L, orderCols = Seq.empty)
+        .orderBy(col("doc"))
+    }),
+
     "text_dup_lines" -> ((s, d) => {
       import s.implicits._
       // the line-level Gopher rule over an inline multiline corpus
@@ -3521,6 +3534,20 @@ object Queries {
 
     "bpe_token_count" ->
       s"SELECT doc_id, n_bpe FROM '$pipeGold/bpe_token_count.parquet' ORDER BY doc_id",
+
+    // the exclusive prefix sum replayed over the BPE golden's
+    // per-doc token counts (the in-query trainer reproduces the
+    // bpe_token_count merges exactly)
+    "corpus_pack_bpe" ->
+      s"""WITH c AS (SELECT doc_id, n_bpe,
+         |    COALESCE(sum(n_bpe) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM '$pipeGold/bpe_token_count.parquet')
+         |SELECT doc_id AS doc, CAST(n_bpe AS BIGINT) AS n_tokens,
+         |  CAST(cum_before AS BIGINT) AS cum_before,
+         |  CAST(cum_before // 1024 AS BIGINT) AS seq_first,
+         |  CAST((cum_before + n_bpe - 1) // 1024 AS BIGINT) AS seq_last
+         |FROM c ORDER BY doc""".stripMargin,
 
     "embed_pca" ->
       s"SELECT vec_id, p0, p1, p2, p3, p4, p5, p6, p7 FROM '$pipeGold/embed_pca.parquet' ORDER BY vec_id",
