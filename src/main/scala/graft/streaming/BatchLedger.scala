@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Replay guard for foreachBatch index appends: Structured Streaming
+  * re-invokes foreachBatch with the SAME batchId when a batch
+  * completed but its commit wasn't acknowledged (checkpoint lag,
+  * driver restart) — the documented contract is that the sink must
+  * use batchId to deduplicate. A ledger marker under
+  * `<indexPath>/_ledger/<batchId>` records completed appends, so a
+  * replayed batch is a no-op instead of a double append.
+  *
+  * Boundary (stated honestly): the marker is written AFTER the
+  * append, so a crash MID-append leaves partial files without a
+  * marker and the replay re-appends — the same
+  * partial-write-then-redo window every non-transactional file sink
+  * has; periodic compaction plus the additive-reader contract keep
+  * the layout recoverable, and a crash between append and marker is
+  * the only double-append case left.
+  *
+  * The ledger lives at the SIBLING path `<indexPath>__ledger`, not
+  * inside the index: [[graft.core.ParquetCompact]] swaps the whole
+  * index directory, and an in-index ledger would vanish with every
+  * compaction — re-opening the replay window exactly when the stream
+  * compacts mid-flight.
+  */
+private[streaming] object BatchLedger {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def marker(indexPath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"${indexPath}__ledger/$batchId")
+
+  /** True iff this batchId already completed against `indexPath`. */
+  def done(spark: SparkSession, indexPath: String, batchId: Long): Boolean =
+    fs(spark, indexPath).exists(marker(indexPath, batchId))
+
+  /** Record a completed append (idempotent itself). */
+  def mark(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val f = fs(spark, indexPath)
+    val m = marker(indexPath, batchId)
+    f.mkdirs(m.getParent)
+    val out = f.create(m, true)
+    out.close()
+  }
+
+  /** Run `append` once per (indexPath, batchId): skip if the ledger
+    * already records it, mark after it completes.
+    */
+  def once(spark: SparkSession, indexPath: String, batchId: Long)
+          (append: => Unit): Unit =
+    if (!done(spark, indexPath, batchId)) {
+      append
+      mark(spark, indexPath, batchId)
+    }
+}

@@ -50,7 +50,12 @@ object StreamingBm25 {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, "text", "doc_id", indexPath)
+        // idempotent under foreachBatch's same-batchId replay: the
+        // ledger makes a re-delivered completed batch a no-op instead
+        // of a double append
+        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+          processBatch(batch.sparkSession, batch, "text", "doc_id", indexPath)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           Bm25.compactIndex(batch.sparkSession, indexPath)
       }

@@ -52,7 +52,11 @@ object StreamingIvf {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, "embedding", model, indexPath)
+        // idempotent under foreachBatch's same-batchId replay (see
+        // BatchLedger): a re-delivered completed batch is a no-op
+        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+          processBatch(batch, "embedding", model, indexPath)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           Ivf.compactIndex(batch.sparkSession, indexPath)
       }

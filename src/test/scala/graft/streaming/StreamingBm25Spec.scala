@@ -39,6 +39,30 @@ class StreamingBm25Spec extends SparkTestBase {
     assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
   }
 
+  test("foreachBatch replay of a completed batchId is a no-op") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_lg")
+      .resolve("index").toString
+    def append(id: Long, lo: Long, hi: Long): Unit =
+      BatchLedger.once(spark, idx, id) {
+        StreamingBm25.processBatch(spark,
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          "text", "doc_id", idx)
+      }
+    append(0L, 0L, 200L)
+    val statsAfter0 = spark.read.parquet(s"$idx/stats").count()
+    append(0L, 0L, 200L) // replayed delivery of the same batch
+    assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0,
+      "replayed batch must not double-append")
+    append(1L, 200L, 10000L) // a NEW batch still appends
+    assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
+    // the ledger lives beside the index, so compaction (which swaps
+    // the index dir wholesale) preserves it
+    Bm25.compactIndex(spark, idx)
+    append(1L, 200L, 10000L) // replay AFTER compaction: still a no-op
+    assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
+  }
+
   test("stream-grown layout still partition-prunes, even pre-compaction") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val idx = java.nio.file.Files.createTempDirectory("sbm25_pr")
