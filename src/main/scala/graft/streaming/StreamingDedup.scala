@@ -240,8 +240,13 @@ object StreamingDedup {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, "text", "doc_id",
-          indexPath, outPath, maxDist)
+        // idempotent under foreachBatch's same-batchId replay (see
+        // BatchLedger): guards both the index append and the kept-id
+        // write — a replayed batch would otherwise duplicate both
+        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+          processBatch(batch.sparkSession, batch, "text", "doc_id",
+            indexPath, outPath, maxDist)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIndex(batch.sparkSession, indexPath)
       }

@@ -72,8 +72,12 @@ object StreamingExactDedup {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, "text", "doc_id",
-          indexPath, outPath)
+        // idempotent under foreachBatch's same-batchId replay (see
+        // BatchLedger): guards the fp append and the kept-id write
+        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+          processBatch(batch.sparkSession, batch, "text", "doc_id",
+            indexPath, outPath)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           DedupIndex.compactIndex(batch.sparkSession, indexPath)
       }

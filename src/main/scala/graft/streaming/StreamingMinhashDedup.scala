@@ -63,8 +63,12 @@ object StreamingMinhashDedup {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, "text", "doc_id",
-          indexPath, outPath, threshold)
+        // idempotent under foreachBatch's same-batchId replay (see
+        // BatchLedger): guards the band append and the kept-id write
+        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+          processBatch(batch.sparkSession, batch, "text", "doc_id",
+            indexPath, outPath, threshold)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           NearDupIndex.compactIndex(batch.sparkSession, indexPath)
       }
