@@ -49,6 +49,35 @@ object UrlFilter {
   def dropBlockedUrls(df: DataFrame, urlCol: String,
                       blocklist: Seq[String]): DataFrame =
     df.where(!hostBlocked(hostOf(col(urlCol)), blocklist))
+
+  /** Canonical URL dedup key — the Dolma/CCNet-style pre-dedup pass
+    * (the same page is crawled as http/https, with/without `www.`,
+    * with tracking queries, with a trailing slash): scheme dropped,
+    * host lowercased and a leading `www.` stripped, query/fragment
+    * dropped, trailing slashes trimmed (empty path → "/"). Built
+    * from regexp built-ins only — map-side, codegen'd, and replayable
+    * verbatim by the SQL oracle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    concat(host, when(path === "", lit("/")).otherwise(path))
+  }
+
+  /** Keep the lowest id per canonical URL — same hash-window scale
+    * shape as [[Dedup.dropExactDups]] (one shuffle on the canonical
+    * key, no pairs).
+    */
+  def dropDupUrls(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(canonicalUrl(col(urlCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
 }
 
 /** Codegen'd suffix-blocklist probe: String host in, Boolean out.

@@ -1475,6 +1475,30 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_url_canonical" -> ((s, d) => {
+      // URL-canonicalization dedup — the pre-content dedup every web
+      // pipeline runs (the same page crawled as http/https, with
+      // www., with tracking queries, with a trailing slash): keep the
+      // lowest id per canonical URL. The url column is synthesized
+      // with exactly those crawl-variant decorations
+      val docs = tbl(s, d, "documents").withColumn("url",
+        concat(
+          when(col("doc_id") % 4 === 0, lit("http://"))
+            .otherwise(lit("https://")),
+          when(col("doc_id") % 2 === 1, lit("www.")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".example.com/doc/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed"))
+            .when(col("doc_id") % 5 === 1, lit("/"))
+            .when(col("doc_id") % 5 === 2, lit("#frag"))
+            .otherwise(lit(""))))
+      graft.pipeline.UrlFilter.dropDupUrls(docs, "url", "doc_id")
+        .select(col("doc_id"),
+          graft.pipeline.UrlFilter.canonicalUrl(col("url")).as("curl"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_family_sizes" -> ((s, d) => {
       // duplicate-family size distribution: per near-dup cluster, how
       // many members — the corpus-health histogram a dedup run
@@ -1825,6 +1849,32 @@ object Queries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // the url column is synthesized with the same crawl-variant
+    // decorations, canonicalized by the same regexes
+    "dedup_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+        |    '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+        |          WHEN doc_id % 5 = 1 THEN '/'
+        |          WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') ||
+        |    (CASE WHEN regexp_replace(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
+        |      THEN '/'
+        |      ELSE regexp_replace(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+        |      END) AS curl
+        |  FROM u),
+        |k AS (SELECT doc_id, curl,
+        |    min(doc_id) OVER (PARTITION BY curl) AS keep FROM c)
+        |SELECT doc_id, curl FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
 
     // the same transitive closure, reduced to the family-size
     // histogram (cluster label = its min member id)

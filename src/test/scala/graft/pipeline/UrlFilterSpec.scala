@@ -61,4 +61,30 @@ class UrlFilterSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"),
       s"flag pass must not shuffle:\n$plan")
   }
+
+  test("canonical URL: scheme/www/case/query/fragment/slash variants collapse") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://Example.COM/a/b",       // case
+      "http://example.com/a/b",        // scheme
+      "https://www.example.com/a/b/",  // www + trailing slash
+      "https://example.com/a/b?utm=1", // query
+      "https://example.com/a/b#frag",  // fragment
+      "https://example.com",           // empty path -> "/"
+      "https://example.com/",          // root slash -> "/"
+      "https://other.com/a/b")         // genuinely different
+    val got = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(UrlFilter.canonicalUrl(col("url")))
+      .collect().map(_.getString(0))
+    assert(got.take(5).toSet == Set("example.com/a/b"))
+    assert(got(5) == "example.com/" && got(6) == "example.com/")
+    assert(got(7) == "other.com/a/b")
+    // dedup keeps the lowest id per canonical key
+    val kept = UrlFilter.dropDupUrls(
+        urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url"),
+        "url", "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 5L, 7L))
+  }
 }
