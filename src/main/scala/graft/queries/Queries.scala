@@ -3038,6 +3038,22 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "stream_embed_dedup" -> ((s, d) => {
+      // SEMANTIC dedup on ingest, riding the persisted
+      // EmbedDedupIndex (hyperplane-signature blocking + exact cosine
+      // verify, probeAndAppend per microbatch): dropped ⇔ the vector
+      // is some pair's later side over the one-shot blocked pass,
+      // which the oracle replays from the embed_neardup_lsh golden
+      val root = java.nio.file.Files.createTempDirectory("graft_sededup_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingEmbedDedup.ingest(s, d, idx, out,
+        dim = 64, bits = 8, threshold = 0.3, nBatches = 3,
+        compactEvery = 2)
+      s.read.parquet(out).select(col("doc").as("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "hybrid_topk_indexed" -> ((s, d) => {
       // the fully DISK-SERVED hybrid: the lexical list from the
       // persisted BM25 bucket layout (searchIndex ≡ topK, pinned) and
@@ -3934,6 +3950,14 @@ object Queries {
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM '$pipeGold/minhash_pairs.parquet')
          |ORDER BY doc_id""".stripMargin,
+
+    // kept ⇔ the vector is nobody's LATER cosine near-dup in the
+    // one-shot signature-blocked pair set (the embed_neardup_lsh
+    // golden, threshold 0.3)
+    "stream_embed_dedup" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT v2 FROM '$pipeGold/embed_neardup_lsh.parquet')
+         |ORDER BY vec_id""".stripMargin,
 
     // the stream-grown BM25 layout is additive ⇒ search ≡ the
     // one-shot build's golden
