@@ -3038,6 +3038,31 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "embed_index_incremental" -> ((s, d) => {
+      // the batch incremental lifecycle of the embedding near-dup
+      // index (build → probe+append → compact → probe+append):
+      // increments are signature-scanned once, probes are
+      // cell-pruned, and the union of emitted pairs must equal the
+      // one-shot blocked pass — the embed_neardup_lsh golden
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("embed_idx")
+        .resolve("index").toString
+      val a = emb.where(col("vec_id") % 3 === 0)
+      val b = emb.where(col("vec_id") % 3 === 1)
+      val c = emb.where(col("vec_id") % 3 === 2)
+      val p0 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
+        "embedding", "vec_id", path, dim = 64, bits = 8)
+      val p1 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, b,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      graft.pipeline.EmbedDedupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, c,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1").as("v1"), col("d2").as("v2"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     "stream_embed_dedup" -> ((s, d) => {
       // SEMANTIC dedup on ingest, riding the persisted
       // EmbedDedupIndex (hyperplane-signature blocking + exact cosine
@@ -3950,6 +3975,11 @@ object Queries {
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM '$pipeGold/minhash_pairs.parquet')
          |ORDER BY doc_id""".stripMargin,
+
+    // the grown embedding index's pair set ≡ the one-shot blocked
+    // pass — same golden
+    "embed_index_incremental" ->
+      s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     // kept ⇔ the vector is nobody's LATER cosine near-dup in the
     // one-shot signature-blocked pair set (the embed_neardup_lsh
