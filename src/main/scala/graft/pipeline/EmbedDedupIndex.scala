@@ -105,12 +105,31 @@ object EmbedDedupIndex {
     if (sg.isEmpty) return sg.select(col("doc").as("d1"),
       col("doc").as("d2"), lit(0.0).as("sim")).limit(0)
     // cell pruning: the batch's kb set is ≤ Cells values — a bounded
-    // driver collect by construction
-    val kbs = sg.select(col("kb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // driver collect by construction. The distinct BUCKET set rides
+    // the same pass; when it fits one In-filter chunk it is pushed
+    // down too, and with bucket-sorted 512-row pages the scan skips
+    // every page holding none of the batch's buckets — probe bytes
+    // then follow the batch's bucket occupancy, not the cell size
+    // (the NearDupIndex page-pruning design; 256 is the one-chunk
+    // or-of-eq bound those measurements established).
+    val agg = sg.agg(collect_set(col("kb")).as("kbs"),
+        approx_count_distinct(col("bucket")).as("nb")).head()
+    val kbs = agg.getSeq[Long](0)
+    // the bucket-set collect is gated by a COUNT: a huge batch with a
+    // wide signature space is not driver-boundable (the NearDupIndex
+    // cutoff pattern); the sketch over-count can only SKIP the
+    // optimization, never break it
+    val bset =
+      if (agg.getLong(1) <= 256)
+        sg.select(col("bucket")).distinct().collect()
+          .map(_.getLong(0)).toSeq
+      else Seq.empty[Long]
     val idxRead = spark.read.parquet(path)
     val idx = idxRead
-      .where(graft.core.PartitionIn.inSet(idxRead, "kb", kbs))
+      .where(graft.core.PartitionIn.inSet(idxRead, "kb", kbs) &&
+        (if (bset.nonEmpty && bset.length <= 256)
+          col("bucket").isInCollection(bset)
+         else lit(true)))
       .select(col("bucket"), col("doc").as("od"), col("vec").as("ov"))
     val cross = idx
       .join(sg.select(col("bucket"), col("doc"), col("vec")), Seq("bucket"))
