@@ -897,6 +897,31 @@ object ScaleCurve {
       val kIvf = math.log(ivfTs.last._2 / ivfTs.head._2) /
         math.log(ivfTs.last._1.toDouble / ivfTs.head._1)
       println(f"${"sivf_ingest"}%-16s exponent k=$kIvf%.2f")
+
+      // embed-dedup probe: INDEX grows, probe batch FIXED — the
+      // incremental-dedup claim for the newest index (cell pruning +
+      // the count-gated bucket In pushdown should keep the probe
+      // near-flat while the index quadruples)
+      import graft.pipeline.EmbedDedupIndex
+      val probeBatch = spark.read.parquet(embDirs.head._2)
+        .where(col("vec_id") < 10).localCheckpoint(true)
+      val edTs = embDirs.map { case (m, path) =>
+        val idx = java.nio.file.Files.createTempDirectory("sc_ed")
+          .resolve("index").toString
+        EmbedDedupIndex.buildWithPairs(spark,
+          spark.read.parquet(path).where(col("vec_id") >= 10),
+          "embedding", "vec_id", idx, dim = 64, bits = 8)
+        EmbedDedupIndex.compactIndex(spark, idx)
+        val t0 = System.nanoTime()
+        val n = EmbedDedupIndex.probeAndAppend(spark, idx, probeBatch,
+          "embedding", "vec_id", dim = 64, bits = 8).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"embed_probe"}%-16s $m%5d probe=$sec%8.2f pairs=$n%5d")
+        (m, sec)
+      }
+      val kEd = math.log(edTs.last._2 / edTs.head._2) /
+        math.log(edTs.last._1.toDouble / edTs.head._1)
+      println(f"${"embed_probe"}%-16s exponent k=$kEd%.2f (index growth)")
     }
     spark.stop()
   }
