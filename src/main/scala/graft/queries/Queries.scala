@@ -3063,6 +3063,27 @@ object Queries {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    "stream_curation" -> ((s, d) => {
+      // curation ON INGEST: blocklist → quality gate → exact-fp dedup
+      // riding the persisted DedupIndex, per microbatch — the
+      // corpus_curation composition without ever rescanning history.
+      // Every stage is relational, so the streamed kept set equals
+      // the batch composition the oracle replays stage by stage
+      val root = java.nio.file.Files.createTempDirectory("graft_scur_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src1.example.com")
+      graft.streaming.StreamingCuration.ingest(s, d,
+        batch => batch.withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 2 === 1, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/doc/"),
+          col("doc_id").cast("string"))),
+        bl, minQuality = 0.3, idx, out)
+      s.read.parquet(out).select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_embed_dedup" -> ((s, d) => {
       // SEMANTIC dedup on ingest, riding the persisted
       // EmbedDedupIndex (hyperplane-signature blocking + exact cosine
@@ -3980,6 +4001,29 @@ object Queries {
     // pass — same golden
     "embed_index_incremental" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
+    // the streamed curation ≡ the batch composition, replayed stage
+    // by stage: blocklist suffix match → rounded quality gate →
+    // min-id-per-fingerprint among the survivors
+    "stream_curation" ->
+      s"""WITH u AS (SELECT doc_id, text,
+         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
+         |      source || '.example.com' AS host
+         |  FROM documents),
+         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+         |                 ('cdn.src1.example.com')),
+         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
+         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
+         |b2 AS (SELECT doc_id, text FROM b1
+         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
+         |    * (0.5 + 0.5 * least(1.0,
+         |        (CAST(len(list_filter(string_split(text, ' '),
+         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
+         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
+         |k AS (SELECT doc_id, min(doc_id) OVER (
+         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |  FROM b2)
+         |SELECT doc_id FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
 
     // kept ⇔ the vector is nobody's LATER cosine near-dup in the
     // one-shot signature-blocked pair set (the embed_neardup_lsh
