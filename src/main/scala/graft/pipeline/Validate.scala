@@ -43,6 +43,32 @@ object Validate {
     require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
+    val fused = profileAdditive(df, cols)
+    // exact distincts: one scan exploding each row into (name, value)
+    // pairs, partial-aggregated on the pair before the per-name count
+    // (coalesce(0) + the spine keeps all-NULL columns present)
+    val pairs = df.select(explode(map(cols.flatMap(c =>
+      Seq(lit(c), col(c).cast(StringType))): _*)).as(Seq("col_name", "v")))
+      .where(col("v").isNotNull)
+    val counted = pairs.groupBy("col_name", "v").agg(count(lit(1)))
+      .groupBy("col_name").agg(count(lit(1)).as("cnt"))
+    val spine = cols.toDF("col_name")
+    val nd = spine.join(counted, Seq("col_name"), "left")
+      .select(col("col_name"), lit("n_distinct").as("metric"),
+        coalesce(col("cnt"), lit(0L)).cast(LongType).as("value"))
+    fused.unionByName(nd)
+  }
+
+  /** The MERGEABLE subset of [[profile]] — every metric except
+    * n_distinct, all combinable across disjoint increments (n_nulls /
+    * len_sum by SUM, *_min by MIN, *_max by MAX): the partial a
+    * streaming data-card appends per microbatch
+    * ([[graft.streaming.StreamingProfile]]'s additive-stats contract,
+    * the Bm25 stats-table pattern applied to profiling). One fused
+    * single-row aggregation over one scan.
+    */
+  def profileAdditive(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val fields = cols.map(df.schema(_))
     // (col, metric, aggregate) triples for the fused single-row pass
     val cells: Seq[(String, String, Column)] = fields.flatMap { f =>
@@ -69,21 +95,8 @@ object Validate {
       struct(lit(n).as("col_name"), lit(m).as("metric"),
         col(s"`$n$Sep$m`").cast(LongType).as("value"))
     }
-    val fused = row.select(explode(array(entries: _*)).as("e"))
+    row.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name"), col("e.metric"), col("e.value"))
-    // exact distincts: one scan exploding each row into (name, value)
-    // pairs, partial-aggregated on the pair before the per-name count
-    // (coalesce(0) + the spine keeps all-NULL columns present)
-    val pairs = df.select(explode(map(cols.flatMap(c =>
-      Seq(lit(c), col(c).cast(StringType))): _*)).as(Seq("col_name", "v")))
-      .where(col("v").isNotNull)
-    val counted = pairs.groupBy("col_name", "v").agg(count(lit(1)))
-      .groupBy("col_name").agg(count(lit(1)).as("cnt"))
-    val spine = cols.toDF("col_name")
-    val nd = spine.join(counted, Seq("col_name"), "left")
-      .select(col("col_name"), lit("n_distinct").as("metric"),
-        coalesce(col("cnt"), lit(0L)).cast(LongType).as("value"))
-    fused.unionByName(nd)
   }
 
   /** A named constraint over one DataFrame. Row-level checks carry

@@ -3063,6 +3063,19 @@ object Queries {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    "stream_profile" -> ((s, d) => {
+      // the data-card maintained ON INGEST: per microbatch one fused
+      // additive partial appended to a persisted stats table, merged
+      // by each metric's combiner — must equal the one-shot batch
+      // profile over the same columns (minus n_distinct, the one
+      // non-mergeable metric)
+      val stats = java.nio.file.Files.createTempDirectory("graft_sprof_q")
+        .resolve("stats").toString
+      graft.streaming.StreamingProfile.ingest(s, d,
+          Seq("doc_id", "text", "lang", "source", "n_chars"), stats)
+        .orderBy(col("col_name"), col("metric"))
+    }),
+
     "stream_curation" -> ((s, d) => {
       // curation ON INGEST: blocklist → quality gate → exact-fp dedup
       // riding the persisted DedupIndex, per microbatch — the
@@ -4001,6 +4014,30 @@ object Queries {
     // pass — same golden
     "embed_index_incremental" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
+    // the merged incremental card ≡ the batch profile minus
+    // n_distinct (the one non-mergeable metric)
+    "stream_profile" ->
+      """SELECT col_name, metric, value FROM (
+        |  SELECT 'doc_id' AS col_name, 'n_nulls' AS metric, CAST(count(*) - count(doc_id) AS BIGINT) AS value FROM documents
+        |  UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'n_nulls', CAST(count(*) - count(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'n_nulls', CAST(count(*) - count(text) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_min', CAST(min(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_max', CAST(max(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', 'len_sum', CAST(sum(length(text)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'n_nulls', CAST(count(*) - count(lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_min', CAST(min(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_max', CAST(max(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'lang', 'len_sum', CAST(sum(length(lang)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'n_nulls', CAST(count(*) - count(source) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_min', CAST(min(length(source)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_max', CAST(max(length(source)) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'len_sum', CAST(sum(length(source)) AS BIGINT) FROM documents
+        |) ORDER BY col_name, metric""".stripMargin,
 
     // the streamed curation ≡ the batch composition, replayed stage
     // by stage: blocklist suffix match → rounded quality gate →

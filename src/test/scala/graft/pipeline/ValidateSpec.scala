@@ -131,4 +131,25 @@ class ValidateSpec extends SparkTestBase {
     val plan = p.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("additive partials merged across slices equal the one-shot card") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("id", "lang", "txt", "score")
+    def card(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Any)] =
+      df.orderBy("col_name", "metric").collect()
+        .map(r => (r.getString(0), r.getString(1), r.get(2))).toSeq
+    val want = card(Validate.profileAdditive(docs, cols))
+    val stats = java.nio.file.Files.createTempDirectory("sprof")
+      .resolve("stats").toString
+    // three disjoint slices appended, one with an all-NULL lang
+    Seq(docs.where(col("id") <= 2), docs.where(col("id") === 3L),
+      docs.where(col("id") > 3)).foreach(sl =>
+      graft.streaming.StreamingProfile.processBatch(sl, cols, stats))
+    assert(card(graft.streaming.StreamingProfile.summary(spark, stats))
+      == want)
+    // an empty batch appends nothing and changes nothing
+    graft.streaming.StreamingProfile.processBatch(docs.limit(0), cols, stats)
+    assert(card(graft.streaming.StreamingProfile.summary(spark, stats))
+      == want)
+  }
 }
