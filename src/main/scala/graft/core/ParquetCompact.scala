@@ -34,7 +34,22 @@ object ParquetCompact {
     */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String], sortCols: Seq[String] = Nil,
-              options: Map[String, String] = Map.empty): Unit = {
+              options: Map[String, String] = Map.empty): Unit =
+    rewrite(spark, path, partitionCols, sortCols, options, identity)
+
+  /** [[compact]] with a row-level rewrite applied inside the same
+    * crash-safe two-rename swap — the deletion path for the
+    * persisted indexes (filter out the removed docs' rows while
+    * restoring the compacted one-file-per-dir sorted-page shape).
+    * `transform` sees the full live layout and returns what survives;
+    * the swap semantics are identical to compact's, so a crash at any
+    * point leaves a complete (pre-delete or post-delete) layout.
+    */
+  def rewrite(spark: SparkSession, path: String,
+              partitionCols: Seq[String], sortCols: Seq[String] = Nil,
+              options: Map[String, String] = Map.empty,
+              transform: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.DataFrame): Unit = {
     require(partitionCols.nonEmpty, "compact needs the partition columns")
     val hc = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -48,7 +63,7 @@ object ParquetCompact {
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val keyCols = (partitionCols ++ sortCols).map(col)
-    spark.read.parquet(path)
+    transform(spark.read.parquet(path))
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(keyCols: _*)
       .write.mode(SaveMode.Overwrite)

@@ -225,6 +225,56 @@ object Bm25 {
       Seq("bucket"), Seq("term"), pages)
   }
 
+  /** DELETE documents from the persisted index — the
+    * right-to-be-forgotten pass a long-lived 100 TB index needs:
+    * postings rows of the removed docs are filtered out inside the
+    * crash-safe [[graft.core.ParquetCompact.rewrite]] swap, then the
+    * df and stats tables are RECOMPUTED from the surviving postings
+    * (deletion is not additive — a tombstone append cannot subtract
+    * a doc's contribution from summed df rows exactly), restoring
+    * the compacted sorted-page shape as a side effect. After the
+    * pass, search over the index is identical to a one-shot build
+    * over the surviving corpus (oracle-pinned) — with one documented
+    * boundary: a document with ZERO tokens leaves no postings row,
+    * so recomputed stats no longer count it in N.
+    *
+    * `docs` is a one-column (doc) frame; deletion lists are
+    * anti-joined, never collected, so the pass scales to bulk
+    * removals.
+    */
+  def deleteDocs(spark: SparkSession, path: String,
+                 docs: DataFrame): Unit = {
+    val pages = Map("parquet.page.row.count.limit" -> "512")
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true) // consumed by every postings partition task
+    graft.core.ParquetCompact.rewrite(spark, s"$path/postings",
+      Seq("bucket"), Seq("term", "doc"), pages,
+      p => p.join(del, Seq("doc"), "left_anti"))
+    // df and stats derive from the SURVIVING postings — a
+    // column-pruned scan of the compact index, not a corpus pass
+    val kept = spark.read.parquet(s"$path/postings")
+      .localCheckpoint(true) // feeds both recomputes below
+    graft.core.ParquetCompact.rewrite(spark, s"$path/df",
+      Seq("bucket"), Seq("term"), pages,
+      _ => kept.groupBy(col("bucket"), col("term")).count()
+        .withColumnRenamed("count", "df"))
+    val st = kept.agg(countDistinct(col("doc")).as("n"),
+      sum(col("tf")).as("t"))
+    // stats is unpartitioned: same two-rename swap, done locally
+    val hc = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = sp.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    st.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(sp, old), s"stats park failed: $sp")
+    require(fs.rename(tmp, sp), s"stats promote failed: $sp")
+    fs.delete(old, true)
+    graft.core.Pinned.release(kept)
+    graft.core.Pinned.release(del)
+  }
+
   /** Search the persisted index: identical results to [[topK]] over
     * the same corpus (spec + oracle pinned). Only the query terms'
     * buckets are read from both postings and df.

@@ -381,6 +381,24 @@ object Ivf {
     graft.core.ParquetCompact.compact(spark, path,
       partitionCols = Seq("cluster"))
 
+  /** DELETE vectors from the persisted index (right-to-be-forgotten
+    * for the vector store): the removed ids' postings are filtered
+    * out inside the crash-safe rewrite swap, compacting as a side
+    * effect. Search afterwards is identical to a one-shot build over
+    * the surviving vectors under the same frozen quantizer
+    * (oracle-pinned). `ids` is a one-column frame of `idCol` values —
+    * anti-joined, never collected.
+    */
+  def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
+                    idCol: String): Unit = {
+    val del = ids.select(col(ids.columns.head).as(idCol))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, path,
+      partitionCols = Seq("cluster"),
+      transform = p => p.join(del, Seq(idCol), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
+
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout
     * [[searchInt8]] serves from at scale (same cluster partitioning,

@@ -2108,6 +2108,33 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_deleted" -> ((s, d) => {
+      // DELETION lifecycle for the vector index: assign the corpus
+      // PLUS rotated decoy vectors under the frozen quantizer, then
+      // delete the decoys inside the crash-safe rewrite swap; search
+      // must equal the one-shot build over the real vectors — the
+      // ivf_topk golden pins the pass
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_del")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.deleteVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_incremental" -> ((s, d) => {
       // incremental index maintenance: build the on-disk index from
       // half the corpus, APPEND the rest against the frozen quantizer
@@ -3006,6 +3033,26 @@ object Queries {
     // the full incremental lifecycle (build half, append the rest,
     // compact, search) — grown index must equal the one-shot build,
     // so the oracle is again the bm25_topk golden
+    "bm25_topk_deleted" -> ((s, d) => {
+      // DELETION lifecycle: build over the corpus PLUS decoy docs
+      // (vowels scrambled — new terms, new df mass, new stats), then
+      // delete the decoys; search must be indistinguishable from a
+      // one-shot build over the real corpus alone — the bm25_topk
+      // golden pins the whole right-to-be-forgotten pass
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val decoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+      val idx = java.nio.file.Files.createTempDirectory("bm25_del")
+        .resolve("index").toString
+      graft.pipeline.Bm25.writeIndex(s, docs.unionByName(decoys),
+        "text", "doc_id", idx)
+      graft.pipeline.Bm25.deleteDocs(s, idx, decoys.select(col("doc_id")))
+      graft.pipeline.Bm25.searchIndex(s, idx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "bm25_topk_incremental" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val idx = java.nio.file.Files.createTempDirectory("bm25_inc")
@@ -3645,6 +3692,10 @@ object Queries {
     "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
+    // post-deletion search ≡ a one-shot build over the survivors
+    "bm25_topk_deleted" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
     "corpus_mix_temperature" ->
       s"SELECT doc_id, lang, copy FROM '$pipeGold/corpus_mix_temperature.parquet' ORDER BY doc_id, copy",
 
@@ -3964,6 +4015,10 @@ object Queries {
     // incremental append must be indistinguishable from the one-shot
     // build — same golden
     "ivf_topk_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // post-deletion search ≡ a one-shot build over the survivors
+    "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
     "ivf_topk_int8" ->

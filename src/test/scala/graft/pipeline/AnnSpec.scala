@@ -414,4 +414,24 @@ class AnnSpec extends SparkTestBase {
     assert(results(path) == want, "recovery must restore the parked layout")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
+
+  test("deleteVectors: search over the pruned index equals a fresh build") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_del_s")
+      .toString + "/index"
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), path)
+    // delete every third REAL vector; the survivors' one-shot
+    // assignment under the same frozen model is the ground truth
+    val survivors = emb.where(col("vec_id") % 3 =!= 0)
+    Ivf.deleteVectors(spark, path,
+      emb.where(col("vec_id") % 3 === 0).select(col("vec_id")), "vec_id")
+    val qs = emb.where(col("vec_id") < 3)
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      Ivf.search(p, qs, "embedding", "vec_id", model, k = 5, nprobe = 8)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(Ivf.readIndex(spark, path)) ==
+      rows(Ivf.assign(survivors, "embedding", model)))
+  }
 }

@@ -201,4 +201,29 @@ class Bm25Spec extends SparkTestBase {
     intercept[IllegalArgumentException] { MulDivFloor.evalExact(-1L, 1L, 1L) }
     intercept[IllegalArgumentException] { MulDivFloor.evalExact(1L, 1L, 0L) }
   }
+
+  test("deleteDocs: search over the pruned index equals a fresh build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val q = Seq(0L -> "hash join", 1L -> "merge")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    // delete REAL docs (every third), not just decoys: df and stats
+    // must shrink to exactly the survivors' one-shot build
+    val survivors = docs.where(col("doc_id") % 3 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("bm25_del_s")
+      .resolve("index").toString
+    Bm25.writeIndex(spark, docs, "text", "doc_id", idx)
+    Bm25.deleteDocs(spark, idx,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+    assert(rows(Bm25.searchIndex(spark, idx, q, 5)) ==
+      rows(Bm25.topK(spark, survivors, "text", "doc_id", q, 5)))
+    // deleting nothing is a no-op (beyond compaction)
+    Bm25.deleteDocs(spark, idx, Seq.empty[Long].toDF("doc_id"))
+    assert(rows(Bm25.searchIndex(spark, idx, q, 5)) ==
+      rows(Bm25.topK(spark, survivors, "text", "doc_id", q, 5)))
+  }
 }
