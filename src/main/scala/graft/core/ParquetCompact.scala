@@ -44,12 +44,29 @@ object ParquetCompact {
     * `transform` sees the full live layout and returns what survives;
     * the swap semantics are identical to compact's, so a crash at any
     * point leaves a complete (pre-delete or post-delete) layout.
+    *
+    * A transform that filters out EVERY row deletes the layout
+    * instead of promoting a zero-row dynamic-partition dataset (only
+    * `_SUCCESS`, which poisons later schema inference) — a missing
+    * dir IS an empty layout, the index family's existing convention.
+    *
+    * `pinResult = true` eagerly `localCheckpoint`s the transformed
+    * frame BEFORE the write and returns it, so a caller that derives
+    * follow-up tables from the survivors (Bm25.deleteDocs' df/stats
+    * recompute) rides the already-materialized frame instead of a
+    * read-back scan of the promoted layout. The caller owns the pin:
+    * `Pinned.release` it when done. Returns None when the layout
+    * didn't exist or the result was empty-and-deleted (pinResult
+    * pins are released internally on the empty path), or when
+    * pinResult is false.
     */
   def rewrite(spark: SparkSession, path: String,
               partitionCols: Seq[String], sortCols: Seq[String] = Nil,
               options: Map[String, String] = Map.empty,
               transform: org.apache.spark.sql.DataFrame =>
-                org.apache.spark.sql.DataFrame): Unit = {
+                org.apache.spark.sql.DataFrame,
+              pinResult: Boolean = false):
+      Option[org.apache.spark.sql.DataFrame] = {
     require(partitionCols.nonEmpty, "compact needs the partition columns")
     val hc = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -60,18 +77,44 @@ object ParquetCompact {
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     if (!fs.exists(p) && fs.exists(old))
       require(fs.rename(old, p), s"compaction recovery failed: $old -> $p")
-    if (!fs.exists(p)) return
+    if (!fs.exists(p)) return None
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val keyCols = (partitionCols ++ sortCols).map(col)
-    transform(spark.read.parquet(path))
+    val survived0 = transform(spark.read.parquet(path))
+    val survived =
+      if (pinResult) survived0.localCheckpoint(true) else survived0
+    survived
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(keyCols: _*)
       .write.mode(SaveMode.Overwrite)
       .options(options)
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    // empty-transform guard, read off the WRITTEN output (an FS
+    // listing — no second computation of the transform): a zero-row
+    // dynamic-partition write produces no partition dirs, only
+    // _SUCCESS, and promoting that poisons later schema inference
+    if (!hasDataFile(fs, tmp)) {
+      if (pinResult) Pinned.release(survived)
+      fs.delete(tmp, true)
+      fs.delete(p, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      return None
+    }
     if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
     require(fs.rename(p, old), s"compaction park failed: $p -> $old")
     require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
     fs.delete(old, true)
+    if (pinResult) Some(survived) else None
+  }
+
+  /** Any actual parquet data file under `dir` (recursive)? A zero-row
+    * dynamic-partition write leaves only `_SUCCESS`.
+    */
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
   }
 }

@@ -240,20 +240,33 @@ object Bm25 {
     *
     * `docs` is a one-column (doc) frame; deletion lists are
     * anti-joined, never collected, so the pass scales to bulk
-    * removals.
+    * removals. The df/stats recomputes ride the survivors frame the
+    * rewrite already materialized (pinResult) — one postings scan for
+    * the whole pass, no read-back. Deleting EVERY doc removes the
+    * index directory (missing layout = empty index, the family
+    * convention).
     */
   def deleteDocs(spark: SparkSession, path: String,
                  docs: DataFrame): Unit = {
     val pages = Map("parquet.page.row.count.limit" -> "512")
     val del = docs.select(col(docs.columns.head).as("doc"))
       .localCheckpoint(true) // consumed by every postings partition task
-    graft.core.ParquetCompact.rewrite(spark, s"$path/postings",
-      Seq("bucket"), Seq("term", "doc"), pages,
-      p => p.join(del, Seq("doc"), "left_anti"))
-    // df and stats derive from the SURVIVING postings — a
-    // column-pruned scan of the compact index, not a corpus pass
-    val kept = spark.read.parquet(s"$path/postings")
-      .localCheckpoint(true) // feeds both recomputes below
+    // pinResult: the surviving postings are materialized INSIDE the
+    // rewrite anyway — ride that frame for the df/stats recomputes
+    // below instead of a read-back scan of the promoted layout
+    val keptOpt = graft.core.ParquetCompact.rewrite(spark,
+      s"$path/postings", Seq("bucket"), Seq("term", "doc"), pages,
+      p => p.join(del, Seq("doc"), "left_anti"), pinResult = true)
+    graft.core.Pinned.release(del)
+    val kept = keptOpt.getOrElse {
+      // every doc deleted (or no index): a missing layout IS an empty
+      // index — drop df/stats too rather than promote a 0-doc stats
+      // row that searchIndex would NPE on
+      val hc = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(hc).delete(root, true)
+      return
+    }
     graft.core.ParquetCompact.rewrite(spark, s"$path/df",
       Seq("bucket"), Seq("term"), pages,
       _ => kept.groupBy(col("bucket"), col("term")).count()
@@ -266,13 +279,18 @@ object Bm25 {
     val fs = sp.getFileSystem(hc)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    // crash recovery preamble (mirrors ParquetCompact.rewrite's): a
+    // crash between the park and promote renames below leaves the
+    // live copy at stats__old — restore it before touching anything,
+    // or a retried delete would destroy the only copy
+    if (!fs.exists(sp) && fs.exists(old))
+      require(fs.rename(old, sp), s"stats recovery failed: $old -> $sp")
     st.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(sp, old), s"stats park failed: $sp")
     require(fs.rename(tmp, sp), s"stats promote failed: $sp")
     fs.delete(old, true)
     graft.core.Pinned.release(kept)
-    graft.core.Pinned.release(del)
   }
 
   /** Search the persisted index: identical results to [[topK]] over

@@ -85,8 +85,11 @@ object EmbedDedupIndex {
                      threshold: Double = 0.3): DataFrame = {
     val sg = signed(batch, vecCol, idCol, dim, bits, seed)
     writeLayout(sg, path)
-    Dedup.cosinePairsBlocked(sg, "vec", "doc", "bucket", threshold)
+    val pairs = Dedup.cosinePairsBlocked(sg, "vec", "doc", "bucket", threshold)
       .localCheckpoint(true)
+    // pairs are eagerly pinned above, so sg's blocks are dead weight
+    graft.core.Pinned.release(sg)
+    pairs
   }
 
   /** One increment: emit every (d1 < d2, sim ≥ threshold) same-bucket
@@ -102,8 +105,13 @@ object EmbedDedupIndex {
       return buildWithPairs(spark, batch, vecCol, idCol, path, dim, bits,
         seed, threshold)
     val sg = signed(batch, vecCol, idCol, dim, bits, seed)
-    if (sg.isEmpty) return sg.select(col("doc").as("d1"),
-      col("doc").as("d2"), lit(0.0).as("sim")).limit(0)
+    if (sg.isEmpty) {
+      val empty = sg.select(col("doc").as("d1"),
+        col("doc").as("d2"), lit(0.0).as("sim")).limit(0)
+        .localCheckpoint(true) // detach from sg before releasing it
+      graft.core.Pinned.release(sg)
+      return empty
+    }
     // cell pruning: the batch's kb set is ≤ Cells values — a bounded
     // driver collect by construction. The distinct BUCKET set rides
     // the same pass; when it fits one In-filter chunk it is pushed

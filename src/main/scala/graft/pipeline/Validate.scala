@@ -20,9 +20,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    aggregation (partial agg on the pair, then count per name) —
   *    never `countDistinct(a), countDistinct(b), …` in one agg, whose
   *    Expand multiplies the scanned rows by the column count.
-  *  - referential containment is a broadcast anti-join count: the dim
-  *    side of an FK check is small by definition; the fact side never
-  *    shuffles.
+  *  - referential containment is an anti-join count: the dim side of
+  *    an FK check is small by definition, so AQE broadcasts it at
+  *    runtime (no unconditional hint — a caller-supplied dim frame is
+  *    uncapped) and the fact side never shuffles.
   * Output frames are tiny (columns × metrics rows), input frames are
   * never collected.
   */
@@ -133,7 +134,8 @@ object Validate {
     * All [[RowCheck]]s fuse into one aggregation pass; each [[Unique]]
     * is one two-level aggregation (Σ(group size − 1), NULL keys group
     * like values, matching GROUP BY semantics); each [[SubsetOf]] is
-    * one broadcast anti-join count over non-NULL fact keys.
+    * one anti-join count over non-NULL fact keys (AQE
+    * broadcast-sized at runtime).
     */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "check needs at least one constraint")
@@ -160,8 +162,11 @@ object Validate {
     constraints.collect { case s: SubsetOf => s }.foreach { s =>
       val facts = df.where(col(s.column).isNotNull)
         .select(col(s.column).as("k"))
+      // no broadcast() hint: the dim frame is caller-supplied and
+      // uncapped — AQE broadcasts it while small and falls back to a
+      // shuffle join when it isn't, instead of OOMing the driver
       val dimKeys = s.dim.select(col(s.dimCol).as("k"))
-      parts += facts.join(broadcast(dimKeys), Seq("k"), "left_anti")
+      parts += facts.join(dimKeys, Seq("k"), "left_anti")
         .agg(coalesce(count(lit(1)), lit(0L)).cast(LongType)
           .as("violations"))
         .select(lit(s.name).as("constraint_name"), col("violations"))

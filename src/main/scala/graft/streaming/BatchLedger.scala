@@ -7,8 +7,18 @@ import org.apache.spark.sql.SparkSession
   * completed but its commit wasn't acknowledged (checkpoint lag,
   * driver restart) — the documented contract is that the sink must
   * use batchId to deduplicate. A ledger marker under
-  * `<indexPath>/_ledger/<batchId>` records completed appends, so a
-  * replayed batch is a no-op instead of a double append.
+  * `<indexPath>__ledger/<runId>/<batchId>` records completed appends,
+  * so a replayed batch is a no-op instead of a double append.
+  *
+  * Markers are NAMESPACED BY RUN, not just batchId: batchIds are
+  * per-checkpoint and restart from 0 whenever a stream starts with a
+  * fresh checkpoint, while the ledger persists beside the long-lived
+  * index — un-namespaced markers would make a SECOND ingest into the
+  * same index silently skip every append (its batchId 0 matching the
+  * first run's completed batch 0). `runId` is any value stable across
+  * replays of one run but unique across runs — the ingest entry
+  * points pass their scratch checkpoint directory's name, which is
+  * exactly that (same dir across a replay, fresh dir per run).
   *
   * Boundary (stated honestly): the marker is written AFTER the
   * append, so a crash MID-append leaves partial files without a
@@ -30,29 +40,31 @@ private[streaming] object BatchLedger {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def marker(indexPath: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(s"${indexPath}__ledger/$batchId")
+  private def marker(indexPath: String, runId: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"${indexPath}__ledger/$runId/$batchId")
 
-  /** True iff this batchId already completed against `indexPath`. */
-  def done(spark: SparkSession, indexPath: String, batchId: Long): Boolean =
-    fs(spark, indexPath).exists(marker(indexPath, batchId))
+  /** True iff this run's batchId already completed against `indexPath`. */
+  def done(spark: SparkSession, indexPath: String, runId: String,
+           batchId: Long): Boolean =
+    fs(spark, indexPath).exists(marker(indexPath, runId, batchId))
 
   /** Record a completed append (idempotent itself). */
-  def mark(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+  def mark(spark: SparkSession, indexPath: String, runId: String,
+           batchId: Long): Unit = {
     val f = fs(spark, indexPath)
-    val m = marker(indexPath, batchId)
+    val m = marker(indexPath, runId, batchId)
     f.mkdirs(m.getParent)
     val out = f.create(m, true)
     out.close()
   }
 
-  /** Run `append` once per (indexPath, batchId): skip if the ledger
-    * already records it, mark after it completes.
+  /** Run `append` once per (indexPath, runId, batchId): skip if the
+    * ledger already records it, mark after it completes.
     */
-  def once(spark: SparkSession, indexPath: String, batchId: Long)
-          (append: => Unit): Unit =
-    if (!done(spark, indexPath, batchId)) {
+  def once(spark: SparkSession, indexPath: String, runId: String,
+           batchId: Long)(append: => Unit): Unit =
+    if (!done(spark, indexPath, runId, batchId)) {
       append
-      mark(spark, indexPath, batchId)
+      mark(spark, indexPath, runId, batchId)
     }
 }

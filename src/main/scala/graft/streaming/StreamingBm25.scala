@@ -44,6 +44,10 @@ object StreamingBm25 {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sbm25_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -53,7 +57,7 @@ object StreamingBm25 {
         // idempotent under foreachBatch's same-batchId replay: the
         // ledger makes a re-delivered completed batch a no-op instead
         // of a double append
-        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, batch, "text", "doc_id", indexPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -46,6 +46,10 @@ object StreamingCuration {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_scur_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -53,7 +57,7 @@ object StreamingCuration {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent under same-batchId replay (see BatchLedger)
-        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, decorate(batch), "text",
             "doc_id", urlCol, blocklist, minQuality, indexPath, outPath)
         }

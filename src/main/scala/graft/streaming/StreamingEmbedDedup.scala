@@ -35,6 +35,10 @@ object StreamingEmbedDedup {
       .join(pairs.select(col("d2").as("doc")).distinct(),
         Seq("doc"), "left_anti")
       .write.mode(SaveMode.Append).parquet(outPath)
+    // the kept-id write was pairs' only consumer — release its pinned
+    // blocks or a long-running ingest accumulates one dead block set
+    // per microbatch
+    graft.core.Pinned.release(pairs)
   }
 
   /** Stream the embeddings table (replayed as `nBatches` id-ordered
@@ -49,6 +53,10 @@ object StreamingEmbedDedup {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sededup_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -57,7 +65,7 @@ object StreamingEmbedDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent under foreachBatch's same-batchId replay (see
         // BatchLedger): guards the index append and the kept-id write
-        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, batch, "embedding", "vec_id",
             indexPath, outPath, dim, bits, threshold)
         }

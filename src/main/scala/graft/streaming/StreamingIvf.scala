@@ -46,6 +46,10 @@ object StreamingIvf {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivf_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -54,7 +58,7 @@ object StreamingIvf {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent under foreachBatch's same-batchId replay (see
         // BatchLedger): a re-delivered completed batch is a no-op
-        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch, "embedding", model, indexPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -60,12 +60,16 @@ object StreamingMinhashDedup {
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_smdedup_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent under foreachBatch's same-batchId replay (see
         // BatchLedger): guards the band append and the kept-id write
-        BatchLedger.once(batch.sparkSession, indexPath, batchId) {
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, batch, "text", "doc_id",
             indexPath, outPath, threshold)
         }

@@ -51,6 +51,10 @@ object StreamingProfile {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sprof_ckpt_")
+    // ledger namespace: stable across replays of this run (same
+    // checkpoint), unique across runs (fresh scratch dir) — see
+    // BatchLedger's run-namespacing contract
+    val runId = ckpt.getFileName.toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -58,7 +62,7 @@ object StreamingProfile {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent under same-batchId replay (see BatchLedger)
-        BatchLedger.once(batch.sparkSession, statsPath, batchId) {
+        BatchLedger.once(batch.sparkSession, statsPath, runId, batchId) {
           processBatch(batch, cols, statsPath)
         }
       }

@@ -43,24 +43,46 @@ class StreamingBm25Spec extends SparkTestBase {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val idx = java.nio.file.Files.createTempDirectory("sbm25_lg")
       .resolve("index").toString
-    def append(id: Long, lo: Long, hi: Long): Unit =
-      BatchLedger.once(spark, idx, id) {
+    def append(run: String, id: Long, lo: Long, hi: Long): Unit =
+      BatchLedger.once(spark, idx, run, id) {
         StreamingBm25.processBatch(spark,
           docs.where(col("doc_id") >= lo && col("doc_id") < hi),
           "text", "doc_id", idx)
       }
-    append(0L, 0L, 200L)
+    append("run1", 0L, 0L, 200L)
     val statsAfter0 = spark.read.parquet(s"$idx/stats").count()
-    append(0L, 0L, 200L) // replayed delivery of the same batch
+    append("run1", 0L, 0L, 200L) // replayed delivery of the same batch
     assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0,
       "replayed batch must not double-append")
-    append(1L, 200L, 10000L) // a NEW batch still appends
+    append("run1", 1L, 200L, 10000L) // a NEW batch still appends
     assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
     // the ledger lives beside the index, so compaction (which swaps
     // the index dir wholesale) preserves it
     Bm25.compactIndex(spark, idx)
-    append(1L, 200L, 10000L) // replay AFTER compaction: still a no-op
+    append("run1", 1L, 200L, 10000L) // replay AFTER compaction: still a no-op
     assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
+  }
+
+  test("a SECOND ingest run's batchId 0 is not shadowed by the first run's") {
+    // regression: batchIds are per-checkpoint and restart at 0 per
+    // run, while the ledger persists beside the index — markers must
+    // be namespaced by run or a later ingest into the same long-lived
+    // index silently drops every batch
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_rr")
+      .resolve("index").toString
+    BatchLedger.once(spark, idx, "runA", 0L) {
+      StreamingBm25.processBatch(spark,
+        docs.where(col("doc_id") < 200L), "text", "doc_id", idx)
+    }
+    val after1 = spark.read.parquet(s"$idx/stats").count()
+    // new run, fresh checkpoint, batchId 0 again — MUST still append
+    BatchLedger.once(spark, idx, "runB", 0L) {
+      StreamingBm25.processBatch(spark,
+        docs.where(col("doc_id") >= 200L), "text", "doc_id", idx)
+    }
+    assert(spark.read.parquet(s"$idx/stats").count() == after1 + 1,
+      "a fresh run's batch 0 must not be skipped by the old run's marker")
   }
 
   test("stream-grown layout still partition-prunes, even pre-compaction") {
