@@ -188,4 +188,28 @@ object DedupIndex {
   def compactIndex(spark: SparkSession, path: String): Unit =
     graft.core.ParquetCompact.compact(spark, path, Seq("bucket"), Seq("fp"),
       options = Map("parquet.page.row.count.limit" -> "512"))
+
+  /** DELETE documents from the index — the right-to-be-forgotten pass
+    * for the dedup STATE (the serving indexes got theirs in
+    * Bm25.deleteDocs/Ivf.deleteVectors): without it a removed
+    * document's fingerprint row persists and keeps suppressing future
+    * re-ingests of content only that document carried. Rows whose
+    * keeper `doc` is deleted are filtered out inside the crash-safe
+    * [[graft.core.ParquetCompact.rewrite]] swap (compacting as a side
+    * effect); afterwards a probe is identical to one against a fresh
+    * build over the surviving corpus (spec + oracle pinned — the
+    * min-id keeper invariant survives because the kept corpus holds
+    * only keepers, so deleting a keeper removes its content's only
+    * fingerprint row). Deleting EVERY doc removes the layout (missing
+    * dir = empty index). `docs` is a one-column (doc) frame —
+    * anti-joined, never collected.
+    */
+  def deleteDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, path, Seq("bucket"), Seq("fp"),
+      Map("parquet.page.row.count.limit" -> "512"),
+      p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
 }

@@ -162,4 +162,27 @@ object EmbedDedupIndex {
     graft.core.ParquetCompact.compact(spark, path, Seq("kb"),
       Seq("bucket", "doc"),
       Map("parquet.page.row.count.limit" -> "512"))
+
+  /** DELETE vectors from the index — right-to-be-forgotten for the
+    * semantic-dedup STATE: without it a removed vector's signature
+    * row persists and keeps suppressing future cosine near-dups of
+    * content the corpus no longer holds. The layout is doc-keyed
+    * (one (doc, vec, bucket) row per vector), so deletion is one
+    * anti-join filter inside the crash-safe
+    * [[graft.core.ParquetCompact.rewrite]] swap; afterwards a probe
+    * is identical to one against a fresh build over the surviving
+    * vectors (spec + oracle pinned). Deleting every vector removes
+    * the layout (missing dir = empty index, which [[probeAndAppend]]
+    * already honors). `docs` is a one-column (doc) frame —
+    * anti-joined, never collected.
+    */
+  def deleteDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, path, Seq("kb"),
+      Seq("bucket", "doc"),
+      Map("parquet.page.row.count.limit" -> "512"),
+      p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
 }

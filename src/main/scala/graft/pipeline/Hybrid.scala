@@ -49,6 +49,89 @@ object Hybrid {
         (col("pos") + 1).cast(IntegerType).as("rk"))
   }
 
+  /** Build the PAIRED serving layout under one root — `root/bm25`
+    * (the [[Bm25.writeIndex]] bucket layout) and `root/ivf` (the
+    * cluster-partitioned [[Ivf.writeIndex]] postings) — so the two
+    * sides of the fusion share one lifecycle: a doc appended or
+    * deleted on one side and not the other silently skews RRF (the
+    * missing side's rank mass just vanishes), which is why the
+    * hybrid entry points below drive BOTH layouts. The coarse
+    * quantizer `model` is frozen at build, like every index in the
+    * family.
+    */
+  def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+                 idCol: String, embeddings: DataFrame, vecIdCol: String,
+                 vecCol: String, model: IvfModel, root: String): Unit = {
+    Bm25.writeIndex(spark, docs, textCol, idCol, s"$root/bm25")
+    Ivf.writeIndex(Ivf.assign(
+      embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
+      s"$root/ivf")
+  }
+
+  /** Append a disjoint increment to BOTH sides. `batchId` keys a
+    * per-side ledger marker (the foreachBatch replay guard applied to
+    * the paired append): a crash between the BM25 and IVF appends is
+    * healed by RE-RUNNING the same call — the completed side is a
+    * marker-guarded no-op, the missing side catches up, and the pair
+    * never serves skewed. Increment contracts are each side's own
+    * (disjoint docs, frozen model).
+    */
+  def appendDocs(spark: SparkSession, root: String, docs: DataFrame,
+                 textCol: String, idCol: String, embeddings: DataFrame,
+                 vecIdCol: String, vecCol: String, model: IvfModel,
+                 batchId: Long): Unit = {
+    graft.streaming.BatchLedger.once(spark, s"$root/oplog", "bm25-append",
+      batchId) {
+      Bm25.appendToIndex(spark, docs, textCol, idCol, s"$root/bm25")
+    }
+    graft.streaming.BatchLedger.once(spark, s"$root/oplog", "ivf-append",
+      batchId) {
+      Ivf.appendToIndex(
+        embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
+        s"$root/ivf")
+    }
+  }
+
+  /** DELETE documents from BOTH sides — the hybrid
+    * right-to-be-forgotten pass. Both per-index deletes are
+    * idempotent (anti-join filters; deleting an absent doc is a
+    * no-op), so a crash between the sides is healed by re-running the
+    * same call — no marker needed, unlike [[appendDocs]]. `ids` is a
+    * one-column frame of the SHARED id space (the fusion joins
+    * lexical docs and dense vec ids on one `doc` column, so deletion
+    * must too).
+    */
+  def deleteDocs(spark: SparkSession, root: String, ids: DataFrame,
+                 vecIdCol: String): Unit = {
+    Bm25.deleteDocs(spark, s"$root/bm25", ids)
+    Ivf.deleteVectors(spark, s"$root/ivf", ids, vecIdCol)
+  }
+
+  /** Compact both sides (each side's own crash-safe pass). */
+  def compactIndex(spark: SparkSession, root: String): Unit = {
+    Bm25.compactIndex(spark, s"$root/bm25")
+    Ivf.compactIndex(spark, s"$root/ivf")
+  }
+
+  /** Serve the fused top-k from the paired layout: lexical list from
+    * the persisted BM25 buckets, dense list from the persisted IVF
+    * postings, RRF-fused — the disk-served twin of [[hybridTopK]]
+    * (nprobe = nlist probes exhaustively ⇒ the dense list is exact
+    * and the fusion is byte-identical to the scan-based hybrid).
+    */
+  def searchIndex(spark: SparkSession, root: String,
+                  queries: Seq[(Long, String)], queryVecs: DataFrame,
+                  model: IvfModel, vecCol: String, idCol: String,
+                  kCand: Int, k: Int, nprobe: Int): DataFrame = {
+    val lexical = Bm25.searchIndex(spark, s"$root/bm25", queries, kCand)
+      .select(col("qid"), col("doc"), col("rk"))
+    val dense = Ivf.search(Ivf.readIndex(spark, s"$root/ivf"),
+        queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
+        vecCol, idCol, model, kCand, nprobe, excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc"), col("rk"))
+    rrfFuse(Seq(lexical, dense), k)
+  }
+
   /** Convenience lexical+dense hybrid: BM25 over `docs` text and
     * brute-force cosine over `embeddings` (swap any ANN list in via
     * [[rrfFuse]] directly), each cut at `kCand`, fused to top-k.

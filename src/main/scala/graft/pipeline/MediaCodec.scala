@@ -308,6 +308,77 @@ object MediaCodec {
       encodePpm(out)
     }
 
+  // ------------------------------------------- perceptual hashing --
+  /** 64-bit perceptual image hash — aHash (average hash) or dHash
+    * (difference hash), the standard public near-dup fingerprints for
+    * images: downsample the luma plane to a tiny grid with the SAME
+    * integer nearest-neighbor mapping as [[resizeNearest]], then
+    * threshold. Near-identical images (recompressions, small edits,
+    * resizes) land within a few Hamming bits of each other, which is
+    * what makes banded Hamming blocking work
+    * ([[Multimodal.imageNearDupPairs]]).
+    *
+    * Every step is integer arithmetic, so any engine replays the hash
+    * bit-for-bit:
+    *  - grid sample: src = (y·sh/gh, x·sw/gw) (integer floor);
+    *  - luma = (299·r + 587·g + 114·b) / 1000 (BT.601 in integer);
+    *  - aHash bit (y·8+x) set iff luma·64 ≥ Σ lumas (the exact
+    *    integer form of "above the mean");
+    *  - dHash samples a 9×8 grid, bit (y·8+x) set iff the right
+    *    neighbor is strictly brighter.
+    *
+    * None for undecodable bytes (the total-parser contract).
+    */
+  def imageHash(b: Array[Byte], dHash: Boolean = false): Option[Long] =
+    decodePixels(b).map { case (sw, sh, px) =>
+      val gw = if (dHash) 9 else 8
+      val gh = 8
+      val luma = new Array[Int](gw * gh)
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw) {
+          val p = px((y * sh / gh) * sw + (x * sw / gw))
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val bl = p & 0xff
+          luma(y * gw + x) = (299 * r + 587 * g + 114 * bl) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      if (dHash) {
+        var i = 0
+        while (i < 64) {
+          val yy = i / 8
+          val xx = i % 8
+          if (luma(yy * gw + xx + 1) > luma(yy * gw + xx))
+            hash |= 1L << i
+          i += 1
+        }
+      } else {
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += luma(i); i += 1 }
+        var j = 0
+        while (j < 64) {
+          if (luma(j).toLong * 64L >= sum) hash |= 1L << j
+          j += 1
+        }
+      }
+      hash
+    }
+
+  /** [[imageHash]] with a Java-friendly signature for generated code
+    * (Janino has no Scala Option): null = undecodable.
+    */
+  def imageHashBoxed(b: Array[Byte], dHash: Boolean): java.lang.Long =
+    imageHash(b, dHash) match {
+      case Some(h) => java.lang.Long.valueOf(h)
+      case None => null
+    }
+
   // --------------------------------- JDK javax.sound (AIFF/AU/WAV) --
   /** AIFF and AU (and any other format the JDK's sampled-audio SPI
     * parses) via `javax.sound.sampled.AudioSystem` — java.desktop

@@ -140,6 +140,56 @@ object Multimodal {
     }(Encoders.row(df.schema))
   }
 
+  /** 64-bit perceptual hash column ([[MediaCodec.imageHash]] —
+    * codegen'd; NULL for undecodable bytes).
+    */
+  def imagePHash(bytes: org.apache.spark.sql.Column,
+                 dHash: Boolean = false): org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.column(ImagePHash(
+      graft.functions.ColumnBridge.expression(bytes), dHash))
+
+  /** Perceptual near-dup pairs over an image BYTES column — the
+    * multimodal entry in the dedup family (MinHash text, SimHash
+    * text, cosine embeddings, and now aHash/dHash images): (d1 < d2,
+    * dist ≤ maxDist) Hamming pairs over the 64-bit perceptual hashes,
+    * blocked EXACTLY like [[Dedup.simhashPairs]] — the hash splits
+    * into `bands` contiguous chunks and only same-chunk-value pairs
+    * are compared. Pigeonhole: two hashes within `maxDist` bits must
+    * agree on at least one chunk when `bands > maxDist` (enforced), so
+    * the banded pass emits EVERY qualifying pair — brute-force
+    * equality, at candidate cost bounded by chunk-bucket occupancy,
+    * never all-pairs (multi-index Hamming, Norouzi et al. 2012).
+    *
+    * 100 TB: one decode scan for the hashes (64 bits per image —
+    * a sliver), one self-equi-join per band on (band, chunk) — the
+    * same shuffle shape as the text near-dup family; undecodable
+    * rows drop out (the total-parser contract).
+    */
+  def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxDist: Int = 6, bands: Int = 8,
+                        dHash: Boolean = false): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(bands > maxDist,
+      s"banded blocking is only lossless for maxDist < bands " +
+        s"(pigeonhole); got maxDist=$maxDist bands=$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val sig = df.select(col(idCol).as("doc"),
+        imagePHash(col(bytesCol), dHash).as("ph"))
+      .where(col("ph").isNotNull)
+    val banded = sig.select(col("doc"), col("ph"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("ph"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("dist"))
+      .dropDuplicates("d1", "d2")
+      .where(col("dist") <= maxDist)
+  }
+
   /** Deterministic synthetic media table for tests/demo: REAL
     * containers for images (BMP / PNG / PPM rotating — PNG is lossless
     * so its decoded means equal the PPM case bit-for-bit, keeping the
@@ -195,4 +245,44 @@ object Multimodal {
     }
     spark.createDataFrame(rows)
   }
+}
+
+
+/** 64-bit perceptual image hash (aHash/dHash) as a codegen'd Catalyst
+  * expression over BINARY — the kernel is [[MediaCodec.imageHash]];
+  * undecodable bytes yield NULL (nullable on purpose: a corrupt blob
+  * must drop out of the dedup pass, not kill the scan).
+  */
+case class ImagePHash(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      dHash: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_phash"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaCodec.imageHashBoxed(a.asInstanceOf[Array[Byte]], dHash)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.freshName("ph")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long $ph = graft.pipeline.MediaCodec.imageHashBoxed($a, $dHash);
+      if ($ph == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $ph.longValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ImagePHash =
+    copy(child = c)
 }

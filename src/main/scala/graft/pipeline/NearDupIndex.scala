@@ -343,4 +343,31 @@ object NearDupIndex {
     graft.core.ParquetCompact.compact(spark, s"$path/sets",
       Seq("db"), Seq("doc"))
   }
+
+  /** DELETE documents from the index — right-to-be-forgotten for the
+    * near-dup STATE: without it a removed document's band rows and
+    * shingle set persist and keep matching (and suppressing) future
+    * near-dups of content the corpus no longer holds. Both
+    * sub-layouts are doc-keyed, so deletion is one anti-join filter
+    * per layout inside the crash-safe
+    * [[graft.core.ParquetCompact.rewrite]] swap (no derived tables to
+    * recompute — unlike Bm25, nothing here aggregates across docs);
+    * afterwards a probe is identical to one against a fresh build
+    * over the surviving corpus (spec + oracle pinned). Deleting every
+    * doc removes the layouts (missing dir = empty index, which
+    * [[probeBands]] already honors). `docs` is a one-column (doc)
+    * frame — anti-joined, never collected.
+    */
+  def deleteDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, s"$path/bands",
+      Seq("band", "kb"), Seq("bucket", "doc"),
+      Map("parquet.page.row.count.limit" -> "512"),
+      p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.ParquetCompact.rewrite(spark, s"$path/sets",
+      Seq("db"), Seq("doc"), Map.empty,
+      p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
 }

@@ -94,9 +94,21 @@ object Pq {
 
   def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
             ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
-            maxTrainRows: Long = 200000L): PqModel = {
+            maxTrainRows: Long = 200000L): PqModel =
+    trainFromSample(TrainSample.collect(df, vecCol, idCol, seed, maxTrainRows),
+      m, ksub, iters, seed)
+
+  /** [[train]] from an already-collected id-sorted sample — for
+    * callers that derive the training vectors themselves (the
+    * residual encoder [[Ivf.trainPqResidual]] trains on per-cell
+    * residuals, not raw vectors) and must not pay a second collection
+    * pass. Same deterministic per-subspace fold.
+    */
+  def trainFromSample(sample: Array[(Long, Array[Float])], m: Int = 8,
+                      ksub: Int = 16, iters: Int = 3,
+                      seed: Long = 42L): PqModel = {
     require(ksub >= 1 && ksub <= 256, "ksub must fit one byte")
-    val sample = TrainSample.collect(df, vecCol, idCol, seed, maxTrainRows)
+    require(sample.nonEmpty, "cannot train on an empty sample")
     val dim = sample.head._2.length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m

@@ -1201,6 +1201,26 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // the recall row that pins the residual win: same harness, same
+    // truth, residual codes at the SAME m=8 — the number that must
+    // beat the plain-code plateau (and does; sweep in PLANS.md)
+    "ann_recall_ivfpqr" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", ivf)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.searchPqResidual(postings, qs, "embedding",
+            "vec_id", ivf, pq, k = 5, nprobe = 4, oversample = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     "ann_topk_mmr" -> ((s, d) => {
       // MMR-diversified retrieval: distributed candidate top-N +
       // bounded driver greedy rerank (relevance − λ-weighted
@@ -1363,6 +1383,33 @@ object Queries {
         .orderBy(col("doc"))
     }),
 
+    // DELETION for the dedup STATE (right-to-be-forgotten): decoys =
+    // copies of the probe increment's docs at SMALLER ids, so if they
+    // survive deletion they become min-id keepers and flip the probe's
+    // keep_id/dup columns loudly. Build+append the real index, append
+    // the decoys, delete them, compact — the probe must be
+    // indistinguishable from the decoy-free lifecycle (the
+    // dedup_index_incremental oracle verbatim)
+    "dedup_index_deleted" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("dedup_fp_del")
+        .resolve("index").toString
+      val decoys = docs.where(col("doc_id") % 3 === 2)
+        .select((col("doc_id") - 100000000L).as("doc_id"), col("text"))
+      graft.pipeline.DedupIndex.writeIndex(s,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", path)
+      graft.pipeline.DedupIndex.appendNovel(s,
+        docs.where(col("doc_id") % 3 === 1), "text", "doc_id", path)
+      graft.pipeline.DedupIndex.appendNovel(s, decoys, "text", "doc_id", path)
+      graft.pipeline.DedupIndex.deleteDocs(s, path,
+        decoys.select(col("doc_id")))
+      graft.pipeline.DedupIndex.compactIndex(s, path)
+      graft.pipeline.DedupIndex.probe(s, path,
+          docs.where(col("doc_id") % 3 === 2), "text", "doc_id")
+        .select(col("doc"), col("keep_id"), col("dup"))
+        .orderBy(col("doc"))
+    }),
+
     // persisted MinHash-band near-dup index lifecycle: build on the
     // %3==0 ids (their internal pairs are the build-time one-shot),
     // probe the %3==1 increment (cross + internal pairs), append it,
@@ -1380,6 +1427,35 @@ object Queries {
       // pairs, probeAndAppend classifies then indexes the increment
       val p0 = graft.pipeline.NearDupIndex.buildWithPairs(s, a, "text",
         "doc_id", path, threshold = 0.2)
+      val p1 = graft.pipeline.NearDupIndex.probeAndAppend(s, path, b,
+        "text", "doc_id", threshold = 0.2)
+      graft.pipeline.NearDupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.NearDupIndex.probe(s, path, c, "text",
+        "doc_id", threshold = 0.2)
+      p0.unionByName(p1).unionByName(p2).orderBy(col("d1"), col("d2"))
+    }),
+
+    // DELETION for the near-dup STATE: decoys = verbatim copies of
+    // the last increment's docs (jac = 1.0 with their originals), so
+    // any band row or shingle set surviving deletion emits loud
+    // decoy-id pairs in the later probes. Lifecycle: build, index the
+    // decoys, delete them, probe/append the real increments — the
+    // union of pair sets must equal the one-shot LSH pass over the
+    // clean corpus (the minhash_pairs golden verbatim)
+    "neardup_index_deleted" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("neardup_del")
+        .resolve("index").toString
+      val a = docs.where(col("doc_id") % 3 === 0)
+      val b = docs.where(col("doc_id") % 3 === 1)
+      val c = docs.where(col("doc_id") % 3 === 2)
+      val decoys = c.select((col("doc_id") + 50000000L).as("doc_id"),
+        col("text"))
+      val p0 = graft.pipeline.NearDupIndex.buildWithPairs(s, a, "text",
+        "doc_id", path, threshold = 0.2)
+      graft.pipeline.NearDupIndex.append(s, decoys, "text", "doc_id", path)
+      graft.pipeline.NearDupIndex.deleteDocs(s, path,
+        decoys.select(col("doc_id")))
       val p1 = graft.pipeline.NearDupIndex.probeAndAppend(s, path, b,
         "text", "doc_id", threshold = 0.2)
       graft.pipeline.NearDupIndex.compactIndex(s, path)
@@ -1686,6 +1762,28 @@ object Queries {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "dedup_index_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS doc,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |idx0 AS (SELECT fp, min(doc) AS keep FROM fp
+        |         WHERE doc % 3 = 0 GROUP BY fp),
+        |idx1 AS (SELECT f.fp, min(f.doc) AS keep FROM fp f
+        |         LEFT JOIN idx0 i ON f.fp = i.fp
+        |         WHERE f.doc % 3 = 1 AND i.fp IS NULL GROUP BY f.fp),
+        |idx AS (SELECT * FROM idx0 UNION ALL SELECT * FROM idx1),
+        |batch AS (SELECT fp, min(doc) AS bkeep FROM fp
+        |          WHERE doc % 3 = 2 GROUP BY fp)
+        |SELECT f.doc, CAST(coalesce(i.keep, b.bkeep) AS BIGINT) AS keep_id,
+        |  coalesce(i.keep, b.bkeep) <> f.doc AS dup
+        |FROM fp f
+        |LEFT JOIN idx i ON f.fp = i.fp
+        |JOIN batch b ON f.fp = b.fp
+        |WHERE f.doc % 3 = 2
+        |ORDER BY f.doc""".stripMargin,
+
+    // deletion pinned against the decoy-free lifecycle: same oracle
+    "dedup_index_deleted" ->
       """WITH fp AS (
         |  SELECT doc_id AS doc,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -2334,6 +2432,24 @@ object Queries {
         .orderBy(col("id"))
     }),
 
+    "multimodal_neardup" -> ((s, d) => {
+      // perceptual near-dup — dedup made genuinely multimodal: the
+      // synthetic image rows plus their 8x6 NN-resized copies
+      // (id + 1000) hash to 64-bit aHashes, banded Hamming blocking
+      // (bands=8 > maxDist=6 ⇒ equal to brute force by pigeonhole)
+      // emits every pair within 6 bits; golden from the independent
+      // Python mirror's brute-force pass
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val copies = graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+        .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+          col("width"), col("height"), col("durationMs"))
+      graft.pipeline.Multimodal.imageNearDupPairs(
+          media.unionByName(copies), "bytes", "id", maxDist = 6, bands = 8)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     "multimodal_resize" -> ((s, d) => {
       // thumbnail step: NN-resize every image row to 4x3 (lossless PPM
       // out), then featurize — means are exactly predictable from the
@@ -2768,6 +2884,70 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the recommended configuration the r10 knob sweep found: codes
+    // store ONE BYTE per subspace regardless of ksub, so ksub=256 at
+    // m=8 is the SAME 8-byte code as ksub=16 with recall 0.32 -> 0.68
+    // (sweep in PLANS.md) — byte-budget goes to ksub first
+    "ivf_topk_pq256" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 256, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", ivf)
+      graft.pipeline.Ivf.searchPq(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // IVF-ADC (Jegou et al. 2011): the PQ codebooks fit each vector's
+    // RESIDUAL to its assigned coarse centroid, so the same m code
+    // bytes cover only the within-cell spread — the standard fix for
+    // the code-bound recall plateau the r9 knob sweep measured. ADC
+    // score = q-centroid dot (query-side, per probed cell) + residual
+    // LUT sum; exact rescore unchanged.
+    "ivf_topk_pqr" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", ivf)
+      graft.pipeline.Ivf.searchPqResidual(postings,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", ivf, pq,
+          k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the PERSISTED residual-codes lifecycle: cluster-partitioned
+    // m-byte residual codes on disk, candidate path never touches a
+    // float vector, survivors back-join for the exact rescore — ≡ the
+    // in-memory searchPqResidual by construction, so the oracle is
+    // the ivf_topk_pqr golden itself
+    "ivf_topk_pqr_indexed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_idx")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPqResidual(
+        graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding",
+        pq, ivf, idx)
+      graft.pipeline.Ivf.searchPqResidualIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // two-stage PQ ANN: ADC-scored candidates from 8-byte product
     // quantization codes (32x under float32), exact rescore
     "ann_topk_pq" -> ((s, d) => {
@@ -3110,6 +3290,39 @@ object Queries {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // DELETION for the semantic-dedup STATE: decoys = copies of the
+    // last increment's vectors (cosine 1.0 with their originals) —
+    // any signature row surviving deletion emits loud decoy pairs in
+    // the later probes. The union of pair sets must equal the
+    // one-shot blocked pass over the clean corpus (the
+    // embed_neardup_lsh golden verbatim)
+    "embed_index_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("embed_del")
+        .resolve("index").toString
+      val a = emb.where(col("vec_id") % 3 === 0)
+      val b = emb.where(col("vec_id") % 3 === 1)
+      val c = emb.where(col("vec_id") % 3 === 2)
+      val decoys = c.select((col("vec_id") + 50000000L).as("vec_id"),
+        col("embedding"))
+      val p0 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
+        "embedding", "vec_id", path, dim = 64, bits = 8)
+      // index the decoys (their probe pairs are discarded), then forget
+      graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, decoys,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      graft.pipeline.EmbedDedupIndex.deleteDocs(s, path,
+        decoys.select(col("vec_id")))
+      val p1 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, b,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      graft.pipeline.EmbedDedupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, c,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1").as("v1"), col("d2").as("v2"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     "stream_profile" -> ((s, d) => {
       // the data-card maintained ON INGEST: per microbatch one fused
       // additive partial appended to a persisted stats table, merged
@@ -3141,6 +3354,39 @@ object Queries {
           col("doc_id").cast("string"))),
         bl, minQuality = 0.3, idx, out)
       s.read.parquet(out).select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "stream_watermarked_curation" -> ((s, d) => {
+      // curation on ingest WITH a late-data policy: event time rides
+      // each document (stragglers fabricated by pulling doc_id%17==5
+      // ~28h behind the stream), the per-batch watermark
+      // (max event time over completed earlier batches − 1h)
+      // quarantines late arrivals to their own output, and only
+      // on-time docs flow through blocklist → quality → dedup. The
+      // oracle replays the batch assignment (Staging's id-range
+      // split), the late rule, and the composition stage by stage
+      val root = java.nio.file.Files.createTempDirectory("graft_swcur_q")
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      val late = root.resolve("late").toString
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src1.example.com")
+      graft.streaming.StreamingWatermarkedCuration.ingest(s, d,
+        batch => batch
+          .withColumn("url", concat(lit("https://"),
+            when(col("doc_id") % 2 === 1, lit("cdn.")).otherwise(lit("")),
+            col("source"), lit(".example.com/doc/"),
+            col("doc_id").cast("string")))
+          .withColumn("ts", timestamp_millis(
+            (lit(1700000000L) + col("doc_id") -
+              when(col("doc_id") % 17 === 5, lit(100000L))
+                .otherwise(lit(0L))) * 1000L)),
+        bl, minQuality = 0.3, delayMillis = 3600L * 1000L, idx, out, late)
+      s.read.parquet(out)
+        .select(col("doc").as("doc_id"), lit("kept").as("status"))
+        .unionByName(s.read.parquet(late)
+          .select(col("doc").as("doc_id"), lit("late").as("status")))
         .orderBy(col("doc_id"))
     }),
 
@@ -3188,6 +3434,41 @@ object Queries {
           k = 20, nprobe = 16, excludeSelf = false)
         .select(col("qid"), col("nid").as("doc"), col("rk"))
       graft.pipeline.Hybrid.rrfFuse(Seq(lexical, dense), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the PAIRED hybrid lifecycle under deletion: decoys on BOTH
+    // sides (scrambled texts shift BM25 df/stats; verbatim copies of
+    // the query vectors would own the dense rank-1 slots), deleted
+    // through the ONE hybrid entry point that drives both layouts —
+    // the fused serve must equal the decoy-free hybrid_topk golden,
+    // which fails loudly if either side's delete is skipped (skewed
+    // fusion is exactly the failure mode the paired lifecycle exists
+    // to prevent)
+    "hybrid_topk_deleted" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+      val vecDecoys = emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("hybrid_del")
+        .resolve("index").toString
+      graft.pipeline.Hybrid.writeIndex(s, docs.unionByName(textDecoys),
+        "text", "doc_id", emb.unionByName(vecDecoys), "vec_id",
+        "embedding", model, root)
+      graft.pipeline.Hybrid.deleteDocs(s, root,
+        textDecoys.select(col("doc_id").as("id"))
+          .unionByName(vecDecoys.select(col("vec_id").as("id"))).distinct(),
+        "vec_id")
+      graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -3488,6 +3769,9 @@ object Queries {
          |FROM '$goldenDir/multimodal_features.parquet'
          |ORDER BY id""".stripMargin,
 
+    "multimodal_neardup" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
     "multimodal_resize" ->
       s"""SELECT id, f0, f1, f2, f3, f4, f5, f6, f7
          |FROM '$goldenDir/multimodal_resize.parquet'
@@ -3681,6 +3965,9 @@ object Queries {
     "hybrid_topk" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
+    "hybrid_topk_deleted" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
     // the disk-served hybrid (persisted BM25 + exhaustively-probed
     // persisted IVF) must be byte-identical to the scan-based fusion
     "hybrid_topk_indexed" ->
@@ -3740,6 +4027,15 @@ object Queries {
     // disk-served codes ≡ the in-memory IVF-PQ (same golden)
     "ivf_topk_pq_indexed" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_pq256" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq256.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_pqr" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_pqr_indexed" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
       """WITH t AS (
@@ -3913,6 +4209,9 @@ object Queries {
     "neardup_index_incremental" ->
       s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
 
+    "neardup_index_deleted" ->
+      s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
+
     "lsh_topk" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/lsh_topk.parquet' ORDER BY qid, rk",
 
@@ -4003,6 +4302,23 @@ object Queries {
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
          |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
+    "ann_recall_ivfpqr" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_pqr.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
     "ann_topk_mmr" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/mmr_topk.parquet' ORDER BY qid, rk",
 
@@ -4070,6 +4386,9 @@ object Queries {
     "embed_index_incremental" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
+    "embed_index_deleted" ->
+      s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
     // the merged incremental card ≡ the batch profile minus
     // n_distinct (the one non-mergeable metric)
     "stream_profile" ->
@@ -4116,6 +4435,39 @@ object Queries {
          |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
          |  FROM b2)
          |SELECT doc_id FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
+
+    // late iff the straggler lands in batch ≥ 1 (its 28h lag dwarfs
+    // the id range + 1h delay, and batch 0 has no watermark yet);
+    // batch of d replays Staging.idRangeSplits' least(n−1, (d−lo) div
+    // span) with span = (hi−lo) div n + 1; kept = the curation
+    // composition over the on-time corpus
+    "stream_watermarked_curation" ->
+      s"""WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |    FROM documents),
+         |lt AS (SELECT doc_id FROM documents, bounds
+         |  WHERE doc_id % 17 = 5
+         |    AND least(2, (doc_id - lo) // ((hi - lo) // 3 + 1)) >= 1),
+         |u AS (SELECT doc_id, text,
+         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
+         |      source || '.example.com' AS host
+         |  FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM lt)),
+         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+         |                 ('cdn.src1.example.com')),
+         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
+         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
+         |b2 AS (SELECT doc_id, text FROM b1
+         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
+         |    * (0.5 + 0.5 * least(1.0,
+         |        (CAST(len(list_filter(string_split(text, ' '),
+         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
+         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
+         |k AS (SELECT doc_id, min(doc_id) OVER (
+         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |  FROM b2)
+         |SELECT doc_id, 'kept' AS status FROM k WHERE doc_id = keep
+         |UNION ALL SELECT doc_id, 'late' AS status FROM lt
+         |ORDER BY doc_id""".stripMargin,
 
     // kept ⇔ the vector is nobody's LATER cosine near-dup in the
     // one-shot signature-blocked pair set (the embed_neardup_lsh

@@ -34,7 +34,7 @@ import org.apache.spark.sql.SparkSession
   * compaction — re-opening the replay window exactly when the stream
   * compacts mid-flight.
   */
-private[streaming] object BatchLedger {
+private[graft] object BatchLedger {
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)

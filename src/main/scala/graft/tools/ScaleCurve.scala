@@ -825,6 +825,65 @@ object ScaleCurve {
       }
     }
 
+    // ---- r10: residual (IVF-ADC) vs plain PQ codes at the SAME
+    // knobs — the sweep behind the round-10 residual encoder. The r9
+    // finding was that the CODES bound IVF-PQ recall (nprobe can't
+    // move it); residual codebooks only have to cover within-cell
+    // spread, so recall at fixed m must clear the plain-code figure.
+    if (want("r10pqr")) {
+      import graft.pipeline.{Ivf, Pq, Similarity}
+      val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qs = embAll.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(embAll, qs, "embedding",
+        "vec_id", k = 5).localCheckpoint(true)
+      val ivf = Ivf.train(embAll, "embedding", "vec_id", nlist = 16,
+        iters = 3)
+      val postings = Ivf.assign(embAll, "embedding", ivf).localCheckpoint(true)
+      def meanR(df: DataFrame): Double =
+        df.agg(avg(col("recall"))).head().getDouble(0)
+      // cluster-structure instrument: residual norms only shrink when
+      // x·c(assigned) is large — on a weakly-clustered corpus
+      // ||x − c||² = 2(1 − x·c) EXCEEDS ||x||² = 1 and residual
+      // codebooks must cover a WIDER distribution than the raw sphere
+      val struct = Ivf.assign(embAll, "embedding", ivf)
+        .select(Ivf.centroidDotCol(col("embedding"), col("cluster"), ivf)
+          .as("xc"))
+        .agg(avg(col("xc")), min(col("xc")), max(col("xc"))).head()
+      println(f"${"pqr_structure"}%-16s mean_xc=${struct.getDouble(0)}%.3f " +
+        f"min=${struct.getDouble(1)}%.3f max=${struct.getDouble(2)}%.3f " +
+        f"mean_resid_norm=${math.sqrt(2 * (1 - struct.getDouble(0)))}%.3f")
+      for (m <- Seq(8, 16); ksub <- Seq(16, 256); os <- Seq(4, 8, 16, 32)) {
+        val plain = Pq.train(embAll, "embedding", "vec_id", m = m,
+          ksub = ksub, iters = 3)
+        val resid = Ivf.trainPqResidual(embAll, "embedding", "vec_id", ivf,
+          m = m, ksub = ksub, iters = 3)
+        val rP = meanR(Similarity.recallAtK(truth,
+          Ivf.searchPq(postings, qs, "embedding", "vec_id", ivf, plain,
+            k = 5, nprobe = 8, oversample = os), k = 5))
+        val rR = meanR(Similarity.recallAtK(truth,
+          Ivf.searchPqResidual(postings, qs, "embedding", "vec_id", ivf,
+            resid, k = 5, nprobe = 8, oversample = os), k = 5))
+        println(f"${"pqr_knob_sweep"}%-16s m=$m%2d ksub=$ksub%3d os=$os%2d " +
+          f"nprobe=8 plain=$rP%.3f resid=$rR%.3f")
+      }
+      // sanity anchor: nprobe = nlist + exhaustive shortlist must hit
+      // 1.0 for BOTH scorers (the rescore is exact; only the coarse
+      // probe and the shortlist can lose truth)
+      val pq16 = Pq.train(embAll, "embedding", "vec_id", m = 8, ksub = 16,
+        iters = 3)
+      val pqr16 = Ivf.trainPqResidual(embAll, "embedding", "vec_id", ivf,
+        m = 8, ksub = 16, iters = 3)
+      val aP = meanR(Similarity.recallAtK(truth,
+        Ivf.searchPq(postings, qs, "embedding", "vec_id", ivf, pq16,
+          k = 5, nprobe = 16, oversample = 100000), k = 5))
+      val aR = meanR(Similarity.recallAtK(truth,
+        Ivf.searchPqResidual(postings, qs, "embedding", "vec_id", ivf,
+          pqr16, k = 5, nprobe = 16, oversample = 100000), k = 5))
+      println(f"${"pqr_anchor"}%-16s nprobe=nlist os=inf plain=$aP%.3f " +
+        f"resid=$aR%.3f (both must be 1.0)")
+    }
+
     // ---- streaming index ingest: corpus grows, batch COUNT fixed ----
     // The claim behind StreamingBm25/StreamingIvf: per-batch cost
     // follows the batch (each append explodes/assigns only its

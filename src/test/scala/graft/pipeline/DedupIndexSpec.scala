@@ -168,4 +168,42 @@ class DedupIndexSpec extends SparkTestBase {
     DedupIndex.appendNovel(spark, probe, "text", "doc_id", idx)
     assert(decisions() == before)
   }
+
+  test("deleteDocs: probe ≡ fresh build over survivors; content forgotten") {
+    import spark.implicits._
+    // keepers-only corpus (distinct texts) — the maintained-corpus
+    // contract under which deletion is exact
+    val base = (0L until 20L).map(i => (i, s"unique text $i"))
+      .toDF("doc_id", "text")
+    val del = base.where(col("doc_id") % 4 === 0).select(col("doc_id"))
+    // the increment re-ingests some deleted content (even ids map back
+    // to texts 0..4, some of them deleted keepers) plus fresh texts
+    val inc = (100L until 110L).map { i =>
+      (i, if (i % 2 == 0) s"unique text ${(i - 100) / 2}" else s"fresh $i")
+    }.toDF("doc_id", "text")
+    def probeRows(idx: String) =
+      DedupIndex.probe(spark, idx, inc, "text", "doc_id")
+        .select("doc", "keep_id", "dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val idxA = java.nio.file.Files.createTempDirectory("ddel_a")
+      .resolve("index").toString
+    DedupIndex.writeIndex(spark, base, "text", "doc_id", idxA)
+    val before = probeRows(idxA)
+    DedupIndex.deleteDocs(spark, idxA, del)
+    DedupIndex.compactIndex(spark, idxA)
+    val after = probeRows(idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("ddel_b")
+      .resolve("index").toString
+    DedupIndex.writeIndex(spark,
+      base.join(del, Seq("doc_id"), "left_anti"), "text", "doc_id", idxB)
+    assert(after == probeRows(idxB),
+      "post-delete probe must equal a fresh build over the survivors")
+    assert(after != before, "deletion must actually change decisions")
+    // right-to-be-forgotten: doc 100 re-ingests deleted keeper 0's
+    // text and must now be its own novel keeper
+    assert(after.find(_._1 == 100L).get == ((100L, 100L, false)))
+    assert(before.find(_._1 == 100L).get == ((100L, 0L, true)))
+  }
+
 }

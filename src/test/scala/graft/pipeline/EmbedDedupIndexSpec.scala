@@ -75,4 +75,45 @@ class EmbedDedupIndexSpec extends SparkTestBase {
     assert(pruned < all,
       s"kb filter must cut files read: all=$all pruned=$pruned")
   }
+
+  test("deleteDocs: probe ≡ fresh build over survivors; decoys forgotten") {
+    val e = emb
+    val a = e.where(col("vec_id") % 3 === 0)
+    val b = e.where(col("vec_id") % 3 === 1)
+    // decoy: a verbatim copy of a b vector (cosine 1.0) — an
+    // undeleted decoy must emit a pair with its original
+    val decoy = b.limit(1).select((col("vec_id") + 7777777L).as("vec_id"),
+      col("embedding"))
+    val decoyId = decoy.head().getLong(0)
+    def probePairs(idx: String) =
+      EmbedDedupIndex.probeAndAppend(spark, idx, b, "embedding", "vec_id",
+          dim = 64, bits = 8)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idxA = java.nio.file.Files.createTempDirectory("edel_a")
+      .resolve("index").toString
+    EmbedDedupIndex.buildWithPairs(spark, a.unionByName(decoy),
+      "embedding", "vec_id", idxA, dim = 64, bits = 8)
+    EmbedDedupIndex.deleteDocs(spark, idxA,
+      decoy.select(col("vec_id"))
+        .unionByName(a.where(col("vec_id") % 9 === 0).select(col("vec_id"))))
+    EmbedDedupIndex.compactIndex(spark, idxA)
+    val after = probePairs(idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("edel_b")
+      .resolve("index").toString
+    EmbedDedupIndex.buildWithPairs(spark, a.where(col("vec_id") % 9 =!= 0),
+      "embedding", "vec_id", idxB, dim = 64, bits = 8)
+    assert(after == probePairs(idxB),
+      "post-delete probe must equal a fresh build over the survivors")
+    assert(!after.exists(p => p._1 == decoyId || p._2 == decoyId))
+    // and on an UNDELETED clone the decoy pair is present (teeth)
+    val idxC = java.nio.file.Files.createTempDirectory("edel_c")
+      .resolve("index").toString
+    EmbedDedupIndex.buildWithPairs(spark, a.unionByName(decoy),
+      "embedding", "vec_id", idxC, dim = 64, bits = 8)
+    val withDecoy = probePairs(idxC)
+    assert(withDecoy.exists(p => p._1 == decoyId || p._2 == decoyId),
+      "undeleted decoy must pair with its original")
+  }
+
 }

@@ -98,4 +98,75 @@ class HybridSpec extends SparkTestBase {
       .sortBy(x => (x._1, x._4)).toSeq
     assert(got == want)
   }
+  test("paired lifecycle: appendDocs grows both sides exactly once; " +
+      "a one-sided crash heals on retry; deleteDocs forgets decoys") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val qVecs = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    def serve(root: String) =
+      Hybrid.searchIndex(spark, root, queries, qVecs, model, "embedding",
+          "vec_id", kCand = 20, k = 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    // one-shot over the full corpus = the truth every lifecycle must hit
+    val rootW = java.nio.file.Files.createTempDirectory("hyb_w")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs, "text", "doc_id", emb, "vec_id",
+      "embedding", model, rootW)
+    val want = serve(rootW)
+    assert(want.nonEmpty)
+    // grown: build on the low half, append the high half as batch 0;
+    // a replay of the same batchId must be a no-op on BOTH sides
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val rootG = java.nio.file.Files.createTempDirectory("hyb_g")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs.where(col("doc_id") <= mid), "text",
+      "doc_id", emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+      model, rootG)
+    def appendHigh(): Unit = Hybrid.appendDocs(spark, rootG,
+      docs.where(col("doc_id") > mid), "text", "doc_id",
+      emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
+      batchId = 0L)
+    appendHigh()
+    appendHigh() // replayed delivery: ledger-guarded no-op
+    Hybrid.compactIndex(spark, rootG)
+    assert(serve(rootG) == want)
+    // one stats row per BM25 pass (build + exactly ONE append)
+    assert(spark.read.parquet(s"$rootG/bm25/stats").count() == 2L)
+    // crash healing: pre-mark the BM25 side as done for batch 1 (as
+    // if the process died after the lexical append committed), then
+    // drive batch 1 through the hybrid entry point — only the IVF
+    // side appends, and the pair converges instead of skewing
+    val rootC = java.nio.file.Files.createTempDirectory("hyb_c")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs, "text", "doc_id",
+      emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootC)
+    graft.streaming.BatchLedger.mark(spark, s"$rootC/oplog", "bm25-append", 1L)
+    Hybrid.appendDocs(spark, rootC, docs.limit(0), "text", "doc_id",
+      emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
+      batchId = 1L)
+    assert(serve(rootC) == want)
+    // deletion drives both sides from one entry point
+    val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+    val vecDecoys = emb.where(col("vec_id") < 2)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val rootD = java.nio.file.Files.createTempDirectory("hyb_d")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs.unionByName(textDecoys), "text", "doc_id",
+      emb.unionByName(vecDecoys), "vec_id", "embedding", model, rootD)
+    assert(serve(rootD) != want, "decoys must skew the fused lists")
+    Hybrid.deleteDocs(spark, rootD,
+      textDecoys.select(col("doc_id").as("id"))
+        .unionByName(vecDecoys.select(col("vec_id").as("id"))).distinct(),
+      "vec_id")
+    assert(serve(rootD) == want)
+  }
+
 }

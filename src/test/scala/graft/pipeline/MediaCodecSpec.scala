@@ -151,4 +151,34 @@ class MediaCodecSpec extends AnyFunSuite {
     val junkJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0, 1)
     assert(MediaCodec.decode(junkJpeg) == MediaCodec.Undecodable)
   }
+
+  test("imageHash: aHash/dHash are format-invariant, edit-local, and " +
+      "total on garbage") {
+    val px = Array.tabulate(12, 16)((y, x) =>
+      ((y * 16 + x) % 256, (x * 7) % 256, (y * 11) % 256))
+    val bmp = MediaCodec.encodeBmp(px)
+    val ppm = MediaCodec.encodePpm(px)
+    val png = MediaCodec.encodePng(px)
+    // lossless containers of the same pixels hash identically
+    val h = MediaCodec.imageHash(bmp).get
+    assert(MediaCodec.imageHash(ppm).get == h)
+    assert(MediaCodec.imageHash(png).get == h)
+    val hd = MediaCodec.imageHash(bmp, dHash = true).get
+    assert(MediaCodec.imageHash(ppm, dHash = true).get == hd)
+    // a one-pixel edit moves the hash at most a few bits
+    val edited = px.map(_.clone())
+    edited(3)(5) = (255, 255, 255)
+    val he = MediaCodec.imageHash(MediaCodec.encodePpm(edited)).get
+    assert(java.lang.Long.bitCount(h ^ he) <= 6,
+      s"one-pixel edit moved ${java.lang.Long.bitCount(h ^ he)} bits")
+    // an unrelated image is far away
+    val other = Array.tabulate(12, 16)((y, x) =>
+      (255 - (y * 16 + x) % 256, (x * 31) % 256, (y * 3) % 256))
+    val ho = MediaCodec.imageHash(MediaCodec.encodePpm(other)).get
+    assert(java.lang.Long.bitCount(h ^ ho) > 6)
+    // total on garbage
+    assert(MediaCodec.imageHash("not an image".getBytes).isEmpty)
+    assert(MediaCodec.imageHash(null).isEmpty)
+  }
+
 }

@@ -216,4 +216,38 @@ class NearDupIndexSpec extends SparkTestBase {
         col("kb").cast("long")).isin(cellIds: _*)))
     assert(pruned < all, s"expected cell pruning: all=$all pruned=$pruned")
   }
+
+  test("deleteDocs: probe ≡ fresh build over survivors; decoys forgotten") {
+    val a = docs.where(col("doc_id") % 3 === 0)
+    val b = docs.where(col("doc_id") % 3 === 1)
+    // plant a decoy: a verbatim copy of a b doc inside the index —
+    // jac 1.0 with its original, so an undeleted decoy MUST emit a
+    // pair (deterministic teeth for the deletion)
+    val decoy = b.limit(1).select((col("doc_id") + 7777777L).as("doc_id"),
+      col("text"))
+    val decoyId = decoy.head().getLong(0)
+    def probePairs(idx: String) =
+      pairs(NearDupIndex.probe(spark, idx, b, "text", "doc_id",
+        threshold = 0.2))
+    val idxA = java.nio.file.Files.createTempDirectory("nddel_a")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, a.unionByName(decoy), "text", "doc_id",
+      idxA)
+    val before = probePairs(idxA)
+    assert(before.exists(p => p._1 == decoyId || p._2 == decoyId),
+      "undeleted decoy must pair with its original")
+    NearDupIndex.deleteDocs(spark, idxA,
+      decoy.select(col("doc_id"))
+        .unionByName(a.where(col("doc_id") % 9 === 0).select(col("doc_id"))))
+    NearDupIndex.compactIndex(spark, idxA)
+    val after = probePairs(idxA)
+    val idxB = java.nio.file.Files.createTempDirectory("nddel_b")
+      .resolve("index").toString
+    NearDupIndex.writeIndex(spark, a.where(col("doc_id") % 9 =!= 0),
+      "text", "doc_id", idxB)
+    assert(after == probePairs(idxB),
+      "post-delete probe must equal a fresh build over the survivors")
+    assert(!after.exists(p => p._1 == decoyId || p._2 == decoyId))
+  }
+
 }

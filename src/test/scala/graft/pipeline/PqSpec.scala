@@ -74,6 +74,131 @@ class PqSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("residual kernels: residual + centroid reconstructs the vector; " +
+      "centroid dot matches the driver fold") {
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 2)
+    val rows = Ivf.assign(emb, "embedding", ivf).orderBy("vec_id").limit(8)
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        Ivf.residualCol(col("embedding"), col("cluster"), ivf).as("r"),
+        Ivf.centroidDotCol(col("embedding"), col("cluster"), ivf).as("cd"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val cl = r.getInt(2)
+      val res = r.getSeq[Float](3).toArray
+      val cent = ivf.centroids(cl)
+      assert(res.length == v.length)
+      // float32 narrowing loses at most half an ulp of the double diff
+      v.indices.foreach { i =>
+        val want = v(i).toDouble - (if (i < cent.length) cent(i).toDouble else 0.0)
+        assert(math.abs(res(i) - want) <= math.abs(want) * 1e-6 + 1e-12,
+          s"residual[$i] ${res(i)} vs $want")
+      }
+      var dot = 0.0
+      var i = 0
+      while (i < math.min(v.length, cent.length)) {
+        dot += v(i).toDouble * cent(i).toDouble; i += 1
+      }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(dot),
+        "centroid dot must replay the sequential driver fold bit-for-bit")
+    }
+  }
+
+  test("residual IVF-PQ: disk-served codes index ≡ the in-memory search") {
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val pqr = Ivf.trainPqResidual(emb, "embedding", "vec_id", ivf,
+      m = 8, ksub = 16, iters = 2)
+    val postings = Ivf.assign(emb, "embedding", ivf)
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sim", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val mem = rows(Ivf.searchPqResidual(postings, queries, "embedding",
+      "vec_id", ivf, pqr, k = 5, nprobe = 4, oversample = 4))
+    assert(mem.nonEmpty)
+    val idx = java.nio.file.Files.createTempDirectory("pqr_idx")
+      .resolve("index").toString
+    Ivf.writeIndexPqResidual(postings, "embedding", pqr, ivf, idx)
+    val served = rows(Ivf.searchPqResidualIndex(Ivf.readIndex(spark, idx),
+      emb, queries, "embedding", "vec_id", ivf, pqr, k = 5, nprobe = 4,
+      oversample = 4))
+    assert(served == mem)
+    // the stored index holds m-byte codes, no float vectors
+    val schema = spark.read.parquet(idx).schema
+    assert(schema.fieldNames.contains("codes") &&
+      !schema.fieldNames.contains("embedding"))
+  }
+
+  test("residual IVF-PQ recall anchor: exhaustive probe + shortlist " +
+      "equals brute force") {
+    // the sanity bound that pins the residual scorer end to end: at
+    // nprobe = nlist with an exhaustive shortlist, ONLY the exact
+    // rescore ranks, so recall@5 must be 1.0. (Whether residual codes
+    // BEAT plain codes is corpus-dependent — on this weakly-clustered
+    // synthetic corpus mean x·centroid ≈ 0.27, residual norms exceed
+    // vector norms, and residuals measurably lose; see the
+    // pqr_knob_sweep table in PLANS.md.)
+    val queries = emb.where(col("vec_id") < 10)
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    val postings = Ivf.assign(emb, "embedding", ivf)
+    val truth = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", k = 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head().getDouble(0)
+    val resid = Ivf.trainPqResidual(emb, "embedding", "vec_id", ivf,
+      m = 8, ksub = 16, iters = 3)
+    val anchor = mean(Similarity.recallAtK(truth,
+      Ivf.searchPqResidual(postings, queries, "embedding", "vec_id", ivf,
+        resid, k = 5, nprobe = 8, oversample = 100000), k = 5))
+    assert(anchor == 1.0, s"exhaustive residual search must be exact: $anchor")
+  }
+
+  test("ksub=256 at the same stored bytes dominates ksub=16") {
+    // codes are stored as ONE BYTE per subspace regardless of ksub,
+    // so m=8/ksub=16 wastes half of every stored byte — at the SAME
+    // 8-byte code, ksub=256 must not lose recall (at sf0.1 it moves
+    // 0.32 -> 0.68 at os=4; the sweep table in PLANS.md)
+    val queries = emb.where(col("vec_id") < 10)
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 3)
+    val postings = Ivf.assign(emb, "embedding", ivf)
+    val truth = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", k = 5)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head().getDouble(0)
+    def recallAt(ksub: Int): Double = {
+      val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = ksub,
+        iters = 3)
+      mean(Similarity.recallAtK(truth,
+        Ivf.searchPq(postings, queries, "embedding", "vec_id", ivf, pq,
+          k = 5, nprobe = 4, oversample = 4), k = 5))
+    }
+    val r16 = recallAt(16)
+    val r256 = recallAt(256)
+    assert(r256 >= r16,
+      s"8 bits/subspace must not lose to 4 at the same bytes: $r16 -> $r256")
+  }
+
+  test("codegen and interpreted residual/centroid-dot agree bit-for-bit") {
+    val ivf = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 2)
+    def run() = Ivf.assign(emb, "embedding", ivf).orderBy("vec_id").limit(10)
+      .select(Ivf.residualCol(col("embedding"), col("cluster"), ivf).as("r"),
+        Ivf.centroidDotCol(col("embedding"), col("cluster"), ivf).as("cd"))
+      .collect().map(r => (r.getSeq[Float](0).map(
+        java.lang.Float.floatToIntBits),
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().toSeq == viaCodegen.toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("codegen and interpreted encode/LUT agree bit-for-bit") {
     val model = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
     def run() = emb.orderBy("vec_id").limit(10)

@@ -46,4 +46,41 @@ class StreamingCurationSpec extends SparkTestBase {
       "text", "doc_id", "url", Seq("example.com"), 0.0, idx, out)
     assert(spark.read.parquet(out).count() == got.size.toLong)
   }
+
+  test("watermarked curation quarantines stragglers and curates the rest") {
+    val docs = decorated.withColumn("ts", timestamp_millis(
+      (lit(1700000000L) + col("doc_id") -
+        when(col("doc_id") % 17 === 5, lit(100000L)).otherwise(lit(0L)))
+        * 1000L))
+    val root = java.nio.file.Files.createTempDirectory("swcur")
+    val idx = root.resolve("index").toString
+    val out = root.resolve("kept").toString
+    val late = root.resolve("late").toString
+    val bounds = Seq(0L -> 150L, 150L -> 300L, 300L -> 100000L)
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      StreamingWatermarkedCuration.processBatch(spark,
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        "text", "doc_id", "url", "ts", bl, minQuality = 0.3,
+        delayMillis = 3600L * 1000L, batchId = b.toLong, idx, out, late)
+    }
+    // late = the stragglers in batches >= 1 (batch 0 has no watermark)
+    val wantLate = docs.where(col("doc_id") % 17 === 5 &&
+        col("doc_id") >= 150L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val gotLate = spark.read.parquet(late)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotLate == wantLate)
+    assert(gotLate.nonEmpty, "fixture must actually produce stragglers")
+    // every quarantined row records the watermark that rejected it
+    val wmOk = spark.read.parquet(late)
+      .where(col("event_ms") > col("late_wm_ms")).count()
+    assert(wmOk == 0L)
+    // kept = the batch composition over the ON-TIME corpus
+    val want = batchKept(docs.where(!(col("doc_id") % 17 === 5 &&
+      col("doc_id") >= 150L)))
+    val got = spark.read.parquet(out)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
 }

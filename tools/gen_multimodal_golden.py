@@ -165,6 +165,48 @@ def resized_features(i: int, dw: int = 4, dh: int = 3):
     return [1.0, float(dw), float(dh), 3.0, mean_r, mean_g, mean_b, bright]
 
 
+def phash_rows():
+    """Mirror of Multimodal.imageNearDupPairs over the synthetic image
+    rows plus their 8x6 NN-resized copies (id + 1000): aHash = 8x8
+    integer-NN luma grid (BT.601 integer luma, bit set iff
+    luma*64 >= sum), brute-force Hamming pairs with dist <= 6 — equal
+    to the banded pass by pigeonhole (bands=8 > maxDist=6)."""
+    def ahash(w, h, P):
+        lum = []
+        for y in range(8):
+            for x in range(8):
+                r, g, b = P(y * h // 8, x * w // 8)
+                lum.append((299 * r + 587 * g + 114 * b) // 1000)
+        s = sum(lum)
+        hsh = 0
+        for j, l in enumerate(lum):
+            if l * 64 >= s:
+                hsh |= 1 << j
+        return hsh
+    hashes = {}
+    for i in range(99):
+        if i % 3 != 0:
+            continue
+        w = 2 + i % 6
+        h = 2 + (i * 7) % 5
+        def P(y, x, i=i, w=w):
+            return ((i * 31 + y * w + x) % 256, (i * 17 + x) % 256,
+                    (i * 7 + y) % 256)
+        hashes[i] = ahash(w, h, P)
+        # resized copy (dw=8, dh=6): dest (ry, rx) <- src(ry*h//6, rx*w//8)
+        def P2(ry, rx, P=P, w=w, h=h):
+            return P(ry * h // 6, rx * w // 8)
+        hashes[i + 1000] = ahash(8, 6, P2)
+    ids = sorted(hashes)
+    out = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(hashes[ids[a]] ^ hashes[ids[b]]).count('1')
+            if d <= 6:
+                out.append({'d1': ids[a], 'd2': ids[b], 'dist': d})
+    return out
+
+
 def assert_no_double_rounding():
     from fractions import Fraction
     for b in range(256):
@@ -237,6 +279,16 @@ def main() -> None:
               FROM fr ORDER BY id, "frameIdx")
         TO '{fout}' (FORMAT PARQUET)""")
     print(f'wrote {fout} ({len(frames)} rows)')
+
+    nd = pd.DataFrame(phash_rows())
+    con.register('nd', nd)
+    nout = OUT.parent / 'multimodal_neardup.parquet'
+    con.execute(f'''
+        COPY (SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                     CAST(dist AS INTEGER) AS dist
+              FROM nd ORDER BY d1, d2)
+        TO '{nout}' (FORMAT PARQUET)''')
+    print(f'wrote {nout} ({len(nd)} rows)')
 
 
 if __name__ == '__main__':

@@ -975,7 +975,7 @@ def gen_ann_pq(emb, k=5, m=8, ksub=16, oversample=4):
 
 
 def gen_ivf_pq(emb, k=5, nlist=16, iters=3, nprobe=4, m=8, ksub=16,
-               oversample=4):
+               oversample=4, out="ivf_topk_pq"):
     """Mirror of Ivf.searchPq: flat IVF clusters bound the candidate
     set, ADC over PQ codes ranks it, exact cosine rescores the
     oversampled survivors."""
@@ -1005,7 +1005,51 @@ def gen_ivf_pq(emb, k=5, nlist=16, iters=3, nprobe=4, m=8, ksub=16,
         cands[q] = {n: cosine_sim_d(vec[n], vec[q])
                     for _, n in scored[:k * oversample]}
     rows = rank_topk(cands, k)
-    write("ivf_topk_pq",
+    write(out,
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def gen_ivf_pqr(emb, k=5, nlist=16, iters=3, nprobe=4, m=8, ksub=16,
+                oversample=4):
+    """Mirror of Ivf.searchPqResidual (IVF-ADC): PQ codebooks fit on
+    RESIDUALS to the assigned coarse centroid (exact double subtract
+    then f32 narrow, component-wise — the Scala kernel's rounding),
+    ADC score = dot(q, centroid(cell)) + sum of residual-LUT entries,
+    exact cosine rescore on the oversampled survivors."""
+    cents = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(cents, v, 1)[0] for i, v in emb}
+    resid = [(i, [f32(float(v[j]) - (float(cents[assign[i]][j])
+                                     if j < len(cents[assign[i]]) else 0.0))
+                  for j in range(len(v))])
+             for i, v in emb]
+    dsub, books = pq_fit(resid, m=m, ksub=ksub, iters=iters)
+    rvec = dict(resid)
+    codes = {i: pq_encode(r, dsub, books) for i, r in resid}
+    vec = dict(emb)
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        lut = pq_lut(vec[q], dsub, books)
+        seen = set()
+        scored = []
+        for cl in ivf_nearest(cents, vec[q], nprobe):
+            cdot = dot_d(vec[q], cents[cl])
+            for n in postings.get(cl, []):
+                if n != q and n not in seen:
+                    seen.add(n)
+                    s = 0.0
+                    for j in range(m):
+                        s += lut[j * ksub + codes[n][j]]
+                    scored.append((cdot + s, n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q])
+                    for _, n in scored[:k * oversample]}
+    rows = rank_topk(cands, k)
+    write("ivf_topk_pqr",
           pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
@@ -1806,7 +1850,9 @@ def main():
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "mmr_topk",
+              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
+              "ivf_topk_pq256",
+              "mmr_topk",
               "corpus_cluster_sample"):
         if want(n):
             emb = emb or load_embeddings()
@@ -1818,6 +1864,10 @@ def main():
         gen_ann_pq(emb)
     if want("ivf_topk_pq"):
         gen_ivf_pq(emb)
+    if want("ivf_topk_pqr"):
+        gen_ivf_pqr(emb)
+    if want("ivf_topk_pq256"):
+        gen_ivf_pq(emb, ksub=256, out="ivf_topk_pq256")
     if want("semdedup"):
         gen_semdedup(emb)
     if want("corpus_cluster_sample"):
