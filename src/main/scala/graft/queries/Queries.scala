@@ -2450,6 +2450,104 @@ object Queries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // similarity search over DECODED multimodal features — the ANN
+    // surface applied to the media table: decode → featurize → exact
+    // cosine top-k; the oracle replays the brute force over the
+    // bit-exact features golden
+    "multimodal_topk" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+      val feats = graft.pipeline.Multimodal.extractFeatures(media,
+          featDim = 8)
+        .select(col("id"), col("features"))
+      graft.pipeline.Similarity.bruteForceTopK(feats,
+          feats.where(col("id") < 6), "features", "id", k = 5)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // persisted perceptual-hash index lifecycle (the multimodal entry
+    // in the persisted-index family): build on a third of the image
+    // corpus, probe+append the next, compact, probe the last — the
+    // union of pair sets must equal the one-shot banded pass (the
+    // multimodal_neardup golden verbatim)
+    "phash_index_incremental" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val path = java.nio.file.Files.createTempDirectory("phash_idx")
+        .resolve("index").toString
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+        path, maxDist = 6)
+      val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
+        "id", maxDist = 6)
+      graft.pipeline.PHashIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.PHashIndex.probe(s, path, c, "bytes", "id",
+        maxDist = 6)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // DELETION for the multimodal dedup state: decoys = verbatim
+    // copies of the last increment's images (Hamming distance 0 with
+    // their originals — any band row surviving deletion emits loud
+    // decoy pairs); lifecycle must replay the decoy-free golden
+    "phash_index_deleted" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val path = java.nio.file.Files.createTempDirectory("phash_del")
+        .resolve("index").toString
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val decoys = c.select((col("id") + 7000000L).as("id"), col("kind"),
+        col("bytes"), col("width"), col("height"), col("durationMs"))
+      graft.pipeline.PHashIndex.writeIndex(s, a.unionByName(decoys),
+        "bytes", "id", path)
+      graft.pipeline.PHashIndex.deleteDocs(s, path, decoys.select(col("id")))
+      val p0 = graft.pipeline.PHashIndex.probe(s, path, a, "bytes", "id",
+        maxDist = 6)
+      val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
+        "id", maxDist = 6)
+      graft.pipeline.PHashIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.PHashIndex.probe(s, path, c, "bytes", "id",
+        maxDist = 6)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // perceptual dedup ON INGEST, riding the persisted PHashIndex:
+    // kept ⇔ the image is nobody's LATER near-dup over the one-shot
+    // banded pass (relational drop rule ⇒ batch-boundary-independent)
+    "stream_image_dedup" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val root = java.nio.file.Files.createTempDirectory("graft_simg_q")
+      val src = root.resolve("media").toString
+      corpus.write.parquet(src)
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingImageDedup.ingest(s, src, idx, out,
+        maxDist = 6, nBatches = 3, compactEvery = 2)
+      s.read.parquet(out).select(col("doc").as("id")).orderBy(col("id"))
+    }),
+
     "multimodal_resize" -> ((s, d) => {
       // thumbnail step: NN-resize every image row to 4x3 (lossless PPM
       // out), then featurize — means are exactly predictable from the
@@ -3771,6 +3869,33 @@ object Queries {
 
     "multimodal_neardup" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
+    "multimodal_topk" ->
+      s"""WITH f AS (SELECT id, [f0, f1, f2, f3, f4, f5, f6, f7] AS v
+         |    FROM '$goldenDir/multimodal_features.parquet'),
+         |p AS (SELECT q.id AS qid, e.id AS nid,
+         |    ${cosSql("e.v", "q.v")} AS sim
+         |  FROM f q, f e WHERE q.id < 6 AND e.id <> q.id)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "phash_index_incremental" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
+    "phash_index_deleted" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
+    // the image corpus is synthetic: ids 3i and 3i+1000 for i<33;
+    // kept = not a later near-dup side over the one-shot pass
+    "stream_image_dedup" ->
+      s"""WITH ids AS (SELECT 3 * i AS id FROM range(33) t(i)
+         |  UNION ALL SELECT 3 * i + 1000 FROM range(33) t(i))
+         |SELECT id FROM ids
+         |WHERE id NOT IN (SELECT d2 FROM '$goldenDir/multimodal_neardup.parquet')
+         |ORDER BY id""".stripMargin,
 
     "multimodal_resize" ->
       s"""SELECT id, f0, f1, f2, f3, f4, f5, f6, f7

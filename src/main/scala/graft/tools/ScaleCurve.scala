@@ -884,6 +884,35 @@ object ScaleCurve {
         f"resid=$aR%.3f (both must be 1.0)")
     }
 
+    // ---- r10: perceptual-hash index probe vs index growth — the
+    // incremental-dedup claim for the multimodal layout: a FIXED
+    // 100-image increment probed against a growing band index must
+    // stay ~flat (cell pruning + per-cell key In pushdown)
+    if (want("r10img")) {
+      import graft.pipeline.{Multimodal, PHashIndex}
+      val inc = Multimodal.synthetic(spark, 300)
+        .where(col("kind") === "image").limit(100)
+        .select((col("id") + 10_000_000L).as("id"), col("kind"),
+          col("bytes"), col("width"), col("height"), col("durationMs"))
+        .localCheckpoint(true)
+      val pts = mults.map { m =>
+        val corpus = Multimodal.synthetic(spark, 3000 * m)
+          .where(col("kind") === "image")
+        val idx = s"target/tmp/scale_curve/phash_idx_x$m"
+        PHashIndex.writeIndex(spark, corpus, "bytes", "id", idx)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = PHashIndex.probe(spark, idx, inc, "bytes", "id",
+          maxDist = 6).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"${"phash_probe"}%-16s ${"-"}%8s $m%5d $sec%8.2f $rows%8d")
+        (m, sec)
+      }
+      val k = math.log(pts.last._2 / pts.head._2) /
+        math.log(pts.last._1.toDouble / pts.head._1)
+      println(f"${"phash_probe"}%-16s exponent k=$k%.2f")
+    }
+
     // ---- streaming index ingest: corpus grows, batch COUNT fixed ----
     // The claim behind StreamingBm25/StreamingIvf: per-batch cost
     // follows the batch (each append explodes/assigns only its
