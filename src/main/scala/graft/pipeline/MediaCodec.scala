@@ -379,6 +379,110 @@ object MediaCodec {
       case None => null
     }
 
+  /** Raw 16-bit PCM sample sequence of a WAV container (the
+    * [[decodeWav]] header walk, payload returned instead of folded);
+    * None for anything that isn't plain 16-bit PCM WAV.
+    */
+  def wavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+      b(10) != 'V' || b(11) != 'E') return None
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size.toLong > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          if (le16(b, pos + 8) != 1) return None // PCM only
+          channels = le16(b, pos + 10)
+          sampleRate = le32(b, pos + 12)
+          blockAlign = le16(b, pos + 20)
+          bits = le16(b, pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (dataOff < 0 || sampleRate <= 0 || channels <= 0 || bits != 16 ||
+      blockAlign != channels * 2) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = le16(b, dataOff + i * 2).toShort; i += 1 }
+    Some(out)
+  }
+
+  /** 64-bit perceptual AUDIO hash — the energy-delta fingerprint
+    * (the Haitsma–Kalker 2002 "A Highly Robust Audio Fingerprint"
+    * design reduced to one band: the hash bit is the SIGN of the
+    * energy difference between adjacent time windows, which survives
+    * volume changes exactly — scaling every sample scales every
+    * window energy by the same factor and flips no comparison).
+    * Integer-exact and oracle-replayable:
+    *  - the sample sequence splits into 65 contiguous windows with
+    *    integer bounds w·n/65;
+    *  - energy(w) = Σ |sample| (a Long — exact; documented bound:
+    *    n < ~3·10⁷ samples keeps the cross-multiplied comparison in
+    *    64 bits);
+    *  - bit w set iff energy(w+1)·len(w) > energy(w)·len(w+1) (the
+    *    exact integer form of "mean energy rises").
+    * None for non-PCM-WAV bytes or clips shorter than 65 samples
+    * (no stable fingerprint).
+    */
+  def audioHash(b: Array[Byte]): Option[Long] =
+    wavSamples(b).filter(_.length >= 65).map { ss =>
+      val n = ss.length
+      val bounds = Array.tabulate(66)(w => w * n / 65)
+      val e = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        var s = 0L
+        var i = bounds(w)
+        while (i < bounds(w + 1)) { s += math.abs(ss(i).toLong); i += 1 }
+        e(w) = s
+        w += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < 64) {
+        val lenJ = (bounds(j + 1) - bounds(j)).toLong
+        val lenJ1 = (bounds(j + 2) - bounds(j + 1)).toLong
+        if (e(j + 1) * lenJ > e(j) * lenJ1) hash |= 1L << j
+        j += 1
+      }
+      hash
+    }
+
+  /** [[audioHash]] boxed for generated code: null = not hashable. */
+  def audioHashBoxed(b: Array[Byte]): java.lang.Long =
+    audioHash(b) match {
+      case Some(h) => java.lang.Long.valueOf(h)
+      case None => null
+    }
+
+  /** Volume-attenuated copy of a PCM WAV (every sample integer-divided
+    * by `div`, truncation toward zero — replayable in any engine),
+    * re-encoded mono-layout-preserving via [[encodeWav]]. Test/fixture
+    * helper for the audio near-dup family: attenuation preserves the
+    * energy-delta sign pattern exactly, so the copy is a distance-0
+    * perceptual near-dup.
+    */
+  def attenuateWav(b: Array[Byte], div: Int): Option[Array[Byte]] =
+    for {
+      ss <- wavSamples(b)
+      st <- decodeWav(b)
+    } yield encodeWav(ss.map(s => (s / div).toShort), st.sampleRate,
+      st.channels)
+
   // --------------------------------- JDK javax.sound (AIFF/AU/WAV) --
   /** AIFF and AU (and any other format the JDK's sampled-audio SPI
     * parses) via `javax.sound.sampled.AudioSystem` — java.desktop

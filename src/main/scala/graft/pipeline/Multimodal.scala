@@ -167,16 +167,32 @@ object Multimodal {
     */
   def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
                         maxDist: Int = 6, bands: Int = 8,
-                        dHash: Boolean = false): DataFrame = {
+                        dHash: Boolean = false): DataFrame =
+    hammingPairs(df.select(col(idCol).as("doc"),
+      imagePHash(col(bytesCol), dHash).as("ph")), maxDist, bands)
+
+  /** Perceptual near-dup pairs over an AUDIO bytes column — the same
+    * banded Hamming pass over [[MediaCodec.audioHash]] energy-delta
+    * fingerprints (volume-invariant by construction: attenuation
+    * scales every window energy equally and flips no sign).
+    */
+  def audioNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxDist: Int = 6, bands: Int = 8): DataFrame =
+    hammingPairs(df.select(col(idCol).as("doc"),
+      audioPHash(col(bytesCol)).as("ph")), maxDist, bands)
+
+  /** The shared banded Hamming pass over any (doc, ph BIGINT) frame:
+    * lossless by pigeonhole for maxDist < bands.
+    */
+  private def hammingPairs(sig0: DataFrame, maxDist: Int,
+                           bands: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     require(bands > maxDist,
       s"banded blocking is only lossless for maxDist < bands " +
         s"(pigeonhole); got maxDist=$maxDist bands=$bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sig = df.select(col(idCol).as("doc"),
-        imagePHash(col(bytesCol), dHash).as("ph"))
-      .where(col("ph").isNotNull)
+    val sig = sig0.where(col("ph").isNotNull)
     val banded = sig.select(col("doc"), col("ph"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("ph"), b * width).bitwiseAND(lit(mask))): _*)))
@@ -188,6 +204,31 @@ object Multimodal {
         bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("dist"))
       .dropDuplicates("d1", "d2")
       .where(col("dist") <= maxDist)
+  }
+
+  /** 64-bit perceptual AUDIO hash column ([[MediaCodec.audioHash]] —
+    * codegen'd; NULL for non-PCM-WAV or too-short clips).
+    */
+  def audioPHash(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.column(AudioPHash(
+      graft.functions.ColumnBridge.expression(bytes)))
+
+  /** Volume-attenuation transform for audio rows (every sample
+    * integer-divided by `div`), partition-local like
+    * [[resizeImages]]; rows whose bytes aren't PCM WAV pass through
+    * untouched. Fixture/normalization helper for the audio near-dup
+    * family.
+    */
+  def attenuateAudio(df: DataFrame, div: Int): DataFrame = {
+    val bi = df.schema.fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.attenuateWav(r.getAs[Array[Byte]](bi), div) match {
+          case Some(a) => Row.fromSeq(r.toSeq.updated(bi, a))
+          case None => r
+        }
+      }
+    }(Encoders.row(df.schema))
   }
 
   /** Deterministic synthetic media table for tests/demo: REAL
@@ -284,5 +325,44 @@ case class ImagePHash(child: org.apache.spark.sql.catalyst.expressions.Expressio
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): ImagePHash =
+    copy(child = c)
+}
+
+
+/** 64-bit perceptual audio hash (energy-delta fingerprint) as a
+  * codegen'd Catalyst expression over BINARY — the kernel is
+  * [[MediaCodec.audioHash]]; NULL for non-PCM-WAV bytes or clips too
+  * short to fingerprint.
+  */
+case class AudioPHash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_phash"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaCodec.audioHashBoxed(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.freshName("aph")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long $ph = graft.pipeline.MediaCodec.audioHashBoxed($a);
+      if ($ph == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $ph.longValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): AudioPHash =
     copy(child = c)
 }

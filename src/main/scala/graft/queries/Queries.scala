@@ -2466,6 +2466,23 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // AUDIO perceptual near-dup — the energy-delta fingerprint
+    // (volume-invariant by construction: the fixture's copies are
+    // volume-halved, distance 0 with their originals); same banded
+    // Hamming machinery as the image pass, golden from the mirror's
+    // brute force
+    "multimodal_audio_neardup" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "audio")
+      val copies = graft.pipeline.Multimodal.attenuateAudio(media, 2)
+        .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+          col("width"), col("height"), col("durationMs"))
+      graft.pipeline.Multimodal.audioNearDupPairs(
+          media.unionByName(copies), "bytes", "id", maxDist = 6, bands = 8)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // persisted perceptual-hash index lifecycle (the multimodal entry
     // in the persisted-index family): build on a third of the image
     // corpus, probe+append the next, compact, probe the last — the
@@ -3881,6 +3898,9 @@ object Queries {
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
          |  FROM p) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "multimodal_audio_neardup" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_audio_neardup.parquet' ORDER BY d1, d2",
 
     "phash_index_incremental" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",

@@ -69,4 +69,52 @@ class MultimodalNearDupSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("audio hash: volume-invariant, banded equals brute force, " +
+      "total on garbage") {
+    val media = Multimodal.synthetic(spark, 99)
+      .where(col("kind") === "audio")
+    val copies = Multimodal.attenuateAudio(media, 2)
+      .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+        col("width"), col("height"), col("durationMs"))
+    val corpus = media.unionByName(copies)
+    // volume invariance: every attenuated copy is a distance-0 pair
+    val got = Multimodal.audioNearDupPairs(corpus, "bytes", "id",
+        maxDist = 6, bands = 8)
+      .select("d1", "d2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val origIds = media.select("id").collect().map(_.getLong(0))
+    origIds.foreach { id =>
+      assert(got.contains((id, id + 1000L, 0)),
+        s"volume-halved copy of $id must hash identically")
+    }
+    // banded ≡ brute force
+    val hs = corpus.select(col("id"),
+        Multimodal.audioPHash(col("bytes")).as("ph"))
+      .where(col("ph").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = for {
+      a <- hs.indices
+      b <- (a + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 6
+    } yield (hs(a)._1, hs(b)._1, d)
+    assert(got == brute.sortBy(p => (p._1, p._2)))
+    // total on garbage / non-audio
+    assert(MediaCodec.audioHash("not a wav".getBytes).isEmpty)
+    assert(MediaCodec.audioHash(null).isEmpty)
+    assert(MediaCodec.audioHash(
+      MediaCodec.encodeWav(Array.fill[Short](10)(5), 8000)).isEmpty,
+      "clips under 65 samples have no stable fingerprint")
+    // deeper attenuation still hashes identically (sign pattern only)
+    val h1 = MediaCodec.audioHash(
+      MediaCodec.encodeWav(Array.tabulate[Short](200)(j =>
+        (((j * 997) % 2048 - 1024) * 16).toShort), 8000)).get
+    val h8 = MediaCodec.audioHash(MediaCodec.attenuateWav(
+      MediaCodec.encodeWav(Array.tabulate[Short](200)(j =>
+        (((j * 997) % 2048 - 1024) * 16).toShort), 8000), 8).get).get
+    assert(h1 == h8)
+  }
+
 }

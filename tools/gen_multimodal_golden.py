@@ -207,6 +207,49 @@ def phash_rows():
     return out
 
 
+def audio_phash_rows():
+    """Mirror of Multimodal.audioNearDupPairs over the synthetic audio
+    rows plus their volume-halved copies (id + 1000): energy-delta
+    fingerprint (65 integer-bound windows, energy = sum |sample|, bit
+    set iff e(w+1)*len(w) > e(w)*len(w+1)), brute-force Hamming pairs
+    with dist <= 6 — equal to the banded pass by pigeonhole."""
+    def samples(i):
+        nsamp = 160 + (i % 5) * 80
+        return [((i * 31 + j * 997) % 2048 - 1024) * 16
+                for j in range(nsamp)]
+
+    def ahash(ss):
+        n = len(ss)
+        if n < 65:
+            return None
+        bounds = [w * n // 65 for w in range(66)]
+        e = [sum(abs(s) for s in ss[bounds[w]:bounds[w + 1]])
+             for w in range(65)]
+        ln = [bounds[w + 1] - bounds[w] for w in range(65)]
+        h = 0
+        for w in range(64):
+            if e[w + 1] * ln[w] > e[w] * ln[w + 1]:
+                h |= 1 << w
+        return h
+
+    hashes = {}
+    for i in range(99):
+        if i % 3 != 1:
+            continue
+        ss = samples(i)
+        hashes[i] = ahash(ss)
+        # int(s/2): truncation toward zero, the Scala (s / div).toShort
+        hashes[i + 1000] = ahash([int(s / 2) for s in ss])
+    ids = sorted(k for k, v in hashes.items() if v is not None)
+    out = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(hashes[ids[a]] ^ hashes[ids[b]]).count('1')
+            if d <= 6:
+                out.append({'d1': ids[a], 'd2': ids[b], 'dist': d})
+    return out
+
+
 def assert_no_double_rounding():
     from fractions import Fraction
     for b in range(256):
@@ -289,6 +332,16 @@ def main() -> None:
               FROM nd ORDER BY d1, d2)
         TO '{nout}' (FORMAT PARQUET)''')
     print(f'wrote {nout} ({len(nd)} rows)')
+
+    an = pd.DataFrame(audio_phash_rows())
+    con.register('an', an)
+    aout = OUT.parent / 'multimodal_audio_neardup.parquet'
+    con.execute(f'''
+        COPY (SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                     CAST(dist AS INTEGER) AS dist
+              FROM an ORDER BY d1, d2)
+        TO '{aout}' (FORMAT PARQUET)''')
+    print(f'wrote {aout} ({len(an)} rows)')
 
 
 if __name__ == '__main__':
