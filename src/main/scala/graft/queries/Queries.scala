@@ -3587,6 +3587,38 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the paired APPEND through the one hybrid entry point: build on
+    // the low half, append the high half (ledger-guarded exactly-once
+    // per side — a replayed batchId is a no-op), compact both sides,
+    // serve — ≡ the one-shot build, so the hybrid_topk golden pins the
+    // whole grown-pair lifecycle
+    "hybrid_topk_appended" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("hybrid_app")
+        .resolve("index").toString
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.pipeline.Hybrid.writeIndex(s,
+        docs.where(col("doc_id") <= mid), "text", "doc_id",
+        emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, root)
+      def appendHigh(): Unit = graft.pipeline.Hybrid.appendDocs(s, root,
+        docs.where(col("doc_id") > mid), "text", "doc_id",
+        emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
+        batchId = 0L)
+      appendHigh()
+      appendHigh() // replayed delivery: ledger-guarded no-op
+      graft.pipeline.Hybrid.compactIndex(s, root)
+      graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "hybrid_recall" -> ((s, d) => {
       // the recall harness pointed at the RRF hybrid retriever: how
       // much of the true semantic top-5 (brute-force cosine) does the
@@ -4111,6 +4143,9 @@ object Queries {
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     "hybrid_topk_deleted" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    "hybrid_topk_appended" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     // the disk-served hybrid (persisted BM25 + exhaustively-probed

@@ -99,4 +99,97 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("imageHash is container-invariant over random pixel grids") {
+    val rnd = new Random(0xA11A)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.tabulate(h, w)((_, _) =>
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      // lossless containers of the same pixels must hash identically
+      val viaBmp = MediaCodec.imageHash(MediaCodec.encodeBmp(px))
+      val viaPpm = MediaCodec.imageHash(MediaCodec.encodePpm(px))
+      val viaPng = MediaCodec.imageHash(MediaCodec.encodePng(px))
+      assert(viaBmp.isDefined && viaBmp == viaPpm && viaBmp == viaPng,
+        s"w=$w h=$h")
+      val dBmp = MediaCodec.imageHash(MediaCodec.encodeBmp(px), dHash = true)
+      val dPpm = MediaCodec.imageHash(MediaCodec.encodePpm(px), dHash = true)
+      assert(dBmp == dPpm)
+    }
+  }
+
+  test("audioHash is exactly volume-invariant when attenuation divides " +
+      "every sample") {
+    val rnd = new Random(0xB00B)
+    (1 to 300).foreach { _ =>
+      val n = 65 + rnd.nextInt(1000)
+      // samples are multiples of 16 so /2, /4, /8, /16 divide exactly
+      val ss = Array.tabulate[Short](n)(_ =>
+        ((rnd.nextInt(4096) - 2048) * 16).toShort)
+      val wav = MediaCodec.encodeWav(ss, 8000)
+      val h = MediaCodec.audioHash(wav)
+      assert(h.isDefined)
+      Seq(2, 4, 8, 16).foreach { div =>
+        val att = MediaCodec.attenuateWav(wav, div).get
+        assert(MediaCodec.audioHash(att) == h, s"n=$n div=$div")
+      }
+    }
+  }
+
+  test("banded Hamming blocking is lossless under pigeonhole " +
+      "(random hashes, every bands/maxDist combo)") {
+    val rnd = new Random(0xD00D)
+    // the claim behind imageNearDupPairs/audioNearDupPairs/PHashIndex:
+    // for ANY two 64-bit values within maxDist < bands, at least one
+    // of the `bands` contiguous chunks is untouched — verified here
+    // directly on the chunk decomposition the operators use
+    for (bands <- Seq(4, 8, 16); _ <- 1 to 500) {
+      val width = 64 / bands
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      val maxDist = bands - 1
+      val a = rnd.nextLong()
+      // flip up to maxDist random bits
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(maxDist + 1))
+      val b = flips.foldLeft(a)((v, bit) => v ^ (1L << bit))
+      val shared = (0 until bands).exists(k =>
+        ((a >>> (k * width)) & mask) == ((b >>> (k * width)) & mask))
+      assert(shared,
+        s"bands=$bands flipped=${flips.size}: no shared chunk")
+    }
+  }
+
+  test("IVF residual + assigned centroid reconstructs within one " +
+      "float32 ulp per component (random vectors)") {
+    val rnd = new Random(0xE55E)
+    val dim = 16
+    val sample = Array.tabulate(64)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val model = Ivf.trainFromSample(sample, nlist = 4, iters = 2)
+    (1 to 500).foreach { _ =>
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val c = model.centroids(model.nearestDescend(v, 1)(0))
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val cl = model.nearestDescend(v, 1)(0)
+      val r = model.residualData(arr, true, cl).toFloatArray()
+      v.indices.foreach { i =>
+        val back = r(i).toDouble + (if (i < c.length) c(i).toDouble else 0.0)
+        // the only rounding is the residual's f32 narrowing — error is
+        // bounded by half an ulp OF THE RESIDUAL (which can exceed the
+        // vector's own ulp when the residual is the larger magnitude)
+        assert(math.abs(back - v(i)) <= 0.5 * math.ulp(r(i)).toDouble,
+          s"component $i: $back vs ${v(i)} (residual ${r(i)})")
+      }
+      // and the centroid dot replays the sequential fold exactly
+      var want = 0.0
+      var i = 0
+      while (i < math.min(dim, c.length)) {
+        want += v(i).toDouble * c(i).toDouble; i += 1
+      }
+      assert(java.lang.Double.doubleToLongBits(
+        model.centroidDotData(arr, true, cl)) ==
+        java.lang.Double.doubleToLongBits(want))
+    }
+  }
+
 }
