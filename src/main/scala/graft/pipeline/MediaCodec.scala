@@ -469,6 +469,78 @@ object MediaCodec {
       case None => null
     }
 
+  /** 64-bit perceptual VIDEO hash — the keyframe-thumbnail
+    * fingerprint (the standard public approach to video near-dup:
+    * sample a keyframe and perceptual-hash it): the FIRST frame's Y
+    * plane downsamples to an 8×8 grid with the [[imageHash]] integer
+    * NN mapping, bit set iff luma·64 ≥ Σ (the exact integer
+    * above-the-mean form). Container metadata (fps, aspect,
+    * interlacing) never reaches the hash, so a re-timed or re-tagged
+    * copy of the same content is Hamming distance 0 — exactly the
+    * near-dup a crawled video corpus is full of. None for non-Y4M
+    * bytes (codec-requiring containers fall to the documented stub
+    * boundary, like every decoder here).
+    */
+  def videoHash(b: Array[Byte]): Option[Long] =
+    parseY4mHead(b).flatMap { hd =>
+      var first = -1
+      val n = walkY4mFrames(b, hd, 1) { (idx, dataStart) =>
+        if (idx == 0L) first = dataStart
+      }
+      if (n <= 0 || first < 0) None
+      else {
+        val w = hd.w
+        val h = hd.h
+        val luma = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            luma(y * 8 + x) = b(first + (y * h / 8) * w + (x * w / 8)) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += luma(i); i += 1 }
+        var hash = 0L
+        var j = 0
+        while (j < 64) {
+          if (luma(j).toLong * 64L >= sum) hash |= 1L << j
+          j += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** [[videoHash]] boxed for generated code: null = not hashable. */
+  def videoHashBoxed(b: Array[Byte]): java.lang.Long =
+    videoHash(b) match {
+      case Some(h) => java.lang.Long.valueOf(h)
+      case None => null
+    }
+
+  /** Copy of a Y4M container with the frame rate re-tagged (header
+    * `F<num>:<den>` token replaced; frame data untouched) — the
+    * metadata-variant fixture for the video near-dup family: same
+    * content, different container parameters.
+    */
+  def y4mWithFps(b: Array[Byte], num: Int, den: Int): Option[Array[Byte]] = {
+    val headEnd = b.indexOf('\n'.toByte)
+    if (headEnd < 0 || b.length < 9 ||
+      new String(b, 0, 9, "US-ASCII") != "YUV4MPEG2") return None
+    val head = new String(b, 0, headEnd, "US-ASCII")
+    val toks = head.split(' ').map(t =>
+      if (t.startsWith("F") && t.contains(':')) s"F$num:$den" else t)
+    val newHead = (toks.mkString(" ") + "\n").getBytes("US-ASCII")
+    val out = new Array[Byte](newHead.length + (b.length - headEnd - 1))
+    System.arraycopy(newHead, 0, out, 0, newHead.length)
+    System.arraycopy(b, headEnd + 1, out, newHead.length,
+      b.length - headEnd - 1)
+    Some(out)
+  }
+
   /** Volume-attenuated copy of a PCM WAV (every sample integer-divided
     * by `div`, truncation toward zero — replayable in any engine),
     * re-encoded mono-layout-preserving via [[encodeWav]]. Test/fixture

@@ -181,6 +181,38 @@ object Multimodal {
     hammingPairs(df.select(col(idCol).as("doc"),
       audioPHash(col(bytesCol)).as("ph")), maxDist, bands)
 
+  /** Perceptual near-dup pairs over a VIDEO bytes column — the
+    * keyframe-thumbnail fingerprint ([[MediaCodec.videoHash]]:
+    * first-frame Y-plane aHash, container-metadata-invariant) through
+    * the same banded Hamming pass.
+    */
+  def videoNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxDist: Int = 6, bands: Int = 8): DataFrame =
+    hammingPairs(df.select(col(idCol).as("doc"),
+      videoPHash(col(bytesCol)).as("ph")), maxDist, bands)
+
+  /** 64-bit perceptual VIDEO hash column ([[MediaCodec.videoHash]] —
+    * codegen'd; NULL for non-Y4M bytes).
+    */
+  def videoPHash(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ColumnBridge.column(VideoPHash(
+      graft.functions.ColumnBridge.expression(bytes)))
+
+  /** Frame-rate re-tag transform for Y4M video rows (header token
+    * only, frame data untouched); non-Y4M rows pass through.
+    */
+  def retagFps(df: DataFrame, num: Int, den: Int): DataFrame = {
+    val bi = df.schema.fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.y4mWithFps(r.getAs[Array[Byte]](bi), num, den) match {
+          case Some(v) => Row.fromSeq(r.toSeq.updated(bi, v))
+          case None => r
+        }
+      }
+    }(Encoders.row(df.schema))
+  }
+
   /** The shared banded Hamming pass over any (doc, ph BIGINT) frame:
     * lossless by pigeonhole for maxDist < bands.
     */
@@ -364,5 +396,43 @@ case class AudioPHash(child: org.apache.spark.sql.catalyst.expressions.Expressio
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): AudioPHash =
+    copy(child = c)
+}
+
+
+/** 64-bit perceptual video hash (first-keyframe thumbnail aHash) as
+  * a codegen'd Catalyst expression over BINARY — the kernel is
+  * [[MediaCodec.videoHash]]; NULL for non-Y4M bytes.
+  */
+case class VideoPHash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_phash"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaCodec.videoHashBoxed(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.freshName("vph")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long $ph = graft.pipeline.MediaCodec.videoHashBoxed($a);
+      if ($ph == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $ph.longValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): VideoPHash =
     copy(child = c)
 }

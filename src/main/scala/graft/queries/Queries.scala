@@ -2483,6 +2483,24 @@ object Queries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // VIDEO perceptual near-dup — the keyframe-thumbnail fingerprint
+    // (first-frame Y-plane aHash, container-metadata-invariant: the
+    // fixture's copies are fps-retagged, frame bytes untouched, so
+    // every copy is a distance-0 pair); opaque-blob video rows hash
+    // NULL and drop out (the total-parser contract). Dedup now spans
+    // all five modalities: text, embeddings, images, audio, video
+    "multimodal_video_neardup" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "video")
+      val copies = graft.pipeline.Multimodal.retagFps(media, 60, 1)
+        .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+          col("width"), col("height"), col("durationMs"))
+      graft.pipeline.Multimodal.videoNearDupPairs(
+          media.unionByName(copies), "bytes", "id", maxDist = 6, bands = 8)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // persisted perceptual-hash index lifecycle (the multimodal entry
     // in the persisted-index family): build on a third of the image
     // corpus, probe+append the next, compact, probe the last — the
@@ -3933,6 +3951,9 @@ object Queries {
 
     "multimodal_audio_neardup" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_audio_neardup.parquet' ORDER BY d1, d2",
+
+    "multimodal_video_neardup" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_video_neardup.parquet' ORDER BY d1, d2",
 
     "phash_index_incremental" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",

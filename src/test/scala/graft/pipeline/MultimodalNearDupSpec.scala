@@ -117,4 +117,52 @@ class MultimodalNearDupSpec extends SparkTestBase {
     assert(h1 == h8)
   }
 
+
+  test("video hash: fps-retag invariant, banded equals brute force, " +
+      "blob rows drop out") {
+    val media = Multimodal.synthetic(spark, 99)
+      .where(col("kind") === "video")
+    val copies = Multimodal.retagFps(media, 60, 1)
+      .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+        col("width"), col("height"), col("durationMs"))
+    val corpus = media.unionByName(copies)
+    val got = Multimodal.videoNearDupPairs(corpus, "bytes", "id",
+        maxDist = 6, bands = 8)
+      .select("d1", "d2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    // every Y4M row's retagged copy is a distance-0 pair; blob rows
+    // (codec-requiring containers) hash NULL and appear in no pair
+    val y4mIds = corpus.select(col("id"),
+        Multimodal.videoPHash(col("bytes")).as("ph"))
+      .where(col("ph").isNotNull)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(y4mIds.nonEmpty && y4mIds.size < corpus.count())
+    y4mIds.filter(_ < 1000L).foreach { id =>
+      assert(got.contains((id, id + 1000L, 0)),
+        s"fps-retagged copy of $id must hash identically")
+    }
+    assert(got.forall(p => y4mIds(p._1) && y4mIds(p._2)))
+    // banded ≡ brute force
+    val hs = corpus.select(col("id"),
+        Multimodal.videoPHash(col("bytes")).as("ph"))
+      .where(col("ph").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = for {
+      a <- hs.indices
+      b <- (a + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 6
+    } yield (hs(a)._1, hs(b)._1, d)
+    assert(got == brute.sortBy(p => (p._1, p._2)))
+    // retag really changed the container (not a byte-identical copy)
+    val origFps = media.limit(1).select("bytes").collect()(0)
+      .getAs[Array[Byte]](0)
+    MediaCodec.decodeY4m(origFps).foreach { st =>
+      val re = MediaCodec.y4mWithFps(origFps, 60, 1).get
+      assert(MediaCodec.decodeY4m(re).get.fpsNum == 60)
+      assert(st.lumaMean == MediaCodec.decodeY4m(re).get.lumaMean)
+    }
+  }
+
 }

@@ -250,6 +250,46 @@ def audio_phash_rows():
     return out
 
 
+def video_phash_rows():
+    """Mirror of Multimodal.videoNearDupPairs over the synthetic Y4M
+    video rows plus their fps-retagged copies (id + 1000): first-frame
+    Y-plane aHash (8x8 integer-NN grid, bit set iff luma*64 >= sum),
+    brute-force Hamming pairs with dist <= 6. Opaque-blob video rows
+    hash to None and drop out; retagging changes no frame bytes, so
+    every copy is a distance-0 pair."""
+    def vhash(i):
+        if (i // 3) % 2 != 0:
+            return None  # opaque blob row: not Y4M
+        v = i // 3
+        w = 4 + 2 * (v % 3)
+        h = 4 + 2 * ((v * 5) % 3)
+        lum = [((i * 31 + ((y * h // 8) * w + (x * w // 8)) * 13) % 256)
+               for y in range(8) for x in range(8)]
+        sm = sum(lum)
+        hsh = 0
+        for j, l in enumerate(lum):
+            if l * 64 >= sm:
+                hsh |= 1 << j
+        return hsh
+
+    hashes = {}
+    for i in range(99):
+        if i % 3 != 2:
+            continue
+        hv = vhash(i)
+        if hv is not None:
+            hashes[i] = hv
+            hashes[i + 1000] = hv  # fps retag: frame bytes untouched
+    ids = sorted(hashes)
+    out = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(hashes[ids[a]] ^ hashes[ids[b]]).count('1')
+            if d <= 6:
+                out.append({'d1': ids[a], 'd2': ids[b], 'dist': d})
+    return out
+
+
 def assert_no_double_rounding():
     from fractions import Fraction
     for b in range(256):
@@ -342,6 +382,16 @@ def main() -> None:
               FROM an ORDER BY d1, d2)
         TO '{aout}' (FORMAT PARQUET)''')
     print(f'wrote {aout} ({len(an)} rows)')
+
+    vn = pd.DataFrame(video_phash_rows())
+    con.register('vn', vn)
+    vout = OUT.parent / 'multimodal_video_neardup.parquet'
+    con.execute(f'''
+        COPY (SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                     CAST(dist AS INTEGER) AS dist
+              FROM vn ORDER BY d1, d2)
+        TO '{vout}' (FORMAT PARQUET)''')
+    print(f'wrote {vout} ({len(vn)} rows)')
 
 
 if __name__ == '__main__':
