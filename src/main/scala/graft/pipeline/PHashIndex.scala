@@ -3,12 +3,15 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted perceptual-hash image near-dup index — the MULTIMODAL
-  * entry in the persisted-index family ([[DedupIndex]] exact-fp,
+/** Persisted perceptual-hash near-dup index — the MULTIMODAL entry
+  * in the persisted-index family ([[DedupIndex]] exact-fp,
   * [[NearDupIndex]] minhash, [[EmbedDedupIndex]] embeddings,
-  * [[Bm25]] lexical): images arriving in increments probe everything
+  * [[Bm25]] lexical): media arriving in increments probes everything
   * indexed so far for an earlier perceptual near-dup (Hamming
-  * distance over [[MediaCodec.imageHash]] aHashes), without ever
+  * distance over 64-bit fingerprints — image aHash by default; the
+  * lifecycle entry points are hasher-parameterized, so the same
+  * machinery serves [[Multimodal.audioPHash]] energy-delta and
+  * [[Multimodal.videoPHash]] keyframe fingerprints), without ever
   * re-decoding history.
   *
   * Layout under `path`: one (doc, ph, band, key) row per image per
@@ -59,13 +62,21 @@ object PHashIndex {
   private def kbOf(key: Column): Column =
     pmod(key, lit(KeyBuckets.toLong))
 
+  /** The default (image) hasher; every lifecycle entry point takes a
+    * `hasher` so the SAME index machinery serves any 64-bit
+    * perceptual fingerprint — [[Multimodal.audioPHash]] and
+    * [[Multimodal.videoPHash]] included. Frozen-params contract: one
+    * hasher per index, fixed at build.
+    */
+  val ImageHasher: Column => Column = Multimodal.imagePHash(_)
+
   /** The increment's (doc, ph) frame, pinned: band derivation, the
     * probe sides, and the append reuse one decode scan.
     */
-  private def hashed(batch: DataFrame, bytesCol: String,
-                     idCol: String): DataFrame =
+  private def hashed(batch: DataFrame, bytesCol: String, idCol: String,
+                     hasher: Column => Column): DataFrame =
     batch.select(col(idCol).as("doc"),
-        Multimodal.imagePHash(col(bytesCol)).as("ph"))
+        hasher(col(bytesCol)).as("ph"))
       .where(col("ph").isNotNull)
       .localCheckpoint(true)
 
@@ -99,16 +110,17 @@ object PHashIndex {
 
   /** Build over the corpus so far (overwrite). */
   def writeIndex(spark: SparkSession, docs: DataFrame, bytesCol: String,
-                 idCol: String, path: String): Unit =
-    writeLayout(hashed(docs, bytesCol, idCol), path, "overwrite")
+                 idCol: String, path: String,
+                 hasher: Column => Column = ImageHasher): Unit =
+    writeLayout(hashed(docs, bytesCol, idCol, hasher), path, "overwrite")
 
   /** Build AND return the build corpus's own pairs from one decode
     * scan (the family's buildWithPairs shape).
     */
   def buildWithPairs(spark: SparkSession, docs: DataFrame, bytesCol: String,
-                     idCol: String, path: String,
-                     maxDist: Int = 6): DataFrame = {
-    val hs = hashed(docs, bytesCol, idCol)
+                     idCol: String, path: String, maxDist: Int = 6,
+                     hasher: Column => Column = ImageHasher): DataFrame = {
+    val hs = hashed(docs, bytesCol, idCol, hasher)
     writeLayout(hs, path, "overwrite")
     val pairs = pairsAgainst(spark, path, hs, maxDist, againstIndex = false)
     graft.core.Pinned.release(hs)
@@ -120,11 +132,12 @@ object PHashIndex {
     * append the batch. Returns the materialized pairs.
     */
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
-                     bytesCol: String, idCol: String,
-                     maxDist: Int = 6): DataFrame = {
+                     bytesCol: String, idCol: String, maxDist: Int = 6,
+                     hasher: Column => Column = ImageHasher): DataFrame = {
     if (!exists(spark, path))
-      return buildWithPairs(spark, batch, bytesCol, idCol, path, maxDist)
-    val hs = hashed(batch, bytesCol, idCol)
+      return buildWithPairs(spark, batch, bytesCol, idCol, path, maxDist,
+        hasher)
+    val hs = hashed(batch, bytesCol, idCol, hasher)
     val pairs = pairsAgainst(spark, path, hs, maxDist, againstIndex = true)
     writeLayout(hs, path, "append")
     graft.core.Pinned.release(hs)
@@ -133,9 +146,9 @@ object PHashIndex {
 
   /** Probe only (parameters MUST match the build's band layout). */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
-            bytesCol: String, idCol: String,
-            maxDist: Int = 6): DataFrame = {
-    val hs = hashed(batch, bytesCol, idCol)
+            bytesCol: String, idCol: String, maxDist: Int = 6,
+            hasher: Column => Column = ImageHasher): DataFrame = {
+    val hs = hashed(batch, bytesCol, idCol, hasher)
     val pairs = pairsAgainst(spark, path, hs, maxDist,
       againstIndex = exists(spark, path))
     graft.core.Pinned.release(hs)

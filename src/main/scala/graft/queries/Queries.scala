@@ -2466,6 +2466,56 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the SAME persisted band-index machinery serving the audio
+    // fingerprint (PHashIndex is hasher-parameterized): incremental
+    // lifecycle over the audio corpus ∪ volume-halved copies must
+    // replay the one-shot pass — the multimodal_audio_neardup golden
+    "audio_index_incremental" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "audio")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.attenuateAudio(media, 2)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val path = java.nio.file.Files.createTempDirectory("audio_idx")
+        .resolve("index").toString
+      val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.pipeline.Multimodal.audioPHash(_)
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+        path, maxDist = 6, hasher)
+      val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
+        "id", maxDist = 6, hasher)
+      graft.pipeline.PHashIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.PHashIndex.probe(s, path, c, "bytes", "id",
+        maxDist = 6, hasher)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // perceptual AUDIO dedup on ingest — the streaming twin with the
+    // audio hasher: kept ⇔ the clip is nobody's LATER near-dup
+    "stream_audio_dedup" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "audio")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.attenuateAudio(media, 2)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val root = java.nio.file.Files.createTempDirectory("graft_saud_q")
+      val src = root.resolve("media").toString
+      corpus.write.parquet(src)
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingImageDedup.ingest(s, src, idx, out,
+        maxDist = 6, nBatches = 3, compactEvery = 2,
+        hasher = graft.pipeline.Multimodal.audioPHash(_))
+      s.read.parquet(out).select(col("doc").as("id")).orderBy(col("id"))
+    }),
+
     // AUDIO perceptual near-dup — the energy-delta fingerprint
     // (volume-invariant by construction: the fixture's copies are
     // volume-halved, distance 0 with their originals); same banded
@@ -3951,6 +4001,18 @@ object Queries {
 
     "multimodal_audio_neardup" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_audio_neardup.parquet' ORDER BY d1, d2",
+
+    "audio_index_incremental" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_audio_neardup.parquet' ORDER BY d1, d2",
+
+    // the audio corpus is synthetic: ids 3i+1 and 3i+1001 for i<33;
+    // kept = not a later near-dup side over the one-shot pass
+    "stream_audio_dedup" ->
+      s"""WITH ids AS (SELECT 3 * i + 1 AS id FROM range(33) t(i)
+         |  UNION ALL SELECT 3 * i + 1001 FROM range(33) t(i))
+         |SELECT id FROM ids
+         |WHERE id NOT IN (SELECT d2 FROM '$goldenDir/multimodal_audio_neardup.parquet')
+         |ORDER BY id""".stripMargin,
 
     "multimodal_video_neardup" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_video_neardup.parquet' ORDER BY d1, d2",

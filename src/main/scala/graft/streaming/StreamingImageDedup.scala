@@ -27,10 +27,13 @@ object StreamingImageDedup {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, bytesCol: String,
                    idCol: String, indexPath: String, outPath: String,
-                   maxDist: Int): Unit = {
+                   maxDist: Int,
+                   hasher: org.apache.spark.sql.Column =>
+                     org.apache.spark.sql.Column =
+                       PHashIndex.ImageHasher): Unit = {
     if (batch.isEmpty) return
     val pairs = PHashIndex.probeAndAppend(spark, indexPath, batch,
-      bytesCol, idCol, maxDist)
+      bytesCol, idCol, maxDist, hasher)
     batch.select(col(idCol).as("doc"))
       .join(pairs.select(col("d2").as("doc")).distinct(),
         Seq("doc"), "left_anti")
@@ -47,7 +50,9 @@ object StreamingImageDedup {
   def ingest(spark: SparkSession, srcParquet: String, indexPath: String,
              outPath: String, maxDist: Int = 6, nBatches: Int = 3,
              idCol: String = "id", bytesCol: String = "bytes",
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             hasher: org.apache.spark.sql.Column =>
+               org.apache.spark.sql.Column = PHashIndex.ImageHasher): Unit = {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_simgdedup_ckpt_")
@@ -65,7 +70,7 @@ object StreamingImageDedup {
         // BatchLedger): guards the band append and the kept-id write
         BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, batch, bytesCol, idCol,
-            indexPath, outPath, maxDist)
+            indexPath, outPath, maxDist, hasher)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           PHashIndex.compactIndex(batch.sparkSession, indexPath)
