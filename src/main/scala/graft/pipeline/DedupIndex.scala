@@ -65,16 +65,24 @@ object DedupIndex {
       .repartition(IndexBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Probe + the index-side keeper column (internal: [[probe]] hides
-    * it, [[appendNovel]] filters on it).
+  /** The increment's slim (doc, fp) frame, pinned once: three
+    * consumers (bucket-set agg, batch-keeper agg, probe join) must
+    * not re-run the md5 scan. Callers own the pin and release it
+    * after their terminal action (the streaming twin calls per
+    * microbatch — unreleased pins accumulate).
     */
-  private def probeRaw(spark: SparkSession, path: String, docs: DataFrame,
-                       textCol: String, idCol: String): DataFrame = {
-    // slim (doc, fp) frame pinned once: three consumers (bucket-set
-    // agg, batch-keeper agg, probe join) must not re-run the md5 scan
-    val fps = docs.select(col(idCol).as("doc"),
+  private def fpsOf(docs: DataFrame, textCol: String,
+                    idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .localCheckpoint(true)
+
+  /** Probe + the index-side keeper column (internal: [[probe]] hides
+    * it, [[appendNovel]] filters on it). `fps` is the caller-pinned
+    * [[fpsOf]] frame.
+    */
+  private def probeRaw(spark: SparkSession, path: String,
+                       fps: DataFrame): DataFrame = {
     // ONE aggregation job yields both the touched-bucket set and the
     // distinct-fp count that gates the page-pruning pushdown — the
     // gate must not cost big increments an extra Spark job
@@ -134,9 +142,10 @@ object DedupIndex {
     * union (spec-pinned).
     */
   def probe(spark: SparkSession, path: String, docs: DataFrame,
-            textCol: String, idCol: String): DataFrame =
-    withFpPushdown(spark) {
-      probeRaw(spark, path, docs, textCol, idCol)
+            textCol: String, idCol: String): DataFrame = {
+    val fps = fpsOf(docs, textCol, idCol)
+    val out = withFpPushdown(spark) {
+      probeRaw(spark, path, fps)
         .withColumn("keep_id", coalesce(col("idx_keep"), col("batch_keep")))
         .withColumn("dup", col("keep_id") =!= col("doc"))
         .select(col("doc"), col("fp"), col("keep_id"), col("dup"))
@@ -146,6 +155,9 @@ object DedupIndex {
         // plan would still be pointing at
         .localCheckpoint(true)
     }
+    graft.core.Pinned.release(fps)
+    out
+  }
 
   /** The chunked fp filters only prune per-value while parquet
     * converts them to or-of-eq chains — raise the In threshold past
@@ -170,15 +182,18 @@ object DedupIndex {
     * [[compactIndex]] periodically.
     */
   def appendNovel(spark: SparkSession, docs: DataFrame, textCol: String,
-                  idCol: String, path: String): Unit =
+                  idCol: String, path: String): Unit = {
+    val fps = fpsOf(docs, textCol, idCol)
     withFpPushdown(spark) {
-      probeRaw(spark, path, docs, textCol, idCol)
+      probeRaw(spark, path, fps)
         .where(col("idx_keep").isNull)
         .groupBy(col("fp")).agg(min(col("batch_keep")).as("doc"))
         .withColumn("bucket", bucketOf(col("fp")))
         .repartition(IndexBuckets, col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(path)
     }
+    graft.core.Pinned.release(fps)
+  }
 
   /** Crash-safe in-place small-file compaction; contents-invariant,
     * so probe results are unchanged (spec-pinned). Restores the

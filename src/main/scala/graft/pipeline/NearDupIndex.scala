@@ -143,9 +143,11 @@ object NearDupIndex {
     */
   def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
                  idCol: String, path: String, w: Int = 3, bands: Int = 16,
-                 rows: Int = 4, seed: Long = 42L): Unit =
-    writeLayout(shingledW(docs, textCol, idCol, w), path, "overwrite",
-      bands, rows, seed)
+                 rows: Int = 4, seed: Long = 42L): Unit = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    writeLayout(sh, path, "overwrite", bands, rows, seed)
+    graft.core.Pinned.release(sh)
+  }
 
   /** Append a disjoint increment's band rows and shingle sets. Run
     * [[probe]] FIRST (the probe classifies against the pre-append
@@ -158,9 +160,11 @@ object NearDupIndex {
     */
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
              idCol: String, path: String, w: Int = 3, bands: Int = 16,
-             rows: Int = 4, seed: Long = 42L): Unit =
-    writeLayout(shingledW(docs, textCol, idCol, w), path, "append",
-      bands, rows, seed)
+             rows: Int = 4, seed: Long = 42L): Unit = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    writeLayout(sh, path, "append", bands, rows, seed)
+    graft.core.Pinned.release(sh)
+  }
 
   /** Build the index AND return the build corpus's own near-dup
     * pairs from ONE shingle scan — what a deployment wants when first
@@ -175,8 +179,10 @@ object NearDupIndex {
                      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val sh = shingledW(docs, textCol, idCol, w)
     writeLayout(sh, path, "overwrite", bands, rows, seed)
-    probeShingled(spark, path, sh, bands, rows, threshold, seed,
+    val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
       againstIndex = false)
+    graft.core.Pinned.release(sh) // pairs are eagerly pinned downstream
+    pairs
   }
 
   /** [[probe]] + [[append]] from ONE shingle scan of the increment —
@@ -192,6 +198,7 @@ object NearDupIndex {
     val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
       againstIndex = true)
     writeLayout(sh, path, "append", bands, rows, seed)
+    graft.core.Pinned.release(sh)
     pairs
   }
 
@@ -203,9 +210,13 @@ object NearDupIndex {
   def probe(spark: SparkSession, path: String, docs: DataFrame,
             textCol: String, idCol: String, w: Int = 3, bands: Int = 16,
             rows: Int = 4, threshold: Double = 0.5,
-            seed: Long = 42L): DataFrame =
-    probeShingled(spark, path, shingledW(docs, textCol, idCol, w),
-      bands, rows, threshold, seed, againstIndex = true)
+            seed: Long = 42L): DataFrame = {
+    val sh = shingledW(docs, textCol, idCol, w)
+    val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
+      againstIndex = true)
+    graft.core.Pinned.release(sh)
+    pairs
+  }
 
   /** Partition- and page-pruned read of the bands layout for a probe:
     * only the given (band·BandBuckets + kb) cells are LISTED (dir
@@ -320,13 +331,19 @@ object NearDupIndex {
     // breaks (FILE_NOT_EXIST) or silently shifts (sees appended rows)
     // when the caller appends/compacts before consuming — which is
     // exactly the documented probe→append→compact order.
-    cand
+    val pairs = cand
       .join(hsAll.select(col("doc").as("d1"), col("hs").as("h1")), Seq("d1"))
       .join(hsAll.select(col("doc").as("d2"), col("hs").as("h2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         graft.functions.HashFunctions.jaccardSim(col("h1"), col("h2")).as("jac"))
       .where(col("jac") >= threshold)
       .localCheckpoint(true)
+    // pairs are eagerly pinned: the intermediate bnd/cand pins are
+    // dead weight now (streaming twins call this per microbatch — the
+    // r9 EmbedDedupIndex leak lesson applied to the whole family)
+    graft.core.Pinned.release(bnd)
+    graft.core.Pinned.release(cand)
+    pairs
   }
 
   /** Crash-safe in-place small-file compaction of both sub-layouts

@@ -211,12 +211,17 @@ object PHashIndex {
       }
     // snapshot semantics (the family contract): materialize before
     // the caller appends/compacts over the same files
-    candIn.unionByName(candIdx)
+    val pairs = candIn.unionByName(candIdx)
       .select(col("d1"), col("d2"),
         bit_count(col("p1").bitwiseXOR(col("p2"))).as("dist"))
       .dropDuplicates("d1", "d2")
       .where(col("dist") <= maxDist)
       .localCheckpoint(true)
+    // pairs are eagerly pinned: bnd's blocks are dead weight now (a
+    // streaming ingest calls this per microbatch — unreleased pins
+    // accumulate, the r9 EmbedDedupIndex lesson)
+    graft.core.Pinned.release(bnd)
+    pairs
   }
 
   /** Crash-safe in-place compaction; contents-invariant. */
