@@ -68,24 +68,29 @@ object Hybrid {
       s"$root/ivf")
   }
 
-  /** Append a disjoint increment to BOTH sides. `batchId` keys a
-    * per-side ledger marker (the foreachBatch replay guard applied to
-    * the paired append): a crash between the BM25 and IVF appends is
-    * healed by RE-RUNNING the same call — the completed side is a
-    * marker-guarded no-op, the missing side catches up, and the pair
-    * never serves skewed. Increment contracts are each side's own
-    * (disjoint docs, frozen model).
+  /** Append a disjoint increment to BOTH sides. `(runId, batchId)`
+    * keys a per-side ledger marker (the foreachBatch replay guard
+    * applied to the paired append): a crash between the BM25 and IVF
+    * appends is healed by RE-RUNNING the same call — the completed
+    * side is a marker-guarded no-op, the missing side catches up, and
+    * the pair never serves skewed. `runId` follows the
+    * [[graft.streaming.BatchLedger]] contract exactly — stable across
+    * replays of one ingest run, unique across runs (batchIds restart
+    * at 0 per run, and the ledger persists beside the long-lived
+    * index; an un-namespaced marker would silently skip every append
+    * of a SECOND ingest into the same root). Increment contracts are
+    * each side's own (disjoint docs, frozen model).
     */
   def appendDocs(spark: SparkSession, root: String, docs: DataFrame,
                  textCol: String, idCol: String, embeddings: DataFrame,
                  vecIdCol: String, vecCol: String, model: IvfModel,
-                 batchId: Long): Unit = {
-    graft.streaming.BatchLedger.once(spark, s"$root/oplog", "bm25-append",
-      batchId) {
+                 runId: String, batchId: Long): Unit = {
+    graft.streaming.BatchLedger.once(spark, s"$root/oplog",
+      s"$runId-bm25-append", batchId) {
       Bm25.appendToIndex(spark, docs, textCol, idCol, s"$root/bm25")
     }
-    graft.streaming.BatchLedger.once(spark, s"$root/oplog", "ivf-append",
-      batchId) {
+    graft.streaming.BatchLedger.once(spark, s"$root/oplog",
+      s"$runId-ivf-append", batchId) {
       Ivf.appendToIndex(
         embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
         s"$root/ivf")

@@ -441,7 +441,9 @@ object MediaCodec {
   def audioHash(b: Array[Byte]): Option[Long] =
     wavSamples(b).filter(_.length >= 65).map { ss =>
       val n = ss.length
-      val bounds = Array.tabulate(66)(w => w * n / 65)
+      // Long arithmetic: w*n overflows Int past ~33M samples (a
+      // 13-minute 44.1kHz stereo clip) — the quotient always fits
+      val bounds = Array.tabulate(66)(w => (w.toLong * n / 65).toInt)
       val e = new Array[Long](65)
       var w = 0
       while (w < 65) {
@@ -527,6 +529,7 @@ object MediaCodec {
     * content, different container parameters.
     */
   def y4mWithFps(b: Array[Byte], num: Int, den: Int): Option[Array[Byte]] = {
+    if (b == null || b.length < 9) return None // total-parser contract
     val headEnd = b.indexOf('\n'.toByte)
     if (headEnd < 0 || b.length < 9 ||
       new String(b, 0, 9, "US-ASCII") != "YUV4MPEG2") return None

@@ -213,21 +213,32 @@ object Multimodal {
     }(Encoders.row(df.schema))
   }
 
+  /** The `bands` contiguous chunk values of a 64-bit hash column —
+    * THE banding decomposition every Hamming-family consumer derives
+    * keys from (the one-shot pairs here AND the persisted
+    * [[PHashIndex]] layout): pigeonhole losslessness depends on both
+    * sides using exactly this chunking, so it lives in one place.
+    */
+  private[pipeline] def bandChunks(ph: org.apache.spark.sql.Column,
+                                   bands: Int): Seq[org.apache.spark.sql.Column] = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    (0 until bands).map(b =>
+      shiftrightunsigned(ph, b * width).bitwiseAND(lit(mask)))
+  }
+
   /** The shared banded Hamming pass over any (doc, ph BIGINT) frame:
     * lossless by pigeonhole for maxDist < bands.
     */
   private def hammingPairs(sig0: DataFrame, maxDist: Int,
                            bands: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     require(bands > maxDist,
       s"banded blocking is only lossless for maxDist < bands " +
         s"(pigeonhole); got maxDist=$maxDist bands=$bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sig = sig0.where(col("ph").isNotNull)
     val banded = sig.select(col("doc"), col("ph"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("ph"), b * width).bitwiseAND(lit(mask))): _*)))
+      posexplode(array(bandChunks(col("ph"), bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

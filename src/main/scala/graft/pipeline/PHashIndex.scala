@@ -56,9 +56,6 @@ object PHashIndex {
     */
   val KeyBuckets = 4
 
-  private val Width = 64 / Bands
-  private val Mask = (1L << Width) - 1L
-
   private def kbOf(key: Column): Column =
     pmod(key, lit(KeyBuckets.toLong))
 
@@ -70,31 +67,29 @@ object PHashIndex {
     */
   val ImageHasher: Column => Column = Multimodal.imagePHash(_)
 
-  /** The increment's (doc, ph) frame, pinned: band derivation, the
-    * probe sides, and the append reuse one decode scan.
+  /** The increment's PINNED (doc, ph, band, key, kb) band rows — ONE
+    * decode + band-explode pass shared by the probe sides AND the
+    * append write (the chunk derivation is
+    * [[Multimodal.bandChunks]] — the same decomposition the one-shot
+    * pairs use, so the pigeonhole equivalence holds by construction).
     */
-  private def hashed(batch: DataFrame, bytesCol: String, idCol: String,
-                     hasher: Column => Column): DataFrame =
+  private def bandedOf(batch: DataFrame, bytesCol: String, idCol: String,
+                       hasher: Column => Column): DataFrame =
     batch.select(col(idCol).as("doc"),
         hasher(col(bytesCol)).as("ph"))
       .where(col("ph").isNotNull)
-      .localCheckpoint(true)
-
-  /** (doc, ph, band, key, kb) band rows of a pinned (doc, ph) frame. */
-  private def banded(hs: DataFrame): DataFrame =
-    hs.select(col("doc"), col("ph"),
-        posexplode(array((0 until Bands).map(b =>
-          shiftrightunsigned(col("ph"), b * Width)
-            .bitwiseAND(lit(Mask))): _*)))
+      .select(col("doc"), col("ph"),
+        posexplode(array(Multimodal.bandChunks(col("ph"), Bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       .withColumn("kb", kbOf(col("key")))
+      .localCheckpoint(true)
 
-  private def writeLayout(hs: DataFrame, path: String,
+  private def writeLayout(bnd: DataFrame, path: String,
                           mode: String): Unit = {
     // empty increment: write nothing (the family's empty-guard; a
     // missing layout IS an empty index)
-    if (hs.isEmpty) return
-    banded(hs)
+    if (bnd.isEmpty) return
+    bnd
       .repartition(Bands * KeyBuckets, col("band"), col("kb"))
       .sortWithinPartitions(col("band"), col("kb"), col("key"), col("doc"))
       .write.mode(mode)
@@ -111,8 +106,11 @@ object PHashIndex {
   /** Build over the corpus so far (overwrite). */
   def writeIndex(spark: SparkSession, docs: DataFrame, bytesCol: String,
                  idCol: String, path: String,
-                 hasher: Column => Column = ImageHasher): Unit =
-    writeLayout(hashed(docs, bytesCol, idCol, hasher), path, "overwrite")
+                 hasher: Column => Column = ImageHasher): Unit = {
+    val bnd = bandedOf(docs, bytesCol, idCol, hasher)
+    writeLayout(bnd, path, "overwrite")
+    graft.core.Pinned.release(bnd)
+  }
 
   /** Build AND return the build corpus's own pairs from one decode
     * scan (the family's buildWithPairs shape).
@@ -120,10 +118,10 @@ object PHashIndex {
   def buildWithPairs(spark: SparkSession, docs: DataFrame, bytesCol: String,
                      idCol: String, path: String, maxDist: Int = 6,
                      hasher: Column => Column = ImageHasher): DataFrame = {
-    val hs = hashed(docs, bytesCol, idCol, hasher)
-    writeLayout(hs, path, "overwrite")
-    val pairs = pairsAgainst(spark, path, hs, maxDist, againstIndex = false)
-    graft.core.Pinned.release(hs)
+    val bnd = bandedOf(docs, bytesCol, idCol, hasher)
+    writeLayout(bnd, path, "overwrite")
+    val pairs = pairsAgainst(spark, path, bnd, maxDist, againstIndex = false)
+    graft.core.Pinned.release(bnd)
     pairs
   }
 
@@ -137,10 +135,10 @@ object PHashIndex {
     if (!exists(spark, path))
       return buildWithPairs(spark, batch, bytesCol, idCol, path, maxDist,
         hasher)
-    val hs = hashed(batch, bytesCol, idCol, hasher)
-    val pairs = pairsAgainst(spark, path, hs, maxDist, againstIndex = true)
-    writeLayout(hs, path, "append")
-    graft.core.Pinned.release(hs)
+    val bnd = bandedOf(batch, bytesCol, idCol, hasher)
+    val pairs = pairsAgainst(spark, path, bnd, maxDist, againstIndex = true)
+    writeLayout(bnd, path, "append")
+    graft.core.Pinned.release(bnd)
     pairs
   }
 
@@ -148,10 +146,10 @@ object PHashIndex {
   def probe(spark: SparkSession, path: String, batch: DataFrame,
             bytesCol: String, idCol: String, maxDist: Int = 6,
             hasher: Column => Column = ImageHasher): DataFrame = {
-    val hs = hashed(batch, bytesCol, idCol, hasher)
-    val pairs = pairsAgainst(spark, path, hs, maxDist,
+    val bnd = bandedOf(batch, bytesCol, idCol, hasher)
+    val pairs = pairsAgainst(spark, path, bnd, maxDist,
       againstIndex = exists(spark, path))
-    graft.core.Pinned.release(hs)
+    graft.core.Pinned.release(bnd)
     pairs
   }
 
@@ -162,12 +160,11 @@ object PHashIndex {
     * driver-boundable, no count gate needed, unlike the 64-bit
     * MinHash buckets).
     */
-  private def pairsAgainst(spark: SparkSession, path: String, hs: DataFrame,
+  private def pairsAgainst(spark: SparkSession, path: String, bnd: DataFrame,
                            maxDist: Int,
                            againstIndex: Boolean): DataFrame = {
     require(maxDist < Bands,
       s"banded blocking is only lossless for maxDist < $Bands bands")
-    val bnd = banded(hs).localCheckpoint(true)
     val candIn = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
@@ -217,10 +214,8 @@ object PHashIndex {
       .dropDuplicates("d1", "d2")
       .where(col("dist") <= maxDist)
       .localCheckpoint(true)
-    // pairs are eagerly pinned: bnd's blocks are dead weight now (a
-    // streaming ingest calls this per microbatch — unreleased pins
-    // accumulate, the r9 EmbedDedupIndex lesson)
-    graft.core.Pinned.release(bnd)
+    // bnd is caller-owned (shared with the append write) — the caller
+    // releases it once the eagerly-pinned pairs are materialized
     pairs
   }
 

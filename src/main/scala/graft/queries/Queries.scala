@@ -3674,7 +3674,7 @@ object Queries {
       def appendHigh(): Unit = graft.pipeline.Hybrid.appendDocs(s, root,
         docs.where(col("doc_id") > mid), "text", "doc_id",
         emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
-        batchId = 0L)
+        runId = "q-run", batchId = 0L)
       appendHigh()
       appendHigh() // replayed delivery: ledger-guarded no-op
       graft.pipeline.Hybrid.compactIndex(s, root)

@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * variant); ours uses all batches < b because the gate is evaluated
   * BEFORE the current batch contributes its maximum, which keeps the
   * rule exact under replay. Batch maxima persist as marker files
-  * beside the quarantine output (`<latePath>__wm/<batchId>_<millis>`),
-  * so the watermark survives crashes and same-batchId replays — the
-  * same durability Spark's checkpointed watermark has, without
-  * needing the stateful-operator machinery for a foreachBatch sink.
+  * beside the quarantine output
+  * (`<latePath>__wm/<runId>/<batchId>_<millis>`), so the watermark
+  * survives crashes and same-batchId replays — the same durability
+  * Spark's checkpointed watermark has, without needing the
+  * stateful-operator machinery for a foreachBatch sink. Markers are
+  * NAMESPACED BY RUN exactly like [[BatchLedger]]'s (batchIds
+  * restart at 0 per checkpoint while the store persists): watermark
+  * scope is therefore per run, which is Spark's own semantics — a
+  * stream started on a fresh checkpoint begins with no watermark.
   *
   * On-time documents flow through the unchanged curation composition
   * (URL blocklist → quality gate → exact-fp dedup on the persisted
@@ -50,13 +55,15 @@ object StreamingWatermarkedCuration {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Record batch b's event-time maximum (idempotent: fixed content
-    * per (batchId, max) — a replayed batch rewrites the same marker).
+    * per (runId, batchId, max) — a replayed batch rewrites the same
+    * marker).
     */
   private def recordBatchMax(spark: SparkSession, latePath: String,
-                             batchId: Long, maxMillis: Long): Unit = {
+                             runId: String, batchId: Long,
+                             maxMillis: Long): Unit = {
     val f = fs(spark, latePath)
     val m = new org.apache.hadoop.fs.Path(
-      s"${wmDir(latePath)}/${batchId}_$maxMillis")
+      s"${wmDir(latePath)}/$runId/${batchId}_$maxMillis")
     f.mkdirs(m.getParent)
     val out = f.create(m, true)
     out.close()
@@ -67,10 +74,10 @@ object StreamingWatermarkedCuration {
     * batch: nothing can be late — there is no watermark yet).
     */
   private[streaming] def lateWatermark(spark: SparkSession, latePath: String,
-                                       batchId: Long,
+                                       runId: String, batchId: Long,
                                        delayMillis: Long): Option[Long] = {
     val f = fs(spark, latePath)
-    val dir = new org.apache.hadoop.fs.Path(wmDir(latePath))
+    val dir = new org.apache.hadoop.fs.Path(s"${wmDir(latePath)}/$runId")
     if (!f.exists(dir)) return None
     val maxes = f.listStatus(dir).toSeq
       .map(_.getPath.getName.split('_'))
@@ -85,13 +92,14 @@ object StreamingWatermarkedCuration {
   def processBatch(spark: SparkSession, batch: DataFrame, textCol: String,
                    idCol: String, urlCol: String, tsCol: String,
                    blocklist: Seq[String], minQuality: Double,
-                   delayMillis: Long, batchId: Long, indexPath: String,
-                   outPath: String, latePath: String): Unit = {
+                   delayMillis: Long, runId: String, batchId: Long,
+                   indexPath: String, outPath: String,
+                   latePath: String): Unit = {
     if (batch.isEmpty) return
     // one pin: the split reads the batch twice (late + on-time) and
     // the max-agg a third time
     val pinned = batch.localCheckpoint(true)
-    val wm = lateWatermark(spark, latePath, batchId, delayMillis)
+    val wm = lateWatermark(spark, latePath, runId, batchId, delayMillis)
     val ms = unix_millis(col(tsCol))
     val late = wm match {
       case Some(w) => pinned.where(ms <= w)
@@ -110,7 +118,7 @@ object StreamingWatermarkedCuration {
       blocklist, minQuality, indexPath, outPath)
     val mx = pinned.agg(max(ms)).head()
     if (!mx.isNullAt(0))
-      recordBatchMax(spark, latePath, batchId, mx.getLong(0))
+      recordBatchMax(spark, latePath, runId, batchId, mx.getLong(0))
     graft.core.Pinned.release(pinned)
   }
 
@@ -144,7 +152,7 @@ object StreamingWatermarkedCuration {
         BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
           processBatch(batch.sparkSession, decorate(batch), "text",
             "doc_id", urlCol, tsCol, blocklist, minQuality, delayMillis,
-            batchId, indexPath, outPath, latePath)
+            runId, batchId, indexPath, outPath, latePath)
         }
       }
       .start()

@@ -132,7 +132,7 @@ class HybridSpec extends SparkTestBase {
     def appendHigh(): Unit = Hybrid.appendDocs(spark, rootG,
       docs.where(col("doc_id") > mid), "text", "doc_id",
       emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
-      batchId = 0L)
+      runId = "runA", batchId = 0L)
     appendHigh()
     appendHigh() // replayed delivery: ledger-guarded no-op
     Hybrid.compactIndex(spark, rootG)
@@ -147,10 +147,11 @@ class HybridSpec extends SparkTestBase {
       .resolve("index").toString
     Hybrid.writeIndex(spark, docs, "text", "doc_id",
       emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootC)
-    graft.streaming.BatchLedger.mark(spark, s"$rootC/oplog", "bm25-append", 1L)
+    graft.streaming.BatchLedger.mark(spark, s"$rootC/oplog",
+      "runC-bm25-append", 1L)
     Hybrid.appendDocs(spark, rootC, docs.limit(0), "text", "doc_id",
       emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
-      batchId = 1L)
+      runId = "runC", batchId = 1L)
     assert(serve(rootC) == want)
     // deletion drives both sides from one entry point
     val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),

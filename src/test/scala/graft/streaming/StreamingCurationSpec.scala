@@ -61,7 +61,8 @@ class StreamingCurationSpec extends SparkTestBase {
       StreamingWatermarkedCuration.processBatch(spark,
         docs.where(col("doc_id") >= lo && col("doc_id") < hi),
         "text", "doc_id", "url", "ts", bl, minQuality = 0.3,
-        delayMillis = 3600L * 1000L, batchId = b.toLong, idx, out, late)
+        delayMillis = 3600L * 1000L, runId = "runW", batchId = b.toLong,
+        idx, out, late)
     }
     // late = the stragglers in batches >= 1 (batch 0 has no watermark)
     val wantLate = docs.where(col("doc_id") % 17 === 5 &&
