@@ -67,4 +67,24 @@ private[graft] object BatchLedger {
       append
       mark(spark, indexPath, runId, batchId)
     }
+
+  /** Delete every run namespace EXCEPT `keepRunId` — the marker-store
+    * GC for a long-lived index (one marker file per batch per run,
+    * unbounded otherwise). Safe under the family's single-writer
+    * contract: a finished run's markers are only needed while ITS
+    * checkpoint can still replay, and once a NEW run (fresh
+    * checkpoint) starts writing the same index, no older checkpoint
+    * will ever be resumed against it — so the ingest entry points
+    * call this at start with their own runId.
+    */
+  def pruneOtherRuns(spark: SparkSession, indexPath: String,
+                     keepRunId: String): Unit = {
+    val f = fs(spark, indexPath)
+    val dir = new org.apache.hadoop.fs.Path(s"${indexPath}__ledger")
+    if (!f.exists(dir)) return
+    f.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName != keepRunId)
+        f.delete(st.getPath, true)
+    }
+  }
 }

@@ -48,6 +48,9 @@ object StreamingBm25 {
     // checkpoint), unique across runs (fresh scratch dir) — see
     // BatchLedger's run-namespacing contract
     val runId = ckpt.getFileName.toString
+    // GC dead runs' markers (single-writer contract: once this
+    // fresh-checkpoint run starts, no older checkpoint replays here)
+    BatchLedger.pruneOtherRuns(spark, indexPath, runId)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

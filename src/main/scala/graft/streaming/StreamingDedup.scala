@@ -241,6 +241,9 @@ object StreamingDedup {
     // checkpoint), unique across runs (fresh scratch dir) — see
     // BatchLedger's run-namespacing contract
     val runId = ckpt.getFileName.toString
+    // GC dead runs' markers (single-writer contract: once this
+    // fresh-checkpoint run starts, no older checkpoint replays here)
+    BatchLedger.pruneOtherRuns(spark, indexPath, runId)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -83,6 +83,21 @@ class StreamingBm25Spec extends SparkTestBase {
     }
     assert(spark.read.parquet(s"$idx/stats").count() == after1 + 1,
       "a fresh run's batch 0 must not be skipped by the old run's marker")
+    // marker GC: pruning keeps only the live run's namespace, and the
+    // live run's replay guard still holds afterwards
+    BatchLedger.pruneOtherRuns(spark, idx, "runB")
+    val ledger = new java.io.File(idx + "__ledger").listFiles()
+    assert(ledger != null && ledger.map(_.getName).toSet == Set("runB"))
+    BatchLedger.once(spark, idx, "runB", 0L) {
+      fail("pruning must not forget the live run's own markers")
+    }
+    BatchLedger.once(spark, idx, "runA", 0L) {
+      StreamingBm25.processBatch(spark,
+        docs.where(col("doc_id") < 100L), "text", "doc_id", idx)
+    } // runA's markers are gone: this appends again (a dead run never
+      // resumes under the single-writer contract; the GC trades its
+      // markers for a bounded store)
+    assert(spark.read.parquet(s"$idx/stats").count() == after1 + 2)
   }
 
   test("stream-grown layout still partition-prunes, even pre-compaction") {
