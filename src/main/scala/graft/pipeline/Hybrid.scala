@@ -78,7 +78,10 @@ object Hybrid {
     * replays of one ingest run, unique across runs (batchIds restart
     * at 0 per run, and the ledger persists beside the long-lived
     * index; an un-namespaced marker would silently skip every append
-    * of a SECOND ingest into the same root). Increment contracts are
+    * of a SECOND ingest into the same root). Markers nest as
+    * `<runId>/<side>/<batchId>`, so a new run can GC dead runs'
+    * markers with `BatchLedger.pruneOtherRuns(s"$root/oplog", runId)`
+    * exactly like the streaming ingests. Increment contracts are
     * each side's own (disjoint docs, frozen model).
     */
   def appendDocs(spark: SparkSession, root: String, docs: DataFrame,
@@ -86,11 +89,11 @@ object Hybrid {
                  vecIdCol: String, vecCol: String, model: IvfModel,
                  runId: String, batchId: Long): Unit = {
     graft.streaming.BatchLedger.once(spark, s"$root/oplog",
-      s"$runId-bm25-append", batchId) {
+      s"$runId/bm25-append", batchId) {
       Bm25.appendToIndex(spark, docs, textCol, idCol, s"$root/bm25")
     }
     graft.streaming.BatchLedger.once(spark, s"$root/oplog",
-      s"$runId-ivf-append", batchId) {
+      s"$runId/ivf-append", batchId) {
       Ivf.appendToIndex(
         embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
         s"$root/ivf")

@@ -531,7 +531,7 @@ object MediaCodec {
   def y4mWithFps(b: Array[Byte], num: Int, den: Int): Option[Array[Byte]] = {
     if (b == null || b.length < 9) return None // total-parser contract
     val headEnd = b.indexOf('\n'.toByte)
-    if (headEnd < 0 || b.length < 9 ||
+    if (headEnd < 0 ||
       new String(b, 0, 9, "US-ASCII") != "YUV4MPEG2") return None
     val head = new String(b, 0, headEnd, "US-ASCII")
     val toks = head.split(' ').map(t =>

@@ -78,13 +78,36 @@ private[graft] object BatchLedger {
     * call this at start with their own runId.
     */
   def pruneOtherRuns(spark: SparkSession, indexPath: String,
-                     keepRunId: String): Unit = {
-    val f = fs(spark, indexPath)
-    val dir = new org.apache.hadoop.fs.Path(s"${indexPath}__ledger")
-    if (!f.exists(dir)) return
-    f.listStatus(dir).foreach { st =>
+                     keepRunId: String): Unit =
+    pruneRunDir(spark, s"${indexPath}__ledger", keepRunId)
+
+  /** The same run-namespace GC over an EXPLICIT marker directory —
+    * for sibling per-run stores that follow the same
+    * `<dir>/<runId>/...` layout (the watermarked-curation batch-max
+    * store).
+    */
+  def pruneRunDir(spark: SparkSession, dir: String,
+                  keepRunId: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { st =>
       if (st.isDirectory && st.getPath.getName != keepRunId)
         f.delete(st.getPath, true)
     }
+  }
+
+  /** Open an ingest run against `indexPath`: derive the run id from
+    * the scratch checkpoint directory's name (stable across replays
+    * of one run, unique across runs — the namespacing contract
+    * above) and GC dead runs' markers. ONE helper so the ten ingest
+    * entry points can't drift apart on the derivation or forget the
+    * GC.
+    */
+  def openRun(spark: SparkSession, indexPath: String,
+              ckpt: java.nio.file.Path): String = {
+    val runId = ckpt.getFileName.toString
+    pruneOtherRuns(spark, indexPath, runId)
+    runId
   }
 }

@@ -237,13 +237,7 @@ object StreamingDedup {
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdedup_ckpt_")
-    // ledger namespace: stable across replays of this run (same
-    // checkpoint), unique across runs (fresh scratch dir) — see
-    // BatchLedger's run-namespacing contract
-    val runId = ckpt.getFileName.toString
-    // GC dead runs' markers (single-writer contract: once this
-    // fresh-checkpoint run starts, no older checkpoint replays here)
-    BatchLedger.pruneOtherRuns(spark, indexPath, runId)
+    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

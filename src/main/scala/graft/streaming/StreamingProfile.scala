@@ -51,13 +51,7 @@ object StreamingProfile {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sprof_ckpt_")
-    // ledger namespace: stable across replays of this run (same
-    // checkpoint), unique across runs (fresh scratch dir) — see
-    // BatchLedger's run-namespacing contract
-    val runId = ckpt.getFileName.toString
-    // GC dead runs' markers (single-writer contract: once this
-    // fresh-checkpoint run starts, no older checkpoint replays here)
-    BatchLedger.pruneOtherRuns(spark, statsPath, runId)
+    val runId = BatchLedger.openRun(spark, statsPath, ckpt)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

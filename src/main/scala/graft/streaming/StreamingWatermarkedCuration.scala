@@ -136,13 +136,10 @@ object StreamingWatermarkedCuration {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_swcur_ckpt_")
-    // ledger namespace: stable across replays of this run (same
-    // checkpoint), unique across runs (fresh scratch dir) — see
-    // BatchLedger's run-namespacing contract
-    val runId = ckpt.getFileName.toString
-    // GC dead runs' markers (single-writer contract: once this
-    // fresh-checkpoint run starts, no older checkpoint replays here)
-    BatchLedger.pruneOtherRuns(spark, indexPath, runId)
+    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    // the batch-max watermark store is a sibling per-run marker dir:
+    // GC its dead runs too (same single-writer argument)
+    BatchLedger.pruneRunDir(spark, s"${latePath}__wm", runId)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

@@ -148,7 +148,7 @@ class HybridSpec extends SparkTestBase {
     Hybrid.writeIndex(spark, docs, "text", "doc_id",
       emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootC)
     graft.streaming.BatchLedger.mark(spark, s"$rootC/oplog",
-      "runC-bm25-append", 1L)
+      "runC/bm25-append", 1L)
     Hybrid.appendDocs(spark, rootC, docs.limit(0), "text", "doc_id",
       emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
       runId = "runC", batchId = 1L)
