@@ -29,6 +29,23 @@ object Hybrid {
   val RrfC = 60L
   val FracBits: Int = 20
 
+  /** Run the two sides' maintenance passes CONCURRENTLY — they are
+    * independent jobs over disjoint layouts (`root/bm25` vs
+    * `root/ivf`, disjoint ledger markers), and Spark's scheduler
+    * fills idle executors across concurrently-submitted jobs, so the
+    * paired lifecycle costs ~max(side) wall-clock instead of
+    * sum(side). Failure semantics are unchanged from the sequential
+    * form: any side's failure propagates (the other side may have
+    * completed — exactly the one-sided-crash state the entry points
+    * already heal on retry via markers/idempotence).
+    */
+  private def bothSides(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(Future(a), Future(b))), Duration.Inf)
+  }
+
   /** Fuse ranked lists — each (qid, doc, rk) with rk 1-based — into
     * (qid, doc, rrf_fp, rk) by descending fused score, doc tie-break.
     */
@@ -61,12 +78,12 @@ object Hybrid {
     */
   def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
                  idCol: String, embeddings: DataFrame, vecIdCol: String,
-                 vecCol: String, model: IvfModel, root: String): Unit = {
-    Bm25.writeIndex(spark, docs, textCol, idCol, s"$root/bm25")
-    Ivf.writeIndex(Ivf.assign(
-      embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
-      s"$root/ivf")
-  }
+                 vecCol: String, model: IvfModel, root: String): Unit =
+    bothSides(
+      Bm25.writeIndex(spark, docs, textCol, idCol, s"$root/bm25"),
+      Ivf.writeIndex(Ivf.assign(
+        embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
+        s"$root/ivf"))
 
   /** Append a disjoint increment to BOTH sides. `(runId, batchId)`
     * keys a per-side ledger marker (the foreachBatch replay guard
@@ -87,18 +104,18 @@ object Hybrid {
   def appendDocs(spark: SparkSession, root: String, docs: DataFrame,
                  textCol: String, idCol: String, embeddings: DataFrame,
                  vecIdCol: String, vecCol: String, model: IvfModel,
-                 runId: String, batchId: Long): Unit = {
-    graft.streaming.BatchLedger.once(spark, s"$root/oplog",
-      s"$runId/bm25-append", batchId) {
-      Bm25.appendToIndex(spark, docs, textCol, idCol, s"$root/bm25")
-    }
-    graft.streaming.BatchLedger.once(spark, s"$root/oplog",
-      s"$runId/ivf-append", batchId) {
-      Ivf.appendToIndex(
-        embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
-        s"$root/ivf")
-    }
-  }
+                 runId: String, batchId: Long): Unit =
+    bothSides(
+      graft.streaming.BatchLedger.once(spark, s"$root/oplog",
+        s"$runId/bm25-append", batchId) {
+        Bm25.appendToIndex(spark, docs, textCol, idCol, s"$root/bm25")
+      },
+      graft.streaming.BatchLedger.once(spark, s"$root/oplog",
+        s"$runId/ivf-append", batchId) {
+        Ivf.appendToIndex(
+          embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
+          s"$root/ivf")
+      })
 
   /** DELETE documents from BOTH sides — the hybrid
     * right-to-be-forgotten pass. Both per-index deletes are
@@ -110,16 +127,16 @@ object Hybrid {
     * must too).
     */
   def deleteDocs(spark: SparkSession, root: String, ids: DataFrame,
-                 vecIdCol: String): Unit = {
-    Bm25.deleteDocs(spark, s"$root/bm25", ids)
-    Ivf.deleteVectors(spark, s"$root/ivf", ids, vecIdCol)
-  }
+                 vecIdCol: String): Unit =
+    bothSides(
+      Bm25.deleteDocs(spark, s"$root/bm25", ids),
+      Ivf.deleteVectors(spark, s"$root/ivf", ids, vecIdCol))
 
   /** Compact both sides (each side's own crash-safe pass). */
-  def compactIndex(spark: SparkSession, root: String): Unit = {
-    Bm25.compactIndex(spark, s"$root/bm25")
-    Ivf.compactIndex(spark, s"$root/ivf")
-  }
+  def compactIndex(spark: SparkSession, root: String): Unit =
+    bothSides(
+      Bm25.compactIndex(spark, s"$root/bm25"),
+      Ivf.compactIndex(spark, s"$root/ivf"))
 
   /** Serve the fused top-k from the paired layout: lexical list from
     * the persisted BM25 buckets, dense list from the persisted IVF

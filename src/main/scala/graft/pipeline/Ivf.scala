@@ -516,6 +516,51 @@ object Ivf {
     graft.core.Pinned.release(del)
   }
 
+  /** RECLUSTER the persisted index: retrain the coarse quantizer on
+    * the index's own CURRENT contents and rewrite the postings
+    * reassigned under the new model, inside the same crash-safe
+    * two-rename swap as compaction. This is the index-maintenance
+    * pass a long-lived ANN deployment runs when appended data has
+    * drifted from the frozen quantizer's training distribution
+    * ([[appendToIndex]]'s "train rarely, append forever" has a decay
+    * mode: stale centroids un-balance the cluster lists, so hot
+    * cells grow unbounded and every probe that touches one reads
+    * more postings for the same recall — the faiss operational
+    * answer is a periodic retrain + reassign, which this is).
+    *
+    * Deterministic end to end: [[TrainSample]] membership is a pure
+    * function of (id, seed, corpus count), so retraining on the
+    * index contents is bit-identical to training on the union of
+    * everything ever ingested — the reclustered index equals a
+    * ONE-SHOT [[writeIndex]]([[assign]]) build over that union under
+    * a fresh [[train]], which is what oracles the whole pass
+    * (ivf_topk_reclustered pins it against the ivf_topk golden).
+    *
+    * 100 TB shape: one bounded sample collect (maxTrainRows cap,
+    * driver k-means fold — the [[train]] scale story) plus one full
+    * rewrite of the layout. The rewrite is the unavoidable cost of
+    * moving rows between cluster dirs and is the same
+    * dynamic-partition pass [[compactIndex]] already runs, so
+    * "recluster" costs one compaction + one bounded collect — run it
+    * on the compaction cadence when drift is detected, not per
+    * append. Returns the new model; the caller serves with it from
+    * then on (the old model's assignments no longer exist on disk).
+    */
+  def recluster(spark: SparkSession, path: String, vecCol: String,
+                idCol: String, nlist: Int, iters: Int = 5,
+                seed: Long = 42L,
+                maxTrainRows: Long = 200000L): IvfModel = {
+    val model = trainFromSample(
+      TrainSample.collect(readIndex(spark, path), vecCol, idCol, seed,
+        maxTrainRows),
+      nlist, iters, seed)
+    graft.core.ParquetCompact.rewrite(spark, path,
+      partitionCols = Seq("cluster"),
+      transform = p => p.drop("cluster")
+        .withColumn("cluster", nearestCol(col(vecCol), model, 1).getItem(0)))
+    model
+  }
+
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout
     * [[searchInt8]] serves from at scale (same cluster partitioning,

@@ -2261,6 +2261,37 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_reclustered" -> ((s, d) => {
+      // index-maintenance RECLUSTER lifecycle: build from the low
+      // half under a STALE quantizer trained on that half only,
+      // append the (drifted-relative-to-training) high half, then
+      // recluster — retrain on the index's own contents and rewrite
+      // the postings reassigned. TrainSample determinism makes the
+      // retrained model bit-identical to Ivf.train over the union,
+      // so search afterwards must equal the one-shot ivf_topk golden
+      // — which fails loudly if the rewrite kept any stale
+      // assignment or dropped a posting
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val stale = graft.pipeline.Ivf.train(emb.where(col("vec_id") <= half),
+        "embedding", "vec_id", nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_rec")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", stale), idx)
+      graft.pipeline.Ivf.appendToIndex(emb.where(col("vec_id") > half),
+        "embedding", stale, idx)
+      val fresh = graft.pipeline.Ivf.recluster(s, idx, "embedding",
+        "vec_id", nlist = 16, iters = 3)
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", fresh,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_int8" -> ((s, d) => {
       // quantized IVF: cluster pruning bounds WHICH postings, int8
       // codes bound the BYTES — golden-checked against the Python
@@ -2964,6 +2995,31 @@ object Queries {
           k = 5, nprobe = 4)
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_hybrid_search" -> ((s, d) => {
+      // the PAIRED hybrid index maintained ON INGEST — the last cell
+      // of the streaming × persisted-index matrix: 4 microbatches of
+      // documents append text to the BM25 side and id-matched
+      // vectors to the IVF side through the one paired entry point
+      // (exactly-once per side), with a mid-stream compaction of
+      // both layouts. Both sides grow one-shot-identical, so the
+      // fused serve equals the scan-based hybrid_topk golden — which
+      // fails loudly if either side missed a batch (skewed fusion)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("graft_shyb_q")
+        .resolve("index").toString
+      graft.streaming.StreamingHybrid.ingest(s, d, model, root,
+        nBatches = 4, compactEvery = 2)
+      graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -4600,6 +4656,12 @@ object Queries {
     "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
+    // recluster retrains on the index's own contents (TrainSample
+    // determinism ⇒ bit-identical to training on the union) and
+    // reassigns every posting ⇒ search equals the one-shot build
+    "ivf_topk_reclustered" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
     "ivf_topk_int8" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
@@ -4749,6 +4811,12 @@ object Queries {
     // postings (frozen quantizer, per-row assignment) ⇒ same golden
     "stream_ivf_search" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // the stream-grown PAIRED hybrid serves identically to the
+    // scan-based fusion (both sides one-shot-identical) ⇒ the
+    // hybrid_topk golden pins the whole streaming paired lifecycle
+    "stream_hybrid_search" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     // kept ⇔ the document is its fingerprint group's min id — the
     // one-shot exact-dedup rule, replayed in plain SQL

@@ -415,6 +415,45 @@ class AnnSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("recluster: retrained-on-contents model ≡ train-on-union; search ≡ one-shot") {
+    // build under a STALE model trained on the low half only, append
+    // the high half (drift), recluster — the retrained model must be
+    // bit-identical to training on the union (TrainSample membership
+    // is a pure function of id/seed/count), and the rewritten index
+    // must search exactly like a one-shot build under that model
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val lo = emb.where(col("vec_id") <= half)
+    val hi = emb.where(col("vec_id") > half)
+    val stale = Ivf.train(lo, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_rec_s")
+      .toString + "/index"
+    Ivf.writeIndex(Ivf.assign(lo, "embedding", stale), path)
+    Ivf.appendToIndex(hi, "embedding", stale, path)
+    val fresh = Ivf.recluster(spark, path, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    val union = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    assert(fresh.centroids.length == union.centroids.length)
+    assert(fresh.centroids.zip(union.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    val qs = emb.where(col("vec_id") < 3)
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      Ivf.search(p, qs, "embedding", "vec_id", fresh, k = 5, nprobe = 3)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(Ivf.readIndex(spark, path)) ==
+      rows(Ivf.assign(emb, "embedding", fresh)))
+    // the rewrite actually moved rows: no posting keeps a stale
+    // assignment (cluster column re-derived under the fresh model)
+    val moved = Ivf.readIndex(spark, path)
+      .withColumn("want",
+        graft.functions.ColumnBridge.column(graft.pipeline.IvfNearest(
+          graft.functions.ColumnBridge.expression(col("embedding")),
+          fresh, 1)).getItem(0))
+      .where(col("cluster") =!= col("want")).count()
+    assert(moved == 0L)
+  }
+
   test("deleteVectors: search over the pruned index equals a fresh build") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("ivf_del_s")
