@@ -561,6 +561,33 @@ object Ivf {
     model
   }
 
+  /** Per-list size stats for the persisted index — the DRIFT ALARM
+    * [[recluster]] answers, made operational from ReclusterMeasure's
+    * finding (PLANS.md): under distribution drift, recall looks fine
+    * right up until hot lists have silently multiplied probe cost
+    * (the stale index held recall 0.908 only by scanning 4.5× its
+    * nprobe budget), so the signal to watch is list BALANCE, not
+    * recall. Computed without touching a single data page: the scan
+    * projects zero columns (ReadSchema struct<>, spec-pinned), so
+    * per-cluster row counts come straight from parquet row-group
+    * metadata — a footer pass even at 100 TB. One row per non-empty
+    * cluster: (cluster, size).
+    */
+  def indexStats(spark: SparkSession, path: String): DataFrame =
+    readIndex(spark, path).groupBy("cluster")
+      .agg(count(lit(1)).as("size"))
+
+  /** max/mean list-size ratio from [[indexStats]] — 1.0 is perfectly
+    * balanced; a rising value is the [[recluster]] trigger
+    * (ReclusterMeasure: imbalance 23× meant probes scanning 4.5×
+    * their nominal budget while recall still looked healthy).
+    */
+  def imbalance(spark: SparkSession, path: String): Double = {
+    val r = indexStats(spark, path)
+      .agg(max(col("size")), avg(col("size"))).head()
+    r.getLong(0).toDouble / r.getDouble(1)
+  }
+
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout
     * [[searchInt8]] serves from at scale (same cluster partitioning,

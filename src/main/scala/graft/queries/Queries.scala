@@ -2261,6 +2261,26 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_index_stats" -> ((s, d) => {
+      // the DRIFT ALARM: per-list sizes of the persisted index from
+      // parquet metadata only (the scan projects zero columns — row
+      // counts come from row-group footers). Golden is the Python
+      // mirror's count over every row's deterministic assignment — a
+      // stronger pin than top-k rows, since any single flipped
+      // assignment shifts two counts
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_stats")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), idx)
+      graft.pipeline.Ivf.indexStats(s, idx)
+        .select(col("cluster").cast(IntegerType).as("cluster"),
+          col("size"))
+        .orderBy(col("cluster"))
+    }),
+
     "ivf_topk_reclustered" -> ((s, d) => {
       // index-maintenance RECLUSTER lifecycle: build from the low
       // half under a STALE quantizer trained on that half only,
@@ -4655,6 +4675,11 @@ object Queries {
     // post-deletion search ≡ a one-shot build over the survivors
     "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // per-list sizes over every row's deterministic assignment —
+    // the metadata-only drift alarm, mirrored exactly in Python
+    "ivf_index_stats" ->
+      s"SELECT cluster, size FROM '$pipeGold/ivf_index_stats.parquet' ORDER BY cluster",
 
     // recluster retrains on the index's own contents (TrainSample
     // determinism ⇒ bit-identical to training on the union) and

@@ -415,6 +415,27 @@ class AnnSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("indexStats: metadata-only scan (zero columns), sizes exact, imbalance ratio") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_stats_s")
+      .toString + "/index"
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), path)
+    val st = Ivf.indexStats(spark, path)
+    // the alarm must not read data pages: the scan projects zero
+    // columns, so counts come from row-group metadata
+    val plan = st.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"indexStats scan reads data columns:\n$plan")
+    val got = st.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val want = Ivf.assign(emb, "embedding", model)
+      .groupBy("cluster").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    val imb = Ivf.imbalance(spark, path)
+    val sizes = want.map(_._2.toDouble)
+    assert(math.abs(imb - sizes.max / (sizes.sum / sizes.length)) < 1e-9)
+  }
+
   test("recluster: retrained-on-contents model ≡ train-on-union; search ≡ one-shot") {
     // build under a STALE model trained on the low half only, append
     // the high half (drift), recluster — the retrained model must be

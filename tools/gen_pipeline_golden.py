@@ -516,6 +516,23 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def gen_ivf_index_stats(emb, nlist=16, iters=3):
+    """Per-cluster list sizes of the one-shot index build — the drift
+    alarm's golden: the same deterministic train + assignment as
+    gen_ivf_topk, aggregated to (cluster, size) over EVERY corpus row
+    (a stronger pin than top-k rows: any single flipped assignment
+    shifts two counts). Empty clusters have no partition dir, so they
+    are omitted, matching the layout."""
+    centroids = ivf_train(emb, nlist, iters)
+    sizes = {}
+    for _, v in emb:
+        c = ivf_nearest(centroids, v, 1)[0]
+        sizes[c] = sizes.get(c, 0) + 1
+    rows = sorted(sizes.items())
+    write("ivf_index_stats", pd.DataFrame(rows, columns=["cluster", "size"]),
+          {"cluster": "INTEGER", "size": "BIGINT"})
+
+
 def gen_ivf_topk_hier(emb, nlist=16, iters=3, k=5, nprobe=4):
     """Same probe/rank mirror as gen_ivf_topk over the hierarchical
     (two-level) quantizer — assignment AND probing descend the two
@@ -1849,6 +1866,7 @@ def main():
         gen_hybrid_topk(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
+              "ivf_index_stats",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
               "ivf_topk_pq256",
@@ -1884,6 +1902,8 @@ def main():
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
         gen_ivf_topk(emb)
+    if want("ivf_index_stats"):
+        gen_ivf_index_stats(emb)
     if want("ivf_topk_int8"):
         gen_ivf_topk_int8(emb)
     if want("store_retrieve"):
