@@ -561,6 +561,43 @@ object Ivf {
     model
   }
 
+  /** Persist the coarse quantizer BESIDE the postings it assigned —
+    * the missing half of a restartable index: the layout alone is
+    * ambiguous (assignments are a function of the model, and serving
+    * with ANY other model silently degrades probes), so a deployment
+    * that survives restarts must store the pair together. One tiny
+    * parquet of (level, idx, sub, vec|child) rows — level 0 the flat
+    * table, 1 the L1 table, 2 the child index lists — written
+    * overwrite-atomic like every layout in the family.
+    */
+  def saveModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    val flat = model.centroids.zipWithIndex.map { case (v, i) =>
+      (0, i, v, Array.empty[Int]) }
+    val l1 = model.l1.zipWithIndex.map { case (v, i) =>
+      (1, i, v, Array.empty[Int]) }
+    val kids = model.children.zipWithIndex.map { case (c, i) =>
+      (2, i, Array.empty[Float], c) }
+    (flat ++ l1 ++ kids).toSeq
+      .toDF("level", "idx", "vec", "child")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Read back a [[saveModel]] quantizer — bit-identical (float32
+    * centroids round-trip exactly through parquet).
+    */
+  def loadModel(spark: SparkSession, path: String): IvfModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("level"), col("idx"), col("vec"), col("child"))
+      .as[(Int, Int, Array[Float], Array[Int])]
+      .collect()
+    def table(level: Int): Array[Array[Float]] =
+      rows.filter(_._1 == level).sortBy(_._2).map(_._3)
+    IvfModel(table(0), table(1),
+      rows.filter(_._1 == 2).sortBy(_._2).map(_._4))
+  }
+
   /** Per-list size stats for the persisted index — the DRIFT ALARM
     * [[recluster]] answers, made operational from ReclusterMeasure's
     * finding (PLANS.md): under distribution drift, recall looks fine

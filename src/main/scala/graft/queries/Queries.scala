@@ -3018,6 +3018,41 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "stream_ivf_autorecluster" -> ((s, d) => {
+      // SELF-MAINTAINING vector index: drifted data (elementwise
+      // absolute value — the positive-orthant concentration, norm-
+      // preserving and engine-exact) arrives in the later
+      // microbatches; the ingest watches the imbalance alarm,
+      // reclusters itself mid-stream, persists the new quantizer
+      // beside the layout, and later batches assign under it.
+      // Exhaustive probes are model-independent (nprobe = nlist
+      // scans every list), so the oracle is DuckDB's brute-force
+      // cosine over the same staged corpus — which fails loudly if
+      // the mid-stream rewrite lost or duplicated any posting
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val off = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val drifted = emb.select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), v => abs(v)).as("embedding"))
+      val stageDir = java.nio.file.Files.createTempDirectory("sivf_auto")
+      emb.unionByName(drifted).write.mode("overwrite")
+        .parquet(stageDir.resolve("embeddings.parquet").toString)
+      // trained on the PRE-drift world — the stale quantizer the
+      // alarm exists to catch
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = stageDir.resolve("index").toString
+      // threshold 2.0: measured clean separation at every SF —
+      // pre-drift imbalance ≤ 1.31, half-drifted ≥ 2.35
+      val fin = graft.streaming.StreamingIvf.ingest(s, stageDir.toString,
+        model, idx, nBatches = 4, reclusterImbalance = 2.0)
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", fin,
+          k = 5, nprobe = fin.nlist)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "stream_hybrid_search" -> ((s, d) => {
       // the PAIRED hybrid index maintained ON INGEST — the last cell
       // of the streaming × persisted-index matrix: 4 microbatches of
@@ -3202,6 +3237,46 @@ object Queries {
           graft.pipeline.Ivf.readIndex(s, idx), emb,
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
           ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // DERIVED-LAYOUT refresh after recluster: residual codes are
+    // centroid-dependent, so a recluster of the float layout must
+    // cascade into retraining the residual codebooks and re-encoding
+    // the codes layout — this row pins the whole cascade (stale
+    // build + drifted append + recluster + PQ retrain from the
+    // index's own read-back + re-encode + serve) against the
+    // one-shot ivf_topk_pqr golden, which fails loudly if any stage
+    // kept a stale centroid, code, or assignment
+    "ivf_topk_pqr_reclustered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val stale = graft.pipeline.Ivf.train(emb.where(col("vec_id") <= half),
+        "embedding", "vec_id", nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("ivfpqr_rec")
+      val idx = root.resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", stale), idx)
+      graft.pipeline.Ivf.appendToIndex(emb.where(col("vec_id") > half),
+        "embedding", stale, idx)
+      val fresh = graft.pipeline.Ivf.recluster(s, idx, "embedding",
+        "vec_id", nlist = 16, iters = 3)
+      // retrain + re-encode the derived codes layout from the float
+      // layout's own contents (TrainSample determinism ⇒ same pq as
+      // one-shot training on the union)
+      val posts = graft.pipeline.Ivf.readIndex(s, idx)
+      val pq = graft.pipeline.Ivf.trainPqResidual(posts, "embedding",
+        "vec_id", fresh, m = 8, ksub = 16, iters = 3)
+      val pqIdx = root.resolve("pq").toString
+      graft.pipeline.Ivf.writeIndexPqResidual(posts, "embedding", pq,
+        fresh, pqIdx)
+      graft.pipeline.Ivf.searchPqResidualIndex(
+          graft.pipeline.Ivf.readIndex(s, pqIdx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          fresh, pq, k = 5, nprobe = 4, oversample = 4)
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
@@ -4376,6 +4451,11 @@ object Queries {
     "ivf_topk_pqr_indexed" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
+    // recluster cascaded into the derived codes layout (PQ retrain +
+    // re-encode from the index's own contents) ≡ the one-shot build
+    "ivf_topk_pqr_reclustered" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
+
     "corpus_budget_select" ->
       """WITH t AS (
         |  SELECT doc_id AS doc,
@@ -4836,6 +4916,27 @@ object Queries {
     // postings (frozen quantizer, per-row assignment) ⇒ same golden
     "stream_ivf_search" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // the self-maintaining ingest's exhaustive serve ≡ brute-force
+    // cosine over the staged (original ∪ abs-drifted) corpus —
+    // model-independent, so DuckDB replays it without the k-means
+    "stream_ivf_autorecluster" ->
+      s"""WITH all_vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+         |         list_transform(embedding, v -> abs(v)) AS embedding
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM all_vecs q, all_vecs e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // the stream-grown PAIRED hybrid serves identically to the
     // scan-based fusion (both sides one-shot-identical) ⇒ the

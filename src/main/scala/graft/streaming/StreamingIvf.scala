@@ -38,28 +38,65 @@ object StreamingIvf {
     * microbatches) into a persisted IVF index at `indexPath` against
     * the pre-trained `model`. `compactEvery` > 0 compacts after
     * every that-many batches.
+    *
+    * `reclusterImbalance` > 0 makes the ingest SELF-MAINTAINING: after
+    * each batch the [[Ivf.imbalance]] drift alarm (a parquet-footer
+    * pass, no data pages) is checked, and past the threshold the
+    * index is [[Ivf.recluster]]ed — retrained on its own contents and
+    * rewritten — with subsequent batches assigned under the new
+    * quantizer. This is the operational loop ReclusterMeasure
+    * motivates (PLANS.md): under drift, hot lists silently multiply
+    * probe cost while recall still looks healthy, so the ingest
+    * watches balance and heals itself instead of waiting for an
+    * offline retrain. Replay-safe: recluster is a pure function of
+    * the index contents, so a re-delivered batch that re-triggers it
+    * rewrites to the identical layout. Returns the model the index is
+    * CURRENTLY assigned under — the frozen input if the alarm never
+    * fired; callers must serve with the returned model.
+    *
+    * In self-maintaining mode the current quantizer is also persisted
+    * at `<indexPath>__model` ([[Ivf.saveModel]]) at start and after
+    * each recluster — the layout alone is ambiguous once the model
+    * can change mid-stream, so a RESTARTED ingest must
+    * [[Ivf.loadModel]] the sidecar rather than re-pass the original
+    * frozen model (which may be stale relative to the rewritten
+    * layout).
     */
   def ingest(spark: SparkSession, dir: String, model: IvfModel,
              indexPath: String, nBatches: Int = 4,
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             reclusterImbalance: Double = 0.0): IvfModel = {
     val src = s"$dir/embeddings.parquet"
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivf_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    // the quantizer the index is currently assigned under; replaced
+    // when the drift alarm fires (foreachBatch runs batches
+    // sequentially in one thread — plain var is safe)
+    var current = model
+    if (reclusterImbalance > 0)
+      Ivf.saveModel(spark, current, s"${indexPath}__model")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         // idempotent under foreachBatch's same-batchId replay (see
         // BatchLedger): a re-delivered completed batch is a no-op
-        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
-          processBatch(batch, "embedding", model, indexPath)
+        BatchLedger.once(s, indexPath, runId, batchId) {
+          processBatch(batch, "embedding", current, indexPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          Ivf.compactIndex(batch.sparkSession, indexPath)
+          Ivf.compactIndex(s, indexPath)
+        if (reclusterImbalance > 0 &&
+            Ivf.imbalance(s, indexPath) > reclusterImbalance) {
+          current = Ivf.recluster(s, indexPath, "embedding", "vec_id",
+            nlist = current.nlist)
+          Ivf.saveModel(s, current, s"${indexPath}__model")
+        }
       }
       .start()
     try q.processAllAvailable() finally {
@@ -67,5 +104,6 @@ object StreamingIvf {
       EventStream.deleteScratch(ckpt)
       EventStream.deleteScratch(stage)
     }
+    current
   }
 }

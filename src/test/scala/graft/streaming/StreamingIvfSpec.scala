@@ -64,6 +64,48 @@ class StreamingIvfSpec extends SparkTestBase {
       s"cluster filter not pushed on the grown layout:\n$planStr")
   }
 
+  test("self-maintaining ingest: drift fires the alarm, serve stays exact, model persisted") {
+    val e = emb
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val drifted = e.select((col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"), v => abs(v)).as("embedding"))
+    val stage = java.nio.file.Files.createTempDirectory("sivf_auto_s")
+    val staged = stage.resolve("embeddings.parquet").toString
+    e.unionByName(drifted).write.parquet(staged)
+    // frozen on the PRE-drift world — the stale quantizer the alarm
+    // exists to catch
+    val frozen = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
+    val idx = stage.resolve("index").toString
+    // threshold 2.0: measured clean separation at every SF —
+    // pre-drift imbalance ≤ 1.31, half-drifted ≥ 2.35
+    val fin = StreamingIvf.ingest(spark, stage.toString, frozen, idx,
+      nBatches = 4, reclusterImbalance = 2.0)
+    // the alarm fired: the serving model is no longer the frozen one
+    assert(!fin.centroids.zip(frozen.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    // the persisted sidecar round-trips the serving model exactly
+    val loaded = Ivf.loadModel(spark, s"${idx}__model")
+    assert(loaded.centroids.length == fin.centroids.length)
+    assert(loaded.centroids.zip(fin.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.l1.length == fin.l1.length)
+    // exhaustive serve over the healed layout ≡ brute force over the
+    // staged corpus — nothing lost or duplicated by the mid-stream
+    // rewrite
+    val all = spark.read.parquet(staged)
+    val qs = e.where(col("vec_id") < 5)
+    val got = rows(Ivf.search(Ivf.readIndex(spark, idx), qs, "embedding",
+      "vec_id", fin, k = 5, nprobe = fin.nlist))
+    val want = graft.pipeline.Similarity.bruteForceTopK(
+        all.select(col("vec_id").as("id"), col("embedding").as("v")),
+        qs.select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", 5)
+      .select(col("qid"), col("nid"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == want)
+  }
+
   test("foreachBatch ingest end-to-end matches the one-shot build") {
     val e = emb
     val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
