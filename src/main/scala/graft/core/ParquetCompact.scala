@@ -107,6 +107,36 @@ object ParquetCompact {
     if (pinResult) Some(survived) else None
   }
 
+  /** Mean parquet data files per partition directory — the FILE-COUNT
+    * alarm that triggers [[compact]], symmetric to the list-balance
+    * alarm that triggers a recluster: every per-batch append leaves
+    * one file set per touched dir, and probe cost grows with file
+    * count (each small file is its own footer + page set), so a
+    * streaming ingest watches this number instead of compacting on a
+    * blind cadence. Pure filesystem listing — no footer or data reads
+    * — so it costs what a directory listing costs, even at 100 TB.
+    * Returns 0 for a missing/empty layout.
+    */
+  def meanFilesPerDir(spark: SparkSession, path: String): Double = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hc)
+    if (!fs.exists(p)) return 0.0
+    // leaf dirs = dirs holding parquet files directly (handles both
+    // single-level cluster=/bucket= and nested band=/kb= layouts)
+    var dirs = 0L
+    var files = 0L
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.listStatus(dir)
+      val here = st.count(f => !f.isDirectory &&
+        f.getPath.getName.endsWith(".parquet"))
+      if (here > 0) { dirs += 1; files += here }
+      st.foreach(f => if (f.isDirectory) walk(f.getPath))
+    }
+    walk(p)
+    if (dirs == 0) 0.0 else files.toDouble / dirs
+  }
+
   /** Any actual parquet data file under `dir` (recursive)? A zero-row
     * dynamic-partition write leaves only `_SUCCESS`.
     */

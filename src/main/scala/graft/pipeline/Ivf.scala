@@ -561,6 +561,53 @@ object Ivf {
     model
   }
 
+  /** The SERVING-KNOB TUNER: smallest nprobe whose measured recall@k
+    * on a query sample meets `targetRecall` — the call a deployment
+    * makes before trusting an approximate index, packaged from the
+    * instrument the per-family recall rows already use. Doubling
+    * sweep 1, 2, 4, … nlist; exact ground truth computed ONCE and
+    * pinned; stops at the first step meeting the target. Recall is
+    * MICRO-averaged — sum(hits) / sum(min(k, |truth_q|)) over the
+    * sample, one integer division — so the number is bit-identical
+    * across engines and partitionings (a per-query mean would sum
+    * non-representable doubles in shuffle order). Returns the sweep
+    * table (nprobe, hits, denom, recall, chosen): bounded at
+    * log2(nlist)+1 probe searches over the bounded query sample, and
+    * `chosen` marks the final row iff its recall met the target (an
+    * unmet target at nprobe = nlist means the truth itself is
+    * unreachable through the dedup — not a knob problem).
+    */
+  def tuneNprobe(postings: DataFrame, queries: DataFrame, vecCol: String,
+                 idCol: String, model: IvfModel, k: Int,
+                 targetRecall: Double): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      "targetRecall must be in (0, 1]")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val truth = Similarity.bruteForceTopK(postings, queries, vecCol,
+      idCol, k).localCheckpoint(true)
+    val denom = truth.groupBy(col("qid"))
+      .agg(least(lit(k.toLong), count(lit(1))).as("d"))
+      .agg(sum(col("d"))).head().getLong(0)
+    val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nlist)
+      .toSeq :+ model.nlist).distinct
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+    var done = false
+    for (p <- steps if !done) {
+      val hits = Similarity.recallAtK(truth,
+          search(postings, queries, vecCol, idCol, model, k, nprobe = p), k)
+        .agg(coalesce(sum(col("hits")), lit(0L))).head().getLong(0)
+      val rec = hits.toDouble / denom
+      rows += ((p, hits, denom, rec))
+      if (rec >= targetRecall) done = true
+    }
+    graft.core.Pinned.release(truth)
+    val chosenNprobe =
+      if (rows.last._4 >= targetRecall) rows.last._1 else -1
+    rows.toSeq.toDF("nprobe", "hits", "denom", "recall")
+      .withColumn("chosen", col("nprobe") === lit(chosenNprobe))
+  }
+
   /** Persist the coarse quantizer BESIDE the postings it assigned —
     * the missing half of a restartable index: the layout alone is
     * ambiguous (assignments are a function of the model, and serving

@@ -2261,6 +2261,22 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_tune_nprobe" -> ((s, d) => {
+      // the serving-knob tuner: doubling nprobe sweep with
+      // micro-averaged recall@5 (one integer division — engine- and
+      // partitioning-exact), stopping at the first step meeting the
+      // 0.9 target; the Python mirror replays the identical sweep,
+      // stopping rule, and division
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      graft.pipeline.Ivf.tuneNprobe(
+          graft.pipeline.Ivf.assign(emb, "embedding", model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, targetRecall = 0.9)
+        .orderBy(col("nprobe"))
+    }),
+
     "ivf_index_stats" -> ((s, d) => {
       // the DRIFT ALARM: per-list sizes of the persisted index from
       // parquet metadata only (the scan projects zero columns — row
@@ -4755,6 +4771,11 @@ object Queries {
     // post-deletion search ≡ a one-shot build over the survivors
     "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // the tuner's sweep table — sweep, stopping rule, and the single
+    // hits/denom division all mirrored exactly in Python
+    "ivf_tune_nprobe" ->
+      s"SELECT nprobe, hits, denom, recall, chosen FROM '$pipeGold/ivf_tune_nprobe.parquet' ORDER BY nprobe",
 
     // per-list sizes over every row's deterministic assignment —
     // the metadata-only drift alarm, mirrored exactly in Python

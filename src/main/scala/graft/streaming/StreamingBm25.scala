@@ -36,10 +36,15 @@ object StreamingBm25 {
 
   /** Stream the documents table (replayed as `nBatches` id-ordered
     * microbatches) into a persisted BM25 index at `indexPath`.
-    * `compactEvery` > 0 compacts after every that-many batches.
+    * `compactEvery` > 0 compacts after every that-many batches;
+    * `compactFilesPerDir` > 0 compacts when the
+    * [[graft.core.ParquetCompact.meanFilesPerDir]] file-count alarm
+    * says the append debris warrants it (a directory listing, not a
+    * cadence guess).
     */
   def ingest(spark: SparkSession, dir: String, indexPath: String,
-             nBatches: Int = 4, compactEvery: Int = 0): Unit = {
+             nBatches: Int = 4, compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val src = s"$dir/documents.parquet"
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
@@ -58,6 +63,11 @@ object StreamingBm25 {
           processBatch(batch.sparkSession, batch, "text", "doc_id", indexPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Bm25.compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf — the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           Bm25.compactIndex(batch.sparkSession, indexPath)
       }
       .start()

@@ -56,11 +56,15 @@ object StreamingHybrid {
     * trained offline on a sample, docs added online), with
     * `dir/embeddings.parquet` supplying each batch's vectors by id.
     * `compactEvery` > 0 compacts both sides after every that-many
-    * batches.
+    * batches; `compactFilesPerDir` > 0 compacts both when EITHER
+    * side's [[graft.core.ParquetCompact.meanFilesPerDir]] file-count
+    * alarm fires (compaction is contents-invariant, so compacting
+    * the quieter side alongside is harmless).
     */
   def ingest(spark: SparkSession, dir: String, model: IvfModel,
              root: String, nBatches: Int = 4,
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val src = s"$dir/documents.parquet"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -83,6 +87,10 @@ object StreamingHybrid {
         processBatch(batch.sparkSession, batch, "text", "doc_id", emb,
           "vec_id", "embedding", model, root, runId, batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Hybrid.compactIndex(batch.sparkSession, root)
+        if (compactFilesPerDir > 0 && Seq(s"$root/bm25", s"$root/ivf")
+              .exists(p => graft.core.ParquetCompact
+                .meanFilesPerDir(batch.sparkSession, p) > compactFilesPerDir))
           Hybrid.compactIndex(batch.sparkSession, root)
       }
       .start()

@@ -37,7 +37,10 @@ object StreamingIvf {
   /** Stream the embeddings table (replayed as `nBatches` id-ordered
     * microbatches) into a persisted IVF index at `indexPath` against
     * the pre-trained `model`. `compactEvery` > 0 compacts after
-    * every that-many batches.
+    * every that-many batches; `compactFilesPerDir` > 0 compacts
+    * instead when the measured append debris warrants it (the
+    * [[graft.core.ParquetCompact.meanFilesPerDir]] file-count alarm —
+    * a directory listing, not a cadence guess).
     *
     * `reclusterImbalance` > 0 makes the ingest SELF-MAINTAINING: after
     * each batch the [[Ivf.imbalance]] drift alarm (a parquet-footer
@@ -65,7 +68,8 @@ object StreamingIvf {
   def ingest(spark: SparkSession, dir: String, model: IvfModel,
              indexPath: String, nBatches: Int = 4,
              compactEvery: Int = 0,
-             reclusterImbalance: Double = 0.0): IvfModel = {
+             reclusterImbalance: Double = 0.0,
+             compactFilesPerDir: Double = 0.0): IvfModel = {
     val src = s"$dir/embeddings.parquet"
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
@@ -90,6 +94,12 @@ object StreamingIvf {
           processBatch(batch, "embedding", current, indexPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Ivf.compactIndex(s, indexPath)
+        // the FILE-COUNT alarm, symmetric to the imbalance alarm: a
+        // directory listing decides when append debris is worth a
+        // compaction pass, instead of a blind cadence
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(s, indexPath) > compactFilesPerDir)
           Ivf.compactIndex(s, indexPath)
         if (reclusterImbalance > 0 &&
             Ivf.imbalance(s, indexPath) > reclusterImbalance) {

@@ -415,6 +415,27 @@ class AnnSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("tuneNprobe: monotone sweep, early stop at the target, chosen semantics") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 16, iters = 3)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val qs = emb.where(col("vec_id") < 10)
+    def sweep(target: Double) =
+      Ivf.tuneNprobe(postings, qs, "embedding", "vec_id", model, k = 5,
+          targetRecall = target)
+        .orderBy("nprobe").collect()
+        .map(r => (r.getInt(0), r.getDouble(3), r.getBoolean(4)))
+    val full = sweep(1.0)
+    // doubling sweep ends exhaustive; recall monotone non-decreasing
+    // and exactly 1.0 at nprobe = nlist (every list probed)
+    assert(full.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    assert(full.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(full.last._2 == 1.0 && full.last._3)
+    assert(full.init.forall(!_._3))
+    // a modest target stops early, and only the final row is chosen
+    val easy = sweep(full(1)._2) // target = the nprobe=2 recall
+    assert(easy.length == 2 && easy.last._1 == 2 && easy.last._3)
+  }
+
   test("indexStats: metadata-only scan (zero columns), sizes exact, imbalance ratio") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("ivf_stats_s")

@@ -106,6 +106,26 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("file-count alarm: measured debris triggers compaction, results invariant") {
+    val e = emb
+    val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
+    val qs = e.where(col("vec_id") < 5)
+    def ingested(threshold: Double): (Double, Seq[(Long, Long, Int)]) = {
+      val idx = java.nio.file.Files.createTempDirectory("sivf_fc")
+        .resolve("index").toString
+      StreamingIvf.ingest(spark, sf(), model, idx, nBatches = 4,
+        compactFilesPerDir = threshold)
+      (graft.core.ParquetCompact.meanFilesPerDir(spark, idx),
+        rows(Ivf.search(Ivf.readIndex(spark, idx), qs, "embedding",
+          "vec_id", model, k = 5, nprobe = 4)))
+    }
+    val (debrisOff, wantRows) = ingested(0.0)    // alarm off: debris piles up
+    val (debrisOn, gotRows) = ingested(1.5)      // alarm on: compacted away
+    assert(debrisOn < debrisOff,
+      s"alarm never compacted: $debrisOn vs $debrisOff files/dir")
+    assert(gotRows == wantRows) // compaction is contents-invariant
+  }
+
   test("foreachBatch ingest end-to-end matches the one-shot build") {
     val e = emb
     val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)

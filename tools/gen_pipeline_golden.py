@@ -516,6 +516,56 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def gen_ivf_tune(emb, nlist=16, iters=3, k=5, target=0.9):
+    """The nprobe tuner's doubling sweep, mirrored: micro-averaged
+    recall@k (sum hits / sum min(k, |truth|), ONE double division) at
+    nprobe = 1, 2, 4, ... nlist, stopping at the first step meeting
+    the target; `chosen` marks the final row iff it met."""
+    centroids = ivf_train(emb, nlist, iters)
+    vec = dict(emb)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    queries = [i for i, _ in emb if i < 10]
+    # exact truth, excludeSelf, ties by id
+    truth = {}
+    for q in queries:
+        scored = sorted(((cosine_sim_d(vec[n], vec[q]), -n) for n, _ in emb
+                         if n != q), reverse=True)[:k]
+        truth[q] = {-ni for _, ni in scored}
+    denom = sum(min(k, len(truth[q])) for q in queries)
+    steps = []
+    p = 1
+    while p < nlist:
+        steps.append(p)
+        p *= 2
+    steps.append(nlist)
+    rows = []
+    for p in steps:
+        hits = 0
+        for q in queries:
+            cands = {}
+            for cl in ivf_nearest(centroids, vec[q], p):
+                for n in postings.get(cl, []):
+                    if n != q and n not in cands:
+                        cands[n] = cosine_sim_d(vec[n], vec[q])
+            top = sorted(((s, -n) for n, s in cands.items()),
+                         reverse=True)[:k]
+            hits += len(truth[q] & {-ni for _, ni in top})
+        rec = hits / denom
+        rows.append((p, hits, denom, rec))
+        if rec >= target:
+            break
+    chosen = rows[-1][0] if rows[-1][3] >= target else -1
+    out = [(p, h, d, r, p == chosen) for p, h, d, r in rows]
+    write("ivf_tune_nprobe",
+          pd.DataFrame(out, columns=["nprobe", "hits", "denom", "recall",
+                                     "chosen"]),
+          {"nprobe": "INTEGER", "hits": "BIGINT", "denom": "BIGINT",
+           "recall": "DOUBLE", "chosen": "BOOLEAN"})
+
+
 def gen_ivf_index_stats(emb, nlist=16, iters=3):
     """Per-cluster list sizes of the one-shot index build — the drift
     alarm's golden: the same deterministic train + assignment as
@@ -1866,7 +1916,7 @@ def main():
         gen_hybrid_topk(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "ivf_index_stats",
+              "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
               "ivf_topk_pq256",
@@ -1904,6 +1954,8 @@ def main():
         gen_ivf_topk(emb)
     if want("ivf_index_stats"):
         gen_ivf_index_stats(emb)
+    if want("ivf_tune_nprobe"):
+        gen_ivf_tune(emb)
     if want("ivf_topk_int8"):
         gen_ivf_topk_int8(emb)
     if want("store_retrieve"):
