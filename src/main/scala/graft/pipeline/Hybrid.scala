@@ -81,9 +81,21 @@ object Hybrid {
                  vecCol: String, model: IvfModel, root: String): Unit =
     bothSides(
       Bm25.writeIndex(spark, docs, textCol, idCol, s"$root/bm25"),
-      Ivf.writeIndex(Ivf.assign(
-        embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
-        s"$root/ivf"))
+      {
+        Ivf.writeIndex(Ivf.assign(
+          embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
+          s"$root/ivf")
+        // the quantizer persists beside the postings it assigned —
+        // the pair a restarted server recovers with [[loadModel]]
+        Ivf.saveModel(spark, model, s"$root/ivf__model")
+      })
+
+  /** The quantizer [[writeIndex]] persisted beside the dense side —
+    * a restarted server recovers the (layout, model) pair from the
+    * root alone instead of re-threading the in-memory model.
+    */
+  def loadModel(spark: SparkSession, root: String): IvfModel =
+    Ivf.loadModel(spark, s"$root/ivf__model")
 
   /** Append a disjoint increment to BOTH sides. `(runId, batchId)`
     * keys a per-side ledger marker (the foreachBatch replay guard

@@ -229,7 +229,8 @@ object StreamingDedup {
     */
   def ingest(spark: SparkSession, dir: String, indexPath: String,
              outPath: String, maxDist: Int = 12,
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
     java.nio.file.Files.copy(
@@ -249,6 +250,11 @@ object StreamingDedup {
             indexPath, outPath, maxDist)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf -- the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           compactIndex(batch.sparkSession, indexPath)
       }
       .start()

@@ -48,7 +48,8 @@ object StreamingEmbedDedup {
   def ingest(spark: SparkSession, dir: String, indexPath: String,
              outPath: String, dim: Int = 64, bits: Int = 8,
              threshold: Double = 0.3, nBatches: Int = 3,
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val src = s"$dir/embeddings.parquet"
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
@@ -67,6 +68,11 @@ object StreamingEmbedDedup {
             indexPath, outPath, dim, bits, threshold)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          EmbedDedupIndex.compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf -- the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           EmbedDedupIndex.compactIndex(batch.sparkSession, indexPath)
       }
       .start()

@@ -61,7 +61,8 @@ object StreamingExactDedup {
     * that-many batches (contents-invariant).
     */
   def ingest(spark: SparkSession, dir: String, indexPath: String,
-             outPath: String, compactEvery: Int = 0): Unit = {
+             outPath: String, compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_sxdedup")
     java.nio.file.Files.copy(
@@ -80,6 +81,11 @@ object StreamingExactDedup {
             indexPath, outPath)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          DedupIndex.compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf -- the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           DedupIndex.compactIndex(batch.sparkSession, indexPath)
       }
       .start()

@@ -75,6 +75,11 @@ object StreamingHybrid {
     // openRun GCs dead runs' markers there under the same
     // single-writer argument as the per-index ingests
     val runId = BatchLedger.openRun(spark, s"$root/oplog", ckpt)
+    // first contact creates the layouts via append mode, which never
+    // writes the quantizer sidecar — persist it here so the
+    // (layout, model) pair is recoverable from the root alone
+    // (Hybrid.loadModel), same as a writeIndex-built root
+    graft.pipeline.Ivf.saveModel(spark, model, s"$root/ivf__model")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

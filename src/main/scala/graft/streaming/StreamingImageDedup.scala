@@ -51,6 +51,7 @@ object StreamingImageDedup {
              outPath: String, maxDist: Int = 6, nBatches: Int = 3,
              idCol: String = "id", bytesCol: String = "bytes",
              compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0,
              hasher: org.apache.spark.sql.Column =>
                org.apache.spark.sql.Column = PHashIndex.ImageHasher): Unit = {
     val schema = spark.read.parquet(srcParquet).schema
@@ -70,6 +71,11 @@ object StreamingImageDedup {
             indexPath, outPath, maxDist, hasher)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          PHashIndex.compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf -- the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           PHashIndex.compactIndex(batch.sparkSession, indexPath)
       }
       .start()

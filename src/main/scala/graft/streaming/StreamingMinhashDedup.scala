@@ -52,7 +52,8 @@ object StreamingMinhashDedup {
     */
   def ingest(spark: SparkSession, dir: String, indexPath: String,
              outPath: String, threshold: Double = 0.2,
-             compactEvery: Int = 0): Unit = {
+             compactEvery: Int = 0,
+             compactFilesPerDir: Double = 0.0): Unit = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_smdedup")
     java.nio.file.Files.copy(
@@ -71,6 +72,11 @@ object StreamingMinhashDedup {
             indexPath, outPath, threshold)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          NearDupIndex.compactIndex(batch.sparkSession, indexPath)
+        // file-count alarm: compact when measured append debris says
+        // so (see StreamingIvf -- the same maintenance trigger)
+        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
+              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
           NearDupIndex.compactIndex(batch.sparkSession, indexPath)
       }
       .start()

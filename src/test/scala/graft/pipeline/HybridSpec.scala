@@ -119,6 +119,12 @@ class HybridSpec extends SparkTestBase {
       .resolve("index").toString
     Hybrid.writeIndex(spark, docs, "text", "doc_id", emb, "vec_id",
       "embedding", model, rootW)
+    // the quantizer sidecar round-trips: a restarted server recovers
+    // the (layout, model) pair from the root alone
+    val loaded = Hybrid.loadModel(spark, rootW)
+    assert(loaded.centroids.length == model.centroids.length)
+    assert(loaded.centroids.zip(model.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
     val want = serve(rootW)
     assert(want.nonEmpty)
     // grown: build on the low half, append the high half as batch 0;

@@ -40,6 +40,10 @@ class StreamingHybridSpec extends SparkTestBase {
     // both sides hold exactly the full corpus (no skipped batch on
     // either side — the skew the paired lifecycle exists to prevent)
     assert(spark.read.parquet(s"$root/ivf").count() == e.count())
+    // the quantizer sidecar is recoverable from the root alone, even
+    // though the layout was created by append-mode first contact
+    assert(Hybrid.loadModel(spark, root).centroids.zip(model.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
     val got = rows(Hybrid.searchIndex(spark, root, queries, qv, model,
       "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16))
     assert(got == want)
