@@ -59,13 +59,24 @@ object ParquetCompact {
     * didn't exist or the result was empty-and-deleted (pinResult
     * pins are released internally on the empty path), or when
     * pinResult is false.
+    *
+    * `beforeSwap` runs on the compacted copy AFTER the parquet write
+    * and BEFORE the promote — the hook for metadata that must swap
+    * ATOMICALLY with the layout it describes (Ivf.recluster writes
+    * the retrained quantizer to `_model` inside the copy, so layout
+    * and model can never be observed mismatched). Underscore-prefixed
+    * top-level subdirectories of the live layout (hidden from Spark's
+    * file index, e.g. `_model`) are carried over into the copy when
+    * the hook didn't already write them, so plain compaction and
+    * deletion preserve the metadata.
     */
   def rewrite(spark: SparkSession, path: String,
               partitionCols: Seq[String], sortCols: Seq[String] = Nil,
               options: Map[String, String] = Map.empty,
               transform: org.apache.spark.sql.DataFrame =>
                 org.apache.spark.sql.DataFrame,
-              pinResult: Boolean = false):
+              pinResult: Boolean = false,
+              beforeSwap: org.apache.hadoop.fs.Path => Unit = _ => ()):
       Option[org.apache.spark.sql.DataFrame] = {
     require(partitionCols.nonEmpty, "compact needs the partition columns")
     val hc = spark.sparkContext.hadoopConfiguration
@@ -100,6 +111,20 @@ object ParquetCompact {
       if (fs.exists(old)) fs.delete(old, true)
       return None
     }
+    beforeSwap(tmp)
+    // carry hidden metadata dirs (e.g. _model) into the copy unless
+    // the hook already wrote a fresh version — the swap must never
+    // silently shed the layout's metadata. COPY, not rename: a crash
+    // after a rename but before the park would leave the live layout
+    // stripped of its metadata with no recovery path
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(tmp, n)))
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+          fs, new org.apache.hadoop.fs.Path(tmp, n), false, hc),
+          s"metadata carry-over failed: $n")
+    }
     if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
     require(fs.rename(p, old), s"compaction park failed: $p -> $old")
     require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
@@ -123,7 +148,10 @@ object ParquetCompact {
     val fs = p.getFileSystem(hc)
     if (!fs.exists(p)) return 0.0
     // leaf dirs = dirs holding parquet files directly (handles both
-    // single-level cluster=/bucket= and nested band=/kb= layouts)
+    // single-level cluster=/bucket= and nested band=/kb= layouts);
+    // underscore/dot-prefixed dirs are hidden metadata (_model,
+    // _temporary) invisible to readers — don't count their files as
+    // probe debris
     var dirs = 0L
     var files = 0L
     def walk(dir: org.apache.hadoop.fs.Path): Unit = {
@@ -131,11 +159,26 @@ object ParquetCompact {
       val here = st.count(f => !f.isDirectory &&
         f.getPath.getName.endsWith(".parquet"))
       if (here > 0) { dirs += 1; files += here }
-      st.foreach(f => if (f.isDirectory) walk(f.getPath))
+      st.foreach { f =>
+        val n = f.getPath.getName
+        if (f.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          walk(f.getPath)
+      }
     }
     walk(p)
     if (dirs == 0) 0.0 else files.toDouble / dirs
   }
+
+  /** The file-count maintenance trigger shared by the streaming
+    * ingests: run `compact` iff the measured append debris exceeds
+    * `threshold` files per leaf dir. One helper so the eight ingest
+    * entry points can't drift apart on the rule (the openRun
+    * consolidation's argument, applied here).
+    */
+  def maybeCompact(spark: SparkSession, path: String, threshold: Double)
+                  (compact: => Unit): Unit =
+    if (threshold > 0 && meanFilesPerDir(spark, path) > threshold)
+      compact
 
   /** Any actual parquet data file under `dir` (recursive)? A zero-row
     * dynamic-partition write leaves only `_SUCCESS`.

@@ -211,9 +211,15 @@ object Bm25 {
                     idCol: String, path: String): Unit =
     writeLayout(spark, docs, textCol, idCol, path, "append")
 
-  /** Crash-safe in-place small-file compaction of the postings and
-    * df layouts (the shared [[graft.core.ParquetCompact]] pass);
-    * contents-invariant, so search results are unchanged.
+  /** Crash-safe in-place small-file compaction of the postings, df,
+    * and stats layouts (the shared [[graft.core.ParquetCompact]]
+    * pass; stats — additive rows the readers SUM — compacts to its
+    * one-row sum through the same local swap [[deleteDocs]] uses).
+    * Contents-invariant for every reader, so search results are
+    * unchanged. Without the stats pass, stats grows one file per
+    * append FOREVER (appends add a row, the bucket compactions never
+    * touch it), which both taxes every searchIndex stats read and
+    * permanently latches the file-count alarm past its threshold.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     // small-page option: restore the big-sorted-file shape the
@@ -223,6 +229,34 @@ object Bm25 {
       Seq("bucket"), Seq("term", "doc"), pages)
     graft.core.ParquetCompact.compact(spark, s"$path/df",
       Seq("bucket"), Seq("term"), pages)
+    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp))
+      swapStats(spark, path, spark.read.parquet(s"$path/stats")
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t")))
+  }
+
+  /** Replace the unpartitioned stats table with `st` via a local
+    * two-rename swap (write to `stats__compacting`, park the live
+    * copy, promote, drop the parked copy), with the same crash
+    * recovery preamble as [[graft.core.ParquetCompact.rewrite]]: a
+    * crash between the renames leaves the live copy at `stats__old`,
+    * restored before anything is touched.
+    */
+  private def swapStats(spark: SparkSession, path: String,
+                        st: DataFrame): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = sp.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    if (!fs.exists(sp) && fs.exists(old))
+      require(fs.rename(old, sp), s"stats recovery failed: $old -> $sp")
+    st.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(sp, old), s"stats park failed: $sp")
+    require(fs.rename(tmp, sp), s"stats promote failed: $sp")
+    fs.delete(old, true)
   }
 
   /** DELETE documents from the persisted index — the
@@ -271,25 +305,9 @@ object Bm25 {
       Seq("bucket"), Seq("term"), pages,
       _ => kept.groupBy(col("bucket"), col("term")).count()
         .withColumnRenamed("count", "df"))
-    val st = kept.agg(countDistinct(col("doc")).as("n"),
-      sum(col("tf")).as("t"))
-    // stats is unpartitioned: same two-rename swap, done locally
-    val hc = spark.sparkContext.hadoopConfiguration
-    val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = sp.getFileSystem(hc)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
-    // crash recovery preamble (mirrors ParquetCompact.rewrite's): a
-    // crash between the park and promote renames below leaves the
-    // live copy at stats__old — restore it before touching anything,
-    // or a retried delete would destroy the only copy
-    if (!fs.exists(sp) && fs.exists(old))
-      require(fs.rename(old, sp), s"stats recovery failed: $old -> $sp")
-    st.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(sp, old), s"stats park failed: $sp")
-    require(fs.rename(tmp, sp), s"stats promote failed: $sp")
-    fs.delete(old, true)
+    // stats is unpartitioned: the shared local two-rename swap
+    swapStats(spark, path, kept.agg(countDistinct(col("doc")).as("n"),
+      sum(col("tf")).as("t")))
     graft.core.Pinned.release(kept)
   }
 

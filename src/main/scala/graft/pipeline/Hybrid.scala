@@ -34,16 +34,26 @@ object Hybrid {
     * `root/ivf`, disjoint ledger markers), and Spark's scheduler
     * fills idle executors across concurrently-submitted jobs, so the
     * paired lifecycle costs ~max(side) wall-clock instead of
-    * sum(side). Failure semantics are unchanged from the sequential
-    * form: any side's failure propagates (the other side may have
-    * completed — exactly the one-sided-crash state the entry points
-    * already heal on retry via markers/idempotence).
+    * sum(side). BOTH sides are awaited to completion before any
+    * failure propagates: rethrowing on the first failure would
+    * abandon the other side's still-running job, and the documented
+    * heal-by-retry would then race the orphan — its unmarked append
+    * re-running concurrently with the in-flight original is exactly
+    * the double-append the markers exist to prevent. With both sides
+    * settled, the post-failure state is the same one the sequential
+    * form could leave (one side complete, one failed), which the
+    * entry points heal on retry via markers/idempotence.
     */
   private def bothSides(a: => Unit, b: => Unit): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(Future(a), Future(b))), Duration.Inf)
+    import scala.util.Try
+    val fa = Future(Try(a))
+    val fb = Future(Try(b))
+    val ra = Await.result(fa, Duration.Inf)
+    val rb = Await.result(fb, Duration.Inf)
+    ra.get; rb.get
   }
 
   /** Fuse ranked lists — each (qid, doc, rk) with rk 1-based — into
@@ -85,17 +95,19 @@ object Hybrid {
         Ivf.writeIndex(Ivf.assign(
           embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model),
           s"$root/ivf")
-        // the quantizer persists beside the postings it assigned —
-        // the pair a restarted server recovers with [[loadModel]]
-        Ivf.saveModel(spark, model, s"$root/ivf__model")
+        // the quantizer persists WITH the postings it assigned (the
+        // Ivf.modelPath convention: inside the layout, carried
+        // across swaps) — the pair a restarted server recovers with
+        // [[loadModel]]
+        Ivf.saveModel(spark, model, Ivf.modelPath(s"$root/ivf"))
       })
 
-  /** The quantizer [[writeIndex]] persisted beside the dense side —
-    * a restarted server recovers the (layout, model) pair from the
+  /** The quantizer [[writeIndex]] persisted with the dense side — a
+    * restarted server recovers the (layout, model) pair from the
     * root alone instead of re-threading the in-memory model.
     */
   def loadModel(spark: SparkSession, root: String): IvfModel =
-    Ivf.loadModel(spark, s"$root/ivf__model")
+    Ivf.loadModel(spark, Ivf.modelPath(s"$root/ivf"))
 
   /** Append a disjoint increment to BOTH sides. `(runId, batchId)`
     * keys a per-side ledger marker (the foreachBatch replay guard

@@ -545,21 +545,45 @@ object Ivf {
     * on the compaction cadence when drift is detected, not per
     * append. Returns the new model; the caller serves with it from
     * then on (the old model's assignments no longer exist on disk).
+    *
+    * The retrained quantizer is persisted to `_model` INSIDE the
+    * rewritten copy before the swap promotes it, so the (layout,
+    * model) pair changes atomically — a crash at any point leaves a
+    * layout whose `_model` describes it, never a new layout paired
+    * with a stale quantizer. `hierarchical` retrains through
+    * [[trainHierarchicalFromSample]] so an index sized with a
+    * two-level quantizer keeps its O(√nlist) assign/search cost
+    * class instead of silently degrading to a flat scan.
     */
   def recluster(spark: SparkSession, path: String, vecCol: String,
                 idCol: String, nlist: Int, iters: Int = 5,
-                seed: Long = 42L,
-                maxTrainRows: Long = 200000L): IvfModel = {
-    val model = trainFromSample(
-      TrainSample.collect(readIndex(spark, path), vecCol, idCol, seed,
-        maxTrainRows),
-      nlist, iters, seed)
+                seed: Long = 42L, maxTrainRows: Long = 200000L,
+                hierarchical: Boolean = false,
+                branch: Int = 0): IvfModel = {
+    val sample = TrainSample.collect(readIndex(spark, path), vecCol,
+      idCol, seed, maxTrainRows)
+    val model =
+      if (hierarchical)
+        trainHierarchicalFromSample(sample, nlist, iters, seed, branch)
+      else trainFromSample(sample, nlist, iters, seed)
     graft.core.ParquetCompact.rewrite(spark, path,
       partitionCols = Seq("cluster"),
       transform = p => p.drop("cluster")
-        .withColumn("cluster", nearestCol(col(vecCol), model, 1).getItem(0)))
+        .withColumn("cluster", nearestCol(col(vecCol), model, 1).getItem(0)),
+      beforeSwap = tmp =>
+        saveModel(spark, model,
+          new org.apache.hadoop.fs.Path(tmp, "_model").toString))
     model
   }
+
+  /** Canonical location of a layout's persisted quantizer: `_model`
+    * INSIDE the layout directory — hidden from Spark's file index
+    * (underscore prefix), carried across every
+    * [[graft.core.ParquetCompact]] swap, written atomically WITH the
+    * layout by [[recluster]], and gone when the layout is gone
+    * (missing dir = empty index, the family convention).
+    */
+  def modelPath(indexPath: String): String = s"$indexPath/_model"
 
   /** The SERVING-KNOB TUNER: smallest nprobe whose measured recall@k
     * on a query sample meets `targetRecall` — the call a deployment
@@ -588,7 +612,12 @@ object Ivf {
       idCol, k).localCheckpoint(true)
     val denom = truth.groupBy(col("qid"))
       .agg(least(lit(k.toLong), count(lit(1))).as("d"))
-      .agg(sum(col("d"))).head().getLong(0)
+      .agg(coalesce(sum(col("d")), lit(0L))).head().getLong(0)
+    if (denom == 0) {
+      graft.core.Pinned.release(truth) // don't leak the pin on the error path
+      throw new IllegalArgumentException(
+        "tuneNprobe: empty query sample or ground truth — nothing to tune against")
+    }
     val steps = (Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nlist)
       .toSeq :+ model.nlist).distinct
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
@@ -608,14 +637,17 @@ object Ivf {
       .withColumn("chosen", col("nprobe") === lit(chosenNprobe))
   }
 
-  /** Persist the coarse quantizer BESIDE the postings it assigned —
+  /** Persist the coarse quantizer WITH the postings it assigned —
     * the missing half of a restartable index: the layout alone is
     * ambiguous (assignments are a function of the model, and serving
     * with ANY other model silently degrades probes), so a deployment
-    * that survives restarts must store the pair together. One tiny
-    * parquet of (level, idx, sub, vec|child) rows — level 0 the flat
-    * table, 1 the L1 table, 2 the child index lists — written
-    * overwrite-atomic like every layout in the family.
+    * that survives restarts stores the pair together at
+    * [[modelPath]]. One tiny parquet of (level, idx, vec|child)
+    * rows — level 0 the flat table, 1 the L1 table, 2 the child
+    * index lists. A standalone save (initial build) is a plain
+    * overwrite — re-run it if interrupted; the save that MUST be
+    * atomic with a layout change is [[recluster]]'s, which writes
+    * `_model` inside the compacted copy before the two-rename swap.
     */
   def saveModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
     import spark.implicits._
@@ -657,19 +689,35 @@ object Ivf {
     * metadata — a footer pass even at 100 TB. One row per non-empty
     * cluster: (cluster, size).
     */
-  def indexStats(spark: SparkSession, path: String): DataFrame =
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // missing dir IS an empty layout (family convention, same as
+      // meanFilesPerDir): zero stats rows, not an AnalysisException
+      // crashing a maintenance loop that polls the alarm
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("cluster", IntegerType),
+          StructField("size", LongType))))
+    }
     readIndex(spark, path).groupBy("cluster")
       .agg(count(lit(1)).as("size"))
+  }
 
   /** max/mean list-size ratio from [[indexStats]] — 1.0 is perfectly
     * balanced; a rising value is the [[recluster]] trigger
     * (ReclusterMeasure: imbalance 23× meant probes scanning 4.5×
-    * their nominal budget while recall still looked healthy).
+    * their nominal budget while recall still looked healthy). 0.0
+    * for a missing/empty layout — no data, no signal, the alarm
+    * never fires (mirrors [[graft.core.ParquetCompact.meanFilesPerDir]]).
     */
   def imbalance(spark: SparkSession, path: String): Double = {
     val r = indexStats(spark, path)
       .agg(max(col("size")), avg(col("size"))).head()
-    r.getLong(0).toDouble / r.getDouble(1)
+    if (r.isNullAt(0)) 0.0
+    else r.getLong(0).toDouble / r.getDouble(1)
   }
 
   /** Quantized on-disk index: the vector column is replaced by its

@@ -82,11 +82,12 @@ object StreamingExactDedup {
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           DedupIndex.compactIndex(batch.sparkSession, indexPath)
-        // file-count alarm: compact when measured append debris says
-        // so (see StreamingIvf -- the same maintenance trigger)
-        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
-              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
+        // file-count alarm: compact when measured append debris
+        // says so, not a blind cadence
+        graft.core.ParquetCompact.maybeCompact(
+          batch.sparkSession, indexPath, compactFilesPerDir) {
           DedupIndex.compactIndex(batch.sparkSession, indexPath)
+        }
       }
       .start()
     try q.processAllAvailable() finally {

@@ -76,10 +76,11 @@ object StreamingHybrid {
     // single-writer argument as the per-index ingests
     val runId = BatchLedger.openRun(spark, s"$root/oplog", ckpt)
     // first contact creates the layouts via append mode, which never
-    // writes the quantizer sidecar — persist it here so the
-    // (layout, model) pair is recoverable from the root alone
-    // (Hybrid.loadModel), same as a writeIndex-built root
-    graft.pipeline.Ivf.saveModel(spark, model, s"$root/ivf__model")
+    // persists the quantizer — save it here so the (layout, model)
+    // pair is recoverable from the root alone (Hybrid.loadModel),
+    // same as a writeIndex-built root
+    graft.pipeline.Ivf.saveModel(spark, model,
+      graft.pipeline.Ivf.modelPath(s"$root/ivf"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -96,7 +97,7 @@ object StreamingHybrid {
         if (compactFilesPerDir > 0 && Seq(s"$root/bm25", s"$root/ivf")
               .exists(p => graft.core.ParquetCompact
                 .meanFilesPerDir(batch.sparkSession, p) > compactFilesPerDir))
-          Hybrid.compactIndex(batch.sparkSession, root)
+          Hybrid.compactIndex(batch.sparkSession, root) // either side's alarm compacts both
       }
       .start()
     try q.processAllAvailable() finally {

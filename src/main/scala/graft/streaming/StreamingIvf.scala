@@ -58,12 +58,13 @@ object StreamingIvf {
     * fired; callers must serve with the returned model.
     *
     * In self-maintaining mode the current quantizer is also persisted
-    * at `<indexPath>__model` ([[Ivf.saveModel]]) at start and after
-    * each recluster — the layout alone is ambiguous once the model
-    * can change mid-stream, so a RESTARTED ingest must
-    * [[Ivf.loadModel]] the sidecar rather than re-pass the original
-    * frozen model (which may be stale relative to the rewritten
-    * layout).
+    * inside the layout at [[Ivf.modelPath]] — at start here, and
+    * atomically WITH each recluster's layout swap (recluster writes
+    * `_model` into the compacted copy before promoting, so a crash
+    * can never leave a new layout paired with a stale quantizer).
+    * The layout alone is ambiguous once the model can change
+    * mid-stream, so a RESTARTED ingest must [[Ivf.loadModel]] the
+    * persisted pair rather than re-pass the original frozen model.
     */
   def ingest(spark: SparkSession, dir: String, model: IvfModel,
              indexPath: String, nBatches: Int = 4,
@@ -80,7 +81,7 @@ object StreamingIvf {
     // sequentially in one thread — plain var is safe)
     var current = model
     if (reclusterImbalance > 0)
-      Ivf.saveModel(spark, current, s"${indexPath}__model")
+      Ivf.saveModel(spark, current, Ivf.modelPath(indexPath))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -98,15 +99,16 @@ object StreamingIvf {
         // the FILE-COUNT alarm, symmetric to the imbalance alarm: a
         // directory listing decides when append debris is worth a
         // compaction pass, instead of a blind cadence
-        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
-              .meanFilesPerDir(s, indexPath) > compactFilesPerDir)
+        graft.core.ParquetCompact.maybeCompact(s, indexPath,
+            compactFilesPerDir) {
           Ivf.compactIndex(s, indexPath)
-        if (reclusterImbalance > 0 &&
-            Ivf.imbalance(s, indexPath) > reclusterImbalance) {
-          current = Ivf.recluster(s, indexPath, "embedding", "vec_id",
-            nlist = current.nlist)
-          Ivf.saveModel(s, current, s"${indexPath}__model")
         }
+        if (reclusterImbalance > 0 &&
+            Ivf.imbalance(s, indexPath) > reclusterImbalance)
+          // recluster persists the retrained quantizer inside the
+          // swap; keep the index's cost class (flat vs hierarchical)
+          current = Ivf.recluster(s, indexPath, "embedding", "vec_id",
+            nlist = current.nlist, hierarchical = current.hierarchical)
       }
       .start()
     try q.processAllAvailable() finally {

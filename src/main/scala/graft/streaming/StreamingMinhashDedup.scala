@@ -73,11 +73,12 @@ object StreamingMinhashDedup {
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           NearDupIndex.compactIndex(batch.sparkSession, indexPath)
-        // file-count alarm: compact when measured append debris says
-        // so (see StreamingIvf -- the same maintenance trigger)
-        if (compactFilesPerDir > 0 && graft.core.ParquetCompact
-              .meanFilesPerDir(batch.sparkSession, indexPath) > compactFilesPerDir)
+        // file-count alarm: compact when measured append debris
+        // says so, not a blind cadence
+        graft.core.ParquetCompact.maybeCompact(
+          batch.sparkSession, indexPath, compactFilesPerDir) {
           NearDupIndex.compactIndex(batch.sparkSession, indexPath)
+        }
       }
       .start()
     try q.processAllAvailable() finally {

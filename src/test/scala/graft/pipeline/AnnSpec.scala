@@ -494,6 +494,27 @@ class AnnSpec extends SparkTestBase {
           fresh, 1)).getItem(0))
       .where(col("cluster") =!= col("want")).count()
     assert(moved == 0L)
+    // the (layout, model) pair persisted atomically with the swap —
+    // and survives a later compaction (hidden-dir carry-over)
+    def pairHolds(): Unit = {
+      val m = Ivf.loadModel(spark, Ivf.modelPath(path))
+      assert(m.centroids.zip(fresh.centroids)
+        .forall { case (a, b) => a.sameElements(b) })
+    }
+    pairHolds()
+    Ivf.compactIndex(spark, path)
+    pairHolds()
+    // a hierarchical index reclusters hierarchical — the O(√nlist)
+    // cost class is kept, not silently downgraded to a flat scan
+    val hPath = java.nio.file.Files.createTempDirectory("ivf_rec_h")
+      .toString + "/index"
+    val hStale = Ivf.trainHierarchical(lo, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    Ivf.writeIndex(Ivf.assign(lo, "embedding", hStale), hPath)
+    Ivf.appendToIndex(hi, "embedding", hStale, hPath)
+    val hFresh = Ivf.recluster(spark, hPath, "embedding", "vec_id",
+      nlist = 8, iters = 2, hierarchical = true)
+    assert(hFresh.hierarchical)
   }
 
   test("deleteVectors: search over the pruned index equals a fresh build") {

@@ -141,10 +141,11 @@ class HybridSpec extends SparkTestBase {
       runId = "runA", batchId = 0L)
     appendHigh()
     appendHigh() // replayed delivery: ledger-guarded no-op
+    // one stats row per BM25 pass (build + exactly ONE append) —
+    // checked before compaction collapses stats to its one-row sum
+    assert(spark.read.parquet(s"$rootG/bm25/stats").count() == 2L)
     Hybrid.compactIndex(spark, rootG)
     assert(serve(rootG) == want)
-    // one stats row per BM25 pass (build + exactly ONE append)
-    assert(spark.read.parquet(s"$rootG/bm25/stats").count() == 2L)
     // crash healing: pre-mark the BM25 side as done for batch 1 (as
     // if the process died after the lexical append committed), then
     // drive batch 1 through the hybrid entry point — only the IVF

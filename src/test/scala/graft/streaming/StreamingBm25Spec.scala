@@ -32,8 +32,10 @@ class StreamingBm25Spec extends SparkTestBase {
         if (i == 1) Bm25.compactIndex(spark, idx)
     }
     assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
-    // multi-batch appends really happened: one stats row per increment
-    assert(spark.read.parquet(s"$idx/stats").count() == 3L)
+    // multi-batch appends really happened: the mid-stream compaction
+    // collapsed the first two increments' stats rows into their sum,
+    // and the third increment appended its own row
+    assert(spark.read.parquet(s"$idx/stats").count() == 2L)
     // empty batch: a no-op
     StreamingBm25.processBatch(spark, docs.limit(0), "text", "doc_id", idx)
     assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
@@ -57,10 +59,12 @@ class StreamingBm25Spec extends SparkTestBase {
     append("run1", 1L, 200L, 10000L) // a NEW batch still appends
     assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
     // the ledger lives beside the index, so compaction (which swaps
-    // the index dir wholesale) preserves it
+    // the index dir wholesale and collapses stats to its one-row
+    // sum) preserves it
     Bm25.compactIndex(spark, idx)
     append("run1", 1L, 200L, 10000L) // replay AFTER compaction: still a no-op
-    assert(spark.read.parquet(s"$idx/stats").count() == statsAfter0 + 1)
+    assert(spark.read.parquet(s"$idx/stats").count() == 1L,
+      "replayed batch after compaction must not append a stats row")
   }
 
   test("a SECOND ingest run's batchId 0 is not shadowed by the first run's") {

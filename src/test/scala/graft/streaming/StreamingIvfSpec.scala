@@ -83,8 +83,9 @@ class StreamingIvfSpec extends SparkTestBase {
     // the alarm fired: the serving model is no longer the frozen one
     assert(!fin.centroids.zip(frozen.centroids)
       .forall { case (a, b) => a.sameElements(b) })
-    // the persisted sidecar round-trips the serving model exactly
-    val loaded = Ivf.loadModel(spark, s"${idx}__model")
+    // the persisted pair round-trips the serving model exactly —
+    // written atomically WITH the reclustered layout's swap
+    val loaded = Ivf.loadModel(spark, Ivf.modelPath(idx))
     assert(loaded.centroids.length == fin.centroids.length)
     assert(loaded.centroids.zip(fin.centroids)
       .forall { case (a, b) => a.sameElements(b) })
