@@ -176,6 +176,41 @@ object Dedup {
     else Some(posts.stat.bloomFilter("h", nItems, fpp))
   }
 
+  /** The reusable EVAL-side artifact for decontamination ON INGEST:
+    * the checkpointed, exploded eval-shingle postings plus their
+    * broadcast Bloom filter. [[crossJaccardPairsBloom]] builds this
+    * per call; a streaming ingest ([[graft.streaming.StreamingDecontam]])
+    * builds it ONCE and probes it with every training microbatch —
+    * the eval set is frozen for the run, so rebuilding its postings
+    * per batch would be pure waste. `bloom` is None iff the eval
+    * side was empty (nothing can be contaminated). The caller owns
+    * the checkpoint: [[releaseDecontamEval]] when done.
+    */
+  final case class DecontamEval private[pipeline] (
+      postings: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter])
+
+  /** Build the [[DecontamEval]] artifact over the eval corpus. */
+  def decontamEval(eval: DataFrame, textCol: String, idCol: String,
+                   w: Int, fpp: Double = 0.01): DecontamEval = {
+    // eval side: SMALL by assumption; checkpoint once, reused by the
+    // bloom build and every join probe
+    val pr = explodePostings(shingled(eval, textCol, idCol, w)
+      .localCheckpoint(true))
+    DecontamEval(pr, postingsBloom(pr, fpp))
+  }
+
+  def releaseDecontamEval(ev: DecontamEval): Unit =
+    graft.core.Pinned.release(ev.postings)
+
+  private def shingled(df: DataFrame, textCol: String, idCol: String,
+                       w: Int) =
+    df.select(col(idCol).as("doc"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
+
+  private def explodePostings(sets: DataFrame) = sets.select(col("doc"),
+    size(col("shs")).as("n"), explode(col("shs")).as("h"))
+
   /** [[crossJaccardPairs]] with a Bloom-filter prefilter on the big
     * side — the decontamination shape at 100 TB: the eval corpus is
     * small (benchmarks), the training corpus is the 100 TB side, and
@@ -197,21 +232,30 @@ object Dedup {
                              textCol: String, idCol: String, w: Int,
                              threshold: Double,
                              fpp: Double = 0.01): DataFrame = {
-    def shingled(df: DataFrame) = df.select(col(idCol).as("doc"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), w)).as("shs"))
-    def explodePostings(sets: DataFrame) = sets.select(col("doc"),
-      size(col("shs")).as("n"), explode(col("shs")).as("h"))
-    // right (eval) side: SMALL by assumption; checkpoint once, reused
-    // by the bloom build and the join probe
-    val pr = explodePostings(shingled(right).localCheckpoint(true))
-    // empty eval side: nothing can be contaminated — and Spark's
-    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer).
-    // The empty result takes left_doc's type from the LEFT frame and
-    // right_doc's from the RIGHT (the non-empty path's schema) — both
-    // limited to zero rows, so the crossJoin is free.
-    val bloom = postingsBloom(pr, fpp).getOrElse(
+    val ev = decontamEval(right, textCol, idCol, w, fpp)
+    crossJaccardPairsAgainst(left, ev, textCol, idCol, w, threshold)
+  }
+
+  /** Probe a training increment against a prebuilt [[DecontamEval]] —
+    * the per-microbatch call of decontamination ON INGEST. Pairs are
+    * per-(left, right) independent (each left doc's shingle set is
+    * local to it), so the union of per-increment results over any
+    * batching of the training side equals the one-shot
+    * [[crossJaccardPairs]] — which is what oracles the streamed path.
+    */
+  def crossJaccardPairsAgainst(left: DataFrame, ev: DecontamEval,
+                               textCol: String, idCol: String, w: Int,
+                               threshold: Double): DataFrame = {
+    val pr = ev.postings
+    // empty eval side: nothing can be contaminated (and there was no
+    // bloom to build — Spark's stat.bloomFilter NPEs on an empty
+    // frame). The empty result takes left_doc's type from the LEFT
+    // frame and right_doc's from the eval postings (the non-empty
+    // path's schema) — both limited to zero rows, so the crossJoin
+    // is free.
+    val bloom = ev.bloom.getOrElse(
       return left.select(col(idCol).as("left_doc")).limit(0)
-        .crossJoin(right.select(col(idCol).as("right_doc")).limit(0))
+        .crossJoin(pr.select(col("doc").as("right_doc")).limit(0))
         .withColumn("jac", lit(0.0)))
     // left (training) side: NO checkpoint — materializing the 100 TB
     // side's shingle arrays before the filter would pay exactly the
@@ -223,7 +267,7 @@ object Dedup {
     // probe itself is the codegen'd [[graft.functions.BloomMightContain]]
     // (sketch as a plan reference object — Spark broadcasts the task
     // binary), so the biggest scan in the system carries no per-row UDF.
-    val fl = explodePostings(shingled(left)).where(
+    val fl = explodePostings(shingled(left, textCol, idCol, w)).where(
       graft.functions.HashFunctions.bloomMightContain(col("h"), bloom))
     // AllPairs length bound, as in crossJaccardPairs (the Bloom filter
     // prunes by hash membership, this prunes by size compatibility —

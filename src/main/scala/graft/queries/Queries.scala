@@ -1853,6 +1853,9 @@ object Queries {
     // the Bloom prefilter is exact (no false negatives, full-set
     // sizes) — the plain decontamination oracle is shared verbatim
     "decontam_bloom" -> decontamSql,
+    // the streamed union of per-batch probes ≡ the one-shot
+    // cross-corpus join — same oracle verbatim
+    "stream_decontam" -> decontamSql,
 
     "dedup_jaccard_prefix" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -3032,6 +3035,24 @@ object Queries {
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_decontam" -> ((s, d) => {
+      // DECONTAMINATION ON INGEST: the eval side's shingle postings
+      // + Bloom are built once at run open, and each training
+      // microbatch is probed map-side against them, appending its
+      // contaminated pairs. Pairs are per-(train, eval) independent,
+      // so the streamed union ≡ the one-shot cross-corpus join — the
+      // decontam_pairs oracle pins the streamed path verbatim
+      val docs = tbl(s, d, "documents")
+      val stageDir = java.nio.file.Files.createTempDirectory("sdecon_q")
+      val staged = stageDir.resolve("train.parquet").toString
+      docs.where(col("doc_id") % 2 === 0).write.parquet(staged)
+      val out = stageDir.resolve("pairs").toString
+      graft.streaming.StreamingDecontam.ingest(s, staged, "doc_id",
+        "text", docs.where(col("doc_id") % 2 === 1), out,
+        w = 3, threshold = 0.2, nBatches = 4)
+      s.read.parquet(out).orderBy(col("left_doc"), col("right_doc"))
     }),
 
     "stream_ivf_autorecluster" -> ((s, d) => {
