@@ -1857,6 +1857,49 @@ object Queries {
     // cross-corpus join — same oracle verbatim
     "stream_decontam" -> decontamSql,
 
+    // the drift monitor's staging, id-range batching, and
+    // value-sorted sequential TV fold, replayed bit-for-bit (the
+    // 0.0-seeded foldLeft and the list_reduce agree exactly:
+    // 0.0 + x = x in IEEE, so both are the left-assoc term sum)
+    "stream_drift_monitor" ->
+      """WITH staged AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, lang
+        |  FROM documents WHERE lang = 'en'),
+        |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
+        |b AS (SELECT least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid, lang
+        |      FROM staged),
+        |cnt AS (SELECT bid, lang, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
+        |langs AS (SELECT DISTINCT lang FROM cnt),
+        |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |tot AS (SELECT bb.bid,
+        |          CAST(coalesce((SELECT n FROM btot WHERE btot.bid = bb.bid), 0) AS BIGINT) AS nb,
+        |          CAST(coalesce((SELECT sum(n) FROM btot WHERE btot.bid < bb.bid), 0) AS BIGINT) AS na
+        |        FROM bids bb),
+        |pc AS (
+        |  SELECT bb.bid, l.lang,
+        |    CAST(coalesce(c1.c, 0) AS BIGINT) AS cb,
+        |    CAST(coalesce((SELECT sum(c) FROM cnt c2
+        |                   WHERE c2.bid < bb.bid AND c2.lang = l.lang), 0) AS BIGINT) AS ca
+        |  FROM bids bb CROSS JOIN langs l
+        |  LEFT JOIN cnt c1 ON c1.bid = bb.bid AND c1.lang = l.lang),
+        |tv0 AS (
+        |  SELECT pc.bid,
+        |    list(abs(CAST(pc.cb AS DOUBLE) / t.nb - CAST(pc.ca AS DOUBLE) / t.na)
+        |         ORDER BY pc.lang) AS vals
+        |  FROM pc JOIN tot t ON t.bid = pc.bid
+        |  WHERE t.nb > 0 AND t.na > 0
+        |  GROUP BY pc.bid)
+        |SELECT CAST(t.bid AS BIGINT) AS batch_id, t.nb AS n_batch, t.na AS n_prev,
+        |  CASE WHEN v.vals IS NULL THEN 0.0
+        |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) END AS tv,
+        |  CASE WHEN v.vals IS NULL THEN FALSE
+        |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
+        |FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid
+        |ORDER BY batch_id""".stripMargin,
+
     "dedup_jaccard_prefix" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (
@@ -3035,6 +3078,28 @@ object Queries {
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_drift_monitor" -> ((s, d) => {
+      // DISTRIBUTION-SHIFT MONITOR on ingest: a staged corpus whose
+      // later batches are all-English (the "new data source changed
+      // the mix" shape) streams through the monitor; each batch's
+      // language profile is compared to the accumulated corpus by
+      // total-variation distance — engine-exact (only +,−,×,÷,|·| in
+      // a value-sorted sequential fold; KL's ln would un-oracle it)
+      // — and the drifted batches raise alert rows. DuckDB replays
+      // the staging, the id-range batching, and the fold bit-for-bit
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val staged = docs.unionByName(docs.where(col("lang") === "en")
+        .select((col("doc_id") + off).as("doc_id"), col("lang")))
+      val stageDir = java.nio.file.Files.createTempDirectory("sdrift_q")
+      val src = stageDir.resolve("docs.parquet").toString
+      staged.write.parquet(src)
+      val out = stageDir.resolve("monitor").toString
+      graft.streaming.StreamingDrift.ingest(s, src, "doc_id", "lang",
+        out, nBatches = 4, alertTv = 0.3)
+      s.read.parquet(out).orderBy(col("batch_id"))
     }),
 
     "stream_decontam" -> ((s, d) => {

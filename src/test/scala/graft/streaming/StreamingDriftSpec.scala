@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Distribution-shift monitor: a stable stream raises no alerts, a
+  * staged late-drift stream alerts exactly on the drifted batches,
+  * and the running baseline accumulates every prior batch.
+  */
+class StreamingDriftSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select(col("doc_id"), col("lang"))
+
+  private def monitor(src: String, alertTv: Double): Seq[(Long, Long, Long, Double, Boolean)] = {
+    val out = java.nio.file.Files.createTempDirectory("sdrift_out")
+      .resolve("monitor").toString
+    StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
+      nBatches = 4, alertTv = alertTv)
+    spark.read.parquet(out).orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+  }
+
+  test("stable stream: no alerts; baseline accumulates prior batches") {
+    val src = java.nio.file.Files.createTempDirectory("sdrift_st")
+      .resolve("docs.parquet").toString
+    docs.write.parquet(src)
+    val rows = monitor(src, alertTv = 0.3)
+    assert(rows.length == 4)
+    assert(rows.head._4 == 0.0 && !rows.head._5) // no baseline yet
+    assert(rows.forall(r => !r._5 && r._4 >= 0.0 && r._4 <= 1.0))
+    // n_prev is the cumulative sum of earlier batch sizes
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._3 + a._2)
+    }
+  }
+
+  test("late drift alerts exactly on the drifted batches") {
+    val d = docs
+    val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val src = java.nio.file.Files.createTempDirectory("sdrift_dr")
+      .resolve("docs.parquet").toString
+    d.unionByName(d.where(col("lang") === "en")
+        .select((col("doc_id") + off).as("doc_id"), col("lang")))
+      .write.parquet(src)
+    val rows = monitor(src, alertTv = 0.3)
+    assert(rows.length == 4)
+    // early (mixed) batches quiet, late (all-en) batches loud
+    assert(!rows(0)._5 && !rows(1)._5)
+    assert(rows(2)._5 && rows(3)._5)
+  }
+}
