@@ -1857,6 +1857,69 @@ object Queries {
     // cross-corpus join — same oracle verbatim
     "stream_decontam" -> decontamSql,
 
+    // drift-gated curation: the drift SQL decides per-batch
+    // accept/divert with the same bit-exact TV fold, then the
+    // curation stages replay over the accepted side only
+    "stream_quarantine" ->
+      s"""WITH staged AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         |         text, lang, source
+         |  FROM documents WHERE lang = 'en'),
+         |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
+         |bd AS (SELECT staged.*,
+         |         least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid
+         |       FROM staged),
+         |cnt AS (SELECT bid, lang, CAST(count(*) AS BIGINT) AS c FROM bd GROUP BY 1, 2),
+         |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
+         |langs AS (SELECT DISTINCT lang FROM cnt),
+         |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |tot AS (SELECT bb.bid,
+         |          CAST(coalesce((SELECT n FROM btot WHERE btot.bid = bb.bid), 0) AS BIGINT) AS nb,
+         |          CAST(coalesce((SELECT sum(n) FROM btot WHERE btot.bid < bb.bid), 0) AS BIGINT) AS na
+         |        FROM bids bb),
+         |pc AS (
+         |  SELECT bb.bid, l.lang,
+         |    CAST(coalesce(c1.c, 0) AS BIGINT) AS cb,
+         |    CAST(coalesce((SELECT sum(c) FROM cnt c2
+         |                   WHERE c2.bid < bb.bid AND c2.lang = l.lang), 0) AS BIGINT) AS ca
+         |  FROM bids bb CROSS JOIN langs l
+         |  LEFT JOIN cnt c1 ON c1.bid = bb.bid AND c1.lang = l.lang),
+         |tv0 AS (
+         |  SELECT pc.bid,
+         |    list(abs(CAST(pc.cb AS DOUBLE) / t.nb - CAST(pc.ca AS DOUBLE) / t.na)
+         |         ORDER BY pc.lang) AS vals
+         |  FROM pc JOIN tot t ON t.bid = pc.bid
+         |  WHERE t.nb > 0 AND t.na > 0
+         |  GROUP BY pc.bid),
+         |al AS (SELECT t.bid,
+         |         CASE WHEN v.vals IS NULL THEN FALSE
+         |              ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
+         |       FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid),
+         |acc AS (SELECT bd.* FROM bd JOIN al ON al.bid = bd.bid WHERE NOT al.alert),
+         |qr AS (SELECT bd.doc_id FROM bd JOIN al ON al.bid = bd.bid WHERE al.alert),
+         |u AS (SELECT doc_id, text,
+         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
+         |      source || '.example.com' AS host
+         |  FROM acc),
+         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+         |                 ('cdn.src1.example.com')),
+         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
+         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
+         |b2 AS (SELECT doc_id, text FROM b1
+         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
+         |    * (0.5 + 0.5 * least(1.0,
+         |        (CAST(len(list_filter(string_split(text, ' '),
+         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
+         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
+         |k AS (SELECT doc_id, min(doc_id) OVER (
+         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |  FROM b2)
+         |SELECT doc_id, 'kept' AS status FROM k WHERE doc_id = keep
+         |UNION ALL SELECT doc_id, 'quarantined' AS status FROM qr
+         |ORDER BY doc_id""".stripMargin,
+
     // the drift monitor's staging, id-range batching, and
     // value-sorted sequential TV fold, replayed bit-for-bit (the
     // 0.0-seeded foldLeft and the list_reduce agree exactly:
@@ -3100,6 +3163,42 @@ object Queries {
       graft.streaming.StreamingDrift.ingest(s, src, "doc_id", "lang",
         out, nBatches = 4, alertTv = 0.3)
       s.read.parquet(out).orderBy(col("batch_id"))
+    }),
+
+    "stream_quarantine" -> ((s, d) => {
+      // QUARANTINE-ON-DRIFT: the drift monitor made actionable — the
+      // same staged late-English corpus streams through drift-gated
+      // curation; the mixed batches pass the blocklist → quality →
+      // dedup-on-ingest composition, the drifted ones are diverted
+      // raw. The oracle recomputes the engine-exact per-batch TV,
+      // splits accepted/quarantined, and replays curation over the
+      // accepted side only
+      val docs = tbl(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val stageDir = java.nio.file.Files.createTempDirectory("squar_q")
+      val src = stageDir.resolve("docs.parquet").toString
+      docs.unionByName(docs.where(col("lang") === "en")
+          .select((col("doc_id") + off).as("doc_id"), col("text"),
+            col("lang"), col("source")))
+        .write.parquet(src)
+      val idx = stageDir.resolve("index").toString
+      val out = stageDir.resolve("kept").toString
+      val qp = stageDir.resolve("quarantine").toString
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src1.example.com")
+      graft.streaming.StreamingQuarantine.ingest(s, src, "doc_id",
+        "text", "lang",
+        batch => batch.withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 2 === 1, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/doc/"),
+          col("doc_id").cast("string"))),
+        bl, minQuality = 0.3, idx, out, qp, alertTv = 0.3, nBatches = 4)
+      s.read.parquet(out).select(col("doc").as("doc_id"),
+          lit("kept").as("status"))
+        .unionByName(s.read.parquet(qp).select(col("doc_id"),
+          lit("quarantined").as("status")))
+        .orderBy(col("doc_id"))
     }),
 
     "stream_decontam" -> ((s, d) => {
