@@ -1733,6 +1733,48 @@ object Queries {
   /** Cross-corpus contamination oracle — shared by decontam_pairs and
     * decontam_bloom (the Bloom path is exact by construction).
     */
+  /** The drift monitor's DuckDB replay over any staged (doc_id, dim)
+    * CTE body: Staging's equal-width id-range batching, per-batch
+    * and prefix counts, and the value-sorted sequential TV fold —
+    * bit-exact against the Scala foldLeft (0.0 + x = x in IEEE, so
+    * the 0.0-seeded foldLeft and list_reduce are the same
+    * left-assoc term sum).
+    */
+  private def driftMonitorSql(stagedCte: String): String =
+    s"""WITH staged AS ($stagedCte),
+       |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
+       |b AS (SELECT least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid, dim
+       |      FROM staged),
+       |cnt AS (SELECT bid, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+       |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
+       |dims AS (SELECT DISTINCT dim FROM cnt),
+       |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |tot AS (SELECT bb.bid,
+       |          CAST(coalesce((SELECT n FROM btot WHERE btot.bid = bb.bid), 0) AS BIGINT) AS nb,
+       |          CAST(coalesce((SELECT sum(n) FROM btot WHERE btot.bid < bb.bid), 0) AS BIGINT) AS na
+       |        FROM bids bb),
+       |pc AS (
+       |  SELECT bb.bid, l.dim,
+       |    CAST(coalesce(c1.c, 0) AS BIGINT) AS cb,
+       |    CAST(coalesce((SELECT sum(c) FROM cnt c2
+       |                   WHERE c2.bid < bb.bid AND c2.dim = l.dim), 0) AS BIGINT) AS ca
+       |  FROM bids bb CROSS JOIN dims l
+       |  LEFT JOIN cnt c1 ON c1.bid = bb.bid AND c1.dim = l.dim),
+       |tv0 AS (
+       |  SELECT pc.bid,
+       |    list(abs(CAST(pc.cb AS DOUBLE) / t.nb - CAST(pc.ca AS DOUBLE) / t.na)
+       |         ORDER BY pc.dim) AS vals
+       |  FROM pc JOIN tot t ON t.bid = pc.bid
+       |  WHERE t.nb > 0 AND t.na > 0
+       |  GROUP BY pc.bid)
+       |SELECT CAST(t.bid AS BIGINT) AS batch_id, t.nb AS n_batch, t.na AS n_prev,
+       |  CASE WHEN v.vals IS NULL THEN 0.0
+       |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) END AS tv,
+       |  CASE WHEN v.vals IS NULL THEN FALSE
+       |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
+       |FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid
+       |ORDER BY batch_id""".stripMargin
+
   private val decontamSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
@@ -1924,44 +1966,23 @@ object Queries {
     // value-sorted sequential TV fold, replayed bit-for-bit (the
     // 0.0-seeded foldLeft and the list_reduce agree exactly:
     // 0.0 + x = x in IEEE, so both are the left-assoc term sum)
-    "stream_drift_monitor" ->
-      """WITH staged AS (
-        |  SELECT doc_id, lang FROM documents
+    "stream_drift_monitor" -> driftMonitorSql(
+      """SELECT doc_id, lang AS dim FROM documents
         |  UNION ALL
-        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, lang
-        |  FROM documents WHERE lang = 'en'),
-        |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
-        |b AS (SELECT least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid, lang
-        |      FROM staged),
-        |cnt AS (SELECT bid, lang, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-        |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
-        |langs AS (SELECT DISTINCT lang FROM cnt),
-        |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-        |tot AS (SELECT bb.bid,
-        |          CAST(coalesce((SELECT n FROM btot WHERE btot.bid = bb.bid), 0) AS BIGINT) AS nb,
-        |          CAST(coalesce((SELECT sum(n) FROM btot WHERE btot.bid < bb.bid), 0) AS BIGINT) AS na
-        |        FROM bids bb),
-        |pc AS (
-        |  SELECT bb.bid, l.lang,
-        |    CAST(coalesce(c1.c, 0) AS BIGINT) AS cb,
-        |    CAST(coalesce((SELECT sum(c) FROM cnt c2
-        |                   WHERE c2.bid < bb.bid AND c2.lang = l.lang), 0) AS BIGINT) AS ca
-        |  FROM bids bb CROSS JOIN langs l
-        |  LEFT JOIN cnt c1 ON c1.bid = bb.bid AND c1.lang = l.lang),
-        |tv0 AS (
-        |  SELECT pc.bid,
-        |    list(abs(CAST(pc.cb AS DOUBLE) / t.nb - CAST(pc.ca AS DOUBLE) / t.na)
-        |         ORDER BY pc.lang) AS vals
-        |  FROM pc JOIN tot t ON t.bid = pc.bid
-        |  WHERE t.nb > 0 AND t.na > 0
-        |  GROUP BY pc.bid)
-        |SELECT CAST(t.bid AS BIGINT) AS batch_id, t.nb AS n_batch, t.na AS n_prev,
-        |  CASE WHEN v.vals IS NULL THEN 0.0
-        |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) END AS tv,
-        |  CASE WHEN v.vals IS NULL THEN FALSE
-        |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
-        |FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid
-        |ORDER BY batch_id""".stripMargin,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, lang AS dim
+        |  FROM documents WHERE lang = 'en'""".stripMargin),
+
+    // numeric drift through the same monitor: the bucketed length
+    // histogram (the documented numeric pattern) with a
+    // doubled-length tail — same bit-exact TV replay
+    "stream_drift_numeric" -> driftMonitorSql(
+      """SELECT doc_id,
+        |    CAST(CAST(floor(length(text) / 200) AS BIGINT) AS VARCHAR) AS dim
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    CAST(CAST(floor(length(text || ' ' || text) / 200) AS BIGINT) AS VARCHAR) AS dim
+        |  FROM documents""".stripMargin),
 
     "dedup_jaccard_prefix" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -3162,6 +3183,29 @@ object Queries {
       val out = stageDir.resolve("monitor").toString
       graft.streaming.StreamingDrift.ingest(s, src, "doc_id", "lang",
         out, nBatches = 4, alertTv = 0.3)
+      s.read.parquet(out).orderBy(col("batch_id"))
+    }),
+
+    "stream_drift_numeric" -> ((s, d) => {
+      // NUMERIC drift through the same monitor: stage the numeric as
+      // a low-cardinality bucket column (floor(n_chars/200) as a
+      // string) — the documented pattern for length/score drift —
+      // with a drifted tail of doubled-length documents; the late
+      // batches shift the length histogram and alert. Same
+      // engine-exact TV oracle shape as the categorical row
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val bucketed = docs.select(col("doc_id"),
+        floor(length(col("text")) / 200).cast(StringType).as("len_bucket"))
+      val drifted = docs.select((col("doc_id") + off).as("doc_id"),
+        floor(length(concat(col("text"), lit(" "), col("text"))) / 200)
+          .cast(StringType).as("len_bucket"))
+      val stageDir = java.nio.file.Files.createTempDirectory("sdriftn_q")
+      val src = stageDir.resolve("docs.parquet").toString
+      bucketed.unionByName(drifted).write.parquet(src)
+      val out = stageDir.resolve("monitor").toString
+      graft.streaming.StreamingDrift.ingest(s, src, "doc_id",
+        "len_bucket", out, nBatches = 4, alertTv = 0.3)
       s.read.parquet(out).orderBy(col("batch_id"))
     }),
 
