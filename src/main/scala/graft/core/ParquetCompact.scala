@@ -119,7 +119,9 @@ object ParquetCompact {
     // stripped of its metadata with no recovery path
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("_") &&
+      // _temporary is committer debris from a crashed write, not
+      // metadata — carrying it would preserve garbage forever
+      if (st.isDirectory && n.startsWith("_") && n != "_temporary" &&
           !fs.exists(new org.apache.hadoop.fs.Path(tmp, n)))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
           fs, new org.apache.hadoop.fs.Path(tmp, n), false, hc),

@@ -3183,7 +3183,12 @@ object Queries {
       val out = stageDir.resolve("monitor").toString
       graft.streaming.StreamingDrift.ingest(s, src, "doc_id", "lang",
         out, nBatches = 4, alertTv = 0.3)
-      s.read.parquet(out).orderBy(col("batch_id"))
+      // run_id (the scratch-checkpoint name) is per-run entropy —
+      // project the deterministic columns for the oracle
+      s.read.parquet(out)
+        .select(col("batch_id"), col("n_batch"), col("n_prev"),
+          col("tv"), col("alert"))
+        .orderBy(col("batch_id"))
     }),
 
     "stream_drift_numeric" -> ((s, d) => {
@@ -3206,7 +3211,10 @@ object Queries {
       val out = stageDir.resolve("monitor").toString
       graft.streaming.StreamingDrift.ingest(s, src, "doc_id",
         "len_bucket", out, nBatches = 4, alertTv = 0.3)
-      s.read.parquet(out).orderBy(col("batch_id"))
+      s.read.parquet(out)
+        .select(col("batch_id"), col("n_batch"), col("n_prev"),
+          col("tv"), col("alert"))
+        .orderBy(col("batch_id"))
     }),
 
     "stream_quarantine" -> ((s, d) => {

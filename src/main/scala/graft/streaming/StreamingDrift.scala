@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: one map-side-combinable groupBy(dim).count() per
   * batch; the per-batch fold runs on the driver over the
   * categorical's value set (LOW-CARDINALITY BY CONTRACT — languages,
-  * sources, licenses; not tokens). State is one count map, carried
-  * in memory for the run and derivable from the monitor's own
-  * output.
+  * sources, licenses; not tokens). State is one count map, seeded
+  * from the `_baseline` persisted inside the output dir (cross-run
+  * continuity — see [[DriftState]]) and re-persisted at run close.
   */
 object StreamingDrift {
 
   /** Monitor the table at `srcParquet` (replayed as `nBatches`
     * id-ordered microbatches) for shift in `dimCol`'s distribution,
     * appending one row per batch to `outPath`:
-    * (batch_id, n_batch, n_prev, tv, alert).
+    * (run_id, batch_id, n_batch, n_prev, tv, alert) — run_id
+    * disambiguates rows across runs into the same output (batch ids
+    * restart at 0 per run; the baseline carries across).
     */
   def ingest(spark: SparkSession, srcParquet: String, idCol: String,
              dimCol: String, outPath: String, nBatches: Int = 4,
@@ -43,8 +45,11 @@ object StreamingDrift {
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdrift_ckpt_")
     val runId = BatchLedger.openRun(spark, outPath, ckpt)
     // accumulated counts of everything BEFORE the current batch —
-    // low-cardinality by contract, driver-held for the run
-    val acc = scala.collection.mutable.Map.empty[String, Long]
+    // low-cardinality by contract, driver-held for the run, seeded
+    // from the persisted cross-run baseline (a second run compares
+    // against everything earlier runs observed) and re-persisted at
+    // successful run close
+    val acc = DriftState.load(spark, outPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -59,19 +64,12 @@ object StreamingDrift {
             .map(r => r.getString(0) -> r.getLong(1)).toMap
           val nb = counts.values.sum
           val np = acc.values.sum
-          // fixed value-sorted SEQUENTIAL fold — the engine-exact
-          // contract the oracle replays (see class doc)
-          val tv =
-            if (nb == 0L || np == 0L) 0.0
-            else 0.5 * (counts.keySet ++ acc.keySet).toSeq.sorted
-              .foldLeft(0.0) { (sum, v) =>
-                sum + math.abs(
-                  counts.getOrElse(v, 0L).toDouble / nb -
-                  acc.getOrElse(v, 0L).toDouble / np)
-              }
+          // the ONE engine-exact TV fold (shared with
+          // StreamingQuarantine and replayed by the oracle)
+          val tv = DriftState.tv(counts, acc)
           import s.implicits._
-          Seq((batchId, nb, np, tv, tv > alertTv))
-            .toDF("batch_id", "n_batch", "n_prev", "tv", "alert")
+          Seq((runId, batchId, nb, np, tv, tv > alertTv))
+            .toDF("run_id", "batch_id", "n_batch", "n_prev", "tv", "alert")
             .coalesce(1).write.mode(SaveMode.Append).parquet(outPath)
           counts.foreach { case (v, c) =>
             acc.update(v, acc.getOrElse(v, 0L) + c)
@@ -79,7 +77,12 @@ object StreamingDrift {
         }
       }
       .start()
-    try q.processAllAvailable() finally {
+    try {
+      q.processAllAvailable()
+      // successful close: persist the baseline for the next run (a
+      // crashed run leaves the previous baseline intact)
+      DriftState.save(spark, outPath, acc)
+    } finally {
       q.stop()
       EventStream.deleteScratch(ckpt)
       EventStream.deleteScratch(stage)

@@ -42,8 +42,9 @@ object StreamingQuarantine {
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_squar_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath, ckpt)
     // counts of everything OBSERVED before the current batch (see
-    // the baseline-policy note above)
-    val acc = scala.collection.mutable.Map.empty[String, Long]
+    // the baseline-policy note above), seeded from the persisted
+    // cross-run baseline and re-persisted at run close (DriftState)
+    val acc = DriftState.load(spark, outPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -55,17 +56,8 @@ object StreamingQuarantine {
         BatchLedger.once(s, indexPath, runId, batchId) {
           val counts = batch.groupBy(col(dimCol)).count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
-          val nb = counts.values.sum
-          val np = acc.values.sum
-          // the engine-exact TV fold — identical to StreamingDrift's
-          val tv =
-            if (nb == 0L || np == 0L) 0.0
-            else 0.5 * (counts.keySet ++ acc.keySet).toSeq.sorted
-              .foldLeft(0.0) { (sum, v) =>
-                sum + math.abs(
-                  counts.getOrElse(v, 0L).toDouble / nb -
-                  acc.getOrElse(v, 0L).toDouble / np)
-              }
+          // the ONE engine-exact TV fold (shared with StreamingDrift)
+          val tv = DriftState.tv(counts, acc)
           if (tv > alertTv)
             batch.select(col(idCol)).coalesce(1)
               .write.mode(SaveMode.Append).parquet(quarantinePath)
@@ -78,7 +70,10 @@ object StreamingQuarantine {
         }
       }
       .start()
-    try q.processAllAvailable() finally {
+    try {
+      q.processAllAvailable()
+      DriftState.save(spark, outPath, acc)
+    } finally {
       q.stop()
       EventStream.deleteScratch(ckpt)
       EventStream.deleteScratch(stage)

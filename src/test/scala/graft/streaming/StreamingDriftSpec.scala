@@ -18,8 +18,8 @@ class StreamingDriftSpec extends SparkTestBase {
     StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
       nBatches = 4, alertTv = alertTv)
     spark.read.parquet(out).orderBy("batch_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getBoolean(4))).toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
   }
 
   test("stable stream: no alerts; baseline accumulates prior batches") {
@@ -34,6 +34,29 @@ class StreamingDriftSpec extends SparkTestBase {
     rows.sliding(2).foreach { case Seq(a, b) =>
       assert(b._3 == a._3 + a._2)
     }
+  }
+
+  test("cross-run continuity: a second run starts from the persisted baseline") {
+    val src = java.nio.file.Files.createTempDirectory("sdrift_cr")
+      .resolve("docs.parquet").toString
+    docs.write.parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("sdrift_cr_o")
+      .resolve("monitor").toString
+    StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
+      nBatches = 4, alertTv = 0.3)
+    val total = docs.count()
+    StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
+      nBatches = 4, alertTv = 0.3)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(5)))
+    assert(rows.length == 8)
+    assert(rows.map(_._1).distinct.length == 2) // two runs, disambiguated
+    // the second run's FIRST batch already has the first run's whole
+    // corpus as baseline — and the same stable mix raises no alert
+    val secondRun = rows.groupBy(_._1).values.find(_.exists(r =>
+      r._2 == 0L && r._3 > 0L)).get
+    assert(secondRun.find(_._2 == 0L).get._3 == total)
+    assert(secondRun.forall(!_._4))
   }
 
   test("late drift alerts exactly on the drifted batches") {
