@@ -183,12 +183,17 @@ object Dedup {
     * builds it ONCE and probes it with every training microbatch —
     * the eval set is frozen for the run, so rebuilding its postings
     * per batch would be pure waste. `bloom` is None iff the eval
-    * side was empty (nothing can be contaminated). The caller owns
-    * the checkpoint: [[releaseDecontamEval]] when done.
+    * side was empty (nothing can be contaminated). The shingling
+    * parameters (textCol, idCol, w) RIDE THE ARTIFACT: the probe
+    * must shingle the training side identically or it returns
+    * plausible-but-wrong Jaccards, so they are set once at build and
+    * cannot drift per call. The caller owns the checkpoint:
+    * [[releaseDecontamEval]] when done.
     */
   final case class DecontamEval private[pipeline] (
       postings: DataFrame,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      textCol: String, idCol: String, w: Int)
 
   /** Build the [[DecontamEval]] artifact over the eval corpus. */
   def decontamEval(eval: DataFrame, textCol: String, idCol: String,
@@ -197,7 +202,7 @@ object Dedup {
     // bloom build and every join probe
     val pr = explodePostings(shingled(eval, textCol, idCol, w)
       .localCheckpoint(true))
-    DecontamEval(pr, postingsBloom(pr, fpp))
+    DecontamEval(pr, postingsBloom(pr, fpp), textCol, idCol, w)
   }
 
   def releaseDecontamEval(ev: DecontamEval): Unit =
@@ -227,14 +232,20 @@ object Dedup {
     * equi-join discards anyway; and set sizes (`na`/`nb`) are computed
     * from the FULL sets before filtering, so Jaccard values are
     * untouched. The decontam oracle is therefore shared verbatim.
+    *
+    * Pin note: the eval artifact's checkpoint lives until the
+    * session's next unpersist sweep — the returned frame still
+    * references it, so it cannot be released here. One-shot batch
+    * callers leak ONE small pin per call (Bench clears them between
+    * queries); the streaming ingest builds the artifact itself and
+    * releases it at run close.
     */
   def crossJaccardPairsBloom(left: DataFrame, right: DataFrame,
                              textCol: String, idCol: String, w: Int,
                              threshold: Double,
-                             fpp: Double = 0.01): DataFrame = {
-    val ev = decontamEval(right, textCol, idCol, w, fpp)
-    crossJaccardPairsAgainst(left, ev, textCol, idCol, w, threshold)
-  }
+                             fpp: Double = 0.01): DataFrame =
+    crossJaccardPairsAgainst(left,
+      decontamEval(right, textCol, idCol, w, fpp), threshold)
 
   /** Probe a training increment against a prebuilt [[DecontamEval]] —
     * the per-microbatch call of decontamination ON INGEST. Pairs are
@@ -244,8 +255,8 @@ object Dedup {
     * [[crossJaccardPairs]] — which is what oracles the streamed path.
     */
   def crossJaccardPairsAgainst(left: DataFrame, ev: DecontamEval,
-                               textCol: String, idCol: String, w: Int,
                                threshold: Double): DataFrame = {
+    import ev.{textCol, idCol, w}
     val pr = ev.postings
     // empty eval side: nothing can be contaminated (and there was no
     // bloom to build — Spark's stat.bloomFilter NPEs on an empty

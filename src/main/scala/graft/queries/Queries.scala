@@ -1733,20 +1733,31 @@ object Queries {
   /** Cross-corpus contamination oracle — shared by decontam_pairs and
     * decontam_bloom (the Bloom path is exact by construction).
     */
-  /** The drift monitor's DuckDB replay over any staged (doc_id, dim)
-    * CTE body: Staging's equal-width id-range batching, per-batch
-    * and prefix counts, and the value-sorted sequential TV fold —
-    * bit-exact against the Scala foldLeft (0.0 + x = x in IEEE, so
-    * the 0.0-seeded foldLeft and list_reduce are the same
-    * left-assoc term sum).
+  /** The drift replay's shared CTE chain over any staged CTE body
+    * that exposes `doc_id` and `dim` (other columns ride along into
+    * `bd`): Staging.idRangeSplits' equal-width batching replayed
+    * FAITHFULLY — span = max(1, (hi−lo) div n + 1) from the MIN id
+    * (not 0), and empty ranges produce no staged file so the file
+    * stream renumbers batch ids DENSELY over the non-empty ranges —
+    * then per-batch/prefix counts and the value-sorted sequential TV
+    * fold, bit-exact against the Scala foldLeft (0.0 + x = x in
+    * IEEE, so the 0.0-seeded foldLeft and list_reduce are the same
+    * left-assoc term sum). Ends with `al` (per-batch verdicts) and
+    * `bd` (doc-level rows with their dense batch id).
     */
-  private def driftMonitorSql(stagedCte: String): String =
-    s"""WITH staged AS ($stagedCte),
-       |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
-       |b AS (SELECT least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid, dim
-       |      FROM staged),
-       |cnt AS (SELECT bid, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-       |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
+  private def driftCtes(stagedCte: String): String =
+    s"""staged AS ($stagedCte),
+       |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM staged),
+       |sp AS (SELECT lo, greatest(1, (hi - lo) // 4 + 1) AS span FROM bounds),
+       |r0 AS (SELECT staged.*,
+       |         least(3, CAST((doc_id - (SELECT lo FROM sp))
+       |                       // (SELECT span FROM sp) AS INT)) AS rng
+       |       FROM staged),
+       |rmap AS (SELECT rng, CAST(row_number() OVER (ORDER BY rng) - 1 AS INT) AS bid
+       |         FROM (SELECT DISTINCT rng FROM r0)),
+       |bd AS (SELECT r0.*, m.bid FROM r0 JOIN rmap m ON m.rng = r0.rng),
+       |cnt AS (SELECT bid, dim, CAST(count(*) AS BIGINT) AS c FROM bd GROUP BY 1, 2),
+       |bids AS (SELECT bid FROM rmap),
        |dims AS (SELECT DISTINCT dim FROM cnt),
        |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
        |tot AS (SELECT bb.bid,
@@ -1766,14 +1777,43 @@ object Queries {
        |         ORDER BY pc.dim) AS vals
        |  FROM pc JOIN tot t ON t.bid = pc.bid
        |  WHERE t.nb > 0 AND t.na > 0
-       |  GROUP BY pc.bid)
-       |SELECT CAST(t.bid AS BIGINT) AS batch_id, t.nb AS n_batch, t.na AS n_prev,
-       |  CASE WHEN v.vals IS NULL THEN 0.0
-       |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) END AS tv,
-       |  CASE WHEN v.vals IS NULL THEN FALSE
-       |       ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
-       |FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid
-       |ORDER BY batch_id""".stripMargin
+       |  GROUP BY pc.bid),
+       |al AS (SELECT t.bid, t.nb, t.na,
+       |         CASE WHEN v.vals IS NULL THEN 0.0
+       |              ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) END AS tv
+       |       FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid)""".stripMargin
+
+  /** The monitor rows from [[driftCtes]]'s verdicts. */
+  private def driftMonitorSql(stagedCte: String): String =
+    s"""WITH ${driftCtes(stagedCte)}
+       |SELECT CAST(bid AS BIGINT) AS batch_id, nb AS n_batch, na AS n_prev,
+       |  tv, tv > 0.3 AS alert
+       |FROM al ORDER BY batch_id""".stripMargin
+
+  /** The curation composition's replay (blocklist suffix match →
+    * rounded quality gate → min-id-per-fingerprint) over any source
+    * relation exposing (doc_id, text, source) — ONE definition
+    * shared by the streamed-curation and quarantine oracles. Ends
+    * with `k`; kept = rows where doc_id = keep.
+    */
+  private def curationKeptCtes(src: String): String =
+    s"""u AS (SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
+       |      source || '.example.com' AS host
+       |  FROM $src),
+       |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+       |                 ('cdn.src1.example.com')),
+       |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
+       |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
+       |b2 AS (SELECT doc_id, text FROM b1
+       |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
+       |    * (0.5 + 0.5 * least(1.0,
+       |        (CAST(len(list_filter(string_split(text, ' '),
+       |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
+       |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
+       |k AS (SELECT doc_id, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+       |  FROM b2)""".stripMargin
 
   private val decontamSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1902,65 +1942,23 @@ object Queries {
     // drift-gated curation: the drift SQL decides per-batch
     // accept/divert with the same bit-exact TV fold, then the
     // curation stages replay over the accepted side only
-    "stream_quarantine" ->
-      s"""WITH staged AS (
-         |  SELECT doc_id, text, lang, source FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
-         |         text, lang, source
-         |  FROM documents WHERE lang = 'en'),
-         |w AS (SELECT (max(doc_id) // 4) + 1 AS span FROM staged),
-         |bd AS (SELECT staged.*,
-         |         least(3, CAST(doc_id // (SELECT span FROM w) AS INT)) AS bid
-         |       FROM staged),
-         |cnt AS (SELECT bid, lang, CAST(count(*) AS BIGINT) AS c FROM bd GROUP BY 1, 2),
-         |bids AS (SELECT CAST(range AS INT) AS bid FROM range(4)),
-         |langs AS (SELECT DISTINCT lang FROM cnt),
-         |btot AS (SELECT bid, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-         |tot AS (SELECT bb.bid,
-         |          CAST(coalesce((SELECT n FROM btot WHERE btot.bid = bb.bid), 0) AS BIGINT) AS nb,
-         |          CAST(coalesce((SELECT sum(n) FROM btot WHERE btot.bid < bb.bid), 0) AS BIGINT) AS na
-         |        FROM bids bb),
-         |pc AS (
-         |  SELECT bb.bid, l.lang,
-         |    CAST(coalesce(c1.c, 0) AS BIGINT) AS cb,
-         |    CAST(coalesce((SELECT sum(c) FROM cnt c2
-         |                   WHERE c2.bid < bb.bid AND c2.lang = l.lang), 0) AS BIGINT) AS ca
-         |  FROM bids bb CROSS JOIN langs l
-         |  LEFT JOIN cnt c1 ON c1.bid = bb.bid AND c1.lang = l.lang),
-         |tv0 AS (
-         |  SELECT pc.bid,
-         |    list(abs(CAST(pc.cb AS DOUBLE) / t.nb - CAST(pc.ca AS DOUBLE) / t.na)
-         |         ORDER BY pc.lang) AS vals
-         |  FROM pc JOIN tot t ON t.bid = pc.bid
-         |  WHERE t.nb > 0 AND t.na > 0
-         |  GROUP BY pc.bid),
-         |al AS (SELECT t.bid,
-         |         CASE WHEN v.vals IS NULL THEN FALSE
-         |              ELSE 0.5 * list_reduce(v.vals, (x, y) -> x + y) > 0.3 END AS alert
-         |       FROM tot t LEFT JOIN tv0 v ON v.bid = t.bid),
-         |acc AS (SELECT bd.* FROM bd JOIN al ON al.bid = bd.bid WHERE NOT al.alert),
-         |qr AS (SELECT bd.doc_id FROM bd JOIN al ON al.bid = bd.bid WHERE al.alert),
-         |u AS (SELECT doc_id, text,
-         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
-         |      source || '.example.com' AS host
-         |  FROM acc),
-         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
-         |                 ('cdn.src1.example.com')),
-         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
-         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
-         |b2 AS (SELECT doc_id, text FROM b1
-         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
-         |    * (0.5 + 0.5 * least(1.0,
-         |        (CAST(len(list_filter(string_split(text, ' '),
-         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
-         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
-         |k AS (SELECT doc_id, min(doc_id) OVER (
-         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
-         |  FROM b2)
+    "stream_quarantine" -> {
+      val stagedCte =
+        """SELECT doc_id, text, source, lang AS dim FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+          |         text, source, lang AS dim
+          |  FROM documents WHERE lang = 'en'""".stripMargin
+      s"""WITH ${driftCtes(stagedCte)},
+         |acc AS (SELECT bd.* FROM bd JOIN al ON al.bid = bd.bid
+         |        WHERE NOT (al.tv > 0.3)),
+         |qr AS (SELECT bd.doc_id FROM bd JOIN al ON al.bid = bd.bid
+         |       WHERE al.tv > 0.3),
+         |${curationKeptCtes("acc")}
          |SELECT doc_id, 'kept' AS status FROM k WHERE doc_id = keep
          |UNION ALL SELECT doc_id, 'quarantined' AS status FROM qr
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the drift monitor's staging, id-range batching, and
     // value-sorted sequential TV fold, replayed bit-for-bit (the
@@ -5105,23 +5103,7 @@ object Queries {
     // by stage: blocklist suffix match → rounded quality gate →
     // min-id-per-fingerprint among the survivors
     "stream_curation" ->
-      s"""WITH u AS (SELECT doc_id, text,
-         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
-         |      source || '.example.com' AS host
-         |  FROM documents),
-         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
-         |                 ('cdn.src1.example.com')),
-         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
-         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
-         |b2 AS (SELECT doc_id, text FROM b1
-         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
-         |    * (0.5 + 0.5 * least(1.0,
-         |        (CAST(len(list_filter(string_split(text, ' '),
-         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
-         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
-         |k AS (SELECT doc_id, min(doc_id) OVER (
-         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
-         |  FROM b2)
+      s"""WITH ${curationKeptCtes("documents")}
          |SELECT doc_id FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
 
     // late iff the straggler lands in batch ≥ 1 (its 28h lag dwarfs

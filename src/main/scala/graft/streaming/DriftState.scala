@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** The drift monitors' shared state and metric
   * ([[StreamingDrift]], [[StreamingQuarantine]]): ONE definition of
@@ -35,13 +35,35 @@ private[streaming] object DriftState {
       }
   }
 
-  private def baselinePath(outPath: String) = s"$outPath/_baseline"
+  /** The category of a null dim value — nulls (undetected language,
+    * missing source) count as their own category instead of NPE-ing
+    * the fold; String sort keeps the fold order total.
+    */
+  val NullDim = "<null>"
+
+  /** Per-value counts of the batch's dim column, nulls as
+    * [[NullDim]] — the ONE counts derivation both monitors use.
+    */
+  def batchCounts(batch: DataFrame, dimCol: String): Map[String, Long] =
+    batch.groupBy(coalesce(col(dimCol), lit(NullDim)).as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // SIBLING of the output, not inside it: the monitors' outputs may
+  // legitimately never exist (quarantine's kept dir when nothing
+  // was kept — missing dir IS the empty result, the family
+  // convention), and a baseline write must not conjure them up
+  private def baselinePath(outPath: String) = s"${outPath}__baseline"
 
   /** Load the persisted cross-run baseline (empty if none yet). */
   def load(spark: SparkSession,
            outPath: String): scala.collection.mutable.Map[String, Long] = {
     val p = new org.apache.hadoop.fs.Path(baselinePath(outPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between save's park and promote leaves the live copy
+    // parked — restore it first (ParquetCompact.rewrite's preamble)
+    val old = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"baseline recovery failed: $old -> $p")
     val acc = scala.collection.mutable.Map.empty[String, Long]
     if (fs.exists(p))
       spark.read.parquet(p.toString).collect()
@@ -50,13 +72,24 @@ private[streaming] object DriftState {
   }
 
   /** Persist the baseline at run close (tiny: one row per value of a
-    * low-cardinality categorical).
+    * low-cardinality categorical) — two-rename swap, so a crash
+    * mid-save cannot destroy the previous baseline (the stated
+    * crash invariant; Spark's Overwrite alone is delete-then-write).
     */
   def save(spark: SparkSession, outPath: String,
            acc: scala.collection.Map[String, Long]): Unit = {
     import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(baselinePath(outPath))
+    val fs = live.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__new")
+    val old = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__old")
     acc.toSeq.sortBy(_._1).toDF("dim", "c")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(baselinePath(outPath))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"baseline park failed: $live")
+    require(fs.rename(tmp, live), s"baseline promote failed: $live")
+    fs.delete(old, true)
   }
 }

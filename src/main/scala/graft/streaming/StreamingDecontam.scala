@@ -30,11 +30,10 @@ object StreamingDecontam {
     * otherwise-empty output). Exposed for testing.
     */
   def processBatch(batch: DataFrame, ev: Dedup.DecontamEval,
-                   textCol: String, idCol: String, w: Int,
                    threshold: Double, outPath: String): Unit = {
     if (batch.isEmpty) return
-    val pairs = Dedup.crossJaccardPairsAgainst(batch, ev, textCol,
-      idCol, w, threshold).localCheckpoint(true)
+    val pairs = Dedup.crossJaccardPairsAgainst(batch, ev, threshold)
+      .localCheckpoint(true)
     try {
       if (!pairs.isEmpty)
         pairs.write.mode(SaveMode.Append).parquet(outPath)
@@ -66,7 +65,7 @@ object StreamingDecontam {
         // idempotent under foreachBatch's same-batchId replay (see
         // BatchLedger): a re-delivered completed batch is a no-op
         BatchLedger.once(batch.sparkSession, outPath, runId, batchId) {
-          processBatch(batch, ev, textCol, idCol, w, threshold, outPath)
+          processBatch(batch, ev, threshold, outPath)
         }
       }
       .start()

@@ -60,8 +60,7 @@ object StreamingDrift {
         // replay-guarded: a re-delivered batch neither re-alerts nor
         // double-counts into the baseline (both live in this body)
         BatchLedger.once(s, outPath, runId, batchId) {
-          val counts = batch.groupBy(col(dimCol)).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val counts = DriftState.batchCounts(batch, dimCol)
           val nb = counts.values.sum
           val np = acc.values.sum
           // the ONE engine-exact TV fold (shared with

@@ -54,8 +54,7 @@ object StreamingQuarantine {
         val s = batch.sparkSession
         // replay-guarded: divert/curate/baseline all live in one body
         BatchLedger.once(s, indexPath, runId, batchId) {
-          val counts = batch.groupBy(col(dimCol)).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val counts = DriftState.batchCounts(batch, dimCol)
           // the ONE engine-exact TV fold (shared with StreamingDrift)
           val tv = DriftState.tv(counts, acc)
           if (tv > alertTv)

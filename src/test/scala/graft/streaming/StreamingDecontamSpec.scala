@@ -37,8 +37,7 @@ class StreamingDecontamSpec extends SparkTestBase {
     val ev = Dedup.decontamEval(eval, "text", "doc_id", w = 3)
     val n0 = spark.read.parquet(out).count()
     def deliver(): Unit = BatchLedger.once(spark, out, "spec-run", 0L) {
-      StreamingDecontam.processBatch(train.limit(20), ev, "text",
-        "doc_id", 3, 0.1, out)
+      StreamingDecontam.processBatch(train.limit(20), ev, 0.1, out)
     }
     deliver()
     val n1 = spark.read.parquet(out).count()
@@ -51,8 +50,7 @@ class StreamingDecontamSpec extends SparkTestBase {
     val d = docs
     val ev = Dedup.decontamEval(d.limit(0), "text", "doc_id", w = 3)
     assert(ev.bloom.isEmpty)
-    assert(Dedup.crossJaccardPairsAgainst(d.limit(30), ev, "text",
-      "doc_id", 3, 0.2).isEmpty)
+    assert(Dedup.crossJaccardPairsAgainst(d.limit(30), ev, 0.2).isEmpty)
     Dedup.releaseDecontamEval(ev)
   }
 }
