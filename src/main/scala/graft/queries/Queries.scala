@@ -5117,24 +5117,9 @@ object Queries {
          |lt AS (SELECT doc_id FROM documents, bounds
          |  WHERE doc_id % 17 = 5
          |    AND least(2, (doc_id - lo) // ((hi - lo) // 3 + 1)) >= 1),
-         |u AS (SELECT doc_id, text,
-         |    (CASE WHEN doc_id % 2 = 1 THEN 'cdn.' ELSE '' END) ||
-         |      source || '.example.com' AS host
-         |  FROM documents
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM lt)),
-         |bl(h) AS (VALUES ('src3.example.com'), ('src7.example.com'),
-         |                 ('cdn.src1.example.com')),
-         |b1 AS (SELECT * FROM u WHERE NOT EXISTS(SELECT 1 FROM bl
-         |    WHERE u.host = bl.h OR u.host LIKE '%.' || bl.h)),
-         |b2 AS (SELECT doc_id, text FROM b1
-         |  WHERE round(least(1.0, len(string_split(text, ' ')) / 100.0)
-         |    * (0.5 + 0.5 * least(1.0,
-         |        (CAST(len(list_filter(string_split(text, ' '),
-         |            w -> w IN $stopwordsSqlList)) AS DOUBLE)
-         |          / len(string_split(text, ' '))) * 5.0)), 4) >= 0.3),
-         |k AS (SELECT doc_id, min(doc_id) OVER (
-         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
-         |  FROM b2)
+         |${curationKeptCtes(
+             """(SELECT doc_id, text, source FROM documents
+               |   WHERE doc_id NOT IN (SELECT doc_id FROM lt))""".stripMargin)}
          |SELECT doc_id, 'kept' AS status FROM k WHERE doc_id = keep
          |UNION ALL SELECT doc_id, 'late' AS status FROM lt
          |ORDER BY doc_id""".stripMargin,
