@@ -1743,7 +1743,11 @@ object Queries {
     * fold, bit-exact against the Scala foldLeft (0.0 + x = x in
     * IEEE, so the 0.0-seeded foldLeft and list_reduce are the same
     * left-assoc term sum). Ends with `al` (per-batch verdicts) and
-    * `bd` (doc-level rows with their dense batch id).
+    * `bd` (doc-level rows with their dense batch id). Staged CTE
+    * bodies must `coalesce(dim, '<null>')` — the monitors count
+    * null dim values as DriftState.NullDim's own category, and an
+    * un-coalesced NULL would instead vanish through the equality
+    * joins here.
     */
   private def driftCtes(stagedCte: String): String =
     s"""staged AS ($stagedCte),
@@ -1944,10 +1948,10 @@ object Queries {
     // curation stages replay over the accepted side only
     "stream_quarantine" -> {
       val stagedCte =
-        """SELECT doc_id, text, source, lang AS dim FROM documents
+        """SELECT doc_id, text, source, coalesce(lang, '<null>') AS dim FROM documents
           |  UNION ALL
           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
-          |         text, source, lang AS dim
+          |         text, source, coalesce(lang, '<null>') AS dim
           |  FROM documents WHERE lang = 'en'""".stripMargin
       s"""WITH ${driftCtes(stagedCte)},
          |acc AS (SELECT bd.* FROM bd JOIN al ON al.bid = bd.bid
@@ -1965,9 +1969,9 @@ object Queries {
     // 0.0-seeded foldLeft and the list_reduce agree exactly:
     // 0.0 + x = x in IEEE, so both are the left-assoc term sum)
     "stream_drift_monitor" -> driftMonitorSql(
-      """SELECT doc_id, lang AS dim FROM documents
+      """SELECT doc_id, coalesce(lang, '<null>') AS dim FROM documents
         |  UNION ALL
-        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, lang AS dim
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, coalesce(lang, '<null>') AS dim
         |  FROM documents WHERE lang = 'en'""".stripMargin),
 
     // numeric drift through the same monitor: the bucketed length
@@ -1975,11 +1979,11 @@ object Queries {
     // doubled-length tail — same bit-exact TV replay
     "stream_drift_numeric" -> driftMonitorSql(
       """SELECT doc_id,
-        |    CAST(CAST(floor(length(text) / 200) AS BIGINT) AS VARCHAR) AS dim
+        |    coalesce(CAST(CAST(floor(length(text) / 200) AS BIGINT) AS VARCHAR), '<null>') AS dim
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
-        |    CAST(CAST(floor(length(text || ' ' || text) / 200) AS BIGINT) AS VARCHAR) AS dim
+        |    coalesce(CAST(CAST(floor(length(text || ' ' || text) / 200) AS BIGINT) AS VARCHAR), '<null>') AS dim
         |  FROM documents""".stripMargin),
 
     "dedup_jaccard_prefix" ->

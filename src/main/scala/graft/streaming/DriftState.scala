@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   * ([[StreamingDrift]], [[StreamingQuarantine]]): ONE definition of
   * the engine-exact TV fold (so the two operators and the DuckDB
   * oracle can never disagree), and the cross-run baseline persisted
-  * as `_baseline` inside the monitor's output dir (hidden from
-  * readers, the `_model` convention) — a SECOND ingest run compares
-  * against everything earlier runs observed instead of starting
-  * blind. The baseline is written at successful run close: a crashed
-  * run leaves the previous baseline intact, and its replacement run
+  * at the SIBLING path `<outPath>__baseline` — a SECOND ingest run
+  * compares against everything earlier runs observed instead of
+  * starting blind. The baseline is written at successful run close
+  * via a two-rename swap: a crashed run (or a crash mid-save)
+  * leaves the previous baseline intact, and its replacement run
   * re-observes from there.
   */
 private[streaming] object DriftState {
@@ -37,7 +37,11 @@ private[streaming] object DriftState {
 
   /** The category of a null dim value — nulls (undetected language,
     * missing source) count as their own category instead of NPE-ing
-    * the fold; String sort keeps the fold order total.
+    * the fold; String sort keeps the fold order total. Boundary: a
+    * GENUINE dim value equal to this string merges with the nulls —
+    * acceptable for the contract's label-like categoricals
+    * (languages, sources, licenses), where the literal "<null>"
+    * does not occur as a real label.
     */
   val NullDim = "<null>"
 

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object Staging {
 
-  /** Returns the stage dir containing `n` mtime-ordered split files
-    * of `src` (a single parquet file), partitioned by equal-width
-    * ranges of the long `idCol`. Empty ranges still yield a (0-row)
-    * file — downstream processBatch impls guard on isEmpty.
+  /** Returns the stage dir containing mtime-ordered split files of
+    * `src` (a parquet file or directory), partitioned by up to `n`
+    * equal-width ranges of the long `idCol`. An EMPTY range yields
+    * NO staged file (the dynamic-partition write creates no dir for
+    * it), so the file stream delivers fewer batches and batchIds
+    * renumber DENSELY over the non-empty ranges — the drift oracles
+    * (Queries.driftCtes) load-bear on exactly this renumbering, so
+    * don't "fix" it to emit 0-row files without updating them.
     */
   def idRangeSplits(spark: SparkSession, src: String, idCol: String,
                     n: Int): java.nio.file.Path = {

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * batch; the per-batch fold runs on the driver over the
   * categorical's value set (LOW-CARDINALITY BY CONTRACT — languages,
   * sources, licenses; not tokens). State is one count map, seeded
-  * from the `_baseline` persisted inside the output dir (cross-run
-  * continuity — see [[DriftState]]) and re-persisted at run close.
+  * from the baseline persisted at the sibling `<outPath>__baseline`
+  * (cross-run continuity — see [[DriftState]]) and re-persisted at
+  * run close.
   */
 object StreamingDrift {
 

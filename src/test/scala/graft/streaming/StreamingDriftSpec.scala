@@ -36,6 +36,41 @@ class StreamingDriftSpec extends SparkTestBase {
     }
   }
 
+  test("null dim values count as their own category, not an NPE") {
+    val src = java.nio.file.Files.createTempDirectory("sdrift_nl")
+      .resolve("docs.parquet").toString
+    // a third of the corpus loses its language label
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      .write.parquet(src)
+    val rows = monitor(src, alertTv = 0.3)
+    assert(rows.length == 4)
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the null share is id-uniform, so the stable mix stays quiet
+    assert(rows.forall(!_._5))
+  }
+
+  test("baseline swap recovers from a crash between park and promote") {
+    import scala.collection.mutable
+    val out = java.nio.file.Files.createTempDirectory("sdrift_bl")
+      .resolve("monitor").toString
+    DriftState.save(spark, out, mutable.Map("en" -> 7L, "de" -> 3L))
+    // simulate a crash that parked the live baseline and died before
+    // the promote: live copy missing, parked copy present
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"${out}__baseline")
+    val old = new org.apache.hadoop.fs.Path(s"${out}__baseline__old")
+    assert(fs.rename(live, old))
+    val acc = DriftState.load(spark, out) // recovery preamble restores
+    assert(acc == mutable.Map("en" -> 7L, "de" -> 3L))
+    assert(fs.exists(live) && !fs.exists(old))
+    // a save over the recovered baseline still swaps cleanly
+    DriftState.save(spark, out, mutable.Map("en" -> 9L))
+    assert(DriftState.load(spark, out) == mutable.Map("en" -> 9L))
+  }
+
   test("cross-run continuity: a second run starts from the persisted baseline") {
     val src = java.nio.file.Files.createTempDirectory("sdrift_cr")
       .resolve("docs.parquet").toString
