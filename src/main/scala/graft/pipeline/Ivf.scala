@@ -731,6 +731,23 @@ object Ivf {
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Incremental maintenance for the QUANTIZED serving layout:
+    * assign the new vectors under the frozen coarse quantizer,
+    * int8-encode, dynamic-partition append — encoding is a pure
+    * function of (vector, model), so the grown codes layout is
+    * row-identical to a one-shot [[writeIndexInt8]] over the union
+    * (the ivf_topk_int8 golden pins the incremental row). "Train
+    * rarely, append forever", extended to the layout that actually
+    * serves at scale — without this, absorbing a daily batch meant
+    * rebuilding the whole codes layout from the float postings.
+    */
+  def appendToIndexInt8(df: DataFrame, vecCol: String, model: IvfModel,
+                        path: String): Unit =
+    assign(df, vecCol, model)
+      .withColumn("codes", Similarity.int8Codes(col(vecCol)))
+      .drop(vecCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+
   /** Batched ANN search: probe the nprobe nearest lists per query via
     * a cluster equi-join, rescore exactly, rank per query.
     */
@@ -805,11 +822,34 @@ object Ivf {
     * m-byte PQ codes — the layout [[searchPqIndex]] serves from.
     */
   def writeIndexPq(postings: DataFrame, vecCol: String, pq: Pq.PqModel,
-                   path: String): Unit =
+                   path: String): Unit = {
     postings
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // codes are meaningless without their codebooks: persist the
+    // pair (carried across swaps like _model; see pqPath/loadPq)
+    Pq.saveModel(postings.sparkSession, pq, pqPath(path))
+  }
+
+  /** Canonical location of a codes layout's persisted codebooks —
+    * `_pq` inside the layout, the [[modelPath]] convention.
+    */
+  def pqPath(indexPath: String): String = s"$indexPath/_pq"
+
+  /** Read back the codebooks persisted with a codes layout. */
+  def loadPq(spark: SparkSession, indexPath: String): Pq.PqModel =
+    Pq.loadModel(spark, pqPath(indexPath))
+
+  /** [[appendToIndexInt8]]'s twin for the raw-vector PQ codes layout
+    * — frozen (coarse, codebook) pair, grown ≡ one-shot.
+    */
+  def appendToIndexPq(df: DataFrame, vecCol: String, pq: Pq.PqModel,
+                      model: IvfModel, path: String): Unit =
+    assign(df, vecCol, model)
+      .withColumn("codes", Pq.encode(col(vecCol), pq))
+      .drop(vecCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
 
   /** IVF-PQ serving from the on-disk codes index — the full 100 TB
     * shape: the probe touches only matching cluster partitions and
@@ -911,12 +951,31 @@ object Ivf {
     */
   def writeIndexPqResidual(postings: DataFrame, vecCol: String,
                            pq: Pq.PqModel, model: IvfModel,
-                           path: String): Unit =
+                           path: String): Unit = {
     postings
       .withColumn("codes",
         Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // residual codes depend on BOTH models: persist the full triple
+    // (codes, coarse quantizer, codebooks) so a restarted server
+    // recovers everything from the root ([[loadModel]]/[[loadPq]])
+    saveModel(postings.sparkSession, model, modelPath(path))
+    Pq.saveModel(postings.sparkSession, pq, pqPath(path))
+  }
+
+  /** [[appendToIndexInt8]]'s twin for the RESIDUAL codes layout —
+    * assign under the frozen coarse quantizer, encode the residual
+    * under the frozen codebooks, append; grown ≡ one-shot.
+    */
+  def appendToIndexPqResidual(df: DataFrame, vecCol: String,
+                              pq: Pq.PqModel, model: IvfModel,
+                              path: String): Unit =
+    assign(df, vecCol, model)
+      .withColumn("codes",
+        Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
+      .drop(vecCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
 
   /** IVF-PQ search with RESIDUAL codes (IVF-ADC): candidates score as
     * q·centroid(cell) + adc(q, residual codes) — under the

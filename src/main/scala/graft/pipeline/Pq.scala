@@ -121,6 +121,36 @@ object Pq {
     new PqModel(m, dsub, codebooks)
   }
 
+  /** Persist the codebooks — the other half of a restartable codes
+    * layout: PQ codes are meaningless bytes without the PqModel that
+    * decodes them, so the quantized writers store this WITH the
+    * codes (`_pq` inside the layout, carried across swaps like
+    * `_model`). One tiny parquet of (sub, code, vec, dsub) rows;
+    * float32 centroids round-trip exactly.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, pq: PqModel,
+                path: String): Unit = {
+    import spark.implicits._
+    (for (j <- 0 until pq.m; c <- 0 until pq.ksub)
+      yield (j, c, pq.codebooks(j)(c), pq.dsub))
+      .toDF("sub", "code", "vec", "dsub")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Read back a [[saveModel]] codebook set — bit-identical. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("vec"), col("dsub"))
+      .as[(Int, Int, Array[Float], Int)].collect()
+    val m = rows.iterator.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    new PqModel(m, rows.head._4, cbs)
+  }
+
   /** splitmix64 finalizer — seeds the deterministic centroid init. */
   @inline private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L

@@ -2494,6 +2494,64 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // incremental maintenance for the QUANTIZED serving layout:
+    // build the int8 codes index from half the corpus, APPEND the
+    // rest encoded under the frozen model (no rebuild from float
+    // postings), serve — encoding is pure, so the grown layout ≡ the
+    // one-shot build and the ivf_topk_int8 golden pins it
+    "ivf_topk_int8_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf8_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.appendToIndexInt8(emb.where(col("vec_id") > half),
+        "embedding", model, idx)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the residual codes layout's incremental lifecycle — AND its
+    // restartability: the serve runs with the (coarse, codebook)
+    // pair RELOADED from the layout (writeIndexPqResidual persists
+    // the triple), so this row fails loudly if either persisted
+    // model drifts from the one that encoded the codes
+    "ivf_topk_pqr_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexPqResidual(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", ivf), "embedding", pq, ivf, idx)
+      graft.pipeline.Ivf.appendToIndexPqResidual(
+        emb.where(col("vec_id") > half), "embedding", pq, ivf, idx)
+      // restart simulation: both models reloaded from the layout
+      val ivf2 = graft.pipeline.Ivf.loadModel(s,
+        graft.pipeline.Ivf.modelPath(idx))
+      val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
+      graft.pipeline.Ivf.searchPqResidualIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_hier" -> ((s, d) => {
       // two-level quantizer (√nlist L1 cells, per-cell L2 folds):
       // the train-cost path for corpus-proportional nlist; search is
@@ -4711,6 +4769,11 @@ object Queries {
     "ivf_topk_pqr_reclustered" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
+    // append-grown residual codes + serve from the RELOADED
+    // (coarse, codebook) pair ≡ the one-shot build — same golden
+    "ivf_topk_pqr_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
+
     "corpus_budget_select" ->
       """WITH t AS (
         |  SELECT doc_id AS doc,
@@ -5032,6 +5095,11 @@ object Queries {
 
     // disk-served int8 codes ≡ the in-memory quantized IVF (same golden)
     "ivf_topk_int8_indexed" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // append-grown codes layout ≡ the one-shot build (pure encoding
+    // under frozen models) — same golden
+    "ivf_topk_int8_incremental" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     "ivf_topk_hier" ->

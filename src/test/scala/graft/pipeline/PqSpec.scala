@@ -21,6 +21,24 @@ class PqSpec extends SparkTestBase {
     assert(code.forall(_.length == 8))
   }
 
+  test("saveModel/loadModel round-trips the codebooks bit-exactly") {
+    val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val path = java.nio.file.Files.createTempDirectory("pq_model")
+      .resolve("_pq").toString
+    Pq.saveModel(spark, pq, path)
+    val back = Pq.loadModel(spark, path)
+    assert(back.m == pq.m && back.dsub == pq.dsub && back.ksub == pq.ksub)
+    assert((0 until pq.m).forall(j => (0 until pq.ksub).forall(c =>
+      back.codebooks(j)(c).sameElements(pq.codebooks(j)(c)))))
+    // and the loaded model encodes identically (the property codes
+    // persistence exists for)
+    val a = emb.limit(5).select(Pq.encode(col("embedding"), pq).as("c"))
+      .collect().map(_.getAs[Array[Byte]]("c").toSeq)
+    val b = emb.limit(5).select(Pq.encode(col("embedding"), back).as("c"))
+      .collect().map(_.getAs[Array[Byte]]("c").toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ADC dot equals the exact dot against reconstructed codewords") {
     val model = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
     val rows = emb.orderBy("vec_id").limit(5)
