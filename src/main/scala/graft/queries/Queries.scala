@@ -2539,7 +2539,45 @@ object Queries {
           "embedding", ivf), "embedding", pq, ivf, idx)
       graft.pipeline.Ivf.appendToIndexPqResidual(
         emb.where(col("vec_id") > half), "embedding", pq, ivf, idx)
+      // contents-invariant compaction of the codes layout — also
+      // exercises the hidden-dir carry-over keeping _model/_pq
+      // through the swap
+      graft.pipeline.Ivf.compactIndex(s, idx)
       // restart simulation: both models reloaded from the layout
+      val ivf2 = graft.pipeline.Ivf.loadModel(s,
+        graft.pipeline.Ivf.modelPath(idx))
+      val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
+      graft.pipeline.Ivf.searchPqResidualIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // right-to-be-forgotten for the QUANTIZED serving layout:
+    // deleteVectors is layout-agnostic (anti-join inside the
+    // crash-safe rewrite; codes ride along untouched — deletion
+    // never re-encodes), and the hidden-dir carry-over keeps the
+    // persisted models through the swap, so the post-delete serve
+    // from the RELOADED pair ≡ the decoy-free one-shot golden
+    "ivf_topk_pqr_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_del")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPqResidual(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          ivf), "embedding", pq, ivf, idx)
+      graft.pipeline.Ivf.deleteVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
       val ivf2 = graft.pipeline.Ivf.loadModel(s,
         graft.pipeline.Ivf.modelPath(idx))
       val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
@@ -4772,6 +4810,11 @@ object Queries {
     // append-grown residual codes + serve from the RELOADED
     // (coarse, codebook) pair ≡ the one-shot build — same golden
     "ivf_topk_pqr_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
+
+    // post-deletion serve over the codes layout ≡ the decoy-free
+    // one-shot build — same golden
+    "ivf_topk_pqr_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->
