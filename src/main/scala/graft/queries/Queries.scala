@@ -3429,6 +3429,35 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "stream_ivfpqr_search" -> ((s, d) => {
+      // the QUANTIZED serving layout maintained ON INGEST: 4
+      // microbatches of embeddings encode their residuals under the
+      // frozen (coarse, codebook) pair and append m-byte codes, with
+      // a mid-stream compaction; the serve runs from the RELOADED
+      // pair (persisted at first contact). Pure per-row encoding ⇒
+      // the grown layout ≡ the one-shot build — the ivf_topk_pqr
+      // golden pins the whole streamed quantized lifecycle
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
+        ivf, m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("sivfpqr_q")
+        .resolve("index").toString
+      graft.streaming.StreamingIvf.ingestCodes(s, d, ivf, pq, idx,
+        nBatches = 4, compactEvery = 2)
+      val ivf2 = graft.pipeline.Ivf.loadModel(s,
+        graft.pipeline.Ivf.modelPath(idx))
+      val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
+      graft.pipeline.Ivf.searchPqResidualIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -4815,6 +4844,11 @@ object Queries {
     // post-deletion serve over the codes layout ≡ the decoy-free
     // one-shot build — same golden
     "ivf_topk_pqr_deleted" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
+
+    // the stream-grown codes layout ≡ the one-shot build (pure
+    // per-row encoding under the frozen pair) — same golden
+    "stream_ivfpqr_search" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
     "corpus_budget_select" ->

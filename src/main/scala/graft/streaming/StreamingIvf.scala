@@ -118,4 +118,53 @@ object StreamingIvf {
     }
     current
   }
+
+  /** Stream the embeddings table into the QUANTIZED (residual codes)
+    * serving layout — the layout that actually serves at 100 TB:
+    * each microbatch assigns under the frozen coarse quantizer,
+    * encodes its residual under the frozen codebooks, and appends
+    * m-byte codes ([[Ivf.appendToIndexPqResidual]]). Pure per-row
+    * encoding makes the grown layout row-identical to a one-shot
+    * build, so the ivf_topk_pqr golden oracles the streamed path.
+    * The (coarse, codebook) pair persists with the layout at first
+    * contact (append mode never writes it), so a restarted server
+    * recovers everything from the root.
+    */
+  def ingestCodes(spark: SparkSession, dir: String, model: IvfModel,
+                  pq: graft.pipeline.Pq.PqModel, indexPath: String,
+                  nBatches: Int = 4, compactEvery: Int = 0,
+                  compactFilesPerDir: Double = 0.0): Unit = {
+    val src = s"$dir/embeddings.parquet"
+    val schema = spark.read.parquet(src).schema
+    val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
+    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivfc_ckpt_")
+    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    Ivf.saveModel(spark, model, Ivf.modelPath(indexPath))
+    graft.pipeline.Pq.saveModel(spark, pq, Ivf.pqPath(indexPath))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        BatchLedger.once(s, indexPath, runId, batchId) {
+          if (!batch.isEmpty)
+            Ivf.appendToIndexPqResidual(batch, "embedding", pq, model,
+              indexPath)
+        }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Ivf.compactIndex(s, indexPath)
+        graft.core.ParquetCompact.maybeCompact(s, indexPath,
+            compactFilesPerDir) {
+          Ivf.compactIndex(s, indexPath)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      EventStream.deleteScratch(ckpt)
+      EventStream.deleteScratch(stage)
+    }
+  }
 }

@@ -107,6 +107,34 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("codes ingest: stream-grown quantized layout ≡ one-shot; pair recoverable") {
+    val e = emb
+    val ivfM = Ivf.train(e, "embedding", "vec_id", nlist = 8, iters = 2)
+    val pq = Ivf.trainPqResidual(e, "embedding", "vec_id", ivfM,
+      m = 8, ksub = 16, iters = 2)
+    def serve(idx: String, m: graft.pipeline.IvfModel,
+              p: graft.pipeline.Pq.PqModel) =
+      Ivf.searchPqResidualIndex(Ivf.readIndex(spark, idx), e,
+          e.where(col("vec_id") < 3), "embedding", "vec_id", m, p,
+          k = 5, nprobe = 8)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val oneShot = java.nio.file.Files.createTempDirectory("sivfc_os")
+      .resolve("index").toString
+    Ivf.writeIndexPqResidual(Ivf.assign(e, "embedding", ivfM),
+      "embedding", pq, ivfM, oneShot)
+    val grown = java.nio.file.Files.createTempDirectory("sivfc_gr")
+      .resolve("index").toString
+    StreamingIvf.ingestCodes(spark, sf(), ivfM, pq, grown,
+      nBatches = 3, compactEvery = 2)
+    // the persisted pair round-trips and serves identically
+    val m2 = Ivf.loadModel(spark, Ivf.modelPath(grown))
+    val p2 = Ivf.loadPq(spark, grown)
+    assert(serve(grown, m2, p2) == serve(oneShot, ivfM, pq))
+    assert(spark.read.parquet(grown).count() == e.count())
+  }
+
   test("file-count alarm: measured debris triggers compaction, results invariant") {
     val e = emb
     val model = Ivf.train(e, "embedding", "vec_id", nlist = 16, iters = 3)
