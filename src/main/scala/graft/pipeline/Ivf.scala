@@ -822,13 +822,17 @@ object Ivf {
     * m-byte PQ codes — the layout [[searchPqIndex]] serves from.
     */
   def writeIndexPq(postings: DataFrame, vecCol: String, pq: Pq.PqModel,
-                   path: String): Unit = {
+                   model: IvfModel, path: String): Unit = {
     postings
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
-    // codes are meaningless without their codebooks: persist the
-    // pair (carried across swaps like _model; see pqPath/loadPq)
+    // codes are meaningless without their models: persist the full
+    // pair — coarse quantizer (probing) AND codebooks (decoding) —
+    // so a restarted server recovers everything from the root, same
+    // contract as the residual writer (carried across swaps; see
+    // modelPath/pqPath)
+    saveModel(postings.sparkSession, model, modelPath(path))
     Pq.saveModel(postings.sparkSession, pq, pqPath(path))
   }
 
@@ -836,6 +840,48 @@ object Ivf {
     * `_pq` inside the layout, the [[modelPath]] convention.
     */
   def pqPath(indexPath: String): String = s"$indexPath/_pq"
+
+  /** Persist-or-VERIFY the serving pair at a layout root: first
+    * contact saves; when a pair is already persisted, the passed
+    * one must match it bit-for-bit — appending codes encoded under
+    * a different quantizer/codebook than the layout's would make
+    * every later serve decode garbage SILENTLY, so a mismatch is a
+    * loud error, never an overwrite. The supported re-ingest path
+    * is [[loadModel]]/[[loadPq]] the persisted pair and pass that.
+    */
+  def ensurePair(spark: SparkSession, model: IvfModel,
+                 pq: Option[Pq.PqModel], path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = modelPath(path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(mp))) {
+      val prev = loadModel(spark, mp)
+      require(sameModel(prev, model),
+        s"$path already holds codes assigned under a DIFFERENT coarse " +
+          "quantizer — pass the persisted pair (Ivf.loadModel/loadPq), " +
+          "or rebuild the layout under the new one")
+    } else saveModel(spark, model, mp)
+    pq.foreach { p =>
+      val pp = pqPath(path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(pp))) {
+        val prev = Pq.loadModel(spark, pp)
+        require(prev.m == p.m && prev.dsub == p.dsub &&
+            prev.ksub == p.ksub &&
+            (0 until p.m).forall(j => (0 until p.ksub).forall(c =>
+              prev.codebooks(j)(c).sameElements(p.codebooks(j)(c)))),
+          s"$path already holds codes encoded under DIFFERENT codebooks " +
+            "— pass the persisted pair (Ivf.loadPq), or rebuild")
+      } else Pq.saveModel(spark, p, pp)
+    }
+  }
+
+  private def sameModel(a: IvfModel, b: IvfModel): Boolean =
+    a.centroids.length == b.centroids.length &&
+      a.centroids.zip(b.centroids).forall { case (x, y) => x.sameElements(y) } &&
+      a.l1.length == b.l1.length &&
+      a.l1.zip(b.l1).forall { case (x, y) => x.sameElements(y) } &&
+      a.children.length == b.children.length &&
+      a.children.zip(b.children).forall { case (x, y) => x.sameElements(y) }
 
   /** Read back the codebooks persisted with a codes layout. */
   def loadPq(spark: SparkSession, indexPath: String): Pq.PqModel =

@@ -3548,11 +3548,41 @@ object Queries {
       val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPq(
-        graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding", pq, idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding",
+        pq, ivf, idx)
       graft.pipeline.Ivf.searchPqIndex(
           graft.pipeline.Ivf.readIndex(s, idx), emb,
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
           ivf, pq, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the raw-PQ codes layout's incremental lifecycle, serving from
+    // the RELOADED pair — the appendToIndexPq twin pinned like its
+    // int8 and residual siblings (grown ≡ one-shot, same golden)
+    "ivf_topk_pq_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfpq_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexPq(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", ivf), "embedding", pq, ivf, idx)
+      graft.pipeline.Ivf.appendToIndexPq(emb.where(col("vec_id") > half),
+        "embedding", pq, ivf, idx)
+      val ivf2 = graft.pipeline.Ivf.loadModel(s,
+        graft.pipeline.Ivf.modelPath(idx))
+      val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
+      graft.pipeline.Ivf.searchPqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
@@ -5178,6 +5208,11 @@ object Queries {
     // under frozen models) — same golden
     "ivf_topk_int8_incremental" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // the raw-PQ twin, serving from the reloaded pair — same golden
+    // as its one-shot row
+    "ivf_topk_pq_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
 
     "ivf_topk_hier" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_hier.parquet' ORDER BY qid, rk",

@@ -24,6 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingIvf {
 
+  /** Any staged batch file present? (Staging writes no file for an
+    * empty source, and a pair save with nothing to ingest would
+    * conjure up a sidecar-only layout dir.)
+    */
+  private def stagedNonEmpty(stage: java.nio.file.Path): Boolean = {
+    val l = java.nio.file.Files.list(stage)
+    try l.findFirst().isPresent finally l.close()
+  }
+
   /** One microbatch: assign against the frozen quantizer and append.
     * Append-mode creates the layout on first contact, so there is no
     * separate first-batch branch. Exposed for testing.
@@ -80,8 +89,10 @@ object StreamingIvf {
     // when the drift alarm fires (foreachBatch runs batches
     // sequentially in one thread — plain var is safe)
     var current = model
-    if (reclusterImbalance > 0)
-      Ivf.saveModel(spark, current, Ivf.modelPath(indexPath))
+    if (reclusterImbalance > 0 && stagedNonEmpty(stage))
+      // persist-or-verify (a restarted run must pass the persisted
+      // model, which recluster may have replaced — see ensurePair)
+      Ivf.ensurePair(spark, current, None, indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -139,8 +150,14 @@ object StreamingIvf {
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivfc_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath, ckpt)
-    Ivf.saveModel(spark, model, Ivf.modelPath(indexPath))
-    graft.pipeline.Pq.saveModel(spark, pq, Ivf.pqPath(indexPath))
+    // persist-or-verify, and only when there is data to ingest — a
+    // save on an empty source would conjure a sidecar-only layout
+    // dir that poisons the missing-dir-is-empty convention, and an
+    // unconditional save would silently invalidate codes a prior
+    // run already encoded under a different pair (ensurePair errors
+    // loudly instead)
+    if (stagedNonEmpty(stage))
+      Ivf.ensurePair(spark, model, Some(pq), indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

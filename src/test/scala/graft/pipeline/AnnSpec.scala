@@ -319,7 +319,7 @@ class AnnSpec extends SparkTestBase {
     val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
     val postings = Ivf.assign(emb, "embedding", ivf)
     val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
-    Ivf.writeIndexPq(postings, "embedding", pq, path)
+    Ivf.writeIndexPq(postings, "embedding", pq, ivf, path)
     val index = Ivf.readIndex(spark, path)
     assert(index.columns.sorted.toSeq == Seq("cluster", "codes", "vec_id"))
     val queries = emb.where(col("vec_id") < 3)

@@ -133,6 +133,13 @@ class StreamingIvfSpec extends SparkTestBase {
     val p2 = Ivf.loadPq(spark, grown)
     assert(serve(grown, m2, p2) == serve(oneShot, ivfM, pq))
     assert(spark.read.parquet(grown).count() == e.count())
+    // a second ingest under a DIFFERENT pair must fail loudly, not
+    // silently invalidate the codes already encoded under the first
+    val other = Ivf.train(e, "embedding", "vec_id", nlist = 4, iters = 1)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIvf.ingestCodes(spark, sf(), other, pq, grown, nBatches = 2)
+    }
+    assert(ex.getMessage.contains("DIFFERENT coarse quantizer"))
   }
 
   test("file-count alarm: measured debris triggers compaction, results invariant") {
