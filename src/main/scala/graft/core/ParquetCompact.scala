@@ -86,8 +86,7 @@ object ParquetCompact {
     // parked at __old (crash between the two renames below): restore
     // it first so the data is never lost and this run starts clean
     val old = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"compaction recovery failed: $old -> $p")
+    DirSwap.recover(fs, p)
     if (!fs.exists(p)) return None
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val keyCols = (partitionCols ++ sortCols).map(col)
@@ -127,10 +126,7 @@ object ParquetCompact {
           fs, new org.apache.hadoop.fs.Path(tmp, n), false, hc),
           s"metadata carry-over failed: $n")
     }
-    if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash after promote
-    require(fs.rename(p, old), s"compaction park failed: $p -> $old")
-    require(fs.rename(tmp, p), s"compaction promote failed: $tmp -> $p")
-    fs.delete(old, true)
+    DirSwap.promote(fs, p, tmp)
     if (pinResult) Some(survived) else None
   }
 

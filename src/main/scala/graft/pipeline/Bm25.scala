@@ -231,17 +231,20 @@ object Bm25 {
       Seq("bucket"), Seq("term"), pages)
     val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover BEFORE the existence check: a crash between a prior
+    // swap's park and promote leaves stats parked at __old with no
+    // live copy, and an exists-only guard would skip the recovery
+    // forever — leaving the index headless until an unrelated
+    // deleteDocs happened to run
+    graft.core.DirSwap.recover(fs, sp)
     if (fs.exists(sp))
       swapStats(spark, path, spark.read.parquet(s"$path/stats")
         .agg(sum(col("n")).as("n"), sum(col("t")).as("t")))
   }
 
-  /** Replace the unpartitioned stats table with `st` via a local
-    * two-rename swap (write to `stats__compacting`, park the live
-    * copy, promote, drop the parked copy), with the same crash
-    * recovery preamble as [[graft.core.ParquetCompact.rewrite]]: a
-    * crash between the renames leaves the live copy at `stats__old`,
-    * restored before anything is touched.
+  /** Replace the unpartitioned stats table with `st` via the shared
+    * [[graft.core.DirSwap]] protocol (recover, write the replacement
+    * to `stats__compacting`, park-promote).
     */
   private def swapStats(spark: SparkSession, path: String,
                         st: DataFrame): Unit = {
@@ -249,14 +252,9 @@ object Bm25 {
     val sp = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = sp.getFileSystem(hc)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path/stats__old")
-    if (!fs.exists(sp) && fs.exists(old))
-      require(fs.rename(old, sp), s"stats recovery failed: $old -> $sp")
+    graft.core.DirSwap.recover(fs, sp)
     st.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(sp, old), s"stats park failed: $sp")
-    require(fs.rename(tmp, sp), s"stats promote failed: $sp")
-    fs.delete(old, true)
+    graft.core.DirSwap.promote(fs, sp, tmp)
   }
 
   /** DELETE documents from the persisted index — the

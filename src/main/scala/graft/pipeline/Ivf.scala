@@ -622,15 +622,16 @@ object Ivf {
       .toSeq :+ model.nlist).distinct
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
     var done = false
-    for (p <- steps if !done) {
-      val hits = Similarity.recallAtK(truth,
-          search(postings, queries, vecCol, idCol, model, k, nprobe = p), k)
-        .agg(coalesce(sum(col("hits")), lit(0L))).head().getLong(0)
-      val rec = hits.toDouble / denom
-      rows += ((p, hits, denom, rec))
-      if (rec >= targetRecall) done = true
-    }
-    graft.core.Pinned.release(truth)
+    try
+      for (p <- steps if !done) {
+        val hits = Similarity.recallAtK(truth,
+            search(postings, queries, vecCol, idCol, model, k, nprobe = p), k)
+          .agg(coalesce(sum(col("hits")), lit(0L))).head().getLong(0)
+        val rec = hits.toDouble / denom
+        rows += ((p, hits, denom, rec))
+        if (rec >= targetRecall) done = true
+      }
+    finally graft.core.Pinned.release(truth) // don't leak the pin if a step throws
     val chosenNprobe =
       if (rows.last._4 >= targetRecall) rows.last._1 else -1
     rows.toSeq.toDF("nprobe", "hits", "denom", "recall")

@@ -64,10 +64,8 @@ private[streaming] object DriftState {
     val p = new org.apache.hadoop.fs.Path(baselinePath(outPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a crash between save's park and promote leaves the live copy
-    // parked — restore it first (ParquetCompact.rewrite's preamble)
-    val old = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__old")
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"baseline recovery failed: $old -> $p")
+    // parked — the shared recovery preamble restores it first
+    graft.core.DirSwap.recover(fs, p)
     val acc = scala.collection.mutable.Map.empty[String, Long]
     if (fs.exists(p))
       spark.read.parquet(p.toString).collect()
@@ -76,9 +74,10 @@ private[streaming] object DriftState {
   }
 
   /** Persist the baseline at run close (tiny: one row per value of a
-    * low-cardinality categorical) — two-rename swap, so a crash
-    * mid-save cannot destroy the previous baseline (the stated
-    * crash invariant; Spark's Overwrite alone is delete-then-write).
+    * low-cardinality categorical) — the shared
+    * [[graft.core.DirSwap]] protocol, so a crash mid-save cannot
+    * destroy the previous baseline (Spark's Overwrite alone is
+    * delete-then-write).
     */
   def save(spark: SparkSession, outPath: String,
            acc: scala.collection.Map[String, Long]): Unit = {
@@ -87,13 +86,9 @@ private[streaming] object DriftState {
     val live = new org.apache.hadoop.fs.Path(baselinePath(outPath))
     val fs = live.getFileSystem(hc)
     val tmp = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__new")
-    val old = new org.apache.hadoop.fs.Path(baselinePath(outPath) + "__old")
     acc.toSeq.sortBy(_._1).toDF("dim", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old), s"baseline park failed: $live")
-    require(fs.rename(tmp, live), s"baseline promote failed: $live")
-    fs.delete(old, true)
+    graft.core.DirSwap.recover(fs, live)
+    graft.core.DirSwap.promote(fs, live, tmp)
   }
 }

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object Staging {
 
+  /** Any staged batch file present? ([[idRangeSplits]] writes no
+    * file for an empty source, and a model/pair save with nothing
+    * to ingest would conjure up a sidecar-only layout dir.)
+    */
+  def nonEmpty(stage: java.nio.file.Path): Boolean = {
+    val l = java.nio.file.Files.list(stage)
+    try l.findFirst().isPresent finally l.close()
+  }
+
   /** Returns the stage dir containing mtime-ordered split files of
     * `src` (a parquet file or directory), partitioned by up to `n`
     * equal-width ranges of the long `idCol`. An EMPTY range yields

@@ -76,11 +76,14 @@ object StreamingHybrid {
     // single-writer argument as the per-index ingests
     val runId = BatchLedger.openRun(spark, s"$root/oplog", ckpt)
     // first contact creates the layouts via append mode, which never
-    // persists the quantizer — save it here so the (layout, model)
-    // pair is recoverable from the root alone (Hybrid.loadModel),
-    // same as a writeIndex-built root
-    graft.pipeline.Ivf.saveModel(spark, model,
-      graft.pipeline.Ivf.modelPath(s"$root/ivf"))
+    // persists the quantizer — persist-or-VERIFY it here so the
+    // (layout, model) pair is recoverable from the root alone
+    // (Hybrid.loadModel) and a re-ingest under a DIFFERENT model
+    // fails loudly instead of silently skewing every old vector's
+    // probes (Ivf.ensurePair); gated on a non-empty stage so an
+    // empty ingest can't conjure a sidecar-only layout dir
+    if (Staging.nonEmpty(stage))
+      graft.pipeline.Ivf.ensurePair(spark, model, None, s"$root/ivf")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

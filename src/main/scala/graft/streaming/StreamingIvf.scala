@@ -24,15 +24,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingIvf {
 
-  /** Any staged batch file present? (Staging writes no file for an
-    * empty source, and a pair save with nothing to ingest would
-    * conjure up a sidecar-only layout dir.)
-    */
-  private def stagedNonEmpty(stage: java.nio.file.Path): Boolean = {
-    val l = java.nio.file.Files.list(stage)
-    try l.findFirst().isPresent finally l.close()
-  }
-
   /** One microbatch: assign against the frozen quantizer and append.
     * Append-mode creates the layout on first contact, so there is no
     * separate first-batch branch. Exposed for testing.
@@ -89,7 +80,7 @@ object StreamingIvf {
     // when the drift alarm fires (foreachBatch runs batches
     // sequentially in one thread — plain var is safe)
     var current = model
-    if (reclusterImbalance > 0 && stagedNonEmpty(stage))
+    if (reclusterImbalance > 0 && Staging.nonEmpty(stage))
       // persist-or-verify (a restarted run must pass the persisted
       // model, which recluster may have replaced — see ensurePair)
       Ivf.ensurePair(spark, current, None, indexPath)
@@ -156,7 +147,7 @@ object StreamingIvf {
     // unconditional save would silently invalidate codes a prior
     // run already encoded under a different pair (ensurePair errors
     // loudly instead)
-    if (stagedNonEmpty(stage))
+    if (Staging.nonEmpty(stage))
       Ivf.ensurePair(spark, model, Some(pq), indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
