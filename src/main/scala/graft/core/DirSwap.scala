@@ -26,6 +26,21 @@ object DirSwap {
       require(fs.rename(o, live), s"swap recovery failed: $o -> $live")
   }
 
+  /** [[recover]] by path string — the one-liner the serving reads and
+    * append entry points run before touching a swapped layout. A
+    * crash between a swap's park and promote leaves the layout parked
+    * at `__old` with no live dir; a reader that skips this preamble
+    * fails loudly (or, worse, treats the index as empty / appends a
+    * fresh increment-only dir that recovery can then never heal)
+    * until an unrelated compaction happens to run. Cost: one or two
+    * fs.exists calls.
+    */
+  def recoverAt(spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit = {
+    val p = new Path(path)
+    recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Park-promote `tmp` over `live` (which need not exist — a first
     * write has nothing to park). A crash at any point leaves a
     * complete copy either live or parked, which [[recover]] heals.

@@ -106,8 +106,14 @@ object ParquetCompact {
     if (!hasDataFile(fs, tmp)) {
       if (pinResult) Pinned.release(survived)
       fs.delete(tmp, true)
-      fs.delete(p, true)
+      // __old FIRST, live SECOND: if a stale parked copy survives a
+      // crash between these deletes, the next contact's recover would
+      // resurrect it as the live layout — undoing a delete-everything
+      // pass (resurrecting rows a right-to-be-forgotten delete
+      // removed). Deleting the parked copy first leaves no state
+      // recovery could restore pre-delete data from.
       if (fs.exists(old)) fs.delete(old, true)
+      fs.delete(p, true)
       return None
     }
     beforeSwap(tmp)

@@ -208,8 +208,25 @@ object Bm25 {
     * run [[compactIndex]] periodically.
     */
   def appendToIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-                    idCol: String, path: String): Unit =
+                    idCol: String, path: String): Unit = {
+    // recover a mid-swap-crashed sub-layout BEFORE appending: an
+    // append onto the missing-live/parked-at-__old state would
+    // create an increment-only dir that recovery can never heal
+    recoverLayouts(spark, path)
     writeLayout(spark, docs, textCol, idCol, path, "append")
+  }
+
+  /** The serving/append recovery preamble over the index's three
+    * independently-swapped sub-layouts (DirSwap contract: EVERY
+    * reader/writer of a swapped layout runs it — a crash between a
+    * swap's park and promote otherwise leaves the index headless
+    * until an unrelated deleteDocs/compactIndex happens to run).
+    */
+  private def recoverLayouts(spark: SparkSession, path: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, s"$path/postings")
+    graft.core.DirSwap.recoverAt(spark, s"$path/df")
+    graft.core.DirSwap.recoverAt(spark, s"$path/stats")
+  }
 
   /** Crash-safe in-place small-file compaction of the postings, df,
     * and stats layouts (the shared [[graft.core.ParquetCompact]]
@@ -317,6 +334,7 @@ object Bm25 {
                   queries: Seq[(Long, String)], k: Int): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     import spark.implicits._
+    recoverLayouts(spark, path) // serving-read recovery preamble
     // SUM over stats rows: one row per build/append increment
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")), sum(col("t"))).collect()(0)

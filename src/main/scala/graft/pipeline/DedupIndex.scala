@@ -143,6 +143,9 @@ object DedupIndex {
     */
   def probe(spark: SparkSession, path: String, docs: DataFrame,
             textCol: String, idCol: String): DataFrame = {
+    // recovery preamble (DirSwap contract): a mid-swap-crashed
+    // compaction/deletion leaves the layout parked at __old
+    graft.core.DirSwap.recoverAt(spark, path)
     val fps = fpsOf(docs, textCol, idCol)
     val out = withFpPushdown(spark) {
       probeRaw(spark, path, fps)
@@ -183,6 +186,7 @@ object DedupIndex {
     */
   def appendNovel(spark: SparkSession, docs: DataFrame, textCol: String,
                   idCol: String, path: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path) // see probe
     val fps = fpsOf(docs, textCol, idCol)
     withFpPushdown(spark) {
       probeRaw(spark, path, fps)

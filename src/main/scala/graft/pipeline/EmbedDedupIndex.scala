@@ -101,6 +101,10 @@ object EmbedDedupIndex {
                      seed: Long = 42L,
                      threshold: Double = 0.3): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimD
+    // DirSwap contract — recover BEFORE the existence check, or a
+    // mid-swap-parked index reads as "first contact" and gets rebuilt
+    // from the batch alone
+    graft.core.DirSwap.recoverAt(spark, path)
     if (!exists(spark, path))
       return buildWithPairs(spark, batch, vecCol, idCol, path, dim, bits,
         seed, threshold)

@@ -106,8 +106,12 @@ object Hybrid {
     * restarted server recovers the (layout, model) pair from the
     * root alone instead of re-threading the in-memory model.
     */
-  def loadModel(spark: SparkSession, root: String): IvfModel =
+  def loadModel(spark: SparkSession, root: String): IvfModel = {
+    // the model lives INSIDE the dense layout — recover a
+    // mid-swap-parked layout first (DirSwap serving-read contract)
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
     Ivf.loadModel(spark, Ivf.modelPath(s"$root/ivf"))
+  }
 
   /** Append a disjoint increment to BOTH sides. `(runId, batchId)`
     * keys a per-side ledger marker (the foreachBatch replay guard
@@ -128,7 +132,15 @@ object Hybrid {
   def appendDocs(spark: SparkSession, root: String, docs: DataFrame,
                  textCol: String, idCol: String, embeddings: DataFrame,
                  vecIdCol: String, vecCol: String, model: IvfModel,
-                 runId: String, batchId: Long): Unit =
+                 runId: String, batchId: Long): Unit = {
+    // persist-or-verify the quantizer against the layout's own `_model`
+    // BEFORE appending: a direct batch caller passing a different
+    // quantizer than the one the layout was assigned under would
+    // silently mis-assign every appended vector (the silent probe
+    // skew ensurePair exists to prevent — only the streaming ingest
+    // ran it until now). First contact saves; a mismatch is a loud
+    // error pointing at Hybrid.loadModel.
+    Ivf.ensurePair(spark, model, None, s"$root/ivf")
     bothSides(
       graft.streaming.BatchLedger.once(spark, s"$root/oplog",
         s"$runId/bm25-append", batchId) {
@@ -140,6 +152,7 @@ object Hybrid {
           embeddings.select(col(vecIdCol), col(vecCol)), vecCol, model,
           s"$root/ivf")
       })
+  }
 
   /** DELETE documents from BOTH sides — the hybrid
     * right-to-be-forgotten pass. Both per-index deletes are

@@ -104,6 +104,16 @@ object NearDupIndex {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .withColumn("kb", kbOf(col("bucket")))
 
+  /** Recovery preamble over the index's two independently-swapped
+    * sub-layouts (DirSwap contract: every reader/writer of a swapped
+    * layout restores a mid-swap-parked copy before trusting
+    * existence checks or appending beside it).
+    */
+  private def recoverLayouts(spark: SparkSession, path: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, s"$path/bands")
+    graft.core.DirSwap.recoverAt(spark, s"$path/sets")
+  }
+
   private def writeLayout(sh: DataFrame, path: String, mode: String,
                           bands: Int, rows: Int, seed: Long): Unit = {
     // an empty corpus/increment must write NOTHING: a zero-row
@@ -161,6 +171,7 @@ object NearDupIndex {
   def append(spark: SparkSession, docs: DataFrame, textCol: String,
              idCol: String, path: String, w: Int = 3, bands: Int = 16,
              rows: Int = 4, seed: Long = 42L): Unit = {
+    recoverLayouts(spark, path) // DirSwap contract before appending
     val sh = shingledW(docs, textCol, idCol, w)
     writeLayout(sh, path, "append", bands, rows, seed)
     graft.core.Pinned.release(sh)
@@ -194,6 +205,7 @@ object NearDupIndex {
                      textCol: String, idCol: String, w: Int = 3,
                      bands: Int = 16, rows: Int = 4,
                      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    recoverLayouts(spark, path) // DirSwap contract before probe/append
     val sh = shingledW(docs, textCol, idCol, w)
     val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
       againstIndex = true)
@@ -211,6 +223,7 @@ object NearDupIndex {
             textCol: String, idCol: String, w: Int = 3, bands: Int = 16,
             rows: Int = 4, threshold: Double = 0.5,
             seed: Long = 42L): DataFrame = {
+    recoverLayouts(spark, path) // DirSwap serving-read contract
     val sh = shingledW(docs, textCol, idCol, w)
     val pairs = probeShingled(spark, path, sh, bands, rows, threshold, seed,
       againstIndex = true)

@@ -132,6 +132,10 @@ object PHashIndex {
   def probeAndAppend(spark: SparkSession, path: String, batch: DataFrame,
                      bytesCol: String, idCol: String, maxDist: Int = 6,
                      hasher: Column => Column = ImageHasher): DataFrame = {
+    // DirSwap contract — recover BEFORE the existence check, or a
+    // mid-swap-parked index reads as "first contact" and gets rebuilt
+    // from the batch alone
+    graft.core.DirSwap.recoverAt(spark, path)
     if (!exists(spark, path))
       return buildWithPairs(spark, batch, bytesCol, idCol, path, maxDist,
         hasher)
@@ -146,6 +150,7 @@ object PHashIndex {
   def probe(spark: SparkSession, path: String, batch: DataFrame,
             bytesCol: String, idCol: String, maxDist: Int = 6,
             hasher: Column => Column = ImageHasher): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
     val bnd = bandedOf(batch, bytesCol, idCol, hasher)
     val pairs = pairsAgainst(spark, path, bnd, maxDist,
       againstIndex = exists(spark, path))

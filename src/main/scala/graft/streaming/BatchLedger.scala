@@ -15,10 +15,17 @@ import org.apache.spark.sql.SparkSession
   * fresh checkpoint, while the ledger persists beside the long-lived
   * index — un-namespaced markers would make a SECOND ingest into the
   * same index silently skip every append (its batchId 0 matching the
-  * first run's completed batch 0). `runId` is any value stable across
-  * replays of one run but unique across runs — the ingest entry
-  * points pass their scratch checkpoint directory's name, which is
-  * exactly that (same dir across a replay, fresh dir per run).
+  * first run's completed batch 0). `runId` must be a STABLE KEY OF
+  * THE INGEST ITSELF (source identity + batching + content
+  * fingerprint — [[Staging.runKey]]), NOT a per-process random value:
+  * re-running an ingest after a crash starts a fresh scratch
+  * checkpoint whose batchIds restart at 0, and under a random runId
+  * the rerun would replay every batch into a fresh namespace,
+  * double-appending everything the crashed run already committed.
+  * Under the stable key the rerun reuses the crashed run's namespace,
+  * so its completed batches skip and only the missing ones run — the
+  * crash heals. (The id-range staging is deterministic, so batchId i
+  * carries the same id range on every rerun of the same source.)
   *
   * Boundary (stated honestly): the marker is written AFTER the
   * append, so a crash MID-append leaves partial files without a
@@ -71,11 +78,11 @@ private[graft] object BatchLedger {
   /** Delete every run namespace EXCEPT `keepRunId` — the marker-store
     * GC for a long-lived index (one marker file per batch per run,
     * unbounded otherwise). Safe under the family's single-writer
-    * contract: a finished run's markers are only needed while ITS
-    * checkpoint can still replay, and once a NEW run (fresh
-    * checkpoint) starts writing the same index, no older checkpoint
-    * will ever be resumed against it — so the ingest entry points
-    * call this at start with their own runId.
+    * contract AND the stable-run-key contract: a crashed run's rerun
+    * derives the SAME runId (so its own markers are kept and heal
+    * it), while a genuinely different ingest (different source
+    * content) keying a new namespace means no older run will ever be
+    * resumed against this index — its markers are dead weight.
     */
   def pruneOtherRuns(spark: SparkSession, indexPath: String,
                      keepRunId: String): Unit =
@@ -97,17 +104,25 @@ private[graft] object BatchLedger {
     }
   }
 
-  /** Open an ingest run against `indexPath`: derive the run id from
-    * the scratch checkpoint directory's name (stable across replays
-    * of one run, unique across runs — the namespacing contract
-    * above) and GC dead runs' markers. ONE helper so the ten ingest
-    * entry points can't drift apart on the derivation or forget the
-    * GC.
+  /** Open an ingest run against `indexPath` under a STABLE run key
+    * ([[Staging.runKey]] — source identity + batching + content
+    * fingerprint) and GC dead runs' markers. Because a crashed run's
+    * rerun derives the same key, the GC keeps exactly the markers
+    * that heal it; a different ingest (new content) gets a fresh
+    * namespace and sheds the old one. ONE helper so the ingest entry
+    * points can't drift apart on the contract or forget the GC.
+    *
+    * Boundary (stated honestly): the key fingerprints the source by
+    * (count, min, max) of its id column — re-ingesting CHANGED
+    * content under the SAME ids into the same index is
+    * indistinguishable from a rerun and will skip; that path is
+    * unsupported by the append-only contract anyway (modified docs
+    * need the delete pass first, which also clears the ledger's
+    * relevance).
     */
   def openRun(spark: SparkSession, indexPath: String,
-              ckpt: java.nio.file.Path): String = {
-    val runId = ckpt.getFileName.toString
-    pruneOtherRuns(spark, indexPath, runId)
-    runId
+              runKey: String): String = {
+    pruneOtherRuns(spark, indexPath, runKey)
+    runKey
   }
 }

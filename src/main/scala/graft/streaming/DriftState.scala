@@ -45,12 +45,29 @@ private[streaming] object DriftState {
     */
   val NullDim = "<null>"
 
+  /** Hard cap on distinct categories the monitors will fold on the
+    * driver. The contract is label-like categoricals (languages,
+    * sources, licenses) or pre-bucketed numerics — all far below
+    * this; a miswired high-cardinality column (doc text, a raw id)
+    * must fail LOUDLY here, not OOM the driver of a 100 TB monitor.
+    */
+  val MaxCategories = 10000
+
   /** Per-value counts of the batch's dim column, nulls as
     * [[NullDim]] — the ONE counts derivation both monitors use.
+    * Cardinality-capped: collects at most [[MaxCategories]] + 1 rows
+    * (the limit is pushed below the collect) and errors loudly past
+    * the cap instead of pulling an unbounded histogram to the driver.
     */
-  def batchCounts(batch: DataFrame, dimCol: String): Map[String, Long] =
-    batch.groupBy(coalesce(col(dimCol), lit(NullDim)).as("d")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  def batchCounts(batch: DataFrame, dimCol: String): Map[String, Long] = {
+    val rows = batch.groupBy(coalesce(col(dimCol), lit(NullDim)).as("d"))
+      .count().limit(MaxCategories + 1).collect()
+    require(rows.length <= MaxCategories,
+      s"drift dim '$dimCol' has more than $MaxCategories distinct values " +
+        "— the monitors' contract is label-like categoricals or " +
+        "pre-bucketed numerics; bucket the column first")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   // SIBLING of the output, not inside it: the monitors' outputs may
   // legitimately never exist (quarantine's kept dir when nothing

@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object Staging {
 
+  /** STABLE run key for [[BatchLedger.openRun]]: identifies this
+    * ingest increment by source path, id column, batching, and a
+    * content fingerprint (count, min(id), max(id) — one cheap agg,
+    * answerable from parquet column stats). A crashed run's rerun of
+    * the same source derives the same key, so the ledger's completed
+    * markers heal it instead of double-appending; a different
+    * increment (new content ⇒ new fingerprint) keys a fresh
+    * namespace. See openRun's doc for the same-ids-changed-content
+    * boundary.
+    */
+  def runKey(spark: SparkSession, src: String, idCol: String,
+             nBatches: Int): String = {
+    val r = spark.read.parquet(src).agg(count(lit(1)),
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    val cnt = r.getLong(0)
+    val (lo, hi) = if (cnt == 0L) (0L, 0L) else (r.getLong(1), r.getLong(2))
+    // FNV-1a over the identity string: short, filesystem-safe, stable
+    var h = 0xcbf29ce484222325L
+    s"$src|$idCol|$nBatches|$cnt|$lo|$hi".foreach { c =>
+      h ^= c.toLong; h *= 0x100000001b3L
+    }
+    f"run-$h%016x"
+  }
+
   /** Any staged batch file present? ([[idRangeSplits]] writes no
     * file for an empty source, and a model/pair save with nothing
     * to ingest would conjure up a sidecar-only layout dir.)

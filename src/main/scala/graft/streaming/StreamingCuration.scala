@@ -46,7 +46,8 @@ object StreamingCuration {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_scur_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, src, "doc_id", nBatches))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

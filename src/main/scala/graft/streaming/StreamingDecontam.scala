@@ -53,7 +53,8 @@ object StreamingDecontam {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdecon_ckpt_")
-    val runId = BatchLedger.openRun(spark, outPath, ckpt)
+    val runId = BatchLedger.openRun(spark, outPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches))
     // the per-run eval artifact: built once, probed by every batch
     val ev = Dedup.decontamEval(eval, textCol, idCol, w, fpp)
     val q = spark.readStream.schema(schema)

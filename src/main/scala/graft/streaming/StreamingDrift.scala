@@ -44,7 +44,8 @@ object StreamingDrift {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdrift_ckpt_")
-    val runId = BatchLedger.openRun(spark, outPath, ckpt)
+    val runId = BatchLedger.openRun(spark, outPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches))
     // accumulated counts of everything BEFORE the current batch —
     // low-cardinality by contract, driver-held for the run, seeded
     // from the persisted cross-run baseline (a second run compares

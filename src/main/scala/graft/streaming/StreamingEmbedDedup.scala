@@ -54,7 +54,8 @@ object StreamingEmbedDedup {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sededup_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

@@ -75,7 +75,8 @@ object StreamingIvf {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivf_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches))
     // the quantizer the index is currently assigned under; replaced
     // when the drift alarm fires (foreachBatch runs batches
     // sequentially in one thread — plain var is safe)
@@ -140,7 +141,8 @@ object StreamingIvf {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivfc_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches))
     // persist-or-verify, and only when there is data to ingest — a
     // save on an empty source would conjure a sidecar-only layout
     // dir that poisons the missing-dir-is-empty convention, and an

@@ -51,7 +51,8 @@ object StreamingProfile {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sprof_ckpt_")
-    val runId = BatchLedger.openRun(spark, statsPath, ckpt)
+    val runId = BatchLedger.openRun(spark, statsPath,
+      Staging.runKey(spark, src, "doc_id", nBatches))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

@@ -40,7 +40,8 @@ object StreamingQuarantine {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_squar_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches))
     // counts of everything OBSERVED before the current batch (see
     // the baseline-policy note above), seeded from the persisted
     // cross-run baseline and re-persisted at run close (DriftState)

@@ -136,7 +136,8 @@ object StreamingWatermarkedCuration {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_swcur_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath, ckpt)
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, src, "doc_id", nBatches))
     // the batch-max watermark store is a sibling per-run marker dir:
     // GC its dead runs too (same single-writer argument)
     BatchLedger.pruneRunDir(spark, s"${latePath}__wm", runId)

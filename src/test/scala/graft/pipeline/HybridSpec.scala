@@ -177,4 +177,35 @@ class HybridSpec extends SparkTestBase {
     assert(serve(rootD) == want)
   }
 
+  test("appendDocs persist-or-verifies the quantizer against the layout's own") {
+    // regression (r10 ADVICE): a direct batch caller passing a
+    // different quantizer than the one the layout was assigned under
+    // would silently mis-assign every appended vector — ensurePair
+    // must make it a loud error, with Hybrid.loadModel as the path
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val other = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 1)
+    val root = java.nio.file.Files.createTempDirectory("hyb_ep")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs.where(col("doc_id") <= mid), "text",
+      "doc_id", emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+      model, root)
+    val e = intercept[IllegalArgumentException] {
+      Hybrid.appendDocs(spark, root, docs.where(col("doc_id") > mid),
+        "text", "doc_id", emb.where(col("vec_id") > mid), "vec_id",
+        "embedding", other, runId = "runE", batchId = 0L)
+    }
+    assert(e.getMessage.contains("DIFFERENT coarse quantizer"))
+    // and the supported path — the persisted pair — still appends
+    Hybrid.appendDocs(spark, root, docs.where(col("doc_id") > mid),
+      "text", "doc_id", emb.where(col("vec_id") > mid), "vec_id",
+      "embedding", Hybrid.loadModel(spark, root), runId = "runE",
+      batchId = 0L)
+    assert(Ivf.readIndex(spark, s"$root/ivf").count() == emb.count())
+  }
+
 }

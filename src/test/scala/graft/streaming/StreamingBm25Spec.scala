@@ -139,4 +139,46 @@ class StreamingBm25Spec extends SparkTestBase {
     // the stage split really produced multiple microbatches
     assert(spark.read.parquet(s"$idx/stats").count() >= 2L)
   }
+
+  test("a crashed run's rerun heals via the stable run key (no double append)") {
+    // regression (r10 ADVICE): runIds derived from the per-process
+    // scratch checkpoint made a crash+rerun replay every batch into a
+    // fresh marker namespace, double-appending everything the crashed
+    // run had committed. The stable key (source identity + content
+    // fingerprint) makes the rerun reuse the crashed run's namespace.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_crash")
+      .resolve("index").toString
+    val src = s"${sf()}/documents.parquet"
+    val key = Staging.runKey(spark, src, "doc_id", 4)
+    // simulate the crashed run: batch 0 (the first id-range split)
+    // committed — data appended AND marker written — then death
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = math.max(1L, (hi - lo) / 4 + 1L)
+    BatchLedger.once(spark, idx, key, 0L) {
+      StreamingBm25.processBatch(spark,
+        docs.where(col("doc_id") >= lo && col("doc_id") < lo + span),
+        "text", "doc_id", idx)
+    }
+    // the rerun derives the same key: batch 0 skips, batches 1..3 run
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 4)
+    assert(spark.read.parquet(s"$idx/stats").count() == 4L,
+      "rerun must complete only the missing batches, not re-append batch 0")
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+  }
+
+  test("re-running an identical completed ingest is a no-op") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_rerun")
+      .resolve("index").toString
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 3)
+    val statsRows = spark.read.parquet(s"$idx/stats").count()
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 3)
+    assert(spark.read.parquet(s"$idx/stats").count() == statsRows,
+      "an identical rerun keys the same namespace: every batch skips")
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+  }
 }

@@ -80,7 +80,15 @@ class StreamingDriftSpec extends SparkTestBase {
     StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
       nBatches = 4, alertTv = 0.3)
     val total = docs.count()
-    StreamingDrift.ingest(spark, src, "doc_id", "lang", out,
+    // the second run is a NEW increment (shifted ids, same stable
+    // lang mix) — an identical rerun of the FIRST increment would key
+    // the same ledger namespace and correctly no-op (the crash-heal
+    // contract); a real day-2 batch has new content and a new key
+    val src2 = java.nio.file.Files.createTempDirectory("sdrift_cr2")
+      .resolve("docs.parquet").toString
+    docs.select((col("doc_id") + total).as("doc_id"), col("lang"))
+      .write.parquet(src2)
+    StreamingDrift.ingest(spark, src2, "doc_id", "lang", out,
       nBatches = 4, alertTv = 0.3)
     val rows = spark.read.parquet(out).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(5)))
@@ -107,5 +115,19 @@ class StreamingDriftSpec extends SparkTestBase {
     // early (mixed) batches quiet, late (all-en) batches loud
     assert(!rows(0)._5 && !rows(1)._5)
     assert(rows(2)._5 && rows(3)._5)
+  }
+
+  test("a miswired high-cardinality dim errors loudly instead of OOMing the driver") {
+    import org.apache.spark.sql.functions.col
+    val wide = spark.range(DriftState.MaxCategories + 1L)
+      .select(col("id"), col("id").cast("string").as("dim"))
+    val e = intercept[IllegalArgumentException] {
+      DriftState.batchCounts(wide, "dim")
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // at the cap exactly: still fine (the contract's generous ceiling)
+    val ok = spark.range(100L)
+      .select(col("id").cast("string").as("dim"))
+    assert(DriftState.batchCounts(ok, "dim").size == 100)
   }
 }
