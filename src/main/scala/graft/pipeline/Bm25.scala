@@ -329,9 +329,20 @@ object Bm25 {
   /** Search the persisted index: identical results to [[topK]] over
     * the same corpus (spec + oracle pinned). Only the query terms'
     * buckets are read from both postings and df.
+    *
+    * `docFilter` is the lexical half of filter-inside-search
+    * (Lucene/Elasticsearch filter semantics, same contract as
+    * [[graft.pipeline.Ivf.searchFiltered]]): the predicate — over
+    * the postings' `doc` column — restricts the CANDIDATE set below
+    * the ranking cut (pushed into the bucket-pruned postings scan),
+    * while collection statistics (N, total tokens, df) stay
+    * corpus-level, exactly as a filter query leaves IDF untouched in
+    * a search engine. Post-filtering the top-k list instead would
+    * under-fill k at exactly the selectivities filters exist for.
     */
   def searchIndex(spark: SparkSession, path: String,
-                  queries: Seq[(Long, String)], k: Int): DataFrame = {
+                  queries: Seq[(Long, String)], k: Int,
+                  docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     import spark.implicits._
     recoverLayouts(spark, path) // serving-read recovery preamble
@@ -362,7 +373,8 @@ object Bm25 {
     val postRead = spark.read.parquet(s"$path/postings")
     val postings = postRead
       .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
-        col("term").isInCollection(terms))
+        col("term").isInCollection(terms) &&
+        docFilter.getOrElse(lit(true)))
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
       lit(9L) * col("len") * lit(nDocs)

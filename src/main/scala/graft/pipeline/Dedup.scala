@@ -471,6 +471,35 @@ object Dedup {
     removeSpans(train, spans, textCol, idCol)
   }
 
+  /** [[decontamSpanScrub]] against a prebuilt [[DecontamEval]] (built
+    * with the SAME window width `w`) — the per-microbatch call of
+    * span surgery ON INGEST. Per-doc local: a document's windows,
+    * flagged spans, and rebuild never look at another training doc,
+    * so the union of per-batch scrubs over any batching equals the
+    * one-shot [[decontamSpanScrub]] — the decontam_span_scrub golden
+    * oracles the streamed path verbatim.
+    *
+    * The eval artifact contributes its Bloom filter as the map-side
+    * short-circuit ([[crossJaccardPairsAgainst]]'s 100 TB shape: no
+    * false negatives ⇒ identical spans; false positives only pass
+    * windows the semi-join discards) and its postings as the exact
+    * membership set. An empty eval side scrubs nothing — but still
+    * runs the rebuild, so the output is token-identical to the
+    * non-empty path's untouched documents.
+    */
+  def decontamSpanScrubAgainst(train: DataFrame,
+                               ev: DecontamEval): DataFrame = {
+    import ev.{textCol, idCol, w}
+    val posts = dupPostings(train, textCol, idCol, w)
+    val flagged = ev.bloom match {
+      case None => posts.limit(0)
+      case Some(b) => posts
+        .where(graft.functions.HashFunctions.bloomMightContain(col("h"), b))
+        .join(ev.postings.select(col("h")), Seq("h"), "left_semi")
+    }
+    removeSpans(train, windowsToSpans(flagged, w), textCol, idCol)
+  }
+
   /** (doc, pos, h) window postings shared by the span operators. */
   private def dupPostings(df: DataFrame, textCol: String, idCol: String,
                           w: Int): DataFrame =

@@ -194,6 +194,39 @@ object Hybrid {
     rrfFuse(Seq(lexical, dense), k)
   }
 
+  /** Filter-inside-search on the PAIRED layout: the predicate —
+    * built by `filter` from the shared id-domain column (the fusion
+    * joins lexical docs and dense vec ids on ONE `doc` column, so a
+    * filter must bind to both sides' id columns; a payload filter
+    * resolves to this form via the caller's payload table) —
+    * restricts the CANDIDATE set inside BOTH retrievers before their
+    * ranking cuts, so fused RRF respects the filter without
+    * under-filling either list. Semantics per side: the lexical list
+    * keeps corpus-level BM25 statistics (Lucene filter semantics —
+    * [[Bm25.searchIndex]]'s docFilter contract) and the dense probe
+    * widens adaptively from `nprobe0`
+    * ([[Ivf.searchFiltered]]). Post-filtering the fused list instead
+    * would silently drop rank mass exactly like the one-sided
+    * lifecycle bugs this family guards against.
+    */
+  def searchIndexFiltered(spark: SparkSession, root: String,
+                          queries: Seq[(Long, String)],
+                          queryVecs: DataFrame, model: IvfModel,
+                          vecCol: String, idCol: String, kCand: Int,
+                          k: Int, nprobe0: Int,
+                          filter: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column): DataFrame = {
+    val lexical = Bm25.searchIndex(spark, s"$root/bm25", queries, kCand,
+        docFilter = Some(filter(col("doc"))))
+      .select(col("qid"), col("doc"), col("rk"))
+    val dense = Ivf.searchFiltered(Ivf.readIndex(spark, s"$root/ivf"),
+        queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
+        vecCol, idCol, model, kCand, filter = filter(col(idCol)),
+        nprobe0 = nprobe0, excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc"), col("rk"))
+    rrfFuse(Seq(lexical, dense), k)
+  }
+
   /** Convenience lexical+dense hybrid: BM25 over `docs` text and
     * brute-force cosine over `embeddings` (swap any ANN list in via
     * [[rrfFuse]] directly), each cut at `kCand`, fused to top-k.

@@ -464,8 +464,14 @@ object Ivf {
   def writeIndex(postings: DataFrame, path: String): Unit =
     postings.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
-  def readIndex(spark: SparkSession, path: String): DataFrame =
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    // serving-read recovery preamble (DirSwap contract): a crash
+    // between a compaction/recluster swap's park and promote leaves
+    // the layout parked at __old — restore it here rather than fail
+    // every search until an unrelated maintenance pass runs
+    graft.core.DirSwap.recoverAt(spark, path)
     spark.read.parquet(path)
+  }
 
   /** Incremental index maintenance: assign NEW vectors against the
     * frozen coarse quantizer and append them into the same
@@ -479,9 +485,15 @@ object Ivf {
     * exactly the one-shot golden.
     */
   def appendToIndex(df: DataFrame, vecCol: String, model: IvfModel,
-                    path: String): Unit =
+                    path: String): Unit = {
+    // recover BEFORE appending: an append onto a mid-swap-crashed
+    // layout (live missing, full copy parked at __old) would create a
+    // fresh increment-only dir that recovery can then never heal —
+    // the parked corpus would be silently lost
+    graft.core.DirSwap.recoverAt(df.sparkSession, path)
     assign(df, vecCol, model)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
 
   /** Rewrite an append-grown index into one file per cluster dir —
     * each [[appendToIndex]] leaves its own file set in every cluster
@@ -693,6 +705,10 @@ object Ivf {
   def indexStats(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover BEFORE the existence check — a parked layout must read
+    // as its full self, not as "empty index" (a maintenance loop
+    // polling this alarm would otherwise see 0 forever)
+    graft.core.DirSwap.recover(fs, p)
     if (!fs.exists(p)) {
       // missing dir IS an empty layout (family convention, same as
       // meanFilesPerDir): zero stats rows, not an AnalysisException
@@ -743,11 +759,13 @@ object Ivf {
     * rebuilding the whole codes layout from the float postings.
     */
   def appendToIndexInt8(df: DataFrame, vecCol: String, model: IvfModel,
-                        path: String): Unit =
+                        path: String): Unit = {
+    graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     assign(df, vecCol, model)
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
 
   /** Batched ANN search: probe the nprobe nearest lists per query via
     * a cluster equi-join, rescore exactly, rank per query.
@@ -852,6 +870,10 @@ object Ivf {
     */
   def ensurePair(spark: SparkSession, model: IvfModel,
                  pq: Option[Pq.PqModel], path: String): Unit = {
+    // the persisted pair lives INSIDE the layout — recover a parked
+    // layout first or first-contact logic would re-save over a pair
+    // that still exists at __old
+    graft.core.DirSwap.recoverAt(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = modelPath(path)
@@ -892,11 +914,13 @@ object Ivf {
     * — frozen (coarse, codebook) pair, grown ≡ one-shot.
     */
   def appendToIndexPq(df: DataFrame, vecCol: String, pq: Pq.PqModel,
-                      model: IvfModel, path: String): Unit =
+                      model: IvfModel, path: String): Unit = {
+    graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     assign(df, vecCol, model)
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
 
   /** IVF-PQ serving from the on-disk codes index — the full 100 TB
     * shape: the probe touches only matching cluster partitions and
@@ -1017,12 +1041,14 @@ object Ivf {
     */
   def appendToIndexPqResidual(df: DataFrame, vecCol: String,
                               pq: Pq.PqModel, model: IvfModel,
-                              path: String): Unit =
+                              path: String): Unit = {
+    graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     assign(df, vecCol, model)
       .withColumn("codes",
         Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
       .drop(vecCol)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
 
   /** IVF-PQ search with RESIDUAL codes (IVF-ADC): candidates score as
     * q·centroid(cell) + adc(q, residual codes) — under the
@@ -1093,6 +1119,118 @@ object Ivf {
       .select(col("qid"), col("nid"),
         cosineSimD(col("nv"), col("qv")).as("sim"))
       .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
+
+  /** PAYLOAD-FILTERED ANN — the reference's filter-inside-search
+    * (debgpt/vector_service/app.py:250-263: the Qdrant
+    * `Filter(must=[FieldCondition(...)])` applied INSIDE the vector
+    * search) at index scale. Semantics: exact-search-over-the-
+    * filtered-corpus semantics under an approximate probe — the
+    * predicate restricts the CANDIDATE set, never the ranking
+    * contract.
+    *
+    * Two standard-vector-db pieces compose:
+    *
+    *  - PRE-FILTER: `filter` applies to the postings/codes frame
+    *    BEFORE the cluster join, i.e. below the per-cluster ranking
+    *    window — on a persisted layout whose payload columns ride
+    *    the postings, Catalyst pushes it into the parquet scan
+    *    (PushedFilters), so non-matching postings are never read,
+    *    let alone scored. Post-filtering a top-k list instead would
+    *    under-fill k at exactly the selectivities that matter.
+    *
+    *  - ADAPTIVE PROBE WIDENING: a selective filter thins every
+    *    probed cell, so a fixed nprobe under-fills k. The driver
+    *    loop doubles nprobe until every query holds k survivors or
+    *    the probe is exhaustive (nprobe = nlist) — at which point
+    *    the result is EXACT over the filtered corpus, so a filter
+    *    with fewer than k matches degrades gracefully to "all
+    *    matches, exactly ranked" instead of silently under-filling.
+    *    Geometric schedule ⇒ total probe work ≤ 2× the final
+    *    breadth; the fill check aggregates the ≤ |queries|·k result
+    *    rows, never the corpus.
+    */
+  private[pipeline] def adaptiveFill(queries: DataFrame, idCol: String,
+                                     k: Int, nlist: Int, nprobe0: Int)
+                                    (run: Int => DataFrame): DataFrame = {
+    // contract-bounded: queries frames are broadcast-small everywhere
+    // in this family
+    val qn = queries.select(col(idCol)).distinct().count()
+    var p = math.max(1, math.min(nprobe0, nlist))
+    var res = run(p)
+    while (p < nlist && {
+      val filled = res.groupBy(col("qid")).count()
+        .where(col("count") >= k).count()
+      filled < qn
+    }) {
+      p = math.min(p * 2, nlist)
+      res = run(p)
+    }
+    res
+  }
+
+  /** Filter-inside-search over float postings (see [[adaptiveFill]]
+    * for the semantics and the plan argument). `filter` is any
+    * predicate over the postings frame's columns — payload columns
+    * that ride the layout push down to the scan.
+    */
+  def searchFiltered(postings: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, model: IvfModel,
+                     k: Int, filter: Column, nprobe0: Int = 4,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val filtered = postings.where(filter)
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
+      search(filtered, queries, vecCol, idCol, model, k, p, excludeSelf))
+  }
+
+  /** Filter-inside-search over an int8 codes layout ([[searchCodes]]
+    * serving shape: the probe still reads only matching cluster
+    * partitions and codes bytes; the payload predicate prunes below
+    * that).
+    */
+  def searchCodesFiltered(index: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, model: IvfModel,
+                          k: Int, filter: Column,
+                          nprobe0: Int = 4): DataFrame = {
+    val filtered = index.where(filter)
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
+      searchCodes(filtered, queries, vecCol, idCol, model, k, p))
+  }
+
+  /** Filter-inside-search over the raw-PQ codes layout
+    * ([[searchPqIndex]] serving shape). Exactness note: at the
+    * exhaustive probe the ADC shortlist still cuts at k·oversample,
+    * so the result is exact over the filtered corpus whenever the
+    * filter matches ≤ k·oversample postings (the shortlist then
+    * holds EVERY match and the full-vector rescore ranks exactly) —
+    * the regime a selective payload filter is in by definition.
+    */
+  def searchPqIndexFiltered(index: DataFrame, vectors: DataFrame,
+                            queries: DataFrame, vecCol: String,
+                            idCol: String, model: IvfModel,
+                            pq: Pq.PqModel, k: Int, filter: Column,
+                            nprobe0: Int = 4,
+                            oversample: Int = 4): DataFrame = {
+    val filtered = index.where(filter)
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
+      searchPqIndex(filtered, vectors, queries, vecCol, idCol, model,
+        pq, k, p, oversample))
+  }
+
+  /** Filter-inside-search over the residual codes layout
+    * ([[searchPqResidualIndex]] serving shape; same
+    * ≤ k·oversample exactness bound as [[searchPqIndexFiltered]]).
+    */
+  def searchPqResidualIndexFiltered(index: DataFrame, vectors: DataFrame,
+                                    queries: DataFrame, vecCol: String,
+                                    idCol: String, model: IvfModel,
+                                    pq: Pq.PqModel, k: Int, filter: Column,
+                                    nprobe0: Int = 4,
+                                    oversample: Int = 4): DataFrame = {
+    val filtered = index.where(filter)
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
+      searchPqResidualIndex(filtered, vectors, queries, vecCol, idCol,
+        model, pq, k, p, oversample))
   }
 
   /** Serve directly from a quantized index ([[writeIndexInt8]] layout:

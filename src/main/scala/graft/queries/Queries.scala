@@ -63,6 +63,50 @@ object Queries {
   private val revenueBpSql =
     s"$centsSql * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 
+  /** The span-surgery oracle (DuckDB replay of decontamSpanScrub at
+    * w=8 over the %3 train/eval split) — shared by the one-shot and
+    * streamed rows: the scrub is per-doc local, so the streamed
+    * union must equal the one-shot pass byte-for-byte.
+    */
+  private val spanScrubSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |evw AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
+      |    i -> array_to_string(ws[i:i+7], ' '))) AS wnd
+      |  FROM tok WHERE doc_id % 3 = 0 AND len(ws) >= 8),
+      |tr AS (SELECT doc_id, ws FROM tok WHERE doc_id % 3 <> 0),
+      |posts AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+      |    i -> struct_pack(pos := i - 1,
+      |      wnd := array_to_string(ws[i:i+7], ' ')))) AS s
+      |  FROM tr WHERE len(ws) >= 8),
+      |dup AS (
+      |  SELECT p.doc_id, p.s.pos AS pos
+      |  FROM posts p JOIN evw e ON p.s.wnd = e.wnd),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      <= 8 THEN 0 ELSE 1 END AS b
+      |  FROM dup),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      |    i -> struct_pack(pos := i - 1, tok := ws[i]))) AS t
+      |  FROM tr),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.t.pos AS pos, tk.t.tok AS tok FROM toks tk
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = tk.doc_id
+      |      AND tk.t.pos >= sp.s AND tk.t.pos < sp.e)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id AS doc, coalesce(r.cleaned, '') AS cleaned
+      |FROM tr t LEFT JOIN reb r ON t.doc_id = r.doc_id
+      |ORDER BY doc""".stripMargin
+
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
     */
@@ -2393,6 +2437,100 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_filtered" -> ((s, d) => {
+      // PAYLOAD-FILTERED ANN (the reference's filter-inside-search,
+      // app.py:250-263) under a filter so selective (< k matches)
+      // that the adaptive probe-widening MUST escalate to the
+      // exhaustive probe — at which point the result is EXACT over
+      // the filtered corpus, so the oracle is DuckDB brute force
+      // over the same predicate: the strongest oracle an ANN row
+      // can have, and it fails if the widening loop under-fills
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.searchFiltered(postings,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ivf_topk_filtered_recall" -> ((s, d) => {
+      // the fill guarantee at REAL selectivity (~10% of the corpus
+      // matches): nprobe0 = 1 would under-fill nearly every query —
+      // the adaptive loop must widen until each of the 10 queries
+      // holds k survivors. Golden is the Python mirror replaying
+      // the identical widening schedule, fill check, and scoring —
+      // any under-filled query or wrong survivor mismatches
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.searchFiltered(postings,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3, nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // recall@k of the filtered probe against brute force OVER THE
+    // FILTERED CORPUS — the number a deployment checks before
+    // trusting filter-inside-search (truth and approx both respect
+    // the predicate; the DuckDB mirror recomputes both sides)
+    "ann_recall_ivf_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb.where(col("label") === 3), qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.searchFiltered(postings, qs, "embedding",
+            "vec_id", model, k = 5, filter = col("label") === 3,
+            nprobe0 = 1),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
+    "ivf_topk_pq_filtered" -> ((s, d) => {
+      // filter-inside-search on the QUANTIZED serving layout: the
+      // payload column rides the persisted codes index (written with
+      // the postings, pruned in the parquet scan below the probe),
+      // and with < k matches the widening escalates to the
+      // exhaustive probe whose ADC shortlist then holds EVERY match
+      // — the exact rescore makes the row byte-equal to DuckDB brute
+      // force over the predicate, same oracle as the float row
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 256, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_pq_filt")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPq(postings, "embedding", pq, model, idx)
+      graft.pipeline.Ivf.searchPqIndexFiltered(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          graft.pipeline.Ivf.loadModel(s, graft.pipeline.Ivf.modelPath(idx)),
+          graft.pipeline.Ivf.loadPq(s, idx), k = 5,
+          filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_tune_nprobe" -> ((s, d) => {
       // the serving-knob tuner: doubling nprobe sweep with
       // micro-averaged recall@5 (one integer division — engine- and
@@ -2590,6 +2728,64 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the raw-PQ codes layout's deletion row — same decoy trick as
+    // the residual family (copies of the query vectors would own the
+    // rank-1 slots if any posting survived), pinning that the
+    // layout-agnostic rewrite and the sidecar (_model/_pq) carry-over
+    // hold on THIS layout too
+    "ivf_topk_pq_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ivf = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivfpq_del")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPq(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          ivf), "embedding", pq, ivf, idx)
+      graft.pipeline.Ivf.deleteVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      val ivf2 = graft.pipeline.Ivf.loadModel(s,
+        graft.pipeline.Ivf.modelPath(idx))
+      val pq2 = graft.pipeline.Ivf.loadPq(s, idx)
+      graft.pipeline.Ivf.searchPqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // and the int8 layout's — completing right-to-be-forgotten
+    // coverage across ALL THREE quantized serving layouts
+    "ivf_topk_int8_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf8_del")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), "embedding", idx)
+      graft.pipeline.Ivf.deleteVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_hier" -> ((s, d) => {
       // two-level quantizer (√nlist L1 cells, per-cell L2 folds):
       // the train-cost path for corpus-proportional nlist; search is
@@ -2655,6 +2851,44 @@ object Queries {
       log.context("hello", Some("conv-1"), topK = 2)
         .select(round(col("score"), 6).as("score"), col("id"), col("role"),
           col("text"), col("timestamp"))
+    }),
+
+    "memory_context_indexed" -> ((s, d) => {
+      // M2 at INDEX scale: the reference applies the conversation
+      // filter INSIDE the Qdrant vector search (app.py:250-263);
+      // memory_context pins that on the exact-scan path — this row
+      // pins it on the indexed serving path. The conversation id
+      // rides the persisted IVF postings as a payload column, the
+      // probe filters on it below the ranking window, and the
+      // adaptive widening escalates to the exhaustive probe (3
+      // conv-1 messages < k=4), so the top-2 cut is byte-equal to
+      // the exact path's golden
+      import s.implicits._
+      val embd = graft.embed.LengthEmbedding
+      val msgs = Seq(
+        ("m1", "conv-1", "user", "hello world", 1700000000L),
+        ("m2", "conv-1", "assistant", "hi there, how can I help", 1700000010L),
+        ("m3", "conv-1", "user", "tell me about spark aggregation", 1700000020L),
+        ("m4", "conv-2", "user", "unrelated conversation", 1700000030L))
+      val table = msgs.zipWithIndex.map { case ((id, c, r, t, ts), i) =>
+        (i.toLong, id, c, r, t, ts, embd.embed(t)) }
+        .toDF("mid", "id", "conv", "role", "text", "timestamp", "vector")
+      val model = graft.pipeline.Ivf.train(table, "vector", "mid",
+        nlist = 2, iters = 2)
+      val idx = java.nio.file.Files.createTempDirectory("memctx_idx")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(table, "vector", model), idx)
+      val q = Seq((100L, embd.embed("hello"))).toDF("mid", "vector")
+      graft.pipeline.Ivf.searchFiltered(
+          graft.pipeline.Ivf.readIndex(s, idx), q, "vector", "mid", model,
+          k = 4, filter = col("conv") === "conv-1", nprobe0 = 1)
+        .where(col("rk") <= 2)
+        .join(table.select(col("mid").as("nid"), col("id"), col("role"),
+          col("text"), col("timestamp")), "nid")
+        .select(round(col("sim"), 6).as("score"), col("id"), col("role"),
+          col("text"), col("timestamp"))
+        .orderBy(col("id"))
     }),
 
     "memory_delete" -> ((s, d) => {
@@ -2844,6 +3078,58 @@ object Queries {
           media.unionByName(copies), "bytes", "id", maxDist = 6, bands = 8)
         .select(col("d1"), col("d2"), col("dist"))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // the VIDEO modality's persisted-index lifecycle — same
+    // hasher-parameterized PHashIndex as image/audio, under the
+    // keyframe-thumbnail fingerprint; pins the one-shot
+    // multimodal_video_neardup golden, completing the modality ×
+    // lifecycle matrix (every perceptual modality now has batch,
+    // index, and streaming rows)
+    "video_index_incremental" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "video")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.retagFps(media, 60, 1)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val path = java.nio.file.Files.createTempDirectory("video_idx")
+        .resolve("index").toString
+      val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.pipeline.Multimodal.videoPHash(_)
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+        path, maxDist = 6, hasher)
+      val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
+        "id", maxDist = 6, hasher)
+      graft.pipeline.PHashIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.PHashIndex.probe(s, path, c, "bytes", "id",
+        maxDist = 6, hasher)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // perceptual VIDEO dedup on ingest — the streaming twin with the
+    // video hasher: kept ⇔ the clip is nobody's LATER near-dup
+    "stream_video_dedup" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "video")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.retagFps(media, 60, 1)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val root = java.nio.file.Files.createTempDirectory("graft_svid_q")
+      val src = root.resolve("media").toString
+      corpus.write.parquet(src)
+      val idx = root.resolve("index").toString
+      val out = root.resolve("kept").toString
+      graft.streaming.StreamingImageDedup.ingest(s, src, idx, out,
+        maxDist = 6, nBatches = 3, compactEvery = 2,
+        hasher = graft.pipeline.Multimodal.videoPHash(_))
+      s.read.parquet(out).select(col("doc").as("id")).orderBy(col("id"))
     }),
 
     // persisted perceptual-hash index lifecycle (the multimodal entry
@@ -3367,6 +3653,25 @@ object Queries {
         "text", docs.where(col("doc_id") % 2 === 1), out,
         w = 3, threshold = 0.2, nBatches = 4)
       s.read.parquet(out).orderBy(col("left_doc"), col("right_doc"))
+    }),
+
+    "stream_span_scrub" -> ((s, d) => {
+      // SPAN SURGERY ON INGEST: the reference-grade governance move
+      // past stream_decontam's drop — contaminated SPANS are excised
+      // at the ingest boundary and the scrubbed docs flow on. The
+      // eval window artifact (postings + Bloom short-circuit) is
+      // built once at run open; scrubbing is per-doc local, so the
+      // streamed union ≡ the one-shot decontamSpanScrub — the
+      // decontam_span_scrub oracle pins the streamed path verbatim
+      val docs = tbl(s, d, "documents")
+      val stageDir = java.nio.file.Files.createTempDirectory("sscrub_q")
+      val staged = stageDir.resolve("train.parquet").toString
+      docs.where(col("doc_id") % 3 =!= 0).write.parquet(staged)
+      val out = stageDir.resolve("scrubbed").toString
+      graft.streaming.StreamingSpanScrub.ingest(s, staged, "doc_id",
+        "text", docs.where(col("doc_id") % 3 === 0), out,
+        w = 8, nBatches = 3)
+      s.read.parquet(out).orderBy(col("doc"))
     }),
 
     "stream_ivf_autorecluster" -> ((s, d) => {
@@ -4181,6 +4486,33 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "hybrid_topk_filtered" -> ((s, d) => {
+      // filter-inside-search on the PAIRED layout: the even-id
+      // predicate restricts candidates inside BOTH retrievers — the
+      // lexical list keeps corpus-level BM25 stats (Lucene filter
+      // semantics: a filter never changes IDF) and the dense probe
+      // runs exhaustively for determinism (adaptivity is pinned by
+      // the ivf_topk_filtered family). Golden: the Python mirror
+      // replays both sides' filtered rankings and the fixed-point
+      // fusion — a filter dropped on EITHER side mismatches
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("hybrid_filt")
+        .resolve("index").toString
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      graft.pipeline.Hybrid.writeIndex(s,
+        tbl(s, d, "documents").select(col("doc_id"), col("text")), "text",
+        "doc_id", emb, "vec_id", "embedding", model, root)
+      graft.pipeline.Hybrid.searchIndexFiltered(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          graft.pipeline.Hybrid.loadModel(s, root), "embedding", "vec_id",
+          kCand = 20, k = 10, nprobe0 = 16, filter = _ % 2 === 0)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the PAIRED hybrid lifecycle under deletion: decoys on BOTH
     // sides (scrambled texts shift BM25 df/stats; verbatim copies of
     // the query vectors would own the dense rank-1 slots), deleted
@@ -4578,6 +4910,18 @@ object Queries {
     "multimodal_video_neardup" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_video_neardup.parquet' ORDER BY d1, d2",
 
+    "video_index_incremental" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_video_neardup.parquet' ORDER BY d1, d2",
+
+    // the video corpus is synthetic: ids 3i+2 and 3i+1002 for i<33;
+    // kept = not a later near-dup side over the one-shot pass
+    "stream_video_dedup" ->
+      s"""WITH ids AS (SELECT 3 * i + 2 AS id FROM range(33) t(i)
+         |  UNION ALL SELECT 3 * i + 1002 FROM range(33) t(i))
+         |SELECT id FROM ids
+         |WHERE id NOT IN (SELECT d2 FROM '$goldenDir/multimodal_video_neardup.parquet')
+         |ORDER BY id""".stripMargin,
+
     "phash_index_incremental" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
 
@@ -4797,6 +5141,12 @@ object Queries {
     "hybrid_topk_indexed" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
+    // filter-inside-search on the paired layout — the mirror replays
+    // both sides' filtered rankings (lexical under corpus-level
+    // stats, dense exact over the filtered corpus) and the fusion
+    "hybrid_topk_filtered" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk_filtered.parquet' ORDER BY qid, rk",
+
     "bm25_topk_indexed" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
@@ -4876,6 +5226,15 @@ object Queries {
     "ivf_topk_pqr_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
+    // post-delete serve from the reloaded pair ≡ the decoy-free
+    // one-shot golden, on the raw-PQ and int8 layouts too —
+    // right-to-be-forgotten pinned on all three quantized layouts
+    "ivf_topk_pq_deleted" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_int8_deleted" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
     // the stream-grown codes layout ≡ the one-shot build (pure
     // per-row encoding under the frozen pair) — same golden
     "stream_ivfpqr_search" ->
@@ -4904,44 +5263,11 @@ object Queries {
     "text_span_dedup" ->
       s"SELECT doc, cleaned FROM '$pipeGold/text_span_dedup.parquet' ORDER BY doc",
 
-    "decontam_span_scrub" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |evw AS (
-        |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
-        |    i -> array_to_string(ws[i:i+7], ' '))) AS wnd
-        |  FROM tok WHERE doc_id % 3 = 0 AND len(ws) >= 8),
-        |tr AS (SELECT doc_id, ws FROM tok WHERE doc_id % 3 <> 0),
-        |posts AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
-        |    i -> struct_pack(pos := i - 1,
-        |      wnd := array_to_string(ws[i:i+7], ' ')))) AS s
-        |  FROM tr WHERE len(ws) >= 8),
-        |dup AS (
-        |  SELECT p.doc_id, p.s.pos AS pos
-        |  FROM posts p JOIN evw e ON p.s.wnd = e.wnd),
-        |brk AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |      <= 8 THEN 0 ELSE 1 END AS b
-        |  FROM dup),
-        |isl AS (SELECT doc_id, pos,
-        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM brk),
-        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-        |  FROM isl GROUP BY doc_id, island),
-        |toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
-        |    i -> struct_pack(pos := i - 1, tok := ws[i]))) AS t
-        |  FROM tr),
-        |kept AS (
-        |  SELECT tk.doc_id, tk.t.pos AS pos, tk.t.tok AS tok FROM toks tk
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-        |    WHERE sp.doc_id = tk.doc_id
-        |      AND tk.t.pos >= sp.s AND tk.t.pos < sp.e)),
-        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id AS doc, coalesce(r.cleaned, '') AS cleaned
-        |FROM tr t LEFT JOIN reb r ON t.doc_id = r.doc_id
-        |ORDER BY doc""".stripMargin,
+    "decontam_span_scrub" -> spanScrubSql,
+
+    // the streamed scrub is per-doc local ⇒ union over batches ≡ the
+    // one-shot pass: same oracle
+    "stream_span_scrub" -> spanScrubSql,
 
     "text_line_dedup" ->
       """WITH t(doc_id, text) AS (VALUES
@@ -5181,6 +5507,64 @@ object Queries {
     "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
+    // filter-inside-search under a < k-match predicate: the adaptive
+    // widening must reach the exhaustive probe, making the result
+    // EXACT over the filtered corpus — oracled directly against
+    // DuckDB brute force over the same predicate (no golden)
+    "ivf_topk_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the quantized serving path under the same predicate — the
+    // exhaustive probe's ADC shortlist holds every match (4 < k·os),
+    // so the exact rescore meets the same brute-force oracle
+    "ivf_topk_pq_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the fill guarantee at ~10% selectivity: the Python mirror
+    // replays the widening schedule, fill check, and scoring
+    "ivf_topk_filtered_recall" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_filtered_recall.parquet' ORDER BY qid, rk",
+
+    // recall@k of the filtered probe vs brute force over the
+    // FILTERED corpus — truth recomputed in SQL, approx from the
+    // mirror's golden (the ann_recall_ivf pattern)
+    "ann_recall_ivf_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id AND e.label = 3),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_filtered_recall.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
     // the tuner's sweep table — sweep, stopping rule, and the single
     // hits/denom division all mirrored exactly in Python
     "ivf_tune_nprobe" ->
@@ -5221,6 +5605,12 @@ object Queries {
       s"SELECT sim, source, text FROM '$pipeGold/store_retrieve.parquet' ORDER BY sim DESC",
 
     "memory_context" ->
+      s"SELECT score, id, role, text, timestamp FROM '$pipeGold/memory_context.parquet' ORDER BY id",
+
+    // M2 on the indexed serving path must be byte-equal to the
+    // exact path — same golden (filter inside the probe, widening
+    // to exhaustive over the 3-message conversation, top-2 cut)
+    "memory_context_indexed" ->
       s"SELECT score, id, role, text, timestamp FROM '$pipeGold/memory_context.parquet' ORDER BY id",
 
     "memory_generate" ->

@@ -208,4 +208,35 @@ class HybridSpec extends SparkTestBase {
     assert(Ivf.readIndex(spark, s"$root/ivf").count() == emb.count())
   }
 
+  test("filtered fused serve: both retrievers respect the predicate, lists stay filled") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("hyb_filt")
+      .resolve("index").toString
+    Hybrid.writeIndex(spark, docs, "text", "doc_id", emb, "vec_id",
+      "embedding", model, root)
+    val qs = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val qv = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val fused = Hybrid.searchIndexFiltered(spark, root, qs, qv, model,
+      "embedding", "vec_id", kCand = 10, k = 5, nprobe0 = 1,
+      filter = _ % 2 === 0).collect()
+    assert(fused.nonEmpty)
+    // every fused doc respects the predicate
+    assert(fused.forall(r => r.getAs[Long]("doc") % 2 == 0),
+      "a fused doc escaped the filter")
+    // the dense side widened rather than under-filling: each query
+    // fuses a full k list (the even corpus is far larger than k)
+    val perQ = fused.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), s"under-filled fusion: $perQ")
+    // and the unfiltered serve DOES return odd docs — the predicate,
+    // not the corpus, did the filtering above
+    val unf = Hybrid.searchIndex(spark, root, qs, qv, model,
+      "embedding", "vec_id", kCand = 10, k = 5, nprobe = 8).collect()
+    assert(unf.exists(r => r.getAs[Long]("doc") % 2 == 1))
+  }
+
 }

@@ -516,6 +516,52 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
+def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
+                                 want_label=3):
+    """Payload-filtered ANN with adaptive probe widening (the mirror
+    of Ivf.searchFiltered): candidates are restricted to the payload
+    predicate (label == want_label) INSIDE the probe, and nprobe
+    doubles from nprobe0 until every query holds k survivors or the
+    probe is exhaustive. Replays the identical widening schedule,
+    fill check, scoring fold, and (sim desc, nid) ranking."""
+    con = duckdb.connect()
+    labels = {int(i): int(l) for i, l in con.execute(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'").fetchall()}
+    centroids = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+
+    def run(p):
+        cands = {q: {} for q in queries}
+        for q in queries:
+            for cl in ivf_nearest(centroids, vec[q], p):
+                for n in postings.get(cl, []):
+                    if (n != q and labels[n] == want_label
+                            and n not in cands[q]):
+                        cands[q][n] = cosine_sim_d(vec[n], vec[q])
+        return rank_topk(cands, k)
+
+    def n_filled(rows):
+        cnt = {}
+        for qid, _, _, _ in rows:
+            cnt[qid] = cnt.get(qid, 0) + 1
+        return sum(1 for c in cnt.values() if c >= k)
+
+    p = max(1, min(nprobe0, nlist))
+    rows = run(p)
+    while p < nlist and n_filled(rows) < len(queries):
+        p = min(p * 2, nlist)
+        rows = run(p)
+    write("ivf_topk_filtered_recall",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE",
+           "rk": "BIGINT"})
+
+
 def gen_ivf_tune(emb, nlist=16, iters=3, k=5, target=0.9):
     """The nprobe tuner's doubling sweep, mirrored: micro-averaged
     recall@k (sum hits / sum min(k, |truth|), ONE double division) at
@@ -1753,9 +1799,13 @@ BM25_QUERIES = [(0, "hash join"), (1, "fast table scan"),
                 (2, "merge sort window")]
 
 
-def bm25_rank_lists(docs, queries, k):
+def bm25_rank_lists(docs, queries, k, keep=None):
     """Exact fixed-point BM25 ranked lists (see gen_bm25_topk):
-    {qid: [(doc, score_fp)] top-k by (score desc, doc asc)}."""
+    {qid: [(doc, score_fp)] top-k by (score desc, doc asc)}.
+    `keep(doc_id)` restricts the CANDIDATE set before the cut while
+    collection stats (N, total tokens, df) stay corpus-level —
+    Lucene filter semantics, the Bm25.searchIndex docFilter
+    contract."""
     toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
     lens = {d: len(ws) for d, ws in toks.items()}
     n_docs = len(toks)
@@ -1788,6 +1838,8 @@ def bm25_rank_lists(docs, queries, k):
                 num = 22 * f * t_tokens
                 den = 10 * t_tokens * f + 3 * t_tokens + 9 * lens[d] * n_docs
                 scores[d] = scores.get(d, 0) + (idf[t] * num) // den
+        if keep is not None:
+            scores = {d: s for d, s in scores.items() if keep(d)}
         out[int(qid)] = sorted(scores.items(),
                                key=lambda kv: (-kv[1], kv[0]))[:k]
     return out
@@ -1834,6 +1886,39 @@ def gen_hybrid_topk(docs, emb, queries=None, k_cand=20, k=10):
         for rk, (d, s) in enumerate(top, 1):
             rows.append((int(qid), d, s, rk))
     write("hybrid_topk",
+          pd.DataFrame(rows, columns=["qid", "doc", "rrf_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "rrf_fp": "BIGINT",
+           "rk": "INT"})
+
+
+def gen_hybrid_topk_filtered(docs, emb, queries=None, k_cand=20, k=10):
+    """Mirror of Hybrid.searchIndexFiltered under the even-id
+    predicate: candidates restricted on BOTH sides before each
+    side's cut (lexical keeps corpus-level stats — Lucene filter
+    semantics; dense is the filtered exact cosine ranking, matching
+    the exhaustive probe the query row requests), then RRF-fused."""
+    queries = queries or BM25_QUERIES
+
+    def keep(d):
+        return d % 2 == 0
+
+    lex = bm25_rank_lists(docs, queries, k_cand, keep=keep)
+    vecs = dict(emb)
+    rows = []
+    for qid, _ in queries:
+        qv = vecs[int(qid)]
+        sims = sorted(((cosine_sim_d(v, qv), -i) for i, v in emb
+                       if keep(i)), reverse=True)[:k_cand]
+        fused = {}
+        for rk, (d, _) in enumerate(lex[int(qid)], 1):
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        for rk, (_, negi) in enumerate(sims, 1):
+            d = -negi
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rk, (d, s) in enumerate(top, 1):
+            rows.append((int(qid), d, s, rk))
+    write("hybrid_topk_filtered",
           pd.DataFrame(rows, columns=["qid", "doc", "rrf_fp", "rk"]),
           {"qid": "BIGINT", "doc": "BIGINT", "rrf_fp": "BIGINT",
            "rk": "INT"})
@@ -1914,8 +1999,11 @@ def main():
         gen_bm25_topk(docs)
     if want("hybrid_topk"):
         gen_hybrid_topk(docs, load_embeddings())
+    if want("hybrid_topk_filtered"):
+        gen_hybrid_topk_filtered(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
+              "ivf_topk_filtered_recall",
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
@@ -1952,6 +2040,8 @@ def main():
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
         gen_ivf_topk(emb)
+    if want("ivf_topk_filtered_recall"):
+        gen_ivf_topk_filtered_recall(emb)
     if want("ivf_index_stats"):
         gen_ivf_index_stats(emb)
     if want("ivf_tune_nprobe"):
