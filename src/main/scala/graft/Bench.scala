@@ -11,17 +11,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm up: JVM, codegen, parquet footers of the largest table
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warm up: JVM, codegen, parquet footers of the largest table —
+      // re-run after every recycle so the first measured query after a
+      // fresh context doesn't absorb its startup
+      s.range(1000000L).selectExpr("sum(id)").collect()
+      s.read.parquet(s"$sfDir/lineitem.parquet").count()
+      s
+    }
+    var spark = newSession()
+    // SESSION RECYCLING: a 200+ × 3-rep suite in ONE context
+    // accumulates state no per-query cleanup reaches — shuffle files
+    // in the context's local dirs (freed only when the GC-driven
+    // ContextCleaner gets around to them; a 128 GiB heap rarely GCs),
+    // SQL status-store executions, terminated streaming-query
+    // tracking — and the r10 driver capture showed what that does to
+    // late measurements: stream_curation read [6.0, 39.9, 43.6] s
+    // back-to-back while a fresh session re-measures it flat at ~8 s.
+    // Stopping the context every N queries deletes its local dirs and
+    // drops every context-lifetime cache, bounding the accumulation
+    // window; cost is ~2-4 s per recycle (warm-up included), ~0.1 s
+    // amortized per query at the default stride.
+    val recycleEvery = sys.env.get("SPARK_GRAFT_RECYCLE")
+      .map(_.toInt).getOrElse(24)
+    var sinceRecycle = 0
 
     // Optional comma-separated query filter for local iteration; the
     // driver never sets it, so per-round BENCH stays the full suite.
@@ -44,6 +65,12 @@ object Bench {
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        spark.stop()
+        spark = newSession()
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       val times = (0 until runs).map { _ =>
         // Leaked state from the previous query (cached frames, the
         // label-propagation/append-log localCheckpoint blocks) must not

@@ -1139,34 +1139,71 @@ object Ivf {
     *    let alone scored. Post-filtering a top-k list instead would
     *    under-fill k at exactly the selectivities that matter.
     *
-    *  - ADAPTIVE PROBE WIDENING: a selective filter thins every
-    *    probed cell, so a fixed nprobe under-fills k. The driver
-    *    loop doubles nprobe until every query holds k survivors or
-    *    the probe is exhaustive (nprobe = nlist) — at which point
-    *    the result is EXACT over the filtered corpus, so a filter
-    *    with fewer than k matches degrades gracefully to "all
-    *    matches, exactly ranked" instead of silently under-filling.
-    *    Geometric schedule ⇒ total probe work ≤ 2× the final
-    *    breadth; the fill check aggregates the ≤ |queries|·k result
-    *    rows, never the corpus.
+    *  - ADAPTIVE PROBE WIDENING, PER QUERY: a selective filter thins
+    *    every probed cell, so a fixed nprobe under-fills k. The
+    *    driver loop doubles nprobe — but each round re-probes ONLY
+    *    the queries still under k survivors: a query filled at
+    *    nprobe p keeps its p-cell result (its own stopping rule, as
+    *    in any per-query vector-db widening), while the stragglers
+    *    escalate toward the exhaustive probe (nprobe = nlist) — at
+    *    which point THEIR result is EXACT over the filtered corpus,
+    *    so a filter with fewer than k matches degrades gracefully to
+    *    "all matches, exactly ranked" instead of silently
+    *    under-filling. Geometric schedule ⇒ a query's total probe
+    *    work ≤ 2× its final breadth, and at 100 TB the expensive
+    *    wide rounds carry only the rare starved queries instead of
+    *    re-shuffling the whole batch. The fill check aggregates the
+    *    ≤ |queries|·k result rows, never the corpus, and the
+    *    queries frame is contract-bounded (broadcast-small
+    *    everywhere in this family), so the per-round id collections
+    *    are driver-cheap.
     */
   private[pipeline] def adaptiveFill(queries: DataFrame, idCol: String,
                                      k: Int, nlist: Int, nprobe0: Int)
-                                    (run: Int => DataFrame): DataFrame = {
-    // contract-bounded: queries frames are broadcast-small everywhere
-    // in this family
-    val qn = queries.select(col(idCol)).distinct().count()
+                                    (run: (DataFrame, Int) => DataFrame): DataFrame = {
+    // Pin ledger: each probe round is checkpointed (consumed by both
+    // the fill check and the result union), superseded rounds and
+    // straggler query frames are released as they die, and the
+    // RETURNED frame rides at most two tiny pins (≤ |queries|·k rows)
+    // until the session's next sweep — the crossJaccardPairsBloom
+    // pin-note convention.
+    var pending = queries
+    var pendingPinned = false
     var p = math.max(1, math.min(nprobe0, nlist))
-    var res = run(p)
-    while (p < nlist && {
-      val filled = res.groupBy(col("qid")).count()
-        .where(col("count") >= k).count()
-      filled < qn
-    }) {
-      p = math.min(p * 2, nlist)
-      res = run(p)
+    var acc: Option[DataFrame] = None
+    def finish(res: DataFrame): DataFrame = {
+      if (pendingPinned) graft.core.Pinned.release(pending)
+      acc.map(_.unionByName(res)).getOrElse(res)
     }
-    res
+    while (true) {
+      val res = run(pending, p).localCheckpoint(true)
+      if (p >= nlist)
+        // exhaustive: whatever survived IS the filtered truth
+        return finish(res)
+      // ≤ |queries|·k rows: which pending queries reached k?
+      val filledIds = res.groupBy(col("qid")).count()
+        .where(col("count") >= k).select(col("qid"))
+        .collect().map(_.get(0)).toSeq
+      val nPending = pending.select(col(idCol)).distinct().count()
+      if (filledIds.length == nPending)
+        return finish(res)
+      if (filledIds.nonEmpty) {
+        val done = res.where(col("qid").isInCollection(filledIds))
+        val next = acc.map(_.unionByName(done)).getOrElse(done)
+          .localCheckpoint(true)
+        acc.foreach(graft.core.Pinned.release)
+        graft.core.Pinned.release(res)
+        acc = Some(next)
+        val stillPending = pending
+          .where(!col(idCol).isInCollection(filledIds))
+          .localCheckpoint(true)
+        if (pendingPinned) graft.core.Pinned.release(pending)
+        pending = stillPending
+        pendingPinned = true
+      } else graft.core.Pinned.release(res)
+      p = math.min(p * 2, nlist)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Filter-inside-search over float postings (see [[adaptiveFill]]
@@ -1179,8 +1216,8 @@ object Ivf {
                      k: Int, filter: Column, nprobe0: Int = 4,
                      excludeSelf: Boolean = true): DataFrame = {
     val filtered = postings.where(filter)
-    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
-      search(filtered, queries, vecCol, idCol, model, k, p, excludeSelf))
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)((qs, p) =>
+      search(filtered, qs, vecCol, idCol, model, k, p, excludeSelf))
   }
 
   /** Filter-inside-search over an int8 codes layout ([[searchCodes]]
@@ -1193,8 +1230,8 @@ object Ivf {
                           k: Int, filter: Column,
                           nprobe0: Int = 4): DataFrame = {
     val filtered = index.where(filter)
-    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
-      searchCodes(filtered, queries, vecCol, idCol, model, k, p))
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)((qs, p) =>
+      searchCodes(filtered, qs, vecCol, idCol, model, k, p))
   }
 
   /** Filter-inside-search over the raw-PQ codes layout
@@ -1212,8 +1249,8 @@ object Ivf {
                             nprobe0: Int = 4,
                             oversample: Int = 4): DataFrame = {
     val filtered = index.where(filter)
-    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
-      searchPqIndex(filtered, vectors, queries, vecCol, idCol, model,
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)((qs, p) =>
+      searchPqIndex(filtered, vectors, qs, vecCol, idCol, model,
         pq, k, p, oversample))
   }
 
@@ -1228,8 +1265,8 @@ object Ivf {
                                     nprobe0: Int = 4,
                                     oversample: Int = 4): DataFrame = {
     val filtered = index.where(filter)
-    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)(p =>
-      searchPqResidualIndex(filtered, vectors, queries, vecCol, idCol,
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)((qs, p) =>
+      searchPqResidualIndex(filtered, vectors, qs, vecCol, idCol,
         model, pq, k, p, oversample))
   }
 

@@ -518,12 +518,13 @@ def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
 
 def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
                                  want_label=3):
-    """Payload-filtered ANN with adaptive probe widening (the mirror
-    of Ivf.searchFiltered): candidates are restricted to the payload
-    predicate (label == want_label) INSIDE the probe, and nprobe
-    doubles from nprobe0 until every query holds k survivors or the
-    probe is exhaustive. Replays the identical widening schedule,
-    fill check, scoring fold, and (sim desc, nid) ranking."""
+    """Payload-filtered ANN with PER-QUERY adaptive probe widening
+    (the mirror of Ivf.searchFiltered / adaptiveFill): candidates are
+    restricted to the payload predicate (label == want_label) INSIDE
+    the probe, and each round doubles nprobe for ONLY the queries
+    still under k survivors — a query filled at probe p keeps its
+    p-cell result. Replays the identical widening schedule, fill
+    check, scoring fold, and (sim desc, nid) ranking."""
     con = duckdb.connect()
     labels = {int(i): int(l) for i, l in con.execute(
         f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'").fetchall()}
@@ -535,9 +536,9 @@ def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
     vec = dict(emb)
     queries = [i for i, _ in emb if i < 10]
 
-    def run(p):
-        cands = {q: {} for q in queries}
-        for q in queries:
+    def run(qset, p):
+        cands = {q: {} for q in qset}
+        for q in qset:
             for cl in ivf_nearest(centroids, vec[q], p):
                 for n in postings.get(cl, []):
                     if (n != q and labels[n] == want_label
@@ -545,19 +546,27 @@ def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
                         cands[q][n] = cosine_sim_d(vec[n], vec[q])
         return rank_topk(cands, k)
 
-    def n_filled(rows):
+    pending = list(queries)
+    p = max(1, min(nprobe0, nlist))
+    acc = []
+    while True:
+        rows = run(pending, p)
+        if p >= nlist:
+            acc.extend(rows)
+            break
         cnt = {}
         for qid, _, _, _ in rows:
             cnt[qid] = cnt.get(qid, 0) + 1
-        return sum(1 for c in cnt.values() if c >= k)
-
-    p = max(1, min(nprobe0, nlist))
-    rows = run(p)
-    while p < nlist and n_filled(rows) < len(queries):
+        filled = {q for q in pending if cnt.get(q, 0) >= k}
+        if len(filled) == len(pending):
+            acc.extend(rows)
+            break
+        acc.extend(r for r in rows if r[0] in filled)
+        pending = [q for q in pending if q not in filled]
         p = min(p * 2, nlist)
-        rows = run(p)
+    acc.sort(key=lambda r: (r[0], r[3]))
     write("ivf_topk_filtered_recall",
-          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          pd.DataFrame(acc, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE",
            "rk": "BIGINT"})
 
