@@ -326,9 +326,48 @@ object Bm25 {
     graft.core.Pinned.release(kept)
   }
 
+  /** Tombstone sidecar at the index ROOT (beside postings/df/stats —
+    * the per-sub-layout compactions never touch it, so the mask
+    * survives maintenance until [[foldTombstones]] retires it).
+    */
+  def tombPath(indexPath: String): String = s"$indexPath/_tombstones"
+
+  /** LUCENE-MODEL deletion for the lexical index: an O(|ids|)
+    * sidecar append masks the docs from every [[searchIndex]]
+    * candidate set IMMEDIATELY, while collection statistics (N,
+    * total tokens, df) stay as persisted until the fold — exactly
+    * how a deleted-but-unmerged Lucene segment scores. The
+    * stats-exact delete remains [[deleteDocs]]; this is the
+    * serving-latency path for erasure queues that cannot pay an
+    * O(index) rewrite per request.
+    */
+  def tombstoneDocs(spark: SparkSession, path: String,
+                    ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).as("doc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(tombPath(path))
+
+  /** Retire the tombstone set: fold into a physical [[deleteDocs]]
+    * (which recomputes df/stats from the survivors — the "merge"
+    * that makes scores stats-exact again), then drop the sidecar.
+    * Idempotent at every crash point: re-folding already-deleted ids
+    * anti-joins nothing.
+    */
+  def foldTombstones(spark: SparkSession, path: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    deleteDocs(spark, path,
+      spark.read.parquet(tombPath(path)).select(col("doc")).distinct())
+    fs.delete(tp, true)
+  }
+
   /** Search the persisted index: identical results to [[topK]] over
     * the same corpus (spec + oracle pinned). Only the query terms'
-    * buckets are read from both postings and df.
+    * buckets are read from both postings and df. Tombstoned docs
+    * ([[tombstoneDocs]]) are masked from the candidates here via a
+    * broadcast anti-join; their mass stays in N/df/avgdl until the
+    * fold, per the Lucene delete model.
     *
     * `docFilter` is the lexical half of filter-inside-search
     * (Lucene/Elasticsearch filter semantics, same contract as
@@ -371,10 +410,18 @@ object Bm25 {
     val qtDf = (for { (qid, q) <- queries; t <- queryTerms(q) }
       yield (qid, t)).toDF("qid", "term")
     val postRead = spark.read.parquet(s"$path/postings")
-    val postings = postRead
+    val postings0 = postRead
       .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
         col("term").isInCollection(terms) &&
         docFilter.getOrElse(lit(true)))
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings =
+      if (!tfs.exists(tp)) postings0
+      else postings0.join(
+        broadcast(spark.read.parquet(tombPath(path))
+          .select(col("doc")).distinct()),
+        Seq("doc"), "left_anti")
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
       lit(9L) * col("len") * lit(nDocs)

@@ -169,6 +169,28 @@ object Hybrid {
       Bm25.deleteDocs(spark, s"$root/bm25", ids),
       Ivf.deleteVectors(spark, s"$root/ivf", ids, vecIdCol))
 
+  /** TOMBSTONE documents on BOTH sides — right-to-be-forgotten at
+    * serving latency for the paired layout (the [[deleteDocs]]
+    * contract at O(|ids|) cost): the lexical side masks candidates
+    * under stale collection stats (the Lucene delete model,
+    * [[Bm25.tombstoneDocs]]) and the dense side masks postings
+    * exactly ([[Ivf.tombstoneVectors]]). Idempotent (a tombstone is
+    * a set member), so a one-sided crash heals by re-running — no
+    * marker needed, same argument as [[deleteDocs]].
+    */
+  def tombstoneDocs(spark: SparkSession, root: String,
+                    ids: DataFrame, vecIdCol: String): Unit =
+    bothSides(
+      Bm25.tombstoneDocs(spark, s"$root/bm25", ids),
+      Ivf.tombstoneVectors(spark, s"$root/ivf", ids, vecIdCol))
+
+  /** Retire both sides' tombstone sets into physical rewrites. */
+  def foldTombstones(spark: SparkSession, root: String,
+                     vecIdCol: String): Unit =
+    bothSides(
+      Bm25.foldTombstones(spark, s"$root/bm25"),
+      Ivf.foldTombstones(spark, s"$root/ivf", vecIdCol))
+
   /** Compact both sides (each side's own crash-safe pass). */
   def compactIndex(spark: SparkSession, root: String): Unit =
     bothSides(
@@ -187,7 +209,9 @@ object Hybrid {
                   kCand: Int, k: Int, nprobe: Int): DataFrame = {
     val lexical = Bm25.searchIndex(spark, s"$root/bm25", queries, kCand)
       .select(col("qid"), col("doc"), col("rk"))
-    val dense = Ivf.search(Ivf.readIndex(spark, s"$root/ivf"),
+    // readIndexServing, not readIndex: tombstoned vectors must be
+    // masked here exactly when the lexical side masks its docs
+    val dense = Ivf.search(Ivf.readIndexServing(spark, s"$root/ivf", idCol),
         queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
         vecCol, idCol, model, kCand, nprobe, excludeSelf = false)
       .select(col("qid"), col("nid").as("doc"), col("rk"))
@@ -219,7 +243,8 @@ object Hybrid {
     val lexical = Bm25.searchIndex(spark, s"$root/bm25", queries, kCand,
         docFilter = Some(filter(col("doc"))))
       .select(col("qid"), col("doc"), col("rk"))
-    val dense = Ivf.searchFiltered(Ivf.readIndex(spark, s"$root/ivf"),
+    val dense = Ivf.searchFiltered(
+        Ivf.readIndexServing(spark, s"$root/ivf", idCol),
         queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
         vecCol, idCol, model, kCand, filter = filter(col(idCol)),
         nprobe0 = nprobe0, excludeSelf = false)

@@ -528,6 +528,79 @@ object Ivf {
     graft.core.Pinned.release(del)
   }
 
+  /** Canonical location of a layout's tombstone set: `_tombstones`
+    * INSIDE the layout — hidden from Spark's file index like
+    * `_model`, carried across every compaction/recluster swap by the
+    * hidden-dir carry-over (tombstones must survive a PLAIN
+    * compaction; only [[foldTombstones]] retires them).
+    */
+  def tombPath(indexPath: String): String = s"$indexPath/_tombstones"
+
+  /** TOMBSTONE deletion — right-to-be-forgotten at SERVING latency:
+    * appends the ids to the layout's `_tombstones` sidecar (an
+    * O(|ids|) write) instead of rewriting the postings
+    * ([[deleteVectors]] — an O(index) pass). Every serving read
+    * through [[readIndexServing]] anti-joins the set, so the deleted
+    * vectors vanish from results IMMEDIATELY; the physical bytes
+    * leave at the next [[foldTombstones]]/maintenance pass — the
+    * Lucene/LSM delete model. Exact for the vector side because
+    * similarity is per-pair: masking a posting changes no other
+    * row's score (contrast BM25, where deletion moves corpus stats —
+    * which is why the lexical index keeps its rewrite-based
+    * [[Bm25.deleteDocs]]).
+    *
+    * Contract: the live tombstone set is the delta since the last
+    * fold — small by the maintenance policy — and rides a broadcast
+    * anti-join at probe time; fold on the same cadence as
+    * compaction.
+    */
+  def tombstoneVectors(spark: SparkSession, path: String, ids: DataFrame,
+                       idCol: String): Unit = {
+    // recover first: appending a sidecar beside a mid-swap-parked
+    // layout would strand it on the wrong copy
+    graft.core.DirSwap.recoverAt(spark, path)
+    ids.select(col(ids.columns.head).as(idCol))
+      .write.mode(SaveMode.Append).parquet(tombPath(path))
+  }
+
+  /** The SERVING read: the layout minus its tombstoned ids — what
+    * every search should scan between folds. Plan shape: the
+    * tombstone set broadcasts to an anti hash join above the
+    * (partition-pruned, pushed-down) postings scan, so the mask
+    * costs one in-memory probe per candidate and nothing on disk.
+    */
+  def readIndexServing(spark: SparkSession, path: String,
+                       idCol: String): DataFrame = {
+    val idx = readIndex(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) idx
+    else idx.join(
+      broadcast(spark.read.parquet(tombPath(path))
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Retire the tombstone set: fold the masked ids into a physical
+    * [[deleteVectors]] rewrite (crash-safe swap; the hidden-dir
+    * carry-over keeps `_tombstones` WITH the rewritten copy), then
+    * drop the sidecar. Idempotent under any crash point: a crash
+    * after the promote but before the sidecar delete leaves
+    * already-folded tombstones whose anti-join masks nothing — the
+    * next fold (or read) is correct either way.
+    */
+  def foldTombstones(spark: SparkSession, path: String,
+                     idCol: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    deleteVectors(spark, path,
+      spark.read.parquet(tombPath(path)).select(col(idCol)).distinct(),
+      idCol)
+    fs.delete(tp, true)
+  }
+
   /** RECLUSTER the persisted index: retrain the coarse quantizer on
     * the index's own CURRENT contents and rewrite the postings
     * reassigned under the new model, inside the same crash-safe

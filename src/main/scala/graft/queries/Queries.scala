@@ -2409,6 +2409,66 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_tombstoned" -> ((s, d) => {
+      // LSM-style deletion at SERVING latency: the decoys are
+      // tombstoned (an O(|ids|) sidecar append — NO rewrite), and
+      // the serving read masks them IMMEDIATELY via the broadcast
+      // anti-join — this row serves the still-unrewritten layout and
+      // must equal the decoy-free golden (the physical fold is
+      // pinned by stream_forget and the spec)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_tomb")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.search(
+          graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_forget" -> ((s, d) => {
+      // RIGHT-TO-BE-FORGOTTEN ON INGEST: erasure requests arrive as
+      // a stream, each microbatch tombstones at serving latency, the
+      // physical rewrite amortizes over foldEvery batches, and the
+      // run closes with an empty mask — the post-ingest serve must
+      // equal the decoy-free golden (a surviving posting OR a
+      // leftover mask row would mismatch)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("sforget_q")
+      val idx = root.resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx)
+      val src = root.resolve("requests.parquet").toString
+      decoys.select(col("vec_id")).write.parquet(src)
+      graft.streaming.StreamingForget.ingest(s, src, "vec_id", idx,
+        nBatches = 3, foldEvery = 2)
+      graft.pipeline.Ivf.search(
+          graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_incremental" -> ((s, d) => {
       // incremental index maintenance: build the on-disk index from
       // half the corpus, APPEND the rest against the frozen quantizer
@@ -2519,6 +2579,37 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPq(postings, "embedding", pq, model, idx)
       graft.pipeline.Ivf.searchPqIndexFiltered(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          graft.pipeline.Ivf.loadModel(s, graft.pipeline.Ivf.modelPath(idx)),
+          graft.pipeline.Ivf.loadPq(s, idx), k = 5,
+          filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ivf_topk_pqr_filtered" -> ((s, d) => {
+      // filter-inside-search on the RESIDUAL codes layout (IVF-ADC),
+      // serving from the reloaded (coarse, codebook) pair — with < k
+      // matches the widening escalates to the exhaustive probe whose
+      // shortlist holds every match, so the exact rescore meets the
+      // same brute-force oracle as the float and raw-PQ rows: all
+      // four serving layouts now carry gate-green filtered serves
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding",
+        "vec_id", model, m = 8, ksub = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_pqr_filt")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexPqResidual(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
+        pq, model, idx)
+      graft.pipeline.Ivf.searchPqResidualIndexFiltered(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.select(col("vec_id"), col("embedding")),
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -4486,6 +4577,64 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "bm25_topk_tombstoned" -> ((s, d) => {
+      // the LUCENE DELETE MODEL on the lexical index: scrambled text
+      // decoys are tombstoned (an O(|ids|) sidecar — no rewrite), so
+      // the serve must mask them from candidates while N/df/avgdl
+      // still carry their mass (deleted-but-unmerged segments) — the
+      // mirror golden computes stats over corpus+decoys and ranks
+      // survivors only, so BOTH a leaked decoy and a prematurely
+      // stats-cleaned index mismatch. The fold is pinned right after:
+      // post-fold the serve equals the decoy-free bm25_topk golden
+      // (spec asserts that half; this row pins the masked serve)
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val decoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+      val idx = java.nio.file.Files.createTempDirectory("bm25_tomb")
+        .resolve("index").toString
+      graft.pipeline.Bm25.writeIndex(s, docs.unionByName(decoys), "text",
+        "doc_id", idx)
+      graft.pipeline.Bm25.tombstoneDocs(s, idx,
+        decoys.select(col("doc_id")))
+      graft.pipeline.Bm25.searchIndex(s, idx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "hybrid_topk_tombstoned" -> ((s, d) => {
+      // right-to-be-forgotten at serving latency on the PAIRED
+      // layout: both sides tombstoned through the one hybrid entry
+      // point; the fused serve must mask both sides' decoys — the
+      // lexical under stale stats (Lucene model), the dense exactly —
+      // which the mirror golden replays side by side
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+      val vecDecoys = emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("hybrid_tomb")
+        .resolve("index").toString
+      graft.pipeline.Hybrid.writeIndex(s, docs.unionByName(textDecoys),
+        "text", "doc_id", emb.unionByName(vecDecoys), "vec_id",
+        "embedding", model, root)
+      graft.pipeline.Hybrid.tombstoneDocs(s, root,
+        textDecoys.select(col("doc_id").as("id"))
+          .unionByName(vecDecoys.select(col("vec_id").as("id"))).distinct(),
+        "vec_id")
+      graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          graft.pipeline.Hybrid.loadModel(s, root), "embedding", "vec_id",
+          kCand = 20, k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "hybrid_topk_filtered" -> ((s, d) => {
       // filter-inside-search on the PAIRED layout: the even-id
       // predicate restricts candidates inside BOTH retrievers — the
@@ -5147,6 +5296,14 @@ object Queries {
     "hybrid_topk_filtered" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk_filtered.parquet' ORDER BY qid, rk",
 
+    // the Lucene delete model: stats carry the tombstoned decoys,
+    // candidates don't — the mirror replays exactly that
+    "bm25_topk_tombstoned" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk_tombstoned.parquet' ORDER BY qid, rk",
+
+    "hybrid_topk_tombstoned" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk_tombstoned.parquet' ORDER BY qid, rk",
+
     "bm25_topk_indexed" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
@@ -5507,6 +5664,16 @@ object Queries {
     "ivf_topk_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
+    // tombstone masking at serving latency (no rewrite yet) must
+    // read as if the decoys never existed — same golden
+    "ivf_topk_tombstoned" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // streamed erasure requests + amortized folds + close-of-run
+    // fold ≡ a one-shot build over the survivors — same golden
+    "stream_forget" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
     // filter-inside-search under a < k-match predicate: the adaptive
     // widening must reach the exhaustive probe, making the result
     // EXACT over the filtered corpus — oracled directly against
@@ -5528,6 +5695,21 @@ object Queries {
     // exhaustive probe's ADC shortlist holds every match (4 < k·os),
     // so the exact rescore meets the same brute-force oracle
     "ivf_topk_pq_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the residual codes layout under the same < k-match predicate —
+    // exhaustive escalation + exact rescore ⇒ the same direct oracle
+    "ivf_topk_pqr_filtered" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,
          |    ${cosSql("e.embedding", "q.embedding")} AS sim

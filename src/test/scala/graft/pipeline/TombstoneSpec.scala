@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** LSM-style tombstone deletion for the vector index: an O(|ids|)
+  * sidecar append masks at serving latency, the physical rewrite
+  * amortizes into folds, and every crash point between them is
+  * idempotent.
+  */
+class TombstoneSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def dataFiles(p: String): Seq[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Path.of(p))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(f => f.toString.endsWith(".parquet") &&
+        !f.toString.contains("_tombstones")).map(_.toString).toSeq
+    } finally s.close()
+  }
+
+  test("tombstone masks at serving latency without touching a postings byte; fold retires it") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val decoys = emb.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("tomb")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(emb.unionByName(decoys), "embedding", model), idx)
+    val before = dataFiles(idx).sorted
+    val total = Ivf.readIndex(spark, idx).count()
+
+    Ivf.tombstoneVectors(spark, idx, decoys.select(col("vec_id")), "vec_id")
+    // masked immediately: the serving read sees only survivors...
+    val serving = Ivf.readIndexServing(spark, idx, "vec_id")
+    assert(serving.count() == total - decoys.count())
+    assert(serving.where(col("vec_id") >= 100000L).count() == 0)
+    // ...while not one postings byte was rewritten
+    assert(dataFiles(idx).sorted == before,
+      "tombstoning must not touch the postings files")
+    // the raw read still carries the masked rows (they fold later)
+    assert(Ivf.readIndex(spark, idx).count() == total)
+
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    // physically gone, sidecar retired, serving unchanged
+    assert(Ivf.readIndex(spark, idx).count() == total - decoys.count())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(Ivf.tombPath(idx))))
+    assert(Ivf.readIndexServing(spark, idx, "vec_id").count() ==
+      total - decoys.count())
+    // idempotent: fold with no sidecar is a no-op
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    assert(Ivf.readIndex(spark, idx).count() == total - decoys.count())
+  }
+
+  test("search over the tombstoned layout equals search over a physically deleted one") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding")) // verbatim copies: any surviving decoy owns a slot
+    val root = java.nio.file.Files.createTempDirectory("tomb2")
+    val a = root.resolve("masked").toString
+    val b = root.resolve("rewritten").toString
+    val all = Ivf.assign(emb.unionByName(decoys), "embedding", model)
+      .localCheckpoint(true)
+    Ivf.writeIndex(all, a)
+    Ivf.writeIndex(all, b)
+    graft.core.Pinned.release(all)
+    Ivf.tombstoneVectors(spark, a, decoys.select(col("vec_id")), "vec_id")
+    Ivf.deleteVectors(spark, b, decoys.select(col("vec_id")), "vec_id")
+    val qs = emb.where(col("vec_id") < 5)
+    def ids(p: String): Set[(Long, Long)] =
+      Ivf.search(Ivf.readIndexServing(spark, p, "vec_id"), qs,
+        "embedding", "vec_id", model, k = 5, nprobe = 8)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(a) == ids(b))
+    assert(ids(a).nonEmpty && ids(a).forall(_._2 < 100000L))
+  }
+
+  test("BM25 Lucene-model tombstones: masked candidates under stale stats; fold restores stats-exact scores") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val decoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+    val qs = Seq(0L -> "hash join", 1L -> "fast table scan")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("qid", "doc", "score_fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("bm25_tomb_s")
+    val withD = root.resolve("withD").toString
+    val clean = root.resolve("clean").toString
+    Bm25.writeIndex(spark, docs.unionByName(decoys), "text", "doc_id", withD)
+    Bm25.writeIndex(spark, docs, "text", "doc_id", clean)
+    Bm25.tombstoneDocs(spark, withD, decoys.select(col("doc_id")))
+    val masked = rows(Bm25.searchIndex(spark, withD, qs, k = 10))
+    // no decoy leaks through the mask...
+    assert(masked.nonEmpty && masked.forall(_._2 < 100000L))
+    // ...but the stats still carry the decoys' mass (Lucene model):
+    // scores differ from a decoy-free build
+    val freshScores = rows(Bm25.searchIndex(spark, clean, qs, k = 10))
+    assert(masked != freshScores,
+      "masked serve must score under stale (decoy-inclusive) stats")
+    // the fold recomputes stats from the survivors: now identical
+    Bm25.foldTombstones(spark, withD)
+    assert(rows(Bm25.searchIndex(spark, withD, qs, k = 10)) == freshScores)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(Bm25.tombPath(withD))))
+  }
+
+  test("hybrid tombstones mask both sides; fold equals the decoy-free paired build") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val embL = emb
+    val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+    val vecDecoys = embL.where(col("vec_id") < 2)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val model = Ivf.train(embL, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("hyb_tomb_s")
+    val a = root.resolve("tombstoned").toString
+    val b = root.resolve("clean").toString
+    Hybrid.writeIndex(spark, docs.unionByName(textDecoys), "text", "doc_id",
+      embL.unionByName(vecDecoys), "vec_id", "embedding", model, a)
+    Hybrid.writeIndex(spark, docs, "text", "doc_id", embL, "vec_id",
+      "embedding", model, b)
+    val ids = textDecoys.select(col("doc_id").as("id"))
+      .unionByName(vecDecoys.select(col("vec_id").as("id"))).distinct()
+    Hybrid.tombstoneDocs(spark, a, ids, "vec_id")
+    val qs = Seq(0L -> "hash join")
+    val qv = embL.where(col("vec_id") < 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    def serve(r: String): Seq[(Long, Long)] =
+      Hybrid.searchIndex(spark, r, qs, qv, model, "embedding", "vec_id",
+        kCand = 10, k = 5, nprobe = 8)
+        .select("qid", "doc").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    // masked serve leaks no decoy on either side
+    assert(serve(a).nonEmpty && serve(a).forall(_._2 < 100000L))
+    // post-fold the paired layout IS the decoy-free build
+    Hybrid.foldTombstones(spark, a, "vec_id")
+    assert(serve(a) == serve(b))
+  }
+
+  test("tombstones survive a plain compaction (hidden-dir carry-over) and mask on codes layouts too") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val decoys = emb.where(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("tomb3")
+      .resolve("index").toString
+    Ivf.writeIndexInt8(
+      Ivf.assign(emb.unionByName(decoys), "embedding", model),
+      "embedding", idx)
+    Ivf.tombstoneVectors(spark, idx, decoys.select(col("vec_id")), "vec_id")
+    Ivf.compactIndex(spark, idx) // must NOT shed the mask
+    val serving = Ivf.readIndexServing(spark, idx, "vec_id")
+    assert(serving.where(col("vec_id") >= 100000L).count() == 0,
+      "compaction shed the tombstone mask")
+    // and the serve path composes: codes search over the serving read
+    val got = Ivf.searchCodes(serving, emb.where(col("vec_id") < 3),
+      "embedding", "vec_id", model, k = 5, nprobe = 8)
+      .select("nid").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ < 100000L))
+  }
+}

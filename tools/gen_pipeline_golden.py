@@ -1900,6 +1900,66 @@ def gen_hybrid_topk(docs, emb, queries=None, k_cand=20, k=10):
            "rk": "INT"})
 
 
+def _with_scrambled_decoys(docs):
+    """The corpus + the tombstone fixture's decoys: scrambled texts
+    (vowels -> 9, Spark's regexp_replace mirror) at doc_id + 100000 —
+    they move N/avgdl/df, which is exactly what the Lucene-model rows
+    must observe while the decoys stay masked from candidates."""
+    rows = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    return pd.DataFrame(
+        rows + [(d + 100000, re.sub('[aeiou]', '9', t)) for d, t in rows],
+        columns=["doc_id", "text"])
+
+
+def gen_bm25_tombstoned(docs, queries=None, k=10):
+    """Mirror of a TOMBSTONED Bm25.searchIndex (Lucene delete model):
+    collection stats include the decoy docs (deleted-but-unmerged
+    mass), candidates exclude them."""
+    queries = queries or BM25_QUERIES
+    corpus = _with_scrambled_decoys(docs)
+    lists = bm25_rank_lists(corpus, queries, k,
+                            keep=lambda d: d < 100000)
+    rows = []
+    for qid, q in queries:
+        for rk, (d, s) in enumerate(lists[int(qid)], 1):
+            rows.append((int(qid), d, s, rk))
+    write("bm25_topk_tombstoned",
+          pd.DataFrame(rows, columns=["qid", "doc", "score_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "score_fp": "BIGINT",
+           "rk": "INT"})
+
+
+def gen_hybrid_tombstoned(docs, emb, queries=None, k_cand=20, k=10):
+    """Mirror of a TOMBSTONED Hybrid.searchIndex: the lexical list
+    under the Lucene delete model (stats carry the text decoys,
+    candidates don't) fused with the dense list over the surviving
+    vectors (the dense mask is exact — identical to never having
+    indexed the vector decoys)."""
+    queries = queries or BM25_QUERIES
+    corpus = _with_scrambled_decoys(docs)
+    lex = bm25_rank_lists(corpus, queries, k_cand,
+                          keep=lambda d: d < 100000)
+    vecs = dict(emb)
+    rows = []
+    for qid, _ in queries:
+        qv = vecs[int(qid)]
+        sims = sorted(((cosine_sim_d(v, qv), -i) for i, v in emb),
+                      reverse=True)[:k_cand]
+        fused = {}
+        for rk, (d, _) in enumerate(lex[int(qid)], 1):
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        for rk, (_, negi) in enumerate(sims, 1):
+            d = -negi
+            fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rk, (d, s) in enumerate(top, 1):
+            rows.append((int(qid), d, s, rk))
+    write("hybrid_topk_tombstoned",
+          pd.DataFrame(rows, columns=["qid", "doc", "rrf_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "rrf_fp": "BIGINT",
+           "rk": "INT"})
+
+
 def gen_hybrid_topk_filtered(docs, emb, queries=None, k_cand=20, k=10):
     """Mirror of Hybrid.searchIndexFiltered under the even-id
     predicate: candidates restricted on BOTH sides before each
@@ -2010,6 +2070,10 @@ def main():
         gen_hybrid_topk(docs, load_embeddings())
     if want("hybrid_topk_filtered"):
         gen_hybrid_topk_filtered(docs, load_embeddings())
+    if want("bm25_topk_tombstoned"):
+        gen_bm25_tombstoned(docs)
+    if want("hybrid_topk_tombstoned"):
+        gen_hybrid_tombstoned(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
               "ivf_topk_filtered_recall",
