@@ -601,6 +601,145 @@ object Ivf {
     fs.delete(tp, true)
   }
 
+  /** UPSERT — replace-by-id, the vector-db ingestion op for MODIFIED
+    * documents (a re-embedded doc must serve its new vector, never
+    * both): physically delete any existing postings with the batch's
+    * ids (crash-safe rewrite — id-based tombstones cannot express
+    * replace, because the mask would hide the new copy too), then
+    * append the batch under the frozen quantizer. Grown ≡ one-shot
+    * over (corpus \ ids) ∪ batch, which is what oracles it. Crash
+    * between the two steps leaves the ids deleted but not yet
+    * re-added — re-running the same upsert heals (the delete
+    * anti-joins nothing, the append lands once under the caller's
+    * replay guard, the family's usual boundary).
+    */
+  def upsertVectors(df: DataFrame, vecCol: String, idCol: String,
+                    model: IvfModel, path: String): Unit = {
+    val spark = df.sparkSession
+    graft.core.DirSwap.recoverAt(spark, path)
+    deleteVectors(spark, path, df.select(col(idCol)), idCol)
+    appendToIndex(df, vecCol, model, path)
+  }
+
+  /** Canonical location of a versioned layout's latest-sequence
+    * sidecar: `_latest` inside the layout (one (id, seq) row per
+    * ever-upserted id — bounded by the UPSERTED id set, not the
+    * corpus; retired by [[foldVersions]]).
+    */
+  def latestPath(indexPath: String): String = s"$indexPath/_latest"
+
+  /** Initial build for the VERSIONED lifecycle: the one-shot layout
+    * with `seq = 0` on every posting. The versioned family requires
+    * a schema-uniform layout — mixing seq-less build files with
+    * seq-carrying appends would leave the read schema to parquet
+    * footer sampling (non-deterministic without mergeSchema) — so
+    * an index that will take [[upsertVersioned]] batches MUST start
+    * here; upsert seqs start at 1.
+    */
+  def writeIndexVersioned(postings: DataFrame, path: String): Unit =
+    writeIndex(postings.withColumn("seq", lit(0L)), path)
+
+  /** VERSIONED upsert — replace-by-id WITHOUT a per-batch rewrite,
+    * the streaming-ingest shape for modified documents: the batch
+    * appends normally under the frozen quantizer with a `seq`
+    * column, and the `_latest` sidecar records each id's newest
+    * sequence. [[upsertVectors]]' delete+append is exact but pays an
+    * O(index) rewrite per call — fatal at microbatch cadence; this
+    * pays O(|batch| + |sidecar|).
+    *
+    * Why a sidecar instead of candidate-local latest-wins: a
+    * re-embedded vector usually lands in a DIFFERENT cluster than
+    * its stale version, so a probe that touches only the stale
+    * cluster would serve the stale copy with no newer candidate in
+    * sight to displace it — superseded-ness must be GLOBAL, exactly
+    * Lucene's live-docs generation. [[readIndexServing]] masks
+    * postings older than their id's latest seq (broadcast join on
+    * the sidecar); [[foldVersions]] rewrites the losers away and
+    * retires the sidecar.
+    *
+    * The sidecar merge is crash-safe via the shared [[graft.core.DirSwap]]
+    * two-rename swap; a crash between the postings append and the
+    * sidecar merge is healed by re-running the same upsert (the
+    * family's replay boundary): the re-append lands under the same
+    * seq and the merge's groupBy-max dedups it.
+    */
+  def upsertVersioned(df: DataFrame, vecCol: String, idCol: String,
+                      model: IvfModel, path: String, seq: Long): Unit = {
+    val spark = df.sparkSession
+    graft.core.DirSwap.recoverAt(spark, path)
+    assign(df, vecCol, model)
+      .withColumn("seq", lit(seq))
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+    mergeLatest(spark, path,
+      df.select(col(idCol), lit(seq).as("latest_seq")))
+  }
+
+  private def mergeLatest(spark: SparkSession, path: String,
+                          batch: DataFrame): Unit = {
+    val lp = latestPath(path)
+    val p = new org.apache.hadoop.fs.Path(lp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.recover(fs, p)
+    val idCol = batch.columns.head
+    val merged =
+      if (!fs.exists(p)) batch
+      else spark.read.parquet(lp).unionByName(batch)
+        .groupBy(col(idCol)).agg(max(col("latest_seq")).as("latest_seq"))
+    val tmp = new org.apache.hadoop.fs.Path(lp + "__compacting")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.core.DirSwap.promote(fs, p, tmp)
+  }
+
+  /** The versioned serving read: the layout minus superseded
+    * versions (postings whose seq predates their id's `_latest`
+    * entry) minus tombstones — what [[upsertVersioned]]-maintained
+    * indexes serve between folds. Un-upserted ids carry no sidecar
+    * row and pass untouched (seq null-safe). Build-time postings
+    * written without a `seq` column read as seq 0 — [[upsertVersioned]]
+    * seqs start at 1 by convention.
+    */
+  def readIndexLatest(spark: SparkSession, path: String,
+                      idCol: String): DataFrame = {
+    val idx0 = readIndexServing(spark, path, idCol)
+    val idx = if (idx0.columns.contains("seq")) idx0
+      else idx0.withColumn("seq", lit(0L))
+    val lp = new org.apache.hadoop.fs.Path(latestPath(path))
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) idx
+    else idx.join(
+        broadcast(spark.read.parquet(latestPath(path))),
+        Seq(idCol), "left")
+      .where(col("latest_seq").isNull ||
+        coalesce(col("seq"), lit(0L)) >= col("latest_seq"))
+      .drop("latest_seq")
+  }
+
+  /** Retire the version history: rewrite keeping only each id's
+    * latest surviving version (crash-safe swap), then drop the
+    * `_latest` sidecar — the losers' bytes leave and the serving
+    * read's mask becomes a no-op. The rewrite recomputes the winner
+    * set from the postings themselves (max seq per id), so it is
+    * idempotent and correct even if the sidecar was lost.
+    */
+  def foldVersions(spark: SparkSession, path: String,
+                   idCol: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(coalesce(col("seq"), lit(0L)).desc)
+    graft.core.ParquetCompact.rewrite(spark, path,
+      partitionCols = Seq("cluster"),
+      transform = d => {
+        val dd = if (d.columns.contains("seq")) d
+          else d.withColumn("seq", lit(0L))
+        dd.withColumn("__vrk", row_number().over(w))
+          .where(col("__vrk") === 1).drop("__vrk")
+      })
+    fs.delete(new org.apache.hadoop.fs.Path(latestPath(path)), true)
+  }
+
   /** RECLUSTER the persisted index: retrain the coarse quantizer on
     * the index's own CURRENT contents and rewrite the postings
     * reassigned under the new model, inside the same crash-safe

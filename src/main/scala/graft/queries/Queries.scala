@@ -2469,6 +2469,102 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_upserted" -> ((s, d) => {
+      // UPSERT (replace-by-id): the index is first built with STALE
+      // vectors for the query ids (scrambled embeddings — they'd own
+      // wrong neighbors), then the correct vectors upsert under the
+      // same ids; the serve must equal the one-shot build over the
+      // true corpus — a surviving stale posting OR a double-indexed
+      // id both mismatch the golden
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val stale = emb.where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          concat(slice(col("embedding"), 8, 57),
+            slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_ups")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(
+          emb.where(col("vec_id") >= 50).unionByName(stale), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.upsertVectors(emb.where(col("vec_id") < 50),
+        "embedding", "vec_id", model, idx)
+      graft.pipeline.Ivf.search(graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ivf_topk_versioned" -> ((s, d) => {
+      // versioned upsert at SERVING latency (no rewrite): stale
+      // vectors for the query ids are built at seq 0, the corrected
+      // vectors upsert at seq 1 as an O(|batch|) append + sidecar
+      // merge, and the serve masks superseded versions GLOBALLY (a
+      // re-embedded vector usually lands in a different cluster, so
+      // candidate-local latest-wins would serve stale copies) — the
+      // masked serve must equal the one-shot golden over the true
+      // corpus while both versions' bytes still sit in the layout
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val stale = emb.where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          concat(slice(col("embedding"), 8, 57),
+            slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_ver")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexVersioned(
+        graft.pipeline.Ivf.assign(
+          emb.where(col("vec_id") >= 50).unionByName(stale), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.upsertVersioned(emb.where(col("vec_id") < 50),
+        "embedding", "vec_id", model, idx, seq = 1L)
+      graft.pipeline.Ivf.search(
+          graft.pipeline.Ivf.readIndexLatest(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "stream_upsert" -> ((s, d) => {
+      // MODIFIED-DOCUMENT ingest: corrected vectors stream in as
+      // microbatches (seq = batchId + 1), each an O(|batch|) append
+      // + sidecar merge; the run closes with a version fold, so the
+      // post-ingest layout is physically latest-only and the
+      // one-shot golden over the corrected corpus pins the path —
+      // a surviving stale version OR a lost correction mismatches
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val stale = emb.where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          concat(slice(col("embedding"), 8, 57),
+            slice(col("embedding"), 1, 7)).as("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("supsert_q")
+      val idx = root.resolve("index").toString
+      graft.pipeline.Ivf.writeIndexVersioned(
+        graft.pipeline.Ivf.assign(
+          emb.where(col("vec_id") >= 50).unionByName(stale), "embedding",
+          model), idx)
+      val src = root.resolve("corrections.parquet").toString
+      emb.where(col("vec_id") < 50).write.parquet(src)
+      graft.streaming.StreamingUpsert.ingest(s, src, "vec_id",
+        "embedding", model, idx, nBatches = 3)
+      graft.pipeline.Ivf.search(
+          graft.pipeline.Ivf.readIndexLatest(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_incremental" -> ((s, d) => {
       // incremental index maintenance: build the on-disk index from
       // half the corpus, APPEND the rest against the frozen quantizer
@@ -5662,6 +5758,19 @@ object Queries {
 
     // post-deletion search ≡ a one-shot build over the survivors
     "ivf_topk_deleted" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // upsert (replace-by-id) ≡ a one-shot build over the true corpus
+    "ivf_topk_upserted" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // versioned upsert: the masked serve (both versions' bytes still
+    // on disk) ≡ the one-shot build over the corrected corpus
+    "ivf_topk_versioned" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // streamed corrections + close-of-run version fold ≡ the same
+    "stream_upsert" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
 
     // tombstone masking at serving latency (no rewrite yet) must

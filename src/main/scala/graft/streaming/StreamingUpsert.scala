@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.pipeline.{Ivf, IvfModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MODIFIED-DOCUMENT ingest — upserts as a stream: re-embedded
+  * vectors arrive in microbatches and must serve their NEW version
+  * immediately, without paying [[Ivf.upsertVectors]]' O(index)
+  * rewrite per batch. Each batch appends under the frozen quantizer
+  * with `seq = batchId + 1` and merges the `_latest` sidecar
+  * ([[Ivf.upsertVersioned]] — O(|batch| + |sidecar|)); every
+  * [[Ivf.readIndexLatest]] serve masks superseded versions globally
+  * (the Lucene live-docs model — a re-embedded vector usually lands
+  * in a DIFFERENT cluster, so candidate-local latest-wins would
+  * serve stale copies from unprobed-winner cells). The version
+  * history folds away at run close ([[Ivf.foldVersions]]), leaving
+  * the layout physically latest-only.
+  *
+  * Exactly-once per batch via the family's ledger markers; a
+  * replayed batch would be harmless anyway (same seq appends dedup
+  * in the fold's per-id window and in the serve's candidate dedup).
+  */
+object StreamingUpsert {
+
+  /** One microbatch of re-embedded vectors. Exposed for testing. */
+  def processBatch(batch: DataFrame, vecCol: String, idCol: String,
+                   model: IvfModel, indexPath: String, seq: Long): Unit = {
+    if (batch.isEmpty) return
+    Ivf.upsertVersioned(batch, vecCol, idCol, model, indexPath, seq)
+  }
+
+  /** Stream the corrected vectors at `srcParquet` (replayed as
+    * `nBatches` id-ordered microbatches) into the persisted index at
+    * `indexPath` against the frozen `model`, then fold the version
+    * history — the post-ingest layout is physically latest-only, so
+    * the one-shot golden over the corrected corpus oracles the whole
+    * path.
+    */
+  def ingest(spark: SparkSession, srcParquet: String, idCol: String,
+             vecCol: String, model: IvfModel, indexPath: String,
+             nBatches: Int = 4): Unit = {
+    val schema = spark.read.parquet(srcParquet).schema
+    val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
+    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_supsert_ckpt_")
+    val runId = BatchLedger.openRun(spark, indexPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchLedger.once(batch.sparkSession, indexPath, runId, batchId) {
+          processBatch(batch, vecCol, idCol, model, indexPath, batchId + 1)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      EventStream.deleteScratch(ckpt)
+      EventStream.deleteScratch(stage)
+    }
+    Ivf.foldVersions(spark, indexPath, idCol)
+  }
+}

@@ -79,6 +79,82 @@ class TombstoneSpec extends SparkTestBase {
     assert(ids(a).nonEmpty && ids(a).forall(_._2 < 100000L))
   }
 
+  test("upsert replaces by id: no stale posting survives, no id indexes twice") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val stale = emb.where(col("vec_id") < 40)
+      .select(col("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("ups")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(
+      emb.where(col("vec_id") >= 40).unionByName(stale), "embedding",
+      model), idx)
+    Ivf.upsertVectors(emb.where(col("vec_id") < 40), "embedding",
+      "vec_id", model, idx)
+    val grown = Ivf.readIndex(spark, idx)
+    // exactly one posting per id...
+    assert(grown.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
+    assert(grown.count() == emb.count())
+    // ...and it is the TRUE vector: the grown index is row-identical
+    // to a one-shot build (cluster assignment included)
+    val oneShot = Ivf.assign(emb, "embedding", model)
+      .select("vec_id", "cluster")
+    assert(grown.select("vec_id", "cluster").except(oneShot).count() == 0)
+    // idempotent: re-running the same upsert changes nothing (the
+    // crash-between-steps heal path)
+    Ivf.upsertVectors(emb.where(col("vec_id") < 40), "embedding",
+      "vec_id", model, idx)
+    assert(Ivf.readIndex(spark, idx).count() == emb.count())
+  }
+
+  test("versioned upsert: global latest-wins masks cross-cluster stale versions; fold retires the history") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val stale = emb.where(col("vec_id") < 40)
+      .select(col("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+    // fixture premise: rotation moves at least one vector to a
+    // different cluster — the case candidate-local latest-wins
+    // cannot handle (the stale copy would serve from its own cell)
+    val moved = Ivf.assign(stale, "embedding", model)
+      .select(col("vec_id"), col("cluster").as("c1"))
+      .join(Ivf.assign(emb.where(col("vec_id") < 40), "embedding", model)
+        .select(col("vec_id"), col("cluster").as("c2")), "vec_id")
+      .where(col("c1") =!= col("c2")).count()
+    assert(moved > 0, "fixture premise: a re-embedding must change clusters")
+
+    val idx = java.nio.file.Files.createTempDirectory("ver")
+      .resolve("index").toString
+    Ivf.writeIndexVersioned(Ivf.assign(
+      emb.where(col("vec_id") >= 40).unionByName(stale), "embedding",
+      model), idx)
+    Ivf.upsertVersioned(emb.where(col("vec_id") < 40), "embedding",
+      "vec_id", model, idx, seq = 1L)
+    // both versions' bytes on disk...
+    assert(Ivf.readIndex(spark, idx).count() == emb.count() + 40)
+    // ...but the serve sees exactly the corrected corpus
+    val latest = Ivf.readIndexLatest(spark, idx, "vec_id")
+    assert(latest.count() == emb.count())
+    val oneShot = Ivf.assign(emb, "embedding", model)
+      .select("vec_id", "cluster")
+    assert(latest.select("vec_id", "cluster").except(oneShot).count() == 0)
+
+    // replaying the same upsert (crash-heal) changes nothing served
+    Ivf.upsertVersioned(emb.where(col("vec_id") < 40), "embedding",
+      "vec_id", model, idx, seq = 1L)
+    assert(Ivf.readIndexLatest(spark, idx, "vec_id")
+      .select("vec_id", "cluster").except(oneShot).count() == 0)
+
+    // fold: losers' bytes leave, sidecar retired, serve unchanged
+    Ivf.foldVersions(spark, idx, "vec_id")
+    assert(Ivf.readIndex(spark, idx).count() == emb.count())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(Ivf.latestPath(idx))))
+    assert(Ivf.readIndexLatest(spark, idx, "vec_id")
+      .select("vec_id", "cluster").except(oneShot).count() == 0)
+  }
+
   test("BM25 Lucene-model tombstones: masked candidates under stale stats; fold restores stats-exact scores") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("doc_id"), col("text"))
