@@ -552,7 +552,10 @@ object Ivf {
     * Contract: the live tombstone set is the delta since the last
     * fold — small by the maintenance policy — and rides a broadcast
     * anti-join at probe time; fold on the same cadence as
-    * compaction.
+    * compaction. Tombstones mask by ID, so re-adding a tombstoned id
+    * (append or [[upsertVersioned]]) serves NOTHING for it until the
+    * tombstone folds — delete-then-re-add must fold between the two,
+    * or use [[upsertVectors]], whose physical delete carries no mask.
     */
   def tombstoneVectors(spark: SparkSession, path: String, ids: DataFrame,
                        idCol: String): Unit = {
@@ -705,6 +708,11 @@ object Ivf {
       else idx0.withColumn("seq", lit(0L))
     val lp = new org.apache.hadoop.fs.Path(latestPath(path))
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // DirSwap contract: a crash mid-way through mergeLatest's promote
+    // leaves the sidecar parked at __old — an exists-check without
+    // recovery would serve UNMASKED (stale versions resurface), the
+    // silent failure mode of the whole design
+    graft.core.DirSwap.recover(fs, lp)
     if (!fs.exists(lp)) idx
     else idx.join(
         broadcast(spark.read.parquet(latestPath(path))),

@@ -2718,6 +2718,32 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_int8_filtered" -> ((s, d) => {
+      // filter-inside-search on the int8 codes layout at ~10%
+      // selectivity from nprobe0=1 — the payload rides the persisted
+      // codes, the candidate path reads codes bytes only, and the
+      // per-query widening schedule is replayed by the mirror with
+      // the exact-integer int8 scorer (int8 sims aren't
+      // SQL-expressible, so the golden carries the oracle) — with
+      // this row every filtered serving layout is gate-green
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_i8_filt")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
+        idx)
+      graft.pipeline.Ivf.searchCodesFiltered(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3, nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_tune_nprobe" -> ((s, d) => {
       // the serving-knob tuner: doubling nprobe sweep with
       // micro-averaged recall@5 (one integer division — engine- and
@@ -5830,6 +5856,11 @@ object Queries {
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
          |  FROM p) t
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the int8 codes layout under the same widening schedule, scored
+    // by the mirror's exact-integer kernel
+    "ivf_topk_int8_filtered" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8_filtered.parquet' ORDER BY qid, rk",
 
     // the fill guarantee at ~10% selectivity: the Python mirror
     // replays the widening schedule, fill check, and scoring

@@ -155,6 +155,33 @@ class TombstoneSpec extends SparkTestBase {
       .select("vec_id", "cluster").except(oneShot).count() == 0)
   }
 
+  test("a sidecar parked mid-promote still masks: readIndexLatest runs the recovery preamble") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val stale = emb.where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("ver_rec")
+      .resolve("index").toString
+    Ivf.writeIndexVersioned(Ivf.assign(
+      emb.where(col("vec_id") >= 20).unionByName(stale), "embedding",
+      model), idx)
+    Ivf.upsertVersioned(emb.where(col("vec_id") < 20), "embedding",
+      "vec_id", model, idx, seq = 1L)
+    // simulate a crash between mergeLatest's park and promote: the
+    // sidecar sits at __old, no live dir — an exists-check without
+    // recovery would silently serve stale versions
+    val lp = java.nio.file.Path.of(Ivf.latestPath(idx))
+    java.nio.file.Files.move(lp,
+      java.nio.file.Path.of(Ivf.latestPath(idx) + "__old"))
+    val latest = Ivf.readIndexLatest(spark, idx, "vec_id")
+    assert(latest.count() == emb.count(),
+      "parked sidecar must be recovered, not read as absent")
+    val oneShot = Ivf.assign(emb, "embedding", model)
+      .select("vec_id", "cluster")
+    assert(latest.select("vec_id", "cluster").except(oneShot).count() == 0)
+  }
+
   test("BM25 Lucene-model tombstones: masked candidates under stale stats; fold restores stats-exact scores") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("doc_id"), col("text"))

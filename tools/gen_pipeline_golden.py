@@ -565,7 +565,7 @@ def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
         pending = [q for q in pending if q not in filled]
         p = min(p * 2, nlist)
     acc.sort(key=lambda r: (r[0], r[3]))
-    write("ivf_topk_filtered_recall",
+    write("ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
           pd.DataFrame(acc, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE",
            "rk": "BIGINT"})
@@ -710,6 +710,60 @@ def gen_ivf_topk_int8(emb, nlist=16, iters=3, k=5, nprobe=4):
     write("ivf_topk_int8",
           pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def gen_ivf_topk_int8_filtered(emb, nlist=16, iters=3, k=5, nprobe0=1,
+                               want_label=3):
+    """Filtered serve on the int8 codes layout: the
+    gen_ivf_topk_filtered_recall per-query widening schedule with the
+    int8_cosine scorer — the 10%-selectivity pin for the quantized
+    candidate path (int8 scores aren't SQL-expressible, so the mirror
+    carries the oracle like the unfiltered int8 row)."""
+    con = duckdb.connect()
+    labels = {int(i): int(l) for i, l in con.execute(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'").fetchall()}
+    centroids = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    codes = {i: int8_codes(v) for i, v in emb}
+    queries = [i for i, _ in emb if i < 10]
+
+    def run(qset, p):
+        cands = {q: {} for q in qset}
+        for q in qset:
+            for cl in ivf_nearest(centroids, vec[q], p):
+                for n in postings.get(cl, []):
+                    if (n != q and labels[n] == want_label
+                            and n not in cands[q]):
+                        cands[q][n] = int8_cosine(codes[n], codes[q])
+        return rank_topk(cands, k)
+
+    pending = list(queries)
+    p = max(1, min(nprobe0, nlist))
+    acc = []
+    while True:
+        rows = run(pending, p)
+        if p >= nlist:
+            acc.extend(rows)
+            break
+        cnt = {}
+        for qid, _, _, _ in rows:
+            cnt[qid] = cnt.get(qid, 0) + 1
+        filled = {q for q in pending if cnt.get(q, 0) >= k}
+        if len(filled) == len(pending):
+            acc.extend(rows)
+            break
+        acc.extend(r for r in rows if r[0] in filled)
+        pending = [q for q in pending if q not in filled]
+        p = min(p * 2, nlist)
+    acc.sort(key=lambda r: (r[0], r[3]))
+    write("ivf_topk_int8_filtered",
+          pd.DataFrame(acc, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE",
+           "rk": "BIGINT"})
 
 
 # ------------------------------------------------- embedding / retrieval
@@ -2076,7 +2130,7 @@ def main():
         gen_hybrid_tombstoned(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
-              "ivf_topk_filtered_recall",
+              "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
@@ -2121,6 +2175,8 @@ def main():
         gen_ivf_tune(emb)
     if want("ivf_topk_int8"):
         gen_ivf_topk_int8(emb)
+    if want("ivf_topk_int8_filtered"):
+        gen_ivf_topk_int8_filtered(emb)
     if want("store_retrieve"):
         gen_store_retrieve(docs)
     if want("memory_context"):
