@@ -910,6 +910,44 @@ object Ivf {
       rows.filter(_._1 == 2).sortBy(_._2).map(_._4))
   }
 
+  /** Operational HEALTH surface for a persisted index — the one-row
+    * answer a maintenance loop or an operator dashboard reads before
+    * trusting/serving a layout: physical posting count, tombstoned
+    * ids (mask size — the fold-cadence signal), live (served) count,
+    * append debris (mean files per cluster dir — the compaction
+    * alarm), and list imbalance (the recluster alarm). Counts come
+    * from parquet metadata (zero-column scans) plus the tiny
+    * sidecar; nothing touches a data page.
+    */
+  def indexHealth(spark: SparkSession, path: String,
+                  idCol: String): DataFrame = {
+    import spark.implicits._
+    graft.core.DirSwap.recoverAt(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
+    val total =
+      if (!exists) 0L
+      else readIndex(spark, path).groupBy().count().head().getLong(0)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val masked =
+      if (!fs.exists(tp)) 0L
+      else spark.read.parquet(tombPath(path)).select(col(idCol))
+        .distinct().count()
+    // live = the serving anti-join counted exactly — the one number
+    // needing the id column; a tight maintenance loop can difference
+    // postings - tombstoned instead when tombstones are known-resident
+    val live =
+      if (!exists) 0L
+      else readIndexServing(spark, path, idCol).groupBy().count()
+        .head().getLong(0)
+    Seq((total, masked, live,
+        graft.core.ParquetCompact.meanFilesPerDir(spark, path),
+        imbalance(spark, path)))
+      .toDF("postings", "tombstoned", "live", "files_per_dir",
+        "imbalance")
+  }
+
   /** Per-list size stats for the persisted index — the DRIFT ALARM
     * [[recluster]] answers, made operational from ReclusterMeasure's
     * finding (PLANS.md): under distribution drift, recall looks fine

@@ -2565,6 +2565,59 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "ivf_topk_filtered_tombstoned" -> ((s, d) => {
+      // COMPOSITION: payload filter + tombstone mask on one serve —
+      // decoys carry label 3 (they'd pass the filter and own slots
+      // if the mask leaked through the filtered probe) and are
+      // tombstoned; the filtered serve over the masked read must
+      // equal DuckDB brute force over the predicate on the TRUE
+      // corpus — either machinery failing alone breaks the row
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.where(col("label") === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding"), col("label"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_ft")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.searchFiltered(
+          graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ivf_index_health" -> ((s, d) => {
+      // the operational one-row health surface: physical postings,
+      // mask size, live count, append debris, imbalance — counts
+      // the oracle recomputes from the corpus directly (decoys =
+      // one verbatim copy of the corpus, all tombstoned; two appends
+      // leave 2 files per touched dir before any compaction)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_health")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.indexHealth(s, idx, "vec_id")
+        .select(col("postings"), col("tombstoned"), col("live"))
+    }),
+
     "ivf_topk_incremental" -> ((s, d) => {
       // incremental index maintenance: build the on-disk index from
       // half the corpus, APPEND the rest against the frozen quantizer
@@ -5798,6 +5851,29 @@ object Queries {
     // streamed corrections + close-of-run version fold ≡ the same
     "stream_upsert" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk.parquet' ORDER BY qid, rk",
+
+    // filter ∘ tombstone composition: the filtered serve over the
+    // masked read ≡ brute force over the predicate on the true corpus
+    "ivf_topk_filtered_tombstoned" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the health surface's counts recomputed from the corpus: the
+    // layout holds two corpus copies, one fully tombstoned
+    "ivf_index_health" ->
+      s"""SELECT CAST(2 * count(*) AS BIGINT) AS postings,
+         |  CAST(count(*) AS BIGINT) AS tombstoned,
+         |  CAST(count(*) AS BIGINT) AS live
+         |FROM embeddings""".stripMargin,
 
     // tombstone masking at serving latency (no rewrite yet) must
     // read as if the decoys never existed — same golden

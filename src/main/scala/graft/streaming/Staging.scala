@@ -29,7 +29,12 @@ private[streaming] object Staging {
     val r = spark.read.parquet(src).agg(count(lit(1)),
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
     val cnt = r.getLong(0)
-    val (lo, hi) = if (cnt == 0L) (0L, 0L) else (r.getLong(1), r.getLong(2))
+    // a non-numeric id column casts to null min/max: fall back to a
+    // count-only fingerprint (still keyed by path + batching) rather
+    // than NPE at run open
+    val (lo, hi) =
+      if (cnt == 0L || r.isNullAt(1) || r.isNullAt(2)) (0L, 0L)
+      else (r.getLong(1), r.getLong(2))
     // FNV-1a over the identity string: short, filesystem-safe, stable
     var h = 0xcbf29ce484222325L
     s"$src|$idCol|$nBatches|$cnt|$lo|$hi".foreach { c =>
