@@ -684,9 +684,14 @@ object Ivf {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.DirSwap.recover(fs, p)
     val idCol = batch.columns.head
+    // dedup the batch itself too: a duplicate id in one batch would
+    // otherwise write two sidecar rows on first contact, and the
+    // serving read's join would multiply that id's postings
+    val b = batch.groupBy(col(idCol))
+      .agg(max(col("latest_seq")).as("latest_seq"))
     val merged =
-      if (!fs.exists(p)) batch
-      else spark.read.parquet(lp).unionByName(batch)
+      if (!fs.exists(p)) b
+      else spark.read.parquet(lp).unionByName(b)
         .groupBy(col(idCol)).agg(max(col("latest_seq")).as("latest_seq"))
     val tmp = new org.apache.hadoop.fs.Path(lp + "__compacting")
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -728,6 +733,15 @@ object Ivf {
     * read's mask becomes a no-op. The rewrite recomputes the winner
     * set from the postings themselves (max seq per id), so it is
     * idempotent and correct even if the sidecar was lost.
+    *
+    * Winners re-baseline to `seq = 0`: the fold is a new epoch. If
+    * the survivors kept their old seqs, the NEXT correction run —
+    * whose seqs restart at 1 ([[graft.streaming.StreamingUpsert]]'s
+    * batchId + 1) — would lose to any leftover higher-seq winner:
+    * its sidecar entry (id -> 1) masks neither the old seq-3 posting
+    * nor the new one, and the serve would carry BOTH versions with
+    * an arbitrary dedup pick. Re-baselining makes sequential
+    * correction runs compose (spec-pinned).
     */
   def foldVersions(spark: SparkSession, path: String,
                    idCol: String): Unit = {
@@ -744,6 +758,7 @@ object Ivf {
           else d.withColumn("seq", lit(0L))
         dd.withColumn("__vrk", row_number().over(w))
           .where(col("__vrk") === 1).drop("__vrk")
+          .withColumn("seq", lit(0L))
       })
     fs.delete(new org.apache.hadoop.fs.Path(latestPath(path)), true)
   }

@@ -44,6 +44,11 @@ object StreamingUpsert {
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_supsert_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath,
       Staging.runKey(spark, srcParquet, idCol, nBatches))
+    // persist-or-verify the quantizer against the layout's own
+    // `_model` (the family's silent-probe-skew guard): corrections
+    // assigned under a different model than the layout's would land
+    // in the wrong cells silently
+    Ivf.ensurePair(spark, model, None, indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

@@ -155,6 +155,39 @@ class TombstoneSpec extends SparkTestBase {
       .select("vec_id", "cluster").except(oneShot).count() == 0)
   }
 
+  test("sequential correction runs compose: the fold re-baselines seq to 0") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    def scramble(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("ver_seq")
+      .resolve("index").toString
+    // build with STALE vectors for ids < 30
+    Ivf.writeIndexVersioned(Ivf.assign(
+      emb.where(col("vec_id") >= 30)
+        .unionByName(scramble(emb.where(col("vec_id") < 30))),
+      "embedding", model), idx)
+    // first correction run at seq 3 (a late batch), folded at close
+    Ivf.upsertVersioned(emb.where(col("vec_id") < 30), "embedding",
+      "vec_id", model, idx, seq = 3L)
+    Ivf.foldVersions(spark, idx, "vec_id")
+    // ids < 30 are now correct. SECOND run: scramble ids 10..19
+    // again (a fresh modification), seqs restarting at 1 — without
+    // re-baselining, the folded seq-3 winners would beat it
+    Ivf.upsertVersioned(scramble(emb.where(col("vec_id") >= 10 &&
+      col("vec_id") < 20)), "embedding", "vec_id", model, idx, seq = 1L)
+    val latest = Ivf.readIndexLatest(spark, idx, "vec_id")
+    assert(latest.count() == emb.count(),
+      "second run's corrections must win, not coexist")
+    // the re-modified rows serve the SECOND run's vectors: their
+    // cluster assignments equal the scrambled vectors' assignments
+    val wantMoved = Ivf.assign(scramble(emb.where(col("vec_id") >= 10 &&
+      col("vec_id") < 20)), "embedding", model).select("vec_id", "cluster")
+    assert(latest.where(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select("vec_id", "cluster").except(wantMoved).count() == 0)
+  }
+
   test("a sidecar parked mid-promote still masks: readIndexLatest runs the recovery preamble") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val stale = emb.where(col("vec_id") < 20)
