@@ -416,11 +416,13 @@ object Bm25 {
         docFilter.getOrElse(lit(true)))
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // un-hinted (the Validate SubsetOf argument): the mask is tiny
+    // under the fold cadence — AQE broadcasts it — and a neglected
+    // fold degrades to a shuffle join instead of an executor OOM
     val postings =
       if (!tfs.exists(tp)) postings0
       else postings0.join(
-        broadcast(spark.read.parquet(tombPath(path))
-          .select(col("doc")).distinct()),
+        spark.read.parquet(tombPath(path)).select(col("doc")).distinct(),
         Seq("doc"), "left_anti")
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +

@@ -568,9 +568,12 @@ object Ivf {
 
   /** The SERVING read: the layout minus its tombstoned ids — what
     * every search should scan between folds. Plan shape: the
-    * tombstone set broadcasts to an anti hash join above the
-    * (partition-pruned, pushed-down) postings scan, so the mask
-    * costs one in-memory probe per candidate and nothing on disk.
+    * tombstone set joins as an anti hash join above the
+    * (partition-pruned, pushed-down) postings scan — deliberately
+    * NOT broadcast-hinted: under the fold cadence the set is tiny
+    * and AQE broadcasts it anyway, while a neglected fold that let
+    * the mask grow degrades to a shuffle join instead of an
+    * executor OOM (the Validate SubsetOf un-hinting argument).
     */
   def readIndexServing(spark: SparkSession, path: String,
                        idCol: String): DataFrame = {
@@ -579,8 +582,7 @@ object Ivf {
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) idx
     else idx.join(
-      broadcast(spark.read.parquet(tombPath(path))
-        .select(col(idCol)).distinct()),
+      spark.read.parquet(tombPath(path)).select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
   }
 
@@ -719,8 +721,11 @@ object Ivf {
     // silent failure mode of the whole design
     graft.core.DirSwap.recover(fs, lp)
     if (!fs.exists(lp)) idx
+    // un-hinted like the tombstone mask: the sidecar is bounded by
+    // the fold cadence, not by contract — AQE broadcasts it while it
+    // is small, and an overgrown one degrades instead of OOMing
     else idx.join(
-        broadcast(spark.read.parquet(latestPath(path))),
+        spark.read.parquet(latestPath(path)),
         Seq(idCol), "left")
       .where(col("latest_seq").isNull ||
         coalesce(col("seq"), lit(0L)) >= col("latest_seq"))
