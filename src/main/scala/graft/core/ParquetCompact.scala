@@ -76,7 +76,8 @@ object ParquetCompact {
               transform: org.apache.spark.sql.DataFrame =>
                 org.apache.spark.sql.DataFrame,
               pinResult: Boolean = false,
-              beforeSwap: org.apache.hadoop.fs.Path => Unit = _ => ()):
+              beforeSwap: org.apache.hadoop.fs.Path => Unit = _ => (),
+              dropHidden: Set[String] = Set.empty):
       Option[org.apache.spark.sql.DataFrame] = {
     require(partitionCols.nonEmpty, "compact needs the partition columns")
     val hc = spark.sparkContext.hadoopConfiguration
@@ -125,8 +126,14 @@ object ParquetCompact {
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       // _temporary is committer debris from a crashed write, not
-      // metadata — carrying it would preserve garbage forever
+      // metadata — carrying it would preserve garbage forever.
+      // `dropHidden` names metadata the TRANSFORM retires (a version
+      // fold's `_latest`): carrying it would re-apply a mask whose
+      // semantics the rewrite just invalidated — excluding it here
+      // makes sidecar retirement atomic with the promote, with no
+      // crash window between the two
       if (st.isDirectory && n.startsWith("_") && n != "_temporary" &&
+          !dropHidden.contains(n) &&
           !fs.exists(new org.apache.hadoop.fs.Path(tmp, n)))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
           fs, new org.apache.hadoop.fs.Path(tmp, n), false, hc),

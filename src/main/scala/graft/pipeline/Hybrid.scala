@@ -139,7 +139,11 @@ object Hybrid {
     // silently mis-assign every appended vector (the silent probe
     // skew ensurePair exists to prevent — only the streaming ingest
     // ran it until now). First contact saves; a mismatch is a loud
-    // error pointing at Hybrid.loadModel.
+    // error pointing at Hybrid.loadModel. Deliberately per-call even
+    // though StreamingHybrid also verifies at run open: the check is
+    // one small-sidecar read + driver compare per batch, and the
+    // failure it prevents is silent corpus-wide garbage — safety
+    // over the ~tens of ms.
     Ivf.ensurePair(spark, model, None, s"$root/ivf")
     bothSides(
       graft.streaming.BatchLedger.once(spark, s"$root/oplog",

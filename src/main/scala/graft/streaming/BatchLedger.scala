@@ -75,18 +75,35 @@ private[graft] object BatchLedger {
       mark(spark, indexPath, runId, batchId)
     }
 
-  /** Delete every run namespace EXCEPT `keepRunId` — the marker-store
-    * GC for a long-lived index (one marker file per batch per run,
-    * unbounded otherwise). Safe under the family's single-writer
-    * contract AND the stable-run-key contract: a crashed run's rerun
-    * derives the SAME runId (so its own markers are kept and heal
-    * it), while a genuinely different ingest (different source
-    * content) keying a new namespace means no older run will ever be
-    * resumed against this index — its markers are dead weight.
+  /** Delete every SAME-PIPELINE run namespace EXCEPT `keepRunId` —
+    * the marker-store GC for a long-lived index (one marker file per
+    * batch per run, unbounded otherwise). Scoped to the run key's
+    * `<kind>-` prefix: several pipelines legitimately share one
+    * index's ledger (the vector index takes ingest, erasure, and
+    * correction streams), and an unscoped GC at one pipeline's open
+    * would delete ANOTHER pipeline's crashed run's completed-batch
+    * markers — its rerun would then double-append everything it had
+    * already committed, exactly the failure the stable run key
+    * exists to heal. Within one pipeline the GC stays safe under the
+    * single-writer + stable-key contract: a crashed run's rerun
+    * derives the SAME key (markers kept, crash heals), while a
+    * different ingest (new content) keying a new namespace means no
+    * older run of this pipeline resumes here — its markers are dead
+    * weight.
     */
   def pruneOtherRuns(spark: SparkSession, indexPath: String,
-                     keepRunId: String): Unit =
-    pruneRunDir(spark, s"${indexPath}__ledger", keepRunId)
+                     keepRunId: String): Unit = {
+    val prefix = keepRunId.substring(0, keepRunId.indexOf('-') + 1)
+    val f = fs(spark, indexPath)
+    val p = new org.apache.hadoop.fs.Path(s"${indexPath}__ledger")
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n != keepRunId && prefix.nonEmpty &&
+          n.startsWith(prefix))
+        f.delete(st.getPath, true)
+    }
+  }
 
   /** The same run-namespace GC over an EXPLICIT marker directory —
     * for sibling per-run stores that follow the same
@@ -122,6 +139,30 @@ private[graft] object BatchLedger {
     */
   def openRun(spark: SparkSession, indexPath: String,
               runKey: String): String = {
+    pruneOtherRuns(spark, indexPath, runKey)
+    runKey
+  }
+
+  /** [[openRun]] for INDEX-BUILDING ingests, with the guarded
+    * layout's root stated explicitly (it may differ from the ledger
+    * site — the hybrid's oplog ledger guards the paired `$root`).
+    * When the layout is MISSING at open, every marker in the ledger
+    * is stale — the appends they record are gone — so the whole
+    * ledger is wiped: without this, rebuilding a deleted index from
+    * the same source would find every batch "completed" and return
+    * success over an empty layout. (A first-ever run wipes an absent
+    * ledger: a no-op.) OPT-IN deliberately: monitor/output pipelines
+    * (quarantine, drift, decontam) stay on the plain [[openRun]] —
+    * their outputs may LEGITIMATELY not exist after a complete run
+    * (a clean corpus appends nothing), so missing-output-means-
+    * stale-markers does not hold for them and a wipe would replay
+    * completed batches into double appends.
+    */
+  def openRunForIndex(spark: SparkSession, indexPath: String,
+                      runKey: String, dataPath: String): String = {
+    val f = fs(spark, indexPath)
+    if (!f.exists(new org.apache.hadoop.fs.Path(dataPath)))
+      f.delete(new org.apache.hadoop.fs.Path(s"${indexPath}__ledger"), true)
     pruneOtherRuns(spark, indexPath, runKey)
     runKey
   }

@@ -15,17 +15,23 @@ import org.apache.spark.sql.functions._
 private[streaming] object Staging {
 
   /** STABLE run key for [[BatchLedger.openRun]]: identifies this
-    * ingest increment by source path, id column, batching, and a
-    * content fingerprint (count, min(id), max(id) — one cheap agg,
-    * answerable from parquet column stats). A crashed run's rerun of
-    * the same source derives the same key, so the ledger's completed
-    * markers heal it instead of double-appending; a different
-    * increment (new content ⇒ new fingerprint) keys a fresh
-    * namespace. See openRun's doc for the same-ids-changed-content
-    * boundary.
+    * ingest increment by pipeline `kind`, source path, id column,
+    * batching, and a content fingerprint (count, min(id), max(id) —
+    * one aggregation over the id column; honest cost note: Spark
+    * does not push min/max to parquet footers by default, so this is
+    * a single-column scan of a source the ingest is about to stage
+    * and read IN FULL anyway — marginal, not metadata-free). A
+    * crashed run's rerun of the same source derives the same key, so
+    * the ledger's completed markers heal it instead of
+    * double-appending; a different increment (new content ⇒ new
+    * fingerprint) keys a fresh namespace. `kind` prefixes the key
+    * (no '-' allowed) and scopes [[BatchLedger.pruneOtherRuns]]'s GC
+    * to this pipeline — several pipelines share one index's ledger.
+    * See openRun's doc for the same-ids-changed-content boundary.
     */
   def runKey(spark: SparkSession, src: String, idCol: String,
-             nBatches: Int): String = {
+             nBatches: Int, kind: String = "run"): String = {
+    require(!kind.contains('-'), "kind must not contain '-'")
     val r = spark.read.parquet(src).agg(count(lit(1)),
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
     val cnt = r.getLong(0)
@@ -40,7 +46,7 @@ private[streaming] object Staging {
     s"$src|$idCol|$nBatches|$cnt|$lo|$hi".foreach { c =>
       h ^= c.toLong; h *= 0x100000001b3L
     }
-    f"run-$h%016x"
+    f"$kind%s-$h%016x"
   }
 
   /** Any staged batch file present? ([[idRangeSplits]] writes no

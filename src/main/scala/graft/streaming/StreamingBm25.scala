@@ -49,8 +49,9 @@ object StreamingBm25 {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sbm25_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "doc_id", nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, src, "doc_id", nBatches, kind = "bm25"),
+      dataPath = indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

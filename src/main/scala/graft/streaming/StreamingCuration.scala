@@ -47,7 +47,7 @@ object StreamingCuration {
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_scur_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "doc_id", nBatches))
+      Staging.runKey(spark, src, "doc_id", nBatches, kind = "cur"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

@@ -54,7 +54,7 @@ object StreamingDecontam {
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdecon_ckpt_")
     val runId = BatchLedger.openRun(spark, outPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "decon"))
     // the per-run eval artifact: built once, probed by every batch
     val ev = Dedup.decontamEval(eval, textCol, idCol, w, fpp)
     val q = spark.readStream.schema(schema)

@@ -45,7 +45,7 @@ object StreamingDrift {
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sdrift_ckpt_")
     val runId = BatchLedger.openRun(spark, outPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "drift"))
     // accumulated counts of everything BEFORE the current batch —
     // low-cardinality by contract, driver-held for the run, seeded
     // from the persisted cross-run baseline (a second run compares

@@ -54,8 +54,9 @@ object StreamingEmbedDedup {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sededup_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "vec_id", nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches, kind = "edup"),
+      dataPath = indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

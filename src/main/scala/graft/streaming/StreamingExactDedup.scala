@@ -70,8 +70,9 @@ object StreamingExactDedup {
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sxdedup_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, s"$dir/documents.parquet", "doc_id", 1))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, s"$dir/documents.parquet", "doc_id", 1, kind = "xdup"),
+      dataPath = indexPath)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

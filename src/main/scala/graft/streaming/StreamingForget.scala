@@ -48,8 +48,9 @@ object StreamingForget {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sforget_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "forget"),
+      dataPath = indexPath)
     var sinceFold = 0
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")

@@ -74,8 +74,9 @@ object StreamingHybrid {
     // the hybrid ledger lives at root/oplog (appendDocs' contract);
     // openRun GCs dead runs' markers there under the same
     // single-writer argument as the per-index ingests
-    val runId = BatchLedger.openRun(spark, s"$root/oplog",
-      Staging.runKey(spark, src, "doc_id", nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, s"$root/oplog",
+      Staging.runKey(spark, src, "doc_id", nBatches, kind = "hybrid"),
+      dataPath = root)
     // first contact creates the layouts via append mode, which never
     // persists the quantizer — persist-or-VERIFY it here so the
     // (layout, model) pair is recoverable from the root alone

@@ -57,8 +57,9 @@ object StreamingImageDedup {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_simgdedup_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "pdup"),
+      dataPath = indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

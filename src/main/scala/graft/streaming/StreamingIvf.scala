@@ -75,8 +75,9 @@ object StreamingIvf {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivf_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "vec_id", nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches, kind = "ivf"),
+      dataPath = indexPath)
     // the quantizer the index is currently assigned under; replaced
     // when the drift alarm fires (foreachBatch runs batches
     // sequentially in one thread — plain var is safe)
@@ -141,8 +142,9 @@ object StreamingIvf {
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivfc_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "vec_id", nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, src, "vec_id", nBatches, kind = "icodes"),
+      dataPath = indexPath)
     // persist-or-verify, and only when there is data to ingest — a
     // save on an empty source would conjure a sidecar-only layout
     // dir that poisons the missing-dir-is-empty convention, and an

@@ -61,8 +61,9 @@ object StreamingMinhashDedup {
       stage.resolve("documents.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_smdedup_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, s"$dir/documents.parquet", "doc_id", 1))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, s"$dir/documents.parquet", "doc_id", 1, kind = "mdup"),
+      dataPath = indexPath)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

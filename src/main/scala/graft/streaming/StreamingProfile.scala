@@ -52,7 +52,7 @@ object StreamingProfile {
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sprof_ckpt_")
     val runId = BatchLedger.openRun(spark, statsPath,
-      Staging.runKey(spark, src, "doc_id", nBatches))
+      Staging.runKey(spark, src, "doc_id", nBatches, kind = "prof"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

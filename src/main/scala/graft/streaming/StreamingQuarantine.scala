@@ -41,7 +41,7 @@ object StreamingQuarantine {
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_squar_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "quar"))
     // counts of everything OBSERVED before the current batch (see
     // the baseline-policy note above), seeded from the persisted
     // cross-run baseline and re-persisted at run close (DriftState)

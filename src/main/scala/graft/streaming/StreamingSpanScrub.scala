@@ -50,7 +50,7 @@ object StreamingSpanScrub {
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sscrub_ckpt_")
     val runId = BatchLedger.openRun(spark, outPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "scrub"))
     // the per-run eval artifact AT THE SPAN WIDTH: window-hash
     // postings + Bloom, built once, probed by every batch
     val ev = Dedup.decontamEval(eval, textCol, idCol, w, fpp)

@@ -42,13 +42,22 @@ object StreamingUpsert {
     val schema = spark.read.parquet(srcParquet).schema
     val stage = Staging.idRangeSplits(spark, srcParquet, idCol, nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_supsert_ckpt_")
-    val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, srcParquet, idCol, nBatches))
+    val runId = BatchLedger.openRunForIndex(spark, indexPath,
+      Staging.runKey(spark, srcParquet, idCol, nBatches, kind = "upsert"),
+      dataPath = indexPath)
     // persist-or-verify the quantizer against the layout's own
     // `_model` (the family's silent-probe-skew guard): corrections
     // assigned under a different model than the layout's would land
     // in the wrong cells silently
     Ivf.ensurePair(spark, model, None, indexPath)
+    // fold-at-open: a PREVIOUS run that crashed before its
+    // close-of-run fold (and was never re-run) left winners at high
+    // seqs — this run's seqs restart at 1 and would LOSE to that
+    // dead history (mergeLatest keeps the max), permanently masking
+    // and then fold-discarding the newer corrections. Folding any
+    // leftover history first re-baselines it to seq 0; a no-op (one
+    // fs.exists) when the previous run closed cleanly.
+    Ivf.foldVersions(spark, indexPath, idCol)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)

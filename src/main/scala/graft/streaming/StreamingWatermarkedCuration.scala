@@ -137,7 +137,7 @@ object StreamingWatermarkedCuration {
     val stage = Staging.idRangeSplits(spark, src, "doc_id", nBatches)
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_swcur_ckpt_")
     val runId = BatchLedger.openRun(spark, indexPath,
-      Staging.runKey(spark, src, "doc_id", nBatches))
+      Staging.runKey(spark, src, "doc_id", nBatches, kind = "wcur"))
     // the batch-max watermark store is a sibling per-run marker dir:
     // GC its dead runs too (same single-writer argument)
     BatchLedger.pruneRunDir(spark, s"${latePath}__wm", runId)

@@ -23,6 +23,7 @@ object TombstoneOverhead {
 
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    val n0 = emb0.count()
     val corpus = (0 until 16).map(i =>
         emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
           col("embedding")))
@@ -38,9 +39,14 @@ object TombstoneOverhead {
       val tp = new org.apache.hadoop.fs.Path(Ivf.tombPath(idx))
       val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tp, true)
+      // mask ids that are the corpus's ACTUAL ids (replica r = id/n0,
+      // base b = id%n0 -> r*10^7 + b — a BIJECTION onto the first m
+      // corpus rows), so every mask row masks a live posting; masking
+      // nonexistent ids would measure only the anti-join build cost
       if (m > 0)
         Ivf.tombstoneVectors(spark, idx,
-          spark.range(m).select((col("id") * 37L % n).as("vec_id")),
+          spark.range(m).select(
+            ((col("id") / n0) * 10000000L + col("id") % n0).as("vec_id")),
           "vec_id")
       def once(): Double = {
         val t0 = System.nanoTime()

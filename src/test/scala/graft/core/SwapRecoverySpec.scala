@@ -97,6 +97,30 @@ class SwapRecoverySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("rewrite dropHidden sheds a retired sidecar atomically with the promote") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("swap_dh")
+      .resolve("layout").toString
+    Seq((0, 1L), (0, 2L), (1, 3L)).toDF("part", "id")
+      .write.partitionBy("part").parquet(root)
+    // two hidden sidecars: one the transform retires, one it keeps
+    Seq((1L, 5L)).toDF("id", "latest_seq")
+      .write.parquet(s"$root/_latest")
+    Seq((9L, 9L)).toDF("a", "b").write.parquet(s"$root/_model")
+    graft.core.ParquetCompact.rewrite(spark, root, Seq("part"),
+      transform = identity, dropHidden = Set("_latest"))
+    // the promoted copy never contained the retired sidecar — there
+    // is no crash window between the swap and a separate delete —
+    // while ordinary metadata still carries over
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$root/_latest")),
+      "dropHidden sidecar must not be carried into the promoted copy")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$root/_model")),
+      "other hidden metadata must still carry over")
+    assert(spark.read.parquet(root).count() == 3)
+  }
+
   test("DedupIndex.probe recovers a mid-swap-parked layout") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .limit(50)

@@ -75,27 +75,32 @@ class StreamingBm25Spec extends SparkTestBase {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val idx = java.nio.file.Files.createTempDirectory("sbm25_rr")
       .resolve("index").toString
-    BatchLedger.once(spark, idx, "runA", 0L) {
+    BatchLedger.once(spark, idx, "bm25-runA", 0L) {
       StreamingBm25.processBatch(spark,
         docs.where(col("doc_id") < 200L), "text", "doc_id", idx)
     }
     val after1 = spark.read.parquet(s"$idx/stats").count()
     // new run, fresh checkpoint, batchId 0 again — MUST still append
-    BatchLedger.once(spark, idx, "runB", 0L) {
+    BatchLedger.once(spark, idx, "bm25-runB", 0L) {
       StreamingBm25.processBatch(spark,
         docs.where(col("doc_id") >= 200L), "text", "doc_id", idx)
     }
     assert(spark.read.parquet(s"$idx/stats").count() == after1 + 1,
       "a fresh run's batch 0 must not be skipped by the old run's marker")
-    // marker GC: pruning keeps only the live run's namespace, and the
-    // live run's replay guard still holds afterwards
-    BatchLedger.pruneOtherRuns(spark, idx, "runB")
+    // marker GC: pruning keeps only the live run's namespace WITHIN
+    // its own pipeline kind (the `<kind>-` prefix — another
+    // pipeline's crashed-run markers on the same index must survive),
+    // and the live run's replay guard still holds afterwards
+    BatchLedger.once(spark, idx, "ivf-other", 0L) {} // another pipeline's marker
+    BatchLedger.pruneOtherRuns(spark, idx, "bm25-runB")
     val ledger = new java.io.File(idx + "__ledger").listFiles()
-    assert(ledger != null && ledger.map(_.getName).toSet == Set("runB"))
-    BatchLedger.once(spark, idx, "runB", 0L) {
+    assert(ledger != null &&
+      ledger.map(_.getName).toSet == Set("bm25-runB", "ivf-other"),
+      "GC must prune only same-kind runs")
+    BatchLedger.once(spark, idx, "bm25-runB", 0L) {
       fail("pruning must not forget the live run's own markers")
     }
-    BatchLedger.once(spark, idx, "runA", 0L) {
+    BatchLedger.once(spark, idx, "bm25-runA", 0L) {
       StreamingBm25.processBatch(spark,
         docs.where(col("doc_id") < 100L), "text", "doc_id", idx)
     } // runA's markers are gone: this appends again (a dead run never
@@ -151,7 +156,7 @@ class StreamingBm25Spec extends SparkTestBase {
     val idx = java.nio.file.Files.createTempDirectory("sbm25_crash")
       .resolve("index").toString
     val src = s"${sf()}/documents.parquet"
-    val key = Staging.runKey(spark, src, "doc_id", 4)
+    val key = Staging.runKey(spark, src, "doc_id", 4, kind = "bm25")
     // simulate the crashed run: batch 0 (the first id-range split)
     // committed — data appended AND marker written — then death
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -167,6 +172,28 @@ class StreamingBm25Spec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/stats").count() == 4L,
       "rerun must complete only the missing batches, not re-append batch 0")
     assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+  }
+
+  test("rebuilding a deleted index from the same source re-runs every batch") {
+    // regression: the ledger lives at the sibling <idx>__ledger and
+    // survives deletion of the index itself; under the stable run
+    // key, a rebuild would otherwise find every batch "completed"
+    // and return success over a missing layout
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val want = rows(Bm25.topK(spark, docs, "text", "doc_id", queries, k = 10))
+    val idx = java.nio.file.Files.createTempDirectory("sbm25_rebuild")
+      .resolve("index").toString
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 3)
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want)
+    // operator wipes the index (not the ledger), then rebuilds
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    assert(new java.io.File(idx + "__ledger").exists(),
+      "fixture premise: the ledger must survive the index deletion")
+    StreamingBm25.ingest(spark, sf(), idx, nBatches = 3)
+    assert(rows(Bm25.searchIndex(spark, idx, queries, k = 10)) == want,
+      "the rebuild must re-ingest, not skip to an empty index")
   }
 
   test("re-running an identical completed ingest is a no-op") {
