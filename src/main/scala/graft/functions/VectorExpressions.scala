@@ -423,6 +423,114 @@ case class L2Normalize(child: Expression, asFloat: Boolean)
     copy(child = c)
 }
 
+/** Binary-quantization (sign-bit) codes as BINARY — bit j of byte
+  * j/8 is set iff v_j > 0 (strict: a zero component codes 0, same
+  * convention as the SimHash family). ceil(d/8) bytes per vector:
+  * 32× under float32 at any dimension, the coarsest tier of the
+  * layout family (float → int8 4× → PQ m-byte → sign bits). The
+  * asymmetric estimator is deliberately NOT used: the symmetric
+  * Hamming shortlist (query binarized too) keeps the candidate
+  * kernel at one XOR+popcount per 64 dims, and the exact rescore on
+  * oversampled survivors restores the ranking — the standard BQ +
+  * rescore design (e.g. Qdrant binary quantization).
+  */
+case class SignBits(child: Expression)
+    extends UnaryExpression with VectorTypeChecks {
+  override protected def vectorChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sign_bits"
+
+  override def nullSafeEval(a: Any): Any =
+    SignBits.compute(a.asInstanceOf[ArrayData], elemIsFloat(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isF = elemIsFloat(child)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SignBits.compute($a, $isF);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SignBits {
+  /** Shared kernel for eval and generated code. Little-endian bit
+    * order within each byte (bit j of byte j/8 = component j) — the
+    * Python golden mirror packs identically.
+    */
+  def compute(arr: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (VectorKernels.get(arr, i, isFloat) > 0.0)
+        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Hamming distance between two BINARY bit strings (XOR + popcount,
+  * 8 bytes per step). Null on length mismatch — mixed-dimension
+  * codes are a wiring bug, not a distance.
+  */
+case class BitHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY bit strings, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bit_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null else BitHamming.compute(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.BitHamming.compute($a, $b);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BitHamming {
+  def compute(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = x.length
+    var d = 0
+    var i = 0
+    while (i + 8 <= n) {
+      var xv = 0L; var yv = 0L
+      var j = 0
+      while (j < 8) {
+        xv |= (x(i + j) & 0xFFL) << (8 * j)
+        yv |= (y(i + j) & 0xFFL) << (8 * j)
+        j += 1
+      }
+      d += java.lang.Long.bitCount(xv ^ yv)
+      i += 8
+    }
+    while (i < n) {
+      d += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xFF)
+      i += 1
+    }
+    d
+  }
+}
+
 /** Column-level API over the vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions._
@@ -443,6 +551,14 @@ object VectorFunctions {
   /** Symmetric int8 quantization codes (codegen'd, see [[Int8Codes]]). */
   def int8Codes(a: Column): Column =
     ColumnBridge.column(Int8Codes(ColumnBridge.expression(a)))
+
+  /** Sign-bit binary-quantization codes (codegen'd, see [[SignBits]]). */
+  def signBits(a: Column): Column =
+    ColumnBridge.column(SignBits(ColumnBridge.expression(a)))
+
+  /** Hamming distance over BINARY bit strings (codegen'd popcount). */
+  def bitHamming(a: Column, b: Column): Column =
+    ColumnBridge.column(BitHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Vector literal for a query embedding. */
   def vecLit(v: Array[Float]): Column = typedLit(v.toSeq)

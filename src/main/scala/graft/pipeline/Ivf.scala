@@ -600,10 +600,18 @@ object Ivf {
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
-    deleteVectors(spark, path,
-      spark.read.parquet(tombPath(path)).select(col(idCol)).distinct(),
-      idCol)
-    fs.delete(tp, true)
+    val ids = spark.read.parquet(tombPath(path)).select(col(idCol))
+      .distinct().localCheckpoint(true)
+    // the tombstone sidecar is shed atomically with the swap
+    // (dropHidden): a stale carried-over mask would merely re-mask
+    // already-deleted ids (a no-op), but shedding it in the swap
+    // spares every serve until the next fold the anti-join entirely
+    graft.core.ParquetCompact.rewrite(spark, path,
+      partitionCols = Seq("cluster"),
+      transform = p => p.join(ids, Seq(idCol), "left_anti"),
+      dropHidden = Set("_tombstones"))
+    graft.core.Pinned.release(ids)
+    fs.delete(tp, true) // heal pre-dropHidden crash leftovers
   }
 
   /** UPSERT — replace-by-id, the vector-db ingestion op for MODIFIED
@@ -756,6 +764,12 @@ object Ivf {
     if (!fs.exists(p)) return
     val w = Window.partitionBy(col(idCol))
       .orderBy(coalesce(col("seq"), lit(0L)).desc)
+    // dropHidden, NOT a post-promote delete: the rewrite re-baselines
+    // every seq to 0, so a carried-over `_latest` (latest_seq >= 1)
+    // surviving a crash between the promote and a separate sidecar
+    // delete would mask EVERY upserted id's only posting — excluding
+    // it from the carry-over retires the mask atomically WITH the
+    // layout swap (no crash window exists)
     graft.core.ParquetCompact.rewrite(spark, path,
       partitionCols = Seq("cluster"),
       transform = d => {
@@ -764,7 +778,10 @@ object Ivf {
         dd.withColumn("__vrk", row_number().over(w))
           .where(col("__vrk") === 1).drop("__vrk")
           .withColumn("seq", lit(0L))
-      })
+      },
+      dropHidden = Set("_latest"))
+    // defensive: nothing to delete on the happy path (the swap shed
+    // it), but heal any sidecar a PRE-dropHidden crash left behind
     fs.delete(new org.apache.hadoop.fs.Path(latestPath(path)), true)
   }
 
@@ -1015,6 +1032,100 @@ object Ivf {
     else r.getLong(0).toDouble / r.getDouble(1)
   }
 
+  /** SEGMENT MERGE — absorb the layout at `srcPath` into `dstPath`
+    * as a METADATA-ONLY operation: each cluster partition's files
+    * RENAME across (no data bytes move on a rename-capable
+    * filesystem). This is what makes the distributed 100 TB build
+    * topology work: shard the corpus, build every shard's index in
+    * parallel under ONE frozen coarse quantizer, then merge segments
+    * in O(files) metadata time instead of re-writing index bytes —
+    * the Lucene segment-merge move, re-expressed on a partitioned
+    * parquet layout (where it is even cheaper: cluster partitioning
+    * means merged files never need row-level interleaving).
+    *
+    * Correctness contract:
+    *  - both layouts must carry a persisted `_model` describing the
+    *    SAME coarse quantizer (codes assigned under different
+    *    quantizers are garbage when mixed — loud error, the
+    *    [[ensurePair]] argument applied across layouts); a `_pq`
+    *    sidecar, if present on either side, must be present and
+    *    bit-identical on both.
+    *  - both sides' read schemas must agree (a versioned layout
+    *    cannot absorb an unversioned one — the seq column would be
+    *    null-filled by schema merge and the serving mask undefined).
+    *  - tombstone/version sidecars FOLD on both sides first: their
+    *    semantics are per-layout (src's seq epochs and mask ids are
+    *    meaningless in dst's domain). No-op when absent.
+    *  - single-writer, like the rest of the family; crash-safe by
+    *    IDEMPOTENCE rather than atomicity — each rename is atomic,
+    *    a crashed merge leaves every file in exactly one layout, and
+    *    a re-run moves the remainder (src's `_model` is deleted
+    *    LAST, so the re-run still verifies). Readers may observe dst
+    *    mid-grow: the appendToIndex visibility contract.
+    */
+  def mergeInto(spark: SparkSession, dstPath: String, srcPath: String,
+                idCol: String = "vec_id"): Unit = {
+    graft.core.DirSwap.recoverAt(spark, dstPath)
+    graft.core.DirSwap.recoverAt(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = src.getFileSystem(hc)
+    if (!fs.exists(src)) return // absent src IS an empty layout
+    require(fs.exists(dst), s"merge destination $dstPath does not exist")
+    require(fs.exists(new org.apache.hadoop.fs.Path(modelPath(srcPath))) &&
+        fs.exists(new org.apache.hadoop.fs.Path(modelPath(dstPath))),
+      "mergeInto needs _model persisted on BOTH layouts (Ivf.saveModel/" +
+        "ensurePair): it is the only witness that the codes are " +
+        "assigned under one quantizer")
+    require(sameModel(loadModel(spark, modelPath(srcPath)),
+        loadModel(spark, modelPath(dstPath))),
+      s"$srcPath and $dstPath are assigned under DIFFERENT coarse " +
+        "quantizers — rebuild one side under the other's model")
+    val spq = new org.apache.hadoop.fs.Path(pqPath(srcPath))
+    val dpq = new org.apache.hadoop.fs.Path(pqPath(dstPath))
+    require(fs.exists(spq) == fs.exists(dpq),
+      s"one of $srcPath/$dstPath is PQ-coded and the other is not")
+    if (fs.exists(spq))
+      require(samePq(Pq.loadModel(spark, pqPath(srcPath)),
+          Pq.loadModel(spark, pqPath(dstPath))),
+        s"$srcPath and $dstPath are encoded under DIFFERENT codebooks")
+    // sidecars fold BEFORE the move; schema check after (folding a
+    // versioned layout keeps its seq column, so the check is stable)
+    foldTombstones(spark, srcPath, idCol)
+    foldVersions(spark, srcPath, idCol)
+    foldTombstones(spark, dstPath, idCol)
+    foldVersions(spark, dstPath, idCol)
+    val sFields = spark.read.parquet(srcPath).schema.fieldNames.toSet
+    val dFields = spark.read.parquet(dstPath).schema.fieldNames.toSet
+    require(sFields == dFields,
+      s"layout schemas differ: src $sFields vs dst $dFields — a " +
+        "versioned layout cannot absorb an unversioned one")
+    fs.listStatus(src).foreach { part =>
+      val n = part.getPath.getName
+      if (part.isDirectory && n.startsWith("cluster=")) {
+        val target = new org.apache.hadoop.fs.Path(dst, n)
+        fs.mkdirs(target)
+        fs.listStatus(part.getPath).foreach { f =>
+          val plain = new org.apache.hadoop.fs.Path(target, f.getPath.getName)
+          // same-name collision is only possible between DISTINCT
+          // files (a rename leaves no copy behind to re-move) —
+          // disambiguate instead of clobbering
+          val to = if (fs.exists(plain))
+            new org.apache.hadoop.fs.Path(target,
+              f"m${srcPath.hashCode & 0x7fffffff}%x-${f.getPath.getName}%s")
+          else plain
+          require(fs.rename(f.getPath, to),
+            s"merge rename failed: ${f.getPath} -> $to")
+        }
+      }
+    }
+    // src dies LAST — its _model must outlive the moves so a crashed
+    // merge's re-run can still verify the pair before moving the rest
+    fs.delete(src, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
+  }
+
   /** Quantized on-disk index: the vector column is replaced by its
     * int8 codes (BinaryType), quartering index bytes — the layout
     * [[searchInt8]] serves from at scale (same cluster partitioning,
@@ -1165,16 +1276,17 @@ object Ivf {
     pq.foreach { p =>
       val pp = pqPath(path)
       if (fs.exists(new org.apache.hadoop.fs.Path(pp))) {
-        val prev = Pq.loadModel(spark, pp)
-        require(prev.m == p.m && prev.dsub == p.dsub &&
-            prev.ksub == p.ksub &&
-            (0 until p.m).forall(j => (0 until p.ksub).forall(c =>
-              prev.codebooks(j)(c).sameElements(p.codebooks(j)(c)))),
+        require(samePq(Pq.loadModel(spark, pp), p),
           s"$path already holds codes encoded under DIFFERENT codebooks " +
             "— pass the persisted pair (Ivf.loadPq), or rebuild")
       } else Pq.saveModel(spark, p, pp)
     }
   }
+
+  private def samePq(prev: Pq.PqModel, p: Pq.PqModel): Boolean =
+    prev.m == p.m && prev.dsub == p.dsub && prev.ksub == p.ksub &&
+      (0 until p.m).forall(j => (0 until p.ksub).forall(c =>
+        prev.codebooks(j)(c).sameElements(p.codebooks(j)(c))))
 
   private def sameModel(a: IvfModel, b: IvfModel): Boolean =
     a.centroids.length == b.centroids.length &&
@@ -1569,5 +1681,90 @@ object Ivf {
         .as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** BINARY-QUANTIZED serving layout — sign bits only, ceil(d/8)
+    * bytes per posting (32× under float32 at ANY dimension, the
+    * coarsest tier of the family: float → int8 4× → PQ m-byte →
+    * sign bits). Unlike PQ it needs NO trained codebooks — encoding
+    * is a pure function of the vector — so there is no frozen-
+    * codebook pair to manage beyond the coarse quantizer, and the
+    * layout can never drift from a stale codebook. Serve with
+    * [[searchBqIndex]] (Hamming shortlist + exact rescore).
+    */
+  def writeIndexBq(postings: DataFrame, vecCol: String, path: String): Unit =
+    postings
+      .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** [[appendToIndexInt8]]'s twin for the sign-bit layout — assign
+    * under the frozen coarse quantizer, encode, dynamic-partition
+    * append; encoding is training-free so grown ≡ one-shot
+    * unconditionally.
+    */
+  def appendToIndexBq(df: DataFrame, vecCol: String, model: IvfModel,
+                      path: String): Unit = {
+    graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
+    assign(df, vecCol, model)
+      .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
+      .drop(vecCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
+
+  /** Binary-quantized ANN from the [[writeIndexBq]] layout — the
+    * [[searchPqIndex]] plan shape with the cheapest possible
+    * candidate kernel: the probe reads ceil(d/8) BYTES per posting
+    * and scores one XOR+popcount per 64 dims (symmetric Hamming —
+    * the query binarizes too), then only the ≤ k·oversample
+    * Hamming-nearest survivors back-join the float vector table
+    * (broadcast semi-probe, never a shuffle of it) for the exact
+    * cosine rescore. Shortlist ties break on id so the stage is
+    * deterministic and oracle-replayable. Same ≤ k·oversample
+    * exactness bound as the PQ family at the exhaustive probe.
+    */
+  def searchBqIndex(index: DataFrame, vectors: DataFrame,
+                    queries: DataFrame, vecCol: String, idCol: String,
+                    model: IvfModel, k: Int, nprobe: Int = 4,
+                    oversample: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.{bitHamming, cosineSimD, signBits}
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        signBits(col(vecCol)).as("qc"))
+      .withColumn("cluster", explode(nearestCol(col("qv"), model, nprobe)))
+    val c = index.select(col("cluster"), col(idCol).as("nid"), col("codes"))
+    val cand = c.join(broadcast(q.drop("qv")), Seq("cluster"))
+      .where(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid").asc)
+    val short = cand
+      .select(col("qid"), col("nid"),
+        bitHamming(col("codes"), col("qc")).as("ham"))
+      .withColumn("rk1", row_number().over(w1))
+      .where(col("rk1") <= k * oversample)
+      .select(col("qid"), col("nid"))
+    val nv = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val qv = q.select(col("qid"), col("qv")).dropDuplicates("qid")
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    nv.join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineSimD(col("nv"), col("qv")).as("sim"))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+  }
+
+  /** Filter-inside-search over the sign-bit layout ([[searchBqIndex]]
+    * serving shape; same ≤ k·oversample exactness bound as
+    * [[searchPqIndexFiltered]]).
+    */
+  def searchBqIndexFiltered(index: DataFrame, vectors: DataFrame,
+                            queries: DataFrame, vecCol: String,
+                            idCol: String, model: IvfModel, k: Int,
+                            filter: Column, nprobe0: Int = 4,
+                            oversample: Int = 4): DataFrame = {
+    val filtered = index.where(filter)
+    adaptiveFill(queries, idCol, k, model.nlist, nprobe0)((qs, p) =>
+      searchBqIndex(filtered, vectors, qs, vecCol, idCol, model,
+        k, p, oversample))
   }
 }

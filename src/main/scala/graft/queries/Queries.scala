@@ -2924,6 +2924,38 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // SEGMENT MERGE — the distributed build topology: two shard
+    // indexes built independently under ONE frozen quantizer, then
+    // absorbed file-move-wise (Ivf.mergeInto, metadata-only); the
+    // merged serve must equal the one-shot build bit-for-bit, so the
+    // oracle is the same ivf_topk_int8 golden
+    "ivf_topk_merged" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("ivf_merge")
+      val idxA = root.resolve("shardA").toString
+      val idxB = root.resolve("shardB").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), "embedding", idxA)
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") > half),
+          "embedding", model), "embedding", idxB)
+      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idxA))
+      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idxB))
+      graft.pipeline.Ivf.mergeInto(s, idxA, idxB)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idxA),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          graft.pipeline.Ivf.loadModel(s, graft.pipeline.Ivf.modelPath(idxA)),
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the residual codes layout's incremental lifecycle — AND its
     // restartability: the serve runs with the (coarse, codebook)
     // pair RELOADED from the layout (writeIndexPqResidual persists
@@ -4154,6 +4186,77 @@ object Queries {
           graft.pipeline.Ivf.readIndex(s, idx), emb,
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
           ivf2, pq2, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // BINARY QUANTIZATION — the coarsest tier of the layout family
+    // (sign bits, 32x under float32 at any dimension, training-free):
+    // Hamming shortlist over the probed cells' 8-byte signatures,
+    // exact rescore on the k*oversample survivors; golden mirrors
+    // the shortlist (ham asc, id asc) and the rescore exactly
+    "ivf_topk_bq" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfbq_idx")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexBq(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.searchBqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the sign-bit layout's incremental lifecycle — encoding is
+    // training-free, so grown ≡ one-shot unconditionally (same golden)
+    "ivf_topk_bq_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfbq_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexBq(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.appendToIndexBq(emb.where(col("vec_id") > half),
+        "embedding", model, idx)
+      graft.pipeline.Ivf.searchBqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // filter-inside-search on the sign-bit layout: with < k matches
+    // the widening escalates to the exhaustive probe, whose Hamming
+    // shortlist holds EVERY match — the exact rescore then meets the
+    // same DuckDB brute-force-over-the-filter oracle as the float,
+    // raw-PQ, residual, and int8 rows (all FIVE serving layouts)
+    "ivf_topk_bq_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivfbq_filt")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexBq(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.searchBqIndexFiltered(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5,
+          filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
@@ -5537,6 +5640,30 @@ object Queries {
     "ivf_topk_pq256" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq256.parquet' ORDER BY qid, rk",
 
+    // sign-bit binary quantization: the golden mirrors the Hamming
+    // shortlist + exact rescore; the incremental row is the SAME
+    // golden (training-free encoding => grown ≡ one-shot)
+    "ivf_topk_bq" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_bq_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
+
+    // the sign-bit layout under the < k-match predicate — exhaustive
+    // escalation + exact rescore ⇒ the direct brute-force oracle
+    "ivf_topk_bq_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     "ivf_topk_pqr" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
@@ -5989,6 +6116,11 @@ object Queries {
     // append-grown codes layout ≡ the one-shot build (pure encoding
     // under frozen models) — same golden
     "ivf_topk_int8_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // two shard builds under one frozen quantizer, file-move merged
+    // ≡ the one-shot build (same golden)
+    "ivf_topk_merged" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // the raw-PQ twin, serving from the reloaded pair — same golden

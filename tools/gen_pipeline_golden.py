@@ -565,7 +565,7 @@ def gen_ivf_topk_filtered_recall(emb, nlist=16, iters=3, k=5, nprobe0=1,
         pending = [q for q in pending if q not in filled]
         p = min(p * 2, nlist)
     acc.sort(key=lambda r: (r[0], r[3]))
-    write("ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
+    write("ivf_topk_filtered_recall",
           pd.DataFrame(acc, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE",
            "rk": "BIGINT"})
@@ -1182,6 +1182,38 @@ def gen_ivf_pq(emb, k=5, nlist=16, iters=3, nprobe=4, m=8, ksub=16,
                     for _, n in scored[:k * oversample]}
     rows = rank_topk(cands, k)
     write(out,
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def gen_ivf_bq(emb, k=5, nlist=16, iters=3, nprobe=4, oversample=4):
+    """Mirror of Ivf.searchBqIndex: sign-bit codes (bit j set iff
+    v[j] > 0, strict), symmetric Hamming shortlist of the probed
+    clusters' postings (ham asc, nid asc — deterministic), exact
+    cosine rescore on the k*oversample survivors."""
+    cents = ivf_train(emb, nlist, iters)
+    assign = {i: ivf_nearest(cents, v, 1)[0] for i, v in emb}
+    sig = {i: sum(1 << j for j, x in enumerate(v) if x > 0.0)
+           for i, v in emb}
+    vec = dict(emb)
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        seen = set()
+        scored = []
+        for cl in ivf_nearest(cents, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in seen:
+                    seen.add(n)
+                    scored.append((bin(sig[n] ^ sig[q]).count("1"), n))
+        scored.sort()
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q])
+                    for _, n in scored[:k * oversample]}
+    rows = rank_topk(cands, k)
+    write("ivf_topk_bq",
           pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
@@ -2134,7 +2166,7 @@ def main():
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
-              "ivf_topk_pq256",
+              "ivf_topk_pq256", "ivf_topk_bq",
               "mmr_topk",
               "corpus_cluster_sample"):
         if want(n):
@@ -2147,6 +2179,8 @@ def main():
         gen_ann_pq(emb)
     if want("ivf_topk_pq"):
         gen_ivf_pq(emb)
+    if want("ivf_topk_bq"):
+        gen_ivf_bq(emb)
     if want("ivf_topk_pqr"):
         gen_ivf_pqr(emb)
     if want("ivf_topk_pq256"):
