@@ -1265,6 +1265,27 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // recall@k of the sign-bit tier against the same brute-force
+    // truth as its siblings — the number a deployment must check
+    // before trading 8-byte codes for the PQ/int8 tiers
+    "ann_recall_bq" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val codes = graft.pipeline.Ivf.assign(emb, "embedding", model)
+        .withColumn("codes",
+          graft.functions.VectorFunctions.signBits(col("embedding")))
+        .drop("embedding")
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.searchBqIndex(codes, emb, qs, "embedding",
+            "vec_id", model, k = 5, nprobe = 4, oversample = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     "ann_topk_mmr" -> ((s, d) => {
       // MMR-diversified retrieval: distributed candidate top-N +
       // bounded driver greedy rerank (relevance − λ-weighted
@@ -4061,6 +4082,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "stream_bq_search" -> ((s, d) => {
+      // the SIGN-BIT serving layout maintained on ingest: 4
+      // microbatches append 8-byte signatures under the frozen
+      // coarse quantizer with a mid-stream compaction; training-free
+      // encoding ⇒ grown ≡ one-shot, so the ivf_topk_bq golden pins
+      // the whole streamed lifecycle (the serve reloads the model
+      // persisted at first contact)
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("sbq_q")
+        .resolve("index").toString
+      graft.streaming.StreamingIvf.ingestBq(s, d, model, idx,
+        nBatches = 4, compactEvery = 2)
+      graft.pipeline.Ivf.searchBqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          graft.pipeline.Ivf.loadModel(s, graft.pipeline.Ivf.modelPath(idx)),
+          k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "stream_neardup" -> ((s, d) => {
       // streaming NEAR-dup dedup on ingest: every microbatch probes the
       // accumulated band-bucketed simhash index (equi-join), drop
@@ -5699,6 +5744,10 @@ object Queries {
     "stream_ivfpqr_search" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pqr.parquet' ORDER BY qid, rk",
 
+    // the sign-bit layout streamed on ingest ≡ one-shot (same golden)
+    "stream_bq_search" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
+
     "corpus_budget_select" ->
       """WITH t AS (
         |  SELECT doc_id AS doc,
@@ -5943,6 +5992,25 @@ object Queries {
          |    FROM p) t
          |  WHERE rk <= 5),
          |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_pqr.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // the sign-bit tier's recall against brute-force truth, with the
+    // approximate side pinned to the ivf_topk_bq golden
+    "ann_recall_bq" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_bq.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid

@@ -137,13 +137,41 @@ object StreamingIvf {
   def ingestCodes(spark: SparkSession, dir: String, model: IvfModel,
                   pq: graft.pipeline.Pq.PqModel, indexPath: String,
                   nBatches: Int = 4, compactEvery: Int = 0,
-                  compactFilesPerDir: Double = 0.0): Unit = {
+                  compactFilesPerDir: Double = 0.0): Unit =
+    ingestEncoded(spark, dir, model, Some(pq), indexPath, nBatches,
+      compactEvery, compactFilesPerDir, kind = "icodes") {
+      (batch, m) => Ivf.appendToIndexPqResidual(batch, "embedding",
+        pq, m, indexPath)
+    }
+
+  /** [[ingestCodes]] for the SIGN-BIT layout — the coarsest tier
+    * streamed on ingest. Training-free encoding means only the
+    * coarse quantizer persists with the layout (no codebook pair),
+    * and grown ≡ one-shot holds unconditionally, so the ivf_topk_bq
+    * golden oracles the streamed path.
+    */
+  def ingestBq(spark: SparkSession, dir: String, model: IvfModel,
+               indexPath: String, nBatches: Int = 4,
+               compactEvery: Int = 0,
+               compactFilesPerDir: Double = 0.0): Unit =
+    ingestEncoded(spark, dir, model, None, indexPath, nBatches,
+      compactEvery, compactFilesPerDir, kind = "ibq") {
+      (batch, m) => Ivf.appendToIndexBq(batch, "embedding", m, indexPath)
+    }
+
+  private def ingestEncoded(spark: SparkSession, dir: String,
+                            model: IvfModel,
+                            pq: Option[graft.pipeline.Pq.PqModel],
+                            indexPath: String, nBatches: Int,
+                            compactEvery: Int,
+                            compactFilesPerDir: Double, kind: String)
+                           (append: (DataFrame, IvfModel) => Unit): Unit = {
     val src = s"$dir/embeddings.parquet"
     val schema = spark.read.parquet(src).schema
     val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
-    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_sivfc_ckpt_")
+    val ckpt = EventStream.scratchCheckpointDir(spark, s"graft_s${kind}_ckpt_")
     val runId = BatchLedger.openRunForIndex(spark, indexPath,
-      Staging.runKey(spark, src, "vec_id", nBatches, kind = "icodes"),
+      Staging.runKey(spark, src, "vec_id", nBatches, kind = kind),
       dataPath = indexPath)
     // persist-or-verify, and only when there is data to ingest — a
     // save on an empty source would conjure a sidecar-only layout
@@ -152,7 +180,7 @@ object StreamingIvf {
     // run already encoded under a different pair (ensurePair errors
     // loudly instead)
     if (Staging.nonEmpty(stage))
-      Ivf.ensurePair(spark, model, Some(pq), indexPath)
+      Ivf.ensurePair(spark, model, pq, indexPath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -161,9 +189,7 @@ object StreamingIvf {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         BatchLedger.once(s, indexPath, runId, batchId) {
-          if (!batch.isEmpty)
-            Ivf.appendToIndexPqResidual(batch, "embedding", pq, model,
-              indexPath)
+          if (!batch.isEmpty) append(batch, model)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           Ivf.compactIndex(s, indexPath)
