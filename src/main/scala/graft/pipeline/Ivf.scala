@@ -1753,6 +1753,86 @@ object Ivf {
       .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
   }
 
+  /** GROUPED top-k — multi-tenant serving: top-k PER (query, group)
+    * over a codes layout whose `groupCol` rides the postings, in ONE
+    * probe pass. Where a per-group loop would probe the index once
+    * per tenant, here the candidate join key is (cluster, group):
+    * each posting meets only the query rows probing ITS tenant, so
+    * tenant isolation is free join pruning, not post-filtering —
+    * the batched generalization of the reference's per-conversation
+    * filter (app.py:250-263) to "context for EVERY conversation in
+    * one pass" (per-source retrieval quotas, per-shard dedup
+    * candidates, per-domain nearest neighbors).
+    *
+    * `groups` is one column named `groupCol` and must be
+    * contract-bounded like the queries frame (queries × groups
+    * broadcasts). Fill semantics ride [[adaptiveFill]] with the
+    * synthetic (query, group) id: a dense tenant stops at its narrow
+    * probe, a sparse one escalates per-tenant to the exhaustive
+    * probe — at which point its rows are EXACT over that tenant's
+    * postings (`nprobe0 = nlist` forces that for every tenant, the
+    * gate-row configuration).
+    */
+  def searchGrouped(postings: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String, model: IvfModel,
+                    k: Int, groupCol: String, groups: DataFrame,
+                    nprobe0: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimD
+    val qx = queries.select(col(idCol).as("__oqid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("__grp")).distinct()))
+      .withColumn("gqid", concat_ws("#", col("__oqid"), col("__grp")))
+    val res = adaptiveFill(qx, "gqid", k, model.nlist, nprobe0) { (qs, p) =>
+      val q = qs.select(col("gqid").as("qid"), col("__oqid"), col("__grp"),
+          col("qv"))
+        .withColumn("cluster", explode(nearestCol(col("qv"), model, p)))
+      val c = postings.select(col("cluster"), col(idCol).as("nid"),
+        col(groupCol).as("__grp"), col(vecCol).as("nv"))
+      val cand = c.join(broadcast(q), Seq("cluster", "__grp"))
+        .where(col("nid") =!= col("__oqid"))
+        .dropDuplicates("qid", "nid")
+      val scored = cand.select(col("qid"), col("__oqid"), col("__grp"),
+        col("nid"), cosineSimD(col("nv"), col("qv")).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    }
+    res.select(col("__oqid").as("qid"), col("__grp").as(groupCol),
+      col("nid"), col("sim"), col("rk"))
+  }
+
+  /** [[searchGrouped]] from the int8 codes serving layout — the same
+    * (cluster, group) candidate join over 4×-compressed postings,
+    * scored by the exact-integer kernel.
+    */
+  def searchCodesGrouped(index: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String, model: IvfModel,
+                         k: Int, groupCol: String, groups: DataFrame,
+                         nprobe0: Int = 4): DataFrame = {
+    val qx = queries.select(col(idCol).as("__oqid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("__grp")).distinct()))
+      .withColumn("gqid", concat_ws("#", col("__oqid"), col("__grp")))
+    val res = adaptiveFill(qx, "gqid", k, model.nlist, nprobe0) { (qs, p) =>
+      val q = qs.select(col("gqid").as("qid"), col("__oqid"), col("__grp"),
+          Similarity.int8Codes(col("qv")).as("qc"), col("qv"))
+        .withColumn("cluster", explode(nearestCol(col("qv"), model, p)))
+        .drop("qv")
+      val c = index.select(col("cluster"), col(idCol).as("nid"),
+        col(groupCol).as("__grp"), col("codes").as("nc"))
+      val cand = c.join(broadcast(q), Seq("cluster", "__grp"))
+        .where(col("nid") =!= col("__oqid"))
+        .dropDuplicates("qid", "nid")
+      val scored = cand.select(col("qid"), col("__oqid"), col("__grp"),
+        col("nid"),
+        graft.functions.VectorFunctions.int8CosineSim(col("nc"), col("qc"))
+          .as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    }
+    res.select(col("__oqid").as("qid"), col("__grp").as(groupCol),
+      col("nid"), col("sim"), col("rk"))
+  }
+
   /** Filter-inside-search over the sign-bit layout ([[searchBqIndex]]
     * serving shape; same ≤ k·oversample exactness bound as
     * [[searchPqIndexFiltered]]).

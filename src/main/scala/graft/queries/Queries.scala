@@ -1286,6 +1286,27 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // GROUPED top-k (multi-tenant serving): top-k per (query, label)
+    // in ONE probe pass — candidates join on (cluster, group), so
+    // tenant isolation is join pruning. At nprobe0 = nlist every
+    // tenant's rows are exact over its postings, so DuckDB's
+    // windowed brute force per (query, label) is the direct oracle
+    "ivf_topk_grouped" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.searchGrouped(postings,
+          emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+          k = 5, groupCol = "label",
+          groups = emb.select(col("label")).distinct(),
+          nprobe0 = 16)
+        .select(col("qid"), col("label"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("label"), col("rk"))
+    }),
+
     "ann_topk_mmr" -> ((s, d) => {
       // MMR-diversified retrieval: distributed candidate top-N +
       // bounded driver greedy rerank (relevance − λ-weighted
@@ -5996,6 +6017,21 @@ object Queries {
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
          |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // grouped top-k at the exhaustive probe: top-5 per (query,
+    // label) straight off DuckDB's window over the brute-force sims
+    "ivf_topk_grouped" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.label AS label, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id)
+         |SELECT qid, label, nid, sim, rk FROM (
+         |  SELECT qid, label, nid, sim,
+         |    row_number() OVER (PARTITION BY qid, label
+         |                       ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, label, rk""".stripMargin,
 
     // the sign-bit tier's recall against brute-force truth, with the
     // approximate side pinned to the ivf_topk_bq golden
