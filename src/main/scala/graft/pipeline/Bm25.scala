@@ -362,6 +362,66 @@ object Bm25 {
     fs.delete(tp, true)
   }
 
+  /** SEGMENT MERGE — absorb the index at `srcPath` into `dstPath`
+    * with ZERO recompute: because readers SUM the stats rows and the
+    * per-term df rows across increments (the append design), a merge
+    * is nothing but renaming src's postings/df bucket files and
+    * stats row files into dst's layout — O(files) metadata time, no
+    * index bytes rewritten. The sharded build topology this enables:
+    * index each corpus shard in parallel (disjoint doc ids, the
+    * [[appendToIndex]] contract), then merge the segments; search
+    * over the merged index is bit-identical to a one-shot build over
+    * the union, for the same reason grown-by-append is.
+    *
+    * Src's tombstones fold first (the sidecar would be dropped by
+    * the move); dst's stay live — they mask only dst docs, still
+    * valid after the merge. Crash-safe by idempotence: each rename
+    * is atomic and a re-run moves the remainder. Run
+    * [[compactIndex]] after merging many segments.
+    */
+  def mergeInto(spark: SparkSession, dstPath: String,
+                srcPath: String): Unit = {
+    recoverLayouts(spark, dstPath)
+    recoverLayouts(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    if (!fs.exists(src)) return // absent src IS an empty index
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dstPath/stats")),
+      s"merge destination $dstPath does not exist")
+    foldTombstones(spark, srcPath)
+    // postings/df: per-bucket partition dirs; stats: flat row files
+    def moveFiles(fromDir: org.apache.hadoop.fs.Path,
+                  toDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(toDir)
+      fs.listStatus(fromDir).foreach { f =>
+        if (!f.isDirectory && f.getPath.getName != "_SUCCESS") {
+          val plain = new org.apache.hadoop.fs.Path(toDir, f.getPath.getName)
+          val to = if (fs.exists(plain))
+            new org.apache.hadoop.fs.Path(toDir,
+              f"m${srcPath.hashCode & 0x7fffffff}%x-${f.getPath.getName}%s")
+          else plain
+          require(fs.rename(f.getPath, to),
+            s"merge rename failed: ${f.getPath} -> $to")
+        }
+      }
+    }
+    Seq("postings", "df").foreach { sub =>
+      val from = new org.apache.hadoop.fs.Path(s"$srcPath/$sub")
+      if (fs.exists(from)) fs.listStatus(from).foreach { part =>
+        val n = part.getPath.getName
+        if (part.isDirectory && n.startsWith("bucket="))
+          moveFiles(part.getPath,
+            new org.apache.hadoop.fs.Path(s"$dstPath/$sub/$n"))
+      }
+    }
+    val fromStats = new org.apache.hadoop.fs.Path(s"$srcPath/stats")
+    if (fs.exists(fromStats))
+      moveFiles(fromStats, new org.apache.hadoop.fs.Path(s"$dstPath/stats"))
+    fs.delete(src, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
+  }
+
   /** Search the persisted index: identical results to [[topK]] over
     * the same corpus (spec + oracle pinned). Only the query terms'
     * buckets are read from both postings and df. Tombstoned docs

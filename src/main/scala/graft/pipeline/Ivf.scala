@@ -762,6 +762,20 @@ object Ivf {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    // No version history ⇒ no rewrite. Without a `_latest` sidecar
+    // the only possible leftovers are seq > 0 postings from a run
+    // that died inside its FIRST batch (append lands before the
+    // sidecar merge) — so: unversioned schema (no seq column) is a
+    // footer-read no-op, and a versioned layout with max(seq) = 0 is
+    // a one-column-scan no-op (a fold already re-baselined it; both
+    // checks are orders cheaper than the full rewrite they skip —
+    // this is also what keeps [[mergeInto]] metadata-only for
+    // unversioned sources).
+    if (!fs.exists(new org.apache.hadoop.fs.Path(latestPath(path)))) {
+      if (!spark.read.parquet(path).columns.contains("seq")) return
+      val mx = spark.read.parquet(path).agg(max(col("seq"))).head()
+      if (mx.isNullAt(0) || mx.getLong(0) == 0L) return
+    }
     val w = Window.partitionBy(col(idCol))
       .orderBy(coalesce(col("seq"), lit(0L)).desc)
     // dropHidden, NOT a post-promote delete: the rewrite re-baselines
@@ -1053,9 +1067,14 @@ object Ivf {
     *  - both sides' read schemas must agree (a versioned layout
     *    cannot absorb an unversioned one — the seq column would be
     *    null-filled by schema merge and the serving mask undefined).
-    *  - tombstone/version sidecars FOLD on both sides first: their
-    *    semantics are per-layout (src's seq epochs and mask ids are
-    *    meaningless in dst's domain). No-op when absent.
+    *  - SRC's tombstone/version sidecars FOLD first: they would be
+    *    dropped by the move (sidecars don't ride along) and their
+    *    semantics are per-layout anyway (src's seq epochs and mask
+    *    ids are meaningless in dst's domain). DST's sidecars stay
+    *    live and untouched — they mask only dst ids, which remain
+    *    valid after the merge, and folding the (big) destination on
+    *    every merge would turn a metadata move into a full rewrite.
+    *    No-op when absent.
     *  - single-writer, like the rest of the family; crash-safe by
     *    IDEMPOTENCE rather than atomicity — each rename is atomic,
     *    a crashed merge leaves every file in exactly one layout, and
@@ -1090,12 +1109,10 @@ object Ivf {
       require(samePq(Pq.loadModel(spark, pqPath(srcPath)),
           Pq.loadModel(spark, pqPath(dstPath))),
         s"$srcPath and $dstPath are encoded under DIFFERENT codebooks")
-    // sidecars fold BEFORE the move; schema check after (folding a
-    // versioned layout keeps its seq column, so the check is stable)
+    // src sidecars fold BEFORE the move; schema check after (folding
+    // a versioned layout keeps its seq column, so the check is stable)
     foldTombstones(spark, srcPath, idCol)
     foldVersions(spark, srcPath, idCol)
-    foldTombstones(spark, dstPath, idCol)
-    foldVersions(spark, dstPath, idCol)
     val sFields = spark.read.parquet(srcPath).schema.fieldNames.toSet
     val dFields = spark.read.parquet(dstPath).schema.fieldNames.toSet
     require(sFields == dFields,

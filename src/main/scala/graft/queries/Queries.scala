@@ -3101,6 +3101,32 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // and the sign-bit layout's — the layout-agnostic rewrite pinned
+    // on the fourth quantized tier too (rotated-decoy oracle: any
+    // surviving decoy posting owns a rank-1 slot and fails the row)
+    "ivf_topk_bq_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("ivfbq_del")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexBq(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), "embedding", idx)
+      graft.pipeline.Ivf.deleteVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.searchBqIndex(
+          graft.pipeline.Ivf.readIndex(s, idx), emb,
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          model, k = 5, nprobe = 4, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // and the int8 layout's — completing right-to-be-forgotten
     // coverage across ALL THREE quantized serving layouts
     "ivf_topk_int8_deleted" -> ((s, d) => {
@@ -4694,6 +4720,27 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // SEGMENT MERGE for the lexical index: two disjoint shard builds
+    // file-move merged with ZERO recompute (readers sum stats/df
+    // rows across increments, so a merge is renames) — search over
+    // the merged index ≡ the one-shot build, same golden
+    "bm25_topk_merged" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val root = java.nio.file.Files.createTempDirectory("bm25_merge")
+      val idxA = root.resolve("shardA").toString
+      val idxB = root.resolve("shardB").toString
+      val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.pipeline.Bm25.writeIndex(s, docs.where(col("doc_id") <= half),
+        "text", "doc_id", idxA)
+      graft.pipeline.Bm25.writeIndex(s, docs.where(col("doc_id") > half),
+        "text", "doc_id", idxB)
+      graft.pipeline.Bm25.mergeInto(s, idxA, idxB)
+      graft.pipeline.Bm25.searchIndex(s, idxA,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the full incremental lifecycle (build half, append the rest,
     // compact, search) — grown index must equal the one-shot build,
     // so the oracle is again the bm25_topk golden
@@ -5651,6 +5698,10 @@ object Queries {
     "bm25_topk_indexed" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
+    // two shard builds file-move merged ≡ one-shot (same golden)
+    "bm25_topk_merged" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
     "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
@@ -5713,6 +5764,11 @@ object Queries {
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
 
     "ivf_topk_bq_incremental" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
+
+    // decoy-oracled deletion on the sign-bit layout (same golden: a
+    // surviving decoy posting would displace a rank-1 row)
+    "ivf_topk_bq_deleted" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_bq.parquet' ORDER BY qid, rk",
 
     // the sign-bit layout under the < k-match predicate — exhaustive

@@ -55,8 +55,10 @@ object StreamingUpsert {
     // seqs — this run's seqs restart at 1 and would LOSE to that
     // dead history (mergeLatest keeps the max), permanently masking
     // and then fold-discarding the newer corrections. Folding any
-    // leftover history first re-baselines it to seq 0; a no-op (one
-    // fs.exists) when the previous run closed cleanly.
+    // leftover history first re-baselines it to seq 0; when the
+    // previous run closed cleanly this costs one fs.exists plus a
+    // max(seq) column scan (foldVersions' no-history short-circuit),
+    // never a rewrite.
     Ivf.foldVersions(spark, indexPath, idCol)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")

@@ -153,11 +153,15 @@ class BqMergeSpec extends SparkTestBase {
     Ivf.mergeInto(spark, a, b)
     val ids = spark.read.parquet(a).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(!ids.contains(1L) && !ids.contains(half + 1L),
-      "both sides' tombstones must fold into physical deletes before the move")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Path.of(s"$a/_tombstones")),
-      "the merged layout must carry no leftover mask")
+    assert(!ids.contains(half + 1L),
+      "src's tombstones must fold into physical deletes before the move")
+    // dst's own mask is NOT folded (that would rewrite the big side
+    // on every merge) — it stays live on the serving read
+    val serving = Ivf.readIndexServing(spark, a, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!serving.contains(1L),
+      "dst's tombstone must still mask on the serving read after merge")
+    assert(serving.contains(2L) && !serving.contains(half + 1L))
   }
 
   test("a crashed merge re-runs to completion (file-level idempotence)") {
