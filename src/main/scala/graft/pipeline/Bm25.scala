@@ -390,34 +390,13 @@ object Bm25 {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dstPath/stats")),
       s"merge destination $dstPath does not exist")
     foldTombstones(spark, srcPath)
-    // postings/df: per-bucket partition dirs; stats: flat row files
-    def moveFiles(fromDir: org.apache.hadoop.fs.Path,
-                  toDir: org.apache.hadoop.fs.Path): Unit = {
-      fs.mkdirs(toDir)
-      fs.listStatus(fromDir).foreach { f =>
-        if (!f.isDirectory && f.getPath.getName != "_SUCCESS") {
-          val plain = new org.apache.hadoop.fs.Path(toDir, f.getPath.getName)
-          val to = if (fs.exists(plain))
-            new org.apache.hadoop.fs.Path(toDir,
-              f"m${srcPath.hashCode & 0x7fffffff}%x-${f.getPath.getName}%s")
-          else plain
-          require(fs.rename(f.getPath, to),
-            s"merge rename failed: ${f.getPath} -> $to")
-        }
-      }
+    // postings/df: per-bucket partition dirs; stats: flat row files —
+    // all via the family's shared per-file-rename move
+    Seq("postings", "df", "stats").foreach { sub =>
+      graft.core.SegmentMerge.moveTree(fs,
+        new org.apache.hadoop.fs.Path(s"$srcPath/$sub"),
+        new org.apache.hadoop.fs.Path(s"$dstPath/$sub"))
     }
-    Seq("postings", "df").foreach { sub =>
-      val from = new org.apache.hadoop.fs.Path(s"$srcPath/$sub")
-      if (fs.exists(from)) fs.listStatus(from).foreach { part =>
-        val n = part.getPath.getName
-        if (part.isDirectory && n.startsWith("bucket="))
-          moveFiles(part.getPath,
-            new org.apache.hadoop.fs.Path(s"$dstPath/$sub/$n"))
-      }
-    }
-    val fromStats = new org.apache.hadoop.fs.Path(s"$srcPath/stats")
-    if (fs.exists(fromStats))
-      moveFiles(fromStats, new org.apache.hadoop.fs.Path(s"$dstPath/stats"))
     fs.delete(src, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
   }

@@ -199,6 +199,61 @@ object DedupIndex {
     graft.core.Pinned.release(fps)
   }
 
+  /** SEGMENT MERGE — the shard-parallel build topology for exact
+    * dedup: fingerprint each corpus shard into its own index
+    * concurrently (disjoint docs per shard), then absorb shard
+    * `srcPath` into `dstPath` INDEX-TO-INDEX — no document is ever
+    * re-fingerprinted. Src fps already in dst are dropped (dst's
+    * keeper wins, exactly [[appendNovel]]'s first-indexed-wins rule,
+    * so merging equals having appended src's corpus as an increment
+    * — oracle-pinned); novel fps append with src's keeper.
+    *
+    * Returns the CROSS-SHARD duplicate report the parallel topology
+    * otherwise loses — in the sequential flow every doc is probed
+    * against history before being indexed, but two shards built
+    * concurrently never saw each other: (doc = src keeper, keep_id,
+    * dup) in [[probe]]'s decision shape, for every src KEEPER (src's
+    * internal dups were decided at src's own build/probe time).
+    * Decisions are idempotent under a crash+re-run: a previously
+    * absorbed fp reports its (now indexed) keeper unchanged.
+    *
+    * 100 TB: the merge touches index rows only (16-byte fp + id per
+    * unique doc) — one bucket-aligned anti/left join and one append
+    * write, independent of corpus text bytes.
+    */
+  def mergeInto(spark: SparkSession, dstPath: String,
+                srcPath: String): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, dstPath)
+    graft.core.DirSwap.recoverAt(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    if (!fs.exists(src)) // absent src IS an empty index: nothing to
+      return spark.emptyDataFrame // report, nothing to move
+        .withColumn("doc", lit(null).cast("long"))
+        .withColumn("keep_id", lit(null).cast("long"))
+        .withColumn("dup", lit(null).cast("boolean"))
+    require(fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"merge destination $dstPath does not exist")
+    val srcRows = spark.read.parquet(srcPath)
+      .select(col("fp"), col("doc")).localCheckpoint(true)
+    val dstIdx = spark.read.parquet(dstPath)
+      .select(col("fp"), col("doc").as("idx_keep"))
+    // decisions snapshot BEFORE the append rewires the plans
+    val report = srcRows.join(dstIdx, Seq("fp"), "left")
+      .select(col("doc"),
+        coalesce(col("idx_keep"), col("doc")).as("keep_id"),
+        col("idx_keep").isNotNull.as("dup"))
+      .localCheckpoint(true)
+    srcRows.join(dstIdx, Seq("fp"), "left_anti")
+      .withColumn("bucket", bucketOf(col("fp")))
+      .repartition(IndexBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dstPath)
+    graft.core.Pinned.release(srcRows)
+    fs.delete(src, true)
+    report
+  }
+
   /** Crash-safe in-place small-file compaction; contents-invariant,
     * so probe results are unchanged (spec-pinned). Restores the
     * big-fp-sorted-file small-page shape the probe's per-fp page

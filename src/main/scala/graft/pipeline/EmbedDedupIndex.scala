@@ -158,6 +158,54 @@ object EmbedDedupIndex {
     pairs
   }
 
+  /** SEGMENT MERGE — the shard-parallel build topology for semantic
+    * dedup: sign each vector shard into its own index concurrently
+    * (disjoint docs, FROZEN (dim, bits, seed) across shards — the
+    * family's caller-owned params contract; mismatched signatures
+    * never collide and silently yield zero cross pairs), then absorb
+    * shard `srcPath` into `dstPath` via the per-file-rename move —
+    * zero re-signing, zero rows rewritten.
+    *
+    * Returns the CROSS-SHARD pair report the parallel topology
+    * otherwise loses: every (d1 < d2, sim ≥ threshold) same-bucket
+    * pair with one doc per shard, verified inline from the vector
+    * that rides every signature row. Pre-move snapshot semantics on
+    * a crash, per the family contract ([[NearDupIndex.mergeInto]]).
+    */
+  def mergeInto(spark: SparkSession, dstPath: String, srcPath: String,
+                threshold: Double = 0.3): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimD
+    graft.core.DirSwap.recoverAt(spark, dstPath)
+    graft.core.DirSwap.recoverAt(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    def empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "sim")
+    }
+    if (!fs.exists(src)) return empty // absent src IS an empty index
+    require(fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"merge destination $dstPath does not exist")
+    val sSig = spark.read.parquet(srcPath)
+      .select(col("bucket"), col("doc").as("sdoc"), col("vec").as("sv"))
+    val dSig = spark.read.parquet(dstPath)
+      .select(col("bucket"), col("doc").as("ddoc"), col("vec").as("dv"))
+    val pairs = sSig.join(dSig, Seq("bucket"))
+      .where(col("sdoc") =!= col("ddoc"))
+      .select(least(col("sdoc"), col("ddoc")).as("d1"),
+        greatest(col("sdoc"), col("ddoc")).as("d2"),
+        when(col("sdoc") < col("ddoc"), cosineSimD(col("sv"), col("dv")))
+          .otherwise(cosineSimD(col("dv"), col("sv"))).as("sim"))
+      .dropDuplicates("d1", "d2")
+      .where(col("sim") >= threshold)
+      .localCheckpoint(true) // pre-move snapshot
+    graft.core.SegmentMerge.moveTree(fs, src,
+      new org.apache.hadoop.fs.Path(dstPath))
+    fs.delete(src, true)
+    pairs
+  }
+
   /** Crash-safe in-place compaction (shared [[graft.core.ParquetCompact]]
     * two-rename swap); contents-invariant, restores the bucket-sorted
     * small-page probe shape.

@@ -201,6 +201,28 @@ object Hybrid {
       Bm25.compactIndex(spark, s"$root/bm25"),
       Ivf.compactIndex(spark, s"$root/ivf"))
 
+  /** SEGMENT MERGE for the paired layout — absorb `srcRoot` into
+    * `dstRoot` on BOTH sides (the [[Bm25.mergeInto]] and
+    * [[Ivf.mergeInto]] file-move merges, run concurrently): the
+    * sharded hybrid build topology, with the pairing invariant
+    * preserved because the two sub-merges share the all-or-nothing
+    * heal-by-retry story — a crash between sides leaves one side
+    * merged and one not, and re-running the call no-ops the consumed
+    * side (an absent src sub-layout IS an empty merge) while the
+    * other catches up, so the pair never serves skewed for longer
+    * than the retry. [[Ivf.mergeInto]]'s model check enforces that
+    * both shards were built under ONE frozen quantizer.
+    */
+  def mergeInto(spark: SparkSession, dstRoot: String,
+                srcRoot: String): Unit = {
+    bothSides(
+      Bm25.mergeInto(spark, s"$dstRoot/bm25", s"$srcRoot/bm25"),
+      Ivf.mergeInto(spark, s"$dstRoot/ivf", s"$srcRoot/ivf"))
+    val src = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(src, true) // now-empty root (+ any src oplog ledger)
+  }
+
   /** Serve the fused top-k from the paired layout: lexical list from
     * the persisted BM25 buckets, dense list from the persisted IVF
     * postings, RRF-fused — the disk-served twin of [[hybridTopK]]

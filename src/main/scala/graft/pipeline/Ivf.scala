@@ -1118,25 +1118,8 @@ object Ivf {
     require(sFields == dFields,
       s"layout schemas differ: src $sFields vs dst $dFields — a " +
         "versioned layout cannot absorb an unversioned one")
-    fs.listStatus(src).foreach { part =>
-      val n = part.getPath.getName
-      if (part.isDirectory && n.startsWith("cluster=")) {
-        val target = new org.apache.hadoop.fs.Path(dst, n)
-        fs.mkdirs(target)
-        fs.listStatus(part.getPath).foreach { f =>
-          val plain = new org.apache.hadoop.fs.Path(target, f.getPath.getName)
-          // same-name collision is only possible between DISTINCT
-          // files (a rename leaves no copy behind to re-move) —
-          // disambiguate instead of clobbering
-          val to = if (fs.exists(plain))
-            new org.apache.hadoop.fs.Path(target,
-              f"m${srcPath.hashCode & 0x7fffffff}%x-${f.getPath.getName}%s")
-          else plain
-          require(fs.rename(f.getPath, to),
-            s"merge rename failed: ${f.getPath} -> $to")
-        }
-      }
-    }
+    graft.core.SegmentMerge.moveTree(fs, src, dst,
+      keepDir = _.startsWith("cluster="))
     // src dies LAST — its _model must outlive the moves so a crashed
     // merge's re-run can still verify the pair before moving the rest
     fs.delete(src, true)

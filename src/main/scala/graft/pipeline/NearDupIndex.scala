@@ -359,6 +359,84 @@ object NearDupIndex {
     pairs
   }
 
+  /** SEGMENT MERGE — the shard-parallel build topology for near-dup:
+    * minhash each corpus shard into its own index concurrently
+    * (disjoint docs, FROZEN params across shards — band keys from
+    * different (w, bands, rows, seed) never collide and would
+    * silently yield zero cross pairs, the same caller-owned contract
+    * as [[probe]]), then absorb shard `srcPath` into `dstPath`. Band
+    * rows and shingle sets are per-doc, so the absorb is the family's
+    * per-file-rename move — zero re-minhashing, zero rows rewritten.
+    *
+    * Returns the CROSS-SHARD pair report the parallel topology
+    * otherwise loses: every (d1 < d2, jac ≥ threshold) pair with one
+    * doc per shard, candidates blocked on a shared persisted band
+    * key, verified from the persisted shingle sets — so build-A pairs
+    * ∪ build-B pairs ∪ merge pairs ∪ later probes equals the one-shot
+    * [[Dedup.minhashCandidatePairs]] over the union (oracle-pinned).
+    * The report is a pre-move snapshot: a crash before the move
+    * completes re-runs to a completed MOVE (per-file idempotence),
+    * but the re-run's report only covers the not-yet-moved remainder
+    * — a caller needing the pairs exactly-once persists them before
+    * consuming, the family's snapshot contract.
+    *
+    * Src's tombstone story: none (deletes here are physical), so
+    * unlike [[graft.pipeline.Ivf.mergeInto]] there is nothing to fold.
+    *
+    * 100 TB: candidates come from one (band, bucket) equi-join of two
+    * band layouts PARTITIONED THE SAME WAY (per-cell joins, no
+    * all-pairs), verification reads only candidate docs' set buckets.
+    */
+  def mergeInto(spark: SparkSession, dstPath: String, srcPath: String,
+                threshold: Double = 0.5): DataFrame = {
+    import graft.functions.HashFunctions.jaccardSim
+    recoverLayouts(spark, dstPath)
+    recoverLayouts(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    def empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "jac")
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/bands"))) {
+      fs.delete(src, true) // absent bands IS an empty index
+      return empty
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dstPath/bands")),
+      s"merge destination $dstPath does not exist")
+    // cross candidates: both layouts' own persisted band keys
+    val sBnd = spark.read.parquet(s"$srcPath/bands")
+      .select(col("band"), col("bucket"), col("doc").as("sdoc"))
+    val dBnd = spark.read.parquet(s"$dstPath/bands")
+      .select(col("band"), col("bucket"), col("doc").as("ddoc"))
+    val cand = sBnd.join(dBnd, Seq("band", "bucket"))
+      .where(col("sdoc") =!= col("ddoc"))
+      .select(least(col("sdoc"), col("ddoc")).as("d1"),
+        greatest(col("sdoc"), col("ddoc")).as("d2"))
+      .distinct()
+    // verify from the persisted shingle sets of BOTH shards
+    val hsAll = spark.read.parquet(s"$srcPath/sets")
+      .select(col("doc"), col("hs"))
+      .unionByName(spark.read.parquet(s"$dstPath/sets")
+        .select(col("doc"), col("hs")))
+      .dropDuplicates("doc")
+    val pairs = cand
+      .join(hsAll.select(col("doc").as("d1"), col("hs").as("h1")), Seq("d1"))
+      .join(hsAll.select(col("doc").as("d2"), col("hs").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        jaccardSim(col("h1"), col("h2")).as("jac"))
+      .where(col("jac") >= threshold)
+      .localCheckpoint(true) // pre-move snapshot
+    Seq("bands", "sets").foreach { sub =>
+      graft.core.SegmentMerge.moveTree(fs,
+        new org.apache.hadoop.fs.Path(s"$srcPath/$sub"),
+        new org.apache.hadoop.fs.Path(s"$dstPath/$sub"))
+    }
+    fs.delete(src, true)
+    pairs
+  }
+
   /** Crash-safe in-place small-file compaction of both sub-layouts
     * (the shared [[graft.core.ParquetCompact]] pass);
     * contents-invariant, so probe results are unchanged.

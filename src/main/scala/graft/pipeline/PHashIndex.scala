@@ -224,6 +224,57 @@ object PHashIndex {
     pairs
   }
 
+  /** SEGMENT MERGE — the shard-parallel build topology for
+    * perceptual dedup: hash each media shard into its own index
+    * concurrently (disjoint docs, ONE hasher and frozen band count
+    * across shards — the family's caller-owned params contract), then
+    * absorb shard `srcPath` into `dstPath` via the per-file-rename
+    * move — zero re-decoding, zero rows rewritten.
+    *
+    * Returns the CROSS-SHARD pair report the parallel topology
+    * otherwise loses: every (d1 < d2, dist ≤ maxDist) pair with one
+    * doc per shard — candidates blocked on a shared persisted band
+    * key (pigeonhole-lossless for maxDist < [[Bands]], same as the
+    * probes), verified inline from the hash that rides every band
+    * row. Pre-move snapshot semantics on a crash, per the family
+    * contract ([[NearDupIndex.mergeInto]]).
+    */
+  def mergeInto(spark: SparkSession, dstPath: String, srcPath: String,
+                maxDist: Int = 6): DataFrame = {
+    require(maxDist < Bands,
+      s"banded blocking is only lossless for maxDist < $Bands bands")
+    graft.core.DirSwap.recoverAt(spark, dstPath)
+    graft.core.DirSwap.recoverAt(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    def empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Int)].toDF("d1", "d2", "dist")
+    }
+    if (!fs.exists(src)) return empty // absent src IS an empty index
+    require(fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"merge destination $dstPath does not exist")
+    val sBnd = spark.read.parquet(srcPath)
+      .select(col("band"), col("key"), col("doc").as("sdoc"),
+        col("ph").as("sph"))
+    val dBnd = spark.read.parquet(dstPath)
+      .select(col("band"), col("key"), col("doc").as("ddoc"),
+        col("ph").as("dph"))
+    val pairs = sBnd.join(dBnd, Seq("band", "key"))
+      .where(col("sdoc") =!= col("ddoc"))
+      .select(least(col("sdoc"), col("ddoc")).as("d1"),
+        greatest(col("sdoc"), col("ddoc")).as("d2"),
+        bit_count(col("sph").bitwiseXOR(col("dph"))).as("dist"))
+      .dropDuplicates("d1", "d2")
+      .where(col("dist") <= maxDist)
+      .localCheckpoint(true) // pre-move snapshot
+    graft.core.SegmentMerge.moveTree(fs, src,
+      new org.apache.hadoop.fs.Path(dstPath))
+    fs.delete(src, true)
+    pairs
+  }
+
   /** Crash-safe in-place compaction; contents-invariant. */
   def compactIndex(spark: SparkSession, path: String): Unit =
     graft.core.ParquetCompact.compact(spark, path, Seq("band", "kb"),

@@ -1496,6 +1496,31 @@ object Queries {
         .orderBy(col("doc"))
     }),
 
+    // SEGMENT MERGE for the exact-dedup index — the shard-parallel
+    // build topology: shards %3==0 and %3==1 fingerprinted into
+    // independent indexes, mergeInto absorbs B into A index-to-index
+    // (dst keeper wins = appendNovel's first-indexed-wins rule) and
+    // returns the cross-shard duplicate report for B's keepers; a
+    // later probe against the merged index must decide exactly like
+    // one against the sequentially-grown index
+    "dedup_index_merged" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("dedup_fp_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      graft.pipeline.DedupIndex.writeIndex(s,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", shardA)
+      graft.pipeline.DedupIndex.writeIndex(s,
+        docs.where(col("doc_id") % 3 === 1), "text", "doc_id", shardB)
+      val report = graft.pipeline.DedupIndex.mergeInto(s, shardA, shardB)
+      graft.pipeline.DedupIndex.compactIndex(s, shardA)
+      report.unionByName(
+          graft.pipeline.DedupIndex.probe(s, shardA,
+              docs.where(col("doc_id") % 3 === 2), "text", "doc_id")
+            .select(col("doc"), col("keep_id"), col("dup")))
+        .orderBy(col("doc"))
+    }),
+
     // persisted MinHash-band near-dup index lifecycle: build on the
     // %3==0 ids (their internal pairs are the build-time one-shot),
     // probe the %3==1 increment (cross + internal pairs), append it,
@@ -1548,6 +1573,35 @@ object Queries {
       val p2 = graft.pipeline.NearDupIndex.probe(s, path, c, "text",
         "doc_id", threshold = 0.2)
       p0.unionByName(p1).unionByName(p2).orderBy(col("d1"), col("d2"))
+    }),
+
+    // SEGMENT MERGE for the near-dup index — the shard-parallel build
+    // topology: shards %3==0 and %3==1 minhashed into independent
+    // indexes under the frozen params, mergeInto absorbs B into A by
+    // file moves and emits the CROSS-SHARD pairs the parallel build
+    // never saw (candidates from joining the two persisted band
+    // layouts, verified from the persisted shingle sets — zero
+    // re-minhashing); build-A ∪ build-B ∪ cross ∪ later probe must
+    // equal the one-shot LSH pass — the minhash_pairs golden verbatim
+    "neardup_index_merged" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("neardup_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      val a = docs.where(col("doc_id") % 3 === 0)
+      val b = docs.where(col("doc_id") % 3 === 1)
+      val c = docs.where(col("doc_id") % 3 === 2)
+      val p0 = graft.pipeline.NearDupIndex.buildWithPairs(s, a, "text",
+        "doc_id", shardA, threshold = 0.2)
+      val p1 = graft.pipeline.NearDupIndex.buildWithPairs(s, b, "text",
+        "doc_id", shardB, threshold = 0.2)
+      val cross = graft.pipeline.NearDupIndex.mergeInto(s, shardA, shardB,
+        threshold = 0.2)
+      graft.pipeline.NearDupIndex.compactIndex(s, shardA)
+      val p2 = graft.pipeline.NearDupIndex.probe(s, shardA, c, "text",
+        "doc_id", threshold = 0.2)
+      p0.unionByName(p1).unionByName(cross).unionByName(p2)
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // Unicode-normalized dedup: the fixture fabricates two byte-
@@ -1975,6 +2029,39 @@ object Queries {
         |JOIN batch b ON f.fp = b.fp
         |WHERE f.doc % 3 = 2
         |ORDER BY f.doc""".stripMargin,
+
+    // shard-parallel build + merge: the merge's cross-shard report
+    // (decisions for shard B's keepers against shard A, first-indexed
+    // wins) followed by a probe of the %3==2 increment against the
+    // merged index — which must equal the sequential-lifecycle probe
+    "dedup_index_merged" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS doc,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |idx0 AS (SELECT fp, min(doc) AS keep FROM fp
+        |         WHERE doc % 3 = 0 GROUP BY fp),
+        |bk AS (SELECT fp, min(doc) AS doc FROM fp
+        |       WHERE doc % 3 = 1 GROUP BY fp),
+        |report AS (
+        |  SELECT b.doc, CAST(coalesce(i.keep, b.doc) AS BIGINT) AS keep_id,
+        |    i.fp IS NOT NULL AS dup
+        |  FROM bk b LEFT JOIN idx0 i ON b.fp = i.fp),
+        |idx1 AS (SELECT b.fp, b.doc AS keep FROM bk b
+        |         LEFT JOIN idx0 i ON b.fp = i.fp WHERE i.fp IS NULL),
+        |idx AS (SELECT * FROM idx0 UNION ALL SELECT * FROM idx1),
+        |batch AS (SELECT fp, min(doc) AS bkeep FROM fp
+        |          WHERE doc % 3 = 2 GROUP BY fp),
+        |probe AS (
+        |  SELECT f.doc, CAST(coalesce(i.keep, b.bkeep) AS BIGINT) AS keep_id,
+        |    coalesce(i.keep, b.bkeep) <> f.doc AS dup
+        |  FROM fp f
+        |  LEFT JOIN idx i ON f.fp = i.fp
+        |  JOIN batch b ON f.fp = b.fp
+        |  WHERE f.doc % 3 = 2)
+        |SELECT doc, keep_id, dup FROM report
+        |UNION ALL SELECT doc, keep_id, dup FROM probe
+        |ORDER BY doc""".stripMargin,
 
     "dedup_normalized" ->
       """WITH un AS (
@@ -3560,6 +3647,39 @@ object Queries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // SEGMENT MERGE for the perceptual index — shard-parallel build:
+    // %3==0 and %3==1 hashed into independent indexes under one
+    // hasher, mergeInto absorbs B into A by file moves and emits the
+    // cross-shard pairs from joining the two persisted band layouts
+    // (the hash rides every row — verified inline, zero re-decoding);
+    // build-A ∪ build-B ∪ cross ∪ later probe ≡ one-shot banded pass
+    "phash_index_merged" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val base = java.nio.file.Files.createTempDirectory("phash_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+        shardA, maxDist = 6)
+      val p1 = graft.pipeline.PHashIndex.buildWithPairs(s, b, "bytes", "id",
+        shardB, maxDist = 6)
+      val cross = graft.pipeline.PHashIndex.mergeInto(s, shardA, shardB,
+        maxDist = 6)
+      graft.pipeline.PHashIndex.compactIndex(s, shardA)
+      val p2 = graft.pipeline.PHashIndex.probe(s, shardA, c, "bytes", "id",
+        maxDist = 6)
+      p0.unionByName(p1).unionByName(cross).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // perceptual dedup ON INGEST, riding the persisted PHashIndex:
     // kept ⇔ the image is nobody's LATER near-dup over the one-shot
     // banded pass (relational drop rule ⇒ batch-boundary-independent)
@@ -4854,6 +4974,34 @@ object Queries {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // SEGMENT MERGE for the embedding near-dup index — shard-parallel
+    // build: %3==0 and %3==1 signed into independent indexes under
+    // the frozen hyperplanes, mergeInto absorbs B into A by file
+    // moves and emits the cross-shard same-bucket pairs (the vector
+    // rides every row — cosine-verified inline, zero re-signing);
+    // build-A ∪ build-B ∪ cross ∪ later probe ≡ one-shot blocked pass
+    "embed_index_merged" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("embed_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      val a = emb.where(col("vec_id") % 3 === 0)
+      val b = emb.where(col("vec_id") % 3 === 1)
+      val c = emb.where(col("vec_id") % 3 === 2)
+      val p0 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
+        "embedding", "vec_id", shardA, dim = 64, bits = 8)
+      val p1 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, b,
+        "embedding", "vec_id", shardB, dim = 64, bits = 8)
+      val cross = graft.pipeline.EmbedDedupIndex.mergeInto(s, shardA, shardB)
+      graft.pipeline.EmbedDedupIndex.compactIndex(s, shardA)
+      val p2 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, shardA, c,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      p0.unionByName(p1).unionByName(cross).unionByName(p2)
+        .select(col("d1").as("v1"), col("d2").as("v2"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     "stream_profile" -> ((s, d) => {
       // the data-card maintained ON INGEST: per microbatch one fused
       // additive partial appended to a persisted stats table, merged
@@ -5112,6 +5260,35 @@ object Queries {
       appendHigh() // replayed delivery: ledger-guarded no-op
       graft.pipeline.Hybrid.compactIndex(s, root)
       graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the sharded hybrid build topology: two PAIRED shard roots built
+    // under one frozen quantizer, file-move merged on both sides
+    // concurrently — the fused serve over the merged pair must equal
+    // the one-shot hybrid, so the hybrid_topk golden pins it
+    "hybrid_topk_merged" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("hybrid_merge")
+      val rootA = base.resolve("shardA").toString
+      val rootB = base.resolve("shardB").toString
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.pipeline.Hybrid.writeIndex(s,
+        docs.where(col("doc_id") <= mid), "text", "doc_id",
+        emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootA)
+      graft.pipeline.Hybrid.writeIndex(s,
+        docs.where(col("doc_id") > mid), "text", "doc_id",
+        emb.where(col("vec_id") > mid), "vec_id", "embedding", model, rootB)
+      graft.pipeline.Hybrid.mergeInto(s, rootA, rootB)
+      graft.pipeline.Hybrid.searchIndex(s, rootA,
           Seq(0L -> "hash join", 1L -> "fast table scan",
             2L -> "merge sort window"),
           emb.where(col("vec_id") < 3)
@@ -5468,6 +5645,10 @@ object Queries {
     "phash_index_deleted" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
 
+    // shard-parallel build + segment merge ≡ the one-shot banded pass
+    "phash_index_merged" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
     // the image corpus is synthetic: ids 3i and 3i+1000 for i<33;
     // kept = not a later near-dup side over the one-shot pass
     "stream_image_dedup" ->
@@ -5674,6 +5855,10 @@ object Queries {
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     "hybrid_topk_appended" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    // two paired shard roots, both sides file-move merged ≡ one-shot
+    "hybrid_topk_merged" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     // the disk-served hybrid (persisted BM25 + exhaustively-probed
@@ -5965,6 +6150,11 @@ object Queries {
       s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
 
     "neardup_index_deleted" ->
+      s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
+
+    // shard-parallel build + segment merge: build-A ∪ build-B ∪ the
+    // merge's cross-shard report ∪ later probe ≡ the one-shot pass
+    "neardup_index_merged" ->
       s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
 
     "lsh_topk" ->
@@ -6337,6 +6527,10 @@ object Queries {
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     "embed_index_deleted" ->
+      s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
+    // shard-parallel build + segment merge ≡ the one-shot blocked pass
+    "embed_index_merged" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     // the merged incremental card ≡ the batch profile minus

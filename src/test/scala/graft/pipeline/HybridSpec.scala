@@ -239,4 +239,52 @@ class HybridSpec extends SparkTestBase {
     assert(unf.exists(r => r.getAs[Long]("doc") % 2 == 1))
   }
 
+  test("mergeInto absorbs a paired shard on both sides; a one-sided " +
+      "crash heals on retry") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val qs = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val qv = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    def serve(root: String) =
+      Hybrid.searchIndex(spark, root, qs, qv, model, "embedding",
+          "vec_id", kCand = 20, k = 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    val base = java.nio.file.Files.createTempDirectory("hyb_m")
+    val one = base.resolve("one").toString
+    Hybrid.writeIndex(spark, docs, "text", "doc_id", emb, "vec_id",
+      "embedding", model, one)
+    val want = serve(one)
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    def shardPair(a: String, b: String): Unit = {
+      Hybrid.writeIndex(spark, docs.where(col("doc_id") <= mid), "text",
+        "doc_id", emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+        model, a)
+      Hybrid.writeIndex(spark, docs.where(col("doc_id") > mid), "text",
+        "doc_id", emb.where(col("vec_id") > mid), "vec_id", "embedding",
+        model, b)
+    }
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    shardPair(a, b)
+    Hybrid.mergeInto(spark, a, b)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(b)),
+      "src root must be consumed wholesale")
+    assert(serve(a) == want)
+    // one-sided crash: the lexical sub-merge committed (src/bm25
+    // consumed), the process died before the dense one — the retry
+    // no-ops the consumed side and the pair converges
+    val c = base.resolve("c").toString
+    val dSrc = base.resolve("d").toString
+    shardPair(c, dSrc)
+    Bm25.mergeInto(spark, s"$c/bm25", s"$dSrc/bm25")
+    Hybrid.mergeInto(spark, c, dSrc)
+    assert(serve(c) == want)
+  }
+
 }
