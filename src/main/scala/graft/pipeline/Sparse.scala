@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SPARSE-vector retrieval — the learned-sparse (SPLADE / uniCOIL
+  * class) serving tier, completing the retrieval family: [[Bm25]]
+  * scores exact lexical terms, [[Ivf]] serves dense embeddings, and
+  * this serves high-dimensional sparse weight vectors through an
+  * INVERTED index over active dimensions, the standard engine design
+  * for learned-sparse models (dimension ≈ vocabulary term, weight ≈
+  * learned impact).
+  *
+  * Representation: a vector becomes its active (dim, w) postings —
+  * dims whose value ≥ `tau`, weights FIXED-POINT integers
+  * (round(value · scale)) so scores are exact integer dot products:
+  * deterministic across partitionings and engines (the rrf_fp
+  * lesson), with ties broken by doc id. Scoring is EXACT over the
+  * index — an inverted index loses nothing for sparse dot products
+  * (only dims both sides activate contribute); there is no
+  * recall/probe trade-off on this tier at all.
+  *
+  * Layout under `path`: (doc, dim, w) postings PARTITIONED BY
+  * dbk = pmod(dim, [[DimBuckets]]), dim-sorted small-page files —
+  * a search lists only the buckets its query dims fall in and pushes
+  * the dim set as In filters over the page stats (the Bm25/NearDup
+  * pruning design). Searches read candidate postings only for the
+  * QUERY's active dims: work follows posting-list lengths, never
+  * corpus size.
+  *
+  * Lifecycle mirrors the family: additive [[appendToIndex]] under
+  * disjoint doc ids, crash-safe [[compactIndex]] /[[deleteDocs]] via
+  * the shared [[graft.core.ParquetCompact]] swap, and
+  * [[mergeInto]] segment merges (per-doc postings — a pure
+  * [[graft.core.SegmentMerge]] file move, nothing to reconcile).
+  *
+  * 100 TB: per-query cost is Σ posting-list lengths over its active
+  * dims (document-at-a-time, one partial-agg shuffle keyed by
+  * (qid, doc) candidates); the layout adds buckets with dimension
+  * count, not corpus size. Static index pruning (dropping low-impact
+  * postings, the standard learned-sparse serving trade) is the `tau`
+  * knob at sparsify time.
+  */
+object Sparse {
+
+  /** Dim-buckets for the inverted layout (the family's 64-cell
+    * lesson halved again: fixture vectors carry 64 dims, and page
+    * stats inside a touched bucket do the per-dim cut; a SPLADE-size
+    * 30k-dim space still spreads ~2k dims per bucket with In-filter
+    * pushdown per query dim).
+    */
+  val DimBuckets = 16
+
+  /** Fixed-point weight scale: 1e4 keeps float32-range weights exact
+    * in a long and leaves 2^63 / (1e4·1e4) ≈ 9e10 headroom on summed
+    * dot products — far beyond any real active-dim count.
+    */
+  val DefaultScale = 10000.0
+
+  private def dbkOf(dim: Column): Column =
+    pmod(dim, lit(DimBuckets.toLong))
+
+  /** Explode a dense vector column into its ACTIVE (doc, dim, w)
+    * postings: dims with value ≥ tau, fixed-point integer weights.
+    * Double math on both factors so the oracle mirror (DuckDB doing
+    * the same double math on the same float32 inputs) lands on
+    * identical integers.
+    */
+  def sparsify(df: DataFrame, vecCol: String, idCol: String,
+               tau: Double = 0.05,
+               scale: Double = DefaultScale): DataFrame =
+    df.select(col(idCol).as("doc"), posexplode(col(vecCol)))
+      .where(col("col").cast("double") >= tau)
+      .select(col("doc"), (col("pos").cast("long") + 1L).as("dim"),
+        round(col("col").cast("double") * scale).cast("long").as("w"))
+
+  /** Exact sparse top-k over in-memory postings frames: integer dot
+    * product over shared dims, ranked per query with doc-id
+    * tie-breaks. `queries` is a (qid, dim, w) frame (a [[sparsify]]
+    * of the query vectors) — small by the family's query contract,
+    * broadcast into the postings join.
+    */
+  def topK(postings: DataFrame, queries: DataFrame, k: Int,
+           excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("doc").as("qid"), col("dim"),
+      col("w").as("qw"))
+    val scored = postings.join(broadcast(q), Seq("dim"))
+      .where(if (excludeSelf) col("doc") =!= col("qid") else lit(true))
+      .groupBy(col("qid"), col("doc").as("nid"))
+      .agg(sum(col("w") * col("qw")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Build the inverted layout (overwrite): dim-bucket partition
+    * dirs, dim-sorted 512-row pages for per-dim In pruning.
+    */
+  def writeIndex(postings: DataFrame, path: String): Unit =
+    writeLayout(postings, path, SaveMode.Overwrite)
+
+  /** Additive append under the family's disjoint-docs contract; the
+    * grown layout serves identically to a one-shot build (postings
+    * are per-doc rows — oracle-pinned).
+    */
+  def appendToIndex(spark: SparkSession, postings: DataFrame,
+                    path: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path) // family append contract
+    writeLayout(postings, path, SaveMode.Append)
+  }
+
+  private def writeLayout(postings: DataFrame, path: String,
+                          mode: SaveMode): Unit = {
+    if (postings.isEmpty) return // missing layout IS an empty index
+    postings.select(col("doc"), col("dim"), col("w"))
+      .withColumn("dbk", dbkOf(col("dim")))
+      .repartition(DimBuckets, col("dbk"))
+      .sortWithinPartitions(col("dbk"), col("dim"), col("doc"))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("dbk")
+      .parquet(path)
+  }
+
+  /** Serve exact sparse top-k from the persisted layout — identical
+    * results to [[topK]] over the same corpus (oracle-pinned). Only
+    * the query dims' buckets are LISTED (partition pruning) and only
+    * their pages read (dim In pushdown over the dim-sorted pages —
+    * the query's active-dim set is bounded by construction: #queries
+    * × vector dims, the family's small-query-frame contract).
+    *
+    * `docFilter` is filter-inside-search over the postings' `doc`
+    * column (the [[Bm25.searchIndex]] docFilter contract): pushed
+    * below the ranking cut, so k survivors are k FILTERED survivors
+    * — and because sparse serving is exact, the filtered result is
+    * exactly brute force over the filtered corpus, no oversampling
+    * needed (unlike the probed dense tier).
+    */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+                  k: Int, excludeSelf: Boolean = true,
+                  docFilter: Option[Column] = None): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
+    val q = queries.select(col("doc").as("qid"), col("dim"),
+      col("w").as("qw")).localCheckpoint(true)
+    val dims = q.select(col("dim")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (dims.isEmpty) {
+      graft.core.Pinned.release(q)
+      return q.select(col("qid"), col("qid").as("nid"),
+        col("qw").as("score"), lit(1).as("rk")).limit(0)
+    }
+    val buckets = dims.map(_ % DimBuckets).distinct
+    val idx0 = spark.read.parquet(path)
+    val idx = idx0
+      .where(graft.core.PartitionIn.inSet(idx0, "dbk", buckets) &&
+        col("dim").isInCollection(dims))
+      .where(docFilter.getOrElse(lit(true)))
+    val scored = idx.join(broadcast(q), Seq("dim"))
+      .where(if (excludeSelf) col("doc") =!= col("qid") else lit(true))
+      .groupBy(col("qid"), col("doc").as("nid"))
+      .agg(sum(col("w") * col("qw")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    val out = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .localCheckpoint(true) // snapshot before appends/compactions
+    graft.core.Pinned.release(q)
+    out
+  }
+
+  /** Crash-safe in-place compaction; contents-invariant, restores the
+    * dim-sorted small-page shape per-dim pruning depends on.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    graft.core.ParquetCompact.compact(spark, path, Seq("dbk"),
+      Seq("dim", "doc"), Map("parquet.page.row.count.limit" -> "512"))
+
+  /** DELETE documents (right-to-be-forgotten for the sparse serving
+    * tier): postings are doc-keyed, one anti-join filter inside the
+    * crash-safe rewrite swap. Deleting every doc removes the layout.
+    */
+  def deleteDocs(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, path, Seq("dbk"),
+      Seq("dim", "doc"), Map("parquet.page.row.count.limit" -> "512"),
+      p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
+
+  /** SEGMENT MERGE — the shard-parallel build topology: postings are
+    * per-doc rows under ONE fixed (tau, scale) sparsification (the
+    * family's frozen-params contract), so absorbing shard `srcPath`
+    * is a pure [[graft.core.SegmentMerge]] file move: zero rows
+    * rewritten, search over the merged layout bit-identical to a
+    * one-shot build over the union (oracle-pinned). Crash-safe by
+    * per-file rename idempotence.
+    */
+  def mergeInto(spark: SparkSession, dstPath: String,
+                srcPath: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, dstPath)
+    graft.core.DirSwap.recoverAt(spark, srcPath)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hc)
+    if (!fs.exists(src)) return // absent src IS an empty layout
+    require(fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"merge destination $dstPath does not exist")
+    graft.core.SegmentMerge.moveTree(fs, src,
+      new org.apache.hadoop.fs.Path(dstPath))
+    fs.delete(src, true)
+  }
+}

@@ -107,6 +107,31 @@ object Queries {
       |FROM tr t LEFT JOIN reb r ON t.doc_id = r.doc_id
       |ORDER BY doc""".stripMargin
 
+  /** DuckDB mirror of the sparse retrieval tier (Sparse.sparsify +
+    * topK): active dims ≥ 0.05, fixed-point 1e4 weights, exact
+    * integer dot-product scores, doc-id tie-breaks. `pred` restricts
+    * the candidate side (the docFilter mirror); queries are
+    * vec_id < 4, self-hits excluded, k = 10.
+    */
+  private def sparseTopkSql(pred: String = "TRUE"): String =
+    s"""WITH expl AS (
+       |  SELECT vec_id AS doc, unnest(embedding) AS val,
+       |    unnest(range(1, len(embedding) + 1)) AS dim
+       |  FROM embeddings),
+       |sp AS (
+       |  SELECT doc, dim,
+       |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+       |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05)
+       |SELECT qid, nid, score, rk FROM (
+       |  SELECT q.doc AS qid, p.doc AS nid,
+       |    CAST(sum(q.w * p.w) AS BIGINT) AS score,
+       |    row_number() OVER (PARTITION BY q.doc
+       |      ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+       |  FROM sp q JOIN sp p USING (dim)
+       |  WHERE q.doc < 4 AND p.doc <> q.doc AND ($pred)
+       |  GROUP BY q.doc, p.doc)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
     */
@@ -4012,6 +4037,23 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the sparse tier maintained ON INGEST: microbatches sparsify
+    // under the frozen (tau, scale) and append postings; per-doc
+    // additive rows make the grown layout serve identically to the
+    // one-shot — the same direct-SQL brute force oracles both
+    "stream_sparse_search" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ssparse_q")
+        .resolve("index").toString
+      graft.streaming.StreamingSparse.ingest(s, d, idx, nBatches = 3,
+        compactFilesPerDir = 2.0)
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "stream_ivf_search" -> ((s, d) => {
       // IVF index maintained ON INGEST against a frozen coarse
       // quantizer (train offline, add online): 4 microbatches of
@@ -4858,6 +4900,115 @@ object Queries {
       graft.pipeline.Bm25.searchIndex(s, idxA,
           Seq(0L -> "hash join", 1L -> "fast table scan",
             2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // SPARSE retrieval tier (SPLADE / uniCOIL class): vectors become
+    // active (dim, fixed-point w) postings, scores are exact integer
+    // dot products over shared dims — deterministic across engines,
+    // so the oracle is direct DuckDB SQL (no golden). Scan-based
+    // truth first:
+    "sparse_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val sp = graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id")
+      val q = graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") < 4), "embedding", "vec_id")
+      graft.pipeline.Sparse.topK(sp, q, k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the persisted inverted layout serves identically to the scan
+    // (sparse serving is EXACT — an inverted index loses nothing for
+    // dot products; only the query's dim-buckets are read)
+    "sparse_topk_indexed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_idx")
+        .resolve("index").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // grown layout ≡ one-shot build (additive postings under the
+    // disjoint-docs contract), compaction contents-invariant
+    "sparse_topk_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") <= half), "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.appendToIndex(s, graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") > half), "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.compactIndex(s, idx)
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // right-to-be-forgotten on the sparse tier, decoy-oracled: the
+    // decoys are verbatim copies of the query vectors (they would own
+    // the rank-1 slots with self-dot scores if any posting survived)
+    "sparse_topk_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_del")
+        .resolve("index").toString
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        emb.unionByName(decoys), "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.deleteDocs(s, idx, decoys.select(
+        col("vec_id").as("doc")))
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // shard-parallel build + segment merge ≡ one-shot (per-doc
+    // postings: the merge is a pure file move)
+    "sparse_topk_merged" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("sparse_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") <= half), "embedding", "vec_id"), shardA)
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") > half), "embedding", "vec_id"), shardB)
+      graft.pipeline.Sparse.mergeInto(s, shardA, shardB)
+      graft.pipeline.Sparse.searchIndex(s, shardA,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // filter-inside-search on the sparse tier: the predicate is
+    // pushed below the ranking cut, and because sparse serving is
+    // exact the filtered top-k IS brute force over the filtered
+    // corpus — no oversampling loop needed (contrast the probed
+    // dense tier's ivf_topk_filtered)
+    "sparse_topk_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_filt")
+        .resolve("index").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10,
+          docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -5886,6 +6037,18 @@ object Queries {
     // two shard builds file-move merged ≡ one-shot (same golden)
     "bm25_topk_merged" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
+    // the sparse tier: every lifecycle row must reproduce the direct
+    // DuckDB brute force (exact integer scores — no golden, no
+    // tolerance), the deleted/merged/incremental rows through their
+    // respective lifecycles
+    "sparse_topk" -> sparseTopkSql(),
+    "sparse_topk_indexed" -> sparseTopkSql(),
+    "sparse_topk_incremental" -> sparseTopkSql(),
+    "sparse_topk_deleted" -> sparseTopkSql(),
+    "sparse_topk_merged" -> sparseTopkSql(),
+    "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
+    "stream_sparse_search" -> sparseTopkSql(),
 
     "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
