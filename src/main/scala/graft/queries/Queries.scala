@@ -132,6 +132,19 @@ object Queries {
        |  GROUP BY q.doc, p.doc)
        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
+  /** DuckDB mirror of RangeSearch.search over the fixture: every
+    * (qid < 4, nid) pair with cosine ≥ 0.3, self-hits excluded —
+    * exact brute force, which is precisely the range-search contract.
+    */
+  private lazy val rangeSearchSql: String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    ${cosSql("q.embedding", "e.embedding")} AS sim
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id)
+       |SELECT qid, nid, round(sim, 6) AS sim FROM p
+       |WHERE sim >= 0.3 ORDER BY qid, nid""".stripMargin
+
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
     */
@@ -3083,6 +3096,55 @@ object Queries {
     // absorbed file-move-wise (Ivf.mergeInto, metadata-only); the
     // merged serve must equal the one-shot build bit-for-bit, so the
     // oracle is the same ivf_topk_int8 golden
+    // EXACT range (radius) search over the cluster-partitioned
+    // layout: every neighbor with cosine ≥ τ, cell-pruned by the
+    // sound per-cluster radius bound (this corpus is near-uniform on
+    // the sphere, so the bound admits everything here — the clustered
+    // pruning is spec-pinned; correctness is brute-force exact either
+    // way, which is exactly what the direct-SQL oracle checks)
+    "ivf_range_search" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_range")
+        .resolve("index").toString
+      val assigned = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.writeIndex(assigned, idx)
+      graft.pipeline.RangeSearch.appendRadii(s, assigned, "embedding",
+        model, idx)
+      graft.pipeline.RangeSearch.search(s, idx,
+          emb.where(col("vec_id") < 4), "embedding", "vec_id", model,
+          tau = 0.3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    // the radius sidecar is ADDITIVE (build + each append contribute
+    // rows, readers max) — the grown layout's range search must stay
+    // brute-force exact with no sidecar rewrite
+    "ivf_range_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_range_inc")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val lo = graft.pipeline.Ivf.assign(
+        emb.where(col("vec_id") <= half), "embedding", model)
+      graft.pipeline.Ivf.writeIndex(lo, idx)
+      graft.pipeline.RangeSearch.appendRadii(s, lo, "embedding", model, idx)
+      val hi = emb.where(col("vec_id") > half)
+      graft.pipeline.Ivf.appendToIndex(hi, "embedding", model, idx)
+      graft.pipeline.RangeSearch.appendRadii(s,
+        graft.pipeline.Ivf.assign(hi, "embedding", model), "embedding",
+        model, idx)
+      graft.pipeline.RangeSearch.search(s, idx,
+          emb.where(col("vec_id") < 4), "embedding", "vec_id", model,
+          tau = 0.3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     "ivf_topk_merged" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
@@ -6049,6 +6111,11 @@ object Queries {
     "sparse_topk_merged" -> sparseTopkSql(),
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     "stream_sparse_search" -> sparseTopkSql(),
+
+    // exact range search ≡ brute force over the corpus, by its sound
+    // radius bound — the oracle IS the brute force
+    "ivf_range_search" -> rangeSearchSql,
+    "ivf_range_incremental" -> rangeSearchSql,
 
     "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
