@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MULTI-VECTOR (late-interaction) retrieval — the ColBERT-family
+  * serving model (Khattab & Zaharia 2020; PLAID, Santhanam et al.
+  * 2022): a document is a SET of vectors, a query is a set of
+  * vectors, and the score is the sum over query vectors of the best
+  * cosine against any document vector:
+  * score(q, d) = Σ_i max_j cos(q_i, d_j). Captures token-level
+  * matching that single-vector pooling loses.
+  *
+  * Scoring is FIXED-POINT: each cos is the exact double kernel
+  * rounded at 1e9, so max/sum are integer ops — deterministic across
+  * partitionings and engines (the rrf_fp rule; a double Σ over an
+  * unordered agg would not replay), ties broken by doc id.
+  *
+  * Serving follows the PLAID decomposition:
+  *  1. CANDIDATE GENERATION on the per-vector IVF layout (cluster
+  *     dirs under a frozen coarse quantizer) — each query vector
+  *     probes its nprobe cells; candidates are the distinct docs any
+  *     probed vector belongs to.
+  *  2. GATHER the candidates' FULL vector sets from a doc-bucketed
+  *     layout (partition-pruned, count-gated In pushdown) — the max
+  *     over j must see every vector of a candidate doc, including
+  *     those in unprobed cells.
+  *  3. EXACT max-sim rescore + top-k.
+  * With nprobe = nlist step 1 is exhaustive and the result is exact
+  * (the oracle row); at partial probe only candidate RECALL is
+  * approximate — scores of surfaced docs are always exact (the
+  * gather), the property that makes the decomposition safe.
+  *
+  * Layout under `root`: `ivf/` (cluster=… dirs of (doc, vec)) and
+  * `docs/` (db=pmod(doc, [[DocBuckets]]) dirs of (doc, vec)) — both
+  * written from ONE assignment pass. 100 TB: probe bytes follow
+  * nprobe/nlist, gather bytes follow candidate count × vectors/doc,
+  * never corpus size.
+  */
+object MultiVector {
+
+  /** Doc-buckets for the gather layout (the family's dir-count
+    * lesson).
+    */
+  val DocBuckets = 16
+
+  /** Fixed-point scale for per-pair cosines: 1e9 keeps 9 decimal
+    * digits of the double kernel and leaves room for 2^63/1e9 ≈ 9e9
+    * summed query vectors.
+    */
+  val CosScale = 1000000000L
+
+  /** Candidate-gather In pushdown is driver-bounded at this many doc
+    * ids (the NearDupIndex count-gate pattern); larger candidate
+    * sets read the touched buckets whole.
+    */
+  val GatherFilterCutoff = 4096
+
+  private def cosFp(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column) = {
+    import graft.functions.VectorFunctions.cosineSimD
+    round(cosineSimD(a, b) * lit(CosScale.toDouble)).cast("long")
+  }
+
+  /** Exact scan-based late-interaction top-k. `docVecs` is a
+    * (doc, vec) frame (many rows per doc); `queryVecs` a small
+    * (qid, vec) frame (many rows per qid, the family's query
+    * contract — broadcast). `excludeDoc` drops (qid, doc) pairs for
+    * which the predicate over (qid, doc) holds (self-doc masking in
+    * fixture-derived queries).
+    */
+  def lateTopK(docVecs: DataFrame, queryVecs: DataFrame, k: Int,
+               excludeDoc: Option[(org.apache.spark.sql.Column,
+                 org.apache.spark.sql.Column) =>
+                 org.apache.spark.sql.Column] = None): DataFrame = {
+    val q = queryVecs.select(col("qid"), col("vec").as("qv"),
+        monotonically_increasing_id().as("qvix"))
+      .localCheckpoint(true) // qvix must not shift across re-evaluation
+    val out = rank(maxSim(docVecs, q, excludeDoc), k)
+      .localCheckpoint(true)
+    graft.core.Pinned.release(q)
+    out
+  }
+
+  private def maxSim(docVecs: DataFrame, q: DataFrame,
+                     excludeDoc: Option[(org.apache.spark.sql.Column,
+                       org.apache.spark.sql.Column) =>
+                       org.apache.spark.sql.Column]): DataFrame =
+    docVecs.select(col("doc"), col("vec"))
+      .join(broadcast(q), excludeDoc match {
+        case Some(p) => !p(col("qid"), col("doc"))
+        case None => lit(true)
+      })
+      .groupBy(col("qid"), col("qvix"), col("doc"))
+      .agg(max(cosFp(col("vec"), col("qv"))).as("m"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("m")).cast("long").as("score"))
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Build both sub-layouts from one (doc, vec) frame: per-vector
+    * IVF postings for candidate generation, doc-bucketed copies for
+    * the gather.
+    */
+  def writeIndex(spark: SparkSession, docVecs: DataFrame,
+                 model: IvfModel, root: String): Unit = {
+    val assigned = docVecs.select(col("doc"), col("vec"))
+      .withColumn("cluster", Ivf.nearestCol(col("vec"), model, 1).getItem(0))
+      .localCheckpoint(true)
+    assigned.write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$root/ivf")
+    assigned.drop("cluster")
+      .withColumn("db", pmod(col("doc"), lit(DocBuckets.toLong)))
+      .repartition(DocBuckets, col("db"))
+      .write.mode(SaveMode.Overwrite).partitionBy("db")
+      .parquet(s"$root/docs")
+    graft.core.Pinned.release(assigned)
+  }
+
+  /** Serve late-interaction top-k from the persisted pair: probe →
+    * gather → exact rescore. Exact for nprobe = nlist
+    * (oracle-pinned); at partial probe surfaced scores stay exact
+    * and only candidate recall is approximate.
+    */
+  def searchIndex(spark: SparkSession, root: String, queryVecs: DataFrame,
+                  model: IvfModel, k: Int, nprobe: Int,
+                  excludeDoc: Option[(org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column] = None): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    val q = queryVecs.select(col("qid"), col("vec").as("qv"),
+        monotonically_increasing_id().as("qvix"))
+      .localCheckpoint(true)
+    // 1. candidate generation: each query vector probes nprobe cells
+    val probes = q.withColumn("cluster",
+      explode(Ivf.nearestCol(col("qv"), model, nprobe)))
+    val cells = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0).toLong).toSeq // ≤ nlist, bounded
+    val ivf0 = spark.read.parquet(s"$root/ivf")
+    val cand = ivf0
+      .where(graft.core.PartitionIn.inSet(ivf0, "cluster", cells))
+      .select(col("cluster"), col("doc"))
+      .join(broadcast(probes.select(col("qid"), col("cluster"))),
+        Seq("cluster"))
+      .where(excludeDoc match {
+        case Some(p) => !p(col("qid"), col("doc"))
+        case None => lit(true)
+      })
+      .select(col("qid"), col("doc")).distinct()
+      .localCheckpoint(true) // count-gate + stable across the gather
+    // 2. gather the candidates' FULL vector sets, bucket-pruned
+    val docs0 = spark.read.parquet(s"$root/docs")
+    val nCand = cand.count()
+    val dbs = cand.select(pmod(col("doc"), lit(DocBuckets.toLong)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val gathered0 = docs0.where(graft.core.PartitionIn.inSet(docs0, "db", dbs))
+    val gathered =
+      if (nCand > GatherFilterCutoff) gathered0
+      else {
+        val ids = cand.select(col("doc")).collect().map(_.getLong(0))
+          .sorted.toSeq
+        gathered0.where(col("doc").isInCollection(ids))
+      }
+    // 3. exact rescore over (candidate doc × query vectors) + rank
+    val scored = gathered.select(col("doc"), col("vec"))
+      .join(cand.select(col("qid"), col("doc")), Seq("doc"))
+      .join(broadcast(q), Seq("qid"))
+      .groupBy(col("qid"), col("qvix"), col("doc"))
+      .agg(max(cosFp(col("vec"), col("qv"))).as("m"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("m")).cast("long").as("score"))
+    val out = rank(scored, k).localCheckpoint(true)
+    graft.core.Pinned.release(q)
+    graft.core.Pinned.release(cand)
+    out
+  }
+}

@@ -34,6 +34,52 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** RECOMMEND-style query composition (the Qdrant/Vespa recommend
+    * API shape): the query vector is Σ positives − Σ negatives,
+    * served like any other query — "more like these, less like
+    * those" without a stored query vector. Examples are collected in
+    * ASCENDING id order and folded sequentially in doubles, so the
+    * derived vector (and therefore every score) replays bit-for-bit
+    * in any IEEE engine — the family's determinism rule. The example
+    * sets are contract-small (a handful of liked/disliked items);
+    * example ids are excluded from the results.
+    *
+    * Returns (nid, sim, rk) — one composed query. At scale the
+    * composition is driver-side O(|examples|·dim); serving cost is
+    * whatever path the composed vector is sent down (here: the
+    * broadcast brute-force; the composed vector works unchanged as a
+    * query to the IVF/quantized tiers).
+    */
+  def recommendTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                    posIds: Seq[Long], negIds: Seq[Long],
+                    k: Int): DataFrame = {
+    require(posIds.nonEmpty, "at least one positive example required")
+    val exIds = (posIds ++ negIds).distinct
+    val ex = corpus
+      .where(col(idCol).isInCollection(exIds))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("v").toArray).toMap
+    exIds.foreach(i => require(ex.contains(i), s"example id $i not found"))
+    val dim = ex(posIds.head).length
+    val q = new Array[Double](dim)
+    posIds.distinct.sorted.foreach { i =>
+      val v = ex(i); var j = 0
+      while (j < dim) { q(j) += v(j).toDouble; j += 1 }
+    }
+    negIds.distinct.sorted.foreach { i =>
+      val v = ex(i); var j = 0
+      while (j < dim) { q(j) -= v(j).toDouble; j += 1 }
+    }
+    val qCol = typedLit(q.toSeq)
+    val scored = corpus
+      .where(!col(idCol).isInCollection(exIds))
+      .select(col(idCol).as("nid"),
+        cosineSimD(col(vecCol), qCol).as("sim"))
+    val w = Window.orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** MMR-diversified top-k retrieval (Carbonell & Goldstein, SIGIR
     * 1998): greedy selection maximizing
     * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance

@@ -145,6 +145,27 @@ object Queries {
        |SELECT qid, nid, round(sim, 6) AS sim FROM p
        |WHERE sim >= 0.3 ORDER BY qid, nid""".stripMargin
 
+  /** DuckDB mirror of MultiVector.lateTopK over the fixture: docs =
+    * vec_id // 4 groups, queries = the first four vectors as two
+    * 2-vector groups, per-pair cosines fixed-pointed at 1e9 before
+    * the integer max/sum, the query's own source doc excluded.
+    */
+  private lazy val multivecSql: String =
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id // 2 AS qid, q.vec_id AS qv,
+       |    e.vec_id // 4 AS doc,
+       |    CAST(round(${cosSql("q.embedding", "e.embedding")}
+       |      * 1000000000) AS BIGINT) AS c
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 4),
+       |mx AS (SELECT qid, qv, doc, max(c) AS m FROM pairs GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, doc, CAST(sum(m) AS BIGINT) AS score FROM mx
+       |       GROUP BY 1, 2 HAVING doc <> qid // 2)
+       |SELECT qid, doc, score,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc) AS rk
+       |FROM sc QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
+
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
     */
@@ -3096,6 +3117,60 @@ object Queries {
     // absorbed file-move-wise (Ivf.mergeInto, metadata-only); the
     // merged serve must equal the one-shot build bit-for-bit, so the
     // oracle is the same ivf_topk_int8 golden
+    // RECOMMEND-style query composition (the vector-db recommend
+    // API): query = Σ positives − Σ negatives, folded sequentially
+    // in doubles in ascending id order so the SQL mirror replays the
+    // same vector bit-for-bit; examples excluded from results
+    "ann_recommend" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.pipeline.Similarity.recommendTopK(emb, "embedding", "vec_id",
+          posIds = Seq(0L, 1L), negIds = Seq(2L), k = 10)
+        .select(col("nid"), round(col("sim"), 6).as("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("rk"))
+    }),
+
+    // MULTI-VECTOR late interaction (ColBERT-family): docs are
+    // 4-vector groups, queries 2-vector groups, score = Σ over query
+    // vectors of the best per-pair cosine (fixed-point 1e9 — integer
+    // max/sum, engine-exact). Scan truth first:
+    "multivec_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      graft.pipeline.MultiVector.lateTopK(docVecs, queryVecs, k = 5,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the served PLAID-style decomposition (probe the per-vector IVF
+    // cells → gather candidates' FULL vector sets → exact rescore):
+    // at the exhaustive probe it must equal the scan truth
+    "multivec_topk_indexed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // EXACT range (radius) search over the cluster-partitioned
     // layout: every neighbor with cosine ≥ τ, cell-pruned by the
     // sound per-cluster radius bound (this corpus is near-uniform on
@@ -6116,6 +6191,32 @@ object Queries {
     // radius bound — the oracle IS the brute force
     "ivf_range_search" -> rangeSearchSql,
     "ivf_range_incremental" -> rangeSearchSql,
+
+    // late interaction: brute-force max-sim, fixed-point exact; the
+    // indexed row runs the exhaustive probe so the same SQL pins it
+    "multivec_topk" -> multivecSql,
+    "multivec_topk_indexed" -> multivecSql,
+
+    // recommend: (p0 + p1) − n0 composed in the same double order,
+    // then plain cosine ranking with examples excluded
+    "ann_recommend" ->
+      s"""WITH ex AS (
+         |  SELECT
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS p0,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS p1,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 2) AS n0),
+         |q AS (
+         |  SELECT list_transform(list_zip(p0, p1, n0),
+         |    s -> (CAST(s[1] AS DOUBLE) + CAST(s[2] AS DOUBLE))
+         |      - CAST(s[3] AS DOUBLE)) AS qv
+         |  FROM ex),
+         |sc AS (
+         |  SELECT e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2))
+         |SELECT nid, round(sim, 6) AS sim,
+         |  row_number() OVER (ORDER BY sim DESC, nid) AS rk
+         |FROM sc QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
 
     "bm25_topk_incremental" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
