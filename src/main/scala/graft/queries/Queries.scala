@@ -3220,6 +3220,39 @@ object Queries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // SNAPSHOT / RESTORE on the quantized serving layout (the
+    // vector-db backup primitive): capture the clean index, wreck
+    // the live copy two ways (decoy vectors appended — verbatim
+    // query copies that would own every rank-1 slot — plus a whole
+    // cluster directory dropped), then restore and serve: the result
+    // must be indistinguishable from the never-wrecked one-shot
+    "ivf_topk_restored" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("ivf_restore")
+      val idx = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idx))
+      graft.core.DirSnapshot.create(s, idx, snap)
+      val decoys = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 77000000L).as("vec_id"), col("embedding"))
+      graft.pipeline.Ivf.appendToIndexInt8(decoys, "embedding", model, idx)
+      val c0 = new org.apache.hadoop.fs.Path(s"$idx/cluster=0")
+      c0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(c0, true)
+      graft.core.DirSnapshot.restore(s, snap, idx)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id",
+          graft.pipeline.Ivf.loadModel(s, graft.pipeline.Ivf.modelPath(idx)),
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_merged" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
@@ -6802,6 +6835,10 @@ object Queries {
     // two shard builds under one frozen quantizer, file-move merged
     // ≡ the one-shot build (same golden)
     "ivf_topk_merged" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // snapshot → wreck → restore ≡ the never-wrecked one-shot
+    "ivf_topk_restored" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // the raw-PQ twin, serving from the reloaded pair — same golden
