@@ -3117,6 +3117,27 @@ object Queries {
     // absorbed file-move-wise (Ivf.mergeInto, metadata-only); the
     // merged serve must equal the one-shot build bit-for-bit, so the
     // oracle is the same ivf_topk_int8 golden
+    // DENSE + SPARSE fusion — the modern two-tower serving stack
+    // (dense embeddings × learned-sparse impacts) through the same
+    // integer RRF as the BM25 hybrid; both input rankings are
+    // SQL-expressible (exact cosine, exact integer dots), so the
+    // whole fusion gets a direct DuckDB oracle with no golden
+    "hybrid_dense_sparse" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") < 4)
+      val dense = graft.pipeline.Similarity.bruteForceTopK(emb, q,
+          "embedding", "vec_id", k = 20)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      val sparse = graft.pipeline.Sparse.topK(
+          graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"),
+          graft.pipeline.Sparse.sparsify(q, "embedding", "vec_id"), k = 20)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      graft.pipeline.Hybrid.rrfFuse(Seq(dense, sparse), k = 10)
+        .select(col("qid"), col("doc"), col("rrf_fp"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // RECOMMEND-style query composition (the vector-db recommend
     // API): query = Σ positives − Σ negatives, folded sequentially
     // in doubles in ascending id order so the SQL mirror replays the
@@ -6229,6 +6250,47 @@ object Queries {
     // indexed row runs the exhaustive probe so the same SQL pins it
     "multivec_topk" -> multivecSql,
     "multivec_topk_indexed" -> multivecSql,
+
+    // dense top-20 (exact cosine) ∪ sparse top-20 (exact integer
+    // dots) fused with floor(2^20/(60+rk)) contributions — every
+    // stage exact, the whole stack replayed in SQL
+    "hybrid_dense_sparse" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id AS doc, unnest(embedding) AS val,
+         |    unnest(range(1, len(embedding) + 1)) AS dim
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT doc, dim,
+         |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+         |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05),
+         |sparse_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.doc AS qid, p.doc AS doc,
+         |      row_number() OVER (PARTITION BY q.doc
+         |        ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+         |    FROM sp q JOIN sp p USING (dim)
+         |    WHERE q.doc < 4 AND p.doc <> q.doc
+         |    GROUP BY q.doc, p.doc)
+         |  WHERE rk <= 20),
+         |dense_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS doc,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
+         |          e.vec_id) AS rk
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 20),
+         |contrib AS (
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM sparse_rk
+         |  UNION ALL
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM dense_rk),
+         |f AS (SELECT qid, doc, CAST(sum(c) AS BIGINT) AS rrf_fp
+         |      FROM contrib GROUP BY 1, 2)
+         |SELECT qid, doc, rrf_fp,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_fp DESC, doc) AS rk
+         |FROM f QUALIFY rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // recommend: (p0 + p1) − n0 composed in the same double order,
     // then plain cosine ranking with examples excluded
