@@ -762,6 +762,10 @@ object Ivf {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    // a data-less layout (metadata sidecars only) holds no versions —
+    // and schema inference over it would fail loudly
+    if (!fs.listStatus(p).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("cluster="))) return
     // No version history ⇒ no rewrite. Without a `_latest` sidecar
     // the only possible leftovers are seq > 0 postings from a run
     // that died inside its FIRST batch (append lands before the
@@ -1109,15 +1113,29 @@ object Ivf {
       require(samePq(Pq.loadModel(spark, pqPath(srcPath)),
           Pq.loadModel(spark, pqPath(dstPath))),
         s"$srcPath and $dstPath are encoded under DIFFERENT codebooks")
+    // a DATA-LESS layout (metadata sidecars only — e.g. one side of a
+    // paired hybrid shard whose id range held no vectors) is an empty
+    // index: nothing to fold, schema-check, or move — and reading it
+    // for schema inference would die on UNABLE_TO_INFER_SCHEMA
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(f =>
+        f.isDirectory && f.getPath.getName.startsWith("cluster="))
+    if (!hasData(src)) {
+      fs.delete(src, true) // consume the empty shard wholesale
+      fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
+      return
+    }
     // src sidecars fold BEFORE the move; schema check after (folding
     // a versioned layout keeps its seq column, so the check is stable)
     foldTombstones(spark, srcPath, idCol)
     foldVersions(spark, srcPath, idCol)
-    val sFields = spark.read.parquet(srcPath).schema.fieldNames.toSet
-    val dFields = spark.read.parquet(dstPath).schema.fieldNames.toSet
-    require(sFields == dFields,
-      s"layout schemas differ: src $sFields vs dst $dFields — a " +
-        "versioned layout cannot absorb an unversioned one")
+    if (hasData(dst)) {
+      val sFields = spark.read.parquet(srcPath).schema.fieldNames.toSet
+      val dFields = spark.read.parquet(dstPath).schema.fieldNames.toSet
+      require(sFields == dFields,
+        s"layout schemas differ: src $sFields vs dst $dFields — a " +
+          "versioned layout cannot absorb an unversioned one")
+    }
     graft.core.SegmentMerge.moveTree(fs, src, dst,
       keepDir = _.startsWith("cluster="))
     // src dies LAST — its _model must outlive the moves so a crashed

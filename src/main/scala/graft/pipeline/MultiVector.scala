@@ -122,6 +122,68 @@ object MultiVector {
     graft.core.Pinned.release(assigned)
   }
 
+  /** Incremental append under the frozen coarse quantizer: the
+    * increment's assignment pass feeds BOTH sub-layouts (the family's
+    * disjoint-docs contract — a doc's vectors arrive in exactly one
+    * increment, so max/sum over the grown layout ≡ one-shot).
+    */
+  def appendDocs(spark: SparkSession, docVecs: DataFrame,
+                 model: IvfModel, root: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    val assigned = docVecs.select(col("doc"), col("vec"))
+      .withColumn("cluster", Ivf.nearestCol(col("vec"), model, 1).getItem(0))
+      .localCheckpoint(true)
+    assigned.write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$root/ivf")
+    assigned.drop("cluster")
+      .withColumn("db", pmod(col("doc"), lit(DocBuckets.toLong)))
+      .repartition(DocBuckets, col("db"))
+      .write.mode(SaveMode.Append).partitionBy("db")
+      .parquet(s"$root/docs")
+    graft.core.Pinned.release(assigned)
+  }
+
+  /** DELETE documents (right-to-be-forgotten for the late-interaction
+    * tier): both sub-layouts are doc-keyed — one anti-join rewrite
+    * each inside the crash-safe swap.
+    */
+  def deleteDocs(spark: SparkSession, root: String, docs: DataFrame): Unit = {
+    val del = docs.select(col(docs.columns.head).as("doc"))
+      .localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, s"$root/ivf",
+      partitionCols = Seq("cluster"),
+      transform = p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.ParquetCompact.rewrite(spark, s"$root/docs",
+      partitionCols = Seq("db"),
+      transform = p => p.join(del, Seq("doc"), "left_anti"))
+    graft.core.Pinned.release(del)
+  }
+
+  /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer (the
+    * family's caller-owned contract — this layout persists no model
+    * sidecar; shard builders share the model by construction), so
+    * both sub-layouts absorb by pure file moves.
+    */
+  def mergeInto(spark: SparkSession, dstRoot: String,
+                srcRoot: String): Unit = {
+    Seq("ivf", "docs").foreach { sub =>
+      graft.core.DirSwap.recoverAt(spark, s"$dstRoot/$sub")
+      graft.core.DirSwap.recoverAt(spark, s"$srcRoot/$sub")
+    }
+    val src = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) return // absent src IS an empty layout
+    require(fs.exists(new org.apache.hadoop.fs.Path(dstRoot)),
+      s"merge destination $dstRoot does not exist")
+    Seq("ivf", "docs").foreach { sub =>
+      graft.core.SegmentMerge.moveTree(fs,
+        new org.apache.hadoop.fs.Path(s"$srcRoot/$sub"),
+        new org.apache.hadoop.fs.Path(s"$dstRoot/$sub"))
+    }
+    fs.delete(src, true)
+  }
+
   /** Serve late-interaction top-k from the persisted pair: probe →
     * gather → exact rescore. Exact for nprobe = nlist
     * (oracle-pinned); at partial probe surfaced scores stay exact

@@ -152,10 +152,19 @@ object Sparse {
     }
     val buckets = dims.map(_ % DimBuckets).distinct
     val idx0 = spark.read.parquet(path)
-    val idx = idx0
+    val idx1 = idx0
       .where(graft.core.PartitionIn.inSet(idx0, "dbk", buckets) &&
         col("dim").isInCollection(dims))
       .where(docFilter.getOrElse(lit(true)))
+    // tombstone mask on the serving read (un-hinted: AQE broadcasts
+    // the set while the fold cadence keeps it tiny, an overgrown
+    // mask degrades to a shuffle join instead of an executor OOM)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val tombFs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx =
+      if (!tombFs.exists(tp)) idx1
+      else idx1.join(spark.read.parquet(tombPath(path))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
     val scored = idx.join(broadcast(q), Seq("dim"))
       .where(if (excludeSelf) col("doc") =!= col("qid") else lit(true))
       .groupBy(col("qid"), col("doc").as("nid"))
@@ -167,6 +176,42 @@ object Sparse {
       .localCheckpoint(true) // snapshot before appends/compactions
     graft.core.Pinned.release(q)
     out
+  }
+
+  def tombPath(indexPath: String): String = s"$indexPath/_tombstones"
+
+  /** TOMBSTONE deletes at serving latency (the family's Lucene
+    * live-docs model, [[Ivf.tombstoneVectors]]'s twin): O(|ids|)
+    * sidecar append; [[searchIndex]] masks the ids on every serve
+    * until [[foldTombstones]] retires them into a physical rewrite.
+    */
+  def tombstoneDocs(spark: SparkSession, path: String,
+                    ids: DataFrame): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path) // sidecar beside the live copy
+    ids.select(col(ids.columns.head).as("doc"))
+      .write.mode(SaveMode.Append).parquet(tombPath(path))
+  }
+
+  /** Retire the mask into a physical [[deleteDocs]]-shaped rewrite;
+    * the sidecar is shed atomically with the swap (dropHidden), and
+    * the trailing delete heals a pre-dropHidden crash leftover —
+    * idempotent at any crash point (the [[Ivf.foldTombstones]]
+    * argument verbatim).
+    */
+  def foldTombstones(spark: SparkSession, path: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    val ids = spark.read.parquet(tombPath(path)).select(col("doc"))
+      .distinct().localCheckpoint(true)
+    graft.core.ParquetCompact.rewrite(spark, path,
+      partitionCols = Seq("dbk"), sortCols = Seq("dim", "doc"),
+      options = Map("parquet.page.row.count.limit" -> "512"),
+      transform = p => p.join(ids, Seq("doc"), "left_anti"),
+      dropHidden = Set("_tombstones"))
+    graft.core.Pinned.release(ids)
+    fs.delete(tp, true)
   }
 
   /** Crash-safe in-place compaction; contents-invariant, restores the

@@ -3192,6 +3192,87 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // grown late-interaction pair ≡ one-shot (one assignment pass
+    // feeds both sub-layouts per increment; disjoint docs)
+    "multivec_topk_incremental" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_inc")
+        .resolve("index").toString
+      val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(col("doc") <= mid), model, root)
+      graft.pipeline.MultiVector.appendDocs(s,
+        docVecs.where(col("doc") > mid), model, root)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // right-to-be-forgotten on the late-interaction tier,
+    // decoy-oracled: decoys are the query groups re-labeled as docs
+    // (max-sim 1.0 per query vector — they would own every rank-1)
+    "multivec_topk_deleted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val decoys = queryVecs.select((col("qid") + 90000L).as("doc"),
+        col("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_del")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.unionByName(decoys), model, root)
+      graft.pipeline.MultiVector.deleteDocs(s, root,
+        decoys.select(col("doc")))
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // shard-parallel late-interaction build + merge ≡ one-shot
+    "multivec_topk_merged" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("multivec_merge")
+      val shardA = base.resolve("a").toString
+      val shardB = base.resolve("b").toString
+      val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(col("doc") <= mid), model, shardA)
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(col("doc") > mid), model, shardB)
+      graft.pipeline.MultiVector.mergeInto(s, shardA, shardB)
+      graft.pipeline.MultiVector.searchIndex(s, shardA, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // EXACT range (radius) search over the cluster-partitioned
     // layout: every neighbor with cosine ≥ τ, cell-pruned by the
     // sound per-cluster radius bound (this corpus is near-uniform on
@@ -5184,6 +5265,34 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // tombstone deletes at serving latency on the sparse tier: the
+    // decoys (query copies — they would own every rank-1 with
+    // self-dot scores) are masked the instant the sidecar lands, and
+    // the fold retires the mask into a physical rewrite — BOTH
+    // stages must serve the decoy-free brute force
+    "sparse_topk_tombstoned" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_tomb")
+        .resolve("index").toString
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        emb.unionByName(decoys), "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.tombstoneDocs(s, idx,
+        decoys.select(col("vec_id").as("doc")))
+      val q = graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") < 4), "embedding", "vec_id")
+      val masked = graft.pipeline.Sparse.searchIndex(s, idx, q, k = 10)
+        .select(lit("masked").as("stage"), col("qid"), col("nid"),
+          col("score"), col("rk"))
+      graft.pipeline.Sparse.foldTombstones(s, idx)
+      val folded = graft.pipeline.Sparse.searchIndex(s, idx, q, k = 10)
+        .select(lit("folded").as("stage"), col("qid"), col("nid"),
+          col("score"), col("rk"))
+      masked.unionByName(folded)
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
     // filter-inside-search on the sparse tier: the predicate is
     // pushed below the ranking cut, and because sparse serving is
     // exact the filtered top-k IS brute force over the filtered
@@ -5622,7 +5731,10 @@ object Queries {
       val base = java.nio.file.Files.createTempDirectory("hybrid_merge")
       val rootA = base.resolve("shardA").toString
       val rootB = base.resolve("shardB").toString
-      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      // split on the SHARED id range: at sf0.1 the doc-id domain runs
+      // past the vec-id domain, and a docs-max midpoint would leave
+      // shard B's dense side empty
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Hybrid.writeIndex(s,
         docs.where(col("doc_id") <= mid), "text", "doc_id",
         emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootA)
@@ -6247,9 +6359,39 @@ object Queries {
     "ivf_range_incremental" -> rangeSearchSql,
 
     // late interaction: brute-force max-sim, fixed-point exact; the
-    // indexed row runs the exhaustive probe so the same SQL pins it
+    // indexed/lifecycle rows run the exhaustive probe so the same
+    // SQL pins them all
     "multivec_topk" -> multivecSql,
     "multivec_topk_indexed" -> multivecSql,
+    "multivec_topk_incremental" -> multivecSql,
+    "multivec_topk_deleted" -> multivecSql,
+    "multivec_topk_merged" -> multivecSql,
+
+    // sparse tombstones: both the masked serve and the post-fold
+    // serve must equal the decoy-free brute force
+    "sparse_topk_tombstoned" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id AS doc, unnest(embedding) AS val,
+         |    unnest(range(1, len(embedding) + 1)) AS dim
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT doc, dim,
+         |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+         |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05),
+         |base AS (
+         |  SELECT qid, nid, score, rk FROM (
+         |    SELECT q.doc AS qid, p.doc AS nid,
+         |      CAST(sum(q.w * p.w) AS BIGINT) AS score,
+         |      row_number() OVER (PARTITION BY q.doc
+         |        ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+         |    FROM sp q JOIN sp p USING (dim)
+         |    WHERE q.doc < 4 AND p.doc <> q.doc
+         |    GROUP BY q.doc, p.doc)
+         |  WHERE rk <= 10)
+         |SELECT 'masked' AS stage, qid, nid, score, rk FROM base
+         |UNION ALL
+         |SELECT 'folded' AS stage, qid, nid, score, rk FROM base
+         |ORDER BY stage, qid, rk""".stripMargin,
 
     // dense top-20 (exact cosine) ∪ sparse top-20 (exact integer
     // dots) fused with floor(2^20/(60+rk)) contributions — every

@@ -116,6 +116,31 @@ class BqMergeSpec extends SparkTestBase {
     assert(serve(a) == serve(one))
   }
 
+  test("a data-less src (metadata sidecars only) merges as an empty " +
+      "shard — consumed, dst untouched") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("merge_dataless")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding", a)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    // b: the shape an empty id-range shard leaves behind — a _model
+    // sidecar and nothing else (the sf0.1 hybrid_topk_merged shape)
+    Ivf.saveModel(spark, model, Ivf.modelPath(b))
+    val before = Ivf.searchCodes(Ivf.readIndex(spark, a),
+        emb.where(col("vec_id") < 3), "embedding", "vec_id", model, k = 5)
+      .select("qid", "nid", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Ivf.mergeInto(spark, a, b)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(b)),
+      "the empty shard must be consumed")
+    val after = Ivf.searchCodes(Ivf.readIndex(spark, a),
+        emb.where(col("vec_id") < 3), "embedding", "vec_id", model, k = 5)
+      .select("qid", "nid", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after == before)
+  }
+
   test("mergeInto refuses different quantizers and missing _model") {
     val model1 = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val model2 = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 2)
