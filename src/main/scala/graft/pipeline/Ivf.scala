@@ -859,7 +859,13 @@ object Ivf {
         .withColumn("cluster", nearestCol(col(vecCol), model, 1).getItem(0)),
       beforeSwap = tmp =>
         saveModel(spark, model,
-          new org.apache.hadoop.fs.Path(tmp, "_model").toString))
+          new org.apache.hadoop.fs.Path(tmp, "_model").toString),
+      // a recluster re-keys every cluster id, so a carried-over
+      // `_radii` sidecar (RangeSearch) would bound the WRONG cells —
+      // an under-estimate there silently drops range-search results.
+      // Retire it with the swap; the missing-sidecar fallback
+      // (admit-all) keeps range search correct until writeRadii reruns
+      dropHidden = Set("_radii"))
     model
   }
 

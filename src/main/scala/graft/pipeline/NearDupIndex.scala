@@ -415,11 +415,20 @@ object NearDupIndex {
       .select(least(col("sdoc"), col("ddoc")).as("d1"),
         greatest(col("sdoc"), col("ddoc")).as("d2"))
       .distinct()
-    // verify from the persisted shingle sets of BOTH shards
-    val hsAll = spark.read.parquet(s"$srcPath/sets")
-      .select(col("doc"), col("hs"))
-      .unionByName(spark.read.parquet(s"$dstPath/sets")
-        .select(col("doc"), col("hs")))
+      .localCheckpoint(true) // one materialization feeds db pruning + verify
+    // verify from the persisted shingle sets of BOTH shards, pruned
+    // to the doc-buckets the candidates actually touch (≤ SetBuckets
+    // ids — bounded by construction, the probe's own pruning rule)
+    val dbIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc"))
+      .select(dbOf(col("doc")).as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def setsOf(path: String) = {
+      val sets = spark.read.parquet(s"$path/sets")
+      sets.where(graft.core.PartitionIn.inSet(sets, "db", dbIds))
+        .select(col("doc"), col("hs"))
+    }
+    val hsAll = setsOf(srcPath).unionByName(setsOf(dstPath))
       .dropDuplicates("doc")
     val pairs = cand
       .join(hsAll.select(col("doc").as("d1"), col("hs").as("h1")), Seq("d1"))
@@ -428,6 +437,7 @@ object NearDupIndex {
         jaccardSim(col("h1"), col("h2")).as("jac"))
       .where(col("jac") >= threshold)
       .localCheckpoint(true) // pre-move snapshot
+    graft.core.Pinned.release(cand)
     Seq("bands", "sets").foreach { sub =>
       graft.core.SegmentMerge.moveTree(fs,
         new org.apache.hadoop.fs.Path(s"$srcPath/$sub"),

@@ -90,6 +90,13 @@ object RangeSearch {
     * radius bound where the corpus allows it. `queries` is a small
     * (idCol, vecCol) frame per the family's query contract;
     * `excludeSelf` drops qid = nid hits.
+    *
+    * Soundness contract: every append to the layout must be
+    * accompanied by its [[appendRadii]] increment — an unrecorded
+    * increment can push a member past its cluster's recorded radius
+    * and prune a qualifying cell (deletes are safe: a too-large
+    * radius only admits more). [[Ivf.recluster]] retires the sidecar
+    * with its swap (cluster ids re-key), falling back to admit-all.
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              vecCol: String, idCol: String, model: IvfModel, tau: Double,

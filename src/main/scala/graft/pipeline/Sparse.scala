@@ -141,14 +141,23 @@ object Sparse {
                   k: Int, excludeSelf: Boolean = true,
                   docFilter: Option[Column] = None): DataFrame = {
     graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
+    def emptyResult = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Int)].toDF("qid", "nid", "score", "rk")
+    }
+    // missing layout IS an empty index (the family contract — a
+    // delete-everything pass removes the directory)
+    val lp = new org.apache.hadoop.fs.Path(path)
+    if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(lp)) return emptyResult
     val q = queries.select(col("doc").as("qid"), col("dim"),
       col("w").as("qw")).localCheckpoint(true)
     val dims = q.select(col("dim")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     if (dims.isEmpty) {
       graft.core.Pinned.release(q)
-      return q.select(col("qid"), col("qid").as("nid"),
-        col("qw").as("score"), lit(1).as("rk")).limit(0)
+      // standalone frame: the released checkpoint must not back it
+      return emptyResult
     }
     val buckets = dims.map(_ % DimBuckets).distinct
     val idx0 = spark.read.parquet(path)
@@ -240,7 +249,9 @@ object Sparse {
     * is a pure [[graft.core.SegmentMerge]] file move: zero rows
     * rewritten, search over the merged layout bit-identical to a
     * one-shot build over the union (oracle-pinned). Crash-safe by
-    * per-file rename idempotence.
+    * per-file rename idempotence. A src `_tombstones` sidecar moves
+    * with the tree — the merged mask is the union, and the moved
+    * postings stay masked exactly as they were in the shard.
     */
   def mergeInto(spark: SparkSession, dstPath: String,
                 srcPath: String): Unit = {
