@@ -5751,6 +5751,39 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // SNAPSHOT/RESTORE on the PAIRED layout: capture the hybrid root
+    // (both index sides + the oplog ledger), wreck both sides with a
+    // decoy append, restore — the fused serve must equal the
+    // never-wrecked golden, and the restored ledger is consistent
+    // with the restored data (the decoy run's markers vanish with it)
+    "hybrid_topk_restored" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("hybrid_restore")
+      val root = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id",
+        emb, "vec_id", "embedding", model, root)
+      graft.core.DirSnapshot.create(s, root, snap)
+      val textDecoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "9").as("text"))
+      val vecDecoys = emb.where(col("vec_id") < 2)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.pipeline.Hybrid.appendDocs(s, root, textDecoys, "text",
+        "doc_id", vecDecoys, "vec_id", "embedding", model,
+        runId = "wreck", batchId = 0L)
+      graft.core.DirSnapshot.restore(s, snap, root)
+      graft.pipeline.Hybrid.searchIndex(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "hybrid_recall" -> ((s, d) => {
       // the recall harness pointed at the RRF hybrid retriever: how
       // much of the true semantic top-5 (brute-force cosine) does the
@@ -6313,6 +6346,10 @@ object Queries {
 
     // two paired shard roots, both sides file-move merged ≡ one-shot
     "hybrid_topk_merged" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    // snapshot → wreck both sides → restore ≡ the never-wrecked pair
+    "hybrid_topk_restored" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     // the disk-served hybrid (persisted BM25 + exhaustively-probed
