@@ -189,11 +189,19 @@ object MultiVector {
     * (oracle-pinned); at partial probe surfaced scores stay exact
     * and only candidate recall is approximate.
     */
+  /** `docFilter` is filter-inside-search over the `doc` column (the
+    * family's Lucene filter contract): applied at candidate
+    * generation, below the ranking cut — and because the rescore is
+    * exact over gathered docs, a filtered result at the exhaustive
+    * probe IS brute force over the filtered corpus.
+    */
   def searchIndex(spark: SparkSession, root: String, queryVecs: DataFrame,
                   model: IvfModel, k: Int, nprobe: Int,
                   excludeDoc: Option[(org.apache.spark.sql.Column,
                     org.apache.spark.sql.Column) =>
-                    org.apache.spark.sql.Column] = None): DataFrame = {
+                    org.apache.spark.sql.Column] = None,
+                  docFilter: Option[org.apache.spark.sql.Column] =
+                    None): DataFrame = {
     graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
     graft.core.DirSwap.recoverAt(spark, s"$root/docs")
     val q = queryVecs.select(col("qid"), col("vec").as("qv"),
@@ -207,6 +215,7 @@ object MultiVector {
     val ivf0 = spark.read.parquet(s"$root/ivf")
     val cand = ivf0
       .where(graft.core.PartitionIn.inSet(ivf0, "cluster", cells))
+      .where(docFilter.getOrElse(lit(true)))
       .select(col("cluster"), col("doc"))
       .join(broadcast(probes.select(col("qid"), col("cluster"))),
         Seq("cluster"))

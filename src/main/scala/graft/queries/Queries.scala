@@ -150,7 +150,7 @@ object Queries {
     * 2-vector groups, per-pair cosines fixed-pointed at 1e9 before
     * the integer max/sum, the query's own source doc excluded.
     */
-  private lazy val multivecSql: String =
+  private def multivecSql(pred: String = "TRUE"): String =
     s"""WITH pairs AS (
        |  SELECT q.vec_id // 2 AS qid, q.vec_id AS qv,
        |    e.vec_id // 4 AS doc,
@@ -160,7 +160,7 @@ object Queries {
        |  WHERE q.vec_id < 4),
        |mx AS (SELECT qid, qv, doc, max(c) AS m FROM pairs GROUP BY 1, 2, 3),
        |sc AS (SELECT qid, doc, CAST(sum(m) AS BIGINT) AS score FROM mx
-       |       GROUP BY 1, 2 HAVING doc <> qid // 2)
+       |       GROUP BY 1, 2 HAVING doc <> qid // 2 AND ($pred))
        |SELECT qid, doc, score,
        |  row_number() OVER (PARTITION BY qid
        |    ORDER BY score DESC, doc) AS rk
@@ -3184,6 +3184,55 @@ object Queries {
       val root = java.nio.file.Files.createTempDirectory("multivec")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // filter-inside-search on the late-interaction tier: the
+    // predicate cuts candidates below the ranking window, the gather
+    // still reads every vector of each filtered survivor, and at the
+    // exhaustive probe the result IS brute force over the filtered
+    // corpus
+    "multivec_topk_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_filt")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")),
+          docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the late-interaction pair maintained ON INGEST: microbatches
+    // assign once and append both sub-layouts; per-vector rows make
+    // the grown pair serve identically to the one-shot even when a
+    // doc's vectors straddle a batch boundary
+    "stream_multivec_search" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("graft_smv_q")
+        .resolve("index").toString
+      graft.streaming.StreamingMultiVector.ingest(s, d, root, model,
+        nBatches = 3, compactFilesPerDir = 2.0)
       graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
           k = 5, nprobe = 16,
           excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
@@ -6398,11 +6447,13 @@ object Queries {
     // late interaction: brute-force max-sim, fixed-point exact; the
     // indexed/lifecycle rows run the exhaustive probe so the same
     // SQL pins them all
-    "multivec_topk" -> multivecSql,
-    "multivec_topk_indexed" -> multivecSql,
-    "multivec_topk_incremental" -> multivecSql,
-    "multivec_topk_deleted" -> multivecSql,
-    "multivec_topk_merged" -> multivecSql,
+    "multivec_topk" -> multivecSql(),
+    "multivec_topk_indexed" -> multivecSql(),
+    "multivec_topk_incremental" -> multivecSql(),
+    "multivec_topk_deleted" -> multivecSql(),
+    "multivec_topk_merged" -> multivecSql(),
+    "multivec_topk_filtered" -> multivecSql("doc % 2 = 0"),
+    "stream_multivec_search" -> multivecSql(),
 
     // sparse tombstones: both the masked serve and the post-fold
     // serve must equal the decoy-free brute force
