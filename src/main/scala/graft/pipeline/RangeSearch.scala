@@ -102,7 +102,11 @@ object RangeSearch {
              vecCol: String, idCol: String, model: IvfModel, tau: Double,
              excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimD
-    val idx0 = Ivf.readIndex(spark, indexPath) // runs DirSwap.recoverAt
+    // the SERVING read: tombstoned vectors must not resurface in
+    // range results between folds (the family's masked-read rule;
+    // also runs the DirSwap recovery preamble). Their mass in the
+    // radius sidecar only over-estimates — sound.
+    val idx0 = Ivf.readIndexServing(spark, indexPath, idCol)
     // per-cluster radii: max over the additive sidecar rows; clusters
     // without a row (or no sidecar at all) read as the sphere
     // diameter — admit, never unsoundly prune

@@ -243,6 +243,22 @@ object Sparse {
     graft.core.Pinned.release(del)
   }
 
+  /** UPSERT — replace-by-id for re-embedded documents: physical
+    * delete of the ids' old postings plus a fresh sparsify-append
+    * (id-based tombstones cannot express replace — the mask would
+    * hide the new copy too, the [[Ivf.upsertVectors]] argument).
+    * Exact and idempotent under a crash+re-run: the delete anti-join
+    * is a no-op the second time and the re-append re-lands identical
+    * rows only if the first append never committed (Spark's job
+    * commit is all-or-nothing per pass).
+    */
+  def upsertDocs(spark: SparkSession, path: String, df: DataFrame,
+                 vecCol: String, idCol: String, tau: Double = 0.05,
+                 scale: Double = DefaultScale): Unit = {
+    deleteDocs(spark, path, df.select(col(idCol).as("doc")))
+    appendToIndex(spark, sparsify(df, vecCol, idCol, tau, scale), path)
+  }
+
   /** SEGMENT MERGE — the shard-parallel build topology: postings are
     * per-doc rows under ONE fixed (tau, scale) sparsification (the
     * family's frozen-params contract), so absorbing shard `srcPath`

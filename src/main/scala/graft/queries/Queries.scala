@@ -3345,6 +3345,32 @@ object Queries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // range search reads through the SERVING mask: tombstoned decoys
+    // (verbatim query copies, sim 1.0 — they would appear in every
+    // result set) must not resurface between folds; their leftover
+    // radius mass only over-estimates, which is sound
+    "ivf_range_tombstoned" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 80000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(decoys)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_range_tomb")
+        .resolve("index").toString
+      val assigned = graft.pipeline.Ivf.assign(corpus, "embedding", model)
+      graft.pipeline.Ivf.writeIndex(assigned, idx)
+      graft.pipeline.RangeSearch.appendRadii(s, assigned, "embedding",
+        model, idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.RangeSearch.search(s, idx,
+          emb.where(col("vec_id") < 4), "embedding", "vec_id", model,
+          tau = 0.3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     // the radius sidecar is ADDITIVE (build + each append contribute
     // rows, readers max) — the grown layout's range search must stay
     // brute-force exact with no sidecar rewrite
@@ -5314,6 +5340,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // replace-by-id on the sparse tier: ids 10..13 are built with
+    // STALE vectors (verbatim query copies — they would score 1.0
+    // everywhere), then upserted to their true embeddings; the serve
+    // must equal the never-corrupted brute force
+    "sparse_topk_upserted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_ups")
+        .resolve("index").toString
+      val stale = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 10L).as("vec_id"), col("embedding"))
+      val corrupted = emb.where(col("vec_id") < 10 || col("vec_id") >= 14)
+        .unionByName(stale)
+      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+        corrupted, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.upsertDocs(s, idx,
+        emb.where(col("vec_id") >= 10 && col("vec_id") < 14),
+        "embedding", "vec_id")
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // tombstone deletes at serving latency on the sparse tier: the
     // decoys (query copies — they would own every rank-1 with
     // self-dot scores) are masked the instant the sidecar lands, and
@@ -6438,11 +6488,15 @@ object Queries {
     "sparse_topk_merged" -> sparseTopkSql(),
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     "stream_sparse_search" -> sparseTopkSql(),
+    // stale ids replaced by their true embeddings ≡ never corrupted
+    "sparse_topk_upserted" -> sparseTopkSql(),
 
     // exact range search ≡ brute force over the corpus, by its sound
     // radius bound — the oracle IS the brute force
     "ivf_range_search" -> rangeSearchSql,
     "ivf_range_incremental" -> rangeSearchSql,
+    // tombstoned decoys masked out ≡ the decoy-free brute force
+    "ivf_range_tombstoned" -> rangeSearchSql,
 
     // late interaction: brute-force max-sim, fixed-point exact; the
     // indexed/lifecycle rows run the exhaustive probe so the same
