@@ -3138,6 +3138,32 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // TRI-MODAL fusion — the full modern retrieval stack in one
+    // query: BM25 lexical + dense cosine + learned-sparse integer
+    // dots, fused by the same integer RRF. One rank list per
+    // modality per query id; the lexical ranking replays the bm25
+    // golden, the other two are SQL-exact
+    "hybrid_trimodal" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") < 3)
+      val lex = graft.pipeline.Bm25.topK(s, docs, "text", "doc_id",
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .select(col("qid"), col("doc"), col("rk"))
+      val dense = graft.pipeline.Similarity.bruteForceTopK(emb, q,
+          "embedding", "vec_id", k = 10)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      val sparse = graft.pipeline.Sparse.topK(
+          graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"),
+          graft.pipeline.Sparse.sparsify(q, "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      graft.pipeline.Hybrid.rrfFuse(Seq(lex, dense, sparse), k = 10)
+        .select(col("qid"), col("doc"), col("rrf_fp"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // RECOMMEND-style query composition (the vector-db recommend
     // API): query = Σ positives − Σ negatives, folded sequentially
     // in doubles in ascending id order so the SQL mirror replays the
@@ -6569,6 +6595,50 @@ object Queries {
          |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM sparse_rk
          |  UNION ALL
          |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM dense_rk),
+         |f AS (SELECT qid, doc, CAST(sum(c) AS BIGINT) AS rrf_fp
+         |      FROM contrib GROUP BY 1, 2)
+         |SELECT qid, doc, rrf_fp,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_fp DESC, doc) AS rk
+         |FROM f QUALIFY rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // tri-modal RRF: lexical ranks from the bm25 golden, dense and
+    // sparse ranks recomputed exactly, floor(2^20/(60+rk)) sums
+    "hybrid_trimodal" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id AS doc, unnest(embedding) AS val,
+         |    unnest(range(1, len(embedding) + 1)) AS dim
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT doc, dim,
+         |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+         |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05),
+         |sparse_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.doc AS qid, p.doc AS doc,
+         |      row_number() OVER (PARTITION BY q.doc
+         |        ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+         |    FROM sp q JOIN sp p USING (dim)
+         |    WHERE q.doc < 3 AND p.doc <> q.doc
+         |    GROUP BY q.doc, p.doc)
+         |  WHERE rk <= 10),
+         |dense_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS doc,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
+         |          e.vec_id) AS rk
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 10),
+         |lex_rk AS (
+         |  SELECT qid, doc, rk FROM '$pipeGold/bm25_topk.parquet'),
+         |contrib AS (
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM lex_rk
+         |  UNION ALL
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM dense_rk
+         |  UNION ALL
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM sparse_rk),
          |f AS (SELECT qid, doc, CAST(sum(c) AS BIGINT) AS rrf_fp
          |      FROM contrib GROUP BY 1, 2)
          |SELECT qid, doc, rrf_fp,
