@@ -57,13 +57,19 @@ object DedupIndex {
     * page pruning needs — compact-then-probe is the steady state.
     */
   def writeIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-                 idCol: String, path: String): Unit =
+                 idCol: String, path: String): Unit = {
+    // empty corpus: write NOTHING — a zero-row dynamic write leaves a
+    // _SUCCESS-only directory that every later read dies on for
+    // schema inference; a missing dir IS an empty index (the family's
+    // empty-guard, [[probeIndexRead]]/[[mergeInto]] honor it)
+    if (docs.isEmpty) return
     docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
         col(idCol).as("doc"))
       .groupBy(col("fp")).agg(min(col("doc")).as("doc"))
       .withColumn("bucket", bucketOf(col("fp")))
       .repartition(IndexBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
 
   /** The increment's slim (doc, fp) frame, pinned once: three
     * consumers (bucket-set agg, batch-keeper agg, probe join) must
@@ -113,9 +119,22 @@ object DedupIndex {
     * then reads ~|increment| PAGES of the index, not whole buckets.
     * Package-private for the pruning assertion in DedupIndexSpec.
     */
+  /** A layout with at least one bucket partition dir — a missing or
+    * data-less path (empty build, probe before any build) IS an
+    * empty index, never a schema-inference crash.
+    */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("bucket="))
+  }
+
   private[graft] def probeIndexRead(spark: SparkSession, path: String,
                                     fps: DataFrame, buckets: Seq[Long],
                                     nFps: Long): DataFrame = {
+    if (!hasData(spark, path))
+      return fps.select(col("fp"), col("doc")).limit(0)
     val idx0 = spark.read.parquet(path)
     def bucketRead = idx0
       .where(graft.core.PartitionIn.inSet(idx0, "bucket", buckets))
@@ -189,12 +208,15 @@ object DedupIndex {
     graft.core.DirSwap.recoverAt(spark, path) // see probe
     val fps = fpsOf(docs, textCol, idCol)
     withFpPushdown(spark) {
-      probeRaw(spark, path, fps)
+      val novel = probeRaw(spark, path, fps)
         .where(col("idx_keep").isNull)
         .groupBy(col("fp")).agg(min(col("batch_keep")).as("doc"))
         .withColumn("bucket", bucketOf(col("fp")))
-        .repartition(IndexBuckets, col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(path)
+      // a zero-row append onto a MISSING path would leave the
+      // _SUCCESS-only landmine the family's empty-guard exists for
+      if (!novel.isEmpty)
+        novel.repartition(IndexBuckets, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(path)
     }
     graft.core.Pinned.release(fps)
   }
@@ -228,17 +250,24 @@ object DedupIndex {
     val hc = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(hc)
-    if (!fs.exists(src)) // absent src IS an empty index: nothing to
-      return spark.emptyDataFrame // report, nothing to move
+    if (!hasData(spark, srcPath)) { // absent/data-less src IS an
+      fs.delete(src, true) // empty index: nothing to report or move
+      return spark.emptyDataFrame
         .withColumn("doc", lit(null).cast("long"))
         .withColumn("keep_id", lit(null).cast("long"))
         .withColumn("dup", lit(null).cast("boolean"))
+    }
     require(fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
       s"merge destination $dstPath does not exist")
     val srcRows = spark.read.parquet(srcPath)
       .select(col("fp"), col("doc")).localCheckpoint(true)
-    val dstIdx = spark.read.parquet(dstPath)
-      .select(col("fp"), col("doc").as("idx_keep"))
+    // a data-less dst (empty-corpus shard) holds nothing: every src
+    // fp is novel
+    val dstIdx =
+      if (hasData(spark, dstPath))
+        spark.read.parquet(dstPath)
+          .select(col("fp"), col("doc").as("idx_keep"))
+      else srcRows.select(col("fp"), col("doc").as("idx_keep")).limit(0)
     // decisions snapshot BEFORE the append rewires the plans
     val report = srcRows.join(dstIdx, Seq("fp"), "left")
       .select(col("doc"),

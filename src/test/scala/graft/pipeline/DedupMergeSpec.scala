@@ -64,6 +64,41 @@ class DedupMergeSpec extends SparkTestBase {
     assert(decisions(shardA) == decisions(seqIdx))
   }
 
+  test("DedupIndex empty-layout contract: empty builds write nothing, " +
+      "probes treat missing layouts as empty, data-less shards merge") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fp_empty")
+    val never = base.resolve("never").toString
+    // empty corpus: no directory, no schema-inference landmine
+    DedupIndex.writeIndex(spark, docs.limit(0), "text", "doc_id", never)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(never)))
+    // probe before any build: every doc classifies against the batch
+    val one = Seq((5L, "alpha"), (9L, "alpha")).toDF("doc_id", "text")
+    val got = DedupIndex.probe(spark, never, one, "text", "doc_id")
+      .select("doc", "keep_id", "dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((5L, 5L, false), (9L, 5L, true)))
+    // merging a data-less src consumes it and reports nothing
+    val a = base.resolve("a").toString
+    DedupIndex.writeIndex(spark, docs.where(col("doc_id") < 50), "text",
+      "doc_id", a)
+    assert(DedupIndex.mergeInto(spark, a, never).isEmpty)
+    // merging INTO a data-less-but-existing dst: all src fps novel
+    val b = base.resolve("b").toString
+    val hollow = base.resolve("hollow").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(hollow))
+    DedupIndex.writeIndex(spark, docs.where(col("doc_id") < 50), "text",
+      "doc_id", b)
+    val report = DedupIndex.mergeInto(spark, hollow, b)
+    assert(report.collect().forall(!_.getBoolean(2)), "all novel")
+    val reingested = docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 777000L).as("doc_id"), col("text"))
+    val probe = DedupIndex.probe(spark, hollow, reingested, "text",
+        "doc_id").collect()
+    assert(probe.nonEmpty && probe.forall(_.getAs[Boolean]("dup")),
+      "the moved fps must now suppress re-ingests")
+  }
+
   test("NearDupIndex.mergeInto: shard pairs ∪ cross report ∪ later " +
       "probe = one-shot LSH pass; src consumed") {
     val a = docs.where(col("doc_id") % 3 === 0)
