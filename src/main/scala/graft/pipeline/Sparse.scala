@@ -247,10 +247,11 @@ object Sparse {
     * delete of the ids' old postings plus a fresh sparsify-append
     * (id-based tombstones cannot express replace — the mask would
     * hide the new copy too, the [[Ivf.upsertVectors]] argument).
-    * Exact and idempotent under a crash+re-run: the delete anti-join
-    * is a no-op the second time and the re-append re-lands identical
-    * rows only if the first append never committed (Spark's job
-    * commit is all-or-nothing per pass).
+    * Exact and idempotent under a crash+re-run: the re-run's delete
+    * removes whatever state the crashed run left for these ids (old
+    * postings, or the first run's already-committed replacements) and
+    * the append re-lands the one correct copy — any crash point
+    * converges to the same final layout.
     */
   def upsertDocs(spark: SparkSession, path: String, df: DataFrame,
                  vecCol: String, idCol: String, tau: Double = 0.05,
