@@ -1456,6 +1456,26 @@ object Queries {
     "vdb_delete_byid" ->
       "SELECT count(*) AS n FROM embeddings WHERE vec_id <> 1",
 
+    // keyset pagination: three chained pages tile ids exactly once;
+    // page 4 is the payload-filtered scroll
+    "vdb_scroll" ->
+      """WITH v AS (
+        |  SELECT doc_id + 1 AS id, source, text FROM documents
+        |  WHERE doc_id < 100)
+        |SELECT 1 AS page, id, source FROM
+        |  (SELECT * FROM v WHERE id > 0 ORDER BY id LIMIT 40)
+        |UNION ALL
+        |SELECT 2 AS page, id, source FROM
+        |  (SELECT * FROM v WHERE id > 40 ORDER BY id LIMIT 40)
+        |UNION ALL
+        |SELECT 3 AS page, id, source FROM
+        |  (SELECT * FROM v WHERE id > 80 ORDER BY id LIMIT 40)
+        |UNION ALL
+        |SELECT 4 AS page, id, source FROM
+        |  (SELECT * FROM v WHERE id > 0 AND length(text) > 400
+        |   ORDER BY id LIMIT 40)
+        |ORDER BY page, id""".stripMargin,
+
     "vdb_dump" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id IN (1, 2, 3, 5, 8, 13) ORDER BY vec_id""".stripMargin,
@@ -3689,6 +3709,30 @@ object Queries {
       val ret = new graft.retrieve.Retrieval(s, graft.embed.HashEmbedding(64), store)
       ret.retrieveFromDb("spark filter join", topk = 5).toDF()
         .select(round(col("sim"), 6).as("sim"), col("source"), col("text"))
+    }),
+
+    // SCROLL — keyset pagination over the vector store: three
+    // cursor-chained pages tile ids 1..100 exactly once (cursor =
+    // last id of the previous page), plus a payload-filtered page.
+    // The store's dense ids are deterministic here because the input
+    // is sorted before add (zipWithIndex over sorted partitions), so
+    // the oracle recomputes them as doc_id + 1
+    "vdb_scroll" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_vs_scroll")
+        .toString + "/store"
+      val store = new graft.store.VectorStore(s, path, dim = 64)
+      val docs = tbl(s, d, "documents").where(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+        .select(col("source"), col("text"))
+      store.add(graft.embed.Embed.embedColumn(
+        docs, graft.embed.HashEmbedding(64), "text", "vector"))
+      def page(n: Int, after: Long,
+               f: Option[org.apache.spark.sql.Column] = None) =
+        store.scroll(after, limit = 40, filter = f)
+          .select(lit(n.toLong).as("page"), col("id"), col("source"))
+      page(1, 0L).unionByName(page(2, 40L)).unionByName(page(3, 80L))
+        .unionByName(page(4, 0L, Some(length(col("text")) > 400)))
+        .orderBy(col("page"), col("id"))
     }),
 
     "memory_context" -> ((s, d) => {

@@ -111,6 +111,24 @@ final class VectorStore(val spark: SparkSession, val path: String,
       $"source", substring($"text", 1, shortenTo).as("text_preview"))
       .orderBy($"id")
 
+  /** SCROLL — keyset pagination over the store (the vector-db scroll
+    * API shape; the reference's `ls` lists everything, which stops
+    * being an interface the moment the store outgrows a terminal):
+    * one page of up to `limit` rows with id > `after`, id-ascending,
+    * optionally restricted by a payload predicate. Cursor = the last
+    * id of the previous page, so pages are stable under concurrent
+    * APPENDS (new rows only ever land past the max id — the dense-id
+    * contract) and every row surfaces exactly once across pages.
+    * Keyset, not OFFSET: an offset page re-scans and re-sorts
+    * everything before it; the id predicate prunes at the scan.
+    */
+  def scroll(after: Long, limit: Int,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    df.where($"id" > after && filter.getOrElse(lit(true)))
+      .orderBy($"id")
+      .limit(limit)
+      .select($"id", $"source", $"text")
+
   /** JSONL dump (reference vectordb.py:258-279, cli.py:114-133). */
   def dump(outPath: String, includeVector: Boolean = false,
            ids: Seq[Long] = Nil): Unit = {
