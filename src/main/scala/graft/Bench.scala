@@ -71,7 +71,7 @@ object Bench {
         sinceRecycle = 0
       }
       sinceRecycle += 1
-      val times = (0 until runs).map { _ =>
+      def measure(): Seq[Double] = (0 until runs).map { _ =>
         // Leaked state from the previous query (cached frames, the
         // label-propagation/append-log localCheckpoint blocks) must not
         // tax THIS query's measurement: r02 measured dedup_exact at 21s
@@ -86,15 +86,38 @@ object Bench {
           -1.0
         }
       }
+      val firstPass = measure()
+      // CONTENTION DEFENSE: two consecutive driver windows produced
+      // >7x rep spreads on different rows (r10 stream_curation
+      // [6.0, 39.9, 43.6]; r11 corpus_curation_v2 [11.3, 41.2, 84.9])
+      // while same-code quiet runs read them flat — machine-level
+      // contention the session-recycling fix cannot reach, and a 2x
+      // gate can be spuriously failed by it. A rep spread the query
+      // itself cannot produce (same code, same data, back to back)
+      // is the contention signature: recycle the session and re-run
+      // that ONE query once, keep the re-measured reps, and record
+      // the discarded ones under "contended" in BENCH_DETAIL so both
+      // captures stay visible. One retry only — a machine busy enough
+      // to fail it twice should be visible in the numbers.
+      val (times, discarded) =
+        if (contended(firstPass)) {
+          System.err.println(s"[bench] $name reps " +
+            firstPass.map(t => f"$t%.1f").mkString("[", ", ", "]") +
+            " look contended - recycling session and re-measuring")
+          spark.stop()
+          spark = newSession()
+          sinceRecycle = 1
+          (measure(), Some(firstPass))
+        } else (firstPass, None)
       // A crashed query must not contribute a plausible-looking
       // duration: any failed repeat poisons the whole entry (-1 +
       // errors listing) so the driver sees it.
       val ok = times.forall(_ >= 0)
       val sorted = times.sorted
       val med = if (ok) sorted((runs - 1) / 2) else -1.0
-      (name, if (ok) times.head else -1.0, med, ok, times)
+      (name, if (ok) times.head else -1.0, med, ok, times, discarded)
     }
-    val results = timed.map { case (n, cold, _, ok, _) => (n, cold, ok) }
+    val results = timed.map { case (n, cold, _, ok, _, _) => (n, cold, ok) }
     val medianTotal =
       if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
     // the committed detail file records full suites only — a
@@ -109,17 +132,37 @@ object Bench {
       jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
         withQueries = true, filteredRun = false, medianTotal = medianTotal,
         queryMedians = Some(timed.map(t => (t._1, t._3))),
-        queryRuns = Some((runs, timed.map(t => (t._1, t._5))))) + "\n")
+        queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
+        contendedReps = Some(timed.collect {
+          case (n, _, _, _, _, Some(d)) => (n, d) })) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
       medianTotal = medianTotal))
     // iteration aid: a filtered run's stdout JSON carries first-run
     // times only, but the load-robust per-query signal is the median —
     // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
     // without touching the driver-facing stdout contract
-    if (only.isDefined) System.err.println(timed.map { case (n, _, m, _, _) =>
+    if (only.isDefined) System.err.println(timed.map { case (n, _, m, _, _, _) =>
       f"$n=$m%.3f" }.mkString("[bench] medians: ", " ", ""))
     spark.stop()
   }
+
+  /** Does a rep set carry the CONTENTION SIGNATURE — a spread the
+    * query cannot produce on its own (same code, same data, back to
+    * back in one session)? True when the slowest rep exceeds
+    * [[ContentionSpread]]× the fastest AND the gap clears
+    * [[ContentionFloorSec]] (sub-second queries jitter past 3×
+    * from scheduling noise alone, and a recycle costs more than it
+    * could recover there). Failed reps (-1) never flag: the entry is
+    * already poisoned and a retry would mask a real crash.
+    */
+  private[graft] val ContentionSpread = 3.0
+  private[graft] val ContentionFloorSec = 2.0
+  private[graft] def contended(reps: Seq[Double]): Boolean =
+    reps.size >= 2 && reps.forall(_ >= 0) && {
+      val mn = reps.min
+      val mx = reps.max
+      mx > ContentionSpread * mn && mx - mn > ContentionFloorSec
+    }
 
   /** The driver keeps only a ~2000-char tail of the sbt stdout and
     * parses the JSON line out of it; sbt's own "[success] Total time"
@@ -165,7 +208,8 @@ object Bench {
                               filteredRun: Boolean,
                               medianTotal: Option[Double] = None,
                               queryMedians: Option[Seq[(String, Double)]] = None,
-                              queryRuns: Option[(Int, Seq[(String, Seq[Double])])] = None): String = {
+                              queryRuns: Option[(Int, Seq[(String, Seq[Double])])] = None,
+                              contendedReps: Option[Seq[(String, Seq[Double])]] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
     val med = medianTotal
@@ -183,10 +227,18 @@ object Bench {
         "\"" + k + "\":[" + ts.map(fmt(_, prec)).mkString(",") + "]" }
         .mkString(""""queries_runs":{""", ",", "},")
     }.getOrElse("")
+    // queries whose first capture tripped the contention detector:
+    // the DISCARDED reps, so a reader sees both measurements (the
+    // kept ones are this query's queries_runs entry). Always present
+    // when the caller measures contention — an empty object is the
+    // "detector armed, nothing flagged" witness.
+    val contendedPart = contendedReps.map(_.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt(_, prec)).mkString(",") + "]" }
+      .mkString(""""contended":{""", ",", "},")).getOrElse("")
     val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$errs"n_queries":${results.size}$sfPart}"""
   }
 }

@@ -420,7 +420,43 @@ object Bm25 {
     */
   def searchIndex(spark: SparkSession, path: String,
                   queries: Seq[(Long, String)], k: Int,
-                  docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                  docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    cutTopK(scoredIndexCandidates(spark, path, queries, docFilter), k)
+
+  /** GROUPED (multi-tenant) lexical top-k from the persisted layout —
+    * top-k PER (query, group) in one scan pass. BM25 scores are
+    * per-(query, doc) and tenant-independent, so grouping is purely
+    * the cut key: score once, attach each doc's tenant from
+    * `docGroups` (a (doc, groupCol) frame; uncovered docs belong to
+    * no tenant and drop), bounded-heap cut per (qid, group).
+    * Collection stats stay corpus-level — the Lucene filter
+    * semantics every restricted-candidate path in this family keeps.
+    */
+  def searchIndexGrouped(spark: SparkSession, path: String,
+                         queries: Seq[(Long, String)], k: Int,
+                         groupCol: String, docGroups: DataFrame,
+                         docFilter: Option[org.apache.spark.sql.Column] =
+                           None): DataFrame = {
+    val scored = scoredIndexCandidates(spark, path, queries, docFilter)
+      .join(docGroups.select(col("doc"), col(groupCol)), Seq("doc"))
+    scored.groupBy(col("qid"), col(groupCol))
+      .agg(graft.functions.TopKByScore.topKBy(
+        col("score_fp").cast(DoubleType), col("doc"), k).as("top"))
+      .select(col("qid"), col(groupCol),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), col(groupCol), col("hit.id").as("doc"),
+        col("hit.score").cast(LongType).as("score_fp"),
+        (col("pos") + 1).cast(IntegerType).as("rk"))
+  }
+
+  /** The shared serving-scan prefix of the index search entry points:
+    * exact fixed-point BM25 (qid, doc, score_fp) candidates from the
+    * bucketed layout — stats summed over increments, term/bucket
+    * pruned, tombstone-masked, pre-cut.
+    */
+  private def scoredIndexCandidates(spark: SparkSession, path: String,
+                                    queries: Seq[(Long, String)],
+                                    docFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     import spark.implicits._
     recoverLayouts(spark, path) // serving-read recovery preamble
@@ -466,13 +502,12 @@ object Bm25 {
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
       lit(9L) * col("len") * lit(nDocs)
-    val scored = postings
+    postings
       .join(broadcast(idfDf), Seq("term"))
       .join(broadcast(qtDf), Seq("term"))
       .withColumn("contrib_fp",
         graft.functions.MulDivFloor.column(col("idf_fp"), num, den))
       .groupBy(col("qid"), col("doc"))
       .agg(sum(col("contrib_fp")).as("score_fp"))
-    cutTopK(scored, k)
   }
 }

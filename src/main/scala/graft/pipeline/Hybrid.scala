@@ -76,6 +76,64 @@ object Hybrid {
         (col("pos") + 1).cast(IntegerType).as("rk"))
   }
 
+  /** GROUPED [[rrfFuse]] — fuse PER (query, group): each input list
+    * carries (qid, groupCol, doc, rk) with rk 1-based WITHIN its
+    * (query, group); contributions sum per (qid, group, doc) and the
+    * bounded-heap cut runs per (qid, group). Rank mass never crosses
+    * a tenant boundary — fusing globally and post-filtering by
+    * tenant would drop exactly the rank mass the one-sided lifecycle
+    * bugs this family guards against.
+    */
+  def rrfFuseGrouped(lists: Seq[DataFrame], k: Int,
+                     groupCol: String): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list required")
+    require(k > 0, "k must be positive")
+    val contrib = lists.map(_.select(col("qid"), col(groupCol), col("doc"),
+      expr(s"${1L << FracBits} div ($RrfC + rk)").as("c_fp")))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col("qid"), col(groupCol), col("doc"))
+      .agg(sum(col("c_fp")).as("rrf_fp"))
+      .groupBy(col("qid"), col(groupCol))
+      .agg(graft.functions.TopKByScore.topKBy(
+        col("rrf_fp").cast(DoubleType), col("doc"), k).as("top"))
+      .select(col("qid"), col(groupCol),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), col(groupCol), col("hit.id").as("doc"),
+        col("hit.score").cast(LongType).as("rrf_fp"),
+        (col("pos") + 1).cast(IntegerType).as("rk"))
+  }
+
+  /** GROUPED (multi-tenant) fused serve from the paired layout:
+    * each side ranks per (query, group) — the lexical cut via
+    * [[Bm25.searchIndexGrouped]], the dense probe via
+    * [[Ivf.searchGrouped]] (per-tenant adaptive widening, so a
+    * sparse tenant escalates toward its exhaustive probe without
+    * re-probing dense ones) — then [[rrfFuseGrouped]] per (query,
+    * group). `docGroups` maps the SHARED id space to tenants; at
+    * scale prefer a group column riding the dense layout (then the
+    * join below disappears into the postings read).
+    */
+  def searchIndexGrouped(spark: SparkSession, root: String,
+                         queries: Seq[(Long, String)],
+                         queryVecs: DataFrame, model: IvfModel,
+                         vecCol: String, idCol: String, kCand: Int,
+                         k: Int, nprobe0: Int, groupCol: String,
+                         docGroups: DataFrame): DataFrame = {
+    val lexical = Bm25.searchIndexGrouped(spark, s"$root/bm25", queries,
+        kCand, groupCol, docGroups)
+      .select(col("qid"), col(groupCol), col("doc"), col("rk"))
+    val dense = Ivf.searchGrouped(
+        Ivf.readIndexServing(spark, s"$root/ivf", idCol)
+          .join(docGroups.select(col("doc").as(idCol), col(groupCol)),
+            Seq(idCol)),
+        queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
+        vecCol, idCol, model, kCand, groupCol,
+        groups = docGroups.select(col(groupCol)).distinct(),
+        nprobe0 = nprobe0, excludeSelf = false)
+      .select(col("qid"), col(groupCol), col("nid").as("doc"), col("rk"))
+    rrfFuseGrouped(Seq(lexical, dense), k, groupCol)
+  }
+
   /** Build the PAIRED serving layout under one root — `root/bm25`
     * (the [[Bm25.writeIndex]] bucket layout) and `root/ivf` (the
     * cluster-partitioned [[Ivf.writeIndex]] postings) — so the two

@@ -562,9 +562,30 @@ object Ivf {
     // recover first: appending a sidecar beside a mid-swap-parked
     // layout would strand it on the wrong copy
     graft.core.DirSwap.recoverAt(spark, path)
+    // a data-less layout (absent, or sidecars only after a
+    // delete-everything pass) holds nothing to mask — appending would
+    // conjure a sidecar-ONLY directory that every later read dies on
+    // (UNABLE_TO_INFER_SCHEMA, the empty-layout landmine); heal any
+    // stale sidecar instead so the dir reads as the empty index
+    val lp = new org.apache.hadoop.fs.Path(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!layoutHasData(fs, lp)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tombPath(path)), true)
+      return
+    }
     ids.select(col(ids.columns.head).as(idCol))
       .write.mode(SaveMode.Append).parquet(tombPath(path))
   }
+
+  /** Does the layout hold any postings data (cluster= dirs), as
+    * opposed to being absent or metadata-sidecars-only? The guard
+    * every sidecar writer/folder runs before touching a layout whose
+    * data a delete-everything pass may have removed.
+    */
+  private def layoutHasData(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("cluster="))
 
   /** The SERVING read: the layout minus its tombstoned ids — what
     * every search should scan between folds. Plan shape: the
@@ -600,6 +621,13 @@ object Ivf {
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
+    // data-less layout (the foldVersions short-circuit): the masked
+    // ids are already physically gone — retire the sidecar without
+    // the rewrite (whose schema inference would fail loudly)
+    if (!layoutHasData(fs, new org.apache.hadoop.fs.Path(path))) {
+      fs.delete(tp, true)
+      return
+    }
     val ids = spark.read.parquet(tombPath(path)).select(col(idCol))
       .distinct().localCheckpoint(true)
     // the tombstone sidecar is shed atomically with the swap
@@ -1084,7 +1112,11 @@ object Ivf {
     *    live and untouched — they mask only dst ids, which remain
     *    valid after the merge, and folding the (big) destination on
     *    every merge would turn a metadata move into a full rewrite.
-    *    No-op when absent.
+    *    No-op when absent. The one sidecar that MOVES instead of
+    *    folding is `_radii` — its rows are cluster-keyed (not
+    *    id-keyed) and additive under the shared quantizer, and
+    *    dropping it would unsoundly shrink RangeSearch's prune bound
+    *    for the merged members.
     *  - single-writer, like the rest of the family; crash-safe by
     *    IDEMPOTENCE rather than atomicity — each rename is atomic,
     *    a crashed merge leaves every file in exactly one layout, and
@@ -1141,6 +1173,27 @@ object Ivf {
       require(sFields == dFields,
         s"layout schemas differ: src $sFields vs dst $dFields — a " +
           "versioned layout cannot absorb an unversioned one")
+    }
+    // src's `_radii` sidecar (RangeSearch) rides along: radii are
+    // ADDITIVE (readers take the per-cluster max) and the model check
+    // above guarantees both sides share one cluster keying, so the
+    // moved rows keep the triangle-inequality prune SOUND over the
+    // merged members — discarding them could leave a merged vector
+    // past dst's recorded radius and silently drop qualifying range
+    // hits. Moved BEFORE the cluster dirs: a crashed merge's re-run
+    // consumes a data-less src wholesale, which must never strand an
+    // unmoved sidecar. File renames are collision-free (parquet part
+    // names carry a per-job UUID) and idempotent on re-run.
+    val sRad = new org.apache.hadoop.fs.Path(s"$srcPath/_radii")
+    if (fs.exists(sRad)) {
+      val dRad = new org.apache.hadoop.fs.Path(s"$dstPath/_radii")
+      fs.mkdirs(dRad)
+      fs.listStatus(sRad).foreach { f =>
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dRad, n))
+      }
+      fs.delete(sRad, true)
     }
     graft.core.SegmentMerge.moveTree(fs, src, dst,
       keepDir = _.startsWith("cluster="))
@@ -1797,14 +1850,29 @@ object Ivf {
     * postings (`nprobe0 = nlist` forces that for every tenant, the
     * gate-row configuration).
     */
+  /** INJECTIVE (query, group) → string key for the grouped fill
+    * bookkeeping: '%' then '#' are escaped in each component before
+    * the '#' join, so a group value containing the separator
+    * (groupCol is an arbitrary payload column) can never collide two
+    * distinct (query, group) pairs into one gqid — a collision would
+    * merge their fill accounting and top-k windows in
+    * [[adaptiveFill]].
+    */
+  private def gqidKey(oqid: Column, grp: Column): Column = {
+    def esc(c: Column) = regexp_replace(
+      regexp_replace(c.cast("string"), "%", "%25"), "#", "%23")
+    concat_ws("#", esc(oqid), esc(grp))
+  }
+
   def searchGrouped(postings: DataFrame, queries: DataFrame,
                     vecCol: String, idCol: String, model: IvfModel,
                     k: Int, groupCol: String, groups: DataFrame,
-                    nprobe0: Int = 4): DataFrame = {
+                    nprobe0: Int = 4,
+                    excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimD
     val qx = queries.select(col(idCol).as("__oqid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(groups.select(col(groupCol).as("__grp")).distinct()))
-      .withColumn("gqid", concat_ws("#", col("__oqid"), col("__grp")))
+      .withColumn("gqid", gqidKey(col("__oqid"), col("__grp")))
     val res = adaptiveFill(qx, "gqid", k, model.nlist, nprobe0) { (qs, p) =>
       val q = qs.select(col("gqid").as("qid"), col("__oqid"), col("__grp"),
           col("qv"))
@@ -1812,7 +1880,7 @@ object Ivf {
       val c = postings.select(col("cluster"), col(idCol).as("nid"),
         col(groupCol).as("__grp"), col(vecCol).as("nv"))
       val cand = c.join(broadcast(q), Seq("cluster", "__grp"))
-        .where(col("nid") =!= col("__oqid"))
+        .where(if (excludeSelf) col("nid") =!= col("__oqid") else lit(true))
         .dropDuplicates("qid", "nid")
       val scored = cand.select(col("qid"), col("__oqid"), col("__grp"),
         col("nid"), cosineSimD(col("nv"), col("qv")).as("sim"))
@@ -1831,10 +1899,11 @@ object Ivf {
   def searchCodesGrouped(index: DataFrame, queries: DataFrame,
                          vecCol: String, idCol: String, model: IvfModel,
                          k: Int, groupCol: String, groups: DataFrame,
-                         nprobe0: Int = 4): DataFrame = {
+                         nprobe0: Int = 4,
+                         excludeSelf: Boolean = true): DataFrame = {
     val qx = queries.select(col(idCol).as("__oqid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(groups.select(col(groupCol).as("__grp")).distinct()))
-      .withColumn("gqid", concat_ws("#", col("__oqid"), col("__grp")))
+      .withColumn("gqid", gqidKey(col("__oqid"), col("__grp")))
     val res = adaptiveFill(qx, "gqid", k, model.nlist, nprobe0) { (qs, p) =>
       val q = qs.select(col("gqid").as("qid"), col("__oqid"), col("__grp"),
           Similarity.int8Codes(col("qv")).as("qc"), col("qv"))
@@ -1843,7 +1912,7 @@ object Ivf {
       val c = index.select(col("cluster"), col(idCol).as("nid"),
         col(groupCol).as("__grp"), col("codes").as("nc"))
       val cand = c.join(broadcast(q), Seq("cluster", "__grp"))
-        .where(col("nid") =!= col("__oqid"))
+        .where(if (excludeSelf) col("nid") =!= col("__oqid") else lit(true))
         .dropDuplicates("qid", "nid")
       val scored = cand.select(col("qid"), col("__oqid"), col("__grp"),
         col("nid"),

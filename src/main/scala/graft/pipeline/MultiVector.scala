@@ -160,10 +160,85 @@ object MultiVector {
     graft.core.Pinned.release(del)
   }
 
+  /** Canonical location of the pair's tombstone set: `_tombstones`
+    * under the ROOT — it masks docs across BOTH sub-layouts, and
+    * living beside (not inside) ivf/ and docs/ keeps it naturally
+    * out of their compaction swaps' file indexes.
+    */
+  def tombPath(root: String): String = s"$root/_tombstones"
+
+  /** TOMBSTONE deletes at serving latency for the late-interaction
+    * tier ([[Ivf.tombstoneVectors]]'s model): O(|ids|) sidecar
+    * append; [[searchIndex]] masks the docs at candidate generation
+    * on every serve until [[foldTombstones]] retires them into the
+    * physical [[deleteDocs]] rewrite. Exact for the same reason the
+    * dense mask is: late-interaction scores are per-(query, doc) —
+    * masking a doc moves no other doc's Σ max-cos.
+    */
+  def tombstoneDocs(spark: SparkSession, root: String,
+                    ids: DataFrame): Unit = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    // data-less pair: nothing to mask — appending would conjure a
+    // sidecar-only root that later reads die on (the empty-layout
+    // landmine); heal any stale sidecar instead
+    val ip = new org.apache.hadoop.fs.Path(s"$root/ivf")
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(ip) && fs.listStatus(ip).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("cluster="))
+    if (!hasData) {
+      fs.delete(new org.apache.hadoop.fs.Path(tombPath(root)), true)
+      return
+    }
+    ids.select(col(ids.columns.head).as("doc"))
+      .write.mode(SaveMode.Append).parquet(tombPath(root))
+  }
+
+  /** Retire the mask into the physical [[deleteDocs]] rewrite of both
+    * sub-layouts, then drop the sidecar. Idempotent at any crash
+    * point: a crash between the rewrites or before the sidecar delete
+    * leaves a mask whose anti-joins remove nothing further.
+    */
+  def foldTombstones(spark: SparkSession, root: String): Unit = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    val tp = new org.apache.hadoop.fs.Path(tombPath(root))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return
+    val ip = new org.apache.hadoop.fs.Path(s"$root/ivf")
+    // data-less pair: the masked docs are already physically gone
+    if (!(fs.exists(ip) && fs.listStatus(ip).exists(f =>
+        f.isDirectory && f.getPath.getName.startsWith("cluster=")))) {
+      fs.delete(tp, true)
+      return
+    }
+    deleteDocs(spark, root, spark.read.parquet(tombPath(root))
+      .select(col("doc")).distinct())
+    fs.delete(tp, true)
+  }
+
+  /** UPSERT — replace-by-id for RE-EMBEDDED documents (the most
+    * common mutation for a late-interaction index: a doc's token
+    * vectors change wholesale): physical delete of the ids' old
+    * vectors from both sub-layouts plus a fresh assign-append
+    * (id-based tombstones cannot express replace — the mask would
+    * hide the new copy too, the [[Ivf.upsertVectors]] argument).
+    * Grown ≡ one-shot over (corpus \ ids) ∪ batch (oracle-pinned);
+    * idempotent under crash+re-run like [[Sparse.upsertDocs]].
+    */
+  def upsertDocs(spark: SparkSession, root: String, docVecs: DataFrame,
+                 model: IvfModel): Unit = {
+    deleteDocs(spark, root, docVecs.select(col("doc")).distinct())
+    appendDocs(spark, docVecs, model, root)
+  }
+
   /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer (the
     * family's caller-owned contract — this layout persists no model
     * sidecar; shard builders share the model by construction), so
-    * both sub-layouts absorb by pure file moves.
+    * both sub-layouts absorb by pure file moves. Src's tombstone
+    * sidecar FOLDS first (it would be dropped by the move, silently
+    * resurrecting src's deleted docs in dst); dst's stays live and
+    * untouched — it masks only dst docs, which remain valid.
     */
   def mergeInto(spark: SparkSession, dstRoot: String,
                 srcRoot: String): Unit = {
@@ -176,6 +251,7 @@ object MultiVector {
     if (!fs.exists(src)) return // absent src IS an empty layout
     require(fs.exists(new org.apache.hadoop.fs.Path(dstRoot)),
       s"merge destination $dstRoot does not exist")
+    foldTombstones(spark, srcRoot)
     Seq("ivf", "docs").foreach { sub =>
       graft.core.SegmentMerge.moveTree(fs,
         new org.apache.hadoop.fs.Path(s"$srcRoot/$sub"),
@@ -213,7 +289,7 @@ object MultiVector {
     val cells = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0).toLong).toSeq // ≤ nlist, bounded
     val ivf0 = spark.read.parquet(s"$root/ivf")
-    val cand = ivf0
+    val cand0 = ivf0
       .where(graft.core.PartitionIn.inSet(ivf0, "cluster", cells))
       .where(docFilter.getOrElse(lit(true)))
       .select(col("cluster"), col("doc"))
@@ -223,6 +299,17 @@ object MultiVector {
         case Some(p) => !p(col("qid"), col("doc"))
         case None => lit(true)
       })
+    // tombstone mask ABOVE the candidate gather: a masked doc must
+    // neither surface nor consume gather/rescore work (un-hinted anti
+    // join — AQE broadcasts the fold-cadence-bounded set, an
+    // overgrown mask degrades to a shuffle not an OOM)
+    val tp = new org.apache.hadoop.fs.Path(tombPath(root))
+    val tombFs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cand1 =
+      if (!tombFs.exists(tp)) cand0
+      else cand0.join(spark.read.parquet(tombPath(root))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    val cand = cand1
       .select(col("qid"), col("doc")).distinct()
       .localCheckpoint(true) // count-gate + stable across the gather
     // 2. gather the candidates' FULL vector sets, bucket-pruned

@@ -91,6 +91,16 @@ object RangeSearch {
     * (idCol, vecCol) frame per the family's query contract;
     * `excludeSelf` drops qid = nid hits.
     *
+    * `docFilter` is filter-inside-search over the postings columns
+    * (the family's Lucene filter contract), applied below the radius
+    * cut: the result is exactly brute force over the FILTERED corpus
+    * (a radius query has no k to under-fill, so no widening loop is
+    * needed — contrast the probed top-k tier). Sound under the
+    * triangle-inequality prune unchanged: the per-cluster radii
+    * bound the FULL membership, filtering only removes candidates
+    * from admitted cells, never adds any — the bound over-admits,
+    * which is the safe direction.
+    *
     * Soundness contract: every append to the layout must be
     * accompanied by its [[appendRadii]] increment — an unrecorded
     * increment can push a member past its cluster's recorded radius
@@ -100,13 +110,16 @@ object RangeSearch {
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              vecCol: String, idCol: String, model: IvfModel, tau: Double,
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true,
+             docFilter: Option[org.apache.spark.sql.Column] =
+               None): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimD
     // the SERVING read: tombstoned vectors must not resurface in
     // range results between folds (the family's masked-read rule;
     // also runs the DirSwap recovery preamble). Their mass in the
     // radius sidecar only over-estimates — sound.
     val idx0 = Ivf.readIndexServing(spark, indexPath, idCol)
+      .where(docFilter.getOrElse(lit(true)))
     // per-cluster radii: max over the additive sidecar rows; clusters
     // without a row (or no sidecar at all) read as the sphere
     // diameter — admit, never unsoundly prune

@@ -139,17 +139,76 @@ object Sparse {
     */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
                   k: Int, excludeSelf: Boolean = true,
-                  docFilter: Option[Column] = None): DataFrame = {
-    graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
-    def emptyResult = {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long, Int)].toDF("qid", "nid", "score", "rk")
+                  docFilter: Option[Column] = None): DataFrame =
+    scoredCandidates(spark, path, queries, excludeSelf, docFilter) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long, Int)].toDF("qid", "nid", "score", "rk")
+      case Some((q, scored)) =>
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nid").asc)
+        val out = scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .localCheckpoint(true) // snapshot before appends/compactions
+        graft.core.Pinned.release(q)
+        out
     }
+
+  /** GROUPED (multi-tenant) top-k from the persisted layout — top-k
+    * PER (query, group) in the same single scan pass
+    * ([[Ivf.searchGrouped]]'s serving shape on the exact tier):
+    * sparse serving is exact and full over the query's dims, so
+    * tenant isolation is purely the ranking key — score once per
+    * (query, doc), attach each doc's tenant, window by (qid, group).
+    * `docGroups` is a (doc, groupCol) frame; docs it does not cover
+    * belong to no tenant and drop. At 100 TB prefer deriving the
+    * group from an expression over `doc` or joining a broadcast-able
+    * mapping — the join sits above the bounded candidate aggregation
+    * (≤ Σ posting-list lengths rows), never the corpus.
+    */
+  def searchIndexGrouped(spark: SparkSession, path: String,
+                         queries: DataFrame, k: Int, groupCol: String,
+                         docGroups: DataFrame,
+                         excludeSelf: Boolean = true,
+                         docFilter: Option[Column] = None): DataFrame =
+    scoredCandidates(spark, path, queries, excludeSelf, docFilter) match {
+      case None =>
+        // derive the empty frame from docGroups so groupCol keeps its
+        // caller-defined type
+        docGroups.select(lit(0L).as("qid"), col(groupCol),
+          lit(0L).as("nid"), lit(0L).as("score"), lit(0).as("rk")).limit(0)
+      case Some((q, scored)) =>
+        val w = Window.partitionBy(col("qid"), col(groupCol))
+          .orderBy(col("score").desc, col("nid").asc)
+        val out = scored
+          .join(docGroups.select(col("doc").as("nid"), col(groupCol)),
+            Seq("nid"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .select(col("qid"), col(groupCol), col("nid"), col("score"),
+            col("rk"))
+          .localCheckpoint(true)
+        graft.core.Pinned.release(q)
+        out
+    }
+
+  /** The shared serving-scan prefix of the search entry points: the
+    * pruned, masked, filtered postings joined to the (pinned) query
+    * frame and aggregated to (qid, nid, score) candidates. None when
+    * the layout or the query's active-dim set is empty; the caller
+    * MUST [[graft.core.Pinned.release]] the returned query pin after
+    * materializing its cut.
+    */
+  private def scoredCandidates(spark: SparkSession, path: String,
+                               queries: DataFrame, excludeSelf: Boolean,
+                               docFilter: Option[Column])
+      : Option[(DataFrame, DataFrame)] = {
+    graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
     // missing layout IS an empty index (the family contract — a
     // delete-everything pass removes the directory)
     val lp = new org.apache.hadoop.fs.Path(path)
     if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(lp)) return emptyResult
+        .exists(lp)) return None
     val q = queries.select(col("doc").as("qid"), col("dim"),
       col("w").as("qw")).localCheckpoint(true)
     val dims = q.select(col("dim")).distinct()
@@ -157,7 +216,7 @@ object Sparse {
     if (dims.isEmpty) {
       graft.core.Pinned.release(q)
       // standalone frame: the released checkpoint must not back it
-      return emptyResult
+      return None
     }
     val buckets = dims.map(_ % DimBuckets).distinct
     val idx0 = spark.read.parquet(path)
@@ -178,13 +237,7 @@ object Sparse {
       .where(if (excludeSelf) col("doc") =!= col("qid") else lit(true))
       .groupBy(col("qid"), col("doc").as("nid"))
       .agg(sum(col("w") * col("qw")).as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid").asc)
-    val out = scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .localCheckpoint(true) // snapshot before appends/compactions
-    graft.core.Pinned.release(q)
-    out
+    Some((q, scored))
   }
 
   def tombPath(indexPath: String): String = s"$indexPath/_tombstones"
@@ -197,9 +250,28 @@ object Sparse {
   def tombstoneDocs(spark: SparkSession, path: String,
                     ids: DataFrame): Unit = {
     graft.core.DirSwap.recoverAt(spark, path) // sidecar beside the live copy
+    // data-less layout (absent, or a delete-everything pass removed
+    // every dbk= dir): nothing to mask — appending would conjure a
+    // sidecar-only dir that later reads die on (the empty-layout
+    // landmine, [[Ivf.tombstoneVectors]]'s guard); heal any stale
+    // sidecar instead
+    val lp = new org.apache.hadoop.fs.Path(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!layoutHasData(fs, lp)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tombPath(path)), true)
+      return
+    }
     ids.select(col(ids.columns.head).as("doc"))
       .write.mode(SaveMode.Append).parquet(tombPath(path))
   }
+
+  /** dbk= data-dir witness — absent/sidecar-only layouts hold no
+    * postings ([[Ivf.layoutHasData]]'s shape for this layout).
+    */
+  private def layoutHasData(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("dbk="))
 
   /** Retire the mask into a physical [[deleteDocs]]-shaped rewrite;
     * the sidecar is shed atomically with the swap (dropHidden), and
@@ -212,6 +284,12 @@ object Sparse {
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) return
+    // data-less layout: the masked docs are already physically gone —
+    // retire the sidecar without the rewrite ([[Ivf.foldTombstones]])
+    if (!layoutHasData(fs, new org.apache.hadoop.fs.Path(path))) {
+      fs.delete(tp, true)
+      return
+    }
     val ids = spark.read.parquet(tombPath(path)).select(col("doc"))
       .distinct().localCheckpoint(true)
     graft.core.ParquetCompact.rewrite(spark, path,

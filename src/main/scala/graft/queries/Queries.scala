@@ -136,12 +136,12 @@ object Queries {
     * (qid < 4, nid) pair with cosine ≥ 0.3, self-hits excluded —
     * exact brute force, which is precisely the range-search contract.
     */
-  private lazy val rangeSearchSql: String =
+  private def rangeSearchSql(pred: String = "TRUE"): String =
     s"""WITH p AS (
        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
        |    ${cosSql("q.embedding", "e.embedding")} AS sim
        |  FROM embeddings q, embeddings e
-       |  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id)
+       |  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id AND ($pred))
        |SELECT qid, nid, round(sim, 6) AS sim FROM p
        |WHERE sim >= 0.3 ORDER BY qid, nid""".stripMargin
 
@@ -165,6 +165,31 @@ object Queries {
        |  row_number() OVER (PARTITION BY qid
        |    ORDER BY score DESC, doc) AS rk
        |FROM sc QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** [[multivecSql]] replayed under both tombstone stages (masked
+    * serve, post-fold serve) — the decoys never appear in the mirror,
+    * so BOTH stages must equal the decoy-free brute force.
+    */
+  private def multivecStagedSql: String =
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id // 2 AS qid, q.vec_id AS qv,
+       |    e.vec_id // 4 AS doc,
+       |    CAST(round(${cosSql("q.embedding", "e.embedding")}
+       |      * 1000000000) AS BIGINT) AS c
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 4),
+       |mx AS (SELECT qid, qv, doc, max(c) AS m FROM pairs GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, doc, CAST(sum(m) AS BIGINT) AS score FROM mx
+       |       GROUP BY 1, 2 HAVING doc <> qid // 2),
+       |base AS (
+       |  SELECT qid, doc, score,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc) AS rk
+       |  FROM sc QUALIFY rk <= 5)
+       |SELECT 'masked' AS stage, qid, doc, score, rk FROM base
+       |UNION ALL
+       |SELECT 'folded' AS stage, qid, doc, score, rk FROM base
+       |ORDER BY stage, qid, rk""".stripMargin
 
   /** DuckDB fragment: cosine similarity of two FLOAT[] columns with
     * sequential double accumulation (bit-equal to CosineSimD).
@@ -1683,6 +1708,39 @@ object Queries {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // snapshot/restore for a DEDUP-index family (backup of a 100 TB
+    // dedup state is a real operator — the reference's vdb file IS
+    // its backup): build over the first slice, snapshot, corrupt the
+    // live tree two ways (verbatim-decoy append — their jac-1.0
+    // pairs would pollute every later probe — and a dropped band
+    // dir), restore, then run the remaining lifecycle; the union of
+    // pair reports must still equal the one-shot LSH pass
+    "neardup_index_restored" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("neardup_restore")
+      val path = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      val a = docs.where(col("doc_id") % 3 === 0)
+      val b = docs.where(col("doc_id") % 3 === 1)
+      val c = docs.where(col("doc_id") % 3 === 2)
+      val p0 = graft.pipeline.NearDupIndex.buildWithPairs(s, a, "text",
+        "doc_id", path, threshold = 0.2)
+      graft.core.DirSnapshot.create(s, path, snap)
+      val decoys = c.select((col("doc_id") + 50000000L).as("doc_id"),
+        col("text"))
+      graft.pipeline.NearDupIndex.append(s, decoys, "text", "doc_id", path)
+      val band0 = new org.apache.hadoop.fs.Path(s"$path/bands/band=0")
+      band0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(band0, true)
+      graft.core.DirSnapshot.restore(s, snap, path)
+      val p1 = graft.pipeline.NearDupIndex.probeAndAppend(s, path, b,
+        "text", "doc_id", threshold = 0.2)
+      graft.pipeline.NearDupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.NearDupIndex.probe(s, path, c, "text",
+        "doc_id", threshold = 0.2)
+      p0.unionByName(p1).unionByName(p2).orderBy(col("d1"), col("d2"))
+    }),
+
     // Unicode-normalized dedup: the fixture fabricates two byte-
     // distinct spellings of every doc (composed á vs decomposed
     // a+́); the NFC fingerprint must merge each pair — every
@@ -3184,6 +3242,69 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the END-TO-END production-serving row: the way a deployed RAG
+    // system actually runs the round's tiers COMPOSED — all three
+    // retrieval modalities from PERSISTED serving layouts, a payload
+    // filter inside every tier's search, live tombstones masking a
+    // shared decoy id set on every tier (BM25 stats keep the decoy
+    // mass — Lucene model), and the dense layout served AFTER a
+    // corrupt-and-restore DR drill. Pins the INTERACTIONS (mask x
+    // filter x fusion ordering, restore x serve) that the
+    // per-feature rows cannot see.
+    "hybrid_trimodal_filtered_tombstoned" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") < 3)
+      val decoyDocs = docs.where(col("doc_id") < 4)
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+      val decoyVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("trimodal_prod")
+        .toString
+      val bmIdx = s"$root/bm25"
+      val ivfIdx = s"$root/ivf"
+      val spIdx = s"$root/sparse"
+      graft.pipeline.Bm25.writeIndex(s, docs.unionByName(decoyDocs),
+        "text", "doc_id", bmIdx)
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val corpusVecs = emb.unionByName(decoyVecs)
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(corpusVecs, "embedding", model), ivfIdx)
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(corpusVecs, "embedding", "vec_id"),
+        spIdx)
+      // DR drill on the dense layout: snapshot, corrupt, restore
+      graft.core.DirSnapshot.create(s, ivfIdx, s"$root/snap")
+      val c0 = new org.apache.hadoop.fs.Path(s"$ivfIdx/cluster=0")
+      c0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(c0, true)
+      graft.core.DirSnapshot.restore(s, s"$root/snap", ivfIdx)
+      // ONE decoy id list tombstones every tier (the shared id space)
+      val decoyIds = decoyVecs.select(col("vec_id"))
+      graft.pipeline.Bm25.tombstoneDocs(s, bmIdx, decoyIds)
+      graft.pipeline.Ivf.tombstoneVectors(s, ivfIdx, decoyIds, "vec_id")
+      graft.pipeline.Sparse.tombstoneDocs(s, spIdx, decoyIds)
+      // filtered serve on every tier, then fuse
+      val lex = graft.pipeline.Bm25.searchIndex(s, bmIdx,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10,
+          docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("doc"), col("rk"))
+      val dense = graft.pipeline.Ivf.searchFiltered(
+          graft.pipeline.Ivf.readIndexServing(s, ivfIdx, "vec_id"),
+          q, "embedding", "vec_id", model, k = 10,
+          filter = col("vec_id") % 2 === 0, nprobe0 = 16)
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      val sparse = graft.pipeline.Sparse.searchIndex(s, spIdx,
+          graft.pipeline.Sparse.sparsify(q, "embedding", "vec_id"),
+          k = 10, docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("nid").as("doc"), col("rk"))
+      graft.pipeline.Hybrid.rrfFuse(Seq(lex, dense, sparse), k = 10)
+        .select(col("qid"), col("doc"), col("rrf_fp"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // RECOMMEND-style query composition (the vector-db recommend
     // API): query = Σ positives − Σ negatives, folded sequentially
     // in doubles in ascending id order so the SQL mirror replays the
@@ -3259,6 +3380,74 @@ object Queries {
           k = 5, nprobe = 16,
           excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")),
           docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // tombstone deletes at serving latency on the late-interaction
+    // tier: decoy docs carrying the query's own vectors (they would
+    // own the top ranks with near-self scores) are masked at
+    // candidate generation the instant the sidecar lands, and the
+    // fold retires the mask into the physical two-layout rewrite —
+    // BOTH stages must serve the decoy-free brute force
+    "multivec_topk_tombstoned" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_tomb")
+        .resolve("index").toString
+      val decoys = emb.where(col("vec_id") < 4)
+        .select(((col("vec_id") / 2).cast("long") + 90000000L).as("doc"),
+          col("embedding").as("vec"))
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.unionByName(decoys), model, root)
+      graft.pipeline.MultiVector.tombstoneDocs(s, root,
+        decoys.select(col("doc")).distinct())
+      def serve() = graft.pipeline.MultiVector.searchIndex(s, root,
+          queryVecs, model, k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+      val masked = serve().withColumn("stage", lit("masked"))
+      graft.pipeline.MultiVector.foldTombstones(s, root)
+      val folded = serve().withColumn("stage", lit("folded"))
+      masked.unionByName(folded)
+        .select(col("stage"), col("qid"), col("doc"), col("score"), col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // replace-by-id on the late-interaction tier: docs 10..13 are
+    // built with STALE vectors (query copies — near-self scores would
+    // top the rankings), then upserted to their true vector sets; the
+    // serve must equal the never-corrupted brute force
+    "multivec_topk_upserted" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_ups")
+        .resolve("index").toString
+      val staleDocs = Seq(10L, 11L, 12L, 13L)
+      val stale = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 10L).as("doc"), col("embedding").as("vec"))
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(!col("doc").isInCollection(staleDocs))
+          .unionByName(stale), model, root)
+      graft.pipeline.MultiVector.upsertDocs(s, root,
+        docVecs.where(col("doc").isInCollection(staleDocs)), model)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
         .select(col("qid"), col("doc"), col("score"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
@@ -3387,6 +3576,28 @@ object Queries {
       graft.pipeline.RangeSearch.search(s, idx,
           emb.where(col("vec_id") < 4), "embedding", "vec_id", model,
           tau = 0.3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    // filter-inside-search on the range tier: the predicate pushes
+    // to the postings scan below the radius cut, the cell prune is
+    // unchanged (radii bound the FULL membership — over-admitting,
+    // the sound direction), and the result is brute force over the
+    // filtered corpus
+    "ivf_range_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_range_filt")
+        .resolve("index").toString
+      val assigned = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.writeIndex(assigned, idx)
+      graft.pipeline.RangeSearch.appendRadii(s, assigned, "embedding",
+        model, idx)
+      graft.pipeline.RangeSearch.search(s, idx,
+          emb.where(col("vec_id") < 4), "embedding", "vec_id", model,
+          tau = 0.3, docFilter = Some(col("vec_id") % 2 === 0))
         .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
         .orderBy(col("qid"), col("nid"))
     }),
@@ -5481,6 +5692,53 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // multi-tenant serving on the sparse tier: top-k per (query,
+    // tenant) in ONE scan pass — scores are tenant-independent, so
+    // isolation is purely the ranking key (the ivf_topk_grouped
+    // semantics on the exact tier)
+    "sparse_topk_grouped" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_grp")
+        .resolve("index").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.searchIndexGrouped(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"),
+          k = 5, groupCol = "label",
+          docGroups = emb.select(col("vec_id").as("doc"), col("label")))
+        .select(col("qid"), col("label"), col("nid"), col("score"),
+          col("rk"))
+        .orderBy(col("qid"), col("label"), col("rk"))
+    }),
+
+    // snapshot/restore on the sparse tier (the ivf_topk_restored
+    // pattern): capture the healthy layout, corrupt it two ways
+    // (decoy append + a dropped bucket dir), length-verified restore,
+    // serve — the result must equal the pre-corruption brute force
+    "sparse_topk_restored" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("sparse_restore")
+      val idx = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.core.DirSnapshot.create(s, idx, snap)
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      graft.pipeline.Sparse.appendToIndex(s,
+        graft.pipeline.Sparse.sparsify(decoys, "embedding", "vec_id"), idx)
+      val b0 = new org.apache.hadoop.fs.Path(s"$idx/dbk=0")
+      b0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(b0, true)
+      graft.core.DirSnapshot.restore(s, snap, idx)
+      graft.pipeline.Sparse.searchIndex(s, idx,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the full incremental lifecycle (build half, append the rest,
     // compact, search) — grown index must equal the one-shot build,
     // so the oracle is again the bm25_topk golden
@@ -5734,6 +5992,35 @@ object Queries {
         .select(col("qid"), col("nid").as("doc"), col("rk"))
       graft.pipeline.Hybrid.rrfFuse(Seq(lexical, dense), k = 10)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // multi-tenant serving on the PAIRED layout: each side ranks per
+    // (query, tenant) — grouped lexical cut, per-tenant adaptive
+    // dense probe (nprobe0 = nlist here, so every tenant's dense
+    // list is exact) — and RRF fuses within each tenant; rank mass
+    // never crosses a tenant boundary
+    "hybrid_topk_grouped" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val root = java.nio.file.Files.createTempDirectory("hybrid_grp")
+        .toString
+      graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
+        "doc_id", s"$root/bm25")
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(
+          emb.select(col("vec_id"), col("embedding")), "embedding", model),
+        s"$root/ivf")
+      graft.pipeline.Hybrid.searchIndexGrouped(s, root,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 5, nprobe0 = 16,
+          groupCol = "label",
+          docGroups = emb.select(col("vec_id").as("doc"), col("label")))
+        .orderBy(col("qid"), col("label"), col("rk"))
     }),
 
     "bm25_topk_tombstoned" -> ((s, d) => {
@@ -6003,10 +6290,16 @@ object Queries {
       val minIds = withFp.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
       val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
-      graft.pipeline.Mix.byTemperature(
+      // snapshot the (small) result so the 3x-reused pin can release
+      // here instead of leaking into composed callers (the
+      // returned-frame convention: one tiny pin rides to the
+      // session's next sweep, the corpus-sized one dies now)
+      val mixed = graft.pipeline.Mix.byTemperature(
           deduped.select("doc_id", "lang"), "doc_id", "lang", tau = 2.0)
         .select(col("doc_id"), col("lang"), col("copy"))
-        .orderBy(col("doc_id"), col("copy"))
+        .localCheckpoint(true)
+      graft.core.Pinned.release(kept)
+      mixed.orderBy(col("doc_id"), col("copy"))
     }),
 
     // BPE tokenizer training (Sennrich et al. 2016): one distributed
@@ -6188,12 +6481,18 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.trainHierarchical(emb, "embedding",
         "vec_id", nlist = 16, iters = 3)
-      graft.pipeline.Dedup.semDedupPostings(
-          graft.pipeline.Ivf.assign(emb, "embedding", model).localCheckpoint(true),
+      val assigned = graft.pipeline.Ivf.assign(emb, "embedding", model)
+        .localCheckpoint(true)
+      // snapshot the keep-decisions so the assign pin releases here
+      // instead of leaking into composed callers (returned-frame
+      // convention, as in corpus_curation_v2)
+      val res = graft.pipeline.Dedup.semDedupPostings(assigned,
           "embedding", "vec_id", threshold = 0.35)
         .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
           col("keep"))
-        .orderBy(col("vec_id"))
+        .localCheckpoint(true)
+      graft.core.Pinned.release(assigned)
+      res.orderBy(col("vec_id"))
     }),
 
     // cluster-balanced sampling: k-means-assign embeddings, keep at
@@ -6526,6 +6825,11 @@ object Queries {
     "hybrid_topk_indexed" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
+    // multi-tenant fused serve: the mirror replays both sides ranked
+    // within each (query, tenant) and fuses per tenant
+    "hybrid_topk_grouped" ->
+      s"SELECT qid, label, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk_grouped.parquet' ORDER BY qid, label, rk",
+
     // filter-inside-search on the paired layout — the mirror replays
     // both sides' filtered rankings (lexical under corpus-level
     // stats, dense exact over the filtered corpus) and the fusion
@@ -6560,13 +6864,42 @@ object Queries {
     "stream_sparse_search" -> sparseTopkSql(),
     // stale ids replaced by their true embeddings ≡ never corrupted
     "sparse_topk_upserted" -> sparseTopkSql(),
+    // corrupted layout restored from its snapshot ≡ never corrupted
+    "sparse_topk_restored" -> sparseTopkSql(),
+
+    // multi-tenant sparse serve: the same brute force ranked within
+    // each (query, tenant) — scores are tenant-independent, only the
+    // window key changes
+    "sparse_topk_grouped" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id AS doc, unnest(embedding) AS val,
+         |    unnest(range(1, len(embedding) + 1)) AS dim
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT doc, dim,
+         |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+         |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05),
+         |lab AS (SELECT vec_id AS doc, label FROM embeddings)
+         |SELECT qid, label, nid, score, rk FROM (
+         |  SELECT q.doc AS qid, l.label AS label, p.doc AS nid,
+         |    CAST(sum(q.w * p.w) AS BIGINT) AS score,
+         |    row_number() OVER (PARTITION BY q.doc, l.label
+         |      ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+         |  FROM sp q JOIN sp p USING (dim) JOIN lab l ON l.doc = p.doc
+         |  WHERE q.doc < 4 AND p.doc <> q.doc
+         |  GROUP BY q.doc, l.label, p.doc)
+         |WHERE rk <= 5 ORDER BY qid, label, rk""".stripMargin,
 
     // exact range search ≡ brute force over the corpus, by its sound
     // radius bound — the oracle IS the brute force
-    "ivf_range_search" -> rangeSearchSql,
-    "ivf_range_incremental" -> rangeSearchSql,
+    "ivf_range_search" -> rangeSearchSql(),
+    "ivf_range_incremental" -> rangeSearchSql(),
     // tombstoned decoys masked out ≡ the decoy-free brute force
-    "ivf_range_tombstoned" -> rangeSearchSql,
+    "ivf_range_tombstoned" -> rangeSearchSql(),
+    // filter below the radius cut ≡ brute force over the filtered
+    // corpus (no k to under-fill — the sound-prune bound is over the
+    // full membership, so filtering only removes candidates)
+    "ivf_range_filtered" -> rangeSearchSql("e.vec_id % 2 = 0"),
 
     // late interaction: brute-force max-sim, fixed-point exact; the
     // indexed/lifecycle rows run the exhaustive probe so the same
@@ -6578,6 +6911,10 @@ object Queries {
     "multivec_topk_merged" -> multivecSql(),
     "multivec_topk_filtered" -> multivecSql("doc % 2 = 0"),
     "stream_multivec_search" -> multivecSql(),
+    // stale docs replaced by their true vector sets ≡ never corrupted
+    "multivec_topk_upserted" -> multivecSql(),
+    // decoys masked, then folded: both stages ≡ decoy-free brute force
+    "multivec_topk_tombstoned" -> multivecStagedSql,
 
     // sparse tombstones: both the masked serve and the post-fold
     // serve must equal the decoy-free brute force
@@ -6648,6 +6985,54 @@ object Queries {
 
     // tri-modal RRF: lexical ranks from the bm25 golden, dense and
     // sparse ranks recomputed exactly, floor(2^20/(60+rk)) sums
+    // the end-to-end production-serving composition: every tier's
+    // mirror is the live (decoy-free) corpus under the even-id
+    // filter — the tombstone masks make the decoys invisible on the
+    // dense/sparse sides, while the lexical golden carries their
+    // stats mass (Lucene model) with filtered candidates
+    "hybrid_trimodal_filtered_tombstoned" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id AS doc, unnest(embedding) AS val,
+         |    unnest(range(1, len(embedding) + 1)) AS dim
+         |  FROM embeddings),
+         |sp AS (
+         |  SELECT doc, dim,
+         |    CAST(round(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS w
+         |  FROM expl WHERE CAST(val AS DOUBLE) >= 0.05),
+         |sparse_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.doc AS qid, p.doc AS doc,
+         |      row_number() OVER (PARTITION BY q.doc
+         |        ORDER BY sum(q.w * p.w) DESC, p.doc) AS rk
+         |    FROM sp q JOIN sp p USING (dim)
+         |    WHERE q.doc < 3 AND p.doc <> q.doc AND p.doc % 2 = 0
+         |    GROUP BY q.doc, p.doc)
+         |  WHERE rk <= 10),
+         |dense_rk AS (
+         |  SELECT qid, doc, rk FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS doc,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
+         |          e.vec_id) AS rk
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+         |      AND e.vec_id % 2 = 0)
+         |  WHERE rk <= 10),
+         |lex_rk AS (
+         |  SELECT qid, doc, rk FROM '$pipeGold/bm25_topk_decoy_filtered.parquet'),
+         |contrib AS (
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM lex_rk
+         |  UNION ALL
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM dense_rk
+         |  UNION ALL
+         |  SELECT qid, doc, 1048576 // (60 + rk) AS c FROM sparse_rk),
+         |f AS (SELECT qid, doc, CAST(sum(c) AS BIGINT) AS rrf_fp
+         |      FROM contrib GROUP BY 1, 2)
+         |SELECT qid, doc, rrf_fp,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_fp DESC, doc) AS rk
+         |FROM f QUALIFY rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "hybrid_trimodal" ->
       s"""WITH expl AS (
          |  SELECT vec_id AS doc, unnest(embedding) AS val,
@@ -6979,6 +7364,11 @@ object Queries {
     // shard-parallel build + segment merge: build-A ∪ build-B ∪ the
     // merge's cross-shard report ∪ later probe ≡ the one-shot pass
     "neardup_index_merged" ->
+      s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
+
+    // corrupted index restored from its snapshot mid-lifecycle ≡ the
+    // never-corrupted lifecycle ≡ the one-shot pass
+    "neardup_index_restored" ->
       s"SELECT d1, d2, jac FROM '$pipeGold/minhash_pairs.parquet' ORDER BY d1, d2",
 
     "lsh_topk" ->

@@ -159,9 +159,23 @@ private[graft] object BatchLedger {
     * completed batches into double appends.
     */
   def openRunForIndex(spark: SparkSession, indexPath: String,
-                      runKey: String, dataPath: String): String = {
+                      runKey: String, dataPath: String): String =
+    openRunForIndex(spark, indexPath, runKey, Seq(dataPath))
+
+  /** Multi-witness [[openRunForIndex]] for PAIRED layouts (hybrid:
+    * bm25 + ivf under one oplog ledger): the markers are stale when
+    * ANY guarded layout is missing — one vanished side means the
+    * appends its markers record are gone, and skipping them would
+    * return success over a half-empty pair. The witness paths must
+    * actually witness the guarded DATA (e.g. `$root/bm25` and
+    * `$root/ivf`), never an ancestor of the ledger itself — a ledger
+    * inside the witnessed dir makes the check a tautology (stale
+    * markers imply the dir exists) and the wipe can never fire.
+    */
+  def openRunForIndex(spark: SparkSession, indexPath: String,
+                      runKey: String, dataPaths: Seq[String]): String = {
     val f = fs(spark, indexPath)
-    if (!f.exists(new org.apache.hadoop.fs.Path(dataPath)))
+    if (dataPaths.exists(p => !f.exists(new org.apache.hadoop.fs.Path(p))))
       f.delete(new org.apache.hadoop.fs.Path(s"${indexPath}__ledger"), true)
     pruneOtherRuns(spark, indexPath, runKey)
     runKey

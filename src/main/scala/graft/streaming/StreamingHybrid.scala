@@ -73,10 +73,14 @@ object StreamingHybrid {
     val ckpt = EventStream.scratchCheckpointDir(spark, "graft_shyb_ckpt_")
     // the hybrid ledger lives at root/oplog (appendDocs' contract);
     // openRun GCs dead runs' markers there under the same
-    // single-writer argument as the per-index ingests
+    // single-writer argument as the per-index ingests. The staleness
+    // witnesses are the PAIRED SUB-LAYOUTS, not $root — the ledger
+    // lives inside $root, so witnessing the root itself could never
+    // fire (stale markers imply the root exists) and a re-ingest
+    // after a delete-everything pass would skip every batch
     val runId = BatchLedger.openRunForIndex(spark, s"$root/oplog",
       Staging.runKey(spark, src, "doc_id", nBatches, kind = "hybrid"),
-      dataPath = root)
+      dataPaths = Seq(s"$root/bm25", s"$root/ivf"))
     // first contact creates the layouts via append mode, which never
     // persists the quantizer — persist-or-VERIFY it here so the
     // (layout, model) pair is recoverable from the root alone

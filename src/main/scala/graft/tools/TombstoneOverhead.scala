@@ -43,10 +43,14 @@ object TombstoneOverhead {
       // base b = id%n0 -> r*10^7 + b — a BIJECTION onto the first m
       // corpus rows), so every mask row masks a live posting; masking
       // nonexistent ids would measure only the anti-join build cost
+      // floor-div, NOT SQL's float '/': fractional replica numbers
+      // would build mask ids that match no live posting and the tool
+      // would measure only the mask-miss path
       if (m > 0)
         Ivf.tombstoneVectors(spark, idx,
           spark.range(m).select(
-            ((col("id") / n0) * 10000000L + col("id") % n0).as("vec_id")),
+            (floor(col("id") / n0).cast("long") * 10000000L +
+              col("id") % n0).as("vec_id")),
           "vec_id")
       def once(): Double = {
         val t0 = System.nanoTime()

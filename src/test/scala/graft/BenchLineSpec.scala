@@ -95,4 +95,37 @@ class BenchLineSpec extends AnyFunSuite {
     // and it parses: balanced braces, one top-level object
     assert(line.count(_ == '{') == line.count(_ == '}'), line)
   }
+
+  test("detail form records contended (discarded) reps per flagged query") {
+    val results = Seq(("q_a", 1.5, true), ("q_b", 2.5, true))
+    val line = Bench.jsonLine(results, 6, Some("/sf"), dropEmptyErrs = false,
+      withQueries = true, filteredRun = false,
+      queryRuns = Some((3, Seq(("q_a", Seq(1.5, 1.3, 1.4)),
+        ("q_b", Seq(2.5, 2.4, 2.3))))),
+      contendedReps = Some(Seq(("q_b", Seq(11.3, 41.2, 84.9)))))
+    assert(line.contains(""""contended":{"q_b":[11.300000,41.200000,84.900000]}"""),
+      line)
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+    // detector armed but nothing flagged -> the empty-object witness
+    val quiet = Bench.jsonLine(results, 6, Some("/sf"), dropEmptyErrs = false,
+      withQueries = true, filteredRun = false,
+      contendedReps = Some(Seq.empty))
+    assert(quiet.contains(""""contended":{}"""), quiet)
+  }
+
+  test("contention detector: spread x floor semantics, failed reps never flag") {
+    // the r11 driver-window signatures flag
+    assert(Bench.contended(Seq(11.3, 41.2, 84.9)))
+    assert(Bench.contended(Seq(122.5, 9.9, 9.4)))
+    // flat reps do not
+    assert(!Bench.contended(Seq(7.8, 6.2, 6.3)))
+    // sub-second jitter past 3x stays below the absolute floor
+    assert(!Bench.contended(Seq(0.2, 0.7, 0.3)))
+    // a big ratio with a small absolute gap stays quiet
+    assert(!Bench.contended(Seq(0.5, 1.8, 0.6)))
+    // a crashed rep poisons the entry instead of triggering a retry
+    assert(!Bench.contended(Seq(-1.0, 41.2, 84.9)))
+    // single-rep runs have no spread to judge
+    assert(!Bench.contended(Seq(42.0)))
+  }
 }

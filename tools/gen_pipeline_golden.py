@@ -111,6 +111,12 @@ def load_embeddings():
     return [(int(i), [float(x) for x in v]) for i, v in rows]
 
 
+def load_labels():
+    con = duckdb.connect()
+    return {int(i): int(l) for i, l in con.execute(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'").fetchall()}
+
+
 def write(name: str, df: pd.DataFrame, casts: dict):
     GOLD.mkdir(parents=True, exist_ok=True)
     out = GOLD / f"{name}.parquet"
@@ -2046,6 +2052,64 @@ def gen_hybrid_tombstoned(docs, emb, queries=None, k_cand=20, k=10):
            "rk": "INT"})
 
 
+def gen_bm25_decoy_filtered(docs, queries=None, k=10):
+    """Lexical side of the end-to-end production-serving row
+    (hybrid_trimodal_filtered_tombstoned): VERBATIM text decoys at
+    doc_id + 9e7 are tombstoned — collection stats carry their mass
+    (Lucene delete model) while candidates exclude them — and the
+    even-id payload filter restricts candidates further, both below
+    the ranking cut."""
+    queries = queries or BM25_QUERIES
+    rows0 = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    corpus = pd.DataFrame(
+        rows0 + [(d + 90000000, t) for d, t in rows0 if d < 4],
+        columns=["doc_id", "text"])
+    lists = bm25_rank_lists(corpus, queries, k,
+                            keep=lambda d: d < 90000000 and d % 2 == 0)
+    rows = []
+    for qid, q in queries:
+        for rk, (d, s) in enumerate(lists[int(qid)], 1):
+            rows.append((int(qid), d, s, rk))
+    write("bm25_topk_decoy_filtered",
+          pd.DataFrame(rows, columns=["qid", "doc", "score_fp", "rk"]),
+          {"qid": "BIGINT", "doc": "BIGINT", "score_fp": "BIGINT",
+           "rk": "INT"})
+
+
+def gen_hybrid_grouped(docs, emb, labels, queries=None, k_cand=20, k=5):
+    """Mirror of graft.pipeline.Hybrid.searchIndexGrouped: each side
+    ranked WITHIN each (query, tenant) — BM25 with corpus-level stats
+    and candidates restricted to the tenant (Lucene filter
+    semantics), exact cosine over the tenant's vectors (self kept) —
+    then RRF fused per (query, tenant) with the usual integer
+    contributions and (fused desc, doc asc) top-k."""
+    queries = queries or BM25_QUERIES
+    vecs = dict(emb)
+    groups = sorted(set(labels.values()))
+    rows = []
+    for g in groups:
+        lex = bm25_rank_lists(docs, queries, k_cand,
+                              keep=lambda d, g=g: labels.get(d) == g)
+        for qid, _ in queries:
+            qv = vecs[int(qid)]
+            sims = sorted(((cosine_sim_d(v, qv), -i) for i, v in emb
+                           if labels.get(i) == g), reverse=True)[:k_cand]
+            fused = {}
+            for rk, (d, _) in enumerate(lex[int(qid)], 1):
+                fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+            for rk, (_, negi) in enumerate(sims, 1):
+                d = -negi
+                fused[d] = fused.get(d, 0) + (1 << 20) // (60 + rk)
+            top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for rk, (d, s) in enumerate(top, 1):
+                rows.append((int(qid), g, d, s, rk))
+    write("hybrid_topk_grouped",
+          pd.DataFrame(rows, columns=["qid", "label", "doc", "rrf_fp",
+                                      "rk"]),
+          {"qid": "BIGINT", "label": "INT", "doc": "BIGINT",
+           "rrf_fp": "BIGINT", "rk": "INT"})
+
+
 def gen_hybrid_topk_filtered(docs, emb, queries=None, k_cand=20, k=10):
     """Mirror of Hybrid.searchIndexFiltered under the even-id
     predicate: candidates restricted on BOTH sides before each
@@ -2156,6 +2220,10 @@ def main():
         gen_hybrid_topk(docs, load_embeddings())
     if want("hybrid_topk_filtered"):
         gen_hybrid_topk_filtered(docs, load_embeddings())
+    if want("hybrid_topk_grouped"):
+        gen_hybrid_grouped(docs, load_embeddings(), load_labels())
+    if want("bm25_topk_decoy_filtered"):
+        gen_bm25_decoy_filtered(docs)
     if want("bm25_topk_tombstoned"):
         gen_bm25_tombstoned(docs)
     if want("hybrid_topk_tombstoned"):
