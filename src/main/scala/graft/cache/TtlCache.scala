@@ -25,6 +25,13 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
 
   private var table: DataFrame = spark.emptyDataset[CacheEntry].toDF()
   private var mutationsSinceCompact = 0
+  // the live compact snapshot — released when the NEXT compact
+  // supersedes it ([[graft.memory.MessageLog]]'s hygiene: without
+  // this a long-lived cache leaks one cache-sized block set per 32
+  // mutations). Only the internal snapshot is released; per-call
+  // pins (putAll/memoize batches, bounded by their batch size) ride
+  // until the session sweep, the returned-frame convention.
+  private var compactPin: Option[DataFrame] = None
 
   def df: DataFrame = table
 
@@ -34,7 +41,10 @@ final class TtlCache(val spark: SparkSession, ttlDays: Int = 30) {
   private def maybeCompact(): Unit = {
     mutationsSinceCompact += 1
     if (mutationsSinceCompact >= 32) {
-      table = table.localCheckpoint(true)
+      val fresh = table.localCheckpoint(true)
+      compactPin.foreach(graft.core.Pinned.release)
+      compactPin = Some(fresh)
+      table = fresh
       mutationsSinceCompact = 0
     }
   }

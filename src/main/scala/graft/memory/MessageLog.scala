@@ -34,6 +34,13 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
 
   private var table: DataFrame = spark.emptyDataset[Message].toDF()
   private var appendsSinceCompact = 0
+  // the live compact snapshot — released when the NEXT compact
+  // supersedes it, or a long-lived log accumulates one dead
+  // log-sized block set per 32 appends (the Pinned.scala leak
+  // class). Only this internal snapshot is ever released; frames
+  // handed out between compacts keep their own lineage. A caller
+  // holding [[df]] across 32+ appends must re-read it.
+  private var compactPin: Option[DataFrame] = None
 
   def df: DataFrame = table
 
@@ -44,7 +51,10 @@ final class MessageLog(val spark: SparkSession, val embedder: EmbeddingModel) {
   private def maybeCompact(): Unit = {
     appendsSinceCompact += 1
     if (appendsSinceCompact >= 32) {
-      table = table.localCheckpoint(true)
+      val fresh = table.localCheckpoint(true)
+      compactPin.foreach(graft.core.Pinned.release)
+      compactPin = Some(fresh)
+      table = fresh
       appendsSinceCompact = 0
     }
   }

@@ -204,11 +204,14 @@ object Sparse {
                                docFilter: Option[Column])
       : Option[(DataFrame, DataFrame)] = {
     graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
-    // missing layout IS an empty index (the family contract — a
-    // delete-everything pass removes the directory)
+    // a missing OR data-less layout IS an empty index (the family
+    // contract — a delete-everything pass removes the directory, and
+    // crash leftovers can leave a dir holding only sidecars, which
+    // schema inference would die on)
     val lp = new org.apache.hadoop.fs.Path(path)
-    if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(lp)) return None
+    if (!layoutHasData(
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration), lp))
+      return None
     val q = queries.select(col("doc").as("qid"), col("dim"),
       col("w").as("qw")).localCheckpoint(true)
     val dims = q.select(col("dim")).distinct()

@@ -58,6 +58,106 @@ class GroupedTopKSpec extends SparkTestBase {
     assert(rows(grouped) == rows(byFilter))
   }
 
+  test("group values containing the separator never collide fill keys") {
+    // pre-escape, (qid "1", group "2#3") and (qid "1#2", group "3")
+    // both keyed gqid "1#2#3" — merging their fill accounting and
+    // top-k windows in adaptiveFill; the escaped key must keep them
+    // apart so grouped == per-group filtered composition even here
+    val embS = emb.select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"),
+      when(col("label") < 5, lit("2#3")).otherwise(lit("3")).as("grp"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val postings = Ivf.assign(embS, "embedding", model)
+    val qs = embS.where(col("vec_id") === "1")
+      .unionByName(embS.where(col("vec_id") === "2")
+        .select(lit("1#2").as("vec_id"), col("embedding"), col("grp")))
+    val grouped = Ivf.searchGrouped(postings, qs, "embedding", "vec_id",
+      model, k = 3, groupCol = "grp",
+      groups = embS.select(col("grp")).distinct(), nprobe0 = 1)
+    val byFilter = Seq("2#3", "3").map { g =>
+      Ivf.searchFiltered(postings, qs, "embedding", "vec_id", model,
+          k = 3, filter = col("grp") === g, nprobe0 = 1)
+        .withColumn("grp", lit(g))
+    }.reduce(_ unionByName _)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "grp", "nid", "rk").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getInt(3))).toSet
+    assert(rset(grouped) == rset(byFilter) && rset(grouped).nonEmpty)
+  }
+
+  test("sparse grouped == per-group docFilter composition") {
+    val idx = java.nio.file.Files.createTempDirectory("grp_sparse")
+      .resolve("index").toString
+    Sparse.writeIndex(Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+    val qs = Sparse.sparsify(emb.where(col("vec_id") < 3), "embedding",
+      "vec_id")
+    val groups = Seq(2, 6)
+    val members = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val grouped = Sparse.searchIndexGrouped(spark, idx, qs, k = 5,
+        groupCol = "label",
+        docGroups = emb.select(col("vec_id").as("doc"), col("label")))
+      .where(col("label").isin(groups.map(Int.box): _*))
+    val byFilter = groups.map { g =>
+      val ids = members.collect { case (id, l) if l == g => id }.toSeq
+      Sparse.searchIndex(spark, idx, qs, k = 5,
+          docFilter = Some(col("doc").isInCollection(ids)))
+        .withColumn("label", lit(g))
+        .select(col("qid"), col("label"), col("nid"), col("score"),
+          col("rk"))
+    }.reduce(_ unionByName _)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "label", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    assert(rset(grouped) == rset(byFilter) && rset(grouped).nonEmpty)
+  }
+
+  test("bm25 grouped == per-group docFilter composition") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("grp_bm25")
+      .resolve("index").toString
+    Bm25.writeIndex(spark, docs, "text", "doc_id", idx)
+    val queries = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val docGroups = docs.select(col("doc_id").as("doc"),
+      (col("doc_id") % 3).as("tenant"))
+    val grouped = Bm25.searchIndexGrouped(spark, idx, queries, k = 5,
+      groupCol = "tenant", docGroups = docGroups)
+    val byFilter = (0L until 3L).map { g =>
+      Bm25.searchIndex(spark, idx, queries, k = 5,
+          docFilter = Some(col("doc") % 3 === g))
+        .withColumn("tenant", lit(g))
+    }.reduce(_ unionByName _)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "tenant", "doc", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    assert(rset(grouped) == rset(byFilter) && rset(grouped).nonEmpty)
+  }
+
+  test("rrfFuseGrouped == per-group rrfFuse composition") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 10L, 1), (0L, 1L, 11L, 2), (0L, 2L, 12L, 1),
+        (1L, 1L, 10L, 1), (1L, 2L, 13L, 1))
+      .toDF("qid", "tenant", "doc", "rk")
+    val b = Seq((0L, 1L, 11L, 1), (0L, 2L, 12L, 1), (0L, 2L, 14L, 2),
+        (1L, 1L, 15L, 1), (1L, 2L, 13L, 1))
+      .toDF("qid", "tenant", "doc", "rk")
+    val grouped = Hybrid.rrfFuseGrouped(Seq(a, b), k = 2, "tenant")
+    val byGroup = Seq(1L, 2L).map { g =>
+      Hybrid.rrfFuse(Seq(a.where(col("tenant") === g).drop("tenant"),
+          b.where(col("tenant") === g).drop("tenant")), k = 2)
+        .withColumn("tenant", lit(g))
+    }.reduce(_ unionByName _)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "tenant", "doc", "rrf_fp", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4))).toSet
+    assert(rset(grouped) == rset(byGroup) && rset(grouped).nonEmpty)
+  }
+
   test("exhaustive probe is exact per tenant (every group fills or is spent)") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val postings = Ivf.assign(emb, "embedding", model)

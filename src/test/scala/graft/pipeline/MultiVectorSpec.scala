@@ -92,4 +92,67 @@ class MultiVectorSpec extends SparkTestBase {
       graft.core.PartitionIn.inSet(ivf0, "cluster", cells)))
     assert(pruned < all, s"expected cell pruning: $pruned of $all")
   }
+
+  test("tombstone masks at candidate generation; fold retires; merge folds src") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 16, iters = 3)
+    val base = java.nio.file.Files.createTempDirectory("mv_tomb")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    // decoys: the queries' own vectors as 1-vector docs — near-self
+    // scores that must top the ranks until masked
+    val decoys = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") + 5000L).as("doc"), col("embedding").as("vec"))
+    MultiVector.writeIndex(spark, docVecs, model, rootA)
+    MultiVector.writeIndex(spark, decoys, model, rootB)
+    val clean = rows(MultiVector.searchIndex(spark, rootA, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude))
+    // merge the decoy shard in, then tombstone the decoys on the
+    // merged pair: the serve must return to the clean ranking at
+    // SERVING latency (no rewrite)
+    MultiVector.mergeInto(spark, rootA, rootB)
+    MultiVector.tombstoneDocs(spark, rootA,
+      decoys.select(col("doc")).distinct())
+    assert(rows(MultiVector.searchIndex(spark, rootA, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude)) == clean)
+    // fold retires the mask into the physical rewrite — same serve
+    MultiVector.foldTombstones(spark, rootA)
+    val fsA = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsA.exists(
+      new org.apache.hadoop.fs.Path(MultiVector.tombPath(rootA))))
+    assert(rows(MultiVector.searchIndex(spark, rootA, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude)) == clean)
+    // a src shard with LIVE tombstones folds them before the move —
+    // its masked docs must not resurrect in the merged pair
+    val rootC = base.resolve("c").toString
+    MultiVector.writeIndex(spark, decoys, model, rootC)
+    MultiVector.tombstoneDocs(spark, rootC,
+      decoys.select(col("doc")).distinct())
+    MultiVector.mergeInto(spark, rootA, rootC)
+    assert(rows(MultiVector.searchIndex(spark, rootA, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude)) == clean,
+      "src tombstones must fold at merge, not drop with the sidecar")
+  }
+
+  test("upsert replaces by doc: stale vector sets never serve") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 16, iters = 3)
+    val root = java.nio.file.Files.createTempDirectory("mv_ups")
+      .resolve("pair").toString
+    val stale = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") + 10L).as("doc"), col("embedding").as("vec"))
+    val staleDocs = Seq(10L, 11L, 12L, 13L)
+    MultiVector.writeIndex(spark,
+      docVecs.where(!col("doc").isInCollection(staleDocs))
+        .unionByName(stale), model, root)
+    MultiVector.upsertDocs(spark, root,
+      docVecs.where(col("doc").isInCollection(staleDocs)), model)
+    val clean = rows(MultiVector.lateTopK(docVecs, queryVecs, 5, exclude))
+    assert(rows(MultiVector.searchIndex(spark, root, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude)) == clean)
+    // idempotent: re-running the same upsert converges to the same pair
+    MultiVector.upsertDocs(spark, root,
+      docVecs.where(col("doc").isInCollection(staleDocs)), model)
+    assert(rows(MultiVector.searchIndex(spark, root, queryVecs, model,
+      k = 5, nprobe = 16, excludeDoc = exclude)) == clean)
+  }
 }

@@ -55,6 +55,56 @@ class TombstoneSpec extends SparkTestBase {
     assert(Ivf.readIndex(spark, idx).count() == total - decoys.count())
   }
 
+  test("tombstoning a data-less layout is a no-op that heals stale sidecars") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("tomb_empty")
+      .resolve("index").toString
+    val some = emb.where(col("vec_id") < 20)
+    Ivf.writeIndex(Ivf.assign(some, "embedding", model), idx)
+    // delete EVERYTHING — the layout holds no cluster dirs afterwards
+    Ivf.deleteVectors(spark, idx, some.select(col("vec_id")), "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx)) ||
+      !fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .exists(f => f.getPath.getName.startsWith("cluster=")))
+    // a late erasure request (StreamingForget shape) must NOT conjure
+    // a sidecar-only directory that later reads die on
+    Ivf.tombstoneVectors(spark, idx, some.select(col("vec_id")), "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Ivf.tombPath(idx))),
+      "tombstone append on a data-less layout must not conjure a sidecar")
+    // fold is a guarded no-op too — including against a MANUALLY
+    // planted stale sidecar (crash leftovers)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Ivf.tombPath(idx)))
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Ivf.tombPath(idx))))
+    // and a tombstone append HEALS the planted sidecar instead of
+    // growing it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Ivf.tombPath(idx)))
+    Ivf.tombstoneVectors(spark, idx, some.select(col("vec_id")), "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Ivf.tombPath(idx))))
+  }
+
+  test("sparse: tombstoning a data-less layout is a no-op that heals sidecars") {
+    val idx = java.nio.file.Files.createTempDirectory("tomb_empty_sp")
+      .resolve("index").toString
+    val some = emb.where(col("vec_id") < 20)
+    Sparse.writeIndex(Sparse.sparsify(some, "embedding", "vec_id"), idx)
+    Sparse.deleteDocs(spark, idx, some.select(col("vec_id").as("doc")))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sparse.tombstoneDocs(spark, idx, some.select(col("vec_id").as("doc")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Sparse.tombPath(idx))),
+      "tombstone append on a data-less sparse layout must not conjure a sidecar")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Sparse.tombPath(idx)))
+    Sparse.foldTombstones(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Sparse.tombPath(idx))))
+    // the serve still answers (empty), never crashes on inference
+    assert(Sparse.searchIndex(spark, idx,
+      Sparse.sparsify(emb.where(col("vec_id") < 2), "embedding", "vec_id"),
+      k = 5).isEmpty)
+  }
+
   test("search over the tombstoned layout equals search over a physically deleted one") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),

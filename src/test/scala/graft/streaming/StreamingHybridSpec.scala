@@ -65,4 +65,35 @@ class StreamingHybridSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/ivf").count() ==
       e.where(col("vec_id") <= mid).count())
   }
+
+  test("ledger wipe witnesses the PAIRED sub-layouts, not the root") {
+    // the hybrid oplog ledger lives INSIDE $root, so witnessing $root
+    // is a tautology (stale markers imply the root exists) — after a
+    // delete-everything pass removes both sub-layouts, re-opening the
+    // same run key must WIPE the stale markers so the re-ingest
+    // appends instead of skipping every batch into an empty index
+    val root = java.nio.file.Files.createTempDirectory("shyb_wipe")
+      .resolve("pair").toString
+    val ledger = s"$root/oplog"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def openWithWitnesses(): String =
+      BatchLedger.openRunForIndex(spark, ledger, "hybrid-runkey",
+        dataPaths = Seq(s"$root/bm25", s"$root/ivf"))
+    // simulate a completed ingest: both layouts present + markers
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/bm25"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ivf"))
+    BatchLedger.mark(spark, ledger, "hybrid-runkey", 0L)
+    // both witnesses present -> markers survive (crash-heal path)
+    openWithWitnesses()
+    assert(BatchLedger.done(spark, ledger, "hybrid-runkey", 0L),
+      "markers must survive while the guarded layouts exist")
+    // delete-everything removes the sub-layouts but not the in-root
+    // ledger — the exact state the root-witness bug skipped over
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/bm25"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/ivf"), true)
+    openWithWitnesses()
+    assert(!BatchLedger.done(spark, ledger, "hybrid-runkey", 0L),
+      "one vanished side means every marker is stale - wipe must fire")
+  }
 }
