@@ -1573,6 +1573,34 @@ object Queries {
         .orderBy(col("doc"))
     }),
 
+    // snapshot/restore for the exact-fingerprint dedup state: build
+    // the first slice, snapshot, corrupt two ways (min-id decoys that
+    // would flip keep_id/dup on every later probe, plus a dropped
+    // bucket dir), restore, run the rest of the lifecycle — the probe
+    // must equal the never-corrupted incremental oracle
+    "dedup_index_restored" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("dedup_fp_restore")
+      val path = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      val decoys = docs.where(col("doc_id") % 3 === 2)
+        .select((col("doc_id") - 100000000L).as("doc_id"), col("text"))
+      graft.pipeline.DedupIndex.writeIndex(s,
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", path)
+      graft.core.DirSnapshot.create(s, path, snap)
+      graft.pipeline.DedupIndex.appendNovel(s, decoys, "text", "doc_id", path)
+      val b0 = new org.apache.hadoop.fs.Path(s"$path/bucket=0")
+      b0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(b0, true)
+      graft.core.DirSnapshot.restore(s, snap, path)
+      graft.pipeline.DedupIndex.appendNovel(s,
+        docs.where(col("doc_id") % 3 === 1), "text", "doc_id", path)
+      graft.pipeline.DedupIndex.compactIndex(s, path)
+      graft.pipeline.DedupIndex.probe(s, path,
+          docs.where(col("doc_id") % 3 === 2), "text", "doc_id")
+        .select(col("doc"), col("keep_id"), col("dup"))
+        .orderBy(col("doc"))
+    }),
+
     // DELETION for the dedup STATE (right-to-be-forgotten): decoys =
     // copies of the probe increment's docs at SMALLER ids, so if they
     // survive deletion they become min-id keepers and flip the probe's
@@ -2125,6 +2153,29 @@ object Queries {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "dedup_index_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS doc,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |idx0 AS (SELECT fp, min(doc) AS keep FROM fp
+        |         WHERE doc % 3 = 0 GROUP BY fp),
+        |idx1 AS (SELECT f.fp, min(f.doc) AS keep FROM fp f
+        |         LEFT JOIN idx0 i ON f.fp = i.fp
+        |         WHERE f.doc % 3 = 1 AND i.fp IS NULL GROUP BY f.fp),
+        |idx AS (SELECT * FROM idx0 UNION ALL SELECT * FROM idx1),
+        |batch AS (SELECT fp, min(doc) AS bkeep FROM fp
+        |          WHERE doc % 3 = 2 GROUP BY fp)
+        |SELECT f.doc, CAST(coalesce(i.keep, b.bkeep) AS BIGINT) AS keep_id,
+        |  coalesce(i.keep, b.bkeep) <> f.doc AS dup
+        |FROM fp f
+        |LEFT JOIN idx i ON f.fp = i.fp
+        |JOIN batch b ON f.fp = b.fp
+        |WHERE f.doc % 3 = 2
+        |ORDER BY f.doc""".stripMargin,
+
+    // corrupted index restored mid-lifecycle ≡ the never-corrupted
+    // incremental lifecycle: same oracle
+    "dedup_index_restored" ->
       """WITH fp AS (
         |  SELECT doc_id AS doc,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -3453,6 +3504,40 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // snapshot/restore for the late-interaction PAIR: one snapshot
+    // captures both sub-layouts (ivf + docs) consistently, the
+    // corruption hits both (decoy append lands in each; a cluster
+    // dir drop breaks the probe side), and the restored pair must
+    // serve the pre-corruption brute force
+    "multivec_topk_restored" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("multivec_restore")
+      val root = base.resolve("pair").toString
+      val snap = base.resolve("snap").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.core.DirSnapshot.create(s, root, snap)
+      val decoys = emb.where(col("vec_id") < 4)
+        .select(((col("vec_id") / 2).cast("long") + 90000000L).as("doc"),
+          col("embedding").as("vec"))
+      graft.pipeline.MultiVector.appendDocs(s, decoys, model, root)
+      val c0 = new org.apache.hadoop.fs.Path(s"$root/ivf/cluster=0")
+      c0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(c0, true)
+      graft.core.DirSnapshot.restore(s, snap, root)
+      graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the late-interaction pair maintained ON INGEST: microbatches
     // assign once and append both sub-layouts; per-vector rows make
     // the grown pair serve identically to the one-shot even when a
@@ -4290,6 +4375,45 @@ object Queries {
       graft.pipeline.PHashIndex.deleteDocs(s, path, decoys.select(col("id")))
       val p0 = graft.pipeline.PHashIndex.probe(s, path, a, "bytes", "id",
         maxDist = 6)
+      val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
+        "id", maxDist = 6)
+      graft.pipeline.PHashIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.PHashIndex.probe(s, path, c, "bytes", "id",
+        maxDist = 6)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // snapshot/restore for the perceptual-hash dedup state: build the
+    // first slice, snapshot, corrupt (decoy copies at distance 0 from
+    // the last increment — loud pairs in every later probe — plus a
+    // dropped band dir), restore, run the rest of the lifecycle — the
+    // pair union must equal the one-shot banded pass
+    "phash_index_restored" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.synthetic(s, 99)
+        .where(col("kind") === "image")
+      val corpus = media.unionByName(
+        graft.pipeline.Multimodal.resizeImages(media, 8, 6)
+          .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
+            col("width"), col("height"), col("durationMs")))
+      val base = java.nio.file.Files.createTempDirectory("phash_restore")
+      val path = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      val a = corpus.where(col("id") % 3 === 0)
+      val b = corpus.where(col("id") % 3 === 1)
+      val c = corpus.where(col("id") % 3 === 2)
+      val decoys = c.select((col("id") + 7000000L).as("id"), col("kind"),
+        col("bytes"), col("width"), col("height"), col("durationMs"))
+      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+        path, maxDist = 6)
+      graft.core.DirSnapshot.create(s, path, snap)
+      graft.pipeline.PHashIndex.probeAndAppend(s, path, decoys, "bytes",
+        "id", maxDist = 6)
+      val band0 = new org.apache.hadoop.fs.Path(s"$path/band=0")
+      band0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(band0, true)
+      graft.core.DirSnapshot.restore(s, snap, path)
       val p1 = graft.pipeline.PHashIndex.probeAndAppend(s, path, b, "bytes",
         "id", maxDist = 6)
       graft.pipeline.PHashIndex.compactIndex(s, path)
@@ -5819,6 +5943,41 @@ object Queries {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // snapshot/restore for the embedding near-dup state: build the
+    // first slice (its pairs are p0), snapshot, corrupt (index decoy
+    // copies whose cosine-1.0 pairs would pollute every later probe,
+    // plus a dropped cell dir), restore, run the rest of the
+    // lifecycle — the union of pair sets must equal the one-shot
+    // blocked pass over the clean corpus
+    "embed_index_restored" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("embed_restore")
+      val path = base.resolve("index").toString
+      val snap = base.resolve("snap").toString
+      val a = emb.where(col("vec_id") % 3 === 0)
+      val b = emb.where(col("vec_id") % 3 === 1)
+      val c = emb.where(col("vec_id") % 3 === 2)
+      val decoys = c.select((col("vec_id") + 50000000L).as("vec_id"),
+        col("embedding"))
+      val p0 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
+        "embedding", "vec_id", path, dim = 64, bits = 8)
+      graft.core.DirSnapshot.create(s, path, snap)
+      graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, decoys,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      val k0 = new org.apache.hadoop.fs.Path(s"$path/kb=0")
+      k0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(k0, true)
+      graft.core.DirSnapshot.restore(s, snap, path)
+      val p1 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, b,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      graft.pipeline.EmbedDedupIndex.compactIndex(s, path)
+      val p2 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, path, c,
+        "embedding", "vec_id", dim = 64, bits = 8)
+      p0.unionByName(p1).unionByName(p2)
+        .select(col("d1").as("v1"), col("d2").as("v2"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     // DELETION for the semantic-dedup STATE: decoys = copies of the
     // last increment's vectors (cosine 1.0 with their originals) —
     // any signature row surviving deletion emits loud decoy pairs in
@@ -6600,6 +6759,10 @@ object Queries {
     "phash_index_deleted" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
 
+    // corrupted index restored mid-lifecycle ≡ the one-shot pass
+    "phash_index_restored" ->
+      s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
+
     // shard-parallel build + segment merge ≡ the one-shot banded pass
     "phash_index_merged" ->
       s"SELECT d1, d2, dist FROM '$goldenDir/multimodal_neardup.parquet' ORDER BY d1, d2",
@@ -6913,6 +7076,8 @@ object Queries {
     "stream_multivec_search" -> multivecSql(),
     // stale docs replaced by their true vector sets ≡ never corrupted
     "multivec_topk_upserted" -> multivecSql(),
+    // corrupted pair restored from its snapshot ≡ never corrupted
+    "multivec_topk_restored" -> multivecSql(),
     // decoys masked, then folded: both stages ≡ decoy-free brute force
     "multivec_topk_tombstoned" -> multivecStagedSql,
 
@@ -7745,6 +7910,10 @@ object Queries {
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     "embed_index_deleted" ->
+      s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
+
+    // corrupted index restored mid-lifecycle ≡ the one-shot pass
+    "embed_index_restored" ->
       s"SELECT v1, v2, sim FROM '$pipeGold/embed_neardup_lsh.parquet' ORDER BY v1, v2",
 
     // shard-parallel build + segment merge ≡ the one-shot blocked pass
