@@ -278,11 +278,32 @@ object MultiVector {
                     org.apache.spark.sql.Column] = None,
                   docFilter: Option[org.apache.spark.sql.Column] =
                     None): DataFrame = {
-    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
-    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
     val q = queryVecs.select(col("qid"), col("vec").as("qv"),
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)
+    val (scored, cand) =
+      scoredCandidates(spark, root, q, model, nprobe, excludeDoc, docFilter)
+    val out = rank(scored, k).localCheckpoint(true)
+    graft.core.Pinned.release(q)
+    graft.core.Pinned.release(cand)
+    out
+  }
+
+  /** The probe → gather → exact-rescore prefix shared by the ranked
+    * serves: returns the exact (qid, doc, score) frame plus the
+    * candidate pin, which the caller must `Pinned.release` only
+    * AFTER materializing its ranked output (the scored plan reads
+    * through it).
+    */
+  private def scoredCandidates(spark: SparkSession, root: String,
+                  q: DataFrame, model: IvfModel, nprobe: Int,
+                  excludeDoc: Option[(org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column],
+                  docFilter: Option[org.apache.spark.sql.Column])
+      : (DataFrame, DataFrame) = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
     // 1. candidate generation: each query vector probes nprobe cells
     val probes = q.withColumn("cluster",
       explode(Ivf.nearestCol(col("qv"), model, nprobe)))
@@ -333,7 +354,45 @@ object MultiVector {
       .agg(max(cosFp(col("vec"), col("qv"))).as("m"))
       .groupBy(col("qid"), col("doc"))
       .agg(sum(col("m")).cast("long").as("score"))
-    val out = rank(scored, k).localCheckpoint(true)
+    (scored, cand)
+  }
+
+  /** Grouped (multi-tenant) late-interaction serve: top-k per
+    * (query, group), where `docGroups` maps each doc to its tenant
+    * (one group per doc — the payload-column contract shared with
+    * [[Ivf.searchGrouped]]). Because a doc belongs to exactly one
+    * tenant, the candidate gather and exact rescore are the
+    * ungrouped prefix unchanged; only the ranking window gains the
+    * tenant key — so at nprobe = nlist every tenant's rows are
+    * brute force over that tenant's docs. At partial probe,
+    * candidate recall is approximate per tenant (a sparse tenant
+    * can under-fill; this tier serves fixed-probe by design —
+    * widen nprobe rather than expecting dense-tier adaptive fill).
+    */
+  def searchIndexGrouped(spark: SparkSession, root: String,
+                  queryVecs: DataFrame, model: IvfModel, k: Int,
+                  nprobe: Int, groupCol: String, docGroups: DataFrame,
+                  excludeDoc: Option[(org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column] = None,
+                  docFilter: Option[org.apache.spark.sql.Column] =
+                    None): DataFrame = {
+    val q = queryVecs.select(col("qid"), col("vec").as("qv"),
+        monotonically_increasing_id().as("qvix"))
+      .localCheckpoint(true)
+    val (scored, cand) =
+      scoredCandidates(spark, root, q, model, nprobe, excludeDoc, docFilter)
+    // scored is ≤ queries × candidates — the small side of the
+    // doc→tenant join; AQE broadcasts it against the corpus-sized map
+    val grouped = scored.join(
+      docGroups.select(col("doc"), col(groupCol).as("__grp")), Seq("doc"))
+    val w = Window.partitionBy(col("qid"), col("__grp"))
+      .orderBy(col("score").desc, col("doc").asc)
+    val out = grouped.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("__grp").as(groupCol), col("doc"),
+        col("score"), col("rk"))
+      .localCheckpoint(true)
     graft.core.Pinned.release(q)
     graft.core.Pinned.release(cand)
     out

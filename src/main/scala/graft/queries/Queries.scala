@@ -3436,6 +3436,34 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // grouped (multi-tenant) serve on the late-interaction tier —
+    // the last tier of the tenant matrix: top-3 per (query, tenant)
+    // with tenant = doc % 3; one probe/gather/rescore pass, the rank
+    // window gains the tenant key, and at the exhaustive probe each
+    // tenant's rows are brute force over that tenant's docs
+    "multivec_topk_grouped" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_grp")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      val docGroups = docVecs.select(col("doc")).distinct()
+        .withColumn("grp", col("doc") % 3)
+      graft.pipeline.MultiVector.searchIndexGrouped(s, root, queryVecs,
+          model, k = 3, nprobe = 16, groupCol = "grp",
+          docGroups = docGroups,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("grp"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("grp"), col("rk"))
+    }),
+
     // tombstone deletes at serving latency on the late-interaction
     // tier: decoy docs carrying the query's own vectors (they would
     // own the top ranks with near-self scores) are masked at
@@ -7073,6 +7101,23 @@ object Queries {
     "multivec_topk_deleted" -> multivecSql(),
     "multivec_topk_merged" -> multivecSql(),
     "multivec_topk_filtered" -> multivecSql("doc % 2 = 0"),
+    // one tenant key (doc % 3) added to the ranking window; the
+    // exhaustive probe makes each tenant's rows per-tenant brute force
+    "multivec_topk_grouped" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id // 2 AS qid, q.vec_id AS qv,
+         |    e.vec_id // 4 AS doc,
+         |    CAST(round(${cosSql("q.embedding", "e.embedding")}
+         |      * 1000000000) AS BIGINT) AS c
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 4),
+         |mx AS (SELECT qid, qv, doc, max(c) AS m FROM pairs GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, doc, CAST(sum(m) AS BIGINT) AS score FROM mx
+         |       GROUP BY 1, 2 HAVING doc <> qid // 2)
+         |SELECT qid, doc % 3 AS grp, doc, score,
+         |  row_number() OVER (PARTITION BY qid, doc % 3
+         |    ORDER BY score DESC, doc) AS rk
+         |FROM sc QUALIFY rk <= 3 ORDER BY qid, grp, rk""".stripMargin,
     "stream_multivec_search" -> multivecSql(),
     // stale docs replaced by their true vector sets ≡ never corrupted
     "multivec_topk_upserted" -> multivecSql(),

@@ -137,6 +137,32 @@ class GroupedTopKSpec extends SparkTestBase {
     assert(rset(grouped) == rset(byFilter) && rset(grouped).nonEmpty)
   }
 
+  test("multivec grouped == per-group docFilter composition") {
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("grp_mv")
+      .resolve("pair").toString
+    MultiVector.writeIndex(spark, docVecs, model, root)
+    val docGroups = docVecs.select(col("doc")).distinct()
+      .withColumn("tenant", col("doc") % 3)
+    val grouped = MultiVector.searchIndexGrouped(spark, root, queryVecs,
+      model, k = 3, nprobe = 8, groupCol = "tenant", docGroups = docGroups)
+    val byFilter = (0L until 3L).map { g =>
+      MultiVector.searchIndex(spark, root, queryVecs, model, k = 3,
+          nprobe = 8, docFilter = Some(col("doc") % 3 === g))
+        .withColumn("tenant", lit(g))
+    }.reduce(_ unionByName _)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "tenant", "doc", "score", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4))).toSet
+    assert(rset(grouped) == rset(byFilter) && rset(grouped).nonEmpty)
+  }
+
   test("rrfFuseGrouped == per-group rrfFuse composition") {
     import spark.implicits._
     val a = Seq((0L, 1L, 10L, 1), (0L, 1L, 11L, 2), (0L, 2L, 12L, 1),
