@@ -421,7 +421,28 @@ object Bm25 {
   def searchIndex(spark: SparkSession, path: String,
                   queries: Seq[(Long, String)], k: Int,
                   docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    cutTopK(scoredIndexCandidates(spark, path, queries, docFilter), k)
+    cutTopK(scoredIndexCandidates(spark, Seq(path), queries, docFilter), k)
+
+  /** Serve BM25 over the UNION of several segment layouts WITHOUT a
+    * physical merge — the Lucene per-segment read path: a new shard
+    * lands as its own root and serves immediately, [[mergeInto]]
+    * becomes background maintenance. Collection statistics are
+    * MERGED GLOBALLY before scoring — N and T sum over segments,
+    * per-term df sums over segments — so idf and the tf-saturation
+    * denominator see the union corpus, and under the family's
+    * disjoint-docs contract the result is bit-identical to serving
+    * the physically merged index (spec-pinned): per-segment stats
+    * rows are exactly what a merged index's summed stats/df reads
+    * would hold. Each segment's own tombstone mask applies to its
+    * rows (masked docs keep their N/df/avgdl mass until the fold,
+    * the Lucene delete model — per segment). Absent roots are empty
+    * segments; at least one segment must exist.
+    */
+  def searchSegments(spark: SparkSession, paths: Seq[String],
+                     queries: Seq[(Long, String)], k: Int,
+                     docFilter: Option[org.apache.spark.sql.Column] =
+                       None): DataFrame =
+    cutTopK(scoredIndexCandidates(spark, paths, queries, docFilter), k)
 
   /** GROUPED (multi-tenant) lexical top-k from the persisted layout —
     * top-k PER (query, group) in one scan pass. BM25 scores are
@@ -437,7 +458,7 @@ object Bm25 {
                          groupCol: String, docGroups: DataFrame,
                          docFilter: Option[org.apache.spark.sql.Column] =
                            None): DataFrame = {
-    val scored = scoredIndexCandidates(spark, path, queries, docFilter)
+    val scored = scoredIndexCandidates(spark, Seq(path), queries, docFilter)
       .join(docGroups.select(col("doc"), col(groupCol)), Seq("doc"))
     scored.groupBy(col("qid"), col(groupCol))
       .agg(graft.functions.TopKByScore.topKBy(
@@ -454,14 +475,26 @@ object Bm25 {
     * bucketed layout — stats summed over increments, term/bucket
     * pruned, tombstone-masked, pre-cut.
     */
-  private def scoredIndexCandidates(spark: SparkSession, path: String,
+  private def scoredIndexCandidates(spark: SparkSession, paths: Seq[String],
                                     queries: Seq[(Long, String)],
                                     docFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     import spark.implicits._
-    recoverLayouts(spark, path) // serving-read recovery preamble
-    // SUM over stats rows: one row per build/append increment
-    val stats = spark.read.parquet(s"$path/stats")
+    val hc = spark.sparkContext.hadoopConfiguration
+    paths.foreach(p => recoverLayouts(spark, p)) // serving-read preamble
+    // absent root = empty segment (the family's missing-layout
+    // convention; a single-path serve keeps its loud missing-index
+    // read error by requiring its one path present)
+    val live = paths.filter { p =>
+      val sp = new org.apache.hadoop.fs.Path(s"$p/stats")
+      paths.size == 1 || sp.getFileSystem(hc).exists(sp)
+    }
+    require(live.nonEmpty, "every segment root is absent — nothing to serve")
+    // SUM over stats rows ACROSS segments: one row per build/append
+    // increment per segment — global N and T, exactly the rows a
+    // merged index's stats read would sum
+    val stats = live.map(p => spark.read.parquet(s"$p/stats"))
+      .reduce(_ unionByName _)
       .agg(sum(col("n")), sum(col("t"))).collect()(0)
     val nDocs = stats.getLong(0)
     val tTokens = stats.getLong(1)
@@ -471,11 +504,13 @@ object Bm25 {
     val bucketSet = terms.toDF("term")
       .select(bucketOf(col("term"))).collect().map(_.getLong(0))
       .distinct.toSeq
-    // SUM per-term df rows: appends contribute one row per increment
-    val dfRead = spark.read.parquet(s"$path/df")
-    val dfMap = dfRead
-      .where(graft.core.PartitionIn.inSet(dfRead, "bucket", bucketSet) &&
-        col("term").isInCollection(terms))
+    // SUM per-term df rows across increments AND segments — global df
+    val dfMap = live.map { p =>
+      val dfRead = spark.read.parquet(s"$p/df")
+      dfRead.where(
+        graft.core.PartitionIn.inSet(dfRead, "bucket", bucketSet) &&
+          col("term").isInCollection(terms))
+    }.reduce(_ unionByName _)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idfDf = terms.map { t =>
@@ -484,21 +519,23 @@ object Bm25 {
     }.toDF("term", "idf_fp")
     val qtDf = (for { (qid, q) <- queries; t <- queryTerms(q) }
       yield (qid, t)).toDF("qid", "term")
-    val postRead = spark.read.parquet(s"$path/postings")
-    val postings0 = postRead
-      .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
-        col("term").isInCollection(terms) &&
-        docFilter.getOrElse(lit(true)))
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // un-hinted (the Validate SubsetOf argument): the mask is tiny
+    // per-segment pruned postings scan + that segment's own tombstone
+    // mask, then one union — masks never cross segment boundaries.
+    // un-hinted (the Validate SubsetOf argument): each mask is tiny
     // under the fold cadence — AQE broadcasts it — and a neglected
     // fold degrades to a shuffle join instead of an executor OOM
-    val postings =
-      if (!tfs.exists(tp)) postings0
+    val postings = live.map { p =>
+      val postRead = spark.read.parquet(s"$p/postings")
+      val postings0 = postRead
+        .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
+          col("term").isInCollection(terms) &&
+          docFilter.getOrElse(lit(true)))
+      val tp = new org.apache.hadoop.fs.Path(tombPath(p))
+      if (!tp.getFileSystem(hc).exists(tp)) postings0
       else postings0.join(
-        spark.read.parquet(tombPath(path)).select(col("doc")).distinct(),
+        spark.read.parquet(tombPath(p)).select(col("doc")).distinct(),
         Seq("doc"), "left_anti")
+    }.reduce(_ unionByName _)
     val num = lit(22L) * col("tf") * lit(tTokens)
     val den = lit(10L) * lit(tTokens) * col("tf") + lit(3L) * lit(tTokens) +
       lit(9L) * col("len") * lit(nDocs)

@@ -607,6 +607,44 @@ object Ivf {
       Seq(idCol), "left_anti")
   }
 
+  /** The MULTI-SEGMENT serving read: the union of several index
+    * layouts, each minus its own tombstoned ids — the LSM read path
+    * between [[mergeInto]] compactions (a new shard lands as its own
+    * root and serves immediately; the physical merge becomes
+    * background maintenance, not a serving prerequisite). Segments
+    * must be assigned under ONE coarse quantizer — verified here
+    * against each layout's persisted `_model`, the same witness
+    * [[mergeInto]] requires — or probe/cluster semantics would
+    * silently skew; under the family's disjoint-ids contract the
+    * union frame is exactly what [[readIndexServing]] over the
+    * physically merged layout would scan (spec-pinned). Absent or
+    * data-less roots are empty segments; at least one segment must
+    * hold data. Feed the result to [[search]]/[[searchFiltered]]/
+    * [[searchGrouped]] exactly like a single layout's serving read.
+    */
+  def readSegmentsServing(spark: SparkSession, paths: Seq[String],
+                          idCol: String, model: IvfModel): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    paths.foreach(p => graft.core.DirSwap.recoverAt(spark, p))
+    val live = paths.filter { p =>
+      val lp = new org.apache.hadoop.fs.Path(p)
+      layoutHasData(lp.getFileSystem(hc), lp)
+    }
+    require(live.nonEmpty,
+      "every segment root is absent or data-less — nothing to serve")
+    live.foreach { p =>
+      val mp = new org.apache.hadoop.fs.Path(modelPath(p))
+      require(mp.getFileSystem(hc).exists(mp),
+        s"segment $p has no persisted _model (Ivf.saveModel/ensurePair)" +
+          " — it is the only witness that the segments share one quantizer")
+      require(sameModel(loadModel(spark, modelPath(p)), model),
+        s"segment $p is assigned under a DIFFERENT coarse quantizer " +
+          "than the serving model — rebuild it or serve it separately")
+    }
+    live.map(p => readIndexServing(spark, p, idCol))
+      .reduce(_ unionByName _)
+  }
+
   /** Retire the tombstone set: fold the masked ids into a physical
     * [[deleteVectors]] rewrite (crash-safe swap; the hidden-dir
     * carry-over keeps `_tombstones` WITH the rewritten copy), then

@@ -140,7 +140,25 @@ object Sparse {
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
                   k: Int, excludeSelf: Boolean = true,
                   docFilter: Option[Column] = None): DataFrame =
-    scoredCandidates(spark, path, queries, excludeSelf, docFilter) match {
+    searchSegments(spark, Seq(path), queries, k, excludeSelf, docFilter)
+
+  /** Serve exact sparse top-k over the UNION of several segment
+    * layouts WITHOUT a physical merge — the LSM read path between
+    * [[mergeInto]] compactions (a new shard lands as its own root
+    * and serves immediately; the merge becomes background
+    * maintenance, not a serving prerequisite). Each segment's own
+    * tombstone mask applies to its rows; absent or data-less roots
+    * are empty segments (the family's missing-layout convention).
+    * Sparse scores are per-(query, doc) integer dot products with no
+    * cross-segment statistics, so under the family's disjoint-docs
+    * contract the result is IDENTICAL to serving the physically
+    * merged index (spec-pinned against mergeInto + searchIndex).
+    */
+  def searchSegments(spark: SparkSession, paths: Seq[String],
+                     queries: DataFrame, k: Int,
+                     excludeSelf: Boolean = true,
+                     docFilter: Option[Column] = None): DataFrame =
+    scoredCandidates(spark, paths, queries, excludeSelf, docFilter) match {
       case None =>
         import spark.implicits._
         Seq.empty[(Long, Long, Long, Int)].toDF("qid", "nid", "score", "rk")
@@ -171,7 +189,7 @@ object Sparse {
                          docGroups: DataFrame,
                          excludeSelf: Boolean = true,
                          docFilter: Option[Column] = None): DataFrame =
-    scoredCandidates(spark, path, queries, excludeSelf, docFilter) match {
+    scoredCandidates(spark, Seq(path), queries, excludeSelf, docFilter) match {
       case None =>
         // derive the empty frame from docGroups so groupCol keeps its
         // caller-defined type
@@ -199,19 +217,21 @@ object Sparse {
     * MUST [[graft.core.Pinned.release]] the returned query pin after
     * materializing its cut.
     */
-  private def scoredCandidates(spark: SparkSession, path: String,
+  private def scoredCandidates(spark: SparkSession, paths: Seq[String],
                                queries: DataFrame, excludeSelf: Boolean,
                                docFilter: Option[Column])
       : Option[(DataFrame, DataFrame)] = {
-    graft.core.DirSwap.recoverAt(spark, path) // serving-read contract
-    // a missing OR data-less layout IS an empty index (the family
-    // contract — a delete-everything pass removes the directory, and
-    // crash leftovers can leave a dir holding only sidecars, which
-    // schema inference would die on)
-    val lp = new org.apache.hadoop.fs.Path(path)
-    if (!layoutHasData(
-        lp.getFileSystem(spark.sparkContext.hadoopConfiguration), lp))
-      return None
+    val hc = spark.sparkContext.hadoopConfiguration
+    paths.foreach(p => graft.core.DirSwap.recoverAt(spark, p))
+    // a missing OR data-less layout IS an empty index/segment (the
+    // family contract — a delete-everything pass removes the
+    // directory, and crash leftovers can leave a dir holding only
+    // sidecars, which schema inference would die on)
+    val live = paths.filter { p =>
+      val lp = new org.apache.hadoop.fs.Path(p)
+      layoutHasData(lp.getFileSystem(hc), lp)
+    }
+    if (live.isEmpty) return None
     val q = queries.select(col("doc").as("qid"), col("dim"),
       col("w").as("qw")).localCheckpoint(true)
     val dims = q.select(col("dim")).distinct()
@@ -222,20 +242,23 @@ object Sparse {
       return None
     }
     val buckets = dims.map(_ % DimBuckets).distinct
-    val idx0 = spark.read.parquet(path)
-    val idx1 = idx0
-      .where(graft.core.PartitionIn.inSet(idx0, "dbk", buckets) &&
-        col("dim").isInCollection(dims))
-      .where(docFilter.getOrElse(lit(true)))
-    // tombstone mask on the serving read (un-hinted: AQE broadcasts
-    // the set while the fold cadence keeps it tiny, an overgrown
-    // mask degrades to a shuffle join instead of an executor OOM)
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val tombFs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx =
+    // per-segment pruned scan + that segment's own tombstone mask
+    // (un-hinted: AQE broadcasts the set while the fold cadence keeps
+    // it tiny, an overgrown mask degrades to a shuffle join instead
+    // of an executor OOM), then one union — scores never mix masks
+    // across segments
+    val idx = live.map { path =>
+      val idx0 = spark.read.parquet(path)
+      val idx1 = idx0
+        .where(graft.core.PartitionIn.inSet(idx0, "dbk", buckets) &&
+          col("dim").isInCollection(dims))
+        .where(docFilter.getOrElse(lit(true)))
+      val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+      val tombFs = tp.getFileSystem(hc)
       if (!tombFs.exists(tp)) idx1
       else idx1.join(spark.read.parquet(tombPath(path))
         .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    }.reduce(_ unionByName _)
     val scored = idx.join(broadcast(q), Seq("dim"))
       .where(if (excludeSelf) col("doc") =!= col("qid") else lit(true))
       .groupBy(col("qid"), col("doc").as("nid"))

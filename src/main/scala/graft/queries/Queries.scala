@@ -3827,6 +3827,44 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // multi-segment serve WITHOUT the physical merge — the LSM read
+    // path between compactions: three shards under one frozen
+    // quantizer (per-segment _model witness verified at serve time),
+    // decoy copies of the query vectors tombstoned in THEIR OWN
+    // segment only (per-segment masks), the union served like a
+    // single layout ≡ the decoy-free one-shot golden
+    "ivf_topk_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("ivf_segs")
+      val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val parts = Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+        emb.where(col("vec_id") > 2 * mx / 3))
+      val decoys = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      parts.zip(segs).foreach { case (p, seg) =>
+        val rows = if (seg.endsWith("segC")) p.unionByName(decoys) else p
+        graft.pipeline.Ivf.writeIndexInt8(
+          graft.pipeline.Ivf.assign(rows, "embedding", model),
+          "embedding", seg)
+        graft.pipeline.Ivf.saveModel(s, model,
+          graft.pipeline.Ivf.modelPath(seg))
+      }
+      graft.pipeline.Ivf.tombstoneVectors(s, segs(2),
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s, segs, "vec_id", model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the residual codes layout's incremental lifecycle — AND its
     // restartability: the serve runs with the (coarse, codebook)
     // pair RELOADED from the layout (writeIndexPqResidual persists
@@ -5683,6 +5721,30 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // multi-segment lexical serve WITHOUT the merge (the Lucene
+    // per-segment read path): three disjoint shard roots, collection
+    // statistics merged GLOBALLY at serve time — N/T sum over
+    // segments, per-term df sums over segments — so idf and the
+    // saturation denominator see the union corpus and the result is
+    // bit-identical to the one-shot build (same golden)
+    "bm25_topk_segments" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val root = java.nio.file.Files.createTempDirectory("bm25_segs")
+      val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      Seq(
+        docs.where(col("doc_id") <= mx / 3),
+        docs.where(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        docs.where(col("doc_id") > 2 * mx / 3)
+      ).zip(segs).foreach { case (p, seg) =>
+        graft.pipeline.Bm25.writeIndex(s, p, "text", "doc_id", seg)
+      }
+      graft.pipeline.Bm25.searchSegments(s, segs,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // SPARSE retrieval tier (SPLADE / uniCOIL class): vectors become
     // active (dim, fixed-point w) postings, scores are exact integer
     // dot products over shared dims — deterministic across engines,
@@ -5767,6 +5829,35 @@ object Queries {
         emb.where(col("vec_id") > half), "embedding", "vec_id"), shardB)
       graft.pipeline.Sparse.mergeInto(s, shardA, shardB)
       graft.pipeline.Sparse.searchIndex(s, shardA,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // multi-segment sparse serve WITHOUT the merge: three shard
+    // roots, decoy copies of the query vectors (they would own the
+    // rank-1 slots with self-dot scores) tombstoned in THEIR OWN
+    // segment only — per-segment masks, union-served ≡ the
+    // decoy-free brute force
+    "sparse_topk_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("sparse_segs")
+      val segs = Seq("segA", "segB", "segC").map(base.resolve(_).toString)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+        emb.where(col("vec_id") > 2 * mx / 3).unionByName(decoys)
+      ).zip(segs).foreach { case (p, seg) =>
+        graft.pipeline.Sparse.writeIndex(
+          graft.pipeline.Sparse.sparsify(p, "embedding", "vec_id"), seg)
+      }
+      graft.pipeline.Sparse.tombstoneDocs(s, segs(2),
+        decoys.select(col("vec_id").as("doc")))
+      graft.pipeline.Sparse.searchSegments(s, segs,
           graft.pipeline.Sparse.sparsify(
             emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
         .select(col("qid"), col("nid"), col("score"), col("rk"))
@@ -7042,6 +7133,11 @@ object Queries {
     "bm25_topk_merged" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
+    // three shards served together with GLOBALLY merged collection
+    // stats ≡ one-shot (same golden, no physical merge)
+    "bm25_topk_segments" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
     // the sparse tier: every lifecycle row must reproduce the direct
     // DuckDB brute force (exact integer scores — no golden, no
     // tolerance), the deleted/merged/incremental rows through their
@@ -7051,6 +7147,9 @@ object Queries {
     "sparse_topk_incremental" -> sparseTopkSql(),
     "sparse_topk_deleted" -> sparseTopkSql(),
     "sparse_topk_merged" -> sparseTopkSql(),
+    // three shards union-served with per-segment tombstone masks ≡
+    // the decoy-free brute force (no physical merge)
+    "sparse_topk_segments" -> sparseTopkSql(),
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     "stream_sparse_search" -> sparseTopkSql(),
     // stale ids replaced by their true embeddings ≡ never corrupted
@@ -7895,6 +7994,12 @@ object Queries {
     // two shard builds under one frozen quantizer, file-move merged
     // ≡ the one-shot build (same golden)
     "ivf_topk_merged" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // three shards served as one (per-segment models verified,
+    // per-segment tombstone masks) ≡ the decoy-free one-shot build
+    // (same golden, no physical merge)
+    "ivf_topk_segments" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // snapshot → wreck → restore ≡ the never-wrecked one-shot

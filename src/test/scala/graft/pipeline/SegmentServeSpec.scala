@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Multi-segment serve contracts — the LSM read path between
+  * physical merges: the union of segment roots must serve exactly
+  * what the physically merged index serves, global BM25 statistics
+  * must see the union corpus, per-segment tombstone masks must
+  * equal single-layout masked serving, and the dense path must
+  * refuse segments assigned under a different quantizer.
+  */
+class SegmentServeSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p)
+
+  private def rset(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+
+  test("sparse segments serve == physically merged serve (with masks)") {
+    val base = tmp("segsp")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val ma = base.resolve("ma").toString
+    val half = 8L
+    val decoys = emb.where(col("vec_id") < 2)
+      .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+    val pa = Sparse.sparsify(emb.where(col("vec_id") <= half),
+      "embedding", "vec_id")
+    val pb = Sparse.sparsify(
+      emb.where(col("vec_id") > half).unionByName(decoys),
+      "embedding", "vec_id")
+    Sparse.writeIndex(pa, a)
+    Sparse.writeIndex(pb, b)
+    // merged twin: one layout holding the union, same docs tombstoned
+    Sparse.writeIndex(pa.unionByName(pb), ma)
+    val dead = decoys.select(col("vec_id").as("doc"))
+    Sparse.tombstoneDocs(spark, b, dead)
+    Sparse.tombstoneDocs(spark, ma, dead)
+    val q = Sparse.sparsify(emb.where(col("vec_id") < 3),
+      "embedding", "vec_id")
+    val seg = Sparse.searchSegments(spark, Seq(a, b), q, k = 5)
+    val one = Sparse.searchIndex(spark, ma, q, k = 5)
+    assert(rset(seg, "qid", "nid", "score", "rk") ==
+      rset(one, "qid", "nid", "score", "rk"))
+    assert(seg.count() > 0)
+  }
+
+  test("sparse absent/data-less roots are empty segments") {
+    val base = tmp("segsp2")
+    val a = base.resolve("a").toString
+    Sparse.writeIndex(Sparse.sparsify(emb, "embedding", "vec_id"), a)
+    val q = Sparse.sparsify(emb.where(col("vec_id") < 2),
+      "embedding", "vec_id")
+    val seg = Sparse.searchSegments(spark,
+      Seq(a, base.resolve("missing").toString), q, k = 5)
+    val one = Sparse.searchIndex(spark, a, q, k = 5)
+    assert(rset(seg, "qid", "nid", "score", "rk") ==
+      rset(one, "qid", "nid", "score", "rk"))
+  }
+
+  test("bm25 segments serve == single union build (global stats)") {
+    val base = tmp("segbm")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val one = base.resolve("one").toString
+    val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    Bm25.writeIndex(spark, docs.where(col("doc_id") <= half),
+      "text", "doc_id", a)
+    Bm25.writeIndex(spark, docs.where(col("doc_id") > half),
+      "text", "doc_id", b)
+    Bm25.writeIndex(spark, docs, "text", "doc_id", one)
+    val qs = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val seg = Bm25.searchSegments(spark, Seq(a, b), qs, k = 5)
+    val sgl = Bm25.searchIndex(spark, one, qs, k = 5)
+    assert(rset(seg, "qid", "doc", "score_fp", "rk") ==
+      rset(sgl, "qid", "doc", "score_fp", "rk"))
+    assert(seg.count() > 0)
+  }
+
+  test("bm25 per-segment masks == single-layout masked serve " +
+    "(Lucene stats model across segments)") {
+    val base = tmp("segbm2")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val one = base.resolve("one").toString
+    val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    Bm25.writeIndex(spark, docs.where(col("doc_id") <= half),
+      "text", "doc_id", a)
+    Bm25.writeIndex(spark, docs.where(col("doc_id") > half),
+      "text", "doc_id", b)
+    Bm25.writeIndex(spark, docs, "text", "doc_id", one)
+    // tombstone some surviving docs on the segment that holds them;
+    // masked docs keep their N/df/avgdl mass in BOTH scenarios, so
+    // scores must match exactly
+    val dead = docs.where(col("doc_id") % 7 === 0 &&
+      col("doc_id") <= half).select(col("doc_id").as("doc"))
+    Bm25.tombstoneDocs(spark, a, dead)
+    Bm25.tombstoneDocs(spark, one, dead)
+    val qs = Seq(0L -> "hash join", 1L -> "fast table scan")
+    val seg = Bm25.searchSegments(spark, Seq(a, b), qs, k = 5)
+    val sgl = Bm25.searchIndex(spark, one, qs, k = 5)
+    assert(rset(seg, "qid", "doc", "score_fp", "rk") ==
+      rset(sgl, "qid", "doc", "score_fp", "rk"))
+  }
+
+  test("ivf segments serving read == merged layout serving read") {
+    val base = tmp("segiv")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Ivf.writeIndexInt8(Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model), "embedding", a)
+    Ivf.writeIndexInt8(Ivf.assign(emb.where(col("vec_id") > half),
+      "embedding", model), "embedding", b)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    Ivf.saveModel(spark, model, Ivf.modelPath(b))
+    val union = Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", model)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    Ivf.mergeInto(spark, a, b)
+    val merged = Ivf.readIndexServing(spark, a, "vec_id")
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(union == merged && union.nonEmpty)
+  }
+
+  test("ivf segments serve refuses a foreign quantizer") {
+    val base = tmp("segiv2")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val m1 = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val m2 = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 1)
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", m1), "embedding", a)
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", m2), "embedding", b)
+    Ivf.saveModel(spark, m1, Ivf.modelPath(a))
+    Ivf.saveModel(spark, m2, Ivf.modelPath(b))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", m1)
+    }
+    assert(e.getMessage.contains("DIFFERENT coarse quantizer"))
+  }
+
+  test("ivf segments serve requires a model witness per segment") {
+    val base = tmp("segiv3")
+    val a = base.resolve("a").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding", a)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.readSegmentsServing(spark, Seq(a), "vec_id", model)
+    }
+    assert(e.getMessage.contains("_model"))
+  }
+}
