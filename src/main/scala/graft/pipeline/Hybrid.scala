@@ -302,6 +302,34 @@ object Hybrid {
     rrfFuse(Seq(lexical, dense), k)
   }
 
+  /** Serve the fused top-k over SEVERAL paired segment roots WITHOUT
+    * a physical merge — [[searchIndex]]'s LSM read path: the lexical
+    * list rides [[Bm25.searchSegments]] (collection statistics
+    * merged globally across the segments' bm25 sides), the dense
+    * list rides [[Ivf.readSegmentsServing]] (per-segment model
+    * witness + per-segment tombstone masks), and one RRF fuses them.
+    * Under the family's disjoint-docs contract and an exhaustive
+    * probe, the result is byte-identical to serving the physically
+    * merged pair. Segments must share the quantizer — the same
+    * precondition [[mergeInto]] enforces, verified here through the
+    * dense segments read.
+    */
+  def searchSegments(spark: SparkSession, roots: Seq[String],
+                     queries: Seq[(Long, String)], queryVecs: DataFrame,
+                     model: IvfModel, vecCol: String, idCol: String,
+                     kCand: Int, k: Int, nprobe: Int): DataFrame = {
+    val lexical = Bm25.searchSegments(spark, roots.map(r => s"$r/bm25"),
+        queries, kCand)
+      .select(col("qid"), col("doc"), col("rk"))
+    val dense = Ivf.search(
+        Ivf.readSegmentsServing(spark, roots.map(r => s"$r/ivf"), idCol,
+          model),
+        queryVecs.select(col("qid").as(idCol), col("vec").as(vecCol)),
+        vecCol, idCol, model, kCand, nprobe, excludeSelf = false)
+      .select(col("qid"), col("nid").as("doc"), col("rk"))
+    rrfFuse(Seq(lexical, dense), k)
+  }
+
   /** Filter-inside-search on the PAIRED layout: the predicate —
     * built by `filter` from the shared id-domain column (the fusion
     * joins lexical docs and dense vec ids on ONE `doc` column, so a

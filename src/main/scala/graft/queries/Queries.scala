@@ -6485,6 +6485,36 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the same two paired shard roots served TOGETHER without the
+    // merge (the LSM read path on the fused tier): lexical stats
+    // merged globally across the shards' bm25 sides, dense union
+    // under the per-segment model witness, one RRF — ≡ the one-shot
+    // hybrid golden
+    "hybrid_topk_segments" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("hybrid_segs")
+      val rootA = base.resolve("shardA").toString
+      val rootB = base.resolve("shardB").toString
+      // split on the SHARED id range (the hybrid_topk_merged lesson)
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Hybrid.writeIndex(s,
+        docs.where(col("doc_id") <= mid), "text", "doc_id",
+        emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootA)
+      graft.pipeline.Hybrid.writeIndex(s,
+        docs.where(col("doc_id") > mid), "text", "doc_id",
+        emb.where(col("vec_id") > mid), "vec_id", "embedding", model, rootB)
+      graft.pipeline.Hybrid.searchSegments(s, Seq(rootA, rootB),
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"),
+          emb.where(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+          model, "embedding", "vec_id", kCand = 20, k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // SNAPSHOT/RESTORE on the PAIRED layout: capture the hybrid root
     // (both index sides + the oplog ledger), wreck both sides with a
     // decoy append, restore — the fused serve must equal the
@@ -7096,6 +7126,11 @@ object Queries {
 
     // two paired shard roots, both sides file-move merged ≡ one-shot
     "hybrid_topk_merged" ->
+      s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
+
+    // the same two paired shards served together WITHOUT the merge
+    // (global lexical stats + dense union) ≡ one-shot
+    "hybrid_topk_segments" ->
       s"SELECT qid, doc, rrf_fp, rk FROM '$pipeGold/hybrid_topk.parquet' ORDER BY qid, rk",
 
     // snapshot → wreck both sides → restore ≡ the never-wrecked pair
