@@ -357,6 +357,47 @@ object MultiVector {
     (scored, cand)
   }
 
+  /** Serve late-interaction top-k over SEVERAL pair roots WITHOUT a
+    * physical merge — the LSM read path on this tier, completing the
+    * family's segments matrix. Each segment runs its own probe →
+    * gather → exact-rescore prefix (a doc's vector set lives in
+    * exactly ONE segment under the family's disjoint-docs contract,
+    * so per-segment Σ max-cos scores ARE the union's scores), each
+    * segment's own tombstone mask applies to its rows, and one
+    * global rank window cuts k — so at nprobe = nlist the result is
+    * identical to serving the physically merged pair. Segments must
+    * share the coarse quantizer: the pair persists no model witness
+    * (the [[mergeInto]] trust contract), so the caller's `model` is
+    * the serving truth for every segment. Absent roots are empty
+    * segments; at least one must exist.
+    */
+  def searchSegments(spark: SparkSession, roots: Seq[String],
+                  queryVecs: DataFrame, model: IvfModel, k: Int,
+                  nprobe: Int,
+                  excludeDoc: Option[(org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column] = None,
+                  docFilter: Option[org.apache.spark.sql.Column] =
+                    None): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val live = roots.filter { r =>
+      val ip = new org.apache.hadoop.fs.Path(s"$r/ivf")
+      ip.getFileSystem(hc).exists(ip)
+    }
+    require(live.nonEmpty,
+      "every segment root is absent — nothing to serve")
+    val q = queryVecs.select(col("qid"), col("vec").as("qv"),
+        monotonically_increasing_id().as("qvix"))
+      .localCheckpoint(true)
+    val pairs = live.map(r =>
+      scoredCandidates(spark, r, q, model, nprobe, excludeDoc, docFilter))
+    val out = rank(pairs.map(_._1).reduce(_ unionByName _), k)
+      .localCheckpoint(true)
+    graft.core.Pinned.release(q)
+    pairs.foreach(p => graft.core.Pinned.release(p._2))
+    out
+  }
+
   /** Grouped (multi-tenant) late-interaction serve: top-k per
     * (query, group), where `docGroups` maps each doc to its tenant
     * (one group per doc — the payload-column contract shared with

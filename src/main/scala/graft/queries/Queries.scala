@@ -3436,6 +3436,42 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // multi-segment serve on the late-interaction tier: two pair
+    // roots under one frozen quantizer, decoy docs carrying the
+    // query's own vectors tombstoned in THEIR OWN segment only,
+    // union-served at the exhaustive probe ≡ the decoy-free brute
+    // force (a doc's vector set lives in exactly one segment, so
+    // per-segment rescore scores ARE the union's)
+    "multivec_topk_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val base = java.nio.file.Files.createTempDirectory("multivec_segs")
+      val rootA = base.resolve("segA").toString
+      val rootB = base.resolve("segB").toString
+      val midDoc = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+      val decoys = emb.where(col("vec_id") < 4)
+        .select(((col("vec_id") / 2).cast("long") + 90000000L).as("doc"),
+          col("embedding").as("vec"))
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(col("doc") <= midDoc), model, rootA)
+      graft.pipeline.MultiVector.writeIndex(s,
+        docVecs.where(col("doc") > midDoc).unionByName(decoys), model, rootB)
+      graft.pipeline.MultiVector.tombstoneDocs(s, rootB,
+        decoys.select(col("doc")).distinct())
+      graft.pipeline.MultiVector.searchSegments(s, Seq(rootA, rootB),
+          queryVecs, model, k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // grouped (multi-tenant) serve on the late-interaction tier —
     // the last tier of the tenant matrix: top-3 per (query, tenant)
     // with tenant = doc % 3; one probe/gather/rescore pass, the rank
@@ -7257,6 +7293,9 @@ object Queries {
     "multivec_topk_upserted" -> multivecSql(),
     // corrupted pair restored from its snapshot ≡ never corrupted
     "multivec_topk_restored" -> multivecSql(),
+    // two pair roots served together (per-segment masks, no merge) ≡
+    // the decoy-free brute force
+    "multivec_topk_segments" -> multivecSql(),
     // decoys masked, then folded: both stages ≡ decoy-free brute force
     "multivec_topk_tombstoned" -> multivecStagedSql,
 

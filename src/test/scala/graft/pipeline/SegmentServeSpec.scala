@@ -132,6 +132,35 @@ class SegmentServeSpec extends SparkTestBase {
     assert(union == merged && union.nonEmpty)
   }
 
+  test("multivec segments serve == physically merged serve") {
+    val base = tmp("segmv")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val ma = base.resolve("ma").toString
+    val mb = base.resolve("mb").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+    val lo = docVecs.where(col("doc") <= mid)
+    val hi = docVecs.where(col("doc") > mid)
+    MultiVector.writeIndex(spark, lo, model, a)
+    MultiVector.writeIndex(spark, hi, model, b)
+    MultiVector.writeIndex(spark, lo, model, ma)
+    MultiVector.writeIndex(spark, hi, model, mb)
+    MultiVector.mergeInto(spark, ma, mb)
+    val seg = MultiVector.searchSegments(spark, Seq(a, b), queryVecs,
+      model, k = 4, nprobe = 8)
+    val one = MultiVector.searchIndex(spark, ma, queryVecs,
+      model, k = 4, nprobe = 8)
+    assert(rset(seg, "qid", "doc", "score", "rk") ==
+      rset(one, "qid", "doc", "score", "rk"))
+    assert(seg.count() > 0)
+  }
+
   test("ivf segments serve refuses a foreign quantizer") {
     val base = tmp("segiv2")
     val a = base.resolve("a").toString
