@@ -5091,6 +5091,40 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the LSM WRITE path end-to-end: 4 microbatches each land as
+    // their OWN immutable int8 segment under the frozen quantizer
+    // (NO ledger — a replayed batch overwrites its own segment; no
+    // append-visibility window — a segment exists whole or not at
+    // all), served ACROSS the segments, then mergeAll folds them as
+    // background maintenance and the merged root must serve
+    // identically — BOTH stages ≡ the one-shot int8 golden
+    "stream_ivf_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("sivf_segs")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingest(s, d, root, model,
+        nBatches = 4)
+      def serve() = graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s,
+            graft.streaming.StreamingSegments.segmentRoots(s, root),
+            "vec_id", model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+      // materialize the across-segments stage BEFORE the fold moves
+      // the segment dirs out from under its lazy plan (returned-frame
+      // convention: the pin rides the returned union)
+      val across = serve().withColumn("stage", lit("segments"))
+        .localCheckpoint(true)
+      graft.streaming.StreamingSegments.mergeAll(s, root)
+      across.unionByName(serve().withColumn("stage", lit("merged")))
+        .select(col("stage"), col("qid"), col("nid"), col("sim"), col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
     "stream_hybrid_search" -> ((s, d) => {
       // the PAIRED hybrid index maintained ON INGEST — the last cell
       // of the streaming × persisted-index matrix: 4 microbatches of
@@ -8075,6 +8109,16 @@ object Queries {
     // (same golden, no physical merge)
     "ivf_topk_segments" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // segment-per-microbatch ingest: the across-segments serve AND
+    // the post-mergeAll serve must both equal the one-shot build
+    "stream_ivf_segments" ->
+      s"""SELECT 'merged' AS stage, qid, nid, sim, rk
+         |FROM '$pipeGold/ivf_topk_int8.parquet'
+         |UNION ALL
+         |SELECT 'segments' AS stage, qid, nid, sim, rk
+         |FROM '$pipeGold/ivf_topk_int8.parquet'
+         |ORDER BY stage, qid, rk""".stripMargin,
 
     // snapshot → wreck → restore ≡ the never-wrecked one-shot
     "ivf_topk_restored" ->
