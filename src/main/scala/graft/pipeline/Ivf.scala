@@ -597,8 +597,14 @@ object Ivf {
     * executor OOM (the Validate SubsetOf un-hinting argument).
     */
   def readIndexServing(spark: SparkSession, path: String,
-                       idCol: String): DataFrame = {
-    val idx = readIndex(spark, path)
+                       idCol: String): DataFrame =
+    maskTombstones(spark, readIndex(spark, path), path, idCol)
+
+  /** The serving mask step of [[readIndexServing]], shared with the
+    * multi-segment read.
+    */
+  private def maskTombstones(spark: SparkSession, idx: DataFrame,
+                             path: String, idCol: String): DataFrame = {
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) idx
@@ -637,11 +643,60 @@ object Ivf {
       require(mp.getFileSystem(hc).exists(mp),
         s"segment $p has no persisted _model (Ivf.saveModel/ensurePair)" +
           " — it is the only witness that the segments share one quantizer")
-      require(sameModel(loadModel(spark, modelPath(p)), model),
-        s"segment $p is assigned under a DIFFERENT coarse quantizer " +
-          "than the serving model — rebuild it or serve it separately")
     }
-    live.map(p => readIndexServing(spark, p, idCol))
+    // ONE batched read of every segment's _model, grouped back by
+    // source file — O(1) Spark jobs for the witness check instead of
+    // O(segments) (measured: the per-segment loadModel job was the
+    // dominant serve cost at small corpus sizes, ~0.3 s/segment)
+    locally {
+      import spark.implicits._
+      val dirs = live.map(modelPath)
+      // input_file_name() is a URI — '=' in a segment name (the
+      // streaming seg=<batchId> convention) arrives as %3D — so both
+      // sides compare as DECODED absolute paths
+      val rows = spark.read.parquet(dirs: _*)
+        .select(input_file_name().as("f"), col("level"), col("idx"),
+          col("vec"), col("child"))
+        .as[(String, Int, Int, Array[Float], Array[Int])]
+        .collect()
+        .map { case (f, l, i, v, c) => (new java.net.URI(f).getPath, l, i, v, c) }
+      dirs.foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val abs = dp.getFileSystem(hc).makeQualified(dp).toUri.getPath
+        // `$abs/` suffix-anchors on the dir itself: a sibling dir
+        // whose name extends this one ("seg1" vs "seg12") can never
+        // match
+        val mine = rows.filter(_._1.contains(s"$abs/"))
+          .map { case (_, l, i, v, c) => (l, i, v, c) }
+        require(mine.nonEmpty, s"segment model at $d read back empty")
+        require(sameModel(modelFromRows(mine), model),
+          s"segment at $d is assigned under a DIFFERENT coarse " +
+            "quantizer than the serving model — rebuild it or serve " +
+            "it separately")
+      }
+    }
+    // Per-segment relations (arbitrary roots share no basePath, so a
+    // single multi-path relation trips CONFLICTING_DIRECTORY_
+    // STRUCTURES), but with the two per-segment driver jobs removed
+    // (measured at ~0.2 s/segment each on an otherwise sub-second
+    // serve): the first segment's inferred schema is reused for the
+    // rest — segments share a writer, and a diverged segment still
+    // fails loudly at unionByName — and partition discovery runs on
+    // the driver instead of launching a listing job per relation
+    // (nlist dirs of one file each: a driver listing is milliseconds;
+    // the threshold is restored even if a read throws).
+    val discKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevDisc = spark.conf.get(discKey)
+    val frames =
+      try {
+        spark.conf.set(discKey, Int.MaxValue.toString)
+        val first = readIndex(spark, live.head)
+        first +: live.tail.map { p =>
+          graft.core.DirSwap.recoverAt(spark, p)
+          spark.read.schema(first.schema).parquet(p)
+        }
+      } finally spark.conf.set(discKey, prevDisc)
+    frames.zip(live).map { case (f, p) => maskTombstones(spark, f, p, idCol) }
       .reduce(_ unionByName _)
   }
 
@@ -1027,10 +1082,18 @@ object Ivf {
     */
   def loadModel(spark: SparkSession, path: String): IvfModel = {
     import spark.implicits._
-    val rows = spark.read.parquet(path)
+    modelFromRows(spark.read.parquet(path)
       .select(col("level"), col("idx"), col("vec"), col("child"))
       .as[(Int, Int, Array[Float], Array[Int])]
-      .collect()
+      .collect())
+  }
+
+  /** Assemble a quantizer from its persisted (level, idx, vec,
+    * child) rows — shared by [[loadModel]] and the batched
+    * multi-segment witness read.
+    */
+  private def modelFromRows(
+      rows: Array[(Int, Int, Array[Float], Array[Int])]): IvfModel = {
     def table(level: Int): Array[Array[Float]] =
       rows.filter(_._1 == level).sortBy(_._2).map(_._3)
     IvfModel(table(0), table(1),
