@@ -700,6 +700,41 @@ object Ivf {
       .reduce(_ unionByName _)
   }
 
+  /** KEYSET pagination over the persisted layout — the vdb scroll
+    * semantics (vectordb.py get_all / Qdrant scroll) lifted to the
+    * 100 TB index family: one page of ids strictly after `afterId`,
+    * id-ordered, tombstone-masked, optionally payload-filtered.
+    * Plan shape: filter + keyset predicate push to the parquet scan
+    * (id > after prunes pages via column stats), the cut is
+    * TakeOrderedAndProject — O(page) rows cross the driver, never
+    * the layout; each next page re-enters with the previous page's
+    * last id, so no OFFSET scan-and-discard at any depth (the
+    * keyset-vs-offset argument the vdb scroll documents).
+    */
+  def scroll(spark: SparkSession, path: String, idCol: String,
+             afterId: Option[Long], limit: Int,
+             filter: Option[Column] = None): DataFrame = {
+    require(limit > 0, "scroll limit must be positive")
+    readIndexServing(spark, path, idCol)
+      .where(filter.getOrElse(lit(true)))
+      .where(afterId.map(a => col(idCol) > a).getOrElse(lit(true)))
+      .select(col(idCol))
+      .orderBy(col(idCol))
+      .limit(limit)
+  }
+
+  /** EXACT count of served (live) postings, optionally filtered —
+    * the Qdrant count-API semantics on the persisted layout: what a
+    * dashboard or a quota check reads without a search. One
+    * map-side-counted scan over the pruned, pushed-down, masked
+    * serving read; returns a one-row (cnt) frame.
+    */
+  def countIndex(spark: SparkSession, path: String, idCol: String,
+                 filter: Option[Column] = None): DataFrame =
+    readIndexServing(spark, path, idCol)
+      .where(filter.getOrElse(lit(true)))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Retire the tombstone set: fold the masked ids into a physical
     * [[deleteVectors]] rewrite (crash-safe swap; the hidden-dir
     * carry-over keeps `_tombstones` WITH the rewritten copy), then

@@ -3751,6 +3751,50 @@ object Queries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // KEYSET scroll over the persisted index — the vdb S17 scroll
+    // semantics lifted to the 100 TB family: two payload-filtered
+    // pages walked by last-id keyset through a live tombstone mask,
+    // ≡ DuckDB's ordered LIMIT/OFFSET over the filtered masked
+    // corpus (keyset page N+1 == offset page N+1 exactly BECAUSE the
+    // walk is id-ordered)
+    "ivf_scroll" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_scroll")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+      val filt = Some(col("vec_id") % 2 === 0)
+      val p1 = graft.pipeline.Ivf.scroll(s, idx, "vec_id", None, 20, filt)
+        .localCheckpoint(true)
+      val last = p1.agg(max(col("vec_id"))).head().getLong(0)
+      val p2 = graft.pipeline.Ivf.scroll(s, idx, "vec_id", Some(last), 20,
+        filt)
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .select(col("page"), col("vec_id"))
+        .orderBy(col("page"), col("vec_id"))
+    }),
+
+    // the Qdrant count-API semantics on the persisted layout: exact
+    // served count under filter + live tombstones, no search
+    "ivf_count_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_count")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.countIndex(s, idx, "vec_id",
+        Some(col("vec_id") % 2 === 0))
+    }),
+
     // range search reads through the SERVING mask: tombstoned decoys
     // (verbatim query copies, sim 1.0 — they would appear in every
     // result set) must not resurface between folds; their leftover
@@ -7295,6 +7339,24 @@ object Queries {
     // corpus (no k to under-fill — the sound-prune bound is over the
     // full membership, so filtering only removes candidates)
     "ivf_range_filtered" -> rangeSearchSql("e.vec_id % 2 = 0"),
+
+    // two keyset pages over the filtered, masked layout ≡ ordered
+    // LIMIT/OFFSET over the same live set
+    "ivf_scroll" ->
+      """WITH live AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id % 7 <> 3),
+        |p1 AS (SELECT vec_id FROM live ORDER BY vec_id LIMIT 20),
+        |p2 AS (SELECT vec_id FROM live ORDER BY vec_id LIMIT 20 OFFSET 20)
+        |SELECT CAST(1 AS BIGINT) AS page, vec_id FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS page, vec_id FROM p2
+        |ORDER BY page, vec_id""".stripMargin,
+
+    // exact served count under filter + live tombstones
+    "ivf_count_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings
+        |WHERE vec_id % 2 = 0 AND vec_id % 7 <> 3""".stripMargin,
 
     // late interaction: brute-force max-sim, fixed-point exact; the
     // indexed/lifecycle rows run the exhaustive probe so the same
