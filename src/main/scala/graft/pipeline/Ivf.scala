@@ -461,8 +461,21 @@ object Ivf {
     * a search touches ~nprobe/nlist of the files. This is the on-disk
     * index layout for the 100 TB batch-serving path.
     */
-  def writeIndex(postings: DataFrame, path: String): Unit =
-    postings.write.mode("overwrite").partitionBy("cluster").parquet(path)
+  /** `payloadCols` adds SECONDARY partition keys below cluster= —
+    * the payload-index analog for filter-inside-search at scale: an
+    * equality/In filter over a partitioned payload column prunes
+    * whole directories out of the probe scan (PartitionFilters, no
+    * file even opened) instead of row-filtering inside every probed
+    * cell. Choose low-cardinality columns (tenant, language, source
+    * — the columns filters actually bind); every key multiplies the
+    * layout's directory count. Searches need no changes: the filter
+    * lands on the partition column and Catalyst prunes (spec-pinned
+    * on the plan).
+    */
+  def writeIndex(postings: DataFrame, path: String,
+                 payloadCols: Seq[String] = Nil): Unit =
+    postings.write.mode("overwrite")
+      .partitionBy("cluster" +: payloadCols: _*).parquet(path)
 
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     // serving-read recovery preamble (DirSwap contract): a crash
@@ -1344,11 +1357,17 @@ object Ivf {
     * [[searchInt8]] serves from at scale (same cluster partitioning,
     * same PartitionFilters pruning).
     */
-  def writeIndexInt8(postings: DataFrame, vecCol: String, path: String): Unit =
+  /** `payloadCols`: secondary partition keys for directory-level
+    * filter pruning — the [[writeIndex]] payload-index contract on
+    * the quantized layout.
+    */
+  def writeIndexInt8(postings: DataFrame, vecCol: String, path: String,
+                     payloadCols: Seq[String] = Nil): Unit =
     postings
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite")
+      .partitionBy("cluster" +: payloadCols: _*).parquet(path)
 
   /** Incremental maintenance for the QUANTIZED serving layout:
     * assign the new vectors under the frozen coarse quantizer,

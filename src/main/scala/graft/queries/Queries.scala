@@ -2985,6 +2985,33 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // PAYLOAD-PARTITIONED filtered serve — the payload-index analog:
+    // the layout carries label as a SECONDARY partition key, so the
+    // filter's label=3 leg prunes whole directories out of every
+    // probe scan (PartitionFilters — spec-pinned on the plan) while
+    // serving semantics are unchanged: same adaptive widening, same
+    // exhaustive-exact floor, same DuckDB brute-force oracle as the
+    // row-filtered twin
+    "ivf_topk_payload_pruned" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_paypart")
+        .resolve("index").toString
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb, "embedding", model), idx,
+        payloadCols = Seq("label"))
+      graft.pipeline.Ivf.searchFiltered(
+          graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3 && col("vec_id") % 13 === 0,
+          nprobe0 = 1)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_filtered_recall" -> ((s, d) => {
       // the fill guarantee at REAL selectivity (~10% of the corpus
       // matches): nprobe0 = 1 would under-fill nearly every query —
@@ -8060,6 +8087,22 @@ object Queries {
     // EXACT over the filtered corpus — oracled directly against
     // DuckDB brute force over the same predicate (no golden)
     "ivf_topk_filtered" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3 AND e.vec_id % 13 = 0)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the payload-PARTITIONED layout under the same predicate: the
+    // label leg prunes directories, the result is unchanged — same
+    // brute-force oracle
+    "ivf_topk_payload_pruned" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,
          |    ${cosSql("e.embedding", "q.embedding")} AS sim

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Payload-partitioned layout contracts: the secondary partition key
+  * turns an equality payload filter into DIRECTORY pruning
+  * (PartitionFilters in the scan node — no file of a non-matching
+  * label dir is opened), and serving results are unchanged vs the
+  * row-filtered plain layout.
+  */
+class PayloadPartitionSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"), col("label"))
+
+  test("label filter lands in PartitionFilters on the partitioned layout") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("paypart")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), idx,
+      payloadCols = Seq("label"))
+    val plan = Ivf.readIndexServing(spark, idx, "vec_id")
+      .where(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
+      s"label filter must prune partitions, got plan:\n$plan")
+  }
+
+  test("partitioned and plain layouts serve identical filtered results") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("paypart2")
+    val part = base.resolve("part").toString
+    val plain = base.resolve("plain").toString
+    val assigned = Ivf.assign(emb, "embedding", model)
+    Ivf.writeIndex(assigned, part, payloadCols = Seq("label"))
+    Ivf.writeIndex(assigned, plain)
+    val qs = emb.where(col("vec_id") < 5)
+    def run(path: String) =
+      Ivf.searchFiltered(Ivf.readIndexServing(spark, path, "vec_id"),
+          qs, "embedding", "vec_id", model, k = 4,
+          filter = col("label") === 3, nprobe0 = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(part)
+    assert(a == run(plain) && a.nonEmpty)
+  }
+}
