@@ -477,6 +477,34 @@ object Ivf {
     postings.write.mode("overwrite")
       .partitionBy("cluster" +: payloadCols: _*).parquet(path)
 
+  /** Does the layout carry SECONDARY (payload) partition dirs below
+    * cluster=? Payload-partitioned layouts are REBUILD-maintained —
+    * the append/compact/delete/fold family hardcodes
+    * partitionBy("cluster"), so an append would mix partition depths
+    * (every later read dies on CONFLICTING_DIRECTORY_STRUCTURES) and
+    * a rewrite would silently fold the payload column back into data
+    * files, losing exactly the directory pruning the layout exists
+    * for. [[guardNotPayloadPartitioned]] turns both into loud errors.
+    */
+  private def payloadPartitioned(spark: SparkSession,
+                                 path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { c =>
+      c.isDirectory && c.getPath.getName.startsWith("cluster=") &&
+        fs.listStatus(c.getPath).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+    }
+  }
+
+  private def guardNotPayloadPartitioned(spark: SparkSession,
+                                         path: String, op: String): Unit =
+    require(!payloadPartitioned(spark, path),
+      s"$path is payload-partitioned (writeIndex payloadCols): $op " +
+        "would corrupt or silently flatten the payload directories — " +
+        "payload-partitioned layouts are rebuild-maintained; rerun " +
+        "writeIndex over the updated corpus instead")
+
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     // serving-read recovery preamble (DirSwap contract): a crash
     // between a compaction/recluster swap's park and promote leaves
@@ -504,6 +532,7 @@ object Ivf {
     // fresh increment-only dir that recovery can then never heal —
     // the parked corpus would be silently lost
     graft.core.DirSwap.recoverAt(df.sparkSession, path)
+    guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndex")
     assign(df, vecCol, model)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
   }
@@ -519,9 +548,11 @@ object Ivf {
     * LSM shape applied to the cluster layout). Run every K appends or
     * offline, like the streaming index.
     */
-  def compactIndex(spark: SparkSession, path: String): Unit =
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    guardNotPayloadPartitioned(spark, path, "compactIndex")
     graft.core.ParquetCompact.compact(spark, path,
       partitionCols = Seq("cluster"))
+  }
 
   /** DELETE vectors from the persisted index (right-to-be-forgotten
     * for the vector store): the removed ids' postings are filtered
@@ -533,6 +564,7 @@ object Ivf {
     */
   def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
                     idCol: String): Unit = {
+    guardNotPayloadPartitioned(spark, path, "deleteVectors")
     val del = ids.select(col(ids.columns.head).as(idCol))
       .localCheckpoint(true)
     graft.core.ParquetCompact.rewrite(spark, path,
@@ -688,29 +720,71 @@ object Ivf {
             "it separately")
       }
     }
+    // LOUD schema-divergence check, driver-side (one footer read per
+    // segment, no Spark job): forcing the head's schema onto the
+    // tail reads below would otherwise NULL-FILL a diverged
+    // segment's missing columns (standard parquet missing-column
+    // semantics) — an int8 segment mixed with a float segment would
+    // serve all-NULL codes silently instead of failing.
+    val headCols = footerColumns(spark, live.head)
+    live.tail.foreach { p =>
+      val cols = footerColumns(spark, p)
+      require(cols == headCols,
+        s"segment $p holds data columns $cols but the head segment " +
+          s"holds $headCols — segments must share ONE layout schema " +
+          "(all int8 codes, all float vectors, ...); rebuild or serve " +
+          "it separately")
+    }
     // Per-segment relations (arbitrary roots share no basePath, so a
     // single multi-path relation trips CONFLICTING_DIRECTORY_
     // STRUCTURES), but with the two per-segment driver jobs removed
     // (measured at ~0.2 s/segment each on an otherwise sub-second
-    // serve): the first segment's inferred schema is reused for the
-    // rest — segments share a writer, and a diverged segment still
-    // fails loudly at unionByName — and partition discovery runs on
-    // the driver instead of launching a listing job per relation
-    // (nlist dirs of one file each: a driver listing is milliseconds;
-    // the threshold is restored even if a read throws).
+    // serve): the head's inferred schema is reused for the rest —
+    // sound after the footer check above — and partition discovery
+    // runs on the driver instead of launching a listing job per
+    // relation (nlist dirs of one file each: a driver listing is
+    // milliseconds; the threshold is restored even if a read throws).
+    // Every path was already DirSwap-recovered at entry.
     val discKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     val prevDisc = spark.conf.get(discKey)
     val frames =
       try {
         spark.conf.set(discKey, Int.MaxValue.toString)
-        val first = readIndex(spark, live.head)
-        first +: live.tail.map { p =>
-          graft.core.DirSwap.recoverAt(spark, p)
-          spark.read.schema(first.schema).parquet(p)
-        }
+        val first = spark.read.parquet(live.head)
+        first +: live.tail.map(p => spark.read.schema(first.schema).parquet(p))
       } finally spark.conf.set(discKey, prevDisc)
     frames.zip(live).map { case (f, p) => maskTombstones(spark, f, p, idCol) }
       .reduce(_ unionByName _)
+  }
+
+  /** The data-column names of one leaf parquet file of `path` — a
+    * driver-side footer read (no job), used as the multi-segment
+    * schema-agreement witness. Partition columns live in dir names,
+    * not footers, so they are excluded on both sides by construction.
+    */
+  private def footerColumns(spark: SparkSession,
+                            path: String): Set[String] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hc)
+    def firstDataFile(p: org.apache.hadoop.fs.Path)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p).filterNot(
+        _.getPath.getName.startsWith("_"))
+      kids.find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+        .orElse(kids.filter(_.isDirectory).view
+          .flatMap(d => firstDataFile(d.getPath)).headOption)
+    }
+    val file = firstDataFile(root).getOrElse(
+      throw new IllegalArgumentException(s"no data file under $path"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hc))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+    } finally reader.close()
   }
 
   /** KEYSET pagination over the persisted layout — the vdb scroll
@@ -769,6 +843,7 @@ object Ivf {
       fs.delete(tp, true)
       return
     }
+    guardNotPayloadPartitioned(spark, path, "foldTombstones")
     val ids = spark.read.parquet(tombPath(path)).select(col(idCol))
       .distinct().localCheckpoint(true)
     // the tombstone sidecar is shed atomically with the swap
@@ -1016,6 +1091,7 @@ object Ivf {
                 seed: Long = 42L, maxTrainRows: Long = 200000L,
                 hierarchical: Boolean = false,
                 branch: Int = 0): IvfModel = {
+    guardNotPayloadPartitioned(spark, path, "recluster")
     val sample = TrainSample.collect(readIndex(spark, path), vecCol,
       idCol, seed, maxTrainRows)
     val model =
@@ -1382,6 +1458,7 @@ object Ivf {
   def appendToIndexInt8(df: DataFrame, vecCol: String, model: IvfModel,
                         path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
+    guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexInt8")
     assign(df, vecCol, model)
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)

@@ -380,12 +380,23 @@ object MultiVector {
                   docFilter: Option[org.apache.spark.sql.Column] =
                     None): DataFrame = {
     val hc = spark.sparkContext.hadoopConfiguration
+    // recover EVERY root before the live filter (the family
+    // convention): a mid-swap-parked segment ($r/ivf at __old after
+    // a compact/delete crash) would otherwise read as "absent" and
+    // its whole corpus would silently vanish from results; and the
+    // witness is cluster= DATA, not bare existence — a crash-leftover
+    // sidecar-only dir must classify as empty, not die on schema
+    // inference (the empty-layout landmine)
     val live = roots.filter { r =>
+      graft.core.DirSwap.recoverAt(spark, s"$r/ivf")
+      graft.core.DirSwap.recoverAt(spark, s"$r/docs")
       val ip = new org.apache.hadoop.fs.Path(s"$r/ivf")
-      ip.getFileSystem(hc).exists(ip)
+      val fs = ip.getFileSystem(hc)
+      fs.exists(ip) && fs.listStatus(ip).exists(f =>
+        f.isDirectory && f.getPath.getName.startsWith("cluster="))
     }
     require(live.nonEmpty,
-      "every segment root is absent — nothing to serve")
+      "every segment root is absent or data-less — nothing to serve")
     val q = queryVecs.select(col("qid"), col("vec").as("qv"),
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)

@@ -42,14 +42,33 @@ object StreamingSegments {
     * testing. Empty batches create no segment (the empty-layout
     * landmine: a zero-row write would leave a _SUCCESS-only root
     * that every later segments read dies on).
+    *
+    * The segment is BUILT HIDDEN and renamed into place: data and
+    * the `_model` witness land under `.seg=<id>__building` (the
+    * dot prefix keeps [[segmentRoots]] and Spark's file index
+    * blind to it), then one rename promotes the complete segment —
+    * so a concurrent serve never observes data without its witness
+    * (readSegmentsServing hard-requires `_model`) or a replay's
+    * half-overwritten segment. A crash mid-build leaves only the
+    * hidden dir (swept by the next replay of the same batch); a
+    * crash in the delete→rename window leaves the segment absent —
+    * an empty segment to readers — until the uncommitted batch
+    * replays, which regenerates it.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
                    root: String, model: graft.pipeline.IvfModel,
                    batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val seg = s"$root/seg=$batchId"
-    Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, seg)
-    Ivf.saveModel(spark, model, Ivf.modelPath(seg))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.seg=${batchId}__building")
+    fs.delete(tmp, true) // a prior crashed build of this batch
+    Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol,
+      tmp.toString)
+    Ivf.saveModel(spark, model, Ivf.modelPath(tmp.toString))
+    val dst = new org.apache.hadoop.fs.Path(s"$root/seg=$batchId")
+    fs.delete(dst, true) // replay: retire the old copy whole
+    require(fs.rename(tmp, dst), s"promote $tmp -> $dst failed")
   }
 
   /** Stream the embeddings table (replayed as `nBatches` id-ordered

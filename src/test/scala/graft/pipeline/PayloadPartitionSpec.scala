@@ -28,6 +28,26 @@ class PayloadPartitionSpec extends SparkTestBase {
       s"label filter must prune partitions, got plan:\n$plan")
   }
 
+  test("maintenance ops refuse a payload-partitioned layout loudly") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("paypart3")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(emb.where(col("vec_id") < 100),
+      "embedding", model), idx, payloadCols = Seq("label"))
+    // an append would mix partition depths (every later read dies on
+    // CONFLICTING_DIRECTORY_STRUCTURES); a compact would silently
+    // flatten the payload dirs — both must refuse instead
+    val inc = Ivf.assign(emb.where(col("vec_id") >= 100),
+      "embedding", model)
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(inc.drop("label"), "embedding", model, idx)
+    }
+    intercept[IllegalArgumentException] { Ivf.compactIndex(spark, idx) }
+    intercept[IllegalArgumentException] {
+      Ivf.deleteVectors(spark, idx, emb.limit(1).select("vec_id"), "vec_id")
+    }
+  }
+
   test("partitioned and plain layouts serve identical filtered results") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val base = java.nio.file.Files.createTempDirectory("paypart2")

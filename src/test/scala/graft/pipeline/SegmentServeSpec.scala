@@ -161,6 +161,54 @@ class SegmentServeSpec extends SparkTestBase {
     assert(seg.count() > 0)
   }
 
+  test("multivec segments serve recovers a mid-swap-parked segment " +
+    "instead of silently dropping its corpus") {
+    val base = tmp("segmvpark")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") <= mid), model, a)
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") > mid), model, b)
+    val healthy = MultiVector.searchSegments(spark, Seq(a, b), queryVecs,
+      model, k = 4, nprobe = 8)
+    val want = rset(healthy, "qid", "doc", "score", "rk")
+    // crash mid-swap: segment b's ivf side parked at __old, live gone
+    val ip = new org.apache.hadoop.fs.Path(s"$b/ivf")
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(ip, new org.apache.hadoop.fs.Path(s"$b/ivf__old")))
+    val served = MultiVector.searchSegments(spark, Seq(a, b), queryVecs,
+      model, k = 4, nprobe = 8)
+    assert(rset(served, "qid", "doc", "score", "rk") == want &&
+      want.nonEmpty,
+      "a parked segment must be recovered and served, not read as absent")
+  }
+
+  test("ivf segments serve refuses a schema-diverged segment loudly") {
+    val base = tmp("segivschema")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Ivf.writeIndexInt8(Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model), "embedding", a)
+    // b holds FLOAT vectors — forcing a's codes schema onto it would
+    // null-fill silently; the footer check must refuse instead
+    Ivf.writeIndex(Ivf.assign(emb.where(col("vec_id") > half),
+      "embedding", model), b)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    Ivf.saveModel(spark, model, Ivf.modelPath(b))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", model)
+    }
+    assert(e.getMessage.contains("ONE layout schema"))
+  }
+
   test("ivf segments serve refuses a foreign quantizer") {
     val base = tmp("segiv2")
     val a = base.resolve("a").toString
