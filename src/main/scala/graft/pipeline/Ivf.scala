@@ -924,6 +924,7 @@ object Ivf {
                       model: IvfModel, path: String, seq: Long): Unit = {
     val spark = df.sparkSession
     graft.core.DirSwap.recoverAt(spark, path)
+    guardNotPayloadPartitioned(spark, path, "upsertVersioned")
     assign(df, vecCol, model)
       .withColumn("seq", lit(seq))
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
@@ -1010,6 +1011,7 @@ object Ivf {
     // and schema inference over it would fail loudly
     if (!fs.listStatus(p).exists(f =>
       f.isDirectory && f.getPath.getName.startsWith("cluster="))) return
+    guardNotPayloadPartitioned(spark, path, "foldVersions")
     // No version history ⇒ no rewrite. Without a `_latest` sidecar
     // the only possible leftovers are seq > 0 postings from a run
     // that died inside its FIRST batch (append lands before the
@@ -1615,6 +1617,7 @@ object Ivf {
   def appendToIndexPq(df: DataFrame, vecCol: String, pq: Pq.PqModel,
                       model: IvfModel, path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
+    guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexPq")
     assign(df, vecCol, model)
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
@@ -1742,6 +1745,8 @@ object Ivf {
                               pq: Pq.PqModel, model: IvfModel,
                               path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
+    guardNotPayloadPartitioned(df.sparkSession, path,
+      "appendToIndexPqResidual")
     assign(df, vecCol, model)
       .withColumn("codes",
         Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
@@ -2015,6 +2020,7 @@ object Ivf {
   def appendToIndexBq(df: DataFrame, vecCol: String, model: IvfModel,
                       path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
+    guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexBq")
     assign(df, vecCol, model)
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)
