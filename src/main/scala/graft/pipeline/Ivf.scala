@@ -479,12 +479,17 @@ object Ivf {
 
   /** Does the layout carry SECONDARY (payload) partition dirs below
     * cluster=? Payload-partitioned layouts are REBUILD-maintained —
-    * the append/compact/delete/fold family hardcodes
+    * the append/compact/delete family hardcodes
     * partitionBy("cluster"), so an append would mix partition depths
     * (every later read dies on CONFLICTING_DIRECTORY_STRUCTURES) and
     * a rewrite would silently fold the payload column back into data
     * files, losing exactly the directory pruning the layout exists
-    * for. [[guardNotPayloadPartitioned]] turns both into loud errors.
+    * for. [[guardNotPayloadPartitioned]] turns both into loud
+    * errors. The exceptions: tombstone sidecar appends are
+    * depth-neutral, and [[foldTombstones]] rebuilds with the
+    * layout's own discovered key set ([[payloadColsOf]]) — deletes
+    * DO work on this layout, at serving latency and through the
+    * fold.
     */
   private def payloadPartitioned(spark: SparkSession,
                                  path: String): Boolean = {
@@ -600,13 +605,16 @@ object Ivf {
     * compaction. Tombstones mask by ID, so re-adding a tombstoned id
     * (append or [[upsertVersioned]]) serves NOTHING for it until the
     * tombstone folds — delete-then-re-add must fold between the two,
-    * or use [[upsertVectors]], whose physical delete carries no mask.
+    * or use [[upsertVectors]], which REVIVES its ids from the mask
+    * ([[graft.core.TombstoneSidecar]]).
     */
   def tombstoneVectors(spark: SparkSession, path: String, ids: DataFrame,
                        idCol: String): Unit = {
     // recover first: appending a sidecar beside a mid-swap-parked
-    // layout would strand it on the wrong copy
+    // layout would strand it on the wrong copy — and recover the
+    // SIDECAR too (a revive swap can park it)
     graft.core.DirSwap.recoverAt(spark, path)
+    graft.core.DirSwap.recoverAt(spark, tombPath(path))
     // a data-less layout (absent, or sidecars only after a
     // delete-everything pass) holds nothing to mask — appending would
     // conjure a sidecar-ONLY directory that every later read dies on
@@ -652,6 +660,10 @@ object Ivf {
                              path: String, idCol: String): DataFrame = {
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an upsert's revive swaps the sidecar — recover a parked copy
+    // before the exists check, or the crash window between the
+    // revive's two renames would serve UNMASKED
+    graft.core.DirSwap.recover(fs, tp)
     if (!fs.exists(tp)) idx
     else idx.join(
       spark.read.parquet(tombPath(path)).select(col(idCol)).distinct(),
@@ -693,32 +705,29 @@ object Ivf {
     // source file — O(1) Spark jobs for the witness check instead of
     // O(segments) (measured: the per-segment loadModel job was the
     // dominant serve cost at small corpus sizes, ~0.3 s/segment)
+    verifyModelWitnesses(spark, live.map(modelPath), model)
+    // quantized-sidecar PARITY: an int8 segment mixed with a PQ
+    // segment passes the name-level schema check (both expose a
+    // binary `codes` column) and can share the coarse-quantizer
+    // witness, yet searchCodes over the union would score PQ bytes
+    // with the int8 kernel — silently wrong similarities. `_pq`
+    // presence must agree across segments, and when present the
+    // codebooks must match bit-for-bit (mergeInto's samePq check
+    // lifted to the N-segment serve; one batched read, no per-segment
+    // job). Residual boundary this shares with mergeInto: int8 and BQ
+    // layouts carry identical metadata (binary codes, no sidecar) —
+    // distinguishing those stays the caller's layout-registry duty.
     locally {
-      import spark.implicits._
-      val dirs = live.map(modelPath)
-      // input_file_name() is a URI — '=' in a segment name (the
-      // streaming seg=<batchId> convention) arrives as %3D — so both
-      // sides compare as DECODED absolute paths
-      val rows = spark.read.parquet(dirs: _*)
-        .select(input_file_name().as("f"), col("level"), col("idx"),
-          col("vec"), col("child"))
-        .as[(String, Int, Int, Array[Float], Array[Int])]
-        .collect()
-        .map { case (f, l, i, v, c) => (new java.net.URI(f).getPath, l, i, v, c) }
-      dirs.foreach { d =>
-        val dp = new org.apache.hadoop.fs.Path(d)
-        val abs = dp.getFileSystem(hc).makeQualified(dp).toUri.getPath
-        // `$abs/` suffix-anchors on the dir itself: a sibling dir
-        // whose name extends this one ("seg1" vs "seg12") can never
-        // match
-        val mine = rows.filter(_._1.contains(s"$abs/"))
-          .map { case (_, l, i, v, c) => (l, i, v, c) }
-        require(mine.nonEmpty, s"segment model at $d read back empty")
-        require(sameModel(modelFromRows(mine), model),
-          s"segment at $d is assigned under a DIFFERENT coarse " +
-            "quantizer than the serving model — rebuild it or serve " +
-            "it separately")
+      val withPq = live.filter { p =>
+        val pp = new org.apache.hadoop.fs.Path(pqPath(p))
+        pp.getFileSystem(hc).exists(pp)
       }
+      require(withPq.isEmpty || withPq.size == live.size,
+        s"segments disagree on PQ coding: ${withPq.mkString(", ")} carry " +
+          s"a _pq codebook sidecar but ${(live.toSet -- withPq).mkString(", ")} " +
+          "do not — their codes columns hold DIFFERENT encodings; " +
+          "rebuild or serve them separately")
+      if (withPq.size > 1) verifyPqWitnesses(spark, withPq.map(pqPath))
     }
     // LOUD schema-divergence check, driver-side (one footer read per
     // segment, no Spark job): forcing the head's schema onto the
@@ -745,6 +754,16 @@ object Ivf {
     // relation (nlist dirs of one file each: a driver listing is
     // milliseconds; the threshold is restored even if a read throws).
     // Every path was already DirSwap-recovered at entry.
+    // CONCURRENCY CONTRACT: the override mutates the SESSION conf for
+    // the (milliseconds-long) relation-construction window below, so
+    // a query planned CONCURRENTLY on this SparkSession could observe
+    // it — this entry point assumes the single-planner-at-a-time use
+    // every serving read in the family does (executions may overlap;
+    // plan CONSTRUCTION here must not race another plan construction
+    // on the same session). A cloned session would isolate the conf
+    // but rebind the returned frames' execution to the clone's
+    // defaults (shuffle partitions, AQE), silently shedding the
+    // caller's tuning — the wrong trade for a serving read.
     val discKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     val prevDisc = spark.conf.get(discKey)
     val frames =
@@ -757,10 +776,15 @@ object Ivf {
       .reduce(_ unionByName _)
   }
 
-  /** The data-column names of one leaf parquet file of `path` — a
-    * driver-side footer read (no job), used as the multi-segment
-    * schema-agreement witness. Partition columns live in dir names,
-    * not footers, so they are excluded on both sides by construction.
+  /** The data-column descriptors (name AND physical type — an int8
+    * `codes: binary` segment and a float `vec: list<float>` segment
+    * must diverge here, and so must two same-named columns of
+    * different types, which the name-only check this replaced let
+    * through to silent NULL-fill) of one leaf parquet file of
+    * `path` — a driver-side footer read (no job), used as the
+    * multi-segment schema-agreement witness. Partition columns live
+    * in dir names, not footers, so they are excluded on both sides
+    * by construction.
     */
   private def footerColumns(spark: SparkSession,
                             path: String): Set[String] = {
@@ -782,8 +806,11 @@ object Ivf {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hc))
     try {
       import scala.jdk.CollectionConverters._
+      // Type.toString carries repetition + physical/logical type +
+      // name (e.g. "optional binary codes"), so type divergence under
+      // a shared column name fails the set equality too
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .map(_.getName).toSet
+        .map(_.toString.replace('\n', ' ')).toSet
     } finally reader.close()
   }
 
@@ -829,12 +856,22 @@ object Ivf {
     * after the promote but before the sidecar delete leaves
     * already-folded tombstones whose anti-join masks nothing — the
     * next fold (or read) is correct either way.
+    *
+    * PAYLOAD-PARTITIONED layouts fold too (the one maintenance op
+    * the rebuild-only guard family admits): the rewrite re-partitions
+    * by the layout's OWN discovered key set — cluster plus its
+    * payload dirs — so the fold IS the guard's prescribed
+    * "writeIndex over the updated corpus", run from the masked
+    * serving read inside the same crash-safe swap. Without this, a
+    * payload layout's mask could never retire short of a manual
+    * rebuild: a GDPR erasure would work but accumulate mask forever.
     */
   def foldTombstones(spark: SparkSession, path: String,
                      idCol: String): Unit = {
     graft.core.DirSwap.recoverAt(spark, path)
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
     if (!fs.exists(tp)) return
     // data-less layout (the foldVersions short-circuit): the masked
     // ids are already physically gone — retire the sidecar without
@@ -843,7 +880,6 @@ object Ivf {
       fs.delete(tp, true)
       return
     }
-    guardNotPayloadPartitioned(spark, path, "foldTombstones")
     val ids = spark.read.parquet(tombPath(path)).select(col(idCol))
       .distinct().localCheckpoint(true)
     // the tombstone sidecar is shed atomically with the swap
@@ -851,11 +887,39 @@ object Ivf {
     // already-deleted ids (a no-op), but shedding it in the swap
     // spares every serve until the next fold the anti-join entirely
     graft.core.ParquetCompact.rewrite(spark, path,
-      partitionCols = Seq("cluster"),
+      partitionCols = "cluster" +: payloadColsOf(spark, path),
       transform = p => p.join(ids, Seq(idCol), "left_anti"),
       dropHidden = Set("_tombstones"))
     graft.core.Pinned.release(ids)
     fs.delete(tp, true) // heal pre-dropHidden crash leftovers
+  }
+
+  /** The layout's SECONDARY (payload) partition columns, discovered
+    * from the directory structure itself (one branch descent below
+    * the first cluster= dir — partition layouts are uniform by
+    * construction). Nil for plain layouts. This is what lets
+    * [[foldTombstones]] preserve a payload-partitioned layout's
+    * directory pruning through the fold instead of silently
+    * flattening it back into data files.
+    */
+  private def payloadColsOf(spark: SparkSession,
+                            path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    @scala.annotation.tailrec
+    def levels(dir: org.apache.hadoop.fs.Path,
+               acc: List[String]): List[String] =
+      fs.listStatus(dir).find(s =>
+        s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(s) =>
+          levels(s.getPath, acc :+ s.getPath.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    fs.listStatus(p).find(s =>
+      s.isDirectory && s.getPath.getName.startsWith("cluster=")) match {
+      case Some(c) => levels(c.getPath, Nil)
+      case None => Nil
+    }
   }
 
   /** UPSERT — replace-by-id, the vector-db ingestion op for MODIFIED
@@ -868,7 +932,11 @@ object Ivf {
     * between the two steps leaves the ids deleted but not yet
     * re-added — re-running the same upsert heals (the delete
     * anti-joins nothing, the append lands once under the caller's
-    * replay guard, the family's usual boundary).
+    * replay guard, the family's usual boundary). The batch's ids
+    * also REVIVE from any live tombstone mask (last step — a crash
+    * before it re-runs into the same heal): an upsert is an explicit
+    * re-add, which supersedes a pending tombstone; leaving the mask
+    * would hide the fresh copy and the next fold would erase it.
     */
   def upsertVectors(df: DataFrame, vecCol: String, idCol: String,
                     model: IvfModel, path: String): Unit = {
@@ -876,6 +944,8 @@ object Ivf {
     graft.core.DirSwap.recoverAt(spark, path)
     deleteVectors(spark, path, df.select(col(idCol)), idCol)
     appendToIndex(df, vecCol, model, path)
+    graft.core.TombstoneSidecar.revive(spark, tombPath(path),
+      df.select(col(idCol)), idCol)
   }
 
   /** Canonical location of a versioned layout's latest-sequence
@@ -1212,6 +1282,78 @@ object Ivf {
       .select(col("level"), col("idx"), col("vec"), col("child"))
       .as[(Int, Int, Array[Float], Array[Int])]
       .collect())
+  }
+
+  /** Batched model-witness verification — the multi-segment trust
+    * check shared by [[readSegmentsServing]] and
+    * [[MultiVector.searchSegments]]: every `_model` sidecar in
+    * `dirs` must hold a quantizer bit-identical to the serving
+    * `model`. ONE multi-path parquet read grouped back by source
+    * file — O(1) Spark jobs however many segments (measured: a
+    * per-segment loadModel job costs ~0.3 s of fixed driver overhead,
+    * the dominant serve cost at small corpus sizes).
+    */
+  private[pipeline] def verifyModelWitnesses(spark: SparkSession,
+      dirs: Seq[String], model: IvfModel): Unit = {
+    if (dirs.isEmpty) return
+    val hc = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    // input_file_name() is a URI — '=' in a segment name (the
+    // streaming seg=<batchId> convention) arrives as %3D — so both
+    // sides compare as DECODED absolute paths
+    val rows = spark.read.parquet(dirs: _*)
+      .select(input_file_name().as("f"), col("level"), col("idx"),
+        col("vec"), col("child"))
+      .as[(String, Int, Int, Array[Float], Array[Int])]
+      .collect()
+      .map { case (f, l, i, v, c) => (new java.net.URI(f).getPath, l, i, v, c) }
+    dirs.foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val abs = dp.getFileSystem(hc).makeQualified(dp).toUri.getPath
+      // `$abs/` suffix-anchors on the dir itself: a sibling dir
+      // whose name extends this one ("seg1" vs "seg12") can never
+      // match
+      val mine = rows.filter(_._1.contains(s"$abs/"))
+        .map { case (_, l, i, v, c) => (l, i, v, c) }
+      require(mine.nonEmpty, s"segment model at $d read back empty")
+      require(sameModel(modelFromRows(mine), model),
+        s"segment at $d is assigned under a DIFFERENT coarse " +
+          "quantizer than the serving model — rebuild it or serve " +
+          "it separately")
+    }
+  }
+
+  /** Batched codebook-parity verification for PQ-coded segments:
+    * every `_pq` sidecar in `dirs` must hold codebooks bit-identical
+    * to the first's ([[verifyModelWitnesses]]' one-read shape on the
+    * (sub, code, vec, dsub) rows [[Pq.saveModel]] persists).
+    */
+  private def verifyPqWitnesses(spark: SparkSession,
+      dirs: Seq[String]): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    val rows = spark.read.parquet(dirs: _*)
+      .select(input_file_name().as("f"), col("sub"), col("code"),
+        col("vec"), col("dsub"))
+      .as[(String, Int, Int, Array[Float], Int)]
+      .collect()
+      .map { case (f, j, c, v, d) => (new java.net.URI(f).getPath, j, c, v, d) }
+    def pqOf(d: String): Pq.PqModel = {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val abs = dp.getFileSystem(hc).makeQualified(dp).toUri.getPath
+      val mine = rows.filter(_._1.contains(s"$abs/"))
+      require(mine.nonEmpty, s"segment codebooks at $d read back empty")
+      val m = mine.iterator.map(_._2).max + 1
+      new Pq.PqModel(m, mine.head._5, Array.tabulate(m)(j =>
+        mine.filter(_._2 == j).sortBy(_._3).map(_._4)))
+    }
+    val head = pqOf(dirs.head)
+    dirs.tail.foreach { d =>
+      require(samePq(head, pqOf(d)),
+        s"segment at $d is encoded under DIFFERENT codebooks than " +
+          s"${dirs.head} — their codes bytes are mutually meaningless; " +
+          "rebuild or serve them separately")
+    }
   }
 
   /** Assemble a quantizer from its persisted (level, idx, vec,
@@ -1599,7 +1741,7 @@ object Ivf {
       (0 until p.m).forall(j => (0 until p.ksub).forall(c =>
         prev.codebooks(j)(c).sameElements(p.codebooks(j)(c))))
 
-  private def sameModel(a: IvfModel, b: IvfModel): Boolean =
+  private[pipeline] def sameModel(a: IvfModel, b: IvfModel): Boolean =
     a.centroids.length == b.centroids.length &&
       a.centroids.zip(b.centroids).forall { case (x, y) => x.sameElements(y) } &&
       a.l1.length == b.l1.length &&

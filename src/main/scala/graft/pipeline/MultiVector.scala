@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root`: `ivf/` (cluster=… dirs of (doc, vec)) and
   * `docs/` (db=pmod(doc, [[DocBuckets]]) dirs of (doc, vec)) — both
-  * written from ONE assignment pass. 100 TB: probe bytes follow
+  * written from ONE assignment pass — plus the `_model` quantizer
+  * witness at the root ([[modelPath]]). 100 TB: probe bytes follow
   * nprobe/nlist, gather bytes follow candidate count × vectors/doc,
   * never corpus size.
   */
@@ -103,9 +104,38 @@ object MultiVector {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Canonical location of the pair's persisted coarse quantizer —
+    * `_model` at the ROOT, beside `ivf/` and `docs/` (the
+    * [[tombPath]] placement argument: it governs BOTH sub-layouts
+    * and must survive their compaction swaps). Written by
+    * [[writeIndex]], verified-or-saved by [[appendDocs]], REQUIRED
+    * by [[searchSegments]] and [[mergeInto]] — the witness that
+    * multi-segment candidate generation runs under ONE quantizer
+    * (the dense tier's Ivf.modelPath contract; without it a segment
+    * built under a drifted model skews candidate recall SILENTLY —
+    * surfaced scores stay exact here, so nothing else would notice).
+    */
+  def modelPath(root: String): String = s"$root/_model"
+
+  /** Persist-or-VERIFY the pair's quantizer ([[Ivf.ensurePair]]'s
+    * shape): first contact saves; a mismatch against the persisted
+    * witness is a loud error, never an overwrite.
+    */
+  private def ensureModel(spark: SparkSession, model: IvfModel,
+                          root: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(modelPath(root))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp))
+      require(Ivf.sameModel(Ivf.loadModel(spark, modelPath(root)), model),
+        s"$root is assigned under a DIFFERENT coarse quantizer — pass " +
+          "the persisted one (Ivf.loadModel(MultiVector.modelPath)) or " +
+          "rebuild the pair under the new model")
+    else Ivf.saveModel(spark, model, modelPath(root))
+  }
+
   /** Build both sub-layouts from one (doc, vec) frame: per-vector
     * IVF postings for candidate generation, doc-bucketed copies for
-    * the gather.
+    * the gather — plus the `_model` witness the segment paths verify.
     */
   def writeIndex(spark: SparkSession, docVecs: DataFrame,
                  model: IvfModel, root: String): Unit = {
@@ -119,18 +149,24 @@ object MultiVector {
       .repartition(DocBuckets, col("db"))
       .write.mode(SaveMode.Overwrite).partitionBy("db")
       .parquet(s"$root/docs")
+    Ivf.saveModel(spark, model, modelPath(root))
     graft.core.Pinned.release(assigned)
   }
 
   /** Incremental append under the frozen coarse quantizer: the
     * increment's assignment pass feeds BOTH sub-layouts (the family's
     * disjoint-docs contract — a doc's vectors arrive in exactly one
-    * increment, so max/sum over the grown layout ≡ one-shot).
+    * increment, so max/sum over the grown layout ≡ one-shot). The
+    * quantizer is verified against the pair's persisted `_model`
+    * first (first contact saves): an increment assigned under a
+    * drifted model would silently skew candidate generation for
+    * exactly its docs.
     */
   def appendDocs(spark: SparkSession, docVecs: DataFrame,
                  model: IvfModel, root: String): Unit = {
     graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
     graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    ensureModel(spark, model, root)
     val assigned = docVecs.select(col("doc"), col("vec"))
       .withColumn("cluster", Ivf.nearestCol(col("vec"), model, 1).getItem(0))
       .localCheckpoint(true)
@@ -179,6 +215,7 @@ object MultiVector {
                     ids: DataFrame): Unit = {
     graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
     graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    graft.core.DirSwap.recoverAt(spark, tombPath(root)) // a revive swap can park it
     // data-less pair: nothing to mask — appending would conjure a
     // sidecar-only root that later reads die on (the empty-layout
     // landmine); heal any stale sidecar instead
@@ -204,6 +241,7 @@ object MultiVector {
     graft.core.DirSwap.recoverAt(spark, s"$root/docs")
     val tp = new org.apache.hadoop.fs.Path(tombPath(root))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
     if (!fs.exists(tp)) return
     val ip = new org.apache.hadoop.fs.Path(s"$root/ivf")
     // data-less pair: the masked docs are already physically gone
@@ -224,21 +262,31 @@ object MultiVector {
     * (id-based tombstones cannot express replace — the mask would
     * hide the new copy too, the [[Ivf.upsertVectors]] argument).
     * Grown ≡ one-shot over (corpus \ ids) ∪ batch (oracle-pinned);
-    * idempotent under crash+re-run like [[Sparse.upsertDocs]].
+    * idempotent under crash+re-run like [[Sparse.upsertDocs]]. The
+    * batch's ids also REVIVE from any live tombstone mask
+    * ([[graft.core.TombstoneSidecar]]): an upsert is an explicit
+    * re-add, which supersedes a pending tombstone — without the
+    * revive, tombstone(X) → upsert(X) leaves the fresh copy masked
+    * at serve and the next [[foldTombstones]] physically ERASES it.
     */
   def upsertDocs(spark: SparkSession, root: String, docVecs: DataFrame,
                  model: IvfModel): Unit = {
     deleteDocs(spark, root, docVecs.select(col("doc")).distinct())
     appendDocs(spark, docVecs, model, root)
+    graft.core.TombstoneSidecar.revive(spark, tombPath(root),
+      docVecs.select(col("doc")).distinct(), "doc")
   }
 
-  /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer (the
-    * family's caller-owned contract — this layout persists no model
-    * sidecar; shard builders share the model by construction), so
-    * both sub-layouts absorb by pure file moves. Src's tombstone
-    * sidecar FOLDS first (it would be dropped by the move, silently
-    * resurrecting src's deleted docs in dst); dst's stays live and
-    * untouched — it masks only dst docs, which remain valid.
+  /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer —
+    * VERIFIED against both pairs' persisted `_model` witnesses (the
+    * [[Ivf.mergeInto]] contract; this tier used to trust the caller,
+    * the one multi-segment path that did), so both sub-layouts
+    * absorb by pure file moves. Src's tombstone sidecar FOLDS first
+    * (it would be dropped by the move, silently resurrecting src's
+    * deleted docs in dst); dst's stays live and untouched — it masks
+    * only dst docs, which remain valid. Src's `_model` dies with the
+    * src root, LAST — a crashed merge's re-run can still verify the
+    * pair before moving the rest.
     */
   def mergeInto(spark: SparkSession, dstRoot: String,
                 srcRoot: String): Unit = {
@@ -251,6 +299,16 @@ object MultiVector {
     if (!fs.exists(src)) return // absent src IS an empty layout
     require(fs.exists(new org.apache.hadoop.fs.Path(dstRoot)),
       s"merge destination $dstRoot does not exist")
+    Seq(srcRoot, dstRoot).foreach { r =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(modelPath(r))),
+        s"pair $r has no persisted _model (MultiVector.writeIndex/" +
+          "appendDocs) — it is the only witness that the pairs share " +
+          "one coarse quantizer")
+    }
+    require(Ivf.sameModel(Ivf.loadModel(spark, modelPath(srcRoot)),
+        Ivf.loadModel(spark, modelPath(dstRoot))),
+      s"$srcRoot and $dstRoot are assigned under DIFFERENT coarse " +
+        "quantizers — rebuild one pair under the other's model")
     foldTombstones(spark, srcRoot)
     Seq("ivf", "docs").foreach { sub =>
       graft.core.SegmentMerge.moveTree(fs,
@@ -326,6 +384,9 @@ object MultiVector {
     // overgrown mask degrades to a shuffle not an OOM)
     val tp = new org.apache.hadoop.fs.Path(tombPath(root))
     val tombFs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a revive-swap-parked sidecar before the exists check,
+    // or the crash window between its two renames serves unmasked
+    graft.core.DirSwap.recover(tombFs, tp)
     val cand1 =
       if (!tombFs.exists(tp)) cand0
       else cand0.join(spark.read.parquet(tombPath(root))
@@ -366,9 +427,13 @@ object MultiVector {
     * segment's own tombstone mask applies to its rows, and one
     * global rank window cuts k — so at nprobe = nlist the result is
     * identical to serving the physically merged pair. Segments must
-    * share the coarse quantizer: the pair persists no model witness
-    * (the [[mergeInto]] trust contract), so the caller's `model` is
-    * the serving truth for every segment. Absent roots are empty
+    * share the coarse quantizer — VERIFIED here against each pair's
+    * persisted `_model` (the batched one-read witness check the
+    * dense tier runs, [[Ivf.verifyModelWitnesses]]; this tier used
+    * to trust the caller — the exact failure class the witness
+    * exists to catch, on the tier where it is hardest to notice:
+    * a drifted-model segment keeps surfaced scores exact and only
+    * candidate recall silently degrades). Absent roots are empty
     * segments; at least one must exist.
     */
   def searchSegments(spark: SparkSession, roots: Seq[String],
@@ -397,6 +462,14 @@ object MultiVector {
     }
     require(live.nonEmpty,
       "every segment root is absent or data-less — nothing to serve")
+    live.foreach { r =>
+      val mp = new org.apache.hadoop.fs.Path(modelPath(r))
+      require(mp.getFileSystem(hc).exists(mp),
+        s"segment pair $r has no persisted _model (MultiVector." +
+          "writeIndex/appendDocs) — it is the only witness that the " +
+          "segments share one quantizer")
+    }
+    Ivf.verifyModelWitnesses(spark, live.map(modelPath), model)
     val q = queryVecs.select(col("qid"), col("vec").as("qv"),
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)

@@ -255,6 +255,9 @@ object Sparse {
         .where(docFilter.getOrElse(lit(true)))
       val tp = new org.apache.hadoop.fs.Path(tombPath(path))
       val tombFs = tp.getFileSystem(hc)
+      // recover a revive-swap-parked sidecar before the exists check,
+      // or the crash window between its two renames serves unmasked
+      graft.core.DirSwap.recover(tombFs, tp)
       if (!tombFs.exists(tp)) idx1
       else idx1.join(spark.read.parquet(tombPath(path))
         .select(col("doc")).distinct(), Seq("doc"), "left_anti")
@@ -276,6 +279,7 @@ object Sparse {
   def tombstoneDocs(spark: SparkSession, path: String,
                     ids: DataFrame): Unit = {
     graft.core.DirSwap.recoverAt(spark, path) // sidecar beside the live copy
+    graft.core.DirSwap.recoverAt(spark, tombPath(path)) // a revive swap can park it
     // data-less layout (absent, or a delete-everything pass removed
     // every dbk= dir): nothing to mask — appending would conjure a
     // sidecar-only dir that later reads die on (the empty-layout
@@ -309,6 +313,7 @@ object Sparse {
     graft.core.DirSwap.recoverAt(spark, path)
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
     if (!fs.exists(tp)) return
     // data-less layout: the masked docs are already physically gone —
     // retire the sidecar without the rewrite ([[Ivf.foldTombstones]])
@@ -355,13 +360,18 @@ object Sparse {
     * removes whatever state the crashed run left for these ids (old
     * postings, or the first run's already-committed replacements) and
     * the append re-lands the one correct copy — any crash point
-    * converges to the same final layout.
+    * converges to the same final layout. The batch's ids also REVIVE
+    * from any live tombstone mask ([[graft.core.TombstoneSidecar]] —
+    * an explicit re-add supersedes a pending tombstone; a masked
+    * fresh copy would vanish at the next fold).
     */
   def upsertDocs(spark: SparkSession, path: String, df: DataFrame,
                  vecCol: String, idCol: String, tau: Double = 0.05,
                  scale: Double = DefaultScale): Unit = {
     deleteDocs(spark, path, df.select(col(idCol).as("doc")))
     appendToIndex(spark, sparsify(df, vecCol, idCol, tau, scale), path)
+    graft.core.TombstoneSidecar.revive(spark, tombPath(path),
+      df.select(col(idCol)), "doc")
   }
 
   /** SEGMENT MERGE — the shard-parallel build topology: postings are

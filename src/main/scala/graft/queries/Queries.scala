@@ -2992,6 +2992,13 @@ object Queries {
     // serving semantics are unchanged: same adaptive widening, same
     // exhaustive-exact floor, same DuckDB brute-force oracle as the
     // row-filtered twin
+    // …now with the payload layout's DELETE story: decoy copies of
+    // the query vectors, crafted to pass the payload filter (label 3,
+    // id ≡ 0 mod 13 — they would own every rank-1 slot with self-cos
+    // scores), are tombstoned; the masked serve AND the post-fold
+    // serve (foldTombstones REBUILDS with the discovered payload
+    // key set — the one maintenance op the rebuild-only guards admit)
+    // must both equal the decoy-free brute force
     "ivf_topk_payload_pruned" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -2999,17 +3006,27 @@ object Queries {
         nlist = 16, iters = 3)
       val idx = java.nio.file.Files.createTempDirectory("ivf_paypart")
         .resolve("index").toString
+      val decoys = emb.where(col("vec_id") < 10)
+        .select(((col("vec_id") + 7000000L) * 13L).as("vec_id"),
+          col("embedding"), lit(3).as("label"))
       graft.pipeline.Ivf.writeIndex(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), idx,
-        payloadCols = Seq("label"))
-      graft.pipeline.Ivf.searchFiltered(
+        graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
+          model), idx, payloadCols = Seq("label"))
+      graft.pipeline.Ivf.tombstoneVectors(s, idx,
+        decoys.select(col("vec_id")), "vec_id")
+      def serve() = graft.pipeline.Ivf.searchFiltered(
           graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
           emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
           k = 5, filter = col("label") === 3 && col("vec_id") % 13 === 0,
           nprobe0 = 1)
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
-        .orderBy(col("qid"), col("rk"))
+      val masked = serve().withColumn("stage", lit("masked"))
+        .localCheckpoint(true)
+      graft.pipeline.Ivf.foldTombstones(s, idx, "vec_id")
+      masked.unionByName(serve().withColumn("stage", lit("folded")))
+        .select(col("stage"), col("qid"), col("nid"), col("sim"), col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
     }),
 
     "ivf_topk_filtered_recall" -> ((s, d) => {
@@ -3970,6 +3987,53 @@ object Queries {
         .select(col("qid"), col("nid"), col("sim"),
           col("rk").cast(LongType).as("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the SEGMENTS-COMPOSITION row: a deployed LSM system never runs
+    // the segment union alone — this pins mask × filter × group ×
+    // segment-union in ONE query (the hybrid_trimodal lesson applied
+    // to segments): grouped (multi-tenant) top-k OVER the
+    // witness-verified segments read, with a payload filter below
+    // every ranking cut and per-segment tombstone masks live (decoy
+    // copies of the query vectors — even ids so they PASS the
+    // filter, label 3 so they'd own that tenant's rank-1 slots —
+    // tombstoned in their own segment only). Exhaustive probe ⇒
+    // every tenant's rows are brute force over that tenant's
+    // filtered, masked corpus — the direct DuckDB mirror
+    "ivf_topk_segments_grouped" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("ivf_segs_grp")
+      val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val parts = Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+        emb.where(col("vec_id") > 2 * mx / 3))
+      val decoys = emb.where(col("vec_id") < 6)
+        .select((col("vec_id") * 2L + 90000000L).as("vec_id"),
+          col("embedding"), lit(3).as("label"))
+      parts.zip(segs).foreach { case (p, seg) =>
+        val rows = if (seg.endsWith("segC")) p.unionByName(decoys) else p
+        graft.pipeline.Ivf.writeIndex(
+          graft.pipeline.Ivf.assign(rows, "embedding", model), seg)
+        graft.pipeline.Ivf.saveModel(s, model,
+          graft.pipeline.Ivf.modelPath(seg))
+      }
+      graft.pipeline.Ivf.tombstoneVectors(s, segs(2),
+        decoys.select(col("vec_id")), "vec_id")
+      graft.pipeline.Ivf.searchGrouped(
+          graft.pipeline.Ivf.readSegmentsServing(s, segs, "vec_id", model)
+            .where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+          k = 5, groupCol = "label",
+          groups = emb.select(col("label")).distinct(),
+          nprobe0 = 16)
+        .select(col("qid"), col("label"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("label"), col("rk"))
     }),
 
     // the residual codes layout's incremental lifecycle — AND its
@@ -5193,6 +5257,84 @@ object Queries {
       graft.streaming.StreamingSegments.mergeAll(s, root)
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("nid"), col("sim"), col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // the LEXICAL segment-per-microbatch write path (no ledger, no
+    // append-visibility window — stream_ivf_segments' design on the
+    // tier whose searchSegments merges N/T/df stats GLOBALLY): 4 doc
+    // microbatches each promote their own complete bm25 index root;
+    // the across-segments serve AND the post-mergeAll serve must both
+    // equal the one-shot bm25_topk golden
+    "stream_bm25_segments" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("sbm25_segs")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestBm25(s, d, root, nBatches = 4)
+      def serve() = graft.pipeline.Bm25.searchSegments(s,
+        graft.streaming.StreamingSegments.segmentRoots(s, root),
+        Seq(0L -> "hash join", 1L -> "fast table scan",
+          2L -> "merge sort window"), k = 10)
+      val across = serve().withColumn("stage", lit("segments"))
+        .localCheckpoint(true)
+      graft.streaming.StreamingSegments.mergeAllBm25(s, root)
+      across.unionByName(serve().withColumn("stage", lit("merged")))
+        .select(col("stage"), col("qid"), col("doc"), col("score_fp"),
+          col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // the SPARSE tier's segment-per-microbatch write path: per-doc
+    // integer-dot postings make both stages exactly the direct
+    // DuckDB brute force (no golden, no tolerance)
+    "stream_sparse_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("ssparse_segs")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestSparse(s, d, root,
+        nBatches = 4)
+      val q = graft.pipeline.Sparse.sparsify(
+        emb.where(col("vec_id") < 4), "embedding", "vec_id")
+      def serve() = graft.pipeline.Sparse.searchSegments(s,
+        graft.streaming.StreamingSegments.segmentRoots(s, root), q, k = 10)
+      val across = serve().withColumn("stage", lit("segments"))
+        .localCheckpoint(true)
+      graft.streaming.StreamingSegments.mergeAllSparse(s, root)
+      across.unionByName(serve().withColumn("stage", lit("merged")))
+        .select(col("stage"), col("qid"), col("nid"), col("score"),
+          col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // the PAIRED hybrid segment-per-microbatch write path — retires
+    // the most ledger-entangled streamed writer (StreamingHybrid's
+    // per-side markers + paired-sub-layout witnesses): each batch's
+    // bm25 AND ivf sides land inside ONE hidden build + promote, so
+    // the pair is atomic by construction and one-sided skew cannot
+    // occur. Both stages (across segment pairs, then post-mergeAll)
+    // must equal the scan-based hybrid_topk golden — exhaustive
+    // probe, so the fusion is byte-identical
+    "stream_hybrid_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("shyb_segs")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestHybrid(s, d, model, root,
+        nBatches = 4)
+      val queries = Seq(0L -> "hash join", 1L -> "fast table scan",
+        2L -> "merge sort window")
+      val qv = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      def serve() = graft.pipeline.Hybrid.searchSegments(s,
+        graft.streaming.StreamingSegments.segmentRoots(s, root),
+        queries, qv, model, "embedding", "vec_id", kCand = 20, k = 10,
+        nprobe = 16)
+      val across = serve().withColumn("stage", lit("segments"))
+        .localCheckpoint(true)
+      graft.streaming.StreamingSegments.mergeAllHybrid(s, root)
+      across.unionByName(serve().withColumn("stage", lit("merged")))
+        .select(col("stage"), col("qid"), col("doc"), col("rrf_fp"),
+          col("rk"))
         .orderBy(col("stage"), col("qid"), col("rk"))
     }),
 
@@ -7314,6 +7456,27 @@ object Queries {
     "bm25_topk_segments" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
+    // segment-per-microbatch lexical ingest: the across-segments
+    // serve (global stats merge) AND the post-mergeAll serve must
+    // both equal the one-shot build
+    "stream_bm25_segments" ->
+      s"""SELECT 'merged' AS stage, qid, doc, score_fp, rk
+         |FROM '$pipeGold/bm25_topk.parquet'
+         |UNION ALL
+         |SELECT 'segments' AS stage, qid, doc, score_fp, rk
+         |FROM '$pipeGold/bm25_topk.parquet'
+         |ORDER BY stage, qid, rk""".stripMargin,
+
+    // segment-per-microbatch paired hybrid ingest: both stages equal
+    // the scan-based fusion (exhaustive probe ⇒ byte-identical)
+    "stream_hybrid_segments" ->
+      s"""SELECT 'merged' AS stage, qid, doc, rrf_fp, rk
+         |FROM '$pipeGold/hybrid_topk.parquet'
+         |UNION ALL
+         |SELECT 'segments' AS stage, qid, doc, rrf_fp, rk
+         |FROM '$pipeGold/hybrid_topk.parquet'
+         |ORDER BY stage, qid, rk""".stripMargin,
+
     // the sparse tier: every lifecycle row must reproduce the direct
     // DuckDB brute force (exact integer scores — no golden, no
     // tolerance), the deleted/merged/incremental rows through their
@@ -7326,6 +7489,14 @@ object Queries {
     // three shards union-served with per-segment tombstone masks ≡
     // the decoy-free brute force (no physical merge)
     "sparse_topk_segments" -> sparseTopkSql(),
+    // segment-per-microbatch sparse ingest: both stages (across
+    // segments, post-mergeAll) replay the same brute force
+    "stream_sparse_segments" ->
+      s"""WITH base AS (${sparseTopkSql()})
+         |SELECT 'segments' AS stage, qid, nid, score, rk FROM base
+         |UNION ALL
+         |SELECT 'merged' AS stage, qid, nid, score, rk FROM base
+         |ORDER BY stage, qid, rk""".stripMargin,
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     "stream_sparse_search" -> sparseTopkSql(),
     // stale ids replaced by their true embeddings ≡ never corrupted
@@ -8108,12 +8279,17 @@ object Queries {
          |    ${cosSql("e.embedding", "q.embedding")} AS sim
          |  FROM embeddings q, embeddings e
          |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
-         |    AND e.label = 3 AND e.vec_id % 13 = 0)
-         |SELECT qid, nid, sim, rk FROM (
-         |  SELECT qid, nid, sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-         |  FROM p) t
-         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+         |    AND e.label = 3 AND e.vec_id % 13 = 0),
+         |cut AS (
+         |  SELECT qid, nid, sim, rk FROM (
+         |    SELECT qid, nid, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5)
+         |SELECT 'masked' AS stage, qid, nid, sim, rk FROM cut
+         |UNION ALL
+         |SELECT 'folded' AS stage, qid, nid, sim, rk FROM cut
+         |ORDER BY stage, qid, rk""".stripMargin,
 
     // the quantized serving path under the same predicate — the
     // exhaustive probe's ADC shortlist holds every match (4 < k·os),
@@ -8214,6 +8390,24 @@ object Queries {
     // (same golden, no physical merge)
     "ivf_topk_segments" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // the segments-COMPOSITION serve (mask × filter × group ×
+    // segment-union in one query): per-tenant brute force over the
+    // filtered corpus — tombstoned decoys (which pass the filter)
+    // never appear
+    "ivf_topk_segments_grouped" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.label AS label, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+         |    AND e.vec_id % 2 = 0)
+         |SELECT qid, label, nid, sim, rk FROM (
+         |  SELECT qid, label, nid, sim,
+         |    row_number() OVER (PARTITION BY qid, label
+         |                       ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, label, rk""".stripMargin,
 
     // segment-per-microbatch ingest: the across-segments serve AND
     // the post-mergeAll serve must both equal the one-shot build

@@ -1,12 +1,15 @@
 package graft.streaming
 
-import graft.pipeline.Ivf
+import graft.pipeline.{Bm25, Hybrid, Ivf, Sparse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** Segment-per-microbatch dense ingest — the LSM WRITE path of the
-  * multi-segment serving family ([[Ivf.readSegmentsServing]]): each
-  * microbatch assigns under the FROZEN coarse quantizer and writes
-  * its OWN immutable int8 segment root, `$root/seg=<batchId>`.
+/** Segment-per-microbatch ingest — the LSM WRITE path of the
+  * multi-segment serving family, on every tier that serves segments
+  * ([[Ivf.readSegmentsServing]], [[Bm25.searchSegments]],
+  * [[Sparse.searchSegments]], [[Hybrid.searchSegments]]): each
+  * microbatch builds its OWN immutable segment root,
+  * `$root/seg=<batchId>`.
   *
   * Exactly-once falls out of the naming, with NO ledger: a replayed
   * batch overwrites its own segment with identical contents (the
@@ -15,18 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[BatchLedger]]. There is also no append-visibility window: a
   * segment either exists whole or not at all, so a concurrent
   * serve never sees a half-written increment (the immutable-segment
-  * argument LSM engines make).
+  * argument LSM engines make). The lexical tier gets this for free
+  * DESPITE its non-additive-looking stats: per-segment stats rows
+  * are exactly what a merged index's summed stats/df reads would
+  * hold (Bm25.searchSegments merges N/T/df globally), so a segment
+  * build never touches another segment's statistics.
   *
   * Serving lists the segment roots ([[segmentRoots]]) and unions
-  * them through the per-segment model witness + tombstone masks;
-  * [[mergeAll]] folds segments together as BACKGROUND maintenance —
-  * after it, the merged root serves identically (gate-pinned both
-  * stages against the one-shot golden).
+  * them through each tier's own witness/mask machinery; the
+  * mergeAll* entry points fold segments together as BACKGROUND
+  * maintenance — after them, the merged root serves identically
+  * (gate-pinned both stages against the one-shot goldens).
   */
 object StreamingSegments {
 
-  /** The current segment roots under `root`, name-ordered (absent
-    * root = no segments yet).
+  /** The current segment roots under `root`, ordered by NUMERIC
+    * batch id (lexicographic order would put seg=10 before seg=2 —
+    * harmless to results today, surprising to anything that ever
+    * relies on batch order). Absent root = no segments yet.
     */
   def segmentRoots(spark: SparkSession, root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
@@ -34,61 +43,50 @@ object StreamingSegments {
     if (!fs.exists(rp)) Seq.empty
     else fs.listStatus(rp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-      .map(_.getPath.toString).sorted.toSeq
+      .map(_.getPath.toString)
+      .sortBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
+      .toSeq
   }
 
-  /** One microbatch: assign under the frozen model, write the
-    * batch's own int8 segment + its `_model` witness. Exposed for
-    * testing. Empty batches create no segment (the empty-layout
-    * landmine: a zero-row write would leave a _SUCCESS-only root
-    * that every later segments read dies on).
-    *
-    * The segment is BUILT HIDDEN and renamed into place: data and
-    * the `_model` witness land under `.seg=<id>__building` (the
-    * dot prefix keeps [[segmentRoots]] and Spark's file index
-    * blind to it), then one rename promotes the complete segment —
-    * so a concurrent serve never observes data without its witness
-    * (readSegmentsServing hard-requires `_model`) or a replay's
-    * half-overwritten segment. A crash mid-build leaves only the
-    * hidden dir (swept by the next replay of the same batch); a
-    * crash in the delete→rename window leaves the segment absent —
-    * an empty segment to readers — until the uncommitted batch
-    * replays, which regenerates it.
+  /** The hidden-build-then-promote protocol every tier's segment
+    * write shares: `build` lands the complete segment (data AND its
+    * metadata sidecars) under `.seg=<id>__building` — the dot prefix
+    * keeps [[segmentRoots]] and Spark's file index blind to it —
+    * then ONE rename promotes it, so a concurrent serve never
+    * observes data without its witness or a replay's half-overwritten
+    * segment. A crash mid-build leaves only the hidden dir (swept by
+    * the next replay of the same batch); a crash in the
+    * delete→rename window leaves the segment absent — an empty
+    * segment to readers — until the uncommitted batch replays, which
+    * regenerates it.
     */
-  def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
-                   root: String, model: graft.pipeline.IvfModel,
-                   batchId: Long): Unit = {
-    if (batch.isEmpty) return
+  private def promoteSegment(spark: SparkSession, root: String,
+                             batchId: Long)(build: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.seg=${batchId}__building")
     fs.delete(tmp, true) // a prior crashed build of this batch
-    Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol,
-      tmp.toString)
-    Ivf.saveModel(spark, model, Ivf.modelPath(tmp.toString))
+    build(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(s"$root/seg=$batchId")
     fs.delete(dst, true) // replay: retire the old copy whole
     require(fs.rename(tmp, dst), s"promote $tmp -> $dst failed")
   }
 
-  /** Stream the embeddings table (replayed as `nBatches` id-ordered
-    * microbatches) into a segment-per-batch layout under `root`.
+  /** The shared foreachBatch wiring: replay `src` as id-ordered
+    * microbatches through `perBatch`.
     */
-  def ingest(spark: SparkSession, dir: String, root: String,
-             model: graft.pipeline.IvfModel, nBatches: Int = 4): Unit = {
-    val src = s"$dir/embeddings.parquet"
+  private def runIngest(spark: SparkSession, src: String, idCol: String,
+                        nBatches: Int, ckptPrefix: String)
+                       (perBatch: (DataFrame, Long) => Unit): Unit = {
     val schema = spark.read.parquet(src).schema
-    val stage = Staging.idRangeSplits(spark, src, "vec_id", nBatches)
-    val ckpt = EventStream.scratchCheckpointDir(spark, "graft_ssegs_ckpt_")
+    val stage = Staging.idRangeSplits(spark, src, idCol, nBatches)
+    val ckpt = EventStream.scratchCheckpointDir(spark, ckptPrefix)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
       .writeStream
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch.sparkSession, batch, "embedding", root, model,
-          batchId)
-      }
+      .foreachBatch(perBatch)
       .start()
     try q.processAllAvailable() finally {
       q.stop()
@@ -97,8 +95,37 @@ object StreamingSegments {
     }
   }
 
-  /** Background maintenance: fold every segment into the first via
-    * the family's file-move [[Ivf.mergeInto]] (shared-quantizer
+  /** One DENSE microbatch: assign under the frozen model, write the
+    * batch's own int8 segment + its `_model` witness
+    * (readSegmentsServing hard-requires it). Exposed for testing.
+    * Empty batches create no segment (the empty-layout landmine: a
+    * zero-row write would leave a _SUCCESS-only root that every
+    * later segments read dies on).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
+                   root: String, model: graft.pipeline.IvfModel,
+                   batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    promoteSegment(spark, root, batchId) { tmp =>
+      Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, tmp)
+      Ivf.saveModel(spark, model, Ivf.modelPath(tmp))
+    }
+  }
+
+  /** Stream the embeddings table (replayed as `nBatches` id-ordered
+    * microbatches) into a dense segment-per-batch layout under
+    * `root`.
+    */
+  def ingest(spark: SparkSession, dir: String, root: String,
+             model: graft.pipeline.IvfModel, nBatches: Int = 4): Unit =
+    runIngest(spark, s"$dir/embeddings.parquet", "vec_id", nBatches,
+      "graft_ssegs_ckpt_") { (batch, batchId) =>
+      processBatch(batch.sparkSession, batch, "embedding", root, model,
+        batchId)
+    }
+
+  /** Background maintenance: fold every dense segment into the first
+    * via the family's file-move [[Ivf.mergeInto]] (shared-quantizer
     * witness verified per merge). Returns the surviving root, None
     * when no segments exist. Serving through
     * [[Ivf.readSegmentsServing]] before, during (merges are
@@ -111,5 +138,154 @@ object StreamingSegments {
       segs.tail.foreach(src => Ivf.mergeInto(spark, dst, src, idCol))
       dst
     }
+  }
+
+  /** One LEXICAL microbatch: the batch's own complete BM25 index
+    * (postings/df/stats) as an immutable segment — the write path
+    * [[Bm25.searchSegments]]'s global-stats merge was built to
+    * serve, retiring the BatchLedger append-visibility machinery the
+    * single-layout [[StreamingBm25]] ingest still needs. Exposed for
+    * testing.
+    */
+  def processBatchBm25(spark: SparkSession, batch: DataFrame,
+                       textCol: String, idCol: String, root: String,
+                       batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    promoteSegment(spark, root, batchId) { tmp =>
+      Bm25.writeIndex(spark, batch, textCol, idCol, tmp)
+    }
+  }
+
+  /** Stream the documents table into a BM25 segment-per-batch layout
+    * under `root`; serve with
+    * `Bm25.searchSegments(spark, segmentRoots(root), …)`.
+    */
+  def ingestBm25(spark: SparkSession, dir: String, root: String,
+                 nBatches: Int = 4): Unit =
+    runIngest(spark, s"$dir/documents.parquet", "doc_id", nBatches,
+      "graft_ssegbm_ckpt_") { (batch, batchId) =>
+      processBatchBm25(batch.sparkSession, batch, "text", "doc_id", root,
+        batchId)
+    }
+
+  /** Fold every BM25 segment into the first via the zero-recompute
+    * file-move [[Bm25.mergeInto]] (readers SUM stats/df rows, so the
+    * merged layout is bit-identical to serving the segments).
+    */
+  def mergeAllBm25(spark: SparkSession, root: String): Option[String] = {
+    val segs = segmentRoots(spark, root)
+    segs.headOption.map { dst =>
+      segs.tail.foreach(src => Bm25.mergeInto(spark, dst, src))
+      dst
+    }
+  }
+
+  /** One SPARSE microbatch: sparsify under the frozen (tau, scale)
+    * contract, write the batch's own dim-bucketed segment. Exposed
+    * for testing.
+    */
+  def processBatchSparse(spark: SparkSession, batch: DataFrame,
+                         vecCol: String, idCol: String, root: String,
+                         batchId: Long, tau: Double,
+                         scale: Double): Unit = {
+    if (batch.isEmpty) return
+    promoteSegment(spark, root, batchId) { tmp =>
+      Sparse.writeIndex(Sparse.sparsify(batch, vecCol, idCol, tau, scale),
+        tmp)
+    }
+  }
+
+  /** Stream the embeddings table into a sparse segment-per-batch
+    * layout under `root`; serve with
+    * `Sparse.searchSegments(spark, segmentRoots(root), …)`.
+    */
+  def ingestSparse(spark: SparkSession, dir: String, root: String,
+                   nBatches: Int = 4, tau: Double = 0.05,
+                   scale: Double = Sparse.DefaultScale): Unit =
+    runIngest(spark, s"$dir/embeddings.parquet", "vec_id", nBatches,
+      "graft_ssegsp_ckpt_") { (batch, batchId) =>
+      processBatchSparse(batch.sparkSession, batch, "embedding", "vec_id",
+        root, batchId, tau, scale)
+    }
+
+  /** Fold every sparse segment into the first ([[Sparse.mergeInto]]
+    * pure file moves — per-doc postings, no cross-doc statistics).
+    */
+  def mergeAllSparse(spark: SparkSession, root: String): Option[String] = {
+    val segs = segmentRoots(spark, root)
+    segs.headOption.map { dst =>
+      segs.tail.foreach(src => Sparse.mergeInto(spark, dst, src))
+      dst
+    }
+  }
+
+  /** One HYBRID microbatch: the batch's documents to a bm25/ sub-root
+    * and their id-matched vectors to an ivf/ sub-root (float postings
+    * + `_model` witness — [[Hybrid.writeIndex]]'s pair shape), both
+    * inside ONE hidden build + promote, so the PAIR is atomic: a
+    * racing serve sees a segment with both sides or no segment — the
+    * one-sided-skew class the ledgered [[StreamingHybrid]] ingest
+    * needs per-side markers and paired-sub-layout witnesses to
+    * defend against simply cannot occur. A batch whose id range holds
+    * no embeddings writes a lexical-only segment (its absent ivf/
+    * side is an empty dense segment to [[Ivf.readSegmentsServing]]'s
+    * live filter — see the SF id-domain divergence note in
+    * ingestHybrid). Exposed for testing.
+    */
+  def processBatchHybrid(spark: SparkSession, batch: DataFrame,
+                         textCol: String, idCol: String, emb: DataFrame,
+                         vecIdCol: String, vecCol: String,
+                         model: graft.pipeline.IvfModel, root: String,
+                         batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val vecs = emb.join(batch.select(col(idCol).as(vecIdCol)), Seq(vecIdCol))
+    promoteSegment(spark, root, batchId) { tmp =>
+      Bm25.writeIndex(spark, batch, textCol, idCol, s"$tmp/bm25")
+      if (!vecs.isEmpty) {
+        Ivf.writeIndex(Ivf.assign(
+          vecs.select(col(vecIdCol), col(vecCol)), vecCol, model),
+          s"$tmp/ivf")
+        Ivf.saveModel(spark, model, Ivf.modelPath(s"$tmp/ivf"))
+      }
+    }
+  }
+
+  /** Stream the documents table into a PAIRED segment-per-batch
+    * layout under `root` against the pre-trained frozen `model`,
+    * with `dir/embeddings.parquet` supplying each batch's vectors by
+    * id (the fusion's shared id space). Batches split on the
+    * documents id range; doc ids outside the embeddings domain (the
+    * ranges only align at sf0.01) yield lexical-only segments,
+    * which both serve paths treat as empty dense segments. Serve
+    * with `Hybrid.searchSegments(spark, segmentRoots(root), …)`.
+    */
+  def ingestHybrid(spark: SparkSession, dir: String,
+                   model: graft.pipeline.IvfModel, root: String,
+                   nBatches: Int = 4): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    runIngest(spark, s"$dir/documents.parquet", "doc_id", nBatches,
+      "graft_sseghy_ckpt_") { (batch, batchId) =>
+      processBatchHybrid(batch.sparkSession, batch, "text", "doc_id", emb,
+        "vec_id", "embedding", model, root, batchId)
+    }
+  }
+
+  /** Fold every hybrid segment pair into one via [[Hybrid.mergeInto]]
+    * (both sides' file-move merges under their own witnesses). The
+    * destination is the first segment CARRYING A DENSE SIDE (a
+    * lexical-only segment cannot absorb another segment's ivf/ —
+    * Ivf.mergeInto requires an existing destination); if none does,
+    * the whole layout is lexical-only and any segment absorbs.
+    */
+  def mergeAllHybrid(spark: SparkSession, root: String): Option[String] = {
+    val segs = segmentRoots(spark, root)
+    if (segs.isEmpty) return None
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = segs.find(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$r/ivf"))).getOrElse(segs.head)
+    segs.filterNot(_ == dst).foreach(src => Hybrid.mergeInto(spark, dst, src))
+    Some(dst)
   }
 }

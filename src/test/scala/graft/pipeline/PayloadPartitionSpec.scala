@@ -48,6 +48,41 @@ class PayloadPartitionSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone → serve → fold → serve is invariant on a payload-" +
+    "partitioned layout, and the fold preserves the directory pruning") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("paypart4")
+      .resolve("index").toString
+    // decoys that pass the payload filter and would own rank-1 slots
+    val decoys = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        lit(3).as("label"))
+    Ivf.writeIndex(Ivf.assign(emb.unionByName(decoys), "embedding", model),
+      idx, payloadCols = Seq("label"))
+    Ivf.tombstoneVectors(spark, idx, decoys.select(col("vec_id")), "vec_id")
+    def serve() =
+      Ivf.searchFiltered(Ivf.readIndexServing(spark, idx, "vec_id"),
+          emb.where(col("vec_id") < 5), "embedding", "vec_id", model,
+          k = 4, filter = col("label") === 3, nprobe0 = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val masked = serve()
+    assert(masked.nonEmpty && masked.forall(_._2 < 100000L),
+      "tombstoned decoys must not serve through the payload layout")
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(Ivf.tombPath(idx))),
+      "the fold must retire the sidecar")
+    assert(serve() == masked, "fold must not change served results")
+    // the rebuild kept the SECONDARY partition dirs: the payload
+    // filter still prunes at the directory level
+    val plan = Ivf.readIndexServing(spark, idx, "vec_id")
+      .where(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
+      s"fold flattened the payload dirs, plan:\n$plan")
+  }
+
   test("partitioned and plain layouts serve identical filtered results") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val base = java.nio.file.Files.createTempDirectory("paypart2")

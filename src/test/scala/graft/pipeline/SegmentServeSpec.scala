@@ -235,4 +235,95 @@ class SegmentServeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("_model"))
   }
+
+  test("ivf segments serve refuses an int8/PQ sidecar mix: same column " +
+    "names, mutually meaningless codes bytes") {
+    val base = tmp("segivpq")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val pq = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16,
+      iters = 2)
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Ivf.writeIndexInt8(Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model), "embedding", a)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    // b is PQ-coded: identical column NAMES (codes: binary) and the
+    // same coarse-quantizer witness — only the _pq sidecar betrays it
+    Ivf.writeIndexPq(Ivf.assign(emb.where(col("vec_id") > half),
+      "embedding", model), "embedding", pq, model, b)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", model)
+    }
+    assert(e.getMessage.contains("_pq"))
+  }
+
+  test("multivec segments serve refuses a foreign quantizer") {
+    val base = tmp("segmvfq")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    val m1 = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val m2 = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 1)
+    val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") <= mid), m1, a)
+    // b was assigned under a DIFFERENT quantizer — before the witness,
+    // this served with silently skewed candidate recall
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") > mid), m2, b)
+    val e = intercept[IllegalArgumentException] {
+      MultiVector.searchSegments(spark, Seq(a, b), queryVecs, m1,
+        k = 4, nprobe = 8)
+    }
+    assert(e.getMessage.contains("DIFFERENT coarse quantizer"))
+  }
+
+  test("multivec segments serve requires a model witness per segment") {
+    val base = tmp("segmvnw")
+    val a = base.resolve("a").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    MultiVector.writeIndex(spark, docVecs, model, a)
+    // simulate a pre-witness layout: strip the sidecar
+    val mp = new org.apache.hadoop.fs.Path(MultiVector.modelPath(a))
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mp, true)
+    val e = intercept[IllegalArgumentException] {
+      MultiVector.searchSegments(spark, Seq(a), queryVecs, model,
+        k = 4, nprobe = 8)
+    }
+    assert(e.getMessage.contains("_model"))
+  }
+
+  test("multivec merge refuses a foreign quantizer") {
+    val base = tmp("segmvmg")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val m1 = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val m2 = Ivf.train(emb, "embedding", "vec_id", nlist = 4, iters = 1)
+    val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") <= mid), m1, a)
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") > mid), m2, b)
+    val e = intercept[IllegalArgumentException] {
+      MultiVector.mergeInto(spark, a, b)
+    }
+    assert(e.getMessage.contains("DIFFERENT coarse quantizer"))
+    // and a witness-less pair refuses too (the trust contract is gone)
+    val mp = new org.apache.hadoop.fs.Path(MultiVector.modelPath(b))
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mp, true)
+    val e2 = intercept[IllegalArgumentException] {
+      MultiVector.mergeInto(spark, a, b)
+    }
+    assert(e2.getMessage.contains("_model"))
+  }
 }

@@ -350,4 +350,89 @@ class TombstoneSpec extends SparkTestBase {
       .select("nid").collect().map(_.getLong(0))
     assert(got.nonEmpty && got.forall(_ < 100000L))
   }
+
+  test("upsert REVIVES a tombstoned id: the fresh copy serves immediately " +
+    "and survives the fold (dense tier)") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("tombrev")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), idx)
+    // delete-then-re-add: tombstone ids 0-9 AND an id that stays dead
+    Ivf.tombstoneVectors(spark, idx,
+      emb.where(col("vec_id") < 11).select(col("vec_id")), "vec_id")
+    Ivf.upsertVectors(emb.where(col("vec_id") < 10), "embedding",
+      "vec_id", model, idx)
+    // the re-added ids serve; the un-upserted tombstone (10) stays masked
+    val served = Ivf.readIndexServing(spark, idx, "vec_id")
+      .where(col("vec_id") < 11).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served == (0L until 10L).toSet,
+      s"upsert must revive exactly its batch from the mask, got $served")
+    // the fold must RETIRE the remaining mask without erasing the
+    // re-added copies (the silent-data-loss sequence the revive closes)
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    val after = Ivf.readIndexServing(spark, idx, "vec_id")
+      .where(col("vec_id") < 11).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after == (0L until 10L).toSet,
+      s"fold after upsert erased re-added docs: $after")
+  }
+
+  test("upsert revives a tombstoned doc on the sparse and multivec tiers") {
+    // sparse
+    val sidx = java.nio.file.Files.createTempDirectory("tombrevsp")
+      .resolve("index").toString
+    Sparse.writeIndex(Sparse.sparsify(emb, "embedding", "vec_id"), sidx)
+    Sparse.tombstoneDocs(spark, sidx,
+      emb.where(col("vec_id") < 2).select(col("vec_id")))
+    Sparse.upsertDocs(spark, sidx, emb.where(col("vec_id") < 2),
+      "embedding", "vec_id")
+    Sparse.foldTombstones(spark, sidx)
+    val q = Sparse.sparsify(emb.where(col("vec_id") < 2), "embedding",
+      "vec_id")
+    // self-match at rank 1 proves the revived copy serves post-fold
+    val self = Sparse.searchIndex(spark, sidx, q, k = 1,
+      excludeSelf = false)
+    assert(self.where(col("qid") === col("nid")).count() == 2,
+      "revived sparse docs must serve (self-dot owns rank 1)")
+    // multivec
+    val root = java.nio.file.Files.createTempDirectory("tombrevmv")
+      .resolve("pair").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    MultiVector.writeIndex(spark, docVecs, model, root)
+    MultiVector.tombstoneDocs(spark, root,
+      docVecs.where(col("doc") < 2).select(col("doc")).distinct())
+    MultiVector.upsertDocs(spark, root, docVecs.where(col("doc") < 2),
+      model)
+    MultiVector.foldTombstones(spark, root)
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select(lit(0L).as("qid"), col("embedding").as("vec"))
+    val got = MultiVector.searchIndex(spark, root, queryVecs, model,
+      k = 2, nprobe = 8).select("doc").collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L) || got.contains(1L),
+      s"revived multivec docs must serve after the fold, got $got")
+  }
+
+  test("a tombstone sidecar parked mid-revive still masks: serving reads " +
+    "run the recovery preamble") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val decoys = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("tombpark")
+      .resolve("index").toString
+    Ivf.writeIndex(Ivf.assign(emb.unionByName(decoys), "embedding", model),
+      idx)
+    Ivf.tombstoneVectors(spark, idx, decoys.select(col("vec_id")), "vec_id")
+    // crash between the revive swap's two renames: mask parked at
+    // __old, live sidecar missing
+    val tp = new org.apache.hadoop.fs.Path(Ivf.tombPath(idx))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(tp, new org.apache.hadoop.fs.Path(
+      Ivf.tombPath(idx) + "__old")))
+    assert(Ivf.readIndexServing(spark, idx, "vec_id")
+        .where(col("vec_id") >= 100000L).count() == 0,
+      "a parked mask must be recovered and applied, not read as absent")
+  }
 }

@@ -68,4 +68,121 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(StreamingSegments.segmentRoots(spark, root) == Seq(dst.get))
     assert(serveAll(root, model) == before && before.nonEmpty)
   }
+
+  test("segmentRoots orders by numeric batch id, not lexicographically") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ssegs_order")
+      .resolve("segments").toString
+    val sample = emb.where(col("vec_id") < 20)
+    Seq(2L, 10L, 1L).foreach(b =>
+      StreamingSegments.processBatch(spark, sample, "embedding", root,
+        model, b))
+    val ids = StreamingSegments.segmentRoots(spark, root)
+      .map(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
+    assert(ids == Seq(1L, 2L, 10L), s"got $ids")
+  }
+
+  private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private val queries = Seq(0L -> "hash join", 1L -> "fast table scan")
+
+  test("bm25 segment-per-microbatch: replay idempotent, mergeAll " +
+    "equivalent, both == one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_bm")
+      .resolve("segments").toString
+    val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    StreamingSegments.processBatchBm25(spark,
+      docs.where(col("doc_id") <= half), "text", "doc_id", root, 0L)
+    StreamingSegments.processBatchBm25(spark,
+      docs.where(col("doc_id") > half), "text", "doc_id", root, 1L)
+    // replay batch 1: overwrites its own segment (no double stats/df)
+    StreamingSegments.processBatchBm25(spark,
+      docs.where(col("doc_id") > half), "text", "doc_id", root, 1L)
+    def serveSegs() = graft.pipeline.Bm25.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect()
+      .map(_.toSeq).toSet
+    // one-shot golden: a single index over the whole corpus
+    val one = java.nio.file.Files.createTempDirectory("ssegs_bm1")
+      .resolve("index").toString
+    graft.pipeline.Bm25.writeIndex(spark, docs, "text", "doc_id", one)
+    val want = graft.pipeline.Bm25.searchIndex(spark, one, queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect()
+      .map(_.toSeq).toSet
+    assert(serveSegs() == want && want.nonEmpty,
+      "streamed bm25 segments must serve the one-shot results " +
+        "(global N/T/df merge)")
+    StreamingSegments.mergeAllBm25(spark, root)
+    assert(StreamingSegments.segmentRoots(spark, root).size == 1)
+    assert(serveSegs() == want, "post-mergeAll serve must be unchanged")
+    // empty batch guard
+    StreamingSegments.processBatchBm25(spark, docs.limit(0), "text",
+      "doc_id", root, 7L)
+    assert(StreamingSegments.segmentRoots(spark, root).size == 1)
+  }
+
+  test("sparse segment-per-microbatch == one-shot, before and after " +
+    "mergeAll") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_sp")
+      .resolve("segments").toString
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    StreamingSegments.processBatchSparse(spark,
+      emb.where(col("vec_id") <= half), "embedding", "vec_id", root, 0L,
+      tau = 0.05, scale = graft.pipeline.Sparse.DefaultScale)
+    StreamingSegments.processBatchSparse(spark,
+      emb.where(col("vec_id") > half), "embedding", "vec_id", root, 1L,
+      tau = 0.05, scale = graft.pipeline.Sparse.DefaultScale)
+    val q = graft.pipeline.Sparse.sparsify(emb.where(col("vec_id") < 2),
+      "embedding", "vec_id")
+    def serveSegs() = graft.pipeline.Sparse.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), q, k = 5)
+      .select("qid", "nid", "score", "rk").collect().map(_.toSeq).toSet
+    val one = java.nio.file.Files.createTempDirectory("ssegs_sp1")
+      .resolve("index").toString
+    graft.pipeline.Sparse.writeIndex(
+      graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), one)
+    val want = graft.pipeline.Sparse.searchIndex(spark, one, q, k = 5)
+      .select("qid", "nid", "score", "rk").collect().map(_.toSeq).toSet
+    assert(serveSegs() == want && want.nonEmpty)
+    StreamingSegments.mergeAllSparse(spark, root)
+    assert(StreamingSegments.segmentRoots(spark, root).size == 1)
+    assert(serveSegs() == want)
+  }
+
+  test("hybrid segment pairs: merged serve == across-segments serve; " +
+    "a no-embeddings batch yields a lexical-only segment") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_hy")
+      .resolve("segments").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    def batchOf(pred: org.apache.spark.sql.Column) =
+      StreamingSegments.processBatchHybrid(spark, docs.where(pred),
+        "text", "doc_id", emb, "vec_id", "embedding", model, root, _: Long)
+    batchOf(col("doc_id") <= half)(0L)
+    batchOf(col("doc_id") > half)(1L)
+    // a batch whose ids have NO embeddings → lexical-only segment
+    StreamingSegments.processBatchHybrid(spark,
+      docs.limit(3).select((col("doc_id") + 5000000L).as("doc_id"),
+        col("text")),
+      "text", "doc_id", emb, "vec_id", "embedding", model, root, 2L)
+    val segs = StreamingSegments.segmentRoots(spark, root)
+    assert(segs.size == 3)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(segs.last, "ivf")),
+      "a no-embeddings batch must not write a dense side")
+    val qv = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    def serveSegs() = graft.pipeline.Hybrid.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), queries, qv, model,
+        "embedding", "vec_id", kCand = 10, k = 5, nprobe = 8)
+      .select("qid", "doc", "rrf_fp", "rk").collect().map(_.toSeq).toSet
+    val across = serveSegs()
+    assert(across.nonEmpty)
+    val dst = StreamingSegments.mergeAllHybrid(spark, root)
+    assert(dst.isDefined &&
+      StreamingSegments.segmentRoots(spark, root) == Seq(dst.get))
+    assert(serveSegs() == across,
+      "post-mergeAll hybrid serve must be unchanged")
+  }
 }
