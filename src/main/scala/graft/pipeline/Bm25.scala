@@ -362,6 +362,61 @@ object Bm25 {
     fs.delete(tp, true)
   }
 
+  /** KEYSET pagination over the lexical index — [[Ivf.scroll]]'s
+    * doc-listing semantics on this tier (what a dashboard or an
+    * export walks without a search): one id-ordered page of DISTINCT
+    * live doc ids strictly after `afterId`, tombstone-masked,
+    * optionally filtered over the `doc` column. Plan shape: the
+    * keyset predicate and filter push into the postings scan
+    * (doc > after prunes pages via column stats), the distinct
+    * partially aggregates map-side, and the cut is
+    * TakeOrderedAndProject — O(page) rows cross the driver; each
+    * next page re-enters with the previous page's last id, so no
+    * OFFSET scan-and-discard at any depth. Honest cost note: a doc
+    * listing has no query terms to prune buckets by — the scan
+    * touches every bucket's doc column (column-pruned to one
+    * column), the price of not maintaining a separate doc table.
+    */
+  def scroll(spark: SparkSession, path: String, afterId: Option[Long],
+             limit: Int,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(limit > 0, "scroll limit must be positive")
+    recoverLayouts(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+      .where(filter.getOrElse(lit(true)))
+      .where(afterId.map(a => col("doc") > a).getOrElse(lit(true)))
+      .select(col("doc"))
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val masked =
+      if (!fs.exists(tp)) post
+      else post.join(spark.read.parquet(tombPath(path))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    masked.distinct().orderBy(col("doc")).limit(limit)
+  }
+
+  /** EXACT count of live (served) documents, optionally filtered —
+    * the count-API semantics ([[Ivf.countIndex]]) on the lexical
+    * index: distinct docs over the masked postings, never the stats
+    * table (stats keep tombstoned docs' mass until the fold — the
+    * Lucene model — but a COUNT must report what serving shows).
+    * Returns a one-row (cnt) frame.
+    */
+  def countDocs(spark: SparkSession, path: String,
+                filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    recoverLayouts(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+      .where(filter.getOrElse(lit(true)))
+      .select(col("doc"))
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val masked =
+      if (!fs.exists(tp)) post
+      else post.join(spark.read.parquet(tombPath(path))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    masked.agg(countDistinct(col("doc")).as("cnt"))
+  }
+
   /** SEGMENT MERGE — absorb the index at `srcPath` into `dstPath`
     * with ZERO recompute: because readers SUM the stats rows and the
     * per-term df rows across increments (the append design), a merge

@@ -374,6 +374,35 @@ object Sparse {
       df.select(col(idCol)), "doc")
   }
 
+  /** EXACT count of live (served) documents, optionally filtered
+    * over the `doc` column — the count-API semantics
+    * ([[Ivf.countIndex]]) on the sparse tier: distinct docs over the
+    * pruned, masked postings (a doc is one point however many active
+    * dims it carries). One column-pruned scan; returns a one-row
+    * (cnt) frame. A missing or data-less layout counts zero (the
+    * family's missing-layout = empty-index convention).
+    */
+  def countIndex(spark: SparkSession, path: String,
+                 filter: Option[Column] = None): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, path)
+    val lp = new org.apache.hadoop.fs.Path(path)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!layoutHasData(fs, lp)) {
+      import spark.implicits._
+      return Seq(0L).toDF("cnt")
+    }
+    val post = spark.read.parquet(path)
+      .where(filter.getOrElse(lit(true)))
+      .select(col("doc"))
+    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
+    val masked =
+      if (!fs.exists(tp)) post
+      else post.join(spark.read.parquet(tombPath(path))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    masked.agg(countDistinct(col("doc")).as("cnt"))
+  }
+
   /** SEGMENT MERGE — the shard-parallel build topology: postings are
     * per-doc rows under ONE fixed (tau, scale) sparsification (the
     * family's frozen-params contract), so absorbing shard `srcPath`

@@ -6028,6 +6028,42 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // KEYSET scroll over the lexical index (ivf_scroll's semantics on
+    // the bm25 tier — the dashboard doc-listing the verdict asked
+    // for): two filtered pages walked by last-id keyset through a
+    // live tombstone mask ≡ DuckDB's ordered LIMIT/OFFSET over the
+    // filtered masked corpus
+    "bm25_scroll" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("bm25_scroll")
+        .resolve("index").toString
+      graft.pipeline.Bm25.writeIndex(s, docs, "text", "doc_id", idx)
+      graft.pipeline.Bm25.tombstoneDocs(s, idx,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+      val filt = Some(col("doc") % 2 === 0)
+      val p1 = graft.pipeline.Bm25.scroll(s, idx, None, 20, filt)
+        .localCheckpoint(true)
+      val last = p1.agg(max(col("doc"))).head().getLong(0)
+      val p2 = graft.pipeline.Bm25.scroll(s, idx, Some(last), 20, filt)
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .select(col("page"), col("doc"))
+        .orderBy(col("page"), col("doc"))
+    }),
+
+    // the count-API on the lexical tier: live docs under filter +
+    // mask — distinct over postings, NOT the stats table (stats keep
+    // tombstoned mass until the fold; a count reports what serves)
+    "bm25_count_filtered" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("bm25_count")
+        .resolve("index").toString
+      graft.pipeline.Bm25.writeIndex(s, docs, "text", "doc_id", idx)
+      graft.pipeline.Bm25.tombstoneDocs(s, idx,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+      graft.pipeline.Bm25.countDocs(s, idx, Some(col("doc") % 2 === 0))
+    }),
+
     // SPARSE retrieval tier (SPLADE / uniCOIL class): vectors become
     // active (dim, fixed-point w) postings, scores are exact integer
     // dot products over shared dims — deterministic across engines,
@@ -6116,6 +6152,21 @@ object Queries {
             emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
         .select(col("qid"), col("nid"), col("score"), col("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the count-API on the sparse tier: live docs (distinct over the
+    // masked postings) under a payload filter — the Qdrant count
+    // semantics a quota check reads without a search
+    "sparse_count_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_count")
+        .resolve("index").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.tombstoneDocs(s, idx,
+        emb.where(col("vec_id") % 7 === 3).select(col("vec_id")))
+      graft.pipeline.Sparse.countIndex(s, idx,
+        Some(col("doc") % 2 === 0))
     }),
 
     // multi-segment sparse serve WITHOUT the merge: three shard
@@ -7456,6 +7507,25 @@ object Queries {
     "bm25_topk_segments" ->
       s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
+    // keyset scroll on the lexical tier: every doc yields at least
+    // one posting (the tokenizer emits [""] for empty text), so the
+    // live doc listing is exactly the documents table minus the
+    // tombstones, under the filter
+    "bm25_scroll" ->
+      """WITH live AS (
+        |  SELECT doc_id AS doc FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3),
+        |p1 AS (SELECT doc FROM live ORDER BY doc LIMIT 20),
+        |p2 AS (SELECT doc FROM live ORDER BY doc LIMIT 20 OFFSET 20)
+        |SELECT CAST(1 AS BIGINT) AS page, doc FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS page, doc FROM p2
+        |ORDER BY page, doc""".stripMargin,
+
+    "bm25_count_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin,
+
     // segment-per-microbatch lexical ingest: the across-segments
     // serve (global stats merge) AND the post-mergeAll serve must
     // both equal the one-shot build
@@ -7489,6 +7559,19 @@ object Queries {
     // three shards union-served with per-segment tombstone masks ≡
     // the decoy-free brute force (no physical merge)
     "sparse_topk_segments" -> sparseTopkSql(),
+    // the sparse count-API: a doc is live when any dim survives the
+    // sparsify threshold (the expl/sp CTE the topk rows share) and
+    // its id passes filter + mask
+    "sparse_count_filtered" ->
+      """WITH expl AS (
+        |  SELECT vec_id AS doc, unnest(embedding) AS val
+        |  FROM embeddings),
+        |live AS (
+        |  SELECT DISTINCT doc FROM expl
+        |  WHERE CAST(val AS DOUBLE) >= 0.05
+        |    AND doc % 2 = 0 AND doc % 7 <> 3)
+        |SELECT CAST(count(*) AS BIGINT) AS cnt FROM live""".stripMargin,
+
     // segment-per-microbatch sparse ingest: both stages (across
     // segments, post-mergeAll) replay the same brute force
     "stream_sparse_segments" ->

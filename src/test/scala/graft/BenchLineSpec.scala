@@ -127,5 +127,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.contended(Seq(-1.0, 41.2, 84.9)))
     // single-rep runs have no spread to judge
     assert(!Bench.contended(Seq(42.0)))
+    // the r12 sub-threshold escape: spread 2.77x but a ~10 s absolute
+    // gap — the absolute-gap trigger (> 4 x floor) now flags it
+    assert(Bench.contended(Seq(17.25, 7.20, 6.23)))
+    // a multi-second row with a gap under 4 x floor stays quiet
+    // (spread 1.6x, gap 6.0 s < 8 s)
+    assert(!Bench.contended(Seq(15.0, 10.0, 9.0)))
+    // failed reps still never flag, whatever the gap
+    assert(!Bench.contended(Seq(-1.0, 9.0, 20.0)))
   }
 }
