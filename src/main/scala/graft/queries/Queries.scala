@@ -3669,6 +3669,40 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the FIFTH tier's segment-per-microbatch write path — the write
+    // side of MultiVector.searchSegments, completing the ledger-free
+    // streamed-segments story on every serving tier: batches split on
+    // the DOC column so each doc's vector set lands whole in one
+    // segment (the disjoint-docs contract per-segment Σ max-cos
+    // needs), each segment carries its own verified _model witness;
+    // the across-segments serve AND the post-mergeAll serve must both
+    // equal the brute-force mirror
+    "stream_multivec_segments" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("smv_segs")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestMultiVec(s, d, root, model,
+        nBatches = 4)
+      def serve() = graft.pipeline.MultiVector.searchSegments(s,
+          graft.streaming.StreamingSegments.segmentRoots(s, root),
+          queryVecs, model, k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+      val across = serve().withColumn("stage", lit("segments"))
+        .localCheckpoint(true)
+      graft.streaming.StreamingSegments.mergeAllMultiVec(s, root)
+      across.unionByName(serve().withColumn("stage", lit("merged")))
+        .select(col("stage"), col("qid"), col("doc"), col("score"),
+          col("rk"))
+        .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
     // grown late-interaction pair ≡ one-shot (one assignment pass
     // feeds both sub-layouts per increment; disjoint docs)
     "multivec_topk_incremental" -> ((s, d) => {
@@ -7666,6 +7700,15 @@ object Queries {
          |    ORDER BY score DESC, doc) AS rk
          |FROM sc QUALIFY rk <= 3 ORDER BY qid, grp, rk""".stripMargin,
     "stream_multivec_search" -> multivecSql(),
+    // segment-per-microbatch multivec ingest: both stages (across
+    // witness-verified segment pairs, post-mergeAll) replay the same
+    // fixed-point brute force
+    "stream_multivec_segments" ->
+      s"""WITH base AS (${multivecSql()})
+         |SELECT 'segments' AS stage, qid, doc, score, rk FROM base
+         |UNION ALL
+         |SELECT 'merged' AS stage, qid, doc, score, rk FROM base
+         |ORDER BY stage, qid, rk""".stripMargin,
     // stale docs replaced by their true vector sets ≡ never corrupted
     "multivec_topk_upserted" -> multivecSql(),
     // corrupted pair restored from its snapshot ≡ never corrupted

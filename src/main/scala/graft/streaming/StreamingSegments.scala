@@ -271,6 +271,63 @@ object StreamingSegments {
     }
   }
 
+  /** One MULTIVEC microbatch: the batch's (doc, vec) rows as their
+    * own complete late-interaction pair — ivf/ + docs/ sub-layouts
+    * AND the `_model` witness [[MultiVector.searchSegments]]
+    * verifies ([[MultiVector.writeIndex]] writes all three). The
+    * batch must hold WHOLE documents: per-segment Σ max-cos is only
+    * exact when a doc's vector set lives in exactly one segment
+    * (the family's disjoint-docs contract) — [[ingestMultiVec]]
+    * guarantees it by splitting on the doc column. Exposed for
+    * testing.
+    */
+  def processBatchMultiVec(spark: SparkSession, batch: DataFrame,
+                           model: graft.pipeline.IvfModel, root: String,
+                           batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    promoteSegment(spark, root, batchId) { tmp =>
+      graft.pipeline.MultiVector.writeIndex(spark, batch, model, tmp)
+    }
+  }
+
+  /** Stream the embeddings table (docs = `vecsPerDoc`-vector groups)
+    * into a late-interaction segment-per-batch layout under `root`.
+    * The (doc, vec) corpus is derived ONCE and staged split on the
+    * DOC column — a vec_id-range split (the other ingests' shape)
+    * could cut one document's vectors across two batches, which the
+    * single-layout append tolerates (the gather reads every row of a
+    * candidate doc) but a segment union must not (per-segment scores
+    * would each see half the doc). Serve with
+    * `MultiVector.searchSegments(spark, segmentRoots(root), …)`.
+    */
+  def ingestMultiVec(spark: SparkSession, dir: String, root: String,
+                     model: graft.pipeline.IvfModel, nBatches: Int = 4,
+                     vecsPerDoc: Int = 4): Unit = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_ssegmv_src")
+      .resolve("docvecs.parquet").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") / vecsPerDoc).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      .write.parquet(staged)
+    try runIngest(spark, staged, "doc", nBatches, "graft_ssegmv_ckpt_") {
+      (batch, batchId) =>
+        processBatchMultiVec(batch.sparkSession, batch, model, root, batchId)
+    } finally EventStream.deleteScratch(
+      new java.io.File(staged).getParentFile.toPath)
+  }
+
+  /** Fold every multivec segment pair into the first via the
+    * witness-verified [[MultiVector.mergeInto]].
+    */
+  def mergeAllMultiVec(spark: SparkSession, root: String): Option[String] = {
+    val segs = segmentRoots(spark, root)
+    segs.headOption.map { dst =>
+      segs.tail.foreach(src =>
+        graft.pipeline.MultiVector.mergeInto(spark, dst, src))
+      dst
+    }
+  }
+
   /** Fold every hybrid segment pair into one via [[Hybrid.mergeInto]]
     * (both sides' file-move merges under their own witnesses). The
     * destination is the first segment CARRYING A DENSE SIDE (a

@@ -150,6 +150,45 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(serveSegs() == want)
   }
 
+  test("multivec segment-per-microbatch: docs never split across " +
+    "segments, serve == one-shot before and after mergeAll") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_mv")
+      .resolve("segments").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    StreamingSegments.ingestMultiVec(spark, sf(), root, model,
+      nBatches = 3, vecsPerDoc = 4)
+    val segs = StreamingSegments.segmentRoots(spark, root)
+    assert(segs.size >= 2, "fixture must stage multiple batches")
+    // the disjoint-docs contract: every doc's vectors live in ONE segment
+    val homes = segs.zipWithIndex.map { case (r, i) =>
+      spark.read.parquet(s"$r/docs").select(col("doc")).distinct()
+        .withColumn("seg", lit(i))
+    }.reduce(_ unionByName _)
+    assert(homes.groupBy("doc").count().where(col("count") > 1).count() == 0,
+      "a doc's vector set split across segments — per-segment max-sim " +
+        "scores would be wrong")
+    val queryVecs = emb.where(col("vec_id") < 4)
+      .select((col("vec_id") / 2).cast("long").as("qid"),
+        col("embedding").as("vec"))
+    def serveSegs() = graft.pipeline.MultiVector.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), queryVecs, model,
+        k = 4, nprobe = 8)
+      .select("qid", "doc", "score", "rk").collect().map(_.toSeq).toSet
+    // one-shot golden over the same (doc, vec) corpus
+    val one = java.nio.file.Files.createTempDirectory("ssegs_mv1")
+      .resolve("pair").toString
+    graft.pipeline.MultiVector.writeIndex(spark,
+      emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec")), model, one)
+    val want = graft.pipeline.MultiVector.searchIndex(spark, one,
+        queryVecs, model, k = 4, nprobe = 8)
+      .select("qid", "doc", "score", "rk").collect().map(_.toSeq).toSet
+    assert(serveSegs() == want && want.nonEmpty)
+    StreamingSegments.mergeAllMultiVec(spark, root)
+    assert(StreamingSegments.segmentRoots(spark, root).size == 1)
+    assert(serveSegs() == want)
+  }
+
   test("hybrid segment pairs: merged serve == across-segments serve; " +
     "a no-embeddings batch yields a lexical-only segment") {
     val root = java.nio.file.Files.createTempDirectory("ssegs_hy")
