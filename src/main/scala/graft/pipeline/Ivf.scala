@@ -714,9 +714,7 @@ object Ivf {
     // presence must agree across segments, and when present the
     // codebooks must match bit-for-bit (mergeInto's samePq check
     // lifted to the N-segment serve; one batched read, no per-segment
-    // job). Residual boundary this shares with mergeInto: int8 and BQ
-    // layouts carry identical metadata (binary codes, no sidecar) —
-    // distinguishing those stays the caller's layout-registry duty.
+    // job).
     locally {
       val withPq = live.filter { p =>
         val pp = new org.apache.hadoop.fs.Path(pqPath(p))
@@ -743,6 +741,21 @@ object Ivf {
           s"holds $headCols — segments must share ONE layout schema " +
           "(all int8 codes, all float vectors, ...); rebuild or serve " +
           "it separately")
+    }
+    // CODEC-marker parity — the divergence neither the footer types
+    // nor the _pq check can see: int8 and BQ layouts carry identical
+    // metadata (codes: binary, no codebook sidecar), so only the
+    // writers' `_codec` stamp distinguishes them. Any mix — two
+    // different stamps, or a stamped segment beside an unmarked one —
+    // refuses loudly (FS reads only, no job).
+    locally {
+      val codecs = live.map(p => readCodec(spark, p))
+      require(codecs.distinct.size <= 1,
+        "segments disagree on codes ENCODING: " +
+          live.zip(codecs).map { case (p, c) =>
+            s"$p=${c.getOrElse("unmarked")}" }.mkString(", ") +
+          " — int8/BQ/PQ bytes are mutually meaningless; rebuild or " +
+          "serve them separately")
     }
     // Per-segment relations (arbitrary roots share no basePath, so a
     // single multi-path relation trips CONFLICTING_DIRECTORY_
@@ -893,6 +906,53 @@ object Ivf {
     graft.core.Pinned.release(ids)
     fs.delete(tp, true) // heal pre-dropHidden crash leftovers
   }
+
+  /** Canonical location of a codes layout's CODEC marker: a `_codec`
+    * dir holding ONE empty file named for the encoding ("int8",
+    * "bq", "pq", "pqr") — an FS-read witness (no Spark job, no
+    * parquet) closing the one divergence the footer-type check
+    * cannot see: int8 and BQ layouts expose the identical
+    * `codes: binary` column with no other sidecar, so a segment mix
+    * or a cross-codec append would serve/score mutually meaningless
+    * bytes SILENTLY. Hidden (underscore) ⇒ invisible to readers,
+    * carried across every [[graft.core.ParquetCompact]] swap like
+    * `_model`.
+    */
+  def codecPath(indexPath: String): String = s"$indexPath/_codec"
+
+  /** The persisted codec marker, if any (pre-marker float layouts
+    * and plain [[writeIndex]] layouts have none).
+    */
+  private[pipeline] def readCodec(spark: SparkSession,
+                                  path: String): Option[String] = {
+    val d = new org.apache.hadoop.fs.Path(codecPath(path))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).filter(_.isFile)
+      .map(_.getPath.getName).sorted.headOption
+  }
+
+  /** Stamp-or-VERIFY the codec marker (the [[ensurePair]] shape):
+    * first contact stamps; an append under a DIFFERENT codec than
+    * the layout's is a loud error — without this,
+    * `appendToIndexBq` onto an int8 layout interleaves sign-bit
+    * bytes into int8 postings and every later serve scores garbage
+    * silently (both are `codes: binary` to every other check).
+    */
+  private def stampCodec(spark: SparkSession, path: String,
+                         codec: String): Unit =
+    readCodec(spark, path) match {
+      case Some(prev) =>
+        require(prev == codec,
+          s"$path holds $prev-coded postings — appending $codec codes " +
+            "would interleave mutually meaningless bytes; rebuild the " +
+            "layout or use the matching writer")
+      case None =>
+        val d = new org.apache.hadoop.fs.Path(codecPath(path))
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(d)
+        fs.create(new org.apache.hadoop.fs.Path(d, codec), true).close()
+    }
 
   /** The layout's SECONDARY (payload) partition columns, discovered
     * from the directory structure itself (one branch descent below
@@ -1532,6 +1592,15 @@ object Ivf {
       fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
       return
     }
+    // codec-marker parity (int8 vs BQ — identical metadata otherwise;
+    // see readSegmentsServing's twin check). AFTER the data-less
+    // short-circuit: an empty shard has no codes to mix, whatever its
+    // leftover markers say
+    require(readCodec(spark, srcPath) == readCodec(spark, dstPath),
+      s"$srcPath (${readCodec(spark, srcPath).getOrElse("unmarked")}) and " +
+        s"$dstPath (${readCodec(spark, dstPath).getOrElse("unmarked")}) " +
+        "hold codes under DIFFERENT ENCODINGs — the merged bytes would " +
+        "score silently wrong; rebuild one side")
     // src sidecars fold BEFORE the move; schema check after (folding
     // a versioned layout keeps its seq column, so the check is stable)
     foldTombstones(spark, srcPath, idCol)
@@ -1582,12 +1651,15 @@ object Ivf {
     * the quantized layout.
     */
   def writeIndexInt8(postings: DataFrame, vecCol: String, path: String,
-                     payloadCols: Seq[String] = Nil): Unit =
+                     payloadCols: Seq[String] = Nil): Unit = {
     postings
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
       .write.mode("overwrite")
       .partitionBy("cluster" +: payloadCols: _*).parquet(path)
+    // the overwrite wiped any prior marker with the layout it marked
+    stampCodec(postings.sparkSession, path, "int8")
+  }
 
   /** Incremental maintenance for the QUANTIZED serving layout:
     * assign the new vectors under the frozen coarse quantizer,
@@ -1603,6 +1675,7 @@ object Ivf {
                         path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexInt8")
+    stampCodec(df.sparkSession, path, "int8") // refuse a cross-codec append
     assign(df, vecCol, model)
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
@@ -1695,6 +1768,7 @@ object Ivf {
     // modelPath/pqPath)
     saveModel(postings.sparkSession, model, modelPath(path))
     Pq.saveModel(postings.sparkSession, pq, pqPath(path))
+    stampCodec(postings.sparkSession, path, "pq")
   }
 
   /** Canonical location of a codes layout's persisted codebooks —
@@ -1760,6 +1834,11 @@ object Ivf {
                       model: IvfModel, path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexPq")
+    stampCodec(df.sparkSession, path, "pq") // refuse a cross-codec append
+    // verify the pair against the layout's persisted models (pure
+    // verification: writeIndexPq always persists them) — an append
+    // encoded under drifted codebooks would serve garbage silently
+    ensurePair(df.sparkSession, model, Some(pq), path)
     assign(df, vecCol, model)
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
@@ -1877,6 +1956,7 @@ object Ivf {
     // recovers everything from the root ([[loadModel]]/[[loadPq]])
     saveModel(postings.sparkSession, model, modelPath(path))
     Pq.saveModel(postings.sparkSession, pq, pqPath(path))
+    stampCodec(postings.sparkSession, path, "pqr")
   }
 
   /** [[appendToIndexInt8]]'s twin for the RESIDUAL codes layout —
@@ -1889,6 +1969,10 @@ object Ivf {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     guardNotPayloadPartitioned(df.sparkSession, path,
       "appendToIndexPqResidual")
+    stampCodec(df.sparkSession, path, "pqr") // refuse a cross-codec append
+    // verify the pair against the layout's persisted models (pure
+    // verification: writeIndexPqResidual always persists the triple)
+    ensurePair(df.sparkSession, model, Some(pq), path)
     assign(df, vecCol, model)
       .withColumn("codes",
         Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
@@ -2148,11 +2232,13 @@ object Ivf {
     * layout can never drift from a stale codebook. Serve with
     * [[searchBqIndex]] (Hamming shortlist + exact rescore).
     */
-  def writeIndexBq(postings: DataFrame, vecCol: String, path: String): Unit =
+  def writeIndexBq(postings: DataFrame, vecCol: String, path: String): Unit = {
     postings
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    stampCodec(postings.sparkSession, path, "bq")
+  }
 
   /** [[appendToIndexInt8]]'s twin for the sign-bit layout — assign
     * under the frozen coarse quantizer, encode, dynamic-partition
@@ -2163,6 +2249,7 @@ object Ivf {
                       path: String): Unit = {
     graft.core.DirSwap.recoverAt(df.sparkSession, path) // see appendToIndex
     guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndexBq")
+    stampCodec(df.sparkSession, path, "bq") // refuse a cross-codec append
     assign(df, vecCol, model)
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)

@@ -258,6 +258,59 @@ class SegmentServeSpec extends SparkTestBase {
     assert(e.getMessage.contains("_pq"))
   }
 
+  test("ivf segments serve refuses an int8/BQ codec mix: identical " +
+    "metadata, only the _codec stamp differs") {
+    val base = tmp("segivbq")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Ivf.writeIndexInt8(Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model), "embedding", a)
+    // b is sign-bit coded: same codes: binary footer, same witness,
+    // no codebook sidecar on either — only the codec stamp differs
+    Ivf.writeIndexBq(Ivf.assign(emb.where(col("vec_id") > half),
+      "embedding", model), "embedding", b)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    Ivf.saveModel(spark, model, Ivf.modelPath(b))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", model)
+    }
+    assert(e.getMessage.contains("ENCODING"))
+    // and the merge refuses the same mix
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.mergeInto(spark, a, b)
+    }
+    assert(e2.getMessage.contains("ENCODING"))
+  }
+
+  test("a cross-codec append refuses instead of interleaving garbage bytes") {
+    val base = tmp("segivxc")
+    val a = base.resolve("a").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding", a)
+    // appendToIndexBq onto the int8 layout: both write codes: binary —
+    // before the stamp this interleaved silently
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToIndexBq(emb.where(col("vec_id") < 5), "embedding",
+        model, a)
+    }
+    assert(e.getMessage.contains("int8"))
+    // the marker survives a compaction swap (hidden-dir carry-over),
+    // so the guard outlives maintenance
+    Ivf.compactIndex(spark, a)
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndexBq(emb.where(col("vec_id") < 5), "embedding",
+        model, a)
+    }
+    assert(e2.getMessage.contains("int8"))
+    // the matching append still works
+    Ivf.appendToIndexInt8(
+      emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      "embedding", model, a)
+  }
+
   test("multivec segments serve refuses a foreign quantizer") {
     val base = tmp("segmvfq")
     val a = base.resolve("a").toString
