@@ -153,14 +153,19 @@ object Bench {
     * [[ContentionFloorSec]] (sub-second queries jitter past 3×
     * from scheduling noise alone, and a recycle costs more than it
     * could recover there) — OR when the absolute gap alone clears
-    * 4 × [[ContentionFloorSec]], regardless of ratio: the r12
+    * 4 × [[ContentionFloorSec]] at any spread past 1.5×: the r12
     * driver window put ~10 s of pure noise into the headline via
     * hybrid_topk_deleted [17.25, 7.20, 6.23] at spread 2.77×, just
     * under the ratio trigger — a multi-second gap between
     * back-to-back identical runs is machine noise whatever the
-    * ratio says, and re-measuring once costs ~2-4 s against the
-    * ~10 s it recovers. Failed reps (-1) never flag: the entry is
-    * already poisoned and a retry would mask a real crash.
+    * ratio says. The mild 1.5× floor on the absolute branch keeps a
+    * legitimately heavy query's systematic warm-up gap (a 30 s row
+    * whose first rep runs 1.3× — which a recycle would REPRODUCE,
+    * paying the full suite re-run for nothing) from flagging on
+    * every run; r12's quiet capture maxes at 2.9 s gap / 1.8×
+    * outside the contended row, so both branches have wide margin.
+    * Failed reps (-1) never flag: the entry is already poisoned and
+    * a retry would mask a real crash.
     */
   private[graft] val ContentionSpread = 3.0
   private[graft] val ContentionFloorSec = 2.0
@@ -169,7 +174,7 @@ object Bench {
       val mn = reps.min
       val mx = reps.max
       (mx > ContentionSpread * mn && mx - mn > ContentionFloorSec) ||
-        mx - mn > 4 * ContentionFloorSec
+        (mx - mn > 4 * ContentionFloorSec && mx > 1.5 * mn)
     }
 
   /** The driver keeps only a ~2000-char tail of the sbt stdout and

@@ -37,13 +37,19 @@ object TombstoneSidecar {
       .join(ids.select(col(ids.columns.head).as(idCol)),
         Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    if (survivors.isEmpty) fs.delete(tp, true)
-    else {
-      val tmp = new Path(tombDir + "__reviving")
-      fs.delete(tmp, true) // a prior crashed revive's leftovers
-      survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      DirSwap.promote(fs, tp, tmp)
-    }
-    Pinned.release(survivors)
+    try {
+      if (survivors.isEmpty) fs.delete(tp, true)
+      else {
+        val tmp = new Path(tombDir + "__reviving")
+        fs.delete(tmp, true) // a prior crashed revive's leftovers
+        // one file: the mask is tiny by the fold-cadence contract and
+        // every serving read re-reads it — a shuffle-partition spray
+        // of near-empty parts would tax each of them (the mergeLatest
+        // sidecar shape)
+        survivors.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        DirSwap.promote(fs, tp, tmp)
+      }
+    } finally Pinned.release(survivors)
   }
 }

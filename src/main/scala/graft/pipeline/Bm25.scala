@@ -381,18 +381,28 @@ object Bm25 {
              limit: Int,
              filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(limit > 0, "scroll limit must be positive")
+    maskedLiveDocs(spark, path,
+      filter.getOrElse(lit(true)) &&
+        afterId.map(a => col("doc") > a).getOrElse(lit(true)))
+      .distinct().orderBy(col("doc")).limit(limit)
+  }
+
+  /** The filtered, tombstone-masked (doc) column of the postings —
+    * the live-doc prefix [[scroll]] and [[countDocs]] share (one
+    * mask-contract site, not three: scoredIndexCandidates keeps its
+    * own because it masks the FULL per-segment postings rows).
+    */
+  private def maskedLiveDocs(spark: SparkSession, path: String,
+                             pred: org.apache.spark.sql.Column): DataFrame = {
     recoverLayouts(spark, path)
     val post = spark.read.parquet(s"$path/postings")
-      .where(filter.getOrElse(lit(true)))
-      .where(afterId.map(a => col("doc") > a).getOrElse(lit(true)))
+      .where(pred)
       .select(col("doc"))
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val masked =
-      if (!fs.exists(tp)) post
-      else post.join(spark.read.parquet(tombPath(path))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
-    masked.distinct().orderBy(col("doc")).limit(limit)
+    if (!fs.exists(tp)) post
+    else post.join(spark.read.parquet(tombPath(path))
+      .select(col("doc")).distinct(), Seq("doc"), "left_anti")
   }
 
   /** EXACT count of live (served) documents, optionally filtered —
@@ -403,19 +413,9 @@ object Bm25 {
     * Returns a one-row (cnt) frame.
     */
   def countDocs(spark: SparkSession, path: String,
-                filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    recoverLayouts(spark, path)
-    val post = spark.read.parquet(s"$path/postings")
-      .where(filter.getOrElse(lit(true)))
-      .select(col("doc"))
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val masked =
-      if (!fs.exists(tp)) post
-      else post.join(spark.read.parquet(tombPath(path))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
-    masked.agg(countDistinct(col("doc")).as("cnt"))
-  }
+                filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    maskedLiveDocs(spark, path, filter.getOrElse(lit(true)))
+      .agg(countDistinct(col("doc")).as("cnt"))
 
   /** SEGMENT MERGE — absorb the index at `srcPath` into `dstPath`
     * with ZERO recompute: because readers SUM the stats rows and the

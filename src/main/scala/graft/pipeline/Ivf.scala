@@ -603,10 +603,10 @@ object Ivf {
     * fold — small by the maintenance policy — and rides a broadcast
     * anti-join at probe time; fold on the same cadence as
     * compaction. Tombstones mask by ID, so re-adding a tombstoned id
-    * (append or [[upsertVersioned]]) serves NOTHING for it until the
-    * tombstone folds — delete-then-re-add must fold between the two,
-    * or use [[upsertVectors]], which REVIVES its ids from the mask
-    * ([[graft.core.TombstoneSidecar]]).
+    * via a PLAIN append serves NOTHING for it until the tombstone
+    * folds — delete-then-re-add must fold between the two, or go
+    * through [[upsertVectors]]/[[upsertVersioned]], which REVIVE
+    * their ids from the mask ([[graft.core.TombstoneSidecar]]).
     */
   def tombstoneVectors(spark: SparkSession, path: String, ids: DataFrame,
                        idCol: String): Unit = {
@@ -933,14 +933,19 @@ object Ivf {
   }
 
   /** Stamp-or-VERIFY the codec marker (the [[ensurePair]] shape):
-    * first contact stamps; an append under a DIFFERENT codec than
-    * the layout's is a loud error — without this,
-    * `appendToIndexBq` onto an int8 layout interleaves sign-bit
-    * bytes into int8 postings and every later serve scores garbage
-    * silently (both are `codes: binary` to every other check).
+    * an append under a DIFFERENT codec than the layout's is a loud
+    * error — without this, `appendToIndexBq` onto an int8 layout
+    * interleaves sign-bit bytes into int8 postings and every later
+    * serve scores garbage silently (both are `codes: binary` to
+    * every other check). `fresh = true` (the writeIndex* family,
+    * which just created the layout) always stamps; an APPEND
+    * (`fresh = false`) refuses an unmarked NON-EMPTY layout instead
+    * of guessing — stamping the appender's codec onto unmarked
+    * foreign bytes would both corrupt the layout and mislabel it
+    * permanently (the correct writer would be refused from then on).
     */
   private def stampCodec(spark: SparkSession, path: String,
-                         codec: String): Unit =
+                         codec: String, fresh: Boolean = false): Unit =
     readCodec(spark, path) match {
       case Some(prev) =>
         require(prev == codec,
@@ -950,6 +955,11 @@ object Ivf {
       case None =>
         val d = new org.apache.hadoop.fs.Path(codecPath(path))
         val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fresh ||
+            !layoutHasData(fs, new org.apache.hadoop.fs.Path(path)),
+          s"$path holds codes with NO _codec marker (a pre-marker or " +
+            s"foreign layout) — refusing to assume they are $codec; " +
+            "rebuild with the matching writeIndex* writer, which stamps")
         fs.mkdirs(d)
         fs.create(new org.apache.hadoop.fs.Path(d, codec), true).close()
     }
@@ -1060,6 +1070,12 @@ object Ivf {
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
     mergeLatest(spark, path,
       df.select(col(idCol), lit(seq).as("latest_seq")))
+    // an upsert is an explicit re-add: REVIVE the batch's ids from
+    // any live tombstone mask (the upsertVectors contract — without
+    // it, tombstone(X) → upsertVersioned(X) hides every seq of X and
+    // the next fold physically erases them all, the new copy included)
+    graft.core.TombstoneSidecar.revive(spark, tombPath(path),
+      df.select(col(idCol)), idCol)
   }
 
   private def mergeLatest(spark: SparkSession, path: String,
@@ -1448,6 +1464,7 @@ object Ivf {
       if (!exists) 0L
       else readIndex(spark, path).groupBy().count().head().getLong(0)
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
     val masked =
       if (!fs.exists(tp)) 0L
       else spark.read.parquet(tombPath(path)).select(col(idCol))
@@ -1658,7 +1675,7 @@ object Ivf {
       .write.mode("overwrite")
       .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     // the overwrite wiped any prior marker with the layout it marked
-    stampCodec(postings.sparkSession, path, "int8")
+    stampCodec(postings.sparkSession, path, "int8", fresh = true)
   }
 
   /** Incremental maintenance for the QUANTIZED serving layout:
@@ -1768,7 +1785,7 @@ object Ivf {
     // modelPath/pqPath)
     saveModel(postings.sparkSession, model, modelPath(path))
     Pq.saveModel(postings.sparkSession, pq, pqPath(path))
-    stampCodec(postings.sparkSession, path, "pq")
+    stampCodec(postings.sparkSession, path, "pq", fresh = true)
   }
 
   /** Canonical location of a codes layout's persisted codebooks —
@@ -1956,7 +1973,7 @@ object Ivf {
     // recovers everything from the root ([[loadModel]]/[[loadPq]])
     saveModel(postings.sparkSession, model, modelPath(path))
     Pq.saveModel(postings.sparkSession, pq, pqPath(path))
-    stampCodec(postings.sparkSession, path, "pqr")
+    stampCodec(postings.sparkSession, path, "pqr", fresh = true)
   }
 
   /** [[appendToIndexInt8]]'s twin for the RESIDUAL codes layout —
@@ -2237,7 +2254,7 @@ object Ivf {
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
-    stampCodec(postings.sparkSession, path, "bq")
+    stampCodec(postings.sparkSession, path, "bq", fresh = true)
   }
 
   /** [[appendToIndexInt8]]'s twin for the sign-bit layout — assign

@@ -35,14 +35,18 @@ object StreamingSegments {
   /** The current segment roots under `root`, ordered by NUMERIC
     * batch id (lexicographic order would put seg=10 before seg=2 —
     * harmless to results today, surprising to anything that ever
-    * relies on batch order). Absent root = no segments yet.
+    * relies on batch order). Only `seg=<digits>` dirs qualify: a
+    * foreign dir like `seg=backup` is ignored rather than crashing
+    * every serve with a NumberFormatException. Absent root = no
+    * segments yet.
     */
   def segmentRoots(spark: SparkSession, root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rp)) Seq.empty
     else fs.listStatus(rp)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("seg=\\d+"))
       .map(_.getPath.toString)
       .sortBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
       .toSeq

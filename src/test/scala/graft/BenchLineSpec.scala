@@ -133,6 +133,9 @@ class BenchLineSpec extends AnyFunSuite {
     // a multi-second row with a gap under 4 x floor stays quiet
     // (spread 1.6x, gap 6.0 s < 8 s)
     assert(!Bench.contended(Seq(15.0, 10.0, 9.0)))
+    // a heavy row's systematic warm-up gap (big absolute gap, spread
+    // ≤ 1.5x — a recycle would reproduce it) stays quiet
+    assert(!Bench.contended(Seq(30.0, 21.5, 20.8)))
     // failed reps still never flag, whatever the gap
     assert(!Bench.contended(Seq(-1.0, 9.0, 20.0)))
   }

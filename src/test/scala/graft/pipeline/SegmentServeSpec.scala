@@ -309,6 +309,18 @@ class SegmentServeSpec extends SparkTestBase {
       emb.where(col("vec_id") < 5)
         .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
       "embedding", model, a)
+    // an UNMARKED non-empty codes layout (pre-marker or foreign)
+    // refuses ANY append rather than guessing — stamping the
+    // appender's codec onto unknown bytes would corrupt the layout
+    // AND mislabel it permanently
+    val mp = new org.apache.hadoop.fs.Path(Ivf.codecPath(a))
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mp, true)
+    val e3 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndexInt8(emb.where(col("vec_id") < 5), "embedding",
+        model, a)
+    }
+    assert(e3.getMessage.contains("NO _codec marker"))
   }
 
   test("multivec segments serve refuses a foreign quantizer") {

@@ -415,6 +415,31 @@ class TombstoneSpec extends SparkTestBase {
       s"revived multivec docs must serve after the fold, got $got")
   }
 
+  test("versioned upsert also revives a tombstoned id (the streaming-" +
+    "ingest path)") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("tombrevv")
+      .resolve("index").toString
+    Ivf.writeIndexVersioned(Ivf.assign(emb, "embedding", model), idx)
+    Ivf.tombstoneVectors(spark, idx,
+      emb.where(col("vec_id") < 3).select(col("vec_id")), "vec_id")
+    Ivf.upsertVersioned(emb.where(col("vec_id") < 2), "embedding",
+      "vec_id", model, idx, seq = 1L)
+    // the re-added ids serve at their new seq; id 2 stays masked
+    val served = Ivf.readIndexLatest(spark, idx, "vec_id")
+      .where(col("vec_id") < 3).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served == Set(0L, 1L),
+      s"versioned upsert must revive exactly its batch, got $served")
+    // and the fold keeps the revived copies
+    Ivf.foldTombstones(spark, idx, "vec_id")
+    Ivf.foldVersions(spark, idx, "vec_id")
+    val after = Ivf.readIndexLatest(spark, idx, "vec_id")
+      .where(col("vec_id") < 3).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after == Set(0L, 1L), s"folds erased revived docs: $after")
+  }
+
   test("a tombstone sidecar parked mid-revive still masks: serving reads " +
     "run the recovery preamble") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
