@@ -545,12 +545,38 @@ object Bm25 {
       paths.size == 1 || sp.getFileSystem(hc).exists(sp)
     }
     require(live.nonEmpty, "every segment root is absent — nothing to serve")
+    // Relation-construction cost dominates multi-segment serves (the
+    // dense tier's r12 lesson, re-measured HERE by Bm25SegmentsCurve:
+    // 0.93 → 4.92 s across 1 → 16 segments before this block — each
+    // segment's postings/df relation fired a parallel
+    // partition-discovery JOB over its 64 bucket dirs plus a
+    // schema-inference read, ~0.27 s/segment of pure driver fixed
+    // cost): force driver-side discovery for the construction window
+    // and reuse the head segment's inferred schema for the tail
+    // (sound: ONE writeLayout writes every bm25 layout, so the
+    // schemas are uniform by construction). Same single-planner
+    // contract as Ivf.readSegmentsServing's override.
+    val discKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevDisc = spark.conf.get(discKey)
+    val (statsAll, dfReads, postReads) =
+      try {
+        spark.conf.set(discKey, Int.MaxValue.toString)
+        // stats dirs are FLAT (no partition dirs), so all segments'
+        // batch into ONE multi-path relation — one construction, one
+        // scan leg, however many segments
+        val statsAll = spark.read.parquet(live.map(p => s"$p/stats"): _*)
+        val dfHead = spark.read.parquet(s"${live.head}/df")
+        val dfReads = dfHead +: live.tail.map(p =>
+          spark.read.schema(dfHead.schema).parquet(s"$p/df"))
+        val postHead = spark.read.parquet(s"${live.head}/postings")
+        val postReads = postHead +: live.tail.map(p =>
+          spark.read.schema(postHead.schema).parquet(s"$p/postings"))
+        (statsAll, dfReads, postReads)
+      } finally spark.conf.set(discKey, prevDisc)
     // SUM over stats rows ACROSS segments: one row per build/append
     // increment per segment — global N and T, exactly the rows a
     // merged index's stats read would sum
-    val stats = live.map(p => spark.read.parquet(s"$p/stats"))
-      .reduce(_ unionByName _)
-      .agg(sum(col("n")), sum(col("t"))).collect()(0)
+    val stats = statsAll.agg(sum(col("n")), sum(col("t"))).collect()(0)
     val nDocs = stats.getLong(0)
     val tTokens = stats.getLong(1)
     val terms = queries.flatMap { case (_, q) => queryTerms(q) }.distinct
@@ -560,8 +586,7 @@ object Bm25 {
       .select(bucketOf(col("term"))).collect().map(_.getLong(0))
       .distinct.toSeq
     // SUM per-term df rows across increments AND segments — global df
-    val dfMap = live.map { p =>
-      val dfRead = spark.read.parquet(s"$p/df")
+    val dfMap = dfReads.map { dfRead =>
       dfRead.where(
         graft.core.PartitionIn.inSet(dfRead, "bucket", bucketSet) &&
           col("term").isInCollection(terms))
@@ -579,8 +604,7 @@ object Bm25 {
     // un-hinted (the Validate SubsetOf argument): each mask is tiny
     // under the fold cadence — AQE broadcasts it — and a neglected
     // fold degrades to a shuffle join instead of an executor OOM
-    val postings = live.map { p =>
-      val postRead = spark.read.parquet(s"$p/postings")
+    val postings = live.zip(postReads).map { case (p, postRead) =>
       val postings0 = postRead
         .where(graft.core.PartitionIn.inSet(postRead, "bucket", bucketSet) &&
           col("term").isInCollection(terms) &&
