@@ -340,75 +340,143 @@ object MultiVector {
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)
     val (scored, cand) =
-      scoredCandidates(spark, root, q, model, nprobe, excludeDoc, docFilter)
+      scoredCandidates(spark, Seq(root), q, model, nprobe, excludeDoc,
+        docFilter)
     val out = rank(scored, k).localCheckpoint(true)
     graft.core.Pinned.release(q)
     graft.core.Pinned.release(cand)
     out
   }
 
-  /** The probe → gather → exact-rescore prefix shared by the ranked
-    * serves: returns the exact (qid, doc, score) frame plus the
-    * candidate pin, which the caller must `Pinned.release` only
-    * AFTER materializing its ranked output (the scored plan reads
-    * through it).
+  /** The probe → gather → exact-rescore prefix shared by every
+    * ranked serve, over ONE OR MORE pair roots. Driver-job count is
+    * CONSTANT in the number of segments — the per-segment-jobs
+    * version measured LINEAR at ~0.5 s/segment of pure fixed cost
+    * (MultiVecSegmentsCurve: 1.27 → 8.62 s across 1 → 16 segments;
+    * the dense/lexical tiers' curve disease on this tier):
+    *  1. probe cells collect ONCE — the quantizer is shared across
+    *     segments (witness-verified on the segments path), so the
+    *     probed cells are segment-independent;
+    *  2. per-segment candidate legs (each pruned by the shared cells,
+    *     filtered, probe-joined, masked by ITS OWN tombstones) union
+    *     into ONE pinned frame;
+    *  3. per-segment candidate counts and touched doc-buckets come
+    *     from ONE grouped collect (≤ segments rows);
+    *  4. the gather's In-pushdown ids collect batches across every
+    *     under-cutoff segment in ONE job (≤ segments × cutoff rows);
+    *  5. the rescore joins gathered vectors to candidates on `doc`
+    *     alone — sound because a doc's vector set lives in exactly
+    *     ONE segment (the family's disjoint-docs contract), so the
+    *     segment tag is already encoded in the doc id.
+    * Returns the exact (qid, doc, score) frame plus the candidate
+    * pin, which the caller must `Pinned.release` only AFTER
+    * materializing its ranked output (the scored plan reads through
+    * it).
     */
-  private def scoredCandidates(spark: SparkSession, root: String,
+  private def scoredCandidates(spark: SparkSession, roots: Seq[String],
                   q: DataFrame, model: IvfModel, nprobe: Int,
                   excludeDoc: Option[(org.apache.spark.sql.Column,
                     org.apache.spark.sql.Column) =>
                     org.apache.spark.sql.Column],
                   docFilter: Option[org.apache.spark.sql.Column])
       : (DataFrame, DataFrame) = {
-    graft.core.DirSwap.recoverAt(spark, s"$root/ivf")
-    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    val hc = spark.sparkContext.hadoopConfiguration
+    roots.foreach { r =>
+      graft.core.DirSwap.recoverAt(spark, s"$r/ivf")
+      graft.core.DirSwap.recoverAt(spark, s"$r/docs")
+    }
+    // relation construction batched like the bm25/dense serves
+    // (2 relations × N segments: schema inference + listing each —
+    // reuse the head's inferred schemas, sound because ONE writeIndex
+    // writes every pair; force driver-side discovery under the same
+    // single-planner contract as Ivf.readSegmentsServing)
+    val discKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevDisc = spark.conf.get(discKey)
+    val (ivfReads, docReads) =
+      try {
+        spark.conf.set(discKey, Int.MaxValue.toString)
+        val ivfHead = spark.read.parquet(s"${roots.head}/ivf")
+        val docHead = spark.read.parquet(s"${roots.head}/docs")
+        (ivfHead +: roots.tail.map(r =>
+           spark.read.schema(ivfHead.schema).parquet(s"$r/ivf")),
+         docHead +: roots.tail.map(r =>
+           spark.read.schema(docHead.schema).parquet(s"$r/docs")))
+      } finally spark.conf.set(discKey, prevDisc)
     // 1. candidate generation: each query vector probes nprobe cells
+    //    (ONE collect, shared by every segment — same quantizer)
     val probes = q.withColumn("cluster",
       explode(Ivf.nearestCol(col("qv"), model, nprobe)))
     val cells = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0).toLong).toSeq // ≤ nlist, bounded
-    val ivf0 = spark.read.parquet(s"$root/ivf")
-    val cand0 = ivf0
-      .where(graft.core.PartitionIn.inSet(ivf0, "cluster", cells))
-      .where(docFilter.getOrElse(lit(true)))
-      .select(col("cluster"), col("doc"))
-      .join(broadcast(probes.select(col("qid"), col("cluster"))),
-        Seq("cluster"))
-      .where(excludeDoc match {
-        case Some(p) => !p(col("qid"), col("doc"))
-        case None => lit(true)
-      })
-    // tombstone mask ABOVE the candidate gather: a masked doc must
-    // neither surface nor consume gather/rescore work (un-hinted anti
-    // join — AQE broadcasts the fold-cadence-bounded set, an
-    // overgrown mask degrades to a shuffle not an OOM)
-    val tp = new org.apache.hadoop.fs.Path(tombPath(root))
-    val tombFs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover a revive-swap-parked sidecar before the exists check,
-    // or the crash window between its two renames serves unmasked
-    graft.core.DirSwap.recover(tombFs, tp)
-    val cand1 =
-      if (!tombFs.exists(tp)) cand0
-      else cand0.join(spark.read.parquet(tombPath(root))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
-    val cand = cand1
-      .select(col("qid"), col("doc")).distinct()
+    // 2. per-segment candidate legs → one tagged union. The
+    //    tombstone mask sits ABOVE the candidate gather: a masked doc
+    //    must neither surface nor consume gather/rescore work
+    //    (un-hinted anti join — AQE broadcasts the
+    //    fold-cadence-bounded set, an overgrown mask degrades to a
+    //    shuffle not an OOM). Masks never cross segment boundaries.
+    val candLegs = roots.zipWithIndex.map { case (root, i) =>
+      val ivf0 = ivfReads(i)
+      val cand0 = ivf0
+        .where(graft.core.PartitionIn.inSet(ivf0, "cluster", cells))
+        .where(docFilter.getOrElse(lit(true)))
+        .select(col("cluster"), col("doc"))
+        .join(broadcast(probes.select(col("qid"), col("cluster"))),
+          Seq("cluster"))
+        .where(excludeDoc match {
+          case Some(p) => !p(col("qid"), col("doc"))
+          case None => lit(true)
+        })
+      val tp = new org.apache.hadoop.fs.Path(tombPath(root))
+      val tombFs = tp.getFileSystem(hc)
+      // recover a revive-swap-parked sidecar before the exists check,
+      // or the crash window between its two renames serves unmasked
+      graft.core.DirSwap.recover(tombFs, tp)
+      val cand1 =
+        if (!tombFs.exists(tp)) cand0
+        else cand0.join(spark.read.parquet(tombPath(root))
+          .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+      cand1.select(lit(i).as("__seg"), col("qid"), col("doc"))
+    }
+    val cand = candLegs.reduce(_ unionByName _)
+      .distinct()
       .localCheckpoint(true) // count-gate + stable across the gather
-    // 2. gather the candidates' FULL vector sets, bucket-pruned
-    val docs0 = spark.read.parquet(s"$root/docs")
-    val nCand = cand.count()
-    val dbs = cand.select(pmod(col("doc"), lit(DocBuckets.toLong)).as("db"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val gathered0 = docs0.where(graft.core.PartitionIn.inSet(docs0, "db", dbs))
-    val gathered =
-      if (nCand > GatherFilterCutoff) gathered0
-      else {
-        val ids = cand.select(col("doc")).collect().map(_.getLong(0))
-          .sorted.toSeq
-        gathered0.where(col("doc").isInCollection(ids))
+    // 3. per-segment gather stats in ONE collect: candidate count
+    //    (the In-pushdown gate) and the touched doc-buckets
+    //    (≤ DocBuckets values per segment)
+    val segStats: Map[Int, (Long, Seq[Long])] =
+      cand.groupBy(col("__seg"))
+        .agg(count(lit(1)).as("n"),
+          collect_set(pmod(col("doc"), lit(DocBuckets.toLong))).as("dbs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    // 4. In-pushdown ids for every under-cutoff segment, ONE batched
+    //    collect (bounded by segments × GatherFilterCutoff rows)
+    val underCutoff = segStats.collect {
+      case (i, (n, _)) if n <= GatherFilterCutoff => i
+    }.toSeq
+    val idsBySeg: Map[Int, Seq[Long]] =
+      if (underCutoff.isEmpty) Map.empty
+      else cand.where(col("__seg").isInCollection(underCutoff))
+        .select(col("__seg"), col("doc")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted.toSeq }
+    // 5. per-segment gather legs (candidate-less segments gather
+    //    nothing), then ONE exact rescore over the union
+    val gatherLegs = roots.indices.flatMap { i =>
+      segStats.get(i).map { case (_, dbs) =>
+        val docs0 = docReads(i)
+        val g0 = docs0.where(graft.core.PartitionIn.inSet(docs0, "db", dbs))
+        idsBySeg.get(i) match {
+          case Some(ids) => g0.where(col("doc").isInCollection(ids))
+          case None => g0 // over the cutoff: read the buckets whole
+        }
       }
-    // 3. exact rescore over (candidate doc × query vectors) + rank
-    val scored = gathered.select(col("doc"), col("vec"))
+    }
+    if (gatherLegs.isEmpty) // no candidates anywhere
+      return (cand.select(col("qid"), col("doc"),
+        lit(0L).as("score")).limit(0), cand)
+    val scored = gatherLegs.reduce(_ unionByName _)
+      .select(col("doc"), col("vec"))
       .join(cand.select(col("qid"), col("doc")), Seq("doc"))
       .join(broadcast(q), Seq("qid"))
       .groupBy(col("qid"), col("qvix"), col("doc"))
@@ -473,12 +541,11 @@ object MultiVector {
     val q = queryVecs.select(col("qid"), col("vec").as("qv"),
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)
-    val pairs = live.map(r =>
-      scoredCandidates(spark, r, q, model, nprobe, excludeDoc, docFilter))
-    val out = rank(pairs.map(_._1).reduce(_ unionByName _), k)
-      .localCheckpoint(true)
+    val (scored, cand) =
+      scoredCandidates(spark, live, q, model, nprobe, excludeDoc, docFilter)
+    val out = rank(scored, k).localCheckpoint(true)
     graft.core.Pinned.release(q)
-    pairs.foreach(p => graft.core.Pinned.release(p._2))
+    graft.core.Pinned.release(cand)
     out
   }
 
@@ -506,7 +573,8 @@ object MultiVector {
         monotonically_increasing_id().as("qvix"))
       .localCheckpoint(true)
     val (scored, cand) =
-      scoredCandidates(spark, root, q, model, nprobe, excludeDoc, docFilter)
+      scoredCandidates(spark, Seq(root), q, model, nprobe, excludeDoc,
+        docFilter)
     // scored is ≤ queries × candidates — the small side of the
     // doc→tenant join; AQE broadcasts it against the corpus-sized map
     val grouped = scored.join(
