@@ -247,8 +247,14 @@ object Sparse {
     // it tiny, an overgrown mask degrades to a shuffle join instead
     // of an executor OOM), then one union — scores never mix masks
     // across segments
-    val idx = live.map { path =>
-      val idx0 = spark.read.parquet(path)
+    // head-schema reuse across segments (SparseSegmentsCurve: the
+    // per-segment schema-inference footer reads cost ~0.11 s/segment;
+    // sound — one writeLayout writes every sparse layout)
+    val headRead = spark.read.parquet(live.head)
+    val idx = live.zipWithIndex.map { case (path, i) =>
+      val idx0 =
+        if (i == 0) headRead
+        else spark.read.schema(headRead.schema).parquet(path)
       val idx1 = idx0
         .where(graft.core.PartitionIn.inSet(idx0, "dbk", buckets) &&
           col("dim").isInCollection(dims))
