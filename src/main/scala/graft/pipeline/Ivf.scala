@@ -403,6 +403,94 @@ object Ivf {
     IvfModel(cents.toArray, l1.centroids, childIdx)
   }
 
+  /** Fixed-point scale of [[trainDistributed]]'s component sums: each
+    * vector component rides the aggregation as `round(x · 2^24)` in a
+    * LONG. Integer addition is associative and commutative, so the
+    * per-cluster sums — and therefore the trained model — are
+    * BIT-IDENTICAL across partitionings, executor counts, and re-runs,
+    * which is the property whose absence forced [[train]] off its old
+    * distributed formulation (float merge order made the low bits
+    * partition-nondeterministic and the model un-oracle-able).
+    * Overflow envelope: |x| ≤ 8 supports ~7×10⁹ rows per cluster
+    * (8 · 2^24 · 7e9 < 2^63); embedding inputs are unit-scale.
+    */
+  val TrainFixedPointScale: Double = (1L << 24).toDouble
+
+  /** Distributed Lloyd's train over the FULL corpus — the scale path
+    * past [[train]]'s bounded driver sample for when the corpus
+    * distribution itself matters (rare modes a 200k sample
+    * under-represents; nlist sized near √corpus). Each iteration is
+    * ONE distributed pass: codegen'd nearest-centroid assignment
+    * ([[IvfNearest]]) feeding a posexploded fixed-point component sum
+    * (see [[TrainFixedPointScale]] for why fixed point — it is what
+    * makes a DISTRIBUTED fold deterministic and hence oracle-able),
+    * partially aggregated map-side to at most nlist × dim (sum, count)
+    * longs per partition; only those nlist × dim rows ever reach the
+    * driver. Init is [[kmeansFold]]'s splitmix64 pseudo-shuffle head,
+    * computed distributed (TakeOrderedAndProject — no corpus collect).
+    *
+    * Deterministic by construction, but NOT bit-equal to [[train]]:
+    * the driver fold accumulates sequential doubles over a bounded
+    * sample; this fold accumulates exact fixed-point longs over every
+    * row. Each is its own pinned algorithm with its own Python-oracle
+    * replay. Rows with empty vectors are ignored by the fold; an
+    * empty cluster keeps its centroid and a zero-norm mean keeps the
+    * old centroid (the [[kmeansFold]] rules).
+    */
+  def trainDistributed(df: DataFrame, vecCol: String, idCol: String,
+                       nlist: Int, iters: Int = 5,
+                       seed: Long = 42L): IvfModel = {
+    val idL = col(idCol).cast("long")
+    // kmeansFold's init selection, distributed: the nlist rows with the
+    // smallest (signed splitmix64(id + seed), id) — orderBy.limit plans
+    // as TakeOrderedAndProject (a per-partition heap, no full sort)
+    val init: Array[Array[Float]] = df
+      .select(idL.as("_tid"), col(vecCol).cast("array<float>").as("_tv"))
+      .orderBy(graft.functions.HashFunctions.splitmix64(col("_tid"), seed),
+        col("_tid"))
+      .limit(nlist)
+      .collect()
+      .map(r => (splitmix64(r.getLong(0) + seed), r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy { case (h, id, _) => (h, id) } // re-assert the total order
+      .map(_._3)
+    require(init.nonEmpty, "cannot train on an empty corpus")
+    var centroids = init
+    val F = TrainFixedPointScale
+    for (_ <- 1 to iters) {
+      val model = IvfModel(centroids)
+      val dim = centroids.head.length
+      val agg = df
+        .select(nearestCol(col(vecCol).cast("array<float>"), model, 1)
+          .getItem(0).as("_c"),
+          posexplode(col(vecCol).cast("array<float>")))
+        .where(col("pos") < dim)
+        .groupBy(col("_c"), col("pos"))
+        // Spark round(double) = BigDecimal half-up — the exact rule the
+        // Python oracle replays (round_half_up); the long sums are then
+        // order-independent by integer associativity
+        .agg(sum(round(col("col").cast("double") * F).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(centroids.length)(new Array[Long](dim))
+      val counts = new Array[Long](centroids.length)
+      agg.foreach { r =>
+        val c = r.getInt(0); val pos = r.getInt(1)
+        sums(c)(pos) = r.getLong(2)
+        if (pos == 0) counts(c) = r.getLong(3)
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else {
+          val v = sums(c).map(s => (s.toDouble / F) / counts(c))
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0.0) old else v.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    IvfModel(centroids)
+  }
+
   private def collectSample(df: DataFrame, vecCol: String, idCol: String,
                             seed: Long,
                             maxTrainRows: Long): Array[(Long, Array[Float])] =
@@ -1622,6 +1710,16 @@ object Ivf {
     // a versioned layout keeps its seq column, so the check is stable)
     foldTombstones(spark, srcPath, idCol)
     foldVersions(spark, srcPath, idCol)
+    // the folds can empty src OUTRIGHT — a fully-tombstoned segment's
+    // rewrite DELETES the zero-row layout rather than promoting a
+    // _SUCCESS-only dir (ParquetCompact.rewrite's empty contract) —
+    // so re-check and consume it wholesale like the data-less shard;
+    // reading its schema below would die on PATH_NOT_FOUND
+    if (!hasData(src)) {
+      fs.delete(src, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${srcPath}__ledger"), true)
+      return
+    }
     if (hasData(dst)) {
       val sFields = spark.read.parquet(srcPath).schema.fieldNames.toSet
       val dFields = spark.read.parquet(dstPath).schema.fieldNames.toSet

@@ -101,9 +101,18 @@ object Pca {
       }
       i += 1
     }
+    basisFromCov(mean, cov, k)
+  }
+
+  /** The eigen tail shared by [[train]] and [[trainDistributed]]:
+    * Jacobi on the covariance, eigenvalue-desc/index-asc order,
+    * largest-|component|-positive sign — the deterministic
+    * representative both Python oracles replay.
+    */
+  private def basisFromCov(mean: Array[Double], cov: Array[Array[Double]],
+                           k: Int): PcaModel = {
+    val dim = mean.length
     val (values, vectors) = jacobi(cov)
-    // order: eigenvalue desc, index asc; sign: largest-|component|
-    // positive (first index on ties) — deterministic representative
     val order = values.indices
       .sortBy(c => (-values(c), c))
       .take(k)
@@ -118,6 +127,51 @@ object Pca {
       if (v(best) < 0) v.map(-_) else v
     }.toArray
     new PcaModel(mean, basis, order.map(values).toArray)
+  }
+
+  /** Distributed PCA train over the FULL corpus — the scale path past
+    * [[train]]'s bounded driver sample, for when tail directions a
+    * 200k sample under-represents matter (rare-language clusters,
+    * low-frequency topics). ONE distributed pass accumulates the
+    * fixed-point first+second moments
+    * ([[graft.functions.FixedMoments]] — long sums, so the fold is
+    * order-independent and the model BIT-REPRODUCIBLE across
+    * partitionings; see that aggregate's scaladoc for the envelope),
+    * with map-side partial combine: one ≈16 KB buffer per partition
+    * is all that ever shuffles or reaches the driver. The covariance
+    * is then E[xxᵀ] − μμᵀ (raw-moment form — mathematically the same
+    * covariance as [[train]]'s centered fold but NOT bit-equal to it;
+    * each trainer is its own pinned algorithm with its own Python
+    * oracle), and the eigendecomposition reuses [[train]]'s exact
+    * driver-side Jacobi.
+    */
+  def trainDistributed(df: DataFrame, vecCol: String, idCol: String,
+                       k: Int): PcaModel = {
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0), "cannot train on an empty corpus")
+    val dim = dimRow.getInt(0)
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val F = graft.functions.FixedMoments.DefaultScale
+    val buf = df.agg(graft.functions.FixedMoments.fixedMoments(
+      col(vecCol), dim)).head().getSeq[Long](0)
+    val (n, sums, gram) = graft.functions.FixedMoments.decode(buf, dim)
+    require(n > 0, "cannot train on an empty corpus")
+    val mean = sums.map(s => (s.toDouble / F) / n)
+    val cov = Array.fill(dim)(new Array[Double](dim))
+    var o = 0
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        val raw = (gram(o).toDouble / F) / n
+        cov(a)(b) = raw - mean(a) * mean(b)
+        cov(b)(a) = cov(a)(b)
+        o += 1
+        b += 1
+      }
+      a += 1
+    }
+    basisFromCov(mean, cov, k)
   }
 
   /** Cyclic Jacobi in the sqrt form: rotations from

@@ -35,6 +35,17 @@ object Pq {
       extends Serializable {
     def ksub: Int = codebooks(0).length
 
+    /** Per-subspace assignment indexes (the code bytes as ints) — the
+      * [[PqAssign]] kernel; same rule as [[encodeData]].
+      */
+    def assignData(arr: ArrayData, isFloat: Boolean): ArrayData = {
+      val bytes = encodeData(arr, isFloat)
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) { out(j) = bytes(j) & 0xff; j += 1 }
+      ArrayData.toArrayData(out)
+    }
+
     /** m-byte code of one vector read from ArrayData. */
     def encodeData(arr: ArrayData, isFloat: Boolean): Array[Byte] = {
       val out = new Array[Byte](m)
@@ -117,6 +128,92 @@ object Pq {
         (id, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       }
       kmeansFoldL2(sub, ksub, iters, seed + j)
+    }
+    new PqModel(m, dsub, codebooks)
+  }
+
+  /** Fixed-point scale of [[trainDistributed]]'s component sums —
+    * the [[Ivf.TrainFixedPointScale]] design: long sums make the
+    * distributed per-subspace fold order-independent, hence
+    * bit-reproducible and oracle-able.
+    */
+  val TrainFixedPointScale: Double = (1L << 24).toDouble
+
+  /** Distributed PQ train over the FULL corpus — the scale path past
+    * [[train]]'s bounded driver sample; with this the whole quantizer
+    * trainer family (IVF coarse, PCA basis, PQ codebooks) has a
+    * deterministic full-corpus variant. Each iteration is ONE
+    * distributed pass: the codegen'd [[PqAssign]] kernel (the
+    * [[encode]] rule, as indexes) feeds a posexploded fixed-point
+    * component sum partially aggregated to m × ksub × dsub
+    * (sum, count) longs per partition — integer sums, so the
+    * codebooks are bit-identical across partitionings and re-runs.
+    *
+    * Its own pinned algorithm, deliberately NOT bit-equal to
+    * [[train]]: init takes the ksub splitmix64-smallest rows ONCE and
+    * slices every subspace from the SAME rows (the sample fold draws
+    * per-subspace inits with seed + j), and accumulation is
+    * fixed-point rather than sequential double. The Python oracle
+    * replays this variant exactly. Mean updates are plain L2 (no
+    * normalization — PQ quantizes positions); empty clusters keep
+    * their centroid; rows must share one dim with dim % m == 0 (the
+    * [[train]] contract).
+    */
+  def trainDistributed(df: DataFrame, vecCol: String, idCol: String,
+                       m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                       seed: Long = 42L): PqModel = {
+    require(ksub >= 1 && ksub <= 256, "ksub must fit one byte")
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0), "cannot train on an empty corpus")
+    val dim = dimRow.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val idL = col(idCol).cast("long")
+    val init: Array[Array[Float]] = df
+      .select(idL.as("_tid"), col(vecCol).cast("array<float>").as("_tv"))
+      .orderBy(graft.functions.HashFunctions.splitmix64(col("_tid"), seed),
+        col("_tid"))
+      .limit(ksub)
+      .collect()
+      .map(r => (splitmix64(r.getLong(0) + seed), r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
+    require(init.nonEmpty, "cannot train on an empty corpus")
+    var codebooks = Array.tabulate(m)(j => init.map(v =>
+      java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+    val F = TrainFixedPointScale
+    for (_ <- 1 to iters) {
+      val model = new PqModel(m, dsub, codebooks)
+      val agg = df
+        .select(graft.functions.ColumnBridge.column(PqAssign(
+            graft.functions.ColumnBridge.expression(
+              col(vecCol).cast("array<float>")), model)).as("_asg"),
+          posexplode(col(vecCol).cast("array<float>")))
+        .where(col("pos") < dim)
+        .select(
+          (col("pos") / dsub).cast("int").as("_sub"),
+          element_at(col("_asg"), (col("pos") / dsub).cast("int") + 1)
+            .as("_c"),
+          pmod(col("pos"), lit(dsub)).as("_i"),
+          col("col"))
+        .groupBy(col("_sub"), col("_c"), col("_i"))
+        .agg(sum(round(col("col").cast("double") * F).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val k = codebooks(0).length
+      val sums = Array.fill(m, k)(new Array[Long](dsub))
+      val counts = Array.fill(m)(new Array[Long](k))
+      agg.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+        sums(j)(c)(i) = r.getLong(3)
+        if (i == 0) counts(j)(c) = r.getLong(4)
+      }
+      codebooks = Array.tabulate(m)(j => codebooks(j).zipWithIndex.map {
+        case (old, c) =>
+          if (counts(j)(c) == 0) old // empty cluster keeps its centroid
+          else sums(j)(c).map(s => ((s.toDouble / F) / counts(j)(c)).toFloat)
+      })
     }
     new PqModel(m, dsub, codebooks)
   }
@@ -286,6 +383,39 @@ case class PqEncode(child: Expression, model: Pq.PqModel)
     val mdl = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
     val isF = elemIsFloat
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mdl.encodeData($a, $isF);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-subspace assignment INDEXES as ARRAY<INT> — the same nearest
+  * sub-centroid rule as [[PqEncode]] (min squared L2, ties to the
+  * smaller index; the code bytes ARE the assignments) but in a form
+  * SQL can index into, for [[Pq.trainDistributed]]'s per-iteration
+  * (subspace, cluster, pos) aggregation — element_at on BINARY does
+  * not exist.
+  */
+case class PqAssign(child: Expression, model: Pq.PqModel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    model.assignData(a.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdl = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
+    val isF = elemIsFloat
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mdl.assignData($a, $isF);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

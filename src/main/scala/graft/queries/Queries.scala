@@ -1293,6 +1293,26 @@ object Queries {
         .orderBy(col("qid"))
     }),
 
+    // the DISTRIBUTED-trained IVF (full-corpus fixed-point Lloyd's —
+    // Ivf.trainDistributed): the same recall row shape as
+    // ann_recall_ivf, pinning that the scale-path trainer's model is
+    // bit-reproducible (the golden replays its order-independent
+    // integer fold) AND serves comparable recall
+    "ann_recall_ivf_dist" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Ivf.trainDistributed(emb, "embedding",
+        "vec_id", nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Ivf.search(postings, qs, "embedding", "vec_id",
+            model, k = 5, nprobe = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
     // and over the PCA two-stage path — with this row every
     // approximate family (LSH / IVF / IVF-PQ / PCA) carries a
     // recall@k row against the same brute-force truth
@@ -1300,6 +1320,24 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val qs = emb.where(col("vec_id") < 10)
       val model = graft.pipeline.Pca.train(emb, "embedding", "vec_id", k = 16)
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(
+            emb, qs, "embedding", "vec_id", k = 5),
+          graft.pipeline.Similarity.pcaTopK(emb, qs, "embedding", "vec_id",
+            k = 5, model, oversample = 4),
+          k = 5)
+        .orderBy(col("qid"))
+    }),
+
+    // the DISTRIBUTED-trained PCA (full-corpus fixed-point moments —
+    // Pca.trainDistributed): one ~16 KB buffer per partition is all
+    // that shuffles, and the long sums make the basis bit-reproducible
+    // (the golden replays the identical integer fold)
+    "ann_recall_pca_dist" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qs = emb.where(col("vec_id") < 10)
+      val model = graft.pipeline.Pca.trainDistributed(emb, "embedding",
+        "vec_id", k = 16)
       graft.pipeline.Similarity.recallAtK(
           graft.pipeline.Similarity.bruteForceTopK(
             emb, qs, "embedding", "vec_id", k = 5),
@@ -4023,6 +4061,52 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the size-tiered MAINTENANCE POLICY (StreamingSegments.
+    // maintainTiered — the LSM compaction story between "N segments"
+    // and mergeAll's everything-into-one): six streamed-shape
+    // segments with a tombstoned-decoy mask cascade under fanout=2
+    // (equal tiers fold 6→3→1 in one pass, each row moved once per
+    // tier promotion — bounded write amplification), the merged
+    // destination compacted; the serve over the survivors must equal
+    // the one-shot golden exactly
+    "ivf_topk_segments_tiered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("ivf_segs_tier")
+        .resolve("segs").toString
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = mx / 6 + 1
+      (0L until 6L).foreach { i =>
+        graft.streaming.StreamingSegments.processBatch(s,
+          emb.where(col("vec_id") >= i * cut &&
+            col("vec_id") < (i + 1) * cut),
+          "embedding", root, model, i)
+      }
+      val decoys = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      graft.streaming.StreamingSegments.processBatch(s, decoys,
+        "embedding", root, model, 6L)
+      graft.pipeline.Ivf.tombstoneVectors(s, s"$root/seg=6",
+        decoys.select(col("vec_id")), "vec_id")
+      // minTierBytes above any SF's segment size ⇒ one tier at every
+      // scale factor ⇒ the cascade always folds to exactly one
+      // segment (the row's semantics must not depend on parquet byte
+      // sizes, which grow with the SF)
+      val survivors = graft.streaming.StreamingSegments.maintainTiered(
+        s, root, fanout = 2, minTierBytes = 1L << 40, compact = true)
+      require(survivors.size == 1,
+        s"equal-size cascade must fold to one segment, got $survivors")
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s, survivors, "vec_id",
+            model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the SEGMENTS-COMPOSITION row: a deployed LSM system never runs
     // the segment union alone — this pins mask × filter × group ×
     // segment-union in ONE query (the hybrid_trimodal lesson applied
@@ -5761,6 +5845,21 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
         m = 8, ksub = 16, iters = 3)
+      graft.pipeline.Pq.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5, model, oversample = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the DISTRIBUTED-trained PQ codebooks (Pq.trainDistributed —
+    // full-corpus fixed-point per-subspace Lloyd's, completing the
+    // trainer family's scale path): same ADC + exact-rescore serve,
+    // golden-replayed bit-exactly
+    "ann_topk_pq_dist" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Pq.trainDistributed(emb, "embedding",
+        "vec_id", m = 8, ksub = 16, iters = 3)
       graft.pipeline.Pq.pqTopK(emb, emb.where(col("vec_id") < 10),
           "embedding", "vec_id", k = 5, model, oversample = 4)
         .select(col("qid"), col("nid"), col("sim"),
@@ -7944,6 +8043,9 @@ object Queries {
     "ann_topk_pq" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pq.parquet' ORDER BY qid, rk",
 
+    "ann_topk_pq_dist" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ann_topk_pq_dist.parquet' ORDER BY qid, rk",
+
     "ivf_topk_pq" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_pq.parquet' ORDER BY qid, rk",
 
@@ -8230,6 +8332,23 @@ object Queries {
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
          |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
+    "ann_recall_ivf_dist" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_dist_topk.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
     "ann_recall_pca" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,
@@ -8242,6 +8361,23 @@ object Queries {
          |    FROM p) t
          |  WHERE rk <= 5),
          |ap AS (SELECT qid, nid FROM '$pipeGold/ann_topk_pca.parquet')
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  count(a.nid) / least(5.0, count(*)) AS recall
+         |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    "ann_recall_pca_dist" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p) t
+         |  WHERE rk <= 5),
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ann_topk_pca_dist.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
@@ -8515,6 +8651,11 @@ object Queries {
     // per-segment tombstone masks) ≡ the decoy-free one-shot build
     // (same golden, no physical merge)
     "ivf_topk_segments" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // tiered maintenance is serve-invariant: the post-cascade survivor
+    // must serve the same one-shot golden
+    "ivf_topk_segments_tiered" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // the segments-COMPOSITION serve (mask × filter × group ×

@@ -332,6 +332,152 @@ object StreamingSegments {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Size-tiered maintenance — the LSM compaction POLICY over the
+  // segment layouts. mergeAll* folds everything into one segment on
+  // every call: correct, but at scale it touches the WHOLE corpus per
+  // maintenance pass (src tombstone/version folds + every file move)
+  // and leaves no knob between "N segments" and "one segment". The
+  // tiered policy is the classic size-tiered design (Lucene/Cassandra
+  // STCS): merge ONLY when `fanout` segments accumulate in the same
+  // size tier (tier = floor(log_fanout(bytes / minTierBytes))),
+  // folding them into one member; cascades until no tier is full.
+  // Segment count is then bounded by (fanout−1) · #tiers =
+  // O(fanout · log_fanout(corpus / batch)) — near-flat serve cost by
+  // the measured segment curves — while each ROW is touched
+  // O(log_fanout(corpus/batch)) times over its whole lifetime instead
+  // of once per maintenance call: bounded write amplification, the
+  // property mergeAll cannot offer. With `compact = true` the merged
+  // destination is rewritten once per merge (where the tier has a
+  // compactIndex), retiring the moved files' small-file debt at the
+  // same bounded cadence.
+  // ------------------------------------------------------------------
+
+  /** Size of a segment root in bytes (FS metadata only, no job). */
+  private def segBytes(fs: org.apache.hadoop.fs.FileSystem,
+                       p: String): Long =
+    fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+
+  /** The size-tiered fold shared by every tier's maintainTiered*:
+    * repeatedly find the lowest full tier (≥ `fanout` members), merge
+    * its `fanout` smallest members (ties broken by path — total,
+    * deterministic) into `pickDst` of the group, re-tier the result,
+    * until no tier is full. Returns the surviving segment roots.
+    * Merges cascade: equal-size segments under fanout=2 fold 8→4→2→1
+    * in ONE call, each row moved once per tier promotion.
+    */
+  private def tieredFold(spark: SparkSession, root: String, fanout: Int,
+                         minTierBytes: Long,
+                         pickDst: Seq[String] => String,
+                         merge: (String, String) => Unit,
+                         compact: String => Unit): Seq[String] = {
+    require(fanout >= 2, s"tiered maintenance needs fanout >= 2, got $fanout")
+    require(minTierBytes >= 1, s"minTierBytes must be >= 1, got $minTierBytes")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tier(bytes: Long): Int = {
+      var t = 0
+      var b = bytes / minTierBytes
+      while (b >= fanout) { b /= fanout; t += 1 }
+      t
+    }
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    segmentRoots(spark, root).foreach(p => sizes(p) = segBytes(fs, p))
+    var changed = true
+    while (changed) {
+      changed = false
+      sizes.groupBy { case (_, b) => tier(b) }.toSeq.sortBy(_._1)
+        .find { case (_, members) => members.size >= fanout }
+        .foreach { case (_, members) =>
+          val group = members.toSeq.sortBy { case (p, b) => (b, p) }
+            .take(fanout).map(_._1)
+          val dst = pickDst(group)
+          group.filterNot(_ == dst).foreach { src =>
+            merge(dst, src)
+            sizes.remove(src)
+          }
+          compact(dst)
+          sizes(dst) = segBytes(fs, dst)
+          changed = true
+        }
+    }
+    segmentRoots(spark, root)
+  }
+
+  /** The lowest-numeric-batch-id member — the default merge
+    * destination (its name survives, so a later replay of a RETIRED
+    * batch id can still only overwrite its own — now absorbed —
+    * segment, never a survivor).
+    */
+  private def minIdSeg(group: Seq[String]): String =
+    group.minBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
+
+  /** Size-tiered maintenance over a DENSE segment layout. Serving
+    * through [[Ivf.readSegmentsServing]] before and after is
+    * row-identical (each merge is the witness-verified
+    * [[Ivf.mergeInto]]); `compact` additionally rewrites each merge
+    * destination once ([[Ivf.compactIndex]]), retiring small files at
+    * the policy's bounded cadence.
+    */
+  def maintainTiered(spark: SparkSession, root: String,
+                     fanout: Int = 4, minTierBytes: Long = 1L << 20,
+                     idCol: String = "vec_id",
+                     compact: Boolean = false): Seq[String] =
+    tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
+      (dst, src) => Ivf.mergeInto(spark, dst, src, idCol),
+      dst => if (compact) Ivf.compactIndex(spark, dst))
+
+  /** Size-tiered maintenance over a LEXICAL segment layout
+    * ([[Bm25.mergeInto]] — readers sum stats/df, so any grouping of
+    * segments serves bit-identically).
+    */
+  def maintainTieredBm25(spark: SparkSession, root: String,
+                         fanout: Int = 4, minTierBytes: Long = 1L << 20,
+                         compact: Boolean = false): Seq[String] =
+    tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
+      (dst, src) => Bm25.mergeInto(spark, dst, src),
+      dst => if (compact) Bm25.compactIndex(spark, dst))
+
+  /** Size-tiered maintenance over a SPARSE segment layout. */
+  def maintainTieredSparse(spark: SparkSession, root: String,
+                           fanout: Int = 4, minTierBytes: Long = 1L << 20,
+                           compact: Boolean = false): Seq[String] =
+    tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
+      (dst, src) => Sparse.mergeInto(spark, dst, src),
+      dst => if (compact) Sparse.compactIndex(spark, dst))
+
+  /** Size-tiered maintenance over a HYBRID pair layout. The merge
+    * destination inside each group must carry a dense side if any
+    * member does (the [[mergeAllHybrid]] rule — a lexical-only
+    * segment cannot absorb another's ivf/), falling back to the
+    * lowest batch id.
+    */
+  def maintainTieredHybrid(spark: SparkSession, root: String,
+                           fanout: Int = 4, minTierBytes: Long = 1L << 20,
+                           compact: Boolean = false): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pick(group: Seq[String]): String = {
+      val dense = group.filter(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/ivf")))
+      if (dense.isEmpty) minIdSeg(group) else minIdSeg(dense)
+    }
+    tieredFold(spark, root, fanout, minTierBytes, pick,
+      (dst, src) => Hybrid.mergeInto(spark, dst, src),
+      dst => if (compact) Hybrid.compactIndex(spark, dst))
+  }
+
+  /** Size-tiered maintenance over a MULTIVEC pair layout (merge-only:
+    * the late-interaction pair has no compaction entry point — its
+    * doc-bucketed docs/ side is rewrite-maintained by upsert/fold).
+    */
+  def maintainTieredMultiVec(spark: SparkSession, root: String,
+                             fanout: Int = 4,
+                             minTierBytes: Long = 1L << 20): Seq[String] =
+    tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
+      (dst, src) => graft.pipeline.MultiVector.mergeInto(spark, dst, src),
+      _ => ())
+
   /** Fold every hybrid segment pair into one via [[Hybrid.mergeInto]]
     * (both sides' file-move merges under their own witnesses). The
     * destination is the first segment CARRYING A DENSE SIDE (a

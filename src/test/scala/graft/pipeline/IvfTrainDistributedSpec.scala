@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Ivf.trainDistributed]] — the full-corpus Lloyd's train whose
+  * fixed-point component sums make a DISTRIBUTED fold deterministic
+  * (integer addition is order-independent; float accumulation is what
+  * forced [[Ivf.train]] off its old distributed formulation). The
+  * hand-replay case is an independent sequential reimplementation of
+  * the documented algorithm, not a call back into the code under test.
+  */
+class IvfTrainDistributedSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def centroidBits(m: IvfModel): Seq[Seq[Int]] =
+    m.centroids.toSeq.map(_.toSeq.map(java.lang.Float.floatToIntBits))
+
+  test("distributed train is bit-identical across partitionings") {
+    val a = Ivf.trainDistributed(emb.repartition(1), "embedding", "vec_id",
+      nlist = 8, iters = 3)
+    val b = Ivf.trainDistributed(emb.repartition(7), "embedding", "vec_id",
+      nlist = 8, iters = 3)
+    assert(centroidBits(a) == centroidBits(b))
+  }
+
+  test("one iteration replays the documented fixed-point fold (incl. empty-cluster keep)") {
+    import spark.implicits._
+    // rows 0 and 1 are identical: whichever of their two init
+    // centroids ranks second by index attracts nothing (ties assign
+    // to the smaller index) and must survive the iteration unchanged
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.6f, 0.8f)))
+    val got = Ivf.trainDistributed(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", nlist = 3, iters = 1)
+
+    // independent sequential replay of the documented algorithm
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val seed = 42L
+    val init = rows.map { case (id, v) => (mix(id + seed), id, v) }
+      .sortBy { case (h, id, _) => (h, id) }.take(3).map(_._3)
+    def nearest(cents: Seq[Array[Float]], v: Array[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (-c.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum, i)
+      }.min._2
+    val F = Ivf.TrainFixedPointScale
+    def fix(x: Float): Long = // Spark round(double): BigDecimal half-up
+      java.math.BigDecimal.valueOf(x.toDouble * F)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val sums = Array.fill(init.length)(new Array[Long](2))
+    val counts = new Array[Long](init.length)
+    rows.foreach { case (_, v) =>
+      val c = nearest(init, v)
+      v.zipWithIndex.foreach { case (x, i) => sums(c)(i) += fix(x) }
+      counts(c) += 1
+    }
+    val expected = init.zipWithIndex.map { case (old, c) =>
+      if (counts(c) == 0) old
+      else {
+        val m = sums(c).map(s => (s.toDouble / F) / counts(c))
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n == 0.0) old else m.map(x => (x / n).toFloat)
+      }
+    }
+    assert(counts.contains(0L), "fixture must exercise the empty-cluster keep")
+    assert(centroidBits(got) ==
+      expected.map(_.toSeq.map(java.lang.Float.floatToIntBits)))
+  }
+
+  test("model invariants and recall on the embeddings table") {
+    val model = Ivf.trainDistributed(emb, "embedding", "vec_id",
+      nlist = 16, iters = 3)
+    assert(model.nlist == 16)
+    model.centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n")
+    }
+    val qs = emb.where(col("vec_id") < 10)
+    val postings = Ivf.assign(emb, "embedding", model)
+    val rec = Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", k = 5),
+        Ivf.search(postings, qs, "embedding", "vec_id", model, k = 5,
+          nprobe = 4),
+        k = 5)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.5, s"mean recall@5 $rec")
+  }
+
+  test("refuses an empty corpus") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.trainDistributed(e, "embedding", "vec_id", nlist = 4)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+}

@@ -391,4 +391,60 @@ class SegmentServeSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("_model"))
   }
+
+  test("ivf merge consumes a FULLY-tombstoned src instead of crashing") {
+    // the folds inside mergeInto can empty src outright (rewrite
+    // deletes a zero-row layout); the merge must then consume the
+    // remnant wholesale, not die reading the deleted path's schema
+    val base = tmp("segdeadsrc")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val keep = emb.where(col("vec_id") < 100)
+    val dead = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    Ivf.writeIndexInt8(Ivf.assign(keep, "embedding", model), "embedding", a)
+    Ivf.saveModel(spark, model, Ivf.modelPath(a))
+    Ivf.writeIndexInt8(Ivf.assign(dead, "embedding", model), "embedding", b)
+    Ivf.saveModel(spark, model, Ivf.modelPath(b))
+    Ivf.tombstoneVectors(spark, b, dead.select(col("vec_id")), "vec_id")
+    val before = rset(Ivf.searchCodes(
+      Ivf.readSegmentsServing(spark, Seq(a, b), "vec_id", model),
+      emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+      k = 5, nprobe = 4), "qid", "nid", "sim", "rk")
+    Ivf.mergeInto(spark, a, b, "vec_id") // must not throw
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(b)),
+      "the dead src must be consumed wholesale")
+    val after = rset(Ivf.searchCodes(
+      Ivf.readSegmentsServing(spark, Seq(a), "vec_id", model),
+      emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+      k = 5, nprobe = 4), "qid", "nid", "sim", "rk")
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("multivec merge survives a FULLY-tombstoned src pair") {
+    val base = tmp("segdeadmv")
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val model = Ivf.train(docVecs, "vec", "doc", nlist = 8, iters = 2)
+    MultiVector.writeIndex(spark, docVecs.where(col("doc") < 100), model, a)
+    MultiVector.writeIndex(spark,
+      docVecs.where(col("doc") >= 100 && col("doc") < 110), model, b)
+    MultiVector.tombstoneDocs(spark, b,
+      docVecs.where(col("doc") >= 100 && col("doc") < 110)
+        .select(col("doc")).distinct())
+    val q = docVecs.where(col("doc") < 2)
+      .select(col("doc").as("qid"), col("vec"))
+    val before = rset(MultiVector.searchSegments(spark, Seq(a, b), q,
+      model, k = 5, nprobe = 4), "qid", "doc", "score", "rk")
+    MultiVector.mergeInto(spark, a, b) // must not throw
+    val after = rset(MultiVector.searchIndex(spark, a, q, model,
+      k = 5, nprobe = 4), "qid", "doc", "score", "rk")
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
 }

@@ -503,6 +503,63 @@ def kmeans_fold(sample, nlist, iters, seed):
     return centroids
 
 
+def ivf_train_dist(emb, nlist=16, iters=3, seed=42):
+    """Mirror of Ivf.trainDistributed: splitmix init (same head as
+    kmeans_fold), then Lloyd's iterations whose per-cluster component
+    sums ride as FIXED-POINT longs — round_half_up(x * 2^24) summed as
+    exact integers, so the fold is order-independent (the property that
+    makes the distributed Scala aggregation deterministic and lets this
+    mirror replay it without knowing Spark's combine order)."""
+    F = float(1 << 24)
+    seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
+                     for i, v in emb),
+                    key=lambda t: (t[0], t[1]))
+    centroids = [list(v) for _, _, v in seeded[:nlist]]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in centroids]  # exact ints
+        counts = [0] * len(centroids)
+        for _, v in emb:
+            if not v:
+                continue  # empty vectors are ignored by the fold
+            c = ivf_nearest(centroids, v, 1)[0]
+            for i in range(min(dim, len(v))):
+                sums[c][i] += int(round_half_up(float(v[i]) * F, 0))
+            counts[c] += 1
+        new = []
+        for c, old in enumerate(centroids):
+            if counts[c] == 0:
+                new.append(old)
+                continue
+            m = [(s / F) / counts[c] for s in sums[c]]
+            nrm = math.sqrt(sum(x * x for x in m))
+            new.append(old if nrm == 0.0 else [f32(x / nrm) for x in m])
+        centroids = new
+    return centroids
+
+
+def gen_ivf_topk_dist(emb, nlist=16, iters=3, k=5, nprobe=4):
+    """gen_ivf_topk's probe/rank mirror over the DISTRIBUTED-trained
+    (fixed-point Lloyd's) model — the golden behind ann_recall_ivf_dist."""
+    centroids = ivf_train_dist(emb, nlist, iters)
+    assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        for cl in ivf_nearest(centroids, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = cosine_sim_d(vec[n], vec[q])
+    rows = rank_topk(cands, k)
+    write("ivf_dist_topk",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def gen_ivf_topk(emb, nlist=16, iters=3, k=5, nprobe=4):
     centroids = ivf_train(emb, nlist, iters)
     assign = {i: ivf_nearest(centroids, v, 1)[0] for i, v in emb}
@@ -983,6 +1040,14 @@ def pca_fit(emb, k, sweeps=30):
         for j in range(i, dim):
             cov[i][j] /= n
             cov[j][i] = cov[i][j]
+    return pca_basis_from_cov(mean, cov, k, sweeps)
+
+
+def pca_basis_from_cov(mean, cov, k, sweeps=30):
+    """The eigen tail shared by pca_fit and pca_fit_dist (mirror of
+    Pca.basisFromCov): fixed-sweep sqrt-form Jacobi, eigenvalue-desc
+    order, largest-|component|-positive sign."""
+    dim = len(mean)
     a = [row[:] for row in cov]
     vm = [[1.0 if r == c else 0.0 for c in range(dim)] for r in range(dim)]
     for _ in range(sweeps):
@@ -1022,6 +1087,58 @@ def pca_fit(emb, k, sweeps=30):
             vec = [-x for x in vec]
         basis.append(vec)
     return mean, basis
+
+
+def pca_fit_dist(emb, k, sweeps=30):
+    """Mirror of Pca.trainDistributed: fixed-point first+second
+    moments — count, per-component sums and upper-tri Gram carried as
+    round(x * 2^20) / round(x_a * x_b * 2^20) in exact ints (Python
+    round() on a float is half-even on the same double as Scala's
+    math.rint, and integer sums are order-independent — which is why
+    the distributed Scala fold is replayable here at all) — then
+    cov = E[xx^T] - mean mean^T and the shared Jacobi tail."""
+    F = float(1 << 20)
+    vecs = [v for _, v in emb]
+    dim = max(len(v) for v in vecs)
+    n = 0
+    sums = [0] * dim
+    gram = [[0] * dim for _ in range(dim)]
+    for v in vecs:
+        n += 1
+        m = min(dim, len(v))
+        x = [float(v[i]) for i in range(m)]
+        for i in range(m):
+            sums[i] += round(x[i] * F)
+            for j in range(i, m):
+                gram[i][j] += round(x[i] * x[j] * F)
+    mean = [(s / F) / n for s in sums]
+    cov = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            raw = (gram[i][j] / F) / n
+            cov[i][j] = raw - mean[i] * mean[j]
+            cov[j][i] = cov[i][j]
+    return mean, pca_basis_from_cov(mean, cov, k, sweeps)[1]
+
+
+def gen_ann_pca_dist(emb, k=5, pca_k=16, oversample=4):
+    """gen_ann_pca's two-stage mirror over the DISTRIBUTED-trained
+    (fixed-point moments) basis — the golden behind
+    ann_recall_pca_dist."""
+    mean, basis = pca_fit_dist(emb, pca_k)
+    red = {i: pca_project(v, mean, basis) for i, v in emb}
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        scored = sorted(((cosine_sim_d(red[n], red[q]), n)
+                         for n, _ in emb if n != q),
+                        key=lambda t: (-t[0], t[1]))[:k * oversample]
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q]) for _, n in scored}
+    rows = rank_topk(cands, k)
+    write("ann_topk_pca_dist",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
 
 def pca_project(v, mean, basis):
@@ -1152,6 +1269,72 @@ def gen_ann_pq(emb, k=5, m=8, ksub=16, oversample=4):
                     for _, n in scored[:k * oversample]}
     rows = rank_topk(cands, k)
     write("ann_topk_pq",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
+def pq_fit_dist(emb, m=8, ksub=16, iters=3, seed=42):
+    """Mirror of Pq.trainDistributed — its OWN pinned variant, not a
+    replay of pq_fit: init takes the ksub splitmix-smallest rows ONCE
+    (shared across subspaces; the sample fold draws per-subspace inits
+    with seed+j), and per-iteration sums ride as round_half_up(x*2^24)
+    exact ints (order-independent — what makes the distributed Scala
+    fold replayable). Assignment/tie rules are pq_fit's."""
+    F = float(1 << 24)
+    dim = len(emb[0][1])
+    dsub = dim // m
+    seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
+                     for i, v in emb), key=lambda t: (t[0], t[1]))
+    init = [list(v) for _, _, v in seeded[:ksub]]
+    books = [[row[j * dsub:(j + 1) * dsub] for row in init]
+             for j in range(m)]
+    for _ in range(iters):
+        sums = [[[0] * dsub for _ in books[j]] for j in range(m)]
+        counts = [[0] * len(books[j]) for j in range(m)]
+        for _, v in emb:
+            for j in range(m):
+                sub = [float(v[j * dsub + i]) for i in range(dsub)]
+                best, bd = 0, float("inf")
+                for c, cent in enumerate(books[j]):
+                    d = 0.0
+                    for i in range(dsub):
+                        diff = sub[i] - float(cent[i])
+                        d += diff * diff
+                    if d < bd:
+                        bd, best = d, c
+                for i in range(dsub):
+                    sums[j][best][i] += int(round_half_up(sub[i] * F, 0))
+                counts[j][best] += 1
+        books = [[books[j][c] if counts[j][c] == 0
+                  else [f32((s / F) / counts[j][c]) for s in sums[j][c]]
+                  for c in range(len(books[j]))]
+                 for j in range(m)]
+    return dsub, books
+
+
+def gen_ann_pq_dist(emb, k=5, m=8, ksub=16, oversample=4):
+    """gen_ann_pq's ADC mirror over the DISTRIBUTED-trained codebooks
+    — the golden behind ann_recall_pq_dist."""
+    dsub, books = pq_fit_dist(emb, m=m, ksub=ksub)
+    codes = {i: pq_encode(v, dsub, books) for i, v in emb}
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {}
+    for q in queries:
+        lut = pq_lut(vec[q], dsub, books)
+        scored = []
+        for n, _ in emb:
+            if n == q:
+                continue
+            s = 0.0
+            for j in range(m):
+                s += lut[j * ksub + codes[n][j]]
+            scored.append((s, n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        cands[q] = {n: cosine_sim_d(vec[n], vec[q])
+                    for _, n in scored[:k * oversample]}
+    rows = rank_topk(cands, k)
+    write("ann_topk_pq_dist",
           pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
@@ -2229,11 +2412,13 @@ def main():
     if want("hybrid_topk_tombstoned"):
         gen_hybrid_tombstoned(docs, load_embeddings())
     emb = None
-    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_int8",
+    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_dist_topk",
+              "ivf_topk_int8",
               "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
-              "ann_topk_pca", "ann_topk_pq", "ivf_topk_pq", "ivf_topk_pqr",
+              "ann_topk_pca", "ann_topk_pca_dist",
+              "ann_topk_pq", "ann_topk_pq_dist", "ivf_topk_pq", "ivf_topk_pqr",
               "ivf_topk_pq256", "ivf_topk_bq",
               "mmr_topk",
               "corpus_cluster_sample"):
@@ -2243,8 +2428,12 @@ def main():
         gen_embed_pca(emb)
     if want("ann_topk_pca"):
         gen_ann_pca(emb)
+    if want("ann_topk_pca_dist"):
+        gen_ann_pca_dist(emb)
     if want("ann_topk_pq"):
         gen_ann_pq(emb)
+    if want("ann_topk_pq_dist"):
+        gen_ann_pq_dist(emb)
     if want("ivf_topk_pq"):
         gen_ivf_pq(emb)
     if want("ivf_topk_bq"):
@@ -2269,6 +2458,8 @@ def main():
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
         gen_ivf_topk(emb)
+    if want("ivf_dist_topk"):
+        gen_ivf_topk_dist(emb)
     if want("ivf_topk_filtered_recall"):
         gen_ivf_topk_filtered_recall(emb)
     if want("ivf_index_stats"):
