@@ -455,10 +455,25 @@ object Ivf {
       .sortBy { case (h, id, _) => (h, id) } // re-assert the total order
       .map(_._3)
     require(init.nonEmpty, "cannot train on an empty corpus")
+    lloydFixedPoint(df, vecCol, init, iters, IvfModel(_))
+  }
+
+  /** The fixed-point Lloyd's iteration shared by [[trainDistributed]]
+    * and [[trainHierarchicalDistributed]]: assignment under
+    * `mkModel(current)` (flat scan or two-level descent — whatever
+    * the model shape makes [[IvfNearest]] do), ONE distributed pass
+    * per iteration, centroids recomputed on the driver from the
+    * order-independent long sums (spherical: normalized means; empty
+    * clusters and zero-norm means keep their centroid).
+    */
+  private def lloydFixedPoint(df: DataFrame, vecCol: String,
+                              init: Array[Array[Float]], iters: Int,
+                              mkModel: Array[Array[Float]] => IvfModel)
+      : IvfModel = {
     var centroids = init
     val F = TrainFixedPointScale
     for (_ <- 1 to iters) {
-      val model = IvfModel(centroids)
+      val model = mkModel(centroids)
       val dim = centroids.head.length
       val agg = df
         .select(nearestCol(col(vecCol).cast("array<float>"), model, 1)
@@ -488,7 +503,81 @@ object Ivf {
         }
       }
     }
-    IvfModel(centroids)
+    mkModel(centroids)
+  }
+
+  /** Distributed two-level train — [[trainHierarchical]]'s scale
+    * path, completing the corpus-proportional-nlist (semDedup) story
+    * at full-corpus scale: the L1 quantizer is the flat
+    * [[trainDistributed]] fold at ~√nlist, each L1 cell's children
+    * initialize from the cell's kc splitmix64-smallest rows (ONE
+    * per-cell bounded-heap aggregation — [[graft.functions
+    * .TopKByScore]] over the NEGATED hash-as-double, ties to the
+    * lower id — plus one In-pushed gather of ≤ nlist vectors), and
+    * the L2 refinement is [[lloydFixedPoint]] under the assembled
+    * hierarchical model, so per-row assignment DESCENDS
+    * (O(√nlist) dots) exactly like the serving path. Empty cells
+    * keep their L1 centroid as a single child (the
+    * [[trainHierarchicalFromSample]] rule).
+    *
+    * Its own pinned algorithm (the Python oracle replays it): NOT
+    * bit-equal to [[trainHierarchical]] — init hashes order as
+    * DOUBLES (the heap aggregate's score type; a pure function of
+    * ids all the same), refinement assigns by descent rather than
+    * within the frozen owning cell, and accumulation is fixed-point.
+    */
+  def trainHierarchicalDistributed(df: DataFrame, vecCol: String,
+                                   idCol: String, nlist: Int,
+                                   iters: Int = 5, seed: Long = 42L,
+                                   branch: Int = 0): IvfModel = {
+    val b1 = if (branch > 0) branch
+      else math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+    val l1 = trainDistributed(df, vecCol, idCol, b1, iters, seed)
+    val kc = math.max(1, (nlist + b1 - 1) / b1)
+    val idL = col(idCol).cast("long")
+    val vecF = col(vecCol).cast("array<float>")
+    val hashD = graft.functions.HashFunctions.splitmix64(idL, seed)
+      .cast("double")
+    val picks: Map[Int, Seq[Long]] = df
+      .select(nearestCol(vecF, l1, 1).getItem(0).as("_cell"),
+        idL.as("_id"), (-hashD).as("_s"))
+      .where(col("_cell").isNotNull) // null-vec rows train nothing
+      .groupBy(col("_cell"))
+      .agg(graft.functions.TopKByScore.topKBy(col("_s"), col("_id"), kc)
+        .as("top"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq)
+      .toMap
+    val pickedIds = picks.values.flatten.toSeq
+    // bounded gather of the picked init rows: In-pushdown while the
+    // literal list is small, broadcast semi-join past the cutoff
+    // (corpus-proportional nlist — the semDedup contract — can put
+    // b1·kc in the tens of thousands, where a giant In bloats the
+    // plan instead of pruning the scan)
+    val pickedRows =
+      if (pickedIds.size <= 4096)
+        df.where(idL.isin(pickedIds: _*)).select(idL, vecF)
+      else {
+        import df.sparkSession.implicits._
+        df.select(idL.as("_gid"), vecF)
+          .join(broadcast(pickedIds.toDF("_gid")), Seq("_gid"))
+          .select(col("_gid"), vecF)
+      }
+    val vecsById: Map[Long, Array[Float]] =
+      pickedRows.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val childIdx = Array.tabulate(l1.nlist) { c =>
+      val start = cents.length
+      picks.get(c).filter(_.nonEmpty) match {
+        case None => cents += l1.centroids(c) // empty cell keeps its L1
+        case Some(ids) => cents ++= ids.map(vecsById)
+      }
+      Array.range(start, cents.length)
+    }
+    lloydFixedPoint(df, vecCol, cents.toArray, iters,
+      flat => IvfModel(flat, l1.centroids, childIdx))
   }
 
   private def collectSample(df: DataFrame, vecCol: String, idCol: String,
@@ -1322,18 +1411,32 @@ object Ivf {
     * two-level quantizer keeps its O(√nlist) assign/search cost
     * class instead of silently degrading to a flat scan.
     */
+  /** `distributed = true` retrains with [[trainDistributed]] (the
+    * full-corpus fixed-point Lloyd's) instead of the bounded-sample
+    * fold — the scale knob for a drifted layout whose distribution a
+    * sample under-represents; mutually exclusive with `hierarchical`
+    * (the distributed fold trains flat models).
+    */
   def recluster(spark: SparkSession, path: String, vecCol: String,
                 idCol: String, nlist: Int, iters: Int = 5,
                 seed: Long = 42L, maxTrainRows: Long = 200000L,
                 hierarchical: Boolean = false,
-                branch: Int = 0): IvfModel = {
+                branch: Int = 0,
+                distributed: Boolean = false): IvfModel = {
     guardNotPayloadPartitioned(spark, path, "recluster")
-    val sample = TrainSample.collect(readIndex(spark, path), vecCol,
-      idCol, seed, maxTrainRows)
+    require(!(hierarchical && distributed),
+      "trainDistributed trains flat models — drop one of the flags")
     val model =
-      if (hierarchical)
-        trainHierarchicalFromSample(sample, nlist, iters, seed, branch)
-      else trainFromSample(sample, nlist, iters, seed)
+      if (distributed)
+        trainDistributed(readIndex(spark, path), vecCol, idCol, nlist,
+          iters, seed)
+      else {
+        val sample = TrainSample.collect(readIndex(spark, path), vecCol,
+          idCol, seed, maxTrainRows)
+        if (hierarchical)
+          trainHierarchicalFromSample(sample, nlist, iters, seed, branch)
+        else trainFromSample(sample, nlist, iters, seed)
+      }
     graft.core.ParquetCompact.rewrite(spark, path,
       partitionCols = Seq("cluster"),
       transform = p => p.drop("cluster")

@@ -4322,6 +4322,22 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the DISTRIBUTED two-level quantizer (Ivf.
+    // trainHierarchicalDistributed): corpus-proportional nlist trained
+    // at full-corpus scale — L1 from the flat fixed-point fold,
+    // per-cell child init from a bounded-heap per-group aggregation,
+    // descent-assigned fixed-point refinement; golden-replayed
+    "ivf_topk_hier_dist" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.trainHierarchicalDistributed(emb,
+        "embedding", "vec_id", nlist = 16, iters = 3)
+      val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
+      graft.pipeline.Ivf.search(postings, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "chunk_stats" -> ((s, d) => {
       // space→newline in-plan (translate is codegen'd); the chunk
       // count itself is the native ChunkCount expression — no UDF on
@@ -8697,6 +8713,9 @@ object Queries {
 
     "ivf_topk_hier" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_hier.parquet' ORDER BY qid, rk",
+
+    "ivf_topk_hier_dist" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_hier_dist.parquet' ORDER BY qid, rk",
 
     "store_retrieve" ->
       s"SELECT sim, source, text FROM '$pipeGold/store_retrieve.parquet' ORDER BY sim DESC",

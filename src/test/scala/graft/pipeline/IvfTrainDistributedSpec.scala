@@ -96,6 +96,60 @@ class IvfTrainDistributedSpec extends SparkTestBase {
     assert(rec >= 0.5, s"mean recall@5 $rec")
   }
 
+  test("recluster(distributed) == trainDistributed on the union; flags are exclusive") {
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val lo = emb.where(col("vec_id") <= half)
+    val hi = emb.where(col("vec_id") > half)
+    val stale = Ivf.train(lo, "embedding", "vec_id", nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_rec_d")
+      .toString + "/index"
+    Ivf.writeIndex(Ivf.assign(lo, "embedding", stale), path)
+    Ivf.appendToIndex(hi, "embedding", stale, path)
+    val fresh = Ivf.recluster(spark, path, "embedding", "vec_id",
+      nlist = 8, iters = 2, distributed = true)
+    val union = Ivf.trainDistributed(emb, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    assert(centroidBits(fresh) == centroidBits(union))
+    // the rewritten layout serves exactly like a one-shot assign
+    val qs = emb.where(col("vec_id") < 3)
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      Ivf.search(p, qs, "embedding", "vec_id", fresh, k = 5, nprobe = 3)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(Ivf.readIndex(spark, path)) ==
+      rows(Ivf.assign(emb, "embedding", fresh)))
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.recluster(spark, path, "embedding", "vec_id", nlist = 8,
+        hierarchical = true, distributed = true)
+    }
+    assert(ex.getMessage.contains("flat"))
+  }
+
+  test("hierarchical distributed train: bit-stable, descends, covers nlist") {
+    val a = Ivf.trainHierarchicalDistributed(emb.repartition(1),
+      "embedding", "vec_id", nlist = 16, iters = 2)
+    val b = Ivf.trainHierarchicalDistributed(emb.repartition(5),
+      "embedding", "vec_id", nlist = 16, iters = 2)
+    assert(centroidBits(a) == centroidBits(b))
+    assert(a.hierarchical, "must carry the descent structure")
+    assert(a.l1.length == 4, "b1 = round(sqrt(16))")
+    // final count in [b1, b1*kc] — the trainHierarchical contract
+    assert(a.nlist >= 4 && a.nlist <= 16, s"nlist ${a.nlist}")
+    // children partition the flat table
+    assert(a.children.flatten.sorted.toSeq == (0 until a.nlist))
+    // a search under it serves sane recall
+    val qs = emb.where(col("vec_id") < 10)
+    val postings = Ivf.assign(emb, "embedding", a)
+    val rec = Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", k = 5),
+        Ivf.search(postings, qs, "embedding", "vec_id", a, k = 5,
+          nprobe = 4),
+        k = 5)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.4, s"mean recall@5 $rec")
+  }
+
   test("refuses an empty corpus") {
     import spark.implicits._
     val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

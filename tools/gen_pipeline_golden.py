@@ -453,6 +453,83 @@ def ivf_train_hier(emb, nlist=16, iters=3, seed=42, branch=0):
     return cents, l1, children
 
 
+def ivf_train_hier_dist(emb, nlist=16, iters=3, seed=42, branch=0):
+    """Mirror of Ivf.trainHierarchicalDistributed — its own pinned
+    variant: L1 = the flat fixed-point fold (ivf_train_dist) at
+    ~sqrt(nlist); per-cell child init = the cell's kc rows with the
+    smallest (float(signed splitmix64(id+seed)), id) — hash ordered AS
+    A DOUBLE, the heap aggregate's score type; empty cells keep their
+    L1 centroid as a single child; then fixed-point Lloyd's where each
+    row assigns by the DESCENT rule (ivf_nearest_descend, the serving
+    path), not within its frozen owning cell."""
+    b1 = branch if branch > 0 else max(1, round(math.sqrt(nlist)))
+    l1 = ivf_train_dist(emb, b1, iters, seed)
+    kc = max(1, -(-nlist // b1))
+    vec = dict(emb)
+    groups = {}
+    for i, v in emb:
+        c = ivf_nearest(l1, v, 1)[0]
+        groups.setdefault(c, []).append(
+            (float(s64(splitmix64((i + seed) & M64))), i))
+    cents = []
+    children = []
+    for c in range(len(l1)):
+        start = len(cents)
+        g = sorted(groups.get(c, []))[:kc]
+        if not g:
+            cents.append(l1[c])
+        else:
+            cents.extend([list(vec[i]) for _, i in g])
+        children.append(list(range(start, len(cents))))
+    F = float(1 << 24)
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in cents]
+        counts = [0] * len(cents)
+        for _, v in emb:
+            if not v:
+                continue
+            c = ivf_nearest_descend(cents, l1, children, v, 1)[0]
+            for i in range(min(dim, len(v))):
+                sums[c][i] += int(round_half_up(float(v[i]) * F, 0))
+            counts[c] += 1
+        new = []
+        for c, old in enumerate(cents):
+            if counts[c] == 0:
+                new.append(old)
+                continue
+            m = [(s / F) / counts[c] for s in sums[c]]
+            nrm = math.sqrt(sum(x * x for x in m))
+            new.append(old if nrm == 0.0 else [f32(x / nrm) for x in m])
+        cents = new
+    return cents, l1, children
+
+
+def gen_ivf_topk_hier_dist(emb, nlist=16, iters=3, k=5, nprobe=4):
+    """gen_ivf_topk_hier's descend probe/rank mirror over the
+    DISTRIBUTED two-level model — the golden behind
+    ivf_topk_hier_dist."""
+    centroids, l1, children = ivf_train_hier_dist(emb, nlist, iters)
+    assign = {i: ivf_nearest_descend(centroids, l1, children, v, 1)[0]
+              for i, v in emb}
+    postings = {}
+    for i, _ in emb:
+        postings.setdefault(assign[i], []).append(i)
+    vec = dict(emb)
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        for cl in ivf_nearest_descend(centroids, l1, children, vec[q],
+                                      nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n not in cands[q]:
+                    cands[q][n] = cosine_sim_d(vec[n], vec[q])
+    rows = rank_topk(cands, k)
+    write("ivf_topk_hier_dist",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def ivf_nearest_descend(cents, l1, children, v, n):
     """Mirror of IvfModel.nearestDescend: rank L1 cells, walk best-first
     collecting children until >= n candidates AND >= 2 cells (boundary
@@ -2416,7 +2493,8 @@ def main():
               "ivf_topk_int8",
               "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
-              "ivf_topk_hier", "semdedup", "semdedup_hier", "embed_pca",
+              "ivf_topk_hier", "ivf_topk_hier_dist",
+              "semdedup", "semdedup_hier", "embed_pca",
               "ann_topk_pca", "ann_topk_pca_dist",
               "ann_topk_pq", "ann_topk_pq_dist", "ivf_topk_pq", "ivf_topk_pqr",
               "ivf_topk_pq256", "ivf_topk_bq",
@@ -2450,6 +2528,8 @@ def main():
         gen_semdedup(emb, hier=True)
     if want("ivf_topk_hier"):
         gen_ivf_topk_hier(emb)
+    if want("ivf_topk_hier_dist"):
+        gen_ivf_topk_hier_dist(emb)
     if want("lsh_topk"):
         gen_lsh_topk(emb)
     if want("mmr_topk"):
