@@ -17,7 +17,41 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      n match {
+        case "_train_dist_agg" =>
+          // the per-iteration aggregation inside Ivf.trainDistributed
+          // (it collects eagerly, so the row plans can't show it):
+          // assignment + posexplode must PARTIALLY aggregate to
+          // (cluster, pos) keys before the exchange — nlist × dim
+          // rows per partition is all that shuffles
+          import org.apache.spark.sql.functions._
+          val emb = spark.read.parquet(s"$d/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+          val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+            nlist = 16, iters = 1)
+          val F = graft.pipeline.Ivf.TrainFixedPointScale
+          emb.select(graft.functions.ColumnBridge.column(
+                graft.pipeline.IvfNearest(
+                  graft.functions.ColumnBridge.expression(
+                    col("embedding").cast("array<float>")), model, 1))
+                .getItem(0).as("_c"),
+              posexplode(col("embedding").cast("array<float>")))
+            .where(col("pos") < 64)
+            .groupBy(col("_c"), col("pos"))
+            .agg(sum(round(col("col").cast("double") * F).cast("long"))
+              .as("s"), count(lit(1)).as("n"))
+            .explain("formatted")
+        case "_moments_agg" =>
+          // Pca.trainDistributed's one-pass FixedMoments aggregate:
+          // ObjectHashAggregate with partial merge — one ~16 KB
+          // buffer per partition shuffles
+          import org.apache.spark.sql.functions._
+          val emb = spark.read.parquet(s"$d/embeddings.parquet")
+          emb.agg(graft.functions.FixedMoments.fixedMoments(
+            col("embedding"), 64)).explain("formatted")
+        case _ =>
+          graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
     }
     spark.stop()
   }
