@@ -860,6 +860,30 @@ object Dedup {
       vecCol, idCol, threshold)
   }
 
+  /** [[semDedup]] with the FULL-CORPUS deterministic trainers
+    * ([[Ivf.trainDistributed]] / [[Ivf.trainHierarchicalDistributed]]
+    * past [[SemDedupHierNlist]]) instead of the bounded driver
+    * sample — the end-to-end scale path: at nlist ∝ corpus the sample
+    * under-represents exactly the rare clusters semantic dedup exists
+    * to separate, and the fixed-point folds keep the model (hence
+    * every cluster id and keep flag) bit-reproducible across
+    * partitionings. Same output contract and pair kernel as
+    * [[semDedup]]; its own pinned algorithm with its own golden.
+    */
+  def semDedupDistributed(emb: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double, nlist: Int = 16,
+                          iters: Int = 3, seed: Long = 42L): DataFrame = {
+    if (emb.isEmpty)
+      return emb.withColumn("cluster", lit(0)).withColumn("keep", lit(true))
+    val model =
+      if (nlist >= SemDedupHierNlist)
+        Ivf.trainHierarchicalDistributed(emb, vecCol, idCol, nlist, iters,
+          seed)
+      else Ivf.trainDistributed(emb, vecCol, idCol, nlist, iters, seed)
+    semDedupPostings(Ivf.assign(emb, vecCol, model).localCheckpoint(true),
+      vecCol, idCol, threshold)
+  }
+
   /** [[semDedup]] from an already-assigned postings frame (a `cluster`
     * column present — e.g. [[Ivf.readIndex]] over the on-disk layout).
     * At 100 TB this is the shape to use: materialize the assignment

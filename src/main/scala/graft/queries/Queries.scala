@@ -7314,6 +7314,19 @@ object Queries {
         "embedding", "vec_id", threshold = 0.35)
         .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
           col("keep"))
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup end-to-end on the FULL-CORPUS deterministic trainer
+    // (Dedup.semDedupDistributed — the scale path: at nlist ∝ corpus
+    // a bounded sample under-represents exactly the rare clusters
+    // semantic dedup exists to separate); every cluster id and keep
+    // flag golden-replayed through the fixed-point fold
+    "semdedup_dist" -> ((s, d) =>
+      graft.pipeline.Dedup.semDedupDistributed(
+        tbl(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", threshold = 0.35)
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+          col("keep"))
         .orderBy(col("vec_id"))))
 
   /** stream_hourly is oracle-checkable: complete-mode streaming over a
@@ -8259,6 +8272,9 @@ object Queries {
 
     "semdedup" ->
       s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup.parquet' ORDER BY vec_id",
+
+    "semdedup_dist" ->
+      s"SELECT vec_id, cluster, keep FROM '$pipeGold/semdedup_dist.parquet' ORDER BY vec_id",
 
     "corpus_cluster_sample" ->
       s"SELECT cluster, vec_id, u FROM '$pipeGold/corpus_cluster_sample.parquet' ORDER BY cluster, vec_id",

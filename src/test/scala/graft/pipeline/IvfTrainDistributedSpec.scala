@@ -150,6 +150,28 @@ class IvfTrainDistributedSpec extends SparkTestBase {
     assert(rec >= 0.4, s"mean recall@5 $rec")
   }
 
+  test("semDedupDistributed: same kernel, full-corpus model, empty-graceful") {
+    val out = Dedup.semDedupDistributed(emb, "embedding", "vec_id",
+      threshold = 0.35)
+    assert(out.count() == emb.count())
+    // the keep flags are exactly semDedupPostings over the
+    // distributed-trained assignment (the pair kernel is shared; only
+    // the trainer differs)
+    val model = Ivf.trainDistributed(emb, "embedding", "vec_id",
+      nlist = 16, iters = 3)
+    val want = Dedup.semDedupPostings(
+      Ivf.assign(emb, "embedding", model), "embedding", "vec_id", 0.35)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "keep").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(keyed(out) == keyed(want))
+    // empty corpus returns the contract schema, not a trainer refusal
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedupDistributed(empty, "embedding", "vec_id", 0.5)
+      .count() == 0)
+  }
+
   test("refuses an empty corpus") {
     import spark.implicits._
     val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

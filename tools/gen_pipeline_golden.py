@@ -2404,15 +2404,20 @@ def gen_hybrid_topk_filtered(docs, emb, queries=None, k_cand=20, k=10):
 
 
 def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
-                 hier=False):
+                 hier=False, dist=False):
     """Mirror of graft.pipeline.Dedup.semDedup: IVF k-means clusters
-    (same deterministic train as ivf_topk; two-level when hier), then
-    within each cluster a row is dropped iff some LOWER-id
+    (same deterministic train as ivf_topk; two-level when hier; the
+    fixed-point full-corpus fold when dist — semDedupDistributed),
+    then within each cluster a row is dropped iff some LOWER-id
     cluster-mate has cosine > threshold (sequential-double fold, same
     as the Scala kernel)."""
     if hier:
         cents, l1, children = ivf_train_hier(emb, nlist=nlist, iters=iters,
                                              seed=seed)
+    elif dist:
+        cents, l1, children = (ivf_train_dist(emb, nlist=nlist,
+                                              iters=iters, seed=seed),
+                               [], [])
     else:
         cents, l1, children = (ivf_train(emb, nlist=nlist, iters=iters,
                                          seed=seed), [], [])
@@ -2430,7 +2435,8 @@ def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
                     break
     rows = [(vid, c, vid not in dropped) for vid, _, c in assigned]
     rows.sort()
-    name = "semdedup_hier" if hier else "semdedup"
+    name = ("semdedup_hier" if hier
+            else "semdedup_dist" if dist else "semdedup")
     write(name, pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"]),
           {"vec_id": "BIGINT", "cluster": "BIGINT", "keep": "BOOLEAN"})
 
@@ -2494,7 +2500,7 @@ def main():
               "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "ivf_topk_hier_dist",
-              "semdedup", "semdedup_hier", "embed_pca",
+              "semdedup", "semdedup_hier", "semdedup_dist", "embed_pca",
               "ann_topk_pca", "ann_topk_pca_dist",
               "ann_topk_pq", "ann_topk_pq_dist", "ivf_topk_pq", "ivf_topk_pqr",
               "ivf_topk_pq256", "ivf_topk_bq",
@@ -2526,6 +2532,8 @@ def main():
         gen_corpus_cluster_sample(emb)
     if want("semdedup_hier"):
         gen_semdedup(emb, hier=True)
+    if want("semdedup_dist"):
+        gen_semdedup(emb, dist=True)
     if want("ivf_topk_hier"):
         gen_ivf_topk_hier(emb)
     if want("ivf_topk_hier_dist"):
