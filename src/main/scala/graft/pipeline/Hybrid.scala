@@ -364,6 +364,31 @@ object Hybrid {
     rrfFuse(Seq(lexical, dense), k)
   }
 
+  /** EXACT count of live (served) documents in the PAIR, optionally
+    * filtered over the `doc` column — the count-API semantics on the
+    * hybrid tier. The lexical side IS the pair's doc universe (every
+    * ingested doc carries text; the dense side may cover a subset —
+    * the lexical-only-segment contract), and the paired lifecycle
+    * entry points drive both sides' tombstones together, so the bm25
+    * side's live-doc count is the pair's.
+    */
+  def countDocs(spark: SparkSession, root: String,
+                filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    Bm25.countDocs(spark, s"$root/bm25", filter)
+
+  /** KEYSET pagination over the pair — the doc-listing semantics
+    * ([[Ivf.scroll]]) on the hybrid tier, walking the lexical side
+    * for the same doc-universe reason as [[countDocs]]: one
+    * id-ordered page of DISTINCT live doc ids strictly after
+    * `afterId`, tombstone-masked, optionally filtered over `doc`.
+    */
+  def scroll(spark: SparkSession, root: String, afterId: Option[Long],
+             limit: Int,
+             filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    Bm25.scroll(spark, s"$root/bm25", afterId, limit, filter)
+
   /** Convenience lexical+dense hybrid: BM25 over `docs` text and
     * brute-force cosine over `embeddings` (swap any ANN list in via
     * [[rrfFuse]] directly), each cut at `kCand`, fused to top-k.

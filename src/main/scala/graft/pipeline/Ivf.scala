@@ -446,6 +446,10 @@ object Ivf {
     // as TakeOrderedAndProject (a per-partition heap, no full sort)
     val init: Array[Array[Float]] = df
       .select(idL.as("_tid"), col(vecCol).cast("array<float>").as("_tv"))
+      // null/empty-vec rows train nothing (the hierarchical picks
+      // path's rule): unfiltered they would NPE the collect below or
+      // seed a zero-dim centroid table
+      .where(col("_tv").isNotNull && size(col("_tv")) > 0)
       .orderBy(graft.functions.HashFunctions.splitmix64(col("_tid"), seed),
         col("_tid"))
       .limit(nlist)
@@ -465,6 +469,17 @@ object Ivf {
     * per iteration, centroids recomputed on the driver from the
     * order-independent long sums (spherical: normalized means; empty
     * clusters and zero-norm means keep their centroid).
+    *
+    * The fold is PACKED: per-row fixed-point longs via Spark's own
+    * `round` (BigDecimal half-up — the exact rule the Python oracle
+    * replays) inside a `transform`, then ONE per-cluster
+    * [[graft.functions.FixedVecSum]] aggregation, so the driver
+    * receives nlist `[count, sums…]` rows per iteration instead of
+    * the r13 shape's nlist × dim (c, pos, s, n) Rows (~17M at
+    * nlist 2^16 × dim 256) and nothing explodes corpus × dim rows
+    * into the shuffle. Bit-identical to the explode shape by integer
+    * associativity — same rounded longs, same sums (golden-pinned;
+    * tools/TrainCurve measures the two shapes' iteration wall-time).
     */
   private def lloydFixedPoint(df: DataFrame, vecCol: String,
                               init: Array[Array[Float]], iters: Int,
@@ -475,24 +490,25 @@ object Ivf {
     for (_ <- 1 to iters) {
       val model = mkModel(centroids)
       val dim = centroids.head.length
+      val vecF = col(vecCol).cast("array<float>")
       val agg = df
-        .select(nearestCol(col(vecCol).cast("array<float>"), model, 1)
-          .getItem(0).as("_c"),
-          posexplode(col(vecCol).cast("array<float>")))
-        .where(col("pos") < dim)
-        .groupBy(col("_c"), col("pos"))
-        // Spark round(double) = BigDecimal half-up — the exact rule the
-        // Python oracle replays (round_half_up); the long sums are then
-        // order-independent by integer associativity
-        .agg(sum(round(col("col").cast("double") * F).cast("long")).as("s"),
-          count(lit(1)).as("n"))
+        .select(nearestCol(vecF, model, 1).getItem(0).as("_c"),
+          transform(vecF,
+            x => round(x.cast("double") * F).cast("long")).as("_lv"))
+        // null-vec rows assign no cluster and train nothing (the
+        // explode shape never saw them: posexplode of null is empty)
+        .where(col("_c").isNotNull)
+        .groupBy(col("_c"))
+        .agg(graft.functions.FixedVecSum.fixedVecSum(col("_lv"), dim)
+          .as("_buf"))
         .collect()
       val sums = Array.fill(centroids.length)(new Array[Long](dim))
       val counts = new Array[Long](centroids.length)
       agg.foreach { r =>
-        val c = r.getInt(0); val pos = r.getInt(1)
-        sums(c)(pos) = r.getLong(2)
-        if (pos == 0) counts(c) = r.getLong(3)
+        val c = r.getInt(0)
+        val (n, s) = graft.functions.FixedVecSum.decode(r.getSeq[Long](1), dim)
+        counts(c) = n
+        sums(c) = s
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old // empty cluster keeps its centroid

@@ -277,6 +277,76 @@ object MultiVector {
       docVecs.select(col("doc")).distinct(), "doc")
   }
 
+  /** EXACT count of live (served) documents, optionally filtered over
+    * the `doc` column — the count-API semantics ([[Ivf.countIndex]])
+    * on the late-interaction tier: distinct docs over the masked
+    * doc-bucketed gather layout (a doc is ONE collection point
+    * however many token vectors it carries — counting ivf/ postings
+    * would report vectors, not documents). One column-pruned scan of
+    * docs/; returns a one-row (cnt) frame. A missing or data-less
+    * pair counts zero.
+    */
+  def countDocs(spark: SparkSession, root: String,
+                filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    maskedLiveDocs(spark, root, filter.getOrElse(lit(true))) match {
+      case None =>
+        import spark.implicits._
+        Seq(0L).toDF("cnt")
+      case Some(live) => live.agg(countDistinct(col("doc")).as("cnt"))
+    }
+
+  /** KEYSET pagination over the pair — [[Ivf.scroll]]'s doc-listing
+    * semantics on the late-interaction tier: one id-ordered page of
+    * DISTINCT live doc ids strictly after `afterId`, masked by the
+    * pair's root tombstones, optionally filtered over `doc`. Walks
+    * the docs/ gather side (one doc-column-pruned scan; the listing
+    * has no query vectors to prune clusters by), the cut is
+    * TakeOrderedAndProject — O(page) rows cross the driver at any
+    * depth. A missing or data-less pair yields an empty page.
+    */
+  def scroll(spark: SparkSession, root: String, afterId: Option[Long],
+             limit: Int,
+             filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(limit > 0, "scroll limit must be positive")
+    maskedLiveDocs(spark, root,
+      filter.getOrElse(lit(true)) &&
+        afterId.map(a => col("doc") > a).getOrElse(lit(true))) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc")
+      case Some(live) => live.distinct().orderBy(col("doc")).limit(limit)
+    }
+  }
+
+  /** The filtered, tombstone-masked (doc) column of the docs/ gather
+    * layout — the live-doc prefix [[scroll]] and [[countDocs]] share
+    * (the family's one-mask-contract-site rule). None when the pair
+    * is missing or data-less (a sidecar-only crash leftover must
+    * classify as empty, not die on schema inference).
+    */
+  private def maskedLiveDocs(spark: SparkSession, root: String,
+                             pred: org.apache.spark.sql.Column)
+      : Option[DataFrame] = {
+    graft.core.DirSwap.recoverAt(spark, s"$root/docs")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dp = new org.apache.hadoop.fs.Path(s"$root/docs")
+    val fs = dp.getFileSystem(hc)
+    val hasData = fs.exists(dp) && fs.listStatus(dp).exists(f =>
+      f.isDirectory && f.getPath.getName.startsWith("db="))
+    if (!hasData) return None
+    val docs = spark.read.parquet(s"$root/docs")
+      .where(pred)
+      .select(col("doc"))
+    val tp = new org.apache.hadoop.fs.Path(tombPath(root))
+    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
+    Some(
+      if (!fs.exists(tp)) docs
+      else docs.join(spark.read.parquet(tombPath(root))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti"))
+  }
+
   /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer —
     * VERIFIED against both pairs' persisted `_model` witnesses (the
     * [[Ivf.mergeInto]] contract; this tier used to trust the caller,

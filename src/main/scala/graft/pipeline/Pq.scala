@@ -171,6 +171,10 @@ object Pq {
     val idL = col(idCol).cast("long")
     val init: Array[Array[Float]] = df
       .select(idL.as("_tid"), col(vecCol).cast("array<float>").as("_tv"))
+      // null/empty-vec rows train nothing (Ivf.trainDistributed's
+      // init rule): unfiltered they would NPE the collect or seed
+      // zero-dim codebooks
+      .where(col("_tv").isNotNull && size(col("_tv")) > 0)
       .orderBy(graft.functions.HashFunctions.splitmix64(col("_tid"), seed),
         col("_tid"))
       .limit(ksub)

@@ -389,24 +389,62 @@ object Sparse {
     * family's missing-layout = empty-index convention).
     */
   def countIndex(spark: SparkSession, path: String,
-                 filter: Option[Column] = None): DataFrame = {
+                 filter: Option[Column] = None): DataFrame =
+    maskedLiveDocs(spark, path, filter.getOrElse(lit(true))) match {
+      case None =>
+        import spark.implicits._
+        Seq(0L).toDF("cnt")
+      case Some(live) => live.agg(countDistinct(col("doc")).as("cnt"))
+    }
+
+  /** KEYSET pagination over the sparse layout — [[Ivf.scroll]]'s
+    * doc-listing semantics on this tier (the lexical tier's
+    * [[Bm25.scroll]] shape verbatim): one id-ordered page of DISTINCT
+    * live doc ids strictly after `afterId`, tombstone-masked,
+    * optionally filtered over the `doc` column. The keyset predicate
+    * and filter push into the postings scan, the distinct partially
+    * aggregates map-side, and the cut is TakeOrderedAndProject —
+    * O(page) rows cross the driver at any depth. Same honest cost
+    * note as the lexical scroll: a doc listing has no query dims to
+    * prune buckets by — every bucket's doc column is touched
+    * (column-pruned to one column), the price of not keeping a
+    * separate doc table. A missing or data-less layout yields an
+    * empty page.
+    */
+  def scroll(spark: SparkSession, path: String, afterId: Option[Long],
+             limit: Int, filter: Option[Column] = None): DataFrame = {
+    require(limit > 0, "scroll limit must be positive")
+    maskedLiveDocs(spark, path,
+      filter.getOrElse(lit(true)) &&
+        afterId.map(a => col("doc") > a).getOrElse(lit(true))) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc")
+      case Some(live) => live.distinct().orderBy(col("doc")).limit(limit)
+    }
+  }
+
+  /** The filtered, tombstone-masked (doc) column of the postings —
+    * the live-doc prefix [[scroll]] and [[countIndex]] share
+    * ([[Bm25]]'s one-mask-contract-site argument). None when the
+    * layout is missing or data-less (the family's empty-index
+    * convention — schema inference would die on a sidecar-only dir).
+    */
+  private def maskedLiveDocs(spark: SparkSession, path: String,
+                             pred: Column): Option[DataFrame] = {
     graft.core.DirSwap.recoverAt(spark, path)
     val lp = new org.apache.hadoop.fs.Path(path)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!layoutHasData(fs, lp)) {
-      import spark.implicits._
-      return Seq(0L).toDF("cnt")
-    }
+    if (!layoutHasData(fs, lp)) return None
     val post = spark.read.parquet(path)
-      .where(filter.getOrElse(lit(true)))
+      .where(pred)
       .select(col("doc"))
     val tp = new org.apache.hadoop.fs.Path(tombPath(path))
     graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
-    val masked =
+    Some(
       if (!fs.exists(tp)) post
       else post.join(spark.read.parquet(tombPath(path))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti")
-    masked.agg(countDistinct(col("doc")).as("cnt"))
+        .select(col("doc")).distinct(), Seq("doc"), "left_anti"))
   }
 
   /** SEGMENT MERGE — the shard-parallel build topology: postings are

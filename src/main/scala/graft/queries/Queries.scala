@@ -3518,6 +3518,52 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the count-API on the late-interaction tier: live docs
+    // (distinct over the masked doc-bucketed gather side) under a
+    // payload filter — a doc counts ONCE however many token vectors
+    // it carries, so the ivf/ postings side would be the wrong scan
+    "multivec_count_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_count")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.pipeline.MultiVector.tombstoneDocs(s, root,
+        docVecs.where(col("doc") % 7 === 3).select(col("doc")).distinct())
+      graft.pipeline.MultiVector.countDocs(s, root,
+        Some(col("doc") % 2 === 0))
+    }),
+
+    // KEYSET scroll on the late-interaction tier: two filtered
+    // doc-listing pages walked by last-id keyset through the pair's
+    // live tombstone mask ≡ ordered LIMIT/OFFSET over the filtered
+    // masked doc set
+    "multivec_scroll" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("multivec_scroll")
+        .resolve("index").toString
+      graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
+      graft.pipeline.MultiVector.tombstoneDocs(s, root,
+        docVecs.where(col("doc") % 7 === 3).select(col("doc")).distinct())
+      val filt = Some(col("doc") % 2 === 0)
+      val p1 = graft.pipeline.MultiVector.scroll(s, root, None, 20, filt)
+        .localCheckpoint(true)
+      val last = p1.agg(max(col("doc"))).head().getLong(0)
+      val p2 = graft.pipeline.MultiVector.scroll(s, root, Some(last), 20,
+        filt)
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .select(col("page"), col("doc"))
+        .orderBy(col("page"), col("doc"))
+    }),
+
     // multi-segment serve on the late-interaction tier: two pair
     // roots under one frozen quantizer, decoy docs carrying the
     // query's own vectors tombstoned in THEIR OWN segment only,
@@ -3734,7 +3780,8 @@ object Queries {
           col("rk").cast(LongType).as("rk"))
       val across = serve().withColumn("stage", lit("segments"))
         .localCheckpoint(true)
-      graft.streaming.StreamingSegments.mergeAllMultiVec(s, root)
+      graft.streaming.StreamingSegments.mergeAllMultiVec(s, root,
+        protectTail = false) // stream closed: no replay can occur
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("doc"), col("score"),
           col("rk"))
@@ -4094,7 +4141,8 @@ object Queries {
       // segment (the row's semantics must not depend on parquet byte
       // sizes, which grow with the SF)
       val survivors = graft.streaming.StreamingSegments.maintainTiered(
-        s, root, fanout = 2, minTierBytes = 1L << 40, compact = true)
+        s, root, fanout = 2, minTierBytes = 1L << 40, compact = true,
+        protectTail = false) // offline: the builds above cannot replay
       require(survivors.size == 1,
         s"equal-size cascade must fold to one segment, got $survivors")
       graft.pipeline.Ivf.searchCodes(
@@ -5388,10 +5436,41 @@ object Queries {
       // convention: the pin rides the returned union)
       val across = serve().withColumn("stage", lit("segments"))
         .localCheckpoint(true)
-      graft.streaming.StreamingSegments.mergeAll(s, root)
+      graft.streaming.StreamingSegments.mergeAll(s, root,
+        protectTail = false) // stream closed: no replay can occur
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("nid"), col("sim"), col("rk"))
         .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // the maintenance CADENCE wired into the write path: six
+    // microbatches with maintainEvery=2 run the size-tiered fold
+    // INSIDE the stream (tail protected — each pass runs while the
+    // just-promoted segment may still be uncommitted, exactly the
+    // replay window protectTail closes), so the layout never
+    // accumulates more than ~fanout segments between passes and the
+    // MID-POLICY serve must still equal the one-shot int8 golden.
+    // minTierBytes above any SF's segment size ⇒ one tier ⇒ the
+    // in-stream cascades are deterministic at every scale factor
+    "stream_ivf_segments_tiered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("sivf_segs_tier")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingest(s, d, root, model,
+        nBatches = 6, maintainEvery = 2, fanout = 2,
+        minTierBytes = 1L << 40)
+      val segs = graft.streaming.StreamingSegments.segmentRoots(s, root)
+      require(segs.size == 2,
+        s"cadence shape: {0..4 cascaded, tail 5} expected, got $segs")
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s, segs, "vec_id", model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
     }),
 
     // the LEXICAL segment-per-microbatch write path (no ledger, no
@@ -5410,7 +5489,8 @@ object Queries {
           2L -> "merge sort window"), k = 10)
       val across = serve().withColumn("stage", lit("segments"))
         .localCheckpoint(true)
-      graft.streaming.StreamingSegments.mergeAllBm25(s, root)
+      graft.streaming.StreamingSegments.mergeAllBm25(s, root,
+        protectTail = false) // stream closed: no replay can occur
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("doc"), col("score_fp"),
           col("rk"))
@@ -5432,7 +5512,8 @@ object Queries {
         graft.streaming.StreamingSegments.segmentRoots(s, root), q, k = 10)
       val across = serve().withColumn("stage", lit("segments"))
         .localCheckpoint(true)
-      graft.streaming.StreamingSegments.mergeAllSparse(s, root)
+      graft.streaming.StreamingSegments.mergeAllSparse(s, root,
+        protectTail = false) // stream closed: no replay can occur
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("nid"), col("score"),
           col("rk"))
@@ -5465,7 +5546,8 @@ object Queries {
         nprobe = 16)
       val across = serve().withColumn("stage", lit("segments"))
         .localCheckpoint(true)
-      graft.streaming.StreamingSegments.mergeAllHybrid(s, root)
+      graft.streaming.StreamingSegments.mergeAllHybrid(s, root,
+        protectTail = false) // stream closed: no replay can occur
       across.unionByName(serve().withColumn("stage", lit("merged")))
         .select(col("stage"), col("qid"), col("doc"), col("rrf_fp"),
           col("rk"))
@@ -6318,6 +6400,31 @@ object Queries {
         Some(col("doc") % 2 === 0))
     }),
 
+    // KEYSET scroll on the sparse tier (ivf_scroll's semantics — the
+    // last countIndex-but-no-scroll asymmetry in the serving matrix):
+    // two filtered doc-listing pages walked by last-id keyset through
+    // a live tombstone mask ≡ ordered LIMIT/OFFSET over the filtered
+    // masked live-doc set (a doc is live when any dim survives the
+    // sparsify threshold)
+    "sparse_scroll" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("sparse_scroll")
+        .resolve("index").toString
+      graft.pipeline.Sparse.writeIndex(
+        graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
+      graft.pipeline.Sparse.tombstoneDocs(s, idx,
+        emb.where(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val filt = Some(col("doc") % 2 === 0)
+      val p1 = graft.pipeline.Sparse.scroll(s, idx, None, 20, filt)
+        .localCheckpoint(true)
+      val last = p1.agg(max(col("doc"))).head().getLong(0)
+      val p2 = graft.pipeline.Sparse.scroll(s, idx, Some(last), 20, filt)
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .select(col("page"), col("doc"))
+        .orderBy(col("page"), col("doc"))
+    }),
+
     // multi-segment sparse serve WITHOUT the merge: three shard
     // roots, decoy copies of the query vectors (they would own the
     // rank-1 slots with self-dot scores) tombstoned in THEIR OWN
@@ -6840,6 +6947,48 @@ object Queries {
           graft.pipeline.Hybrid.loadModel(s, root), "embedding", "vec_id",
           kCand = 20, k = 10, nprobe = 16)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the count-API on the hybrid PAIR: the lexical side is the
+    // pair's doc universe (every ingested doc carries text; the
+    // dense side may cover a subset), and tombstoneDocs drives both
+    // sides, so the bm25 live-doc count IS the pair's
+    "hybrid_count_filtered" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("hybrid_count")
+        .resolve("index").toString
+      graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id", emb,
+        "vec_id", "embedding", model, root)
+      graft.pipeline.Hybrid.tombstoneDocs(s, root,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "vec_id")
+      graft.pipeline.Hybrid.countDocs(s, root, Some(col("doc") % 2 === 0))
+    }),
+
+    // KEYSET scroll on the hybrid pair — the doc listing walks the
+    // lexical side for the same doc-universe reason as the count
+    "hybrid_scroll" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = java.nio.file.Files.createTempDirectory("hybrid_scroll")
+        .resolve("index").toString
+      graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id", emb,
+        "vec_id", "embedding", model, root)
+      graft.pipeline.Hybrid.tombstoneDocs(s, root,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "vec_id")
+      val filt = Some(col("doc") % 2 === 0)
+      val p1 = graft.pipeline.Hybrid.scroll(s, root, None, 20, filt)
+        .localCheckpoint(true)
+      val last = p1.agg(max(col("doc"))).head().getLong(0)
+      val p2 = graft.pipeline.Hybrid.scroll(s, root, Some(last), 20, filt)
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .select(col("page"), col("doc"))
+        .orderBy(col("page"), col("doc"))
     }),
 
     "hybrid_topk_filtered" -> ((s, d) => {
@@ -7688,6 +7837,23 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
         |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin,
 
+    // the hybrid pair's doc universe is its lexical side: same live
+    // set as the bm25 count/scroll, reached through the paired
+    // lifecycle entry points (tombstoneDocs drives BOTH sides)
+    "hybrid_count_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin,
+    "hybrid_scroll" ->
+      """WITH live AS (
+        |  SELECT doc_id AS doc FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3),
+        |p1 AS (SELECT doc FROM live ORDER BY doc LIMIT 20),
+        |p2 AS (SELECT doc FROM live ORDER BY doc LIMIT 20 OFFSET 20)
+        |SELECT CAST(1 AS BIGINT) AS page, doc FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS page, doc FROM p2
+        |ORDER BY page, doc""".stripMargin,
+
     // segment-per-microbatch lexical ingest: the across-segments
     // serve (global stats merge) AND the post-mergeAll serve must
     // both equal the one-shot build
@@ -7733,6 +7899,23 @@ object Queries {
         |  WHERE CAST(val AS DOUBLE) >= 0.05
         |    AND doc % 2 = 0 AND doc % 7 <> 3)
         |SELECT CAST(count(*) AS BIGINT) AS cnt FROM live""".stripMargin,
+
+    // two keyset pages over the filtered, masked sparse live-doc set
+    // ≡ ordered LIMIT/OFFSET over the same set
+    "sparse_scroll" ->
+      """WITH expl AS (
+        |  SELECT vec_id AS doc, unnest(embedding) AS val
+        |  FROM embeddings),
+        |live AS (
+        |  SELECT DISTINCT doc FROM expl
+        |  WHERE CAST(val AS DOUBLE) >= 0.05
+        |    AND doc % 2 = 0 AND doc % 7 <> 3),
+        |p1 AS (SELECT doc FROM live ORDER BY doc LIMIT 20),
+        |p2 AS (SELECT doc FROM live ORDER BY doc LIMIT 20 OFFSET 20)
+        |SELECT CAST(1 AS BIGINT) AS page, doc FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS page, doc FROM p2
+        |ORDER BY page, doc""".stripMargin,
 
     // segment-per-microbatch sparse ingest: both stages (across
     // segments, post-mergeAll) replay the same brute force
@@ -7805,6 +7988,25 @@ object Queries {
     // indexed/lifecycle rows run the exhaustive probe so the same
     // SQL pins them all
     "multivec_topk" -> multivecSql(),
+    // the late-interaction count-API: one count per DOC (vec_id // 4
+    // groups of token vectors) under filter + mask
+    "multivec_count_filtered" ->
+      """WITH live AS (
+        |  SELECT DISTINCT vec_id // 4 AS doc FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS cnt FROM live
+        |WHERE doc % 2 = 0 AND doc % 7 <> 3""".stripMargin,
+    // two keyset pages over the filtered, masked late-interaction
+    // doc set ≡ ordered LIMIT/OFFSET over the same set
+    "multivec_scroll" ->
+      """WITH live AS (
+        |  SELECT DISTINCT vec_id // 4 AS doc FROM embeddings
+        |  WHERE (vec_id // 4) % 2 = 0 AND (vec_id // 4) % 7 <> 3),
+        |p1 AS (SELECT doc FROM live ORDER BY doc LIMIT 20),
+        |p2 AS (SELECT doc FROM live ORDER BY doc LIMIT 20 OFFSET 20)
+        |SELECT CAST(1 AS BIGINT) AS page, doc FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS page, doc FROM p2
+        |ORDER BY page, doc""".stripMargin,
     "multivec_topk_indexed" -> multivecSql(),
     "multivec_topk_incremental" -> multivecSql(),
     "multivec_topk_deleted" -> multivecSql(),
@@ -8375,7 +8577,7 @@ object Queries {
          |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
          |    FROM p) t
          |  WHERE rk <= 5),
-         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_dist_topk.parquet')
+         |ap AS (SELECT qid, nid FROM '$pipeGold/ivf_topk_dist.parquet')
          |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
          |  count(a.nid) / least(5.0, count(*)) AS recall
          |FROM ex e LEFT JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
@@ -8717,6 +8919,11 @@ object Queries {
          |SELECT 'segments' AS stage, qid, nid, sim, rk
          |FROM '$pipeGold/ivf_topk_int8.parquet'
          |ORDER BY stage, qid, rk""".stripMargin,
+
+    // in-stream tiered maintenance (maintainEvery): the mid-policy
+    // serve over {cascaded survivor, protected tail} ≡ one-shot
+    "stream_ivf_segments_tiered" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // snapshot → wreck → restore ≡ the never-wrecked one-shot
     "ivf_topk_restored" ->

@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions.col
   * mergeAll* entry points fold segments together as BACKGROUND
   * maintenance — after them, the merged root serves identically
   * (gate-pinned both stages against the one-shot goldens).
+  *
+  * ONE ordering caveat closes the exactly-once story when maintenance
+  * and the stream overlap: [[promoteSegment]] promotes BEFORE the
+  * stream's checkpoint commits the batch, so the NEWEST segment may
+  * belong to a batch whose commit never landed. If maintenance
+  * absorbed that segment into a survivor and the stream then crashed,
+  * the replay would re-create `seg=<batchId>` BESIDE the survivor
+  * already holding its rows — duplicates every tier's segment union
+  * would faithfully serve. Commits are sequential (batch N commits
+  * before batch N+1 runs), so only the MAX batch id can be
+  * uncommitted: every maintenance entry point therefore skips the
+  * max-id segment by default (`protectTail = true`), making
+  * promote → maintain → crash → replay serve identically to a stream
+  * that never crashed (spec-pinned). Pass `protectTail = false` only
+  * when no replay can occur — the stream is stopped and its
+  * checkpoint retired — to fold the tail too.
   */
 object StreamingSegments {
 
@@ -104,29 +120,59 @@ object StreamingSegments {
     * (readSegmentsServing hard-requires it). Exposed for testing.
     * Empty batches create no segment (the empty-layout landmine: a
     * zero-row write would leave a _SUCCESS-only root that every
-    * later segments read dies on).
+    * later segments read dies on). Returns whether a segment was
+    * promoted (the ingest cadence counter's signal).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
                    root: String, model: graft.pipeline.IvfModel,
-                   batchId: Long): Unit = {
-    if (batch.isEmpty) return
+                   batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
     promoteSegment(spark, root, batchId) { tmp =>
       Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, tmp)
       Ivf.saveModel(spark, model, Ivf.modelPath(tmp))
+    }
+    true
+  }
+
+  /** The per-ingest maintenance cadence: after every `maintainEvery`
+    * promotes (0 = maintenance off, the default) run the tier's
+    * size-tiered fold — with the tail protected, per the class doc:
+    * the segment the stream just promoted may not be checkpointed
+    * yet, so in-stream maintenance is exactly the caller the
+    * `protectTail` default exists for. The cadence trade is measured
+    * (MaintenanceCurve): each pass costs up to the policy's worst
+    * single cascade, and in exchange serve latency stays pinned to
+    * the near-flat few-segments curve instead of drifting up the
+    * per-segment slope between offline maintenance windows.
+    */
+  private def maintainCadence(maintainEvery: Int)(run: () => Unit)
+      : () => Unit = {
+    require(maintainEvery >= 0,
+      s"maintainEvery must be >= 0 (0 = off), got $maintainEvery")
+    var promotes = 0
+    () => {
+      promotes += 1
+      if (maintainEvery > 0 && promotes % maintainEvery == 0) run()
     }
   }
 
   /** Stream the embeddings table (replayed as `nBatches` id-ordered
     * microbatches) into a dense segment-per-batch layout under
-    * `root`.
+    * `root`; `maintainEvery` > 0 runs [[maintainTiered]] (tail
+    * protected) after every that-many promotes.
     */
   def ingest(spark: SparkSession, dir: String, root: String,
-             model: graft.pipeline.IvfModel, nBatches: Int = 4): Unit =
+             model: graft.pipeline.IvfModel, nBatches: Int = 4,
+             maintainEvery: Int = 0, fanout: Int = 4,
+             minTierBytes: Long = 1L << 20): Unit = {
+    val tick = maintainCadence(maintainEvery)(() =>
+      maintainTiered(spark, root, fanout, minTierBytes))
     runIngest(spark, s"$dir/embeddings.parquet", "vec_id", nBatches,
       "graft_ssegs_ckpt_") { (batch, batchId) =>
-      processBatch(batch.sparkSession, batch, "embedding", root, model,
-        batchId)
+      if (processBatch(batch.sparkSession, batch, "embedding", root, model,
+        batchId)) tick()
     }
+  }
 
   /** Background maintenance: fold every dense segment into the first
     * via the family's file-move [[Ivf.mergeInto]] (shared-quantizer
@@ -136,12 +182,24 @@ object StreamingSegments {
     * crash-safe moves), or after the fold returns the same rows.
     */
   def mergeAll(spark: SparkSession, root: String,
-               idCol: String = "vec_id"): Option[String] = {
-    val segs = segmentRoots(spark, root)
+               idCol: String = "vec_id",
+               protectTail: Boolean = true): Option[String] = {
+    val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
       segs.tail.foreach(src => Ivf.mergeInto(spark, dst, src, idCol))
       dst
     }
+  }
+
+  /** The segment roots a maintenance pass may touch: all of them when
+    * `protectTail` is off, all but the max-batch-id segment (the
+    * possibly-uncommitted tail — see the class doc) when it is on.
+    * segmentRoots is id-ordered, so the tail is simply the last.
+    */
+  private def foldable(spark: SparkSession, root: String,
+                       protectTail: Boolean): Seq[String] = {
+    val all = segmentRoots(spark, root)
+    if (protectTail && all.size > 1) all.init else all
   }
 
   /** One LEXICAL microbatch: the batch's own complete BM25 index
@@ -153,31 +211,39 @@ object StreamingSegments {
     */
   def processBatchBm25(spark: SparkSession, batch: DataFrame,
                        textCol: String, idCol: String, root: String,
-                       batchId: Long): Unit = {
-    if (batch.isEmpty) return
+                       batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
     promoteSegment(spark, root, batchId) { tmp =>
       Bm25.writeIndex(spark, batch, textCol, idCol, tmp)
     }
+    true
   }
 
   /** Stream the documents table into a BM25 segment-per-batch layout
     * under `root`; serve with
     * `Bm25.searchSegments(spark, segmentRoots(root), …)`.
+    * `maintainEvery` > 0 runs [[maintainTieredBm25]] (tail protected)
+    * after every that-many promotes.
     */
   def ingestBm25(spark: SparkSession, dir: String, root: String,
-                 nBatches: Int = 4): Unit =
+                 nBatches: Int = 4, maintainEvery: Int = 0,
+                 fanout: Int = 4, minTierBytes: Long = 1L << 20): Unit = {
+    val tick = maintainCadence(maintainEvery)(() =>
+      maintainTieredBm25(spark, root, fanout, minTierBytes))
     runIngest(spark, s"$dir/documents.parquet", "doc_id", nBatches,
       "graft_ssegbm_ckpt_") { (batch, batchId) =>
-      processBatchBm25(batch.sparkSession, batch, "text", "doc_id", root,
-        batchId)
+      if (processBatchBm25(batch.sparkSession, batch, "text", "doc_id", root,
+        batchId)) tick()
     }
+  }
 
   /** Fold every BM25 segment into the first via the zero-recompute
     * file-move [[Bm25.mergeInto]] (readers SUM stats/df rows, so the
     * merged layout is bit-identical to serving the segments).
     */
-  def mergeAllBm25(spark: SparkSession, root: String): Option[String] = {
-    val segs = segmentRoots(spark, root)
+  def mergeAllBm25(spark: SparkSession, root: String,
+                   protectTail: Boolean = true): Option[String] = {
+    val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
       segs.tail.foreach(src => Bm25.mergeInto(spark, dst, src))
       dst
@@ -191,32 +257,41 @@ object StreamingSegments {
   def processBatchSparse(spark: SparkSession, batch: DataFrame,
                          vecCol: String, idCol: String, root: String,
                          batchId: Long, tau: Double,
-                         scale: Double): Unit = {
-    if (batch.isEmpty) return
+                         scale: Double): Boolean = {
+    if (batch.isEmpty) return false
     promoteSegment(spark, root, batchId) { tmp =>
       Sparse.writeIndex(Sparse.sparsify(batch, vecCol, idCol, tau, scale),
         tmp)
     }
+    true
   }
 
   /** Stream the embeddings table into a sparse segment-per-batch
     * layout under `root`; serve with
     * `Sparse.searchSegments(spark, segmentRoots(root), …)`.
+    * `maintainEvery` > 0 runs [[maintainTieredSparse]] (tail
+    * protected) after every that-many promotes.
     */
   def ingestSparse(spark: SparkSession, dir: String, root: String,
                    nBatches: Int = 4, tau: Double = 0.05,
-                   scale: Double = Sparse.DefaultScale): Unit =
+                   scale: Double = Sparse.DefaultScale,
+                   maintainEvery: Int = 0, fanout: Int = 4,
+                   minTierBytes: Long = 1L << 20): Unit = {
+    val tick = maintainCadence(maintainEvery)(() =>
+      maintainTieredSparse(spark, root, fanout, minTierBytes))
     runIngest(spark, s"$dir/embeddings.parquet", "vec_id", nBatches,
       "graft_ssegsp_ckpt_") { (batch, batchId) =>
-      processBatchSparse(batch.sparkSession, batch, "embedding", "vec_id",
-        root, batchId, tau, scale)
+      if (processBatchSparse(batch.sparkSession, batch, "embedding", "vec_id",
+        root, batchId, tau, scale)) tick()
     }
+  }
 
   /** Fold every sparse segment into the first ([[Sparse.mergeInto]]
     * pure file moves — per-doc postings, no cross-doc statistics).
     */
-  def mergeAllSparse(spark: SparkSession, root: String): Option[String] = {
-    val segs = segmentRoots(spark, root)
+  def mergeAllSparse(spark: SparkSession, root: String,
+                     protectTail: Boolean = true): Option[String] = {
+    val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
       segs.tail.foreach(src => Sparse.mergeInto(spark, dst, src))
       dst
@@ -240,8 +315,8 @@ object StreamingSegments {
                          textCol: String, idCol: String, emb: DataFrame,
                          vecIdCol: String, vecCol: String,
                          model: graft.pipeline.IvfModel, root: String,
-                         batchId: Long): Unit = {
-    if (batch.isEmpty) return
+                         batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
     val vecs = emb.join(batch.select(col(idCol).as(vecIdCol)), Seq(vecIdCol))
     promoteSegment(spark, root, batchId) { tmp =>
       Bm25.writeIndex(spark, batch, textCol, idCol, s"$tmp/bm25")
@@ -252,6 +327,7 @@ object StreamingSegments {
         Ivf.saveModel(spark, model, Ivf.modelPath(s"$tmp/ivf"))
       }
     }
+    true
   }
 
   /** Stream the documents table into a PAIRED segment-per-batch
@@ -265,13 +341,16 @@ object StreamingSegments {
     */
   def ingestHybrid(spark: SparkSession, dir: String,
                    model: graft.pipeline.IvfModel, root: String,
-                   nBatches: Int = 4): Unit = {
+                   nBatches: Int = 4, maintainEvery: Int = 0,
+                   fanout: Int = 4, minTierBytes: Long = 1L << 20): Unit = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    val tick = maintainCadence(maintainEvery)(() =>
+      maintainTieredHybrid(spark, root, fanout, minTierBytes))
     runIngest(spark, s"$dir/documents.parquet", "doc_id", nBatches,
       "graft_sseghy_ckpt_") { (batch, batchId) =>
-      processBatchHybrid(batch.sparkSession, batch, "text", "doc_id", emb,
-        "vec_id", "embedding", model, root, batchId)
+      if (processBatchHybrid(batch.sparkSession, batch, "text", "doc_id", emb,
+        "vec_id", "embedding", model, root, batchId)) tick()
     }
   }
 
@@ -287,11 +366,12 @@ object StreamingSegments {
     */
   def processBatchMultiVec(spark: SparkSession, batch: DataFrame,
                            model: graft.pipeline.IvfModel, root: String,
-                           batchId: Long): Unit = {
-    if (batch.isEmpty) return
+                           batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
     promoteSegment(spark, root, batchId) { tmp =>
       graft.pipeline.MultiVector.writeIndex(spark, batch, model, tmp)
     }
+    true
   }
 
   /** Stream the embeddings table (docs = `vecsPerDoc`-vector groups)
@@ -306,16 +386,21 @@ object StreamingSegments {
     */
   def ingestMultiVec(spark: SparkSession, dir: String, root: String,
                      model: graft.pipeline.IvfModel, nBatches: Int = 4,
-                     vecsPerDoc: Int = 4): Unit = {
+                     vecsPerDoc: Int = 4, maintainEvery: Int = 0,
+                     fanout: Int = 4,
+                     minTierBytes: Long = 1L << 20): Unit = {
     val staged = java.nio.file.Files.createTempDirectory("graft_ssegmv_src")
       .resolve("docvecs.parquet").toString
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") / vecsPerDoc).cast("long").as("doc"),
         col("embedding").as("vec"))
       .write.parquet(staged)
+    val tick = maintainCadence(maintainEvery)(() =>
+      maintainTieredMultiVec(spark, root, fanout, minTierBytes))
     try runIngest(spark, staged, "doc", nBatches, "graft_ssegmv_ckpt_") {
       (batch, batchId) =>
-        processBatchMultiVec(batch.sparkSession, batch, model, root, batchId)
+        if (processBatchMultiVec(batch.sparkSession, batch, model, root,
+          batchId)) tick()
     } finally EventStream.deleteScratch(
       new java.io.File(staged).getParentFile.toPath)
   }
@@ -323,8 +408,9 @@ object StreamingSegments {
   /** Fold every multivec segment pair into the first via the
     * witness-verified [[MultiVector.mergeInto]].
     */
-  def mergeAllMultiVec(spark: SparkSession, root: String): Option[String] = {
-    val segs = segmentRoots(spark, root)
+  def mergeAllMultiVec(spark: SparkSession, root: String,
+                       protectTail: Boolean = true): Option[String] = {
+    val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
       segs.tail.foreach(src =>
         graft.pipeline.MultiVector.mergeInto(spark, dst, src))
@@ -370,7 +456,8 @@ object StreamingSegments {
                          minTierBytes: Long,
                          pickDst: Seq[String] => String,
                          merge: (String, String) => Unit,
-                         compact: String => Unit): Seq[String] = {
+                         compact: String => Unit,
+                         protectTail: Boolean): Seq[String] = {
     require(fanout >= 2, s"tiered maintenance needs fanout >= 2, got $fanout")
     require(minTierBytes >= 1, s"minTierBytes must be >= 1, got $minTierBytes")
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -382,7 +469,9 @@ object StreamingSegments {
       t
     }
     val sizes = scala.collection.mutable.Map.empty[String, Long]
-    segmentRoots(spark, root).foreach(p => sizes(p) = segBytes(fs, p))
+    // the possibly-uncommitted tail never enters the candidate set
+    // (class doc): it can be neither absorbed nor a merge destination
+    foldable(spark, root, protectTail).foreach(p => sizes(p) = segBytes(fs, p))
     var changed = true
     while (changed) {
       changed = false
@@ -405,9 +494,15 @@ object StreamingSegments {
   }
 
   /** The lowest-numeric-batch-id member — the default merge
-    * destination (its name survives, so a later replay of a RETIRED
-    * batch id can still only overwrite its own — now absorbed —
-    * segment, never a survivor).
+    * destination. Its name surviving means a replayed batch id never
+    * OVERWRITES a survivor holding other batches' rows; it does NOT
+    * by itself make replaying a retired id harmless — the replay
+    * would re-create the retired segment and its rows would serve
+    * TWICE, duplicated beside the survivor that absorbed them. That
+    * hazard is closed one level up: maintenance skips the only
+    * segment whose batch can still replay (the max-id tail,
+    * `protectTail` — commits are sequential, so every retired id's
+    * commit has landed and will never replay).
     */
   private def minIdSeg(group: Seq[String]): String =
     group.minBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
@@ -422,10 +517,11 @@ object StreamingSegments {
   def maintainTiered(spark: SparkSession, root: String,
                      fanout: Int = 4, minTierBytes: Long = 1L << 20,
                      idCol: String = "vec_id",
-                     compact: Boolean = false): Seq[String] =
+                     compact: Boolean = false,
+                     protectTail: Boolean = true): Seq[String] =
     tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
       (dst, src) => Ivf.mergeInto(spark, dst, src, idCol),
-      dst => if (compact) Ivf.compactIndex(spark, dst))
+      dst => if (compact) Ivf.compactIndex(spark, dst), protectTail)
 
   /** Size-tiered maintenance over a LEXICAL segment layout
     * ([[Bm25.mergeInto]] — readers sum stats/df, so any grouping of
@@ -433,18 +529,20 @@ object StreamingSegments {
     */
   def maintainTieredBm25(spark: SparkSession, root: String,
                          fanout: Int = 4, minTierBytes: Long = 1L << 20,
-                         compact: Boolean = false): Seq[String] =
+                         compact: Boolean = false,
+                         protectTail: Boolean = true): Seq[String] =
     tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
       (dst, src) => Bm25.mergeInto(spark, dst, src),
-      dst => if (compact) Bm25.compactIndex(spark, dst))
+      dst => if (compact) Bm25.compactIndex(spark, dst), protectTail)
 
   /** Size-tiered maintenance over a SPARSE segment layout. */
   def maintainTieredSparse(spark: SparkSession, root: String,
                            fanout: Int = 4, minTierBytes: Long = 1L << 20,
-                           compact: Boolean = false): Seq[String] =
+                           compact: Boolean = false,
+                           protectTail: Boolean = true): Seq[String] =
     tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
       (dst, src) => Sparse.mergeInto(spark, dst, src),
-      dst => if (compact) Sparse.compactIndex(spark, dst))
+      dst => if (compact) Sparse.compactIndex(spark, dst), protectTail)
 
   /** Size-tiered maintenance over a HYBRID pair layout. The merge
     * destination inside each group must carry a dense side if any
@@ -454,7 +552,8 @@ object StreamingSegments {
     */
   def maintainTieredHybrid(spark: SparkSession, root: String,
                            fanout: Int = 4, minTierBytes: Long = 1L << 20,
-                           compact: Boolean = false): Seq[String] = {
+                           compact: Boolean = false,
+                           protectTail: Boolean = true): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def pick(group: Seq[String]): String = {
@@ -464,7 +563,7 @@ object StreamingSegments {
     }
     tieredFold(spark, root, fanout, minTierBytes, pick,
       (dst, src) => Hybrid.mergeInto(spark, dst, src),
-      dst => if (compact) Hybrid.compactIndex(spark, dst))
+      dst => if (compact) Hybrid.compactIndex(spark, dst), protectTail)
   }
 
   /** Size-tiered maintenance over a MULTIVEC pair layout (merge-only:
@@ -473,10 +572,11 @@ object StreamingSegments {
     */
   def maintainTieredMultiVec(spark: SparkSession, root: String,
                              fanout: Int = 4,
-                             minTierBytes: Long = 1L << 20): Seq[String] =
+                             minTierBytes: Long = 1L << 20,
+                             protectTail: Boolean = true): Seq[String] =
     tieredFold(spark, root, fanout, minTierBytes, minIdSeg,
       (dst, src) => graft.pipeline.MultiVector.mergeInto(spark, dst, src),
-      _ => ())
+      _ => (), protectTail)
 
   /** Fold every hybrid segment pair into one via [[Hybrid.mergeInto]]
     * (both sides' file-move merges under their own witnesses). The
@@ -485,8 +585,9 @@ object StreamingSegments {
     * Ivf.mergeInto requires an existing destination); if none does,
     * the whole layout is lexical-only and any segment absorbs.
     */
-  def mergeAllHybrid(spark: SparkSession, root: String): Option[String] = {
-    val segs = segmentRoots(spark, root)
+  def mergeAllHybrid(spark: SparkSession, root: String,
+                     protectTail: Boolean = true): Option[String] = {
+    val segs = foldable(spark, root, protectTail)
     if (segs.isEmpty) return None
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -172,6 +172,25 @@ class IvfTrainDistributedSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("null and empty vectors train nothing — init and fold alike") {
+    import spark.implicits._
+    val clean = emb.limit(40).localCheckpoint(true)
+    val mx = clean.agg(max(col("vec_id"))).head().getLong(0)
+    val dirty = clean.unionByName(Seq(
+        (mx + 1, null.asInstanceOf[Array[Float]]),
+        (mx + 2, Array.empty[Float]),
+        (mx + 3, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    // the dirty rows' splitmix hashes could rank inside the init head
+    // — the init filter (and the fold's null/empty skips) must make
+    // them invisible to training entirely
+    val a = Ivf.trainDistributed(clean, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    val b = Ivf.trainDistributed(dirty, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    assert(centroidBits(a) == centroidBits(b))
+  }
+
   test("refuses an empty corpus") {
     import spark.implicits._
     val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

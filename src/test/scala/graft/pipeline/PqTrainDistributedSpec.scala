@@ -102,6 +102,21 @@ class PqTrainDistributedSpec extends SparkTestBase {
     assert(dist > 0.2, s"distributed ADC recall $dist")
   }
 
+  test("null and empty vectors train nothing — init and fold alike") {
+    import spark.implicits._
+    val clean = emb.limit(40).localCheckpoint(true)
+    val mx = clean.agg(max(col("vec_id"))).head().getLong(0)
+    val dirty = clean.unionByName(Seq(
+        (mx + 1, null.asInstanceOf[Array[Float]]),
+        (mx + 2, Array.empty[Float]))
+      .toDF("vec_id", "embedding"))
+    val a = Pq.trainDistributed(clean, "embedding", "vec_id",
+      m = 8, ksub = 4, iters = 2)
+    val b = Pq.trainDistributed(dirty, "embedding", "vec_id",
+      m = 8, ksub = 4, iters = 2)
+    assert(bookBits(a) == bookBits(b))
+  }
+
   test("refusals: empty corpus, indivisible dim, oversized ksub") {
     import spark.implicits._
     val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

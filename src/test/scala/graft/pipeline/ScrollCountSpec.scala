@@ -111,4 +111,88 @@ class ScrollCountSpec extends SparkTestBase {
     assert(Sparse.countIndex(spark,
       idx + "_missing").head().getLong(0) == 0L)
   }
+
+  test("sparse scroll walks distinct live docs in order; a missing " +
+    "layout yields an empty page") {
+    val idx = java.nio.file.Files.createTempDirectory("sparse_scr")
+      .resolve("index").toString
+    val sp = Sparse.sparsify(emb, "embedding", "vec_id")
+    Sparse.writeIndex(sp, idx)
+    Sparse.tombstoneDocs(spark, idx,
+      emb.where(col("vec_id") % 5 === 1).select(col("vec_id")))
+    val filt = Some(col("doc") % 3 === 0)
+    val want = sp.select(col("doc")).distinct()
+      .where(col("doc") % 3 === 0 && col("doc") % 5 =!= 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    var after: Option[Long] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var page = Sparse.scroll(spark, idx, after, 7, filt)
+      .collect().map(_.getLong(0)).toSeq
+    while (page.nonEmpty) {
+      assert(page == page.sorted && page.distinct == page)
+      seen ++= page
+      after = Some(page.last)
+      page = Sparse.scroll(spark, idx, after, 7, filt)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(seen.toSeq == want && want.nonEmpty)
+    assert(Sparse.scroll(spark, idx + "_missing", None, 5).count() == 0L)
+    intercept[IllegalArgumentException](
+      Sparse.scroll(spark, idx, None, 0))
+  }
+
+  test("multivec countDocs/scroll: live distinct DOCS (not vectors) " +
+    "under filter + the pair's mask; empty on a missing pair") {
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("mv_sc")
+      .resolve("pair").toString
+    MultiVector.writeIndex(spark, docVecs, model, root)
+    MultiVector.tombstoneDocs(spark, root,
+      docVecs.where(col("doc") % 5 === 1).select(col("doc")).distinct())
+    val live = docVecs.select(col("doc")).distinct()
+      .where(col("doc") % 3 === 0 && col("doc") % 5 =!= 1)
+    val want = live.count()
+    assert(MultiVector.countDocs(spark, root,
+      Some(col("doc") % 3 === 0)).head().getLong(0) == want && want > 0)
+    val wantIds = live.collect().map(_.getLong(0)).sorted.toSeq
+    var after: Option[Long] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var page = MultiVector.scroll(spark, root, after, 5,
+      Some(col("doc") % 3 === 0)).collect().map(_.getLong(0)).toSeq
+    while (page.nonEmpty) {
+      assert(page == page.sorted && page.distinct == page)
+      seen ++= page
+      after = Some(page.last)
+      page = MultiVector.scroll(spark, root, after, 5,
+        Some(col("doc") % 3 === 0)).collect().map(_.getLong(0)).toSeq
+    }
+    assert(seen.toSeq == wantIds)
+    assert(MultiVector.countDocs(spark, root + "_missing")
+      .head().getLong(0) == 0L)
+    assert(MultiVector.scroll(spark, root + "_missing", None, 5)
+      .count() == 0L)
+  }
+
+  test("hybrid countDocs/scroll ride the lexical side (the pair's doc " +
+    "universe) through the paired tombstones") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("hy_sc")
+      .resolve("pair").toString
+    Hybrid.writeIndex(spark, docs, "text", "doc_id", emb, "vec_id",
+      "embedding", model, root)
+    Hybrid.tombstoneDocs(spark, root,
+      docs.where(col("doc_id") % 5 === 1).select(col("doc_id")), "vec_id")
+    val want = docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 1)
+      .count()
+    assert(Hybrid.countDocs(spark, root,
+      Some(col("doc") % 3 === 0)).head().getLong(0) == want && want > 0)
+    val p1 = Hybrid.scroll(spark, root, None, 7,
+      Some(col("doc") % 3 === 0)).collect().map(_.getLong(0)).toSeq
+    assert(p1 == p1.sorted && p1.nonEmpty && p1.forall(d =>
+      d % 3 == 0 && d % 5 != 1))
+  }
 }

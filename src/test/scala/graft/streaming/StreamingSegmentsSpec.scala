@@ -63,10 +63,93 @@ class StreamingSegmentsSpec extends SparkTestBase {
     StreamingSegments.processBatch(spark,
       emb.where(col("vec_id") > 2 * third), "embedding", root, model, 2L)
     val before = serveAll(root, model)
-    val dst = StreamingSegments.mergeAll(spark, root)
+    val dst = StreamingSegments.mergeAll(spark, root, protectTail = false)
     assert(dst.isDefined)
     assert(StreamingSegments.segmentRoots(spark, root) == Seq(dst.get))
     assert(serveAll(root, model) == before && before.nonEmpty)
+  }
+
+  test("maintenance protects the uncommitted tail: promote → maintain → " +
+    "replay serves identically to never-crashed") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ssegs_tail")
+      .resolve("segments").toString
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def slice(i: Long) = emb.where(
+      col("vec_id") >= i * (mx + 1) / 4 && col("vec_id") < (i + 1) * (mx + 1) / 4)
+    (0L until 4L).foreach(i =>
+      StreamingSegments.processBatch(spark, slice(i), "embedding", root,
+        model, i))
+    val neverCrashed = serveAll(root, model)
+    // batch 3 promoted but its checkpoint commit never landed: both
+    // maintenance shapes must leave seg=3 alone (default protectTail)
+    val tiered = StreamingSegments.maintainTiered(spark, root,
+      fanout = 2, minTierBytes = 1L << 20)
+    assert(tiered.exists(_.endsWith("seg=3")),
+      s"tiered maintenance absorbed the uncommitted tail: $tiered")
+    assert(tiered.size == 2, s"0..2 cascade, tail survives: $tiered")
+    StreamingSegments.mergeAll(spark, root)
+    val segs = StreamingSegments.segmentRoots(spark, root)
+    assert(segs.size == 2 && segs.last.endsWith("seg=3"),
+      s"mergeAll absorbed the uncommitted tail: $segs")
+    // crash → the stream replays batch 3: overwrites its own (still
+    // present) segment — the serve is exactly the never-crashed one
+    StreamingSegments.processBatch(spark, slice(3L), "embedding", root,
+      model, 3L)
+    assert(serveAll(root, model) == neverCrashed && neverCrashed.nonEmpty)
+    val n = Ivf.readSegmentsServing(spark,
+      StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
+    assert(n == mx + 1, s"row count drifted: $n vs ${mx + 1}")
+  }
+
+  test("the replay hazard is real: folding the tail (protectTail=false) " +
+    "then replaying serves duplicates") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ssegs_dup")
+      .resolve("segments").toString
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") <= half), "embedding", root, model, 0L)
+    StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") > half), "embedding", root, model, 1L)
+    val corpus = emb.count()
+    StreamingSegments.mergeAll(spark, root, protectTail = false)
+    // batch 1's commit never landed → the replay re-creates seg=1
+    // beside the survivor that already absorbed its rows
+    StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") > half), "embedding", root, model, 1L)
+    val n = Ivf.readSegmentsServing(spark,
+      StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
+    assert(n > corpus,
+      "expected the documented duplicate-serve hazard to reproduce — " +
+        s"got $n rows over a $corpus-row corpus")
+  }
+
+  test("bm25: tiered maintenance protects the tail; replay == one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_bmtail")
+      .resolve("segments").toString
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def slice(i: Long) = docs.where(
+      col("doc_id") >= i * (mx + 1) / 4 && col("doc_id") < (i + 1) * (mx + 1) / 4)
+    (0L until 4L).foreach(i =>
+      StreamingSegments.processBatchBm25(spark, slice(i), "text", "doc_id",
+        root, i))
+    val survivors = StreamingSegments.maintainTieredBm25(spark, root,
+      fanout = 2, minTierBytes = 1L << 20)
+    assert(survivors.size == 2 && survivors.last.endsWith("seg=3"),
+      s"the uncommitted tail must survive tiered maintenance: $survivors")
+    // crash → replay of batch 3 (stats/df must not double)
+    StreamingSegments.processBatchBm25(spark, slice(3L), "text", "doc_id",
+      root, 3L)
+    val got = graft.pipeline.Bm25.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect().map(_.toSeq).toSet
+    val one = java.nio.file.Files.createTempDirectory("ssegs_bmtail1")
+      .resolve("index").toString
+    graft.pipeline.Bm25.writeIndex(spark, docs, "text", "doc_id", one)
+    val want = graft.pipeline.Bm25.searchIndex(spark, one, queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
   }
 
   test("segmentRoots orders by numeric batch id, not lexicographically") {
@@ -113,7 +196,7 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(serveSegs() == want && want.nonEmpty,
       "streamed bm25 segments must serve the one-shot results " +
         "(global N/T/df merge)")
-    StreamingSegments.mergeAllBm25(spark, root)
+    StreamingSegments.mergeAllBm25(spark, root, protectTail = false)
     assert(StreamingSegments.segmentRoots(spark, root).size == 1)
     assert(serveSegs() == want, "post-mergeAll serve must be unchanged")
     // empty batch guard
@@ -145,7 +228,7 @@ class StreamingSegmentsSpec extends SparkTestBase {
     val want = graft.pipeline.Sparse.searchIndex(spark, one, q, k = 5)
       .select("qid", "nid", "score", "rk").collect().map(_.toSeq).toSet
     assert(serveSegs() == want && want.nonEmpty)
-    StreamingSegments.mergeAllSparse(spark, root)
+    StreamingSegments.mergeAllSparse(spark, root, protectTail = false)
     assert(StreamingSegments.segmentRoots(spark, root).size == 1)
     assert(serveSegs() == want)
   }
@@ -184,7 +267,7 @@ class StreamingSegmentsSpec extends SparkTestBase {
         queryVecs, model, k = 4, nprobe = 8)
       .select("qid", "doc", "score", "rk").collect().map(_.toSeq).toSet
     assert(serveSegs() == want && want.nonEmpty)
-    StreamingSegments.mergeAllMultiVec(spark, root)
+    StreamingSegments.mergeAllMultiVec(spark, root, protectTail = false)
     assert(StreamingSegments.segmentRoots(spark, root).size == 1)
     assert(serveSegs() == want)
   }
@@ -218,7 +301,8 @@ class StreamingSegmentsSpec extends SparkTestBase {
       .select("qid", "doc", "rrf_fp", "rk").collect().map(_.toSeq).toSet
     val across = serveSegs()
     assert(across.nonEmpty)
-    val dst = StreamingSegments.mergeAllHybrid(spark, root)
+    val dst = StreamingSegments.mergeAllHybrid(spark, root,
+      protectTail = false)
     assert(dst.isDefined &&
       StreamingSegments.segmentRoots(spark, root) == Seq(dst.get))
     assert(serveSegs() == across,

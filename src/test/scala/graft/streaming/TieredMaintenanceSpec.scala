@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * — the LSM compaction POLICY contracts: merges fire only when a size
   * tier fills, equal-size segments cascade, a lone higher-tier segment
   * is never touched, the pass is idempotent once no tier is full, and
-  * the serve is row-identical before and after on every tier.
+  * the serve is row-identical before and after on every tier. These
+  * cases model OFFLINE maintenance of a closed stream, so they pass
+  * `protectTail = false` to assert the full fold; the live-stream
+  * tail-protection contract is pinned in [[StreamingSegmentsSpec]].
   */
 class TieredMaintenanceSpec extends SparkTestBase {
 
@@ -59,7 +62,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       "vec_id")
     val before = rset(serveDense(root, model), "qid", "nid", "sim", "rk")
     val survivors = StreamingSegments.maintainTiered(spark, root,
-      fanout = 2, minTierBytes = 1L << 20)
+      fanout = 2, minTierBytes = 1L << 20, protectTail = false)
     assert(survivors.size == 1, s"expected full cascade, got $survivors")
     val after = rset(serveDense(root, model), "qid", "nid", "sim", "rk")
     assert(after == before)
@@ -84,7 +87,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       new org.apache.hadoop.fs.Path(big)).getModificationTime
     val before = rset(serveDense(root, model), "qid", "nid", "sim", "rk")
     val s1 = StreamingSegments.maintainTiered(spark, root,
-      fanout = 2, minTierBytes = minTier)
+      fanout = 2, minTierBytes = minTier, protectTail = false)
     assert(s1.size == 2, s"tinies merge, big survives alone: $s1")
     assert(s1.contains(big))
     assert(fsOf(root).getFileStatus(new org.apache.hadoop.fs.Path(big))
@@ -93,7 +96,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
     val stamps = s1.map(p => p -> fsOf(root).getFileStatus(
       new org.apache.hadoop.fs.Path(p)).getModificationTime).toMap
     val s2 = StreamingSegments.maintainTiered(spark, root,
-      fanout = 2, minTierBytes = minTier)
+      fanout = 2, minTierBytes = minTier, protectTail = false)
     assert(s2.toSet == s1.toSet)
     s2.foreach(p => assert(fsOf(root).getFileStatus(
       new org.apache.hadoop.fs.Path(p)).getModificationTime == stamps(p)))
@@ -119,7 +122,8 @@ class TieredMaintenanceSpec extends SparkTestBase {
       .map(dataFiles).sum
     val before = rset(serveDense(root, model), "qid", "nid", "sim", "rk")
     val survivors = StreamingSegments.maintainTiered(spark, root,
-      fanout = 4, minTierBytes = 1L << 20, compact = true)
+      fanout = 4, minTierBytes = 1L << 20, compact = true,
+      protectTail = false)
     assert(survivors.size == 1)
     assert(dataFiles(survivors.head) < filesBefore,
       "compaction must coalesce the moved files")
@@ -140,7 +144,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       StreamingSegments.segmentRoots(spark, root), qs, k = 5)
     val before = rset(serve(), "qid", "doc", "score_fp", "rk")
     val survivors = StreamingSegments.maintainTieredBm25(spark, root,
-      fanout = 2, minTierBytes = 1L << 20)
+      fanout = 2, minTierBytes = 1L << 20, protectTail = false)
     assert(survivors.size == 1)
     assert(rset(serve(), "qid", "doc", "score_fp", "rk") == before)
     assert(before.nonEmpty)
@@ -159,7 +163,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       StreamingSegments.segmentRoots(spark, root), q, k = 5)
     val before = rset(serve(), "qid", "nid", "score", "rk")
     val survivors = StreamingSegments.maintainTieredSparse(spark, root,
-      fanout = 2, minTierBytes = 1L << 20)
+      fanout = 2, minTierBytes = 1L << 20, protectTail = false)
     assert(survivors.size == 1)
     assert(rset(serve(), "qid", "nid", "score", "rk") == before)
     assert(before.nonEmpty)
@@ -182,7 +186,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       nprobe = 4)
     val before = rset(serve(), "qid", "doc", "score", "rk")
     val survivors = StreamingSegments.maintainTieredMultiVec(spark, root,
-      fanout = 2)
+      fanout = 2, protectTail = false)
     assert(survivors.size == 1)
     assert(rset(serve(), "qid", "doc", "score", "rk") == before)
     assert(before.nonEmpty)
@@ -211,7 +215,7 @@ class TieredMaintenanceSpec extends SparkTestBase {
       "embedding", "vec_id", kCand = 20, k = 5, nprobe = 4)
     val before = rset(serve(), "qid", "doc", "rk")
     val survivors = StreamingSegments.maintainTieredHybrid(spark, root,
-      fanout = 3, minTierBytes = 1L << 20)
+      fanout = 3, minTierBytes = 1L << 20, protectTail = false)
     assert(survivors.size == 1)
     assert(fsOf(root).exists(
       new org.apache.hadoop.fs.Path(s"${survivors.head}/ivf")),

@@ -588,8 +588,10 @@ def ivf_train_dist(emb, nlist=16, iters=3, seed=42):
     makes the distributed Scala aggregation deterministic and lets this
     mirror replay it without knowing Spark's combine order)."""
     F = float(1 << 24)
+    # init mirrors the Scala .where(_tv IS NOT NULL AND size > 0):
+    # null/empty-vec rows train nothing, init included
     seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
-                     for i, v in emb),
+                     for i, v in emb if v),
                     key=lambda t: (t[0], t[1]))
     centroids = [list(v) for _, _, v in seeded[:nlist]]
     dim = len(centroids[0])
@@ -632,7 +634,7 @@ def gen_ivf_topk_dist(emb, nlist=16, iters=3, k=5, nprobe=4):
                 if n != q and n not in cands[q]:
                     cands[q][n] = cosine_sim_d(vec[n], vec[q])
     rows = rank_topk(cands, k)
-    write("ivf_dist_topk",
+    write("ivf_topk_dist",
           pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
           {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
 
@@ -1181,6 +1183,8 @@ def pca_fit_dist(emb, k, sweeps=30):
     sums = [0] * dim
     gram = [[0] * dim for _ in range(dim)]
     for v in vecs:
+        if not v:
+            continue  # empty vectors are skipped, not counted
         n += 1
         m = min(dim, len(v))
         x = [float(v[i]) for i in range(m)]
@@ -1360,8 +1364,9 @@ def pq_fit_dist(emb, m=8, ksub=16, iters=3, seed=42):
     F = float(1 << 24)
     dim = len(emb[0][1])
     dsub = dim // m
+    # init mirrors the Scala .where(_tv IS NOT NULL AND size > 0)
     seeded = sorted(((s64(splitmix64((i + seed) & M64)), i, v)
-                     for i, v in emb), key=lambda t: (t[0], t[1]))
+                     for i, v in emb if v), key=lambda t: (t[0], t[1]))
     init = [list(v) for _, _, v in seeded[:ksub]]
     books = [[row[j * dsub:(j + 1) * dsub] for row in init]
              for j in range(m)]
@@ -2495,7 +2500,7 @@ def main():
     if want("hybrid_topk_tombstoned"):
         gen_hybrid_tombstoned(docs, load_embeddings())
     emb = None
-    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_dist_topk",
+    for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_dist",
               "ivf_topk_int8",
               "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
@@ -2546,7 +2551,7 @@ def main():
         gen_embed_neardup_lsh(emb)
     if want("ivf_topk"):
         gen_ivf_topk(emb)
-    if want("ivf_dist_topk"):
+    if want("ivf_topk_dist"):
         gen_ivf_topk_dist(emb)
     if want("ivf_topk_filtered_recall"):
         gen_ivf_topk_filtered_recall(emb)
