@@ -79,6 +79,13 @@ object Bench {
         // checkpointed rounds. Cleanup runs outside the timed window.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // ... and neither must the previous rep's /tmp debris: a
+        // build-heavy row leaves its whole index trees behind each
+        // rep, and their dirty-page writeback taxes the NEXT rep's
+        // writes (r13: multivec_topk_restored [2.80, 4.51, 6.95] s
+        // monotone across identical back-to-back reps). The previous
+        // rep's result is already counted, so its trees are dead.
+        graft.core.Scratch.sweep()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

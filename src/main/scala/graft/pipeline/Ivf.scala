@@ -678,11 +678,13 @@ object Ivf {
     * a rewrite would silently fold the payload column back into data
     * files, losing exactly the directory pruning the layout exists
     * for. [[guardNotPayloadPartitioned]] turns both into loud
-    * errors. The exceptions: tombstone sidecar appends are
-    * depth-neutral, and [[foldTombstones]] rebuilds with the
-    * layout's own discovered key set ([[payloadColsOf]]) — deletes
-    * DO work on this layout, at serving latency and through the
-    * fold.
+    * errors. The exceptions, each keyed to the layout's own
+    * discovered key set ([[payloadColsOf]]): tombstone sidecar
+    * appends are depth-neutral, [[foldTombstones]] rebuilds with the
+    * full key set (deletes DO work — serving latency, then the
+    * fold), and [[appendToIndexPayload]] appends under the full
+    * `cluster +: payload` partitionBy (appends DO work — through
+    * the payload-aware entry point, never the plain one).
     */
   private def payloadPartitioned(spark: SparkSession,
                                  path: String): Boolean = {
@@ -700,8 +702,9 @@ object Ivf {
     require(!payloadPartitioned(spark, path),
       s"$path is payload-partitioned (writeIndex payloadCols): $op " +
         "would corrupt or silently flatten the payload directories — " +
-        "payload-partitioned layouts are rebuild-maintained; rerun " +
-        "writeIndex over the updated corpus instead")
+        "append through appendToIndexPayload (full-depth partitionBy), " +
+        "delete through tombstones + foldTombstones, or rerun " +
+        "writeIndex over the updated corpus")
 
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     // serving-read recovery preamble (DirSwap contract): a crash
@@ -733,6 +736,39 @@ object Ivf {
     guardNotPayloadPartitioned(df.sparkSession, path, "appendToIndex")
     assign(df, vecCol, model)
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(path)
+  }
+
+  /** Incremental append for PAYLOAD-PARTITIONED layouts — the one
+    * lifecycle asymmetry the rebuild-only guard family left: the
+    * layout's payload key set is DISCOVERED from its own directory
+    * structure ([[payloadColsOf]], the [[foldTombstones]] rule) and
+    * the increment appends under the full `cluster +: payload`
+    * partitionBy, so partition depths always match and the new rows
+    * land in (or create) exactly the partition dirs their payload
+    * values name — directory pruning keeps working over the grown
+    * layout, and the grown layout serves identically to a one-shot
+    * [[writeIndex]] over the union (assignment is a pure function of
+    * (vector, model); gate-pinned). The increment must carry every
+    * payload column; plain layouts take [[appendToIndex]] (appending
+    * payload dirs onto a plain layout would MIX partition depths —
+    * the CONFLICTING_DIRECTORY_STRUCTURES landmine the guard family
+    * exists to prevent, just from the other side).
+    */
+  def appendToIndexPayload(df: DataFrame, vecCol: String, model: IvfModel,
+                           path: String): Unit = {
+    val spark = df.sparkSession
+    graft.core.DirSwap.recoverAt(spark, path)
+    val payload = payloadColsOf(spark, path)
+    require(payload.nonEmpty,
+      s"$path carries no payload partition dirs — use appendToIndex")
+    val missing = payload.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"increment is missing the layout's payload column(s) " +
+        s"${missing.mkString(", ")} — every row must land in a " +
+        "payload partition dir")
+    assign(df, vecCol, model)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster" +: payload: _*).parquet(path)
   }
 
   /** Rewrite an append-grown index into one file per cluster dir —

@@ -367,7 +367,7 @@ object Queries {
     "ingest_sbuild" -> ((s, d) => {
       // S14 read_sbuild: newest *.build by mtime (A6 max-by), sliced
       // between the Build/Changes box markers (F11)
-      val dir = java.nio.file.Files.createTempDirectory("sbuild_q")
+      val dir = graft.core.Scratch.dir("sbuild_q")
       val old = dir.resolve("old.build")
       val newer = dir.resolve("new.build")
       java.nio.file.Files.writeString(old,
@@ -462,7 +462,7 @@ object Queries {
       // fully deterministic via cmd: specs
       import s.implicits._
       val app = new graft.Graft(s,
-        java.nio.file.Files.createTempDirectory("gi_q").toString + "/store",
+        graft.core.Scratch.dir("gi_q").toString + "/store",
         embeddingDim = 32)
       val prompt = app.gatherInformation(
         Seq("cmd:echo one", "cmd:echo two"), ask = Some("what do these say?"))
@@ -504,7 +504,7 @@ object Queries {
         streamObj(6, "BT (Page two.) Tj ET") +
         "trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n")
         .getBytes("ISO-8859-1")
-      val dir = java.nio.file.Files.createTempDirectory("pdf_q")
+      val dir = graft.core.Scratch.dir("pdf_q")
       java.nio.file.Files.write(dir.resolve("doc.pdf"), doc)
       new graft.ingest.SourceRegistry(s)
         .read(dir.resolve("doc.pdf").toString).toDF()
@@ -526,7 +526,7 @@ object Queries {
       sess.append("system", "be terse")
       sess.append("user", "line one\nline \"two\" [x]")
       sess.append("assistant", "café \\ backslash")
-      val p = java.nio.file.Files.createTempDirectory("sess_rt")
+      val p = graft.core.Scratch.dir("sess_rt")
         .resolve("s.json").toString
       sess.dump(p)
       graft.session.ChatSession.load(s, p)
@@ -1598,7 +1598,7 @@ object Queries {
       // fresh dir per run (not a fixed relative path): two gate runs
       // sharing a working directory must not interleave their
       // writeIndex/appendNovel passes into one corrupt index
-      val path = java.nio.file.Files.createTempDirectory("dedup_fp_idx")
+      val path = graft.core.Scratch.dir("dedup_fp_idx")
         .resolve("index").toString
       graft.pipeline.DedupIndex.writeIndex(s,
         docs.where(col("doc_id") % 3 === 0), "text", "doc_id", path)
@@ -1618,7 +1618,7 @@ object Queries {
     // must equal the never-corrupted incremental oracle
     "dedup_index_restored" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val base = java.nio.file.Files.createTempDirectory("dedup_fp_restore")
+      val base = graft.core.Scratch.dir("dedup_fp_restore")
       val path = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       val decoys = docs.where(col("doc_id") % 3 === 2)
@@ -1648,7 +1648,7 @@ object Queries {
     // dedup_index_incremental oracle verbatim)
     "dedup_index_deleted" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val path = java.nio.file.Files.createTempDirectory("dedup_fp_del")
+      val path = graft.core.Scratch.dir("dedup_fp_del")
         .resolve("index").toString
       val decoys = docs.where(col("doc_id") % 3 === 2)
         .select((col("doc_id") - 100000000L).as("doc_id"), col("text"))
@@ -1675,7 +1675,7 @@ object Queries {
     // one against the sequentially-grown index
     "dedup_index_merged" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val base = java.nio.file.Files.createTempDirectory("dedup_fp_merge")
+      val base = graft.core.Scratch.dir("dedup_fp_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       graft.pipeline.DedupIndex.writeIndex(s,
@@ -1699,7 +1699,7 @@ object Queries {
     // corpus, so the oracle is the minhash_pairs golden verbatim
     "neardup_index_incremental" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val path = java.nio.file.Files.createTempDirectory("neardup_idx")
+      val path = graft.core.Scratch.dir("neardup_idx")
         .resolve("index").toString
       val a = docs.where(col("doc_id") % 3 === 0)
       val b = docs.where(col("doc_id") % 3 === 1)
@@ -1725,7 +1725,7 @@ object Queries {
     // clean corpus (the minhash_pairs golden verbatim)
     "neardup_index_deleted" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val path = java.nio.file.Files.createTempDirectory("neardup_del")
+      val path = graft.core.Scratch.dir("neardup_del")
         .resolve("index").toString
       val a = docs.where(col("doc_id") % 3 === 0)
       val b = docs.where(col("doc_id") % 3 === 1)
@@ -1755,7 +1755,7 @@ object Queries {
     // equal the one-shot LSH pass — the minhash_pairs golden verbatim
     "neardup_index_merged" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val base = java.nio.file.Files.createTempDirectory("neardup_merge")
+      val base = graft.core.Scratch.dir("neardup_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val a = docs.where(col("doc_id") % 3 === 0)
@@ -1783,7 +1783,7 @@ object Queries {
     // pair reports must still equal the one-shot LSH pass
     "neardup_index_restored" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val base = java.nio.file.Files.createTempDirectory("neardup_restore")
+      val base = graft.core.Scratch.dir("neardup_restore")
       val path = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       val a = docs.where(col("doc_id") % 3 === 0)
@@ -2749,7 +2749,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_del")
+      val idx = graft.core.Scratch.dir("ivf_del")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -2777,7 +2777,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_tomb")
+      val idx = graft.core.Scratch.dir("ivf_tomb")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -2806,7 +2806,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("sforget_q")
+      val root = graft.core.Scratch.dir("sforget_q")
       val idx = root.resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -2838,7 +2838,7 @@ object Queries {
         .select(col("vec_id"),
           concat(slice(col("embedding"), 8, 57),
             slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_ups")
+      val idx = graft.core.Scratch.dir("ivf_ups")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(
@@ -2870,7 +2870,7 @@ object Queries {
         .select(col("vec_id"),
           concat(slice(col("embedding"), 8, 57),
             slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_ver")
+      val idx = graft.core.Scratch.dir("ivf_ver")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexVersioned(
         graft.pipeline.Ivf.assign(
@@ -2901,7 +2901,7 @@ object Queries {
         .select(col("vec_id"),
           concat(slice(col("embedding"), 8, 57),
             slice(col("embedding"), 1, 7)).as("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("supsert_q")
+      val root = graft.core.Scratch.dir("supsert_q")
       val idx = root.resolve("index").toString
       graft.pipeline.Ivf.writeIndexVersioned(
         graft.pipeline.Ivf.assign(
@@ -2934,7 +2934,7 @@ object Queries {
       val decoys = emb.where(col("label") === 3)
         .select((col("vec_id") + 100000L).as("vec_id"),
           col("embedding"), col("label"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_ft")
+      val idx = graft.core.Scratch.dir("ivf_ft")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -2962,7 +2962,7 @@ object Queries {
         nlist = 16, iters = 3)
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_health")
+      val idx = graft.core.Scratch.dir("ivf_health")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -2982,7 +2982,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_inc")
+      val idx = graft.core.Scratch.dir("ivf_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndex(
@@ -3042,7 +3042,7 @@ object Queries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_paypart")
+      val idx = graft.core.Scratch.dir("ivf_paypart")
         .resolve("index").toString
       val decoys = emb.where(col("vec_id") < 10)
         .select(((col("vec_id") + 7000000L) * 13L).as("vec_id"),
@@ -3065,6 +3065,34 @@ object Queries {
       masked.unionByName(serve().withColumn("stage", lit("folded")))
         .select(col("stage"), col("qid"), col("nid"), col("sim"), col("rk"))
         .orderBy(col("stage"), col("qid"), col("rk"))
+    }),
+
+    // the payload-partitioned lifecycle asymmetry, closed: a layout
+    // built with payload dirs GROWS through the payload-aware append
+    // (full-depth partitionBy discovered from the layout itself) and
+    // the grown layout's filtered serve at the exhaustive probe IS
+    // brute force over the filtered union corpus — same contract as
+    // a one-shot build, so the mirror needs no golden
+    "ivf_topk_payload_appended" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = graft.core.Scratch.dir("ivf_payapp")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndex(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), idx, payloadCols = Seq("label"))
+      graft.pipeline.Ivf.appendToIndexPayload(
+        emb.where(col("vec_id") > half), "embedding", model, idx)
+      graft.pipeline.Ivf.searchFiltered(
+          graft.pipeline.Ivf.readIndexServing(s, idx, "vec_id"),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, filter = col("label") === 3, nprobe0 = 16)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
     }),
 
     "ivf_topk_filtered_recall" -> ((s, d) => {
@@ -3123,7 +3151,7 @@ object Queries {
       val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
         m = 8, ksub = 256, iters = 3)
       val postings = graft.pipeline.Ivf.assign(emb, "embedding", model)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_pq_filt")
+      val idx = graft.core.Scratch.dir("ivf_pq_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPq(postings, "embedding", pq, model, idx)
       graft.pipeline.Ivf.searchPqIndexFiltered(
@@ -3152,7 +3180,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding",
         "vec_id", model, m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_pqr_filt")
+      val idx = graft.core.Scratch.dir("ivf_pqr_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPqResidual(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
@@ -3182,7 +3210,7 @@ object Queries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_i8_filt")
+      val idx = graft.core.Scratch.dir("ivf_i8_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
@@ -3222,7 +3250,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_stats")
+      val idx = graft.core.Scratch.dir("ivf_stats")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb, "embedding", model), idx)
@@ -3246,7 +3274,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       val stale = graft.pipeline.Ivf.train(emb.where(col("vec_id") <= half),
         "embedding", "vec_id", nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_rec")
+      val idx = graft.core.Scratch.dir("ivf_rec")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
@@ -3285,7 +3313,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf8_idx")
+      val idx = graft.core.Scratch.dir("ivf8_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
@@ -3306,7 +3334,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf8_inc")
+      val idx = graft.core.Scratch.dir("ivf8_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexInt8(
@@ -3392,7 +3420,7 @@ object Queries {
         .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
       val decoyVecs = emb.where(col("vec_id") < 4)
         .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("trimodal_prod")
+      val root = graft.core.Scratch.dir("trimodal_prod")
         .toString
       val bmIdx = s"$root/bm25"
       val ivfIdx = s"$root/ivf"
@@ -3481,7 +3509,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec")
+      val root = graft.core.Scratch.dir("multivec")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
       graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
@@ -3506,7 +3534,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_filt")
+      val root = graft.core.Scratch.dir("multivec_filt")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
       graft.pipeline.MultiVector.searchIndex(s, root, queryVecs, model,
@@ -3528,7 +3556,7 @@ object Queries {
         col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_count")
+      val root = graft.core.Scratch.dir("multivec_count")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
       graft.pipeline.MultiVector.tombstoneDocs(s, root,
@@ -3547,7 +3575,7 @@ object Queries {
         col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_scroll")
+      val root = graft.core.Scratch.dir("multivec_scroll")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
       graft.pipeline.MultiVector.tombstoneDocs(s, root,
@@ -3579,7 +3607,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("multivec_segs")
+      val base = graft.core.Scratch.dir("multivec_segs")
       val rootA = base.resolve("segA").toString
       val rootB = base.resolve("segB").toString
       val midDoc = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
@@ -3614,7 +3642,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_grp")
+      val root = graft.core.Scratch.dir("multivec_grp")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
       val docGroups = docVecs.select(col("doc")).distinct()
@@ -3643,7 +3671,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_tomb")
+      val root = graft.core.Scratch.dir("multivec_tomb")
         .resolve("index").toString
       val decoys = emb.where(col("vec_id") < 4)
         .select(((col("vec_id") / 2).cast("long") + 90000000L).as("doc"),
@@ -3678,7 +3706,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_ups")
+      val root = graft.core.Scratch.dir("multivec_ups")
         .resolve("index").toString
       val staleDocs = Seq(10L, 11L, 12L, 13L)
       val stale = emb.where(col("vec_id") < 4)
@@ -3710,7 +3738,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("multivec_restore")
+      val base = graft.core.Scratch.dir("multivec_restore")
       val root = base.resolve("pair").toString
       val snap = base.resolve("snap").toString
       graft.pipeline.MultiVector.writeIndex(s, docVecs, model, root)
@@ -3741,7 +3769,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("graft_smv_q")
+      val root = graft.core.Scratch.dir("graft_smv_q")
         .resolve("index").toString
       graft.streaming.StreamingMultiVector.ingest(s, d, root, model,
         nBatches = 3, compactFilesPerDir = 2.0)
@@ -3768,7 +3796,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("smv_segs")
+      val root = graft.core.Scratch.dir("smv_segs")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingestMultiVec(s, d, root, model,
         nBatches = 4)
@@ -3799,7 +3827,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_inc")
+      val root = graft.core.Scratch.dir("multivec_inc")
         .resolve("index").toString
       val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
       graft.pipeline.MultiVector.writeIndex(s,
@@ -3828,7 +3856,7 @@ object Queries {
         col("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("multivec_del")
+      val root = graft.core.Scratch.dir("multivec_del")
         .resolve("index").toString
       graft.pipeline.MultiVector.writeIndex(s,
         docVecs.unionByName(decoys), model, root)
@@ -3852,7 +3880,7 @@ object Queries {
           col("embedding").as("vec"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("multivec_merge")
+      val base = graft.core.Scratch.dir("multivec_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
@@ -3879,7 +3907,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_range")
+      val idx = graft.core.Scratch.dir("ivf_range")
         .resolve("index").toString
       val assigned = graft.pipeline.Ivf.assign(emb, "embedding", model)
       graft.pipeline.Ivf.writeIndex(assigned, idx)
@@ -3901,7 +3929,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_range_filt")
+      val idx = graft.core.Scratch.dir("ivf_range_filt")
         .resolve("index").toString
       val assigned = graft.pipeline.Ivf.assign(emb, "embedding", model)
       graft.pipeline.Ivf.writeIndex(assigned, idx)
@@ -3924,7 +3952,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_scroll")
+      val idx = graft.core.Scratch.dir("ivf_scroll")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
@@ -3948,7 +3976,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_count")
+      val idx = graft.core.Scratch.dir("ivf_count")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
@@ -3969,7 +3997,7 @@ object Queries {
       val corpus = emb.unionByName(decoys)
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_range_tomb")
+      val idx = graft.core.Scratch.dir("ivf_range_tomb")
         .resolve("index").toString
       val assigned = graft.pipeline.Ivf.assign(corpus, "embedding", model)
       graft.pipeline.Ivf.writeIndex(assigned, idx)
@@ -3991,7 +4019,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivf_range_inc")
+      val idx = graft.core.Scratch.dir("ivf_range_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       val lo = graft.pipeline.Ivf.assign(
@@ -4020,7 +4048,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("ivf_restore")
+      val base = graft.core.Scratch.dir("ivf_restore")
       val idx = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       graft.pipeline.Ivf.writeIndexInt8(
@@ -4047,7 +4075,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("ivf_merge")
+      val root = graft.core.Scratch.dir("ivf_merge")
       val idxA = root.resolve("shardA").toString
       val idxB = root.resolve("shardB").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -4080,7 +4108,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("ivf_segs")
+      val root = graft.core.Scratch.dir("ivf_segs")
       val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
       val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
       val parts = Seq(
@@ -4120,7 +4148,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("ivf_segs_tier")
+      val root = graft.core.Scratch.dir("ivf_segs_tier")
         .resolve("segs").toString
       val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
       val cut = mx / 6 + 1
@@ -4171,7 +4199,7 @@ object Queries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("ivf_segs_grp")
+      val root = graft.core.Scratch.dir("ivf_segs_grp")
       val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
       val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
       val parts = Seq(
@@ -4213,7 +4241,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
         ivf, m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_inc")
+      val idx = graft.core.Scratch.dir("ivfpqr_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexPqResidual(
@@ -4253,7 +4281,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_del")
+      val idx = graft.core.Scratch.dir("ivfpqr_del")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPqResidual(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -4286,7 +4314,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivfpq_del")
+      val idx = graft.core.Scratch.dir("ivfpq_del")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPq(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -4315,7 +4343,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivfbq_del")
+      val idx = graft.core.Scratch.dir("ivfbq_del")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -4340,7 +4368,7 @@ object Queries {
       val decoys = emb.select((col("vec_id") + 100000L).as("vec_id"),
         concat(slice(col("embedding"), 8, 57),
           slice(col("embedding"), 1, 7)).as("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf8_del")
+      val idx = graft.core.Scratch.dir("ivf8_del")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
@@ -4414,7 +4442,7 @@ object Queries {
 
     "store_retrieve" -> ((s, d) => {
       import s.implicits._
-      val path = java.nio.file.Files.createTempDirectory("graft_vs").toString + "/store"
+      val path = graft.core.Scratch.dir("graft_vs").toString + "/store"
       val store = new graft.store.VectorStore(s, path, dim = 64)
       val docs = tbl(s, d, "documents").where(col("doc_id") < 100)
         .select(col("source"), col("text"))
@@ -4433,7 +4461,7 @@ object Queries {
     // is sorted before add (zipWithIndex over sorted partitions), so
     // the oracle recomputes them as doc_id + 1
     "vdb_scroll" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_vs_scroll")
+      val path = graft.core.Scratch.dir("graft_vs_scroll")
         .toString + "/store"
       val store = new graft.store.VectorStore(s, path, dim = 64)
       val docs = tbl(s, d, "documents").where(col("doc_id") < 100)
@@ -4485,7 +4513,7 @@ object Queries {
         .toDF("mid", "id", "conv", "role", "text", "timestamp", "vector")
       val model = graft.pipeline.Ivf.train(table, "vector", "mid",
         nlist = 2, iters = 2)
-      val idx = java.nio.file.Files.createTempDirectory("memctx_idx")
+      val idx = graft.core.Scratch.dir("memctx_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(table, "vector", model), idx)
@@ -4616,7 +4644,7 @@ object Queries {
         graft.pipeline.Multimodal.attenuateAudio(media, 2)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val path = java.nio.file.Files.createTempDirectory("audio_idx")
+      val path = graft.core.Scratch.dir("audio_idx")
         .resolve("index").toString
       val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.pipeline.Multimodal.audioPHash(_)
@@ -4644,7 +4672,7 @@ object Queries {
         graft.pipeline.Multimodal.attenuateAudio(media, 2)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val root = java.nio.file.Files.createTempDirectory("graft_saud_q")
+      val root = graft.core.Scratch.dir("graft_saud_q")
       val src = root.resolve("media").toString
       corpus.write.parquet(src)
       val idx = root.resolve("index").toString
@@ -4703,7 +4731,7 @@ object Queries {
         graft.pipeline.Multimodal.retagFps(media, 60, 1)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val path = java.nio.file.Files.createTempDirectory("video_idx")
+      val path = graft.core.Scratch.dir("video_idx")
         .resolve("index").toString
       val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.pipeline.Multimodal.videoPHash(_)
@@ -4731,7 +4759,7 @@ object Queries {
         graft.pipeline.Multimodal.retagFps(media, 60, 1)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val root = java.nio.file.Files.createTempDirectory("graft_svid_q")
+      val root = graft.core.Scratch.dir("graft_svid_q")
       val src = root.resolve("media").toString
       corpus.write.parquet(src)
       val idx = root.resolve("index").toString
@@ -4754,7 +4782,7 @@ object Queries {
         graft.pipeline.Multimodal.resizeImages(media, 8, 6)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val path = java.nio.file.Files.createTempDirectory("phash_idx")
+      val path = graft.core.Scratch.dir("phash_idx")
         .resolve("index").toString
       val a = corpus.where(col("id") % 3 === 0)
       val b = corpus.where(col("id") % 3 === 1)
@@ -4782,7 +4810,7 @@ object Queries {
         graft.pipeline.Multimodal.resizeImages(media, 8, 6)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val path = java.nio.file.Files.createTempDirectory("phash_del")
+      val path = graft.core.Scratch.dir("phash_del")
         .resolve("index").toString
       val a = corpus.where(col("id") % 3 === 0)
       val b = corpus.where(col("id") % 3 === 1)
@@ -4816,7 +4844,7 @@ object Queries {
         graft.pipeline.Multimodal.resizeImages(media, 8, 6)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val base = java.nio.file.Files.createTempDirectory("phash_restore")
+      val base = graft.core.Scratch.dir("phash_restore")
       val path = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       val a = corpus.where(col("id") % 3 === 0)
@@ -4856,7 +4884,7 @@ object Queries {
         graft.pipeline.Multimodal.resizeImages(media, 8, 6)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val base = java.nio.file.Files.createTempDirectory("phash_merge")
+      val base = graft.core.Scratch.dir("phash_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val a = corpus.where(col("id") % 3 === 0)
@@ -4886,7 +4914,7 @@ object Queries {
         graft.pipeline.Multimodal.resizeImages(media, 8, 6)
           .select((col("id") + 1000L).as("id"), col("kind"), col("bytes"),
             col("width"), col("height"), col("durationMs")))
-      val root = java.nio.file.Files.createTempDirectory("graft_simg_q")
+      val root = graft.core.Scratch.dir("graft_simg_q")
       val src = root.resolve("media").toString
       corpus.write.parquet(src)
       val idx = root.resolve("index").toString
@@ -5107,7 +5135,7 @@ object Queries {
       // then mapreduce-summarize the retrieved docs — every
       // load-bearing wall in a single query
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("e2e")
+      val root = graft.core.Scratch.dir("e2e")
       Seq("spark joins and shuffles explained",
         "cat pictures considered harmful",
         "partitioning strategies for spark joins at scale",
@@ -5116,7 +5144,7 @@ object Queries {
           (t + " ") * 8 + "\n" + (t + " ") * 8)
       }
       val app = new graft.Graft(s,
-        java.nio.file.Files.createTempDirectory("e2e_store").toString + "/store",
+        graft.core.Scratch.dir("e2e_store").toString + "/store",
         embeddingDim = 32)
       val reg = new graft.ingest.SourceRegistry(s)
       val entries = reg.readDirectory(root.toString).collect().sortBy(_.path)
@@ -5171,7 +5199,7 @@ object Queries {
       // keeps the new fingerprints' min-id holders, appends the novel
       // fps. Relational drop policy + id-ordered arrival ⇒ kept set
       // equals the one-shot min-id-per-fp rule the oracle replays.
-      val root = java.nio.file.Files.createTempDirectory("graft_sxdedup_q")
+      val root = graft.core.Scratch.dir("graft_sxdedup_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       graft.streaming.StreamingExactDedup.ingest(s, d, idx, out)
@@ -5183,7 +5211,7 @@ object Queries {
       // NearDupIndex (probeAndAppend per microbatch): dropped ⇔ the
       // doc is some pair's later side over the one-shot LSH pass,
       // which the oracle replays from the minhash_pairs golden
-      val root = java.nio.file.Files.createTempDirectory("graft_smdedup_q")
+      val root = graft.core.Scratch.dir("graft_smdedup_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       graft.streaming.StreamingMinhashDedup.ingest(s, d, idx, out,
@@ -5198,7 +5226,7 @@ object Queries {
       // (readers SUM stats and per-term df rows), so searching the
       // grown index must equal the one-shot build — the bm25_topk
       // golden oracles both
-      val idx = java.nio.file.Files.createTempDirectory("graft_sbm25_q")
+      val idx = graft.core.Scratch.dir("graft_sbm25_q")
         .resolve("index").toString
       graft.streaming.StreamingBm25.ingest(s, d, idx, nBatches = 3,
         compactEvery = 2)
@@ -5214,7 +5242,7 @@ object Queries {
     // one-shot — the same direct-SQL brute force oracles both
     "stream_sparse_search" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("graft_ssparse_q")
+      val idx = graft.core.Scratch.dir("graft_ssparse_q")
         .resolve("index").toString
       graft.streaming.StreamingSparse.ingest(s, d, idx, nBatches = 3,
         compactFilesPerDir = 2.0)
@@ -5235,7 +5263,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("graft_sivf_q")
+      val idx = graft.core.Scratch.dir("graft_sivf_q")
         .resolve("index").toString
       graft.streaming.StreamingIvf.ingest(s, d, model, idx, nBatches = 4,
         compactEvery = 2)
@@ -5260,7 +5288,7 @@ object Queries {
       val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val staged = docs.unionByName(docs.where(col("lang") === "en")
         .select((col("doc_id") + off).as("doc_id"), col("lang")))
-      val stageDir = java.nio.file.Files.createTempDirectory("sdrift_q")
+      val stageDir = graft.core.Scratch.dir("sdrift_q")
       val src = stageDir.resolve("docs.parquet").toString
       staged.write.parquet(src)
       val out = stageDir.resolve("monitor").toString
@@ -5288,7 +5316,7 @@ object Queries {
       val drifted = docs.select((col("doc_id") + off).as("doc_id"),
         floor(length(concat(col("text"), lit(" "), col("text"))) / 200)
           .cast(StringType).as("len_bucket"))
-      val stageDir = java.nio.file.Files.createTempDirectory("sdriftn_q")
+      val stageDir = graft.core.Scratch.dir("sdriftn_q")
       val src = stageDir.resolve("docs.parquet").toString
       bucketed.unionByName(drifted).write.parquet(src)
       val out = stageDir.resolve("monitor").toString
@@ -5311,7 +5339,7 @@ object Queries {
       val docs = tbl(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      val stageDir = java.nio.file.Files.createTempDirectory("squar_q")
+      val stageDir = graft.core.Scratch.dir("squar_q")
       val src = stageDir.resolve("docs.parquet").toString
       docs.unionByName(docs.where(col("lang") === "en")
           .select((col("doc_id") + off).as("doc_id"), col("text"),
@@ -5344,7 +5372,7 @@ object Queries {
       // so the streamed union ≡ the one-shot cross-corpus join — the
       // decontam_pairs oracle pins the streamed path verbatim
       val docs = tbl(s, d, "documents")
-      val stageDir = java.nio.file.Files.createTempDirectory("sdecon_q")
+      val stageDir = graft.core.Scratch.dir("sdecon_q")
       val staged = stageDir.resolve("train.parquet").toString
       docs.where(col("doc_id") % 2 === 0).write.parquet(staged)
       val out = stageDir.resolve("pairs").toString
@@ -5363,7 +5391,7 @@ object Queries {
       // streamed union ≡ the one-shot decontamSpanScrub — the
       // decontam_span_scrub oracle pins the streamed path verbatim
       val docs = tbl(s, d, "documents")
-      val stageDir = java.nio.file.Files.createTempDirectory("sscrub_q")
+      val stageDir = graft.core.Scratch.dir("sscrub_q")
       val staged = stageDir.resolve("train.parquet").toString
       docs.where(col("doc_id") % 3 =!= 0).write.parquet(staged)
       val out = stageDir.resolve("scrubbed").toString
@@ -5388,7 +5416,7 @@ object Queries {
       val off = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       val drifted = emb.select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), v => abs(v)).as("embedding"))
-      val stageDir = java.nio.file.Files.createTempDirectory("sivf_auto")
+      val stageDir = graft.core.Scratch.dir("sivf_auto")
       emb.unionByName(drifted).write.mode("overwrite")
         .parquet(stageDir.resolve("embeddings.parquet").toString)
       // trained on the PRE-drift world — the stale quantizer the
@@ -5419,7 +5447,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("sivf_segs")
+      val root = graft.core.Scratch.dir("sivf_segs")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingest(s, d, root, model,
         nBatches = 4)
@@ -5456,7 +5484,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("sivf_segs_tier")
+      val root = graft.core.Scratch.dir("sivf_segs_tier")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingest(s, d, root, model,
         nBatches = 6, maintainEvery = 2, fanout = 2,
@@ -5473,6 +5501,44 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the 100 TB-SHAPED pipeline composed end-to-end — the flagship
+    // distributed trainers reaching their use-case THROUGH the write
+    // path: full-corpus distributed semantic dedup decides the
+    // corpus, the hierarchical distributed trainer (on the DEDUPED
+    // corpus) decides the model, the segment-per-batch ingest with
+    // the in-stream tiered cadence lands it on disk, and a filtered
+    // partial-probe serve across the maintained segments must equal
+    // the Python end-to-end replay (dedup keep set → hier model →
+    // int8 scores; segments/maintenance are result-transparent by
+    // their witness-verified contracts — this row pins the
+    // trainer × write-path × maintenance interactions no per-feature
+    // row composes)
+    "e2e_dist_pipeline" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val kept = graft.pipeline.Dedup.semDedupDistributed(emb, "embedding",
+          "vec_id", threshold = 0.35)
+        .where(col("keep")).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val model = graft.pipeline.Ivf.trainHierarchicalDistributed(kept,
+        "embedding", "vec_id", nlist = 16, iters = 3)
+      val stage = graft.core.Scratch.dir("e2e_dist")
+      kept.write.parquet(stage.resolve("embeddings.parquet").toString)
+      val root = stage.resolve("segments").toString
+      graft.streaming.StreamingSegments.ingest(s, stage.toString, root,
+        model, nBatches = 6, maintainEvery = 2, fanout = 2,
+        minTierBytes = 1L << 40)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s,
+            graft.streaming.StreamingSegments.segmentRoots(s, root),
+            "vec_id", model)
+            .where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the LEXICAL segment-per-microbatch write path (no ledger, no
     // append-visibility window — stream_ivf_segments' design on the
     // tier whose searchSegments merges N/T/df stats GLOBALLY): 4 doc
@@ -5480,7 +5546,7 @@ object Queries {
     // the across-segments serve AND the post-mergeAll serve must both
     // equal the one-shot bm25_topk golden
     "stream_bm25_segments" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("sbm25_segs")
+      val root = graft.core.Scratch.dir("sbm25_segs")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingestBm25(s, d, root, nBatches = 4)
       def serve() = graft.pipeline.Bm25.searchSegments(s,
@@ -5502,7 +5568,7 @@ object Queries {
     // DuckDB brute force (no golden, no tolerance)
     "stream_sparse_segments" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("ssparse_segs")
+      val root = graft.core.Scratch.dir("ssparse_segs")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingestSparse(s, d, root,
         nBatches = 4)
@@ -5532,7 +5598,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("shyb_segs")
+      val root = graft.core.Scratch.dir("shyb_segs")
         .resolve("segments").toString
       graft.streaming.StreamingSegments.ingestHybrid(s, d, model, root,
         nBatches = 4)
@@ -5566,7 +5632,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("graft_shyb_q")
+      val root = graft.core.Scratch.dir("graft_shyb_q")
         .resolve("index").toString
       graft.streaming.StreamingHybrid.ingest(s, d, model, root,
         nBatches = 4, compactEvery = 2)
@@ -5592,7 +5658,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
         ivf, m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("sivfpqr_q")
+      val idx = graft.core.Scratch.dir("sivfpqr_q")
         .resolve("index").toString
       graft.streaming.StreamingIvf.ingestCodes(s, d, ivf, pq, idx,
         nBatches = 4, compactEvery = 2)
@@ -5618,7 +5684,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("sbq_q")
+      val idx = graft.core.Scratch.dir("sbq_q")
         .resolve("index").toString
       graft.streaming.StreamingIvf.ingestBq(s, d, model, idx,
         nBatches = 4, compactEvery = 2)
@@ -5637,7 +5703,7 @@ object Queries {
       // accumulated band-bucketed simhash index (equi-join), drop
       // policy is batch-boundary-independent (see StreamingDedup), so
       // the result equals the batch formulation the oracle replays
-      val root = java.nio.file.Files.createTempDirectory("graft_sdedup_q")
+      val root = graft.core.Scratch.dir("graft_sdedup_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       graft.streaming.StreamingDedup.ingest(s, d, idx, out, maxDist = 12)
@@ -5719,7 +5785,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
         m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+      val idx = graft.core.Scratch.dir("ivfpq_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPq(
         graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding",
@@ -5742,7 +5808,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Pq.train(emb, "embedding", "vec_id",
         m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfpq_inc")
+      val idx = graft.core.Scratch.dir("ivfpq_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexPq(
@@ -5771,7 +5837,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfbq_idx")
+      val idx = graft.core.Scratch.dir("ivfbq_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
@@ -5790,7 +5856,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfbq_inc")
+      val idx = graft.core.Scratch.dir("ivfbq_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexBq(
@@ -5817,7 +5883,7 @@ object Queries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfbq_filt")
+      val idx = graft.core.Scratch.dir("ivfbq_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
@@ -5883,7 +5949,7 @@ object Queries {
         nlist = 16, iters = 3)
       val pq = graft.pipeline.Ivf.trainPqResidual(emb, "embedding", "vec_id",
         ivf, m = 8, ksub = 16, iters = 3)
-      val idx = java.nio.file.Files.createTempDirectory("ivfpqr_idx")
+      val idx = graft.core.Scratch.dir("ivfpqr_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexPqResidual(
         graft.pipeline.Ivf.assign(emb, "embedding", ivf), "embedding",
@@ -5910,7 +5976,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       val stale = graft.pipeline.Ivf.train(emb.where(col("vec_id") <= half),
         "embedding", "vec_id", nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("ivfpqr_rec")
+      val root = graft.core.Scratch.dir("ivfpqr_rec")
       val idx = root.resolve("index").toString
       graft.pipeline.Ivf.writeIndex(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
@@ -6204,7 +6270,7 @@ object Queries {
     // bm25_topk golden itself; a query touching q terms reads at most
     // q of the 64 bucket partitions (partition pruning)
     "bm25_topk_indexed" -> ((s, d) => {
-      val idx = java.nio.file.Files.createTempDirectory("bm25_idx")
+      val idx = graft.core.Scratch.dir("bm25_idx")
         .resolve("index").toString
       graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
         "doc_id", idx)
@@ -6220,7 +6286,7 @@ object Queries {
     // the merged index ≡ the one-shot build, same golden
     "bm25_topk_merged" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val root = java.nio.file.Files.createTempDirectory("bm25_merge")
+      val root = graft.core.Scratch.dir("bm25_merge")
       val idxA = root.resolve("shardA").toString
       val idxB = root.resolve("shardB").toString
       val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -6243,7 +6309,7 @@ object Queries {
     // bit-identical to the one-shot build (same golden)
     "bm25_topk_segments" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val root = java.nio.file.Files.createTempDirectory("bm25_segs")
+      val root = graft.core.Scratch.dir("bm25_segs")
       val segs = Seq("segA", "segB", "segC").map(root.resolve(_).toString)
       val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
       Seq(
@@ -6266,7 +6332,7 @@ object Queries {
     // filtered masked corpus
     "bm25_scroll" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val idx = java.nio.file.Files.createTempDirectory("bm25_scroll")
+      val idx = graft.core.Scratch.dir("bm25_scroll")
         .resolve("index").toString
       graft.pipeline.Bm25.writeIndex(s, docs, "text", "doc_id", idx)
       graft.pipeline.Bm25.tombstoneDocs(s, idx,
@@ -6287,7 +6353,7 @@ object Queries {
     // tombstoned mass until the fold; a count reports what serves)
     "bm25_count_filtered" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val idx = java.nio.file.Files.createTempDirectory("bm25_count")
+      val idx = graft.core.Scratch.dir("bm25_count")
         .resolve("index").toString
       graft.pipeline.Bm25.writeIndex(s, docs, "text", "doc_id", idx)
       graft.pipeline.Bm25.tombstoneDocs(s, idx,
@@ -6315,7 +6381,7 @@ object Queries {
     // dot products; only the query's dim-buckets are read)
     "sparse_topk_indexed" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_idx")
+      val idx = graft.core.Scratch.dir("sparse_idx")
         .resolve("index").toString
       graft.pipeline.Sparse.writeIndex(
         graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
@@ -6330,7 +6396,7 @@ object Queries {
     // disjoint-docs contract), compaction contents-invariant
     "sparse_topk_incremental" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_inc")
+      val idx = graft.core.Scratch.dir("sparse_inc")
         .resolve("index").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
@@ -6350,7 +6416,7 @@ object Queries {
     // the rank-1 slots with self-dot scores if any posting survived)
     "sparse_topk_deleted" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_del")
+      val idx = graft.core.Scratch.dir("sparse_del")
         .resolve("index").toString
       val decoys = emb.where(col("vec_id") < 4)
         .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
@@ -6369,7 +6435,7 @@ object Queries {
     // postings: the merge is a pure file move)
     "sparse_topk_merged" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val base = java.nio.file.Files.createTempDirectory("sparse_merge")
+      val base = graft.core.Scratch.dir("sparse_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -6390,7 +6456,7 @@ object Queries {
     // semantics a quota check reads without a search
     "sparse_count_filtered" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_count")
+      val idx = graft.core.Scratch.dir("sparse_count")
         .resolve("index").toString
       graft.pipeline.Sparse.writeIndex(
         graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
@@ -6408,7 +6474,7 @@ object Queries {
     // sparsify threshold)
     "sparse_scroll" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_scroll")
+      val idx = graft.core.Scratch.dir("sparse_scroll")
         .resolve("index").toString
       graft.pipeline.Sparse.writeIndex(
         graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
@@ -6432,7 +6498,7 @@ object Queries {
     // decoy-free brute force
     "sparse_topk_segments" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val base = java.nio.file.Files.createTempDirectory("sparse_segs")
+      val base = graft.core.Scratch.dir("sparse_segs")
       val segs = Seq("segA", "segB", "segC").map(base.resolve(_).toString)
       val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
       val decoys = emb.where(col("vec_id") < 4)
@@ -6454,13 +6520,48 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // filter × tombstones × segments COMPOSED on a non-dense tier
+    // (the dense ivf_topk_segments_grouped analogue): three shard
+    // roots, decoy query copies tombstoned in their own segment, and
+    // a docFilter pushed inside the segment serve — the result must
+    // equal brute force over the FILTERED decoy-free corpus (sparse
+    // serving is exact, so no oversampling caveats apply)
+    "sparse_topk_segments_filtered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = graft.core.Scratch.dir("sparse_segf")
+      val segs = Seq("segA", "segB", "segC").map(base.resolve(_).toString)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      // EVEN-id decoys: they pass the filter, so only their segment's
+      // own tombstone mask keeps them out of the top ranks
+      val decoys = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") * 2L + 90000000L).as("vec_id"),
+          col("embedding"))
+      Seq(
+        emb.where(col("vec_id") <= mx / 3),
+        emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3)
+          .unionByName(decoys),
+        emb.where(col("vec_id") > 2 * mx / 3)
+      ).zip(segs).foreach { case (p, seg) =>
+        graft.pipeline.Sparse.writeIndex(
+          graft.pipeline.Sparse.sparsify(p, "embedding", "vec_id"), seg)
+      }
+      graft.pipeline.Sparse.tombstoneDocs(s, segs(1),
+        decoys.select(col("vec_id").as("doc")))
+      graft.pipeline.Sparse.searchSegments(s, segs,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10,
+          docFilter = Some(col("doc") % 2 === 0))
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // replace-by-id on the sparse tier: ids 10..13 are built with
     // STALE vectors (verbatim query copies — they would score 1.0
     // everywhere), then upserted to their true embeddings; the serve
     // must equal the never-corrupted brute force
     "sparse_topk_upserted" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_ups")
+      val idx = graft.core.Scratch.dir("sparse_ups")
         .resolve("index").toString
       val stale = emb.where(col("vec_id") < 4)
         .select((col("vec_id") + 10L).as("vec_id"), col("embedding"))
@@ -6485,7 +6586,7 @@ object Queries {
     // stages must serve the decoy-free brute force
     "sparse_topk_tombstoned" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_tomb")
+      val idx = graft.core.Scratch.dir("sparse_tomb")
         .resolve("index").toString
       val decoys = emb.where(col("vec_id") < 4)
         .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
@@ -6513,7 +6614,7 @@ object Queries {
     // dense tier's ivf_topk_filtered)
     "sparse_topk_filtered" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_filt")
+      val idx = graft.core.Scratch.dir("sparse_filt")
         .resolve("index").toString
       graft.pipeline.Sparse.writeIndex(
         graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
@@ -6532,7 +6633,7 @@ object Queries {
     "sparse_topk_grouped" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
-      val idx = java.nio.file.Files.createTempDirectory("sparse_grp")
+      val idx = graft.core.Scratch.dir("sparse_grp")
         .resolve("index").toString
       graft.pipeline.Sparse.writeIndex(
         graft.pipeline.Sparse.sparsify(emb, "embedding", "vec_id"), idx)
@@ -6552,7 +6653,7 @@ object Queries {
     // serve — the result must equal the pre-corruption brute force
     "sparse_topk_restored" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val base = java.nio.file.Files.createTempDirectory("sparse_restore")
+      val base = graft.core.Scratch.dir("sparse_restore")
       val idx = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       graft.pipeline.Sparse.writeIndex(
@@ -6584,7 +6685,7 @@ object Queries {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val decoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
         regexp_replace(col("text"), "[aeiou]", "9").as("text"))
-      val idx = java.nio.file.Files.createTempDirectory("bm25_del")
+      val idx = graft.core.Scratch.dir("bm25_del")
         .resolve("index").toString
       graft.pipeline.Bm25.writeIndex(s, docs.unionByName(decoys),
         "text", "doc_id", idx)
@@ -6597,7 +6698,7 @@ object Queries {
 
     "bm25_topk_incremental" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val idx = java.nio.file.Files.createTempDirectory("bm25_inc")
+      val idx = graft.core.Scratch.dir("bm25_inc")
         .resolve("index").toString
       val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       graft.pipeline.Bm25.writeIndex(s,
@@ -6634,7 +6735,7 @@ object Queries {
       // cell-pruned, and the union of emitted pairs must equal the
       // one-shot blocked pass — the embed_neardup_lsh golden
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val path = java.nio.file.Files.createTempDirectory("embed_idx")
+      val path = graft.core.Scratch.dir("embed_idx")
         .resolve("index").toString
       val a = emb.where(col("vec_id") % 3 === 0)
       val b = emb.where(col("vec_id") % 3 === 1)
@@ -6660,7 +6761,7 @@ object Queries {
     // blocked pass over the clean corpus
     "embed_index_restored" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val base = java.nio.file.Files.createTempDirectory("embed_restore")
+      val base = graft.core.Scratch.dir("embed_restore")
       val path = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       val a = emb.where(col("vec_id") % 3 === 0)
@@ -6695,7 +6796,7 @@ object Queries {
     // embed_neardup_lsh golden verbatim)
     "embed_index_deleted" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val path = java.nio.file.Files.createTempDirectory("embed_del")
+      val path = graft.core.Scratch.dir("embed_del")
         .resolve("index").toString
       val a = emb.where(col("vec_id") % 3 === 0)
       val b = emb.where(col("vec_id") % 3 === 1)
@@ -6728,7 +6829,7 @@ object Queries {
     // build-A ∪ build-B ∪ cross ∪ later probe ≡ one-shot blocked pass
     "embed_index_merged" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val base = java.nio.file.Files.createTempDirectory("embed_merge")
+      val base = graft.core.Scratch.dir("embed_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val a = emb.where(col("vec_id") % 3 === 0)
@@ -6754,7 +6855,7 @@ object Queries {
       // by each metric's combiner — must equal the one-shot batch
       // profile over the same columns (minus n_distinct, the one
       // non-mergeable metric)
-      val stats = java.nio.file.Files.createTempDirectory("graft_sprof_q")
+      val stats = graft.core.Scratch.dir("graft_sprof_q")
         .resolve("stats").toString
       graft.streaming.StreamingProfile.ingest(s, d,
           Seq("doc_id", "text", "lang", "source", "n_chars"), stats)
@@ -6767,7 +6868,7 @@ object Queries {
       // corpus_curation composition without ever rescanning history.
       // Every stage is relational, so the streamed kept set equals
       // the batch composition the oracle replays stage by stage
-      val root = java.nio.file.Files.createTempDirectory("graft_scur_q")
+      val root = graft.core.Scratch.dir("graft_scur_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       val bl = Seq("src3.example.com", "src7.example.com",
@@ -6791,7 +6892,7 @@ object Queries {
       // on-time docs flow through blocklist → quality → dedup. The
       // oracle replays the batch assignment (Staging's id-range
       // split), the late rule, and the composition stage by stage
-      val root = java.nio.file.Files.createTempDirectory("graft_swcur_q")
+      val root = graft.core.Scratch.dir("graft_swcur_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       val late = root.resolve("late").toString
@@ -6821,7 +6922,7 @@ object Queries {
       // verify, probeAndAppend per microbatch): dropped ⇔ the vector
       // is some pair's later side over the one-shot blocked pass,
       // which the oracle replays from the embed_neardup_lsh golden
-      val root = java.nio.file.Files.createTempDirectory("graft_sededup_q")
+      val root = graft.core.Scratch.dir("graft_sededup_q")
       val idx = root.resolve("index").toString
       val out = root.resolve("kept").toString
       graft.streaming.StreamingEmbedDedup.ingest(s, d, idx, out,
@@ -6840,7 +6941,7 @@ object Queries {
       // RRF-fused — byte-identical to hybrid_topk, so its golden
       // oracles the entire served path
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("hybrid_idx")
+      val root = graft.core.Scratch.dir("hybrid_idx")
       val bmIdx = root.resolve("bm25").toString
       val ivfIdx = root.resolve("ivf").toString
       graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
@@ -6870,7 +6971,7 @@ object Queries {
     "hybrid_topk_grouped" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
-      val root = java.nio.file.Files.createTempDirectory("hybrid_grp")
+      val root = graft.core.Scratch.dir("hybrid_grp")
         .toString
       graft.pipeline.Bm25.writeIndex(s, tbl(s, d, "documents"), "text",
         "doc_id", s"$root/bm25")
@@ -6904,7 +7005,7 @@ object Queries {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val decoys = docs.select((col("doc_id") + 100000L).as("doc_id"),
         regexp_replace(col("text"), "[aeiou]", "9").as("text"))
-      val idx = java.nio.file.Files.createTempDirectory("bm25_tomb")
+      val idx = graft.core.Scratch.dir("bm25_tomb")
         .resolve("index").toString
       graft.pipeline.Bm25.writeIndex(s, docs.unionByName(decoys), "text",
         "doc_id", idx)
@@ -6930,7 +7031,7 @@ object Queries {
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("hybrid_tomb")
+      val root = graft.core.Scratch.dir("hybrid_tomb")
         .resolve("index").toString
       graft.pipeline.Hybrid.writeIndex(s, docs.unionByName(textDecoys),
         "text", "doc_id", emb.unionByName(vecDecoys), "vec_id",
@@ -6958,7 +7059,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("hybrid_count")
+      val root = graft.core.Scratch.dir("hybrid_count")
         .resolve("index").toString
       graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id", emb,
         "vec_id", "embedding", model, root)
@@ -6974,7 +7075,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("hybrid_scroll")
+      val root = graft.core.Scratch.dir("hybrid_scroll")
         .resolve("index").toString
       graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id", emb,
         "vec_id", "embedding", model, root)
@@ -7001,7 +7102,7 @@ object Queries {
       // replays both sides' filtered rankings and the fixed-point
       // fusion — a filter dropped on EITHER side mismatches
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("hybrid_filt")
+      val root = graft.core.Scratch.dir("hybrid_filt")
         .resolve("index").toString
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
@@ -7035,7 +7136,7 @@ object Queries {
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("hybrid_del")
+      val root = graft.core.Scratch.dir("hybrid_del")
         .resolve("index").toString
       graft.pipeline.Hybrid.writeIndex(s, docs.unionByName(textDecoys),
         "text", "doc_id", emb.unionByName(vecDecoys), "vec_id",
@@ -7063,7 +7164,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val root = java.nio.file.Files.createTempDirectory("hybrid_app")
+      val root = graft.core.Scratch.dir("hybrid_app")
         .resolve("index").toString
       val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       graft.pipeline.Hybrid.writeIndex(s,
@@ -7094,7 +7195,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("hybrid_merge")
+      val base = graft.core.Scratch.dir("hybrid_merge")
       val rootA = base.resolve("shardA").toString
       val rootB = base.resolve("shardB").toString
       // split on the SHARED id range: at sf0.1 the doc-id domain runs
@@ -7127,7 +7228,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("hybrid_segs")
+      val base = graft.core.Scratch.dir("hybrid_segs")
       val rootA = base.resolve("shardA").toString
       val rootB = base.resolve("shardB").toString
       // split on the SHARED id range (the hybrid_topk_merged lesson)
@@ -7157,7 +7258,7 @@ object Queries {
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
         nlist = 16, iters = 3)
-      val base = java.nio.file.Files.createTempDirectory("hybrid_restore")
+      val base = graft.core.Scratch.dir("hybrid_restore")
       val root = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       graft.pipeline.Hybrid.writeIndex(s, docs, "text", "doc_id",
@@ -7926,6 +8027,10 @@ object Queries {
          |SELECT 'merged' AS stage, qid, nid, score, rk FROM base
          |ORDER BY stage, qid, rk""".stripMargin,
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
+    // filter + per-segment tombstones + segments composed: the decoys
+    // are even-id (filter-passing), so only the mask removes them —
+    // the mirror is simply the filtered decoy-free brute force
+    "sparse_topk_segments_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     "stream_sparse_search" -> sparseTopkSql(),
     // stale ids replaced by their true embeddings ≡ never corrupted
     "sparse_topk_upserted" -> sparseTopkSql(),
@@ -8753,6 +8858,22 @@ object Queries {
     // widening must reach the exhaustive probe, making the result
     // EXACT over the filtered corpus — oracled directly against
     // DuckDB brute force over the same predicate (no golden)
+    // payload layout grown by the payload-aware append, served
+    // filtered at the exhaustive probe ≡ brute force over the
+    // filtered union corpus
+    "ivf_topk_payload_appended" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |    AND e.label = 3)
+         |SELECT qid, nid, sim, rk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM p) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     "ivf_topk_filtered" ->
       s"""WITH p AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nid,
@@ -8919,6 +9040,11 @@ object Queries {
          |SELECT 'segments' AS stage, qid, nid, sim, rk
          |FROM '$pipeGold/ivf_topk_int8.parquet'
          |ORDER BY stage, qid, rk""".stripMargin,
+
+    // dedup → hier-dist train → segment ingest + cadence → filtered
+    // partial-probe serve, against the Python end-to-end replay
+    "e2e_dist_pipeline" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/e2e_dist_pipeline.parquet' ORDER BY qid, rk",
 
     // in-stream tiered maintenance (maintainEvery): the mid-policy
     // serve over {cascaded survivor, protected tail} ≡ one-shot

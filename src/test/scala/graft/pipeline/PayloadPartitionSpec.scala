@@ -101,4 +101,47 @@ class PayloadPartitionSpec extends SparkTestBase {
     val a = run(part)
     assert(a == run(plain) && a.nonEmpty)
   }
+
+  test("appendToIndexPayload grows the layout at full depth: grown == " +
+    "one-shot, pruning intact, refusals on misuse") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("payapp")
+    val grown = base.resolve("grown").toString
+    val oneShot = base.resolve("oneshot").toString
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Ivf.writeIndex(Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model), grown, payloadCols = Seq("label"))
+    Ivf.appendToIndexPayload(emb.where(col("vec_id") > half),
+      "embedding", model, grown)
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), oneShot,
+      payloadCols = Seq("label"))
+    val qs = emb.where(col("vec_id") < 5)
+    def run(path: String) =
+      Ivf.searchFiltered(Ivf.readIndexServing(spark, path, "vec_id"),
+          qs, "embedding", "vec_id", model, k = 4,
+          filter = col("label") === 3, nprobe0 = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val g = run(grown)
+    assert(g == run(oneShot) && g.nonEmpty)
+    // the grown layout still prunes by label DIRECTORY
+    val plan = Ivf.readIndexServing(spark, grown, "vec_id")
+      .where(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan)
+      .isDefined, s"append flattened the payload dirs:\n$plan")
+    // refusals: plain append on a payload layout, payload append on a
+    // plain layout, and an increment missing the payload column
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(emb, "embedding", model, grown)
+    }
+    val plain = base.resolve("plain").toString
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), plain)
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayload(emb, "embedding", model, plain)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayload(emb.drop("label"), "embedding", model, grown)
+    }
+  }
 }

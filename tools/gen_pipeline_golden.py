@@ -2446,6 +2446,55 @@ def gen_semdedup(emb, threshold=0.35, nlist=16, iters=3, seed=42,
           {"vec_id": "BIGINT", "cluster": "BIGINT", "keep": "BOOLEAN"})
 
 
+def gen_e2e_dist_pipeline(emb, threshold=0.35, nlist=16, iters=3,
+                          k=5, nprobe=4):
+    """End-to-end replay of the 100 TB-shaped pipeline row
+    (e2e_dist_pipeline): semDedupDistributed's keep set (flat
+    fixed-point train + the lower-id drop rule) -> the HIERARCHICAL
+    distributed trainer on the KEPT corpus -> int8 serve at PARTIAL
+    probe over the kept, even-id-filtered corpus. The segment write
+    path and tiered maintenance between train and serve are
+    result-transparent by the witness-verified merge contracts (their
+    own gates pin that), so this replay pins exactly the cross-feature
+    semantics: dedup decides the corpus, the two-level model decides
+    the probed candidates, int8 codes decide the scores."""
+    # 1. the keep set — gen_semdedup(dist=True) verbatim
+    cents0 = ivf_train_dist(emb, nlist=nlist, iters=iters)
+    by_cluster = {}
+    for vid, v in emb:
+        by_cluster.setdefault(ivf_nearest(cents0, v, 1)[0], []).append(
+            (vid, v))
+    dropped = set()
+    for mem in by_cluster.values():
+        for (i1, v1) in mem:
+            for (i2, v2) in mem:
+                if i2 < i1 and cosine_sim_d(v1, v2) > threshold:
+                    dropped.add(i1)
+                    break
+    kept = [(vid, v) for vid, v in emb if vid not in dropped]
+    # 2. the hierarchical distributed model on the deduped corpus
+    hc, l1, children = ivf_train_hier_dist(kept, nlist=nlist, iters=iters)
+    # 3. partial-probe int8 serve over the kept, even-id candidates
+    postings = {}
+    for i, v in kept:
+        postings.setdefault(
+            ivf_nearest_descend(hc, l1, children, v, 1)[0], []).append(i)
+    vec = dict(emb)
+    codes = {i: int8_codes(v) for i, v in kept}
+    queries = [i for i, _ in emb if i < 10]
+    cands = {q: {} for q in queries}
+    for q in queries:
+        qc = int8_codes(vec[q])
+        for cl in ivf_nearest_descend(hc, l1, children, vec[q], nprobe):
+            for n in postings.get(cl, []):
+                if n != q and n % 2 == 0 and n not in cands[q]:
+                    cands[q][n] = int8_cosine(codes[n], qc)
+    rows = rank_topk(cands, k)
+    write("e2e_dist_pipeline",
+          pd.DataFrame(rows, columns=["qid", "nid", "sim", "rk"]),
+          {"qid": "BIGINT", "nid": "BIGINT", "sim": "DOUBLE", "rk": "BIGINT"})
+
+
 def main():
     which = set(sys.argv[1:])
 
@@ -2501,7 +2550,7 @@ def main():
         gen_hybrid_tombstoned(docs, load_embeddings())
     emb = None
     for n in ("lsh_topk", "embed_neardup_lsh", "ivf_topk", "ivf_topk_dist",
-              "ivf_topk_int8",
+              "e2e_dist_pipeline", "ivf_topk_int8",
               "ivf_topk_filtered_recall", "ivf_topk_int8_filtered",
               "ivf_index_stats", "ivf_tune_nprobe",
               "ivf_topk_hier", "ivf_topk_hier_dist",
@@ -2553,6 +2602,8 @@ def main():
         gen_ivf_topk(emb)
     if want("ivf_topk_dist"):
         gen_ivf_topk_dist(emb)
+    if want("e2e_dist_pipeline"):
+        gen_e2e_dist_pipeline(emb)
     if want("ivf_topk_filtered_recall"):
         gen_ivf_topk_filtered_recall(emb)
     if want("ivf_index_stats"):
