@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write above fully materialized the result, so the query's
+      // scratch trees are dead — sweeping per query bounds the full
+      // suite's /tmp footprint (300+ index-lifecycle rows would
+      // otherwise stack every built layout until the JVM exits)
+      graft.core.Scratch.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -388,21 +388,19 @@ object Bm25 {
   }
 
   /** The filtered, tombstone-masked (doc) column of the postings —
-    * the live-doc prefix [[scroll]] and [[countDocs]] share (one
-    * mask-contract site, not three: scoredIndexCandidates keeps its
-    * own because it masks the FULL per-segment postings rows).
+    * the live-doc prefix [[scroll]] and [[countDocs]] share (the
+    * [[graft.core.LiveDocs]] mask core, now shared across the tiers,
+    * under this tier's recovery preamble; scoredIndexCandidates keeps
+    * its own mask because it masks the FULL per-segment postings
+    * rows). Routing through the core also heals a revive-swap-parked
+    * tombstone sidecar before the exists check — the one recovery
+    * this tier's copy used to miss.
     */
   private def maskedLiveDocs(spark: SparkSession, path: String,
                              pred: org.apache.spark.sql.Column): DataFrame = {
     recoverLayouts(spark, path)
-    val post = spark.read.parquet(s"$path/postings")
-      .where(pred)
-      .select(col("doc"))
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tp)) post
-    else post.join(spark.read.parquet(tombPath(path))
-      .select(col("doc")).distinct(), Seq("doc"), "left_anti")
+    graft.core.LiveDocs.masked(spark, s"$path/postings", tombPath(path),
+      "doc", pred)
   }
 
   /** EXACT count of live (served) documents, optionally filtered —

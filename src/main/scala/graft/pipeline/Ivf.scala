@@ -766,6 +766,18 @@ object Ivf {
       s"increment is missing the layout's payload column(s) " +
         s"${missing.mkString(", ")} — every row must land in a " +
         "payload partition dir")
+    // this is the FLOAT append: a quantized payload layout
+    // (writeIndexInt8/Bq/Pq also take payloadCols) holds codes:
+    // binary with vecCol dropped — appending raw float postings into
+    // it would mix schemas and serve null codes silently, the exact
+    // class the codec-marker family refuses everywhere else
+    val existing = spark.read.parquet(path)
+    require(existing.columns.contains(vecCol) &&
+        !existing.columns.contains("codes") &&
+        readCodec(spark, path).isEmpty,
+      s"$path does not hold float '$vecCol' postings (codec-encoded " +
+        "or foreign layout) — appendToIndexPayload is the float path; " +
+        "quantized payload layouts are rebuild-maintained")
     assign(df, vecCol, model)
       .write.mode(SaveMode.Append)
       .partitionBy("cluster" +: payload: _*).parquet(path)

@@ -289,12 +289,8 @@ object MultiVector {
   def countDocs(spark: SparkSession, root: String,
                 filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame =
-    maskedLiveDocs(spark, root, filter.getOrElse(lit(true))) match {
-      case None =>
-        import spark.implicits._
-        Seq(0L).toDF("cnt")
-      case Some(live) => live.agg(countDistinct(col("doc")).as("cnt"))
-    }
+    graft.core.LiveDocs.count(spark,
+      maskedLiveDocs(spark, root, filter.getOrElse(lit(true))), "doc")
 
   /** KEYSET pagination over the pair — [[Ivf.scroll]]'s doc-listing
     * semantics on the late-interaction tier: one id-ordered page of
@@ -308,43 +304,31 @@ object MultiVector {
   def scroll(spark: SparkSession, root: String, afterId: Option[Long],
              limit: Int,
              filter: Option[org.apache.spark.sql.Column] = None)
-      : DataFrame = {
-    require(limit > 0, "scroll limit must be positive")
-    maskedLiveDocs(spark, root,
-      filter.getOrElse(lit(true)) &&
-        afterId.map(a => col("doc") > a).getOrElse(lit(true))) match {
-      case None =>
-        import spark.implicits._
-        Seq.empty[Long].toDF("doc")
-      case Some(live) => live.distinct().orderBy(col("doc")).limit(limit)
-    }
-  }
+      : DataFrame =
+    graft.core.LiveDocs.page(spark,
+      maskedLiveDocs(spark, root,
+        filter.getOrElse(lit(true)) &&
+          afterId.map(a => col("doc") > a).getOrElse(lit(true))),
+      "doc", limit)
 
   /** The filtered, tombstone-masked (doc) column of the docs/ gather
     * layout — the live-doc prefix [[scroll]] and [[countDocs]] share
-    * (the family's one-mask-contract-site rule). None when the pair
-    * is missing or data-less (a sidecar-only crash leftover must
+    * (the [[graft.core.LiveDocs]] mask core under this tier's
+    * recovery preamble and db= data witness). None when the pair is
+    * missing or data-less (a sidecar-only crash leftover must
     * classify as empty, not die on schema inference).
     */
   private def maskedLiveDocs(spark: SparkSession, root: String,
                              pred: org.apache.spark.sql.Column)
       : Option[DataFrame] = {
     graft.core.DirSwap.recoverAt(spark, s"$root/docs")
-    val hc = spark.sparkContext.hadoopConfiguration
     val dp = new org.apache.hadoop.fs.Path(s"$root/docs")
-    val fs = dp.getFileSystem(hc)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(dp) && fs.listStatus(dp).exists(f =>
       f.isDirectory && f.getPath.getName.startsWith("db="))
-    if (!hasData) return None
-    val docs = spark.read.parquet(s"$root/docs")
-      .where(pred)
-      .select(col("doc"))
-    val tp = new org.apache.hadoop.fs.Path(tombPath(root))
-    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
-    Some(
-      if (!fs.exists(tp)) docs
-      else docs.join(spark.read.parquet(tombPath(root))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti"))
+    if (!hasData) None
+    else Some(graft.core.LiveDocs.masked(spark, s"$root/docs",
+      tombPath(root), "doc", pred))
   }
 
   /** SEGMENT MERGE: per-doc rows under ONE frozen quantizer —

@@ -390,12 +390,8 @@ object Sparse {
     */
   def countIndex(spark: SparkSession, path: String,
                  filter: Option[Column] = None): DataFrame =
-    maskedLiveDocs(spark, path, filter.getOrElse(lit(true))) match {
-      case None =>
-        import spark.implicits._
-        Seq(0L).toDF("cnt")
-      case Some(live) => live.agg(countDistinct(col("doc")).as("cnt"))
-    }
+    graft.core.LiveDocs.count(spark,
+      maskedLiveDocs(spark, path, filter.getOrElse(lit(true))), "doc")
 
   /** KEYSET pagination over the sparse layout — [[Ivf.scroll]]'s
     * doc-listing semantics on this tier (the lexical tier's
@@ -412,39 +408,28 @@ object Sparse {
     * empty page.
     */
   def scroll(spark: SparkSession, path: String, afterId: Option[Long],
-             limit: Int, filter: Option[Column] = None): DataFrame = {
-    require(limit > 0, "scroll limit must be positive")
-    maskedLiveDocs(spark, path,
-      filter.getOrElse(lit(true)) &&
-        afterId.map(a => col("doc") > a).getOrElse(lit(true))) match {
-      case None =>
-        import spark.implicits._
-        Seq.empty[Long].toDF("doc")
-      case Some(live) => live.distinct().orderBy(col("doc")).limit(limit)
-    }
-  }
+             limit: Int, filter: Option[Column] = None): DataFrame =
+    graft.core.LiveDocs.page(spark,
+      maskedLiveDocs(spark, path,
+        filter.getOrElse(lit(true)) &&
+          afterId.map(a => col("doc") > a).getOrElse(lit(true))),
+      "doc", limit)
 
   /** The filtered, tombstone-masked (doc) column of the postings —
     * the live-doc prefix [[scroll]] and [[countIndex]] share
-    * ([[Bm25]]'s one-mask-contract-site argument). None when the
-    * layout is missing or data-less (the family's empty-index
-    * convention — schema inference would die on a sidecar-only dir).
+    * (the [[graft.core.LiveDocs]] mask core under this tier's
+    * recovery preamble and dbk= data witness). None when the layout
+    * is missing or data-less (the family's empty-index convention —
+    * schema inference would die on a sidecar-only dir).
     */
   private def maskedLiveDocs(spark: SparkSession, path: String,
                              pred: Column): Option[DataFrame] = {
     graft.core.DirSwap.recoverAt(spark, path)
     val lp = new org.apache.hadoop.fs.Path(path)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!layoutHasData(fs, lp)) return None
-    val post = spark.read.parquet(path)
-      .where(pred)
-      .select(col("doc"))
-    val tp = new org.apache.hadoop.fs.Path(tombPath(path))
-    graft.core.DirSwap.recover(fs, tp) // a revive swap can park it
-    Some(
-      if (!fs.exists(tp)) post
-      else post.join(spark.read.parquet(tombPath(path))
-        .select(col("doc")).distinct(), Seq("doc"), "left_anti"))
+    if (!layoutHasData(fs, lp)) None
+    else Some(graft.core.LiveDocs.masked(spark, path, tombPath(path),
+      "doc", pred))
   }
 
   /** SEGMENT MERGE — the shard-parallel build topology: postings are

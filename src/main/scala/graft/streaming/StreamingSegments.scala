@@ -193,13 +193,18 @@ object StreamingSegments {
 
   /** The segment roots a maintenance pass may touch: all of them when
     * `protectTail` is off, all but the max-batch-id segment (the
-    * possibly-uncommitted tail — see the class doc) when it is on.
-    * segmentRoots is id-ordered, so the tail is simply the last.
+    * possibly-uncommitted tail — see the class doc) when it is on —
+    * INCLUDING the single-segment case: a lone segment IS the tail,
+    * so a protected pass has nothing to touch (returning it would
+    * hand it to mergeAll as a "merge destination" the caller may
+    * then compact, exactly the segment the invariant promises never
+    * to touch while the stream can replay it). segmentRoots is
+    * id-ordered, so the tail is simply the last.
     */
   private def foldable(spark: SparkSession, root: String,
                        protectTail: Boolean): Seq[String] = {
     val all = segmentRoots(spark, root)
-    if (protectTail && all.size > 1) all.init else all
+    if (protectTail) all.dropRight(1) else all
   }
 
   /** One LEXICAL microbatch: the batch's own complete BM25 index

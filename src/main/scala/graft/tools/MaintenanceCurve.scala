@@ -71,11 +71,15 @@ object MaintenanceCurve {
         policy match {
           case "none" => ()
           case "mergeall" =>
-            StreamingSegments.mergeAll(spark, root)
+            // protectTail=false: this loop is synchronous processBatch
+            // calls with no checkpoint — no replay can occur — and the
+            // documented policy is "fold EVERYTHING" (the r13 curves'
+            // semantics, which round-over-round comparisons rely on)
+            StreamingSegments.mergeAll(spark, root, protectTail = false)
               .foreach(dst => Ivf.compactIndex(spark, dst))
           case "tiered" =>
             StreamingSegments.maintainTiered(spark, root, fanout = 4,
-              minTierBytes = minTier, compact = true)
+              minTierBytes = minTier, compact = true, protectTail = false)
         }
         (System.nanoTime() - t0) / 1e9
       }

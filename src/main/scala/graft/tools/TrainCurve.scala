@@ -94,7 +94,8 @@ object TrainCurve {
         }
       }
       println(f"[traincurve] nlist=$nlist%6d " +
-        f"old_rows=${oldRows.length * (2 + 2)}%9d cells=${oldRows.length}%8d " +
+        f"old_cells=${oldRows.length}%8d " +
+        f"old_vals=${oldRows.length * 4L}%9d " + // (c, pos, s, n) per cell
         f"old=$tOld%7.2f s new_rows=${newRows.length}%6d new=$tNew%7.2f s " +
         f"speedup=${tOld / tNew}%5.2f x")
     }

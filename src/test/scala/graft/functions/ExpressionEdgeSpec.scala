@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 class ExpressionEdgeSpec extends SparkTestBase {
 
+  test("FixedVecSum packed buffer: null elements add nothing (row still " +
+    "counts), short rows zero-pad, long rows truncate, empty and null " +
+    "rows are skipped entirely") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq[java.lang.Long](1L, 2L, 3L)),
+      (0, Seq[java.lang.Long](10L, null, 30L, 99L)), // null elem; len > dim
+      (0, Seq[java.lang.Long](5L)),                  // short: zero-pads
+      (0, Seq.empty[java.lang.Long]),                // empty: not counted
+      (1, null.asInstanceOf[Seq[java.lang.Long]])    // null: not counted
+    ).toDF("g", "lv")
+    val out = df.groupBy(col("g"))
+      .agg(FixedVecSum.fixedVecSum(col("lv"), 3).as("buf"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    // group 0: 3 counted rows; sums (1+10+5, 2+0+0, 3+30+0); the 99
+    // beyond dim never lands
+    assert(out(0) == Seq(3L, 16L, 2L, 33L), s"got ${out(0)}")
+    assert(out(1) == Seq(0L, 0L, 0L, 0L), s"got ${out(1)}")
+    val (n, sums) = FixedVecSum.decode(out(0), 3)
+    assert(n == 3L && sums.toSeq == Seq(16L, 2L, 33L))
+  }
+
   test("null inputs yield null, not errors") {
     import spark.implicits._
     val df = Seq(

@@ -143,5 +143,14 @@ class PayloadPartitionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ivf.appendToIndexPayload(emb.drop("label"), "embedding", model, grown)
     }
+    // the float append must refuse a QUANTIZED payload layout — raw
+    // float postings appended into codes: binary would mix schemas
+    // and serve null codes silently
+    val int8 = base.resolve("int8").toString
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding",
+      int8, payloadCols = Seq("label"))
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayload(emb, "embedding", model, int8)
+    }
   }
 }

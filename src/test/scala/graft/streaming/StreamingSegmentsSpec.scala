@@ -97,6 +97,15 @@ class StreamingSegmentsSpec extends SparkTestBase {
     StreamingSegments.processBatch(spark, slice(3L), "embedding", root,
       model, 3L)
     assert(serveAll(root, model) == neverCrashed && neverCrashed.nonEmpty)
+    // a LONE segment IS the tail: a protected pass has nothing to
+    // touch and must not hand it out as a merge destination either
+    val lone = java.nio.file.Files.createTempDirectory("ssegs_lone")
+      .resolve("segments").toString
+    StreamingSegments.processBatch(spark, slice(0L), "embedding", lone,
+      model, 0L)
+    assert(StreamingSegments.mergeAll(spark, lone).isEmpty)
+    assert(StreamingSegments.maintainTiered(spark, lone,
+      fanout = 2, minTierBytes = 1L << 20).size == 1)
     val n = Ivf.readSegmentsServing(spark,
       StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
     assert(n == mx + 1, s"row count drifted: $n vs ${mx + 1}")
