@@ -175,6 +175,35 @@ class ScrollCountSpec extends SparkTestBase {
       .count() == 0L)
   }
 
+  test("scroll plan shape on the new tiers: keyset predicate pushed to " +
+    "the parquet scan, TakeOrderedAndProject cut (no global sort, no " +
+    "OFFSET scan-and-discard)") {
+    // sparse
+    val sIdx = java.nio.file.Files.createTempDirectory("sparse_plan")
+      .resolve("index").toString
+    Sparse.writeIndex(Sparse.sparsify(emb, "embedding", "vec_id"), sIdx)
+    val sPlan = Sparse.scroll(spark, sIdx, Some(100L), 10)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("TakeOrderedAndProject"),
+      s"sparse scroll cut must be a bounded heap, got:\n$sPlan")
+    assert("""PushedFilters: \[[^\]]*GreaterThan\(doc,100\)""".r
+      .findFirstIn(sPlan).isDefined,
+      s"sparse keyset predicate must reach the scan, got:\n$sPlan")
+    // multivec
+    val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+      col("embedding").as("vec"))
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val mRoot = java.nio.file.Files.createTempDirectory("mv_plan")
+      .resolve("pair").toString
+    MultiVector.writeIndex(spark, docVecs, model, mRoot)
+    val mPlan = MultiVector.scroll(spark, mRoot, Some(10L), 10)
+      .queryExecution.executedPlan.toString
+    assert(mPlan.contains("TakeOrderedAndProject") &&
+      """PushedFilters: \[[^\]]*GreaterThan\(doc,10\)""".r
+        .findFirstIn(mPlan).isDefined,
+      s"multivec scroll must heap-cut over a pushed keyset scan:\n$mPlan")
+  }
+
   test("hybrid countDocs/scroll ride the lexical side (the pair's doc " +
     "universe) through the paired tombstones") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
