@@ -192,6 +192,27 @@ class TieredMaintenanceSpec extends SparkTestBase {
     assert(before.nonEmpty)
   }
 
+  test("in-stream cadence on the sparse tier: ingestSparse(maintainEvery) " +
+    "folds mid-stream with the tail protected; serve == one-shot") {
+    val root = tmp("tiered_cadence_sp")
+    StreamingSegments.ingestSparse(spark, sf(), root, nBatches = 4,
+      maintainEvery = 1, fanout = 2, minTierBytes = 1L << 40)
+    // cadence shape: pass after promote k can fold only segments
+    // 0..k-2 (tail protected) — with fanout 2 each pass cascades the
+    // foldable set to one, so the layout ends at {survivor, tail}
+    val segs = StreamingSegments.segmentRoots(spark, root)
+    assert(segs.size == 2, s"cadence shape {survivor, tail}: $segs")
+    val q = Sparse.sparsify(emb.where(col("vec_id") < 3),
+      "embedding", "vec_id")
+    val got = rset(Sparse.searchSegments(spark, segs, q, k = 5),
+      "qid", "nid", "score", "rk")
+    val one = tmp("tiered_cadence_sp1")
+    Sparse.writeIndex(Sparse.sparsify(emb, "embedding", "vec_id"), one)
+    val want = rset(Sparse.searchIndex(spark, one, q, k = 5),
+      "qid", "nid", "score", "rk")
+    assert(got == want && want.nonEmpty)
+  }
+
   test("hybrid: the merge destination must carry a dense side") {
     val root = tmp("tiered_hy")
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
