@@ -27,6 +27,12 @@ object Bench {
       s.read.parquet(s"$sfDir/lineitem.parquet").count()
       s
     }
+    // machine-health witness: jiffy counters at suite start, so the
+    // detail file can carry the run's CPU-STEAL share (r14 lesson: an
+    // oversubscribed host inflated every row ~1.3× uniformly while
+    // looking idle — st only shows under load, and a uniform tax
+    // never trips the per-row contention detector, by design)
+    val jiffies0 = readJiffies()
     var spark = newSession()
     // SESSION RECYCLING: a 200+ × 3-rep suite in ONE context
     // accumulates state no per-query cleanup reaches — shuffle files
@@ -141,7 +147,8 @@ object Bench {
         queryMedians = Some(timed.map(t => (t._1, t._3))),
         queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
         contendedReps = Some(timed.collect {
-          case (n, _, _, _, _, Some(d)) => (n, d) })) + "\n")
+          case (n, _, _, _, _, Some(d)) => (n, d) }),
+        stealPct = stealShare(jiffies0, readJiffies())) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
       medianTotal = medianTotal))
     // iteration aid: a filtered run's stdout JSON carries first-run
@@ -152,6 +159,31 @@ object Bench {
       f"$n=$m%.3f" }.mkString("[bench] medians: ", " ", ""))
     spark.stop()
   }
+
+  /** The host's aggregate (steal, total) jiffy counters from
+    * /proc/stat's first cpu line; None off-Linux or on any parse
+    * hiccup — the witness degrades to absent, never crashes a bench.
+    */
+  private def readJiffies(): Option[(Long, Long)] =
+    scala.util.Try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.sum) // field 8 = steal; total = all fields
+    }.toOption
+
+  /** Steal share of the whole run, in percent — the machine-health
+    * number a reader needs to interpret this capture's absolutes
+    * (>2-3% sustained: the capture measured the neighbor, not the
+    * code; per-row RELATIVE ordering stays informative).
+    */
+  private[graft] def stealShare(before: Option[(Long, Long)],
+                                after: Option[(Long, Long)]): Option[Double] =
+    for {
+      (s0, t0) <- before
+      (s1, t1) <- after
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)
 
   /** Does a rep set carry the CONTENTION SIGNATURE — a spread the
     * query cannot produce on its own (same code, same data, back to
@@ -229,7 +261,8 @@ object Bench {
                               medianTotal: Option[Double] = None,
                               queryMedians: Option[Seq[(String, Double)]] = None,
                               queryRuns: Option[(Int, Seq[(String, Seq[Double])])] = None,
-                              contendedReps: Option[Seq[(String, Seq[Double])]] = None): String = {
+                              contendedReps: Option[Seq[(String, Seq[Double])]] = None,
+                              stealPct: Option[Double] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
     val med = medianTotal
@@ -255,10 +288,12 @@ object Bench {
     val contendedPart = contendedReps.map(_.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt(_, prec)).mkString(",") + "]" }
       .mkString(""""contended":{""", ",", "},")).getOrElse("")
+    val steal = stealPct
+      .map(v => s""""steal_pct":${fmt(v, 2)},""").getOrElse("")
     val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$steal$errs"n_queries":${results.size}$sfPart}"""
   }
 }

@@ -96,6 +96,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'), line)
   }
 
+  test("steal share: exact percentage from jiffy deltas, absent on " +
+    "missing or non-advancing counters; detail form carries it") {
+    assert(Bench.stealShare(Some((100L, 1000L)), Some((150L, 2000L)))
+      .contains(5.0)) // 50 steal jiffies of 1000 total
+    assert(Bench.stealShare(None, Some((1L, 2L))).isEmpty)
+    assert(Bench.stealShare(Some((1L, 2L)), None).isEmpty)
+    assert(Bench.stealShare(Some((1L, 100L)), Some((1L, 100L))).isEmpty)
+    val line = Bench.jsonLine(Seq(("q1", 1.0, true)), 3, None,
+      dropEmptyErrs = true, withQueries = true, filteredRun = false,
+      stealPct = Some(12.345))
+    assert(line.contains("\"steal_pct\":12.35"), line)
+  }
+
   test("detail form records contended (discarded) reps per flagged query") {
     val results = Seq(("q_a", 1.5, true), ("q_b", 2.5, true))
     val line = Bench.jsonLine(results, 6, Some("/sf"), dropEmptyErrs = false,
