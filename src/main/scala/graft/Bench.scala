@@ -130,6 +130,7 @@ object Bench {
       val med = if (ok) sorted((runs - 1) / 2) else -1.0
       (name, if (ok) times.head else -1.0, med, ok, times, discarded)
     }
+    val steal = stealShare(jiffies0, readJiffies())
     val results = timed.map { case (n, cold, _, ok, _, _) => (n, cold, ok) }
     val medianTotal =
       if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
@@ -148,9 +149,9 @@ object Bench {
         queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
         contendedReps = Some(timed.collect {
           case (n, _, _, _, _, Some(d)) => (n, d) }),
-        stealPct = stealShare(jiffies0, readJiffies())) + "\n")
+        stealPct = steal) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
-      medianTotal = medianTotal))
+      medianTotal = medianTotal, stealPct = steal))
     // iteration aid: a filtered run's stdout JSON carries first-run
     // times only, but the load-robust per-query signal is the median —
     // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
@@ -233,20 +234,22 @@ object Bench {
   private[graft] def fitLine(results: Seq[(String, Double, Boolean)],
                              sfDir: String, filteredRun: Boolean,
                              budget: Int = StdoutBudget,
-                             medianTotal: Option[Double] = None): String = {
+                             medianTotal: Option[Double] = None,
+                             stealPct: Option[Double] = None): String = {
     val sfBase = new java.io.File(sfDir).getName
     val candidates = Seq(
       jsonLine(results, 3, Some(sfDir), dropEmptyErrs = false,
-        withQueries = true, filteredRun, medianTotal),
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct),
       jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun, medianTotal),
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct),
       jsonLine(results, 1, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun, medianTotal)) ++
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct)) ++
       // the pointer form only makes sense when the detail file
       // describes THIS run (full suites only)
       (if (!filteredRun)
         Seq(jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
-          withQueries = false, filteredRun, medianTotal))
+          withQueries = false, filteredRun, medianTotal,
+          stealPct = stealPct))
       else Nil)
     candidates.find(_.length <= budget).getOrElse(candidates.last)
   }
