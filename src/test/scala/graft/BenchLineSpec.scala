@@ -152,4 +152,36 @@ class BenchLineSpec extends AnyFunSuite {
     // failed reps still never flag, whatever the gap
     assert(!Bench.contended(Seq(-1.0, 9.0, 20.0)))
   }
+
+  test("window stamp and burn-probe readings ride the JSON forms") {
+    val line = Bench.jsonLine(Seq(("q1", 1.0, true)), 3, None,
+      dropEmptyErrs = true, withQueries = true, filteredRun = false,
+      stealPct = Some(1.2), window = Some("contended"),
+      burnProbes = Some(Seq(("pre1", 8.25), ("pre2", 7.0), ("recycle3", 0.4))))
+    assert(line.contains("\"window\":\"contended\""), line)
+    assert(line.contains(
+      "\"burn_probes\":{\"pre1\":8.25,\"pre2\":7.00,\"recycle3\":0.40}"), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+    // absent gate (filtered run / off-Linux) -> neither field appears
+    val bare = Bench.jsonLine(Seq(("q1", 1.0, true)), 3, None,
+      dropEmptyErrs = true, withQueries = true, filteredRun = false)
+    assert(!bare.contains("window") && !bare.contains("burn_probes"), bare)
+    // the stdout ladder carries the window verdict at every tier
+    val results = realNames.zipWithIndex.map { case (n, i) =>
+      (n, 1.234567 + i * 0.01, true)
+    }
+    val fit = Bench.fitLine(results, "/root/testdata/sf0.1",
+      filteredRun = false, window = Some("clean"))
+    assert(fit.length <= Bench.StdoutBudget)
+    assert(fit.contains("\"window\":\"clean\""), fit)
+  }
+
+  test("burn probe reads an under-load steal share on Linux") {
+    // quick probe: the VALUE is the host's business; the contract is
+    // a present, finite, sane percentage (this host exposes
+    // /proc/stat) produced without crashing or hanging
+    val p = Bench.burnProbe(millis = 150)
+    assert(p.isDefined)
+    assert(p.get >= 0.0 && p.get <= 100.0, p)
+  }
 }
