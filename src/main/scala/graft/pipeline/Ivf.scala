@@ -767,9 +767,9 @@ object Ivf {
         s"${missing.mkString(", ")} — every row must land in a " +
         "payload partition dir")
     // this is the FLOAT append: a quantized payload layout
-    // (writeIndexInt8/Bq/Pq also take payloadCols) holds codes:
-    // binary with vecCol dropped — appending raw float postings into
-    // it would mix schemas and serve null codes silently, the exact
+    // (writeIndexInt8 also takes payloadCols) holds codes: binary
+    // with vecCol dropped — appending raw float postings into it
+    // would mix schemas and serve null codes silently, the exact
     // class the codec-marker family refuses everywhere else
     val existing = spark.read.parquet(path)
     require(existing.columns.contains(vecCol) &&
@@ -777,8 +777,65 @@ object Ivf {
         readCodec(spark, path).isEmpty,
       s"$path does not hold float '$vecCol' postings (codec-encoded " +
         "or foreign layout) — appendToIndexPayload is the float path; " +
-        "quantized payload layouts are rebuild-maintained")
+        "codes layouts take appendToIndexPayloadQuantized")
     assign(df, vecCol, model)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster" +: payload: _*).parquet(path)
+  }
+
+  /** [[appendToIndexPayload]]'s QUANTIZED twin — the follow-up its
+    * codec guard points at: the increment is encoded through the
+    * LAYOUT'S OWN identity before landing. The `_codec` marker picks
+    * the encoder — the same pure per-row encodes the writeIndex*
+    * family stamps it for (int8 / bq are training-free; pq / pqr
+    * load the layout's persisted codebooks) — and [[ensurePair]]
+    * save-or-verifies the coarse quantizer (plus codebooks where the
+    * codec has them) against the layout root, so codes encoded under
+    * a foreign model can never land. Encoding and assignment are
+    * pure functions of (vector, models), so the grown layout serves
+    * row-identically to a one-shot write over the union
+    * (gate-pinned: ivf_topk_payload_appended_int8). The increment
+    * appends under the discovered full `cluster +: payload` depth
+    * like the float path.
+    */
+  def appendToIndexPayloadQuantized(df: DataFrame, vecCol: String,
+                                    model: IvfModel, path: String): Unit = {
+    val spark = df.sparkSession
+    graft.core.DirSwap.recoverAt(spark, path)
+    val payload = payloadColsOf(spark, path)
+    require(payload.nonEmpty,
+      s"$path carries no payload partition dirs — plain codes layouts " +
+        "take appendToIndexInt8/Bq/Pq*")
+    val missing = payload.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"increment is missing the layout's payload column(s) " +
+        s"${missing.mkString(", ")} — every row must land in a " +
+        "payload partition dir")
+    val codec = readCodec(spark, path).getOrElse(sys.error(
+      s"$path carries no _codec marker — float payload layouts take " +
+        "appendToIndexPayload"))
+    val assigned = assign(df, vecCol, model)
+    val encoded = codec match {
+      case "int8" =>
+        ensurePair(spark, model, None, path)
+        assigned.withColumn("codes", Similarity.int8Codes(col(vecCol)))
+      case "bq" =>
+        ensurePair(spark, model, None, path)
+        assigned.withColumn("codes",
+          graft.functions.VectorFunctions.signBits(col(vecCol)))
+      case "pq" =>
+        val pq = Pq.loadModel(spark, pqPath(path))
+        ensurePair(spark, model, Some(pq), path)
+        assigned.withColumn("codes", Pq.encode(col(vecCol), pq))
+      case "pqr" =>
+        val pq = Pq.loadModel(spark, pqPath(path))
+        ensurePair(spark, model, Some(pq), path)
+        assigned.withColumn("codes",
+          Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
+      case other => sys.error(
+        s"$path carries unknown codec '$other' — refusing to encode")
+    }
+    encoded.drop(vecCol)
       .write.mode(SaveMode.Append)
       .partitionBy("cluster" +: payload: _*).parquet(path)
   }
@@ -2038,11 +2095,13 @@ object Ivf {
     * m-byte PQ codes — the layout [[searchPqIndex]] serves from.
     */
   def writeIndexPq(postings: DataFrame, vecCol: String, pq: Pq.PqModel,
-                   model: IvfModel, path: String): Unit = {
+                   model: IvfModel, path: String,
+                   payloadCols: Seq[String] = Nil): Unit = {
     postings
       .withColumn("codes", Pq.encode(col(vecCol), pq))
       .drop(vecCol)
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite")
+      .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     // codes are meaningless without their models: persist the full
     // pair — coarse quantizer (probing) AND codebooks (decoding) —
     // so a restarted server recovers everything from the root, same
@@ -2227,12 +2286,14 @@ object Ivf {
     */
   def writeIndexPqResidual(postings: DataFrame, vecCol: String,
                            pq: Pq.PqModel, model: IvfModel,
-                           path: String): Unit = {
+                           path: String,
+                           payloadCols: Seq[String] = Nil): Unit = {
     postings
       .withColumn("codes",
         Pq.encode(residualCol(col(vecCol), col("cluster"), model), pq))
       .drop(vecCol)
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite")
+      .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     // residual codes depend on BOTH models: persist the full triple
     // (codes, coarse quantizer, codebooks) so a restarted server
     // recovers everything from the root ([[loadModel]]/[[loadPq]])
@@ -2514,11 +2575,13 @@ object Ivf {
     * layout can never drift from a stale codebook. Serve with
     * [[searchBqIndex]] (Hamming shortlist + exact rescore).
     */
-  def writeIndexBq(postings: DataFrame, vecCol: String, path: String): Unit = {
+  def writeIndexBq(postings: DataFrame, vecCol: String, path: String,
+                   payloadCols: Seq[String] = Nil): Unit = {
     postings
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite")
+      .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     stampCodec(postings.sparkSession, path, "bq", fresh = true)
   }
 

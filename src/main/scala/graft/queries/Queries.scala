@@ -3095,6 +3095,36 @@ object Queries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // the QUANTIZED payload-append (the last payload lifecycle
+    // asymmetry): an int8 payload layout grown through
+    // appendToIndexPayloadQuantized — the increment encoded through
+    // the layout's own _codec identity under the verified frozen
+    // model — serves exactly the one-shot full-corpus int8 golden
+    // (assignment and int8 encoding are pure per-row functions, and
+    // the payload dirs don't enter an unfiltered probe)
+    "ivf_topk_payload_appended_int8" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val idx = graft.core.Scratch.dir("ivf_payappq")
+        .resolve("index").toString
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.pipeline.Ivf.writeIndexInt8(
+        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+          "embedding", model), "embedding", idx,
+        payloadCols = Seq("label"))
+      graft.pipeline.Ivf.appendToIndexPayloadQuantized(
+        emb.where(col("vec_id") > half), "embedding", model, idx)
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readIndex(s, idx),
+          emb.where(col("vec_id") < 10).drop("label"), "embedding",
+          "vec_id", model, k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "ivf_topk_filtered_recall" -> ((s, d) => {
       // the fill guarantee at REAL selectivity (~10% of the corpus
       // matches): nprobe0 = 1 would under-fill nearly every query —
@@ -3583,9 +3613,12 @@ object Queries {
       val filt = Some(col("doc") % 2 === 0)
       val p1 = graft.pipeline.MultiVector.scroll(s, root, None, 20, filt)
         .localCheckpoint(true)
-      val last = p1.agg(max(col("doc"))).head().getLong(0)
-      val p2 = graft.pipeline.MultiVector.scroll(s, root, Some(last), 20,
-        filt)
+      // an empty page 1 (degenerate corpus) has no keyset — skip
+      // page 2 rather than NPE on the null max
+      val last = p1.agg(max(col("doc"))).head()
+      val p2 = if (last.isNullAt(0)) p1.limit(0)
+        else graft.pipeline.MultiVector.scroll(s, root,
+          Some(last.getLong(0)), 20, filt)
       p1.withColumn("page", lit(1L))
         .unionByName(p2.withColumn("page", lit(2L)))
         .select(col("page"), col("doc"))
@@ -3961,9 +3994,11 @@ object Queries {
       val filt = Some(col("vec_id") % 2 === 0)
       val p1 = graft.pipeline.Ivf.scroll(s, idx, "vec_id", None, 20, filt)
         .localCheckpoint(true)
-      val last = p1.agg(max(col("vec_id"))).head().getLong(0)
-      val p2 = graft.pipeline.Ivf.scroll(s, idx, "vec_id", Some(last), 20,
-        filt)
+      // empty page 1 → no keyset → skip page 2 (null-max NPE guard)
+      val last = p1.agg(max(col("vec_id"))).head()
+      val p2 = if (last.isNullAt(0)) p1.limit(0)
+        else graft.pipeline.Ivf.scroll(s, idx, "vec_id",
+          Some(last.getLong(0)), 20, filt)
       p1.withColumn("page", lit(1L))
         .unionByName(p2.withColumn("page", lit(2L)))
         .select(col("page"), col("vec_id"))
@@ -5563,6 +5598,85 @@ object Queries {
         .orderBy(col("stage"), col("qid"), col("rk"))
     }),
 
+    // in-stream tiered maintenance on the LEXICAL tier —
+    // stream_ivf_segments_tiered's shape on the tier whose global
+    // N/T/df stats merge is most at risk from a mid-policy serve: 6
+    // doc microbatches with a cadence-2 fanout-2 tiered fold leave
+    // {0..4 cascaded survivor, protected tail 5} on disk, and the
+    // serve across that mid-policy shape must equal the one-shot
+    // bm25_topk golden
+    "stream_bm25_segments_tiered" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("sbm25_segs_tier")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestBm25(s, d, root,
+        nBatches = 6, maintainEvery = 2, fanout = 2,
+        minTierBytes = 1L << 40)
+      val segs = graft.streaming.StreamingSegments.segmentRoots(s, root)
+      require(segs.size == 2,
+        s"cadence shape: {0..4 cascaded, tail 5} expected, got $segs")
+      graft.pipeline.Bm25.searchSegments(s, segs,
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .select(col("qid"), col("doc"), col("score_fp"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // SKEW STRESS on the lexical segments serve: every other
+    // *_segments row splits the corpus near-uniformly, but a real
+    // stream's bursty day produces one segment holding ~90% of the
+    // corpus beside slivers — the shape where the per-segment global
+    // stats merge (N/T/df summed across segments) is most at risk.
+    // Batch sizes ~[450, 20, 20, 10] at sf0.01; the serve across the
+    // skewed segments must still equal the one-shot bm25_topk golden.
+    "bm25_segments_skewed" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = graft.core.Scratch.dir("bm25_segs_skew")
+        .resolve("segments").toString
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      // 90% / 4% / 4% / 2% id-range slices — deliberate skew
+      val cuts = Seq(0L, n * 90 / 100, n * 94 / 100, n * 98 / 100, n)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.streaming.StreamingSegments.processBatchBm25(s,
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          "text", "doc_id", root, i.toLong)
+      }
+      graft.pipeline.Bm25.searchSegments(s,
+          graft.streaming.StreamingSegments.segmentRoots(s, root),
+          Seq(0L -> "hash join", 1L -> "fast table scan",
+            2L -> "merge sort window"), k = 10)
+        .select(col("qid"), col("doc"), col("score_fp"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // the DENSE twin of bm25_segments_skewed: one ~90% segment beside
+    // slivers, served through the same witness-verified segment union
+    // as the uniform rows — candidate sets are a pure function of
+    // (vector, model), so the skewed layout must reproduce the
+    // one-shot int8 golden bit-for-bit
+    "ivf_segments_skewed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = graft.core.Scratch.dir("ivf_segs_skew")
+        .resolve("segments").toString
+      val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val cuts = Seq(0L, n * 90 / 100, n * 94 / 100, n * 98 / 100, n)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.streaming.StreamingSegments.processBatch(s,
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi),
+          "embedding", root, model, i.toLong)
+      }
+      graft.pipeline.Ivf.searchCodes(
+          graft.pipeline.Ivf.readSegmentsServing(s,
+            graft.streaming.StreamingSegments.segmentRoots(s, root),
+            "vec_id", model),
+          emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("nid"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the SPARSE tier's segment-per-microbatch write path: per-doc
     // integer-dot postings make both stages exactly the direct
     // DuckDB brute force (no golden, no tolerance)
@@ -6340,8 +6454,11 @@ object Queries {
       val filt = Some(col("doc") % 2 === 0)
       val p1 = graft.pipeline.Bm25.scroll(s, idx, None, 20, filt)
         .localCheckpoint(true)
-      val last = p1.agg(max(col("doc"))).head().getLong(0)
-      val p2 = graft.pipeline.Bm25.scroll(s, idx, Some(last), 20, filt)
+      // empty page 1 → no keyset → skip page 2 (null-max NPE guard)
+      val last = p1.agg(max(col("doc"))).head()
+      val p2 = if (last.isNullAt(0)) p1.limit(0)
+        else graft.pipeline.Bm25.scroll(s, idx, Some(last.getLong(0)), 20,
+          filt)
       p1.withColumn("page", lit(1L))
         .unionByName(p2.withColumn("page", lit(2L)))
         .select(col("page"), col("doc"))
@@ -6483,8 +6600,11 @@ object Queries {
       val filt = Some(col("doc") % 2 === 0)
       val p1 = graft.pipeline.Sparse.scroll(s, idx, None, 20, filt)
         .localCheckpoint(true)
-      val last = p1.agg(max(col("doc"))).head().getLong(0)
-      val p2 = graft.pipeline.Sparse.scroll(s, idx, Some(last), 20, filt)
+      // empty page 1 → no keyset → skip page 2 (null-max NPE guard)
+      val last = p1.agg(max(col("doc"))).head()
+      val p2 = if (last.isNullAt(0)) p1.limit(0)
+        else graft.pipeline.Sparse.scroll(s, idx, Some(last.getLong(0)),
+          20, filt)
       p1.withColumn("page", lit(1L))
         .unionByName(p2.withColumn("page", lit(2L)))
         .select(col("page"), col("doc"))
@@ -7084,8 +7204,11 @@ object Queries {
       val filt = Some(col("doc") % 2 === 0)
       val p1 = graft.pipeline.Hybrid.scroll(s, root, None, 20, filt)
         .localCheckpoint(true)
-      val last = p1.agg(max(col("doc"))).head().getLong(0)
-      val p2 = graft.pipeline.Hybrid.scroll(s, root, Some(last), 20, filt)
+      // empty page 1 → no keyset → skip page 2 (null-max NPE guard)
+      val last = p1.agg(max(col("doc"))).head()
+      val p2 = if (last.isNullAt(0)) p1.limit(0)
+        else graft.pipeline.Hybrid.scroll(s, root, Some(last.getLong(0)),
+          20, filt)
       p1.withColumn("page", lit(1L))
         .unionByName(p2.withColumn("page", lit(2L)))
         .select(col("page"), col("doc"))
@@ -7965,6 +8088,17 @@ object Queries {
          |SELECT 'segments' AS stage, qid, doc, score_fp, rk
          |FROM '$pipeGold/bm25_topk.parquet'
          |ORDER BY stage, qid, rk""".stripMargin,
+
+    // in-stream tiered maintenance on the lexical tier: the serve over
+    // the mid-policy {cascaded survivor, protected tail} shape ≡
+    // one-shot (global N/T/df stats merge is grouping-invariant)
+    "stream_bm25_segments_tiered" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
+
+    // deliberately skewed batch sizes (~90%/4%/4%/2%): the segments
+    // serve must be partition-shape-invariant
+    "bm25_segments_skewed" ->
+      s"SELECT qid, doc, score_fp, rk FROM '$pipeGold/bm25_topk.parquet' ORDER BY qid, rk",
 
     // segment-per-microbatch paired hybrid ingest: both stages equal
     // the scan-based fusion (exhaustive probe ⇒ byte-identical)
@@ -9049,6 +9183,16 @@ object Queries {
     // in-stream tiered maintenance (maintainEvery): the mid-policy
     // serve over {cascaded survivor, protected tail} ≡ one-shot
     "stream_ivf_segments_tiered" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // one ~90% segment beside slivers: the dense segment union is
+    // partition-shape-invariant (assignment is per-vector)
+    "ivf_segments_skewed" ->
+      s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
+
+    // int8 payload layout grown through the codec-dispatched append
+    // ≡ the one-shot full-corpus int8 build (pure per-row encodes)
+    "ivf_topk_payload_appended_int8" ->
       s"SELECT qid, nid, sim, rk FROM '$pipeGold/ivf_topk_int8.parquet' ORDER BY qid, rk",
 
     // snapshot → wreck → restore ≡ the never-wrecked one-shot

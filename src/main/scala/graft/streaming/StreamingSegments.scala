@@ -45,6 +45,18 @@ import org.apache.spark.sql.functions.col
   * that never crashed (spec-pinned). Pass `protectTail = false` only
   * when no replay can occur — the stream is stopped and its
   * checkpoint retired — to fold the tail too.
+  *
+  * The tail guard assumes the checkpoint only ever rewinds by the ONE
+  * uncommitted batch. An operator rewinding FURTHER (restoring an old
+  * checkpoint backup, hand-deleting late commits) would replay batch
+  * ids whose segments maintenance already absorbed into survivors —
+  * re-creating them beside the survivor and serving every absorbed
+  * row twice. The [[retiredIds]] sidecar closes that hole: every
+  * maintenance fold records the ids it absorbs in `$root/_retired`
+  * BEFORE touching their segments, and every processBatch* no-ops a
+  * batch id found there, so an arbitrarily-deep rewind replays to
+  * exactly the layout maintenance left (spec-pinned on the dense and
+  * lexical tiers).
   */
 object StreamingSegments {
 
@@ -66,6 +78,63 @@ object StreamingSegments {
       .map(_.getPath.toString)
       .sortBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
       .toSeq
+  }
+
+  /** Numeric batch id of a `seg=<id>` root path. */
+  private def segId(p: String): Long =
+    p.substring(p.lastIndexOf("seg=") + 4).toLong
+
+  /** The batch ids maintenance has absorbed into survivors — the
+    * RETIRED-IDS SIDECAR (`$root/_retired`, one id per line), the
+    * multi-batch rewind guard the class doc describes. Reads the
+    * completed tmp file when the live file is absent (the only gap
+    * [[retireIds]]'s delete→rename window can leave — the tmp is
+    * fully written and closed before the live file is deleted).
+    * Empty when neither exists (no fold has retired anything).
+    */
+  def retiredIds(spark: SparkSession, root: String): Set[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$root/_retired")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._retired_tmp")
+    val src = if (fs.exists(live)) Some(live)
+      else if (fs.exists(tmp)) Some(tmp)
+      else None
+    src.map { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }.getOrElse(Set.empty)
+  }
+
+  /** Record `ids` as retired, BEFORE their segments are merged (the
+    * crash-order that keeps every state reachable mid-fold correct: a
+    * retired id whose segment still exists whole just no-ops its
+    * replay — rows still served once from the old segment — and the
+    * next maintenance pass completes the fold; the reverse order
+    * would leave an absorbed segment's id replayable, the exact
+    * duplicate hazard this sidecar exists to close). Write is
+    * tmp + delete + rename; [[retiredIds]] heals the delete→rename
+    * crash window from the completed tmp. SCOPE: ids are the stream's
+    * own batch ids — the sidecar shares the segment names' checkpoint
+    * lineage, so a fresh stream (ids restarting at 0) must land in a
+    * fresh root, which `seg=0` collisions already require.
+    */
+  private def retireIds(spark: SparkSession, root: String,
+                        ids: Iterable[Long]): Unit = {
+    if (ids.isEmpty) return
+    val all = retiredIds(spark, root) ++ ids
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._retired_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(all.toSeq.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$root/_retired")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"retire rename $tmp -> $dst failed")
   }
 
   /** The hidden-build-then-promote protocol every tier's segment
@@ -126,7 +195,8 @@ object StreamingSegments {
   def processBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
                    root: String, model: graft.pipeline.IvfModel,
                    batchId: Long): Boolean = {
-    if (batch.isEmpty) return false
+    if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
+      return false
     promoteSegment(spark, root, batchId) { tmp =>
       Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, tmp)
       Ivf.saveModel(spark, model, Ivf.modelPath(tmp))
@@ -180,12 +250,21 @@ object StreamingSegments {
     * when no segments exist. Serving through
     * [[Ivf.readSegmentsServing]] before, during (merges are
     * crash-safe moves), or after the fold returns the same rows.
+    *
+    * @note BEHAVIOR CHANGE (all mergeAll* / maintainTiered* entry
+    *       points): `protectTail` now DEFAULTS to true — an offline
+    *       "fold everything" call leaves the max-batch-id segment
+    *       unmerged, and a lone segment returns None. Callers that
+    *       relied on a full fold must pass `protectTail = false`
+    *       explicitly, which is only safe once the stream is stopped
+    *       and its checkpoint retired.
     */
   def mergeAll(spark: SparkSession, root: String,
                idCol: String = "vec_id",
                protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
+      retireIds(spark, root, segs.tail.map(segId))
       segs.tail.foreach(src => Ivf.mergeInto(spark, dst, src, idCol))
       dst
     }
@@ -217,7 +296,8 @@ object StreamingSegments {
   def processBatchBm25(spark: SparkSession, batch: DataFrame,
                        textCol: String, idCol: String, root: String,
                        batchId: Long): Boolean = {
-    if (batch.isEmpty) return false
+    if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
+      return false
     promoteSegment(spark, root, batchId) { tmp =>
       Bm25.writeIndex(spark, batch, textCol, idCol, tmp)
     }
@@ -250,6 +330,7 @@ object StreamingSegments {
                    protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
+      retireIds(spark, root, segs.tail.map(segId))
       segs.tail.foreach(src => Bm25.mergeInto(spark, dst, src))
       dst
     }
@@ -263,7 +344,8 @@ object StreamingSegments {
                          vecCol: String, idCol: String, root: String,
                          batchId: Long, tau: Double,
                          scale: Double): Boolean = {
-    if (batch.isEmpty) return false
+    if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
+      return false
     promoteSegment(spark, root, batchId) { tmp =>
       Sparse.writeIndex(Sparse.sparsify(batch, vecCol, idCol, tau, scale),
         tmp)
@@ -298,6 +380,7 @@ object StreamingSegments {
                      protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
+      retireIds(spark, root, segs.tail.map(segId))
       segs.tail.foreach(src => Sparse.mergeInto(spark, dst, src))
       dst
     }
@@ -321,7 +404,8 @@ object StreamingSegments {
                          vecIdCol: String, vecCol: String,
                          model: graft.pipeline.IvfModel, root: String,
                          batchId: Long): Boolean = {
-    if (batch.isEmpty) return false
+    if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
+      return false
     val vecs = emb.join(batch.select(col(idCol).as(vecIdCol)), Seq(vecIdCol))
     promoteSegment(spark, root, batchId) { tmp =>
       Bm25.writeIndex(spark, batch, textCol, idCol, s"$tmp/bm25")
@@ -372,7 +456,8 @@ object StreamingSegments {
   def processBatchMultiVec(spark: SparkSession, batch: DataFrame,
                            model: graft.pipeline.IvfModel, root: String,
                            batchId: Long): Boolean = {
-    if (batch.isEmpty) return false
+    if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
+      return false
     promoteSegment(spark, root, batchId) { tmp =>
       graft.pipeline.MultiVector.writeIndex(spark, batch, model, tmp)
     }
@@ -417,6 +502,7 @@ object StreamingSegments {
                        protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
+      retireIds(spark, root, segs.tail.map(segId))
       segs.tail.foreach(src =>
         graft.pipeline.MultiVector.mergeInto(spark, dst, src))
       dst
@@ -486,6 +572,9 @@ object StreamingSegments {
           val group = members.toSeq.sortBy { case (p, b) => (b, p) }
             .take(fanout).map(_._1)
           val dst = pickDst(group)
+          // retire BEFORE merging — the crash-order contract in
+          // [[retireIds]]'s doc
+          retireIds(spark, root, group.filterNot(_ == dst).map(segId))
           group.filterNot(_ == dst).foreach { src =>
             merge(dst, src)
             sizes.remove(src)
@@ -504,13 +593,13 @@ object StreamingSegments {
     * by itself make replaying a retired id harmless — the replay
     * would re-create the retired segment and its rows would serve
     * TWICE, duplicated beside the survivor that absorbed them. That
-    * hazard is closed one level up: maintenance skips the only
-    * segment whose batch can still replay (the max-id tail,
-    * `protectTail` — commits are sequential, so every retired id's
-    * commit has landed and will never replay).
+    * hazard is closed one level up, twice over: maintenance skips the
+    * only segment whose batch can replay on its own (the max-id tail,
+    * `protectTail` — commits are sequential), and the [[retiredIds]]
+    * sidecar no-ops replays of absorbed ids when an operator rewinds
+    * the checkpoint deeper than that.
     */
-  private def minIdSeg(group: Seq[String]): String =
-    group.minBy(p => p.substring(p.lastIndexOf("seg=") + 4).toLong)
+  private def minIdSeg(group: Seq[String]): String = group.minBy(segId)
 
   /** Size-tiered maintenance over a DENSE segment layout. Serving
     * through [[Ivf.readSegmentsServing]] before and after is
@@ -598,6 +687,7 @@ object StreamingSegments {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = segs.find(r =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$r/ivf"))).getOrElse(segs.head)
+    retireIds(spark, root, segs.filterNot(_ == dst).map(segId))
     segs.filterNot(_ == dst).foreach(src => Hybrid.mergeInto(spark, dst, src))
     Some(dst)
   }

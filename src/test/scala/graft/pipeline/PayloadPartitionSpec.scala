@@ -153,4 +153,88 @@ class PayloadPartitionSpec extends SparkTestBase {
       Ivf.appendToIndexPayload(emb, "embedding", model, int8)
     }
   }
+
+  test("appendToIndexPayloadQuantized encodes through the layout's own " +
+    "codec: grown == one-shot on int8/bq/pq, refusals on misuse") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("payappq")
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val first = Ivf.assign(emb.where(col("vec_id") <= half),
+      "embedding", model)
+    val rest = emb.where(col("vec_id") > half)
+    def contents(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("cluster"), col("label"),
+        hex(col("codes")).as("hx"))
+      .collect().map(_.toSeq).toSet
+    // INT8: grown layout serves identically to a one-shot build
+    val grown8 = base.resolve("grown8").toString
+    val one8 = base.resolve("one8").toString
+    Ivf.writeIndexInt8(first, "embedding", grown8,
+      payloadCols = Seq("label"))
+    Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, grown8)
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding",
+      one8, payloadCols = Seq("label"))
+    assert(contents(grown8) == contents(one8) && contents(grown8).nonEmpty)
+    val qs = emb.where(col("vec_id") < 5)
+    val g = Ivf.searchCodesFiltered(Ivf.readIndex(spark, grown8), qs,
+        "embedding", "vec_id", model, k = 4,
+        filter = col("label") === 3, nprobe0 = 8)
+      .select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val o = Ivf.searchCodesFiltered(Ivf.readIndex(spark, one8), qs,
+        "embedding", "vec_id", model, k = 4,
+        filter = col("label") === 3, nprobe0 = 8)
+      .select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(g == o && g.nonEmpty)
+    // ... and the payload dirs still prune after the append
+    val plan = Ivf.readIndex(spark, grown8).where(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan)
+      .isDefined, s"quantized append flattened the payload dirs:\n$plan")
+    // BQ: training-free sign bits — grown layout is row-identical
+    val grownB = base.resolve("grownB").toString
+    val oneB = base.resolve("oneB").toString
+    Ivf.writeIndexBq(first, "embedding", grownB, payloadCols = Seq("label"))
+    Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, grownB)
+    Ivf.writeIndexBq(Ivf.assign(emb, "embedding", model), "embedding",
+      oneB, payloadCols = Seq("label"))
+    assert(contents(grownB) == contents(oneB))
+    // PQ: codebooks loaded from the layout's own persisted pair
+    val pq = Pq.train(emb, "embedding", "vec_id", m = 4, ksub = 8,
+      iters = 2)
+    val grownP = base.resolve("grownP").toString
+    val oneP = base.resolve("oneP").toString
+    Ivf.writeIndexPq(first, "embedding", pq, model, grownP,
+      payloadCols = Seq("label"))
+    Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, grownP)
+    Ivf.writeIndexPq(Ivf.assign(emb, "embedding", model), "embedding", pq,
+      model, oneP, payloadCols = Seq("label"))
+    assert(contents(grownP) == contents(oneP))
+    // refusals: a FLOAT payload layout (no codec), a PLAIN codes
+    // layout (no payload dirs), and a missing payload column
+    val float = base.resolve("float").toString
+    Ivf.writeIndex(Ivf.assign(emb, "embedding", model), float,
+      payloadCols = Seq("label"))
+    intercept[RuntimeException] {
+      Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, float)
+    }
+    val plain8 = base.resolve("plain8").toString
+    Ivf.writeIndexInt8(Ivf.assign(emb, "embedding", model), "embedding",
+      plain8)
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, plain8)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayloadQuantized(rest.drop("label"), "embedding",
+        model, grown8)
+    }
+    // a foreign coarse quantizer must be refused by the persisted-
+    // pair verification (the append already stamped _model on grown8)
+    val other = Ivf.train(emb.where(col("vec_id") < 50), "embedding",
+      "vec_id", nlist = 4, iters = 1)
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayloadQuantized(rest, "embedding", other, grown8)
+    }
+  }
 }

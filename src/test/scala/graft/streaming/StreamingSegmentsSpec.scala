@@ -111,8 +111,9 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(n == mx + 1, s"row count drifted: $n vs ${mx + 1}")
   }
 
-  test("the replay hazard is real: folding the tail (protectTail=false) " +
-    "then replaying serves duplicates") {
+  test("the replay hazard is real — and the retired-ids sidecar closes " +
+    "it: fold the tail, replay, no duplicates; delete the sidecar and " +
+    "the hazard reproduces") {
     val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
     val root = java.nio.file.Files.createTempDirectory("ssegs_dup")
       .resolve("segments").toString
@@ -123,8 +124,21 @@ class StreamingSegmentsSpec extends SparkTestBase {
       emb.where(col("vec_id") > half), "embedding", root, model, 1L)
     val corpus = emb.count()
     StreamingSegments.mergeAll(spark, root, protectTail = false)
-    // batch 1's commit never landed → the replay re-creates seg=1
-    // beside the survivor that already absorbed its rows
+    assert(StreamingSegments.retiredIds(spark, root) == Set(1L))
+    // batch 1's commit never landed → the replay arrives for a batch
+    // maintenance absorbed; the sidecar must no-op it
+    assert(!StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") > half), "embedding", root, model, 1L))
+    val guarded = Ivf.readSegmentsServing(spark,
+      StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
+    assert(guarded == corpus,
+      s"sidecar-guarded replay must not duplicate: $guarded vs $corpus")
+    // adversarial reproduction of the UNDERLYING hazard (the
+    // pre-sidecar world): remove the sidecar and the same replay
+    // re-creates seg=1 beside the survivor that absorbed its rows
+    new org.apache.hadoop.fs.Path(s"$root/_retired").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/_retired"), false)
     StreamingSegments.processBatch(spark,
       emb.where(col("vec_id") > half), "embedding", root, model, 1L)
     val n = Ivf.readSegmentsServing(spark,
@@ -132,6 +146,77 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(n > corpus,
       "expected the documented duplicate-serve hazard to reproduce — " +
         s"got $n rows over a $corpus-row corpus")
+  }
+
+  test("multi-batch rewind (dense): maintenance-absorbed batch ids " +
+    "replay to exactly the maintained layout") {
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ssegs_rw")
+      .resolve("segments").toString
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def slice(i: Long) = emb.where(col("vec_id") >= i * (mx + 1) / 3 &&
+      col("vec_id") < (i + 1) * (mx + 1) / 3)
+    (0L until 3L).foreach(i =>
+      StreamingSegments.processBatch(spark, slice(i), "embedding", root,
+        model, i))
+    val never = serveAll(root, model)
+    // offline fold with the stream believed stopped (protectTail=false)
+    StreamingSegments.mergeAll(spark, root, protectTail = false)
+    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
+    // an operator rewinds the checkpoint TWO batches (deeper than the
+    // tail guard covers) and restarts: batches 1 and 2 replay — both
+    // were absorbed into the survivor, both must no-op
+    assert(!StreamingSegments.processBatch(spark, slice(1L), "embedding",
+      root, model, 1L))
+    assert(!StreamingSegments.processBatch(spark, slice(2L), "embedding",
+      root, model, 2L))
+    assert(StreamingSegments.segmentRoots(spark, root).size == 1)
+    assert(serveAll(root, model) == never && never.nonEmpty)
+    val n = Ivf.readSegmentsServing(spark,
+      StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
+    assert(n == mx + 1, s"rewind+replay duplicated rows: $n vs ${mx + 1}")
+    // crash-window healing: live file lost after the tmp was fully
+    // written (the only gap the delete→rename order can leave) — the
+    // sidecar still reads complete from the tmp
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/_retired"),
+      new org.apache.hadoop.fs.Path(s"$root/._retired_tmp"))
+    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
+  }
+
+  test("multi-batch rewind (bm25, tiered): absorbed ids no-op, the " +
+    "protected tail replays over itself, serve == one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("ssegs_bmrw")
+      .resolve("segments").toString
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def slice(i: Long) = docs.where(col("doc_id") >= i * (mx + 1) / 4 &&
+      col("doc_id") < (i + 1) * (mx + 1) / 4)
+    (0L until 4L).foreach(i =>
+      StreamingSegments.processBatchBm25(spark, slice(i), "text", "doc_id",
+        root, i))
+    // tiered pass (tail protected): 0..2 cascade into seg=0
+    val survivors = StreamingSegments.maintainTieredBm25(spark, root,
+      fanout = 2, minTierBytes = 1L << 20)
+    assert(survivors.size == 2 && survivors.last.endsWith("seg=3"),
+      s"expected {survivor, tail}: $survivors")
+    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
+    // rewind TWO batches: batch 2 was absorbed (must no-op), batch 3
+    // is the tail (must overwrite its own segment, stats un-doubled)
+    assert(!StreamingSegments.processBatchBm25(spark, slice(2L), "text",
+      "doc_id", root, 2L))
+    assert(StreamingSegments.processBatchBm25(spark, slice(3L), "text",
+      "doc_id", root, 3L))
+    assert(StreamingSegments.segmentRoots(spark, root).size == 2)
+    val got = graft.pipeline.Bm25.searchSegments(spark,
+        StreamingSegments.segmentRoots(spark, root), queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect().map(_.toSeq).toSet
+    val one = java.nio.file.Files.createTempDirectory("ssegs_bmrw1")
+      .resolve("index").toString
+    graft.pipeline.Bm25.writeIndex(spark, docs, "text", "doc_id", one)
+    val want = graft.pipeline.Bm25.searchIndex(spark, one, queries, k = 5)
+      .select("qid", "doc", "score_fp", "rk").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
   }
 
   test("bm25: tiered maintenance protects the tail; replay == one-shot") {
