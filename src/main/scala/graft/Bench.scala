@@ -106,6 +106,21 @@ object Bench {
     // matter in a tight local loop.
     val stealGatePct = sys.env.get("SPARK_GRAFT_STEAL_GATE")
       .map(_.toDouble).getOrElse(3.0)
+    // Gate patience at recycle/retry boundaries, env-tunable: the
+    // r15 first capture showed this host's contention comes in
+    // 5-15 min BURSTS between quiet stretches (burn_probes read
+    // 0.05-2% and 7-35% interleaved), so a patient gate can WAIT OUT
+    // a burst instead of measuring through it — at the cost of
+    // wall-clock, which an unattended capture has and an iterating
+    // human may not. Defaults stay modest; a deliberate
+    // clean-capture run sets SPARK_GRAFT_GATE_ATTEMPTS=10 and
+    // SPARK_GRAFT_GATE_BACKOFF=30 (up to 5 min paused per gate
+    // point) with a shorter SPARK_GRAFT_RECYCLE stride so gate
+    // points come often enough to catch bursts early.
+    val gateAttempts = sys.env.get("SPARK_GRAFT_GATE_ATTEMPTS")
+      .map(_.toInt).getOrElse(2)
+    val gateBackoffMs = sys.env.get("SPARK_GRAFT_GATE_BACKOFF")
+      .map(_.toLong * 1000).getOrElse(10000L)
     val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var windowContended = false
     var gateSeq = 0
@@ -162,11 +177,10 @@ object Bench {
       .map { case (name, fn) =>
       if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
         spark.stop()
-        // re-gate at the recycle boundary (cheaper than the pre-suite
-        // gate: the suite is already mid-flight, so long waits cost
-        // more than they recover — two attempts bounds it)
-        if (only.isEmpty) gateWindow("recycle", attempts = 2,
-          backoffMs = 10000)
+        // re-gate at the recycle boundary (patience env-tunable — see
+        // gateAttempts above)
+        if (only.isEmpty) gateWindow("recycle", gateAttempts,
+          gateBackoffMs)
         spark = newSession()
         sinceRecycle = 0
       }
@@ -214,8 +228,8 @@ object Bench {
           spark.stop()
           // the detector just SAW contention — gate before re-measuring
           // or the retry re-measures the same hot window
-          if (only.isEmpty) gateWindow("retry", attempts = 2,
-            backoffMs = 10000)
+          if (only.isEmpty) gateWindow("retry", gateAttempts,
+            gateBackoffMs)
           spark = newSession()
           sinceRecycle = 1
           (measure(), Some(firstPass))
