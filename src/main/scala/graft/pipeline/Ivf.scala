@@ -1659,7 +1659,50 @@ object Ivf {
     (flat ++ l1 ++ kids).toSeq
       .toDF("level", "idx", "vec", "child")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    // the digest sidecar rides inside the dir (crash before this
+    // write ⇒ no sidecar ⇒ verifiers fall back to the full parquet
+    // comparison — never a stale digest, the overwrite above wiped it)
+    graft.core.DigestSidecar.write(spark, path, modelDigest(model))
   }
+
+  /** Canonical SHA-256 of a quantizer's exact values — digest
+    * equality stands in for [[sameModel]] wherever one side is
+    * already persisted with its [[graft.core.DigestSidecar]],
+    * replacing a per-check Spark read+collect job with one FS read.
+    */
+  private[pipeline] def modelDigest(model: IvfModel): String = {
+    val b = new graft.core.DigestSidecar.Builder
+    b.i32(model.centroids.length)
+    model.centroids.foreach(b.floats)
+    b.i32(model.l1.length)
+    model.l1.foreach(b.floats)
+    b.i32(model.children.length)
+    model.children.foreach(b.ints)
+    b.hex()
+  }
+
+  /** Does the model persisted at `mp` equal `model`? Digest compare
+    * when the sidecar exists; bit-for-bit parquet comparison for
+    * pre-digest layouts — the check never weakens, only cheapens.
+    */
+  private[pipeline] def modelMatchesPersisted(spark: SparkSession,
+      mp: String, model: IvfModel): Boolean =
+    graft.core.DigestSidecar.read(spark, mp) match {
+      case Some(d) => d == modelDigest(model)
+      case None => sameModel(loadModel(spark, mp), model)
+    }
+
+  /** Do two PERSISTED models match (the mergeInto witness)? Both
+    * digests present ⇒ string compare, zero Spark jobs; otherwise
+    * load-and-compare as before.
+    */
+  private[pipeline] def persistedModelsMatch(spark: SparkSession,
+      a: String, b: String): Boolean =
+    (graft.core.DigestSidecar.read(spark, a),
+      graft.core.DigestSidecar.read(spark, b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => sameModel(loadModel(spark, a), loadModel(spark, b))
+    }
 
   /** Read back a [[saveModel]] quantizer — bit-identical (float32
     * centroids round-trip exactly through parquet).
@@ -1897,8 +1940,8 @@ object Ivf {
       "mergeInto needs _model persisted on BOTH layouts (Ivf.saveModel/" +
         "ensurePair): it is the only witness that the codes are " +
         "assigned under one quantizer")
-    require(sameModel(loadModel(spark, modelPath(srcPath)),
-        loadModel(spark, modelPath(dstPath))),
+    require(persistedModelsMatch(spark, modelPath(srcPath),
+        modelPath(dstPath)),
       s"$srcPath and $dstPath are assigned under DIFFERENT coarse " +
         "quantizers — rebuild one side under the other's model")
     val spq = new org.apache.hadoop.fs.Path(pqPath(srcPath))
@@ -1906,8 +1949,7 @@ object Ivf {
     require(fs.exists(spq) == fs.exists(dpq),
       s"one of $srcPath/$dstPath is PQ-coded and the other is not")
     if (fs.exists(spq))
-      require(samePq(Pq.loadModel(spark, pqPath(srcPath)),
-          Pq.loadModel(spark, pqPath(dstPath))),
+      require(persistedPqsMatch(spark, pqPath(srcPath), pqPath(dstPath)),
         s"$srcPath and $dstPath are encoded under DIFFERENT codebooks")
     // a DATA-LESS layout (metadata sidecars only — e.g. one side of a
     // paired hybrid shard whose id range held no vectors) is an empty
@@ -1990,7 +2032,8 @@ object Ivf {
     * the quantized layout.
     */
   def writeIndexInt8(postings: DataFrame, vecCol: String, path: String,
-                     payloadCols: Seq[String] = Nil): Unit = {
+                     payloadCols: Seq[String] = Nil,
+                     model: Option[IvfModel] = None): Unit = {
     postings
       .withColumn("codes", Similarity.int8Codes(col(vecCol)))
       .drop(vecCol)
@@ -1998,6 +2041,16 @@ object Ivf {
       .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     // the overwrite wiped any prior marker with the layout it marked
     stampCodec(postings.sparkSession, path, "int8", fresh = true)
+    // persist the coarse quantizer when the writer has it (the
+    // writeIndexPq contract, made optional here because int8 encoding
+    // itself is training-free): without a persisted `_model`, a later
+    // [[appendToIndexPayloadQuantized]]'s ensurePair SAVES the
+    // caller's model on first contact instead of VERIFYING it —
+    // unable to detect that the layout's existing codes were assigned
+    // under a different coarse quantizer, the silent-garbage hazard
+    // it exists to refuse. Every writer that holds the model should
+    // pass it.
+    model.foreach(m => saveModel(postings.sparkSession, m, modelPath(path)))
   }
 
   /** Incremental maintenance for the QUANTIZED serving layout:
@@ -2135,8 +2188,7 @@ object Ivf {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mp = modelPath(path)
     if (fs.exists(new org.apache.hadoop.fs.Path(mp))) {
-      val prev = loadModel(spark, mp)
-      require(sameModel(prev, model),
+      require(modelMatchesPersisted(spark, mp, model),
         s"$path already holds codes assigned under a DIFFERENT coarse " +
           "quantizer — pass the persisted pair (Ivf.loadModel/loadPq), " +
           "or rebuild the layout under the new one")
@@ -2144,12 +2196,29 @@ object Ivf {
     pq.foreach { p =>
       val pp = pqPath(path)
       if (fs.exists(new org.apache.hadoop.fs.Path(pp))) {
-        require(samePq(Pq.loadModel(spark, pp), p),
+        require(pqMatchesPersisted(spark, pp, p),
           s"$path already holds codes encoded under DIFFERENT codebooks " +
             "— pass the persisted pair (Ivf.loadPq), or rebuild")
       } else Pq.saveModel(spark, p, pp)
     }
   }
+
+  /** [[modelMatchesPersisted]]'s codebook twin. */
+  private def pqMatchesPersisted(spark: SparkSession, pp: String,
+                                 p: Pq.PqModel): Boolean =
+    graft.core.DigestSidecar.read(spark, pp) match {
+      case Some(d) => d == Pq.digest(p)
+      case None => samePq(Pq.loadModel(spark, pp), p)
+    }
+
+  /** [[persistedModelsMatch]]'s codebook twin. */
+  private def persistedPqsMatch(spark: SparkSession, a: String,
+                                b: String): Boolean =
+    (graft.core.DigestSidecar.read(spark, a),
+      graft.core.DigestSidecar.read(spark, b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => samePq(Pq.loadModel(spark, a), Pq.loadModel(spark, b))
+    }
 
   private def samePq(prev: Pq.PqModel, p: Pq.PqModel): Boolean =
     prev.m == p.m && prev.dsub == p.dsub && prev.ksub == p.ksub &&
@@ -2576,13 +2645,17 @@ object Ivf {
     * [[searchBqIndex]] (Hamming shortlist + exact rescore).
     */
   def writeIndexBq(postings: DataFrame, vecCol: String, path: String,
-                   payloadCols: Seq[String] = Nil): Unit = {
+                   payloadCols: Seq[String] = Nil,
+                   model: Option[IvfModel] = None): Unit = {
     postings
       .withColumn("codes", graft.functions.VectorFunctions.signBits(col(vecCol)))
       .drop(vecCol)
       .write.mode("overwrite")
       .partitionBy("cluster" +: payloadCols: _*).parquet(path)
     stampCodec(postings.sparkSession, path, "bq", fresh = true)
+    // see writeIndexInt8: persisting the coarse quantizer turns the
+    // quantized payload append's first-contact TRUST into VERIFY
+    model.foreach(m => saveModel(postings.sparkSession, m, modelPath(path)))
   }
 
   /** [[appendToIndexInt8]]'s twin for the sign-bit layout — assign

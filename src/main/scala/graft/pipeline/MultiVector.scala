@@ -126,7 +126,7 @@ object MultiVector {
     val mp = new org.apache.hadoop.fs.Path(modelPath(root))
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(mp))
-      require(Ivf.sameModel(Ivf.loadModel(spark, modelPath(root)), model),
+      require(Ivf.modelMatchesPersisted(spark, modelPath(root), model),
         s"$root is assigned under a DIFFERENT coarse quantizer — pass " +
           "the persisted one (Ivf.loadModel(MultiVector.modelPath)) or " +
           "rebuild the pair under the new model")
@@ -359,8 +359,8 @@ object MultiVector {
           "appendDocs) — it is the only witness that the pairs share " +
           "one coarse quantizer")
     }
-    require(Ivf.sameModel(Ivf.loadModel(spark, modelPath(srcRoot)),
-        Ivf.loadModel(spark, modelPath(dstRoot))),
+    require(Ivf.persistedModelsMatch(spark, modelPath(srcRoot),
+        modelPath(dstRoot)),
       s"$srcRoot and $dstRoot are assigned under DIFFERENT coarse " +
         "quantizers — rebuild one pair under the other's model")
     foldTombstones(spark, srcRoot)

@@ -237,6 +237,19 @@ object Pq {
       .toDF("sub", "code", "vec", "dsub")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path)
+    // digest sidecar: one FS read replaces the read+collect job in
+    // every later codebook equality check (see Ivf.modelDigest)
+    graft.core.DigestSidecar.write(spark, path, digest(pq))
+  }
+
+  /** Canonical SHA-256 of a codebook set — [[Ivf.modelDigest]]'s
+    * twin for the PQ half of the persisted pair.
+    */
+  private[pipeline] def digest(pq: PqModel): String = {
+    val b = new graft.core.DigestSidecar.Builder
+    b.i32(pq.m).i32(pq.dsub).i32(pq.ksub)
+    pq.codebooks.foreach { cb => b.i32(cb.length); cb.foreach(b.floats) }
+    b.hex()
   }
 
   /** Read back a [[saveModel]] codebook set — bit-identical. */

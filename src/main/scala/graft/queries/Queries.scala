@@ -3113,7 +3113,7 @@ object Queries {
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
           "embedding", model), "embedding", idx,
-        payloadCols = Seq("label"))
+        payloadCols = Seq("label"), model = Some(model))
       graft.pipeline.Ivf.appendToIndexPayloadQuantized(
         emb.where(col("vec_id") > half), "embedding", model, idx)
       graft.pipeline.Ivf.searchCodes(
@@ -3244,7 +3244,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
-        idx)
+        idx, model = Some(model))
       graft.pipeline.Ivf.searchCodesFiltered(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
@@ -3346,7 +3346,8 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf8_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.pipeline.Ivf.searchCodes(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -3369,7 +3370,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idx)
+          "embedding", model), "embedding", idx, model = Some(model))
       graft.pipeline.Ivf.appendToIndexInt8(emb.where(col("vec_id") > half),
         "embedding", model, idx)
       graft.pipeline.Ivf.searchCodes(
@@ -3849,6 +3850,69 @@ object Queries {
         .orderBy(col("stage"), col("qid"), col("rk"))
     }),
 
+    // in-stream tiered maintenance on the LATE-INTERACTION tier: 6
+    // whole-doc microbatches with a cadence-2 fanout-2 tiered fold
+    // leave {0..4 cascaded survivor, protected tail 5} on disk; the
+    // mid-policy serve must replay the fixed-point brute force —
+    // pinning that MultiVector.mergeInto's witness-verified pair
+    // moves preserve the disjoint-docs contract through cascades
+    "stream_multivec_segments_tiered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = graft.core.Scratch.dir("smv_segs_tier")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestMultiVec(s, d, root, model,
+        nBatches = 6, vecsPerDoc = 4, maintainEvery = 2, fanout = 2,
+        minTierBytes = 1L << 40)
+      val segs = graft.streaming.StreamingSegments.segmentRoots(s, root)
+      require(segs.size == 2,
+        s"cadence shape: {0..4 cascaded, tail 5} expected, got $segs")
+      graft.pipeline.MultiVector.searchSegments(s, segs, queryVecs, model,
+          k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // SKEW STRESS on the late-interaction segments serve: one ~90%
+    // segment beside slivers, split on the DOC column (whole
+    // documents per batch — the disjoint-docs contract under
+    // deliberate size skew). Per-segment Σ max-cos is only exact when
+    // each doc's vector set lives whole in one segment, so this is
+    // the tier where a skew-driven split bug would corrupt SCORES,
+    // not just counts; the serve must replay the brute force.
+    "multivec_segments_skewed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val docVecs = emb.select((col("vec_id") / 4).cast("long").as("doc"),
+        col("embedding").as("vec"))
+      val queryVecs = emb.where(col("vec_id") < 4)
+        .select((col("vec_id") / 2).cast("long").as("qid"),
+          col("embedding").as("vec"))
+      val model = graft.pipeline.Ivf.train(emb, "embedding", "vec_id",
+        nlist = 16, iters = 3)
+      val root = graft.core.Scratch.dir("mv_segs_skew")
+        .resolve("segments").toString
+      val n = docVecs.agg(max(col("doc"))).head().getLong(0) + 1
+      val cuts = Seq(0L, n * 90 / 100, n * 94 / 100, n * 98 / 100, n)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.streaming.StreamingSegments.processBatchMultiVec(s,
+          docVecs.where(col("doc") >= lo && col("doc") < hi), model, root,
+          i.toLong)
+      }
+      graft.pipeline.MultiVector.searchSegments(s,
+          graft.streaming.StreamingSegments.segmentRoots(s, root),
+          queryVecs, model, k = 5, nprobe = 16,
+          excludeDoc = Some((q, dc) => dc === (q / 2).cast("long")))
+        .select(col("qid"), col("doc"), col("score"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // grown late-interaction pair ≡ one-shot (one assignment pass
     // feeds both sub-layouts per increment; disjoint docs)
     "multivec_topk_incremental" -> ((s, d) => {
@@ -3988,7 +4052,8 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf_scroll")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.pipeline.Ivf.tombstoneVectors(s, idx,
         emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
       val filt = Some(col("vec_id") % 2 === 0)
@@ -4014,7 +4079,8 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf_count")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.pipeline.Ivf.tombstoneVectors(s, idx,
         emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.countIndex(s, idx, "vec_id",
@@ -4087,8 +4153,8 @@ object Queries {
       val idx = base.resolve("index").toString
       val snap = base.resolve("snap").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
-      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idx))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.core.DirSnapshot.create(s, idx, snap)
       val decoys = emb.where(col("vec_id") < 10)
         .select((col("vec_id") + 77000000L).as("vec_id"), col("embedding"))
@@ -4116,12 +4182,10 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idxA)
+          "embedding", model), "embedding", idxA, model = Some(model))
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") > half),
-          "embedding", model), "embedding", idxB)
-      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idxA))
-      graft.pipeline.Ivf.saveModel(s, model, graft.pipeline.Ivf.modelPath(idxB))
+          "embedding", model), "embedding", idxB, model = Some(model))
       graft.pipeline.Ivf.mergeInto(s, idxA, idxB)
       graft.pipeline.Ivf.searchCodes(
           graft.pipeline.Ivf.readIndex(s, idxA),
@@ -4156,9 +4220,7 @@ object Queries {
         val rows = if (seg.endsWith("segC")) p.unionByName(decoys) else p
         graft.pipeline.Ivf.writeIndexInt8(
           graft.pipeline.Ivf.assign(rows, "embedding", model),
-          "embedding", seg)
-        graft.pipeline.Ivf.saveModel(s, model,
-          graft.pipeline.Ivf.modelPath(seg))
+          "embedding", seg, model = Some(model))
       }
       graft.pipeline.Ivf.tombstoneVectors(s, segs(2),
         decoys.select(col("vec_id")), "vec_id")
@@ -4382,7 +4444,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
-          model), "embedding", idx)
+          model), "embedding", idx, model = Some(model))
       graft.pipeline.Ivf.deleteVectors(s, idx,
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchBqIndex(
@@ -4407,7 +4469,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
-          model), "embedding", idx)
+          model), "embedding", idx, model = Some(model))
       graft.pipeline.Ivf.deleteVectors(s, idx,
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchCodes(
@@ -5700,6 +5762,56 @@ object Queries {
         .orderBy(col("stage"), col("qid"), col("rk"))
     }),
 
+    // in-stream tiered maintenance on the SPARSE tier — the
+    // stream_ivf/bm25_segments_tiered shape on per-doc integer
+    // postings: 6 microbatches with a cadence-2 fanout-2 tiered fold
+    // leave {0..4 cascaded survivor, protected tail 5} on disk, and
+    // the mid-policy serve must replay the direct DuckDB brute force
+    // (per-doc postings carry no cross-segment statistics, so any
+    // grouping serves identically — this row pins that the FOLD
+    // preserves it through Sparse.mergeInto's file moves)
+    "stream_sparse_segments_tiered" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = graft.core.Scratch.dir("ssparse_segs_tier")
+        .resolve("segments").toString
+      graft.streaming.StreamingSegments.ingestSparse(s, d, root,
+        nBatches = 6, maintainEvery = 2, fanout = 2,
+        minTierBytes = 1L << 40)
+      val segs = graft.streaming.StreamingSegments.segmentRoots(s, root)
+      require(segs.size == 2,
+        s"cadence shape: {0..4 cascaded, tail 5} expected, got $segs")
+      graft.pipeline.Sparse.searchSegments(s, segs,
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // SKEW STRESS on the sparse segments serve — bm25_segments_skewed's
+    // ~90%/4%/4%/2% shape on the tier whose postings are dim-bucketed
+    // per segment: a sliver segment holds only a handful of docs'
+    // postings (many dim buckets empty), and the union across that
+    // shape must still replay the brute force bit-exactly
+    "sparse_segments_skewed" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = graft.core.Scratch.dir("sparse_segs_skew")
+        .resolve("segments").toString
+      val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val cuts = Seq(0L, n * 90 / 100, n * 94 / 100, n * 98 / 100, n)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.streaming.StreamingSegments.processBatchSparse(s,
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi),
+          "embedding", "vec_id", root, i.toLong,
+          tau = 0.05, scale = graft.pipeline.Sparse.DefaultScale)
+      }
+      graft.pipeline.Sparse.searchSegments(s,
+          graft.streaming.StreamingSegments.segmentRoots(s, root),
+          graft.pipeline.Sparse.sparsify(
+            emb.where(col("vec_id") < 4), "embedding", "vec_id"), k = 10)
+        .select(col("qid"), col("nid"), col("score"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // the PAIRED hybrid segment-per-microbatch write path — retires
     // the most ledger-entangled streamed writer (StreamingHybrid's
     // per-side markers + paired-sub-layout witnesses): each batch's
@@ -5954,7 +6066,8 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivfbq_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.pipeline.Ivf.searchBqIndex(
           graft.pipeline.Ivf.readIndex(s, idx), emb,
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -5975,7 +6088,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idx)
+          "embedding", model), "embedding", idx, model = Some(model))
       graft.pipeline.Ivf.appendToIndexBq(emb.where(col("vec_id") > half),
         "embedding", model, idx)
       graft.pipeline.Ivf.searchBqIndex(
@@ -6000,7 +6113,8 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivfbq_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
+        model = Some(model))
       graft.pipeline.Ivf.searchBqIndexFiltered(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.select(col("vec_id"), col("embedding")),
@@ -8160,6 +8274,12 @@ object Queries {
          |UNION ALL
          |SELECT 'merged' AS stage, qid, nid, score, rk FROM base
          |ORDER BY stage, qid, rk""".stripMargin,
+    // in-stream tiered maintenance on the sparse tier: the mid-policy
+    // {cascaded survivor, protected tail} serve ≡ the brute force
+    "stream_sparse_segments_tiered" -> sparseTopkSql(),
+    // ~90%/4%/4%/2% skewed segments: the dim-bucketed postings union
+    // is partition-shape-invariant
+    "sparse_segments_skewed" -> sparseTopkSql(),
     "sparse_topk_filtered" -> sparseTopkSql("p.doc % 2 = 0"),
     // filter + per-segment tombstones + segments composed: the decoys
     // are even-id (filter-passing), so only the mask removes them —
@@ -8278,6 +8398,12 @@ object Queries {
          |UNION ALL
          |SELECT 'merged' AS stage, qid, doc, score, rk FROM base
          |ORDER BY stage, qid, rk""".stripMargin,
+    // in-stream tiered maintenance on the late-interaction tier: the
+    // mid-policy serve ≡ the fixed-point brute force
+    "stream_multivec_segments_tiered" -> multivecSql(),
+    // ~90%/4%/4%/2% skew split on the DOC column (whole docs per
+    // batch): per-segment Σ max-cos stays exact
+    "multivec_segments_skewed" -> multivecSql(),
     // stale docs replaced by their true vector sets ≡ never corrupted
     "multivec_topk_upserted" -> multivecSql(),
     // corrupted pair restored from its snapshot ≡ never corrupted

@@ -51,8 +51,11 @@ import org.apache.spark.sql.functions.col
   * checkpoint backup, hand-deleting late commits) would replay batch
   * ids whose segments maintenance already absorbed into survivors —
   * re-creating them beside the survivor and serving every absorbed
-  * row twice. The [[retiredIds]] sidecar closes that hole: every
-  * maintenance fold records the ids it absorbs in `$root/_retired`
+  * row twice — or, rewound all the way to the SURVIVOR's own id,
+  * re-promoting the survivor from that single batch and silently
+  * LOSING every absorbed sibling's rows. The [[retiredIds]] sidecar
+  * closes both holes: every maintenance fold records the whole fold
+  * group's ids — absorbed AND destination — in `$root/_retired`
   * BEFORE touching their segments, and every processBatch* no-ops a
   * batch id found there, so an arbitrarily-deep rewind replays to
   * exactly the layout maintenance left (spec-pinned on the dense and
@@ -97,15 +100,23 @@ object StreamingSegments {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$root/_retired")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/._retired_tmp")
-    val src = if (fs.exists(live)) Some(live)
-      else if (fs.exists(tmp)) Some(tmp)
-      else None
-    src.map { p =>
+    def readOf(p: org.apache.hadoop.fs.Path): Set[Long] = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
       finally in.close()
-    }.getOrElse(Set.empty)
+    }
+    // The exists→open pair races [[retireIds]]'s delete→rename swap:
+    // a reader landing in the window sees the live file exist and then
+    // open fails (or neither exists yet the tmp is complete). One
+    // retry down the documented healing order (live, then tmp) covers
+    // every interleaving a single concurrent swap can produce.
+    def attempt(): Set[Long] =
+      if (fs.exists(live)) readOf(live)
+      else if (fs.exists(tmp)) readOf(tmp)
+      else Set.empty
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
   }
 
   /** Record `ids` as retired, BEFORE their segments are merged (the
@@ -114,7 +125,16 @@ object StreamingSegments {
     * replay — rows still served once from the old segment — and the
     * next maintenance pass completes the fold; the reverse order
     * would leave an absorbed segment's id replayable, the exact
-    * duplicate hazard this sidecar exists to close). Write is
+    * duplicate hazard this sidecar exists to close). Every fold
+    * retires the merge DESTINATION's id too, not just the absorbed
+    * ids: after the fold, `seg=<dstId>` holds every absorbed
+    * sibling's rows, so a rewind deep enough to replay the
+    * destination's own batch would otherwise re-promote it — deleting
+    * the survivor whole and rebuilding it from the single batch,
+    * after which the absorbed ids' replays no-op and their rows are
+    * silently LOST. A no-oped replay of the destination's id instead
+    * leaves the survivor intact, which already contains that batch's
+    * rows — exactly the post-maintenance layout. Write is
     * tmp + delete + rename; [[retiredIds]] heals the delete→rename
     * crash window from the completed tmp. SCOPE: ids are the stream's
     * own batch ids — the sidecar shares the segment names' checkpoint
@@ -198,8 +218,8 @@ object StreamingSegments {
     if (batch.isEmpty || retiredIds(spark, root).contains(batchId))
       return false
     promoteSegment(spark, root, batchId) { tmp =>
-      Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, tmp)
-      Ivf.saveModel(spark, model, Ivf.modelPath(tmp))
+      Ivf.writeIndexInt8(Ivf.assign(batch, vecCol, model), vecCol, tmp,
+        model = Some(model))
     }
     true
   }
@@ -264,7 +284,8 @@ object StreamingSegments {
                protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
-      retireIds(spark, root, segs.tail.map(segId))
+      // the destination id too — see [[retireIds]]'s survivor-rewind doc
+      if (segs.tail.nonEmpty) retireIds(spark, root, segs.map(segId))
       segs.tail.foreach(src => Ivf.mergeInto(spark, dst, src, idCol))
       dst
     }
@@ -330,7 +351,7 @@ object StreamingSegments {
                    protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
-      retireIds(spark, root, segs.tail.map(segId))
+      if (segs.tail.nonEmpty) retireIds(spark, root, segs.map(segId))
       segs.tail.foreach(src => Bm25.mergeInto(spark, dst, src))
       dst
     }
@@ -380,7 +401,7 @@ object StreamingSegments {
                      protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
-      retireIds(spark, root, segs.tail.map(segId))
+      if (segs.tail.nonEmpty) retireIds(spark, root, segs.map(segId))
       segs.tail.foreach(src => Sparse.mergeInto(spark, dst, src))
       dst
     }
@@ -502,7 +523,7 @@ object StreamingSegments {
                        protectTail: Boolean = true): Option[String] = {
     val segs = foldable(spark, root, protectTail)
     segs.headOption.map { dst =>
-      retireIds(spark, root, segs.tail.map(segId))
+      if (segs.tail.nonEmpty) retireIds(spark, root, segs.map(segId))
       segs.tail.foreach(src =>
         graft.pipeline.MultiVector.mergeInto(spark, dst, src))
       dst
@@ -573,8 +594,9 @@ object StreamingSegments {
             .take(fanout).map(_._1)
           val dst = pickDst(group)
           // retire BEFORE merging — the crash-order contract in
-          // [[retireIds]]'s doc
-          retireIds(spark, root, group.filterNot(_ == dst).map(segId))
+          // [[retireIds]]'s doc; the destination's id included (the
+          // survivor-rewind hazard documented there)
+          retireIds(spark, root, group.map(segId))
           group.filterNot(_ == dst).foreach { src =>
             merge(dst, src)
             sizes.remove(src)
@@ -588,16 +610,17 @@ object StreamingSegments {
   }
 
   /** The lowest-numeric-batch-id member — the default merge
-    * destination. Its name surviving means a replayed batch id never
-    * OVERWRITES a survivor holding other batches' rows; it does NOT
-    * by itself make replaying a retired id harmless — the replay
-    * would re-create the retired segment and its rows would serve
-    * TWICE, duplicated beside the survivor that absorbed them. That
-    * hazard is closed one level up, twice over: maintenance skips the
-    * only segment whose batch can replay on its own (the max-id tail,
-    * `protectTail` — commits are sequential), and the [[retiredIds]]
-    * sidecar no-ops replays of absorbed ids when an operator rewinds
-    * the checkpoint deeper than that.
+    * destination. Name survival alone makes NO replay harmless: a
+    * replayed absorbed id would re-create its segment beside the
+    * survivor (rows served TWICE), and a replayed DESTINATION id
+    * would re-promote `seg=<dstId>` — wiping the survivor and every
+    * absorbed sibling's rows with it. Both hazards are closed one
+    * level up, twice over: maintenance skips the only segment whose
+    * batch can replay on its own (the max-id tail, `protectTail` —
+    * commits are sequential), and the [[retiredIds]] sidecar — which
+    * records the whole fold group, destination included — no-ops
+    * every folded id's replay when an operator rewinds the
+    * checkpoint deeper than that.
     */
   private def minIdSeg(group: Seq[String]): String = group.minBy(segId)
 
@@ -687,7 +710,7 @@ object StreamingSegments {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = segs.find(r =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$r/ivf"))).getOrElse(segs.head)
-    retireIds(spark, root, segs.filterNot(_ == dst).map(segId))
+    if (segs.sizeIs > 1) retireIds(spark, root, segs.map(segId))
     segs.filterNot(_ == dst).foreach(src => Hybrid.mergeInto(spark, dst, src))
     Some(dst)
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Serve-cost curve for the LATE-INTERACTION multi-segment read path
   * — [[SegmentsCurve]]'s experiment on `MultiVector.searchSegments`:
   * the sf0.1 corpus's (doc, vec) rows split into 1/2/4/8/16 pair
-  * roots (disjoint docs), served across segments. Cost model: one
+  * roots (disjoint docs; 64/128 added in r16 for the transient
+  * bursty-day shape), served across segments. Cost model: one
   * batched model-witness read for ALL segments (the Ivf lesson,
   * inherited), then PER SEGMENT a probe → gather → rescore prefix
   * with two bounded driver collects (probed cells ≤ nlist; candidate
@@ -36,7 +37,7 @@ object MultiVecSegmentsCurve {
         col("embedding").as("vec")).localCheckpoint(true)
     val baselinePins = spark.sparkContext.getPersistentRDDs.keySet
 
-    Seq(1, 2, 4, 8, 16).foreach { nSegs =>
+    Seq(1, 2, 4, 8, 16, 64, 128).foreach { nSegs =>
       val base = java.nio.file.Files.createTempDirectory(s"mvsegc_$nSegs")
       val segs = (0 until nSegs).map { i =>
         val seg = base.resolve(s"seg$i").toString

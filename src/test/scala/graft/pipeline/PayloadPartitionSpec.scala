@@ -236,5 +236,19 @@ class PayloadPartitionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ivf.appendToIndexPayloadQuantized(rest, "embedding", other, grown8)
     }
+    // ... and on a layout whose WRITER persisted the model
+    // (writeIndexInt8's model param), the very FIRST append verifies
+    // instead of trusting: the foreign quantizer is refused before
+    // any prior append has stamped the pair — the first-contact
+    // trust window the model-less writers used to leave open
+    val fresh8 = base.resolve("fresh8").toString
+    Ivf.writeIndexInt8(first, "embedding", fresh8,
+      payloadCols = Seq("label"), model = Some(model))
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexPayloadQuantized(rest, "embedding", other, fresh8)
+    }
+    // the layout's own model still appends fine, to the one-shot image
+    Ivf.appendToIndexPayloadQuantized(rest, "embedding", model, fresh8)
+    assert(contents(fresh8) == contents(one8))
   }
 }

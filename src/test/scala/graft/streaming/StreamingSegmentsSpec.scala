@@ -124,7 +124,9 @@ class StreamingSegmentsSpec extends SparkTestBase {
       emb.where(col("vec_id") > half), "embedding", root, model, 1L)
     val corpus = emb.count()
     StreamingSegments.mergeAll(spark, root, protectTail = false)
-    assert(StreamingSegments.retiredIds(spark, root) == Set(1L))
+    // the whole fold group is retired, destination included (the
+    // survivor-rewind hazard)
+    assert(StreamingSegments.retiredIds(spark, root) == Set(0L, 1L))
     // batch 1's commit never landed → the replay arrives for a batch
     // maintenance absorbed; the sidecar must no-op it
     assert(!StreamingSegments.processBatch(spark,
@@ -162,10 +164,16 @@ class StreamingSegmentsSpec extends SparkTestBase {
     val never = serveAll(root, model)
     // offline fold with the stream believed stopped (protectTail=false)
     StreamingSegments.mergeAll(spark, root, protectTail = false)
-    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
-    // an operator rewinds the checkpoint TWO batches (deeper than the
-    // tail guard covers) and restarts: batches 1 and 2 replay — both
-    // were absorbed into the survivor, both must no-op
+    assert(StreamingSegments.retiredIds(spark, root) == Set(0L, 1L, 2L))
+    // an operator rewinds the checkpoint ALL THE WAY and restarts:
+    // batch 0 replays FIRST — it is the merge DESTINATION's own id,
+    // and a re-promote would wipe the survivor (holding batches 1-2's
+    // absorbed rows) and rebuild it from batch 0 alone, silently
+    // losing the rest; the sidecar must no-op it, leaving the
+    // survivor intact (it already contains batch 0's rows)
+    assert(!StreamingSegments.processBatch(spark, slice(0L), "embedding",
+      root, model, 0L))
+    // ... then batches 1 and 2 replay — both absorbed, both no-op
     assert(!StreamingSegments.processBatch(spark, slice(1L), "embedding",
       root, model, 1L))
     assert(!StreamingSegments.processBatch(spark, slice(2L), "embedding",
@@ -174,7 +182,8 @@ class StreamingSegmentsSpec extends SparkTestBase {
     assert(serveAll(root, model) == never && never.nonEmpty)
     val n = Ivf.readSegmentsServing(spark,
       StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
-    assert(n == mx + 1, s"rewind+replay duplicated rows: $n vs ${mx + 1}")
+    assert(n == mx + 1, s"rewind+replay lost or duplicated rows: " +
+      s"$n vs ${mx + 1}")
     // crash-window healing: live file lost after the tmp was fully
     // written (the only gap the delete→rename order can leave) — the
     // sidecar still reads complete from the tmp
@@ -182,7 +191,20 @@ class StreamingSegmentsSpec extends SparkTestBase {
       spark.sparkContext.hadoopConfiguration)
     fs.rename(new org.apache.hadoop.fs.Path(s"$root/_retired"),
       new org.apache.hadoop.fs.Path(s"$root/._retired_tmp"))
-    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
+    assert(StreamingSegments.retiredIds(spark, root) == Set(0L, 1L, 2L))
+    // adversarial reproduction of the SURVIVOR-REWIND hazard (the
+    // world where folds retired only the absorbed ids): without the
+    // destination's id in the sidecar, batch 0's replay re-promotes
+    // seg=0 from that single batch — wiping batches 1-2's absorbed
+    // rows from the only segment that held them
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/._retired_tmp"), false)
+    StreamingSegments.processBatch(spark, slice(0L), "embedding", root,
+      model, 0L)
+    val lost = Ivf.readSegmentsServing(spark,
+      StreamingSegments.segmentRoots(spark, root), "vec_id", model).count()
+    assert(lost < mx + 1,
+      "expected the documented survivor-rewind data loss to reproduce " +
+        s"without the sidecar — got $lost rows over a ${mx + 1}-row corpus")
   }
 
   test("multi-batch rewind (bm25, tiered): absorbed ids no-op, the " +
@@ -200,7 +222,11 @@ class StreamingSegmentsSpec extends SparkTestBase {
       fanout = 2, minTierBytes = 1L << 20)
     assert(survivors.size == 2 && survivors.last.endsWith("seg=3"),
       s"expected {survivor, tail}: $survivors")
-    assert(StreamingSegments.retiredIds(spark, root) == Set(1L, 2L))
+    assert(StreamingSegments.retiredIds(spark, root) == Set(0L, 1L, 2L))
+    // rewind to the SURVIVOR's id: seg=0 absorbed batches 1-2, so a
+    // re-promote of batch 0 would lose their rows — must no-op
+    assert(!StreamingSegments.processBatchBm25(spark, slice(0L), "text",
+      "doc_id", root, 0L))
     // rewind TWO batches: batch 2 was absorbed (must no-op), batch 3
     // is the tail (must overwrite its own segment, stats un-doubled)
     assert(!StreamingSegments.processBatchBm25(spark, slice(2L), "text",
