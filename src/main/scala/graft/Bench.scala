@@ -43,7 +43,10 @@ object Bench {
       // codegen cache then serves every real row); after the first
       // session it re-runs in ~0.1 s off that cache, so the per-recycle
       // cost is one tiny job launch.
-      locally {
+      // warm-up is best-effort by nature: an sfDir without the vector
+      // tables (or a degenerate slice) must fail only the ann ROWS,
+      // not abort the whole suite inside session construction
+      scala.util.Try {
         // a small slice of the REAL table, not a synthetic frame:
         // whole-stage codegen caches by generated source, and the
         // parquet-scan plan shapes the real row compiles are not the
@@ -66,7 +69,9 @@ object Bench {
         graft.pipeline.Similarity.recallAtK(
           graft.pipeline.Similarity.bruteForceTopK(warm, wq,
             "embedding", "vec_id", k = 2), sr, k = 2).count()
-      }
+      }.failed.foreach(e => System.err.println(
+        s"[bench] WARNING: ann warm-up failed (${e.getMessage}) - " +
+          "ann rows will absorb their own cold codegen"))
       s
     }
     // machine-health witness: jiffy counters at suite start, so the
@@ -146,7 +151,13 @@ object Bench {
       }
       if (!ok) windowContended = true
     }
-    if (only.isEmpty) gateWindow("pre", attempts = 5, backoffMs = 20000)
+    // the tunables govern EVERY gate point; the pre gate keeps its
+    // historical patience as a floor so default runs are unchanged
+    // and a deliberate clean-capture run (attempts=10, backoff=30)
+    // gets at least that much patience at the very first gate too
+    if (only.isEmpty) gateWindow("pre",
+      attempts = math.max(gateAttempts, 5),
+      backoffMs = math.max(gateBackoffMs, 20000L))
     var spark = newSession()
     // SESSION RECYCLING: a 200+ × 3-rep suite in ONE context
     // accumulates state no per-query cleanup reaches — shuffle files
@@ -172,6 +183,26 @@ object Bench {
     // median makes that distinguishable from a real plan regression.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .map(_.toInt).getOrElse(3).max(1)
+    // PER-ROW capture protection (r16): the window gate is
+    // per-gate-point, so a steal burst that starts and ends INSIDE a
+    // recycle stride still writes a lying row into a "clean" capture
+    // (r15 evidence: ivf_topk_merged 4.86 s in the committed clean
+    // capture vs 2.0-3.1 s in two independent windows, its reps
+    // monotone alongside 12-28% probe readings at the next gate
+    // point). The committed BENCH_FLOORS.json carries each row's
+    // reference floor (min of recent clean-capture medians); a row
+    // whose median exceeds RowOutlierFactor × floor triggers ONE
+    // post-row burn probe — hot reading ⇒ the row measured the
+    // neighbor: re-gate and re-measure that one row (bounded, once);
+    // cool reading ⇒ likely a real regression: keep it, but flag it
+    // in row_outliers so the capture self-documents either way.
+    val floors = loadFloors()
+    val rowOutlierFactor = sys.env.get("SPARK_GRAFT_ROW_OUTLIER")
+      .map(_.toDouble).getOrElse(RowOutlierFactor)
+    // (reps, probe reading, action) per flagged row — the original
+    // measurement stays visible next to the kept one
+    val rowOutliers = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Double], Option[Double], String)]
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -220,7 +251,7 @@ object Bench {
       // the discarded ones under "contended" in BENCH_DETAIL so both
       // captures stay visible. One retry only — a machine busy enough
       // to fail it twice should be visible in the numbers.
-      val (times, discarded) =
+      val (afterContention, discarded) =
         if (contended(firstPass)) {
           System.err.println(s"[bench] $name reps " +
             firstPass.map(t => f"$t%.1f").mkString("[", ", ", "]") +
@@ -234,12 +265,43 @@ object Bench {
           sinceRecycle = 1
           (measure(), Some(firstPass))
         } else (firstPass, None)
+      def medOf(ts: Seq[Double]): Double = ts.sorted.apply((runs - 1) / 2)
+      // the per-row floor check (doc above loadFloors' call): a
+      // uniform within-row burst inflates all reps together, which
+      // the SPREAD detector above cannot see — the floor can
+      var times = afterContention
+      if (only.isEmpty && times.forall(_ >= 0))
+        floors.get(name).foreach { fl =>
+          val m = medOf(times)
+          if (m > rowOutlierFactor * fl && m - fl > RowOutlierFloorSec) {
+            val p = burnProbe()
+            gateSeq += 1
+            p.foreach(v => probes += ((s"row$gateSeq", v)))
+            if (p.exists(_ > stealGatePct)) {
+              System.err.println(f"[bench] $name median $m%.2f s > " +
+                f"$rowOutlierFactor%.1fx floor $fl%.2f s with a hot " +
+                f"post-row probe (${p.get}%.1f%%) - re-gating and " +
+                "re-measuring this row")
+              spark.stop()
+              gateWindow("rowretry", gateAttempts, gateBackoffMs)
+              spark = newSession()
+              sinceRecycle = 1
+              val re = measure()
+              if (re.forall(_ >= 0)) {
+                rowOutliers += ((name, times, p, "remeasured"))
+                times = re
+              } else rowOutliers += ((name, times, p, "retry_failed"))
+            } else
+              // cool probe: the machine is NOT hot — this is the
+              // code's number; keep it, visibly flagged
+              rowOutliers += ((name, times, p, "kept"))
+          }
+        }
       // A crashed query must not contribute a plausible-looking
       // duration: any failed repeat poisons the whole entry (-1 +
       // errors listing) so the driver sees it.
       val ok = times.forall(_ >= 0)
-      val sorted = times.sorted
-      val med = if (ok) sorted((runs - 1) / 2) else -1.0
+      val med = if (ok) medOf(times) else -1.0
       (name, if (ok) times.head else -1.0, med, ok, times, discarded)
     }
     val steal = stealShare(jiffies0, readJiffies())
@@ -253,6 +315,20 @@ object Bench {
     val results = timed.map { case (n, cold, _, ok, _, _) => (n, cold, ok) }
     val medianTotal =
       if (timed.forall(_._4)) Some(timed.map(_._3).sum) else None
+    // value_clean: the defensible headline — the median-sum with the
+    // rows whose HOT-probe re-measure still reads past their floor
+    // excluded (named in clean_excluded, never silently dropped).
+    // Cool-probe flags stay IN: a quiet machine's number is the
+    // code's number, however slow. Absent when no floors file exists.
+    val hotFlagged = rowOutliers.collect {
+      case (n, _, _, a) if a != "kept" => n }.toSet
+    val cleanExcluded = timed.filter(t => hotFlagged.contains(t._1) &&
+      floors.get(t._1).exists(fl => t._3 > rowOutlierFactor * fl &&
+        t._3 - fl > RowOutlierFloorSec)).map(_._1)
+    val valueClean =
+      if (floors.isEmpty) None
+      else medianTotal.map(_ - timed.filter(t =>
+        cleanExcluded.contains(t._1)).map(_._3).sum)
     // the committed detail file records full suites only — a
     // SPARK_GRAFT_ONLY iteration run must not clobber the round's
     // per-query record (and its pointer fallback would then lie).
@@ -260,18 +336,29 @@ object Bench {
     // reader can tell a repeated measurement whose median happens to
     // equal its first run (the index-lifecycle queries rebuild from a
     // fresh temp dir each rep — they ARE repeated) from a run-once.
+    val detail = jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
+      withQueries = true, filteredRun = false, medianTotal = medianTotal,
+      queryMedians = Some(timed.map(t => (t._1, t._3))),
+      queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
+      contendedReps = Some(timed.collect {
+        case (n, _, _, _, _, Some(d)) => (n, d) }),
+      stealPct = steal, window = window,
+      burnProbes = Some(probes.toSeq), valueClean = valueClean,
+      cleanExcluded = Some(cleanExcluded),
+      rowOutliers = Some(rowOutliers.toSeq)) + "\n"
     if (only.isEmpty) java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_DETAIL.json"),
-      jsonLine(results, 6, Some(sfDir), dropEmptyErrs = false,
-        withQueries = true, filteredRun = false, medianTotal = medianTotal,
-        queryMedians = Some(timed.map(t => (t._1, t._3))),
-        queryRuns = Some((runs, timed.map(t => (t._1, t._5)))),
-        contendedReps = Some(timed.collect {
-          case (n, _, _, _, _, Some(d)) => (n, d) }),
-        stealPct = steal, window = window,
-        burnProbes = Some(probes.toSeq)) + "\n")
+      java.nio.file.Path.of("BENCH_DETAIL.json"), detail)
+    // the stable CLEAN artifact: whenever a full gated suite ends
+    // with every gate point satisfied, refresh BENCH_CLEAN.json so
+    // the trustworthy capture lives in the working tree (BASELINE.md:
+    // the 2x check should consume clean-window captures only) instead
+    // of git archaeology. Contended runs leave the last clean one.
+    if (only.isEmpty && window.contains("clean"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of("BENCH_CLEAN.json"), detail)
     println(fitLine(results, sfDir, filteredRun = only.isDefined,
-      medianTotal = medianTotal, stealPct = steal, window = window))
+      medianTotal = medianTotal, stealPct = steal, window = window,
+      valueClean = valueClean))
     // iteration aid: a filtered run's stdout JSON carries first-run
     // times only, but the load-robust per-query signal is the median —
     // print it to stderr so local SPARK_GRAFT_ONLY loops can read it
@@ -360,6 +447,28 @@ object Bench {
     */
   private[graft] val ContentionSpread = 3.0
   private[graft] val ContentionFloorSec = 2.0
+
+  /** Per-row floor trigger: median > factor × floor AND the gap
+    * clears [[RowOutlierFloorSec]] (a 2× excursion on a 0.2 s row is
+    * scheduling jitter a probe + re-measure costs more than it
+    * recovers). Factor 2 matches the driver's own 2× gate — a row
+    * past it is exactly a row that could spuriously fail the round.
+    */
+  private[graft] val RowOutlierFactor = 2.0
+  private[graft] val RowOutlierFloorSec = 0.75
+
+  /** The committed per-row reference floors — min of recent CLEAN
+    * captures' per-query medians (tools/make_bench_floors.py), the
+    * yardstick the per-row gate compares each median against. Flat
+    * `{"name": seconds}` JSON; absent file = no per-row gating (the
+    * feature degrades to the r15 behavior, never blocks a bench).
+    */
+  private[graft] def loadFloors(path: java.nio.file.Path =
+      java.nio.file.Path.of("BENCH_FLOORS.json")): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      .findAllMatchIn(java.nio.file.Files.readString(path))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   private[graft] def contended(reps: Seq[Double]): Boolean =
     reps.size >= 2 && reps.forall(_ >= 0) && {
       val mn = reps.min
@@ -387,24 +496,25 @@ object Bench {
                              budget: Int = StdoutBudget,
                              medianTotal: Option[Double] = None,
                              stealPct: Option[Double] = None,
-                             window: Option[String] = None): String = {
+                             window: Option[String] = None,
+                             valueClean: Option[Double] = None): String = {
     val sfBase = new java.io.File(sfDir).getName
     val candidates = Seq(
       jsonLine(results, 3, Some(sfDir), dropEmptyErrs = false,
         withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
-        window = window),
+        window = window, valueClean = valueClean),
       jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
         withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
-        window = window),
+        window = window, valueClean = valueClean),
       jsonLine(results, 1, Some(sfBase), dropEmptyErrs = true,
         withQueries = true, filteredRun, medianTotal, stealPct = stealPct,
-        window = window)) ++
+        window = window, valueClean = valueClean)) ++
       // the pointer form only makes sense when the detail file
       // describes THIS run (full suites only)
       (if (!filteredRun)
         Seq(jsonLine(results, 2, Some(sfBase), dropEmptyErrs = true,
           withQueries = false, filteredRun, medianTotal,
-          stealPct = stealPct, window = window))
+          stealPct = stealPct, window = window, valueClean = valueClean))
       else Nil)
     candidates.find(_.length <= budget).getOrElse(candidates.last)
   }
@@ -422,11 +532,29 @@ object Bench {
                               contendedReps: Option[Seq[(String, Seq[Double])]] = None,
                               stealPct: Option[Double] = None,
                               window: Option[String] = None,
-                              burnProbes: Option[Seq[(String, Double)]] = None): String = {
+                              burnProbes: Option[Seq[(String, Double)]] = None,
+                              valueClean: Option[Double] = None,
+                              cleanExcluded: Option[Seq[String]] = None,
+                              rowOutliers: Option[Seq[(String, Seq[Double], Option[Double], String)]] = None): String = {
     val total = results.collect { case (_, v, true) => v }.sum
     val filtered = if (filteredRun) """"filtered":true,""" else ""
     val med = medianTotal
       .map(m => s""""value_median":${fmt(m, prec)},""").getOrElse("")
+    // the defensible headline once the per-row floor gate ran: the
+    // median-sum minus any still-hot flagged rows (clean_excluded)
+    val clean = valueClean
+      .map(v => s""""value_clean":${fmt(v, prec)},""").getOrElse("")
+    val cleanEx = cleanExcluded.map(_.map("\"" + _ + "\"")
+      .mkString(""""clean_excluded":[""", ",", "],")).getOrElse("")
+    // every row the per-row floor gate flagged: the ORIGINAL reps,
+    // the post-row probe reading, and what was done about it
+    // ("remeasured" kept the re-run in queries_runs; "kept" means
+    // the probe read cool — likely a real regression, not noise)
+    val outliers = rowOutliers.map(_.map { case (k, ts, p, action) =>
+      "\"" + k + "\":{\"reps\":[" + ts.map(fmt(_, prec)).mkString(",") +
+        "]," + p.map(v => s""""probe_pct":${fmt(v, 2)},""").getOrElse("") +
+        s""""action":"$action"}""" }
+      .mkString(""""row_outliers":{""", ",", "},")).getOrElse("")
     val qs =
       if (withQueries)
         results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
@@ -461,6 +589,6 @@ object Bench {
     val errs = if (errList.isEmpty && dropEmptyErrs) ""
       else errList.mkString(""""errors":[""", ",", "],")
     val sfPart = sf.map(s => s""","sf":"$s"""").getOrElse("")
-    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$filtered$qs$qMed$qRuns$contendedPart$steal$win$burns$errs"n_queries":${results.size}$sfPart}"""
+    s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec",$med$clean$filtered$qs$qMed$qRuns$contendedPart$cleanEx$outliers$steal$win$burns$errs"n_queries":${results.size}$sfPart}"""
   }
 }

@@ -176,6 +176,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(fit.contains("\"window\":\"clean\""), fit)
   }
 
+  test("per-row floors: flat JSON loads, absent file degrades to " +
+    "empty, outlier fields ride the detail form") {
+    val dir = java.nio.file.Files.createTempDirectory("floors")
+    val p = dir.resolve("BENCH_FLOORS.json")
+    java.nio.file.Files.writeString(p,
+      "{\n \"q_a\": 0.25,\n \"q_b\": 12.5,\n \"q_c\": 3.0e-1\n}\n")
+    assert(Bench.loadFloors(p) ==
+      Map("q_a" -> 0.25, "q_b" -> 12.5, "q_c" -> 0.3))
+    assert(Bench.loadFloors(dir.resolve("missing.json")).isEmpty)
+    // the repo's committed floors file parses and covers the suite
+    val committed = Bench.loadFloors()
+    assert(committed.nonEmpty && committed.valuesIterator.forall(_ > 0))
+    val line = Bench.jsonLine(Seq(("q_a", 1.0, true)), 6, Some("/sf"),
+      dropEmptyErrs = false, withQueries = true, filteredRun = false,
+      valueClean = Some(41.5), cleanExcluded = Some(Seq("q_b")),
+      rowOutliers = Some(Seq(
+        ("q_b", Seq(4.9, 5.2, 5.4), Some(14.2), "remeasured"),
+        ("q_d", Seq(3.1, 3.0, 3.2), None, "kept"))))
+    assert(line.contains(""""value_clean":41.500000"""), line)
+    assert(line.contains(""""clean_excluded":["q_b"]"""), line)
+    assert(line.contains(""""row_outliers":{"q_b":{"reps":""" +
+      """[4.900000,5.200000,5.400000],"probe_pct":14.20,""" +
+      """"action":"remeasured"},"q_d":{"reps":""" +
+      """[3.100000,3.000000,3.200000],"action":"kept"}}"""), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+    // none requested -> none of the three fields appear
+    val bare = Bench.jsonLine(Seq(("q_a", 1.0, true)), 3, None,
+      dropEmptyErrs = true, withQueries = true, filteredRun = false)
+    assert(!bare.contains("value_clean") && !bare.contains("row_outliers"),
+      bare)
+  }
+
   test("burn probe reads an under-load steal share on Linux") {
     // quick probe: the VALUE is the host's business; the contract is
     // a present, finite, sane percentage (this host exposes
