@@ -3244,7 +3244,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding",
-        idx, model = Some(model))
+        idx)
       graft.pipeline.Ivf.searchCodesFiltered(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.where(col("vec_id") < 10), "embedding", "vec_id", model,
@@ -3346,8 +3346,7 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf8_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
-        model = Some(model))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.searchCodes(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -3370,7 +3369,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idx, model = Some(model))
+          "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.appendToIndexInt8(emb.where(col("vec_id") > half),
         "embedding", model, idx)
       graft.pipeline.Ivf.searchCodes(
@@ -4052,8 +4051,7 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf_scroll")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
-        model = Some(model))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.tombstoneVectors(s, idx,
         emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
       val filt = Some(col("vec_id") % 2 === 0)
@@ -4079,8 +4077,7 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivf_count")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
-        model = Some(model))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.tombstoneVectors(s, idx,
         emb.where(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.countIndex(s, idx, "vec_id",
@@ -4444,7 +4441,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
-          model), "embedding", idx, model = Some(model))
+          model), "embedding", idx)
       graft.pipeline.Ivf.deleteVectors(s, idx,
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchBqIndex(
@@ -4469,7 +4466,7 @@ object Queries {
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexInt8(
         graft.pipeline.Ivf.assign(emb.unionByName(decoys), "embedding",
-          model), "embedding", idx, model = Some(model))
+          model), "embedding", idx)
       graft.pipeline.Ivf.deleteVectors(s, idx,
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchCodes(
@@ -6066,8 +6063,7 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivfbq_idx")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
-        model = Some(model))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.searchBqIndex(
           graft.pipeline.Ivf.readIndex(s, idx), emb,
           emb.where(col("vec_id") < 10), "embedding", "vec_id",
@@ -6088,7 +6084,7 @@ object Queries {
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
       graft.pipeline.Ivf.writeIndexBq(
         graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idx, model = Some(model))
+          "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.appendToIndexBq(emb.where(col("vec_id") > half),
         "embedding", model, idx)
       graft.pipeline.Ivf.searchBqIndex(
@@ -6113,8 +6109,7 @@ object Queries {
       val idx = graft.core.Scratch.dir("ivfbq_filt")
         .resolve("index").toString
       graft.pipeline.Ivf.writeIndexBq(
-        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx,
-        model = Some(model))
+        graft.pipeline.Ivf.assign(emb, "embedding", model), "embedding", idx)
       graft.pipeline.Ivf.searchBqIndexFiltered(
           graft.pipeline.Ivf.readIndex(s, idx),
           emb.select(col("vec_id"), col("embedding")),
