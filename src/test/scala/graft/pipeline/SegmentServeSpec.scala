@@ -23,6 +23,62 @@ class SegmentServeSpec extends SparkTestBase {
   private def rset(df: org.apache.spark.sql.DataFrame, cols: String*) =
     df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
 
+  test("seg=N fast path: single-relation serve == per-segment serve; " +
+    "a live tombstone sidecar falls back to per-segment masks") {
+    // the r16 single-relation fast path triggers on >1 tombstone-free
+    // seg=<id> roots under one parent — exactly what the streamed
+    // write path produces; this pins (a) fast == slow results and
+    // (b) a tombstoned segment dropping back to the masked path
+    val model = Ivf.train(emb, "embedding", "vec_id", nlist = 8, iters = 2)
+    val root = tmp("segfp").resolve("segments").toString
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    graft.streaming.StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") <= half), "embedding", root, model, 0L)
+    graft.streaming.StreamingSegments.processBatch(spark,
+      emb.where(col("vec_id") > half), "embedding", root, model, 1L)
+    val segs = graft.streaming.StreamingSegments.segmentRoots(spark, root)
+    def serve() = Ivf.searchCodes(
+        Ivf.readSegmentsServing(spark, segs, "vec_id", model),
+        emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+        k = 4, nprobe = 8)
+      .select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the fast path must serve the same columns and rows as a
+    // single-segment (slow-path-shaped) serve of the union corpus
+    val one = tmp("segfp1").resolve("segments").toString
+    graft.streaming.StreamingSegments.processBatch(spark, emb,
+      "embedding", one, model, 0L)
+    val fast = serve()
+    val single = Ivf.searchCodes(
+        Ivf.readSegmentsServing(spark,
+          graft.streaming.StreamingSegments.segmentRoots(spark, one),
+          "vec_id", model),
+        emb.where(col("vec_id") < 3), "embedding", "vec_id", model,
+        k = 4, nprobe = 8)
+      .select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == single && fast.nonEmpty)
+    // schema parity: no partition-column leakage from the fast path
+    assert(Ivf.readSegmentsServing(spark, segs, "vec_id", model)
+      .columns.sorted.toSeq ==
+      Ivf.readSegmentsServing(spark,
+        graft.streaming.StreamingSegments.segmentRoots(spark, one),
+        "vec_id", model).columns.sorted.toSeq)
+    // tombstone one segment: the serve must fall back to per-segment
+    // masks and stop serving the masked ids
+    val deadIds = emb.where(col("vec_id") > half).limit(5)
+      .select(col("vec_id"))
+    Ivf.tombstoneVectors(spark, segs.last, deadIds, "vec_id")
+    val dead = deadIds.collect().map(_.getLong(0)).toSet
+    val masked = serve()
+    assert(masked.forall { case (_, nid, _) => !dead.contains(nid) },
+      "a tombstoned id served through the fast path - the fallback " +
+        "did not trigger")
+    val n = Ivf.readSegmentsServing(spark, segs, "vec_id", model).count()
+    assert(n == emb.count() - dead.size,
+      s"masked serve row count drifted: $n")
+  }
+
   test("sparse segments serve == physically merged serve (with masks)") {
     val base = tmp("segsp")
     val a = base.resolve("a").toString
