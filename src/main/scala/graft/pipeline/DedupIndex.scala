@@ -197,6 +197,44 @@ object DedupIndex {
     }
   }
 
+  /** Fused [[probe]] + [[appendNovel]] — the probeAndAppend shape the
+    * OTHER index tiers (NearDup/PHash/Embed) already expose, closing
+    * the one gap: the separate entry points each run their own
+    * fingerprint scan, gate aggregation, and bucket/page-pruned index
+    * read, so a streamed per-microbatch probe→append pair paid every
+    * fixed cost twice. Here ONE pinned probeRaw serves both: the
+    * decisions are bit-identical to [[probe]]'s and the appended rows
+    * bit-identical to [[appendNovel]]'s under the same call order
+    * (spec-pinned), including first contact — a missing/empty layout
+    * probes all-novel and the append CREATES it with exactly
+    * [[writeIndex]]'s (fp, min-id keeper) rows. The returned frame
+    * rides the call's pinned scan (same post-compaction snapshot
+    * semantics as [[probe]]); the caller must release it with
+    * [[graft.core.Pinned.release]] after its terminal action — the
+    * fused form cannot release internally, per-microbatch callers
+    * otherwise accumulate dead pinned blocks.
+    */
+  def probeAndAppend(spark: SparkSession, path: String, docs: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    graft.core.DirSwap.recoverAt(spark, path) // see probe
+    val fps = fpsOf(docs, textCol, idCol)
+    val out = withFpPushdown(spark) {
+      val raw = probeRaw(spark, path, fps).localCheckpoint(true)
+      val novel = raw.where(col("idx_keep").isNull)
+        .groupBy(col("fp")).agg(min(col("batch_keep")).as("doc"))
+        .withColumn("bucket", bucketOf(col("fp")))
+      // zero-row-append empty-guard, as in [[appendNovel]]
+      if (!novel.isEmpty)
+        novel.repartition(IndexBuckets, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(path)
+      raw.withColumn("keep_id", coalesce(col("idx_keep"), col("batch_keep")))
+        .withColumn("dup", col("keep_id") =!= col("doc"))
+        .select(col("doc"), col("fp"), col("keep_id"), col("dup"))
+    }
+    graft.core.Pinned.release(fps)
+    out
+  }
+
   /** Append the increment's NOVEL fingerprints (not in the index) as
     * one (fp, min-id) row each. Disjoint-increment contract as the
     * IVF/BM25 appends: a doc must appear in exactly one increment.

@@ -32,27 +32,17 @@ object StreamingExactDedup {
                    idCol: String, indexPath: String,
                    outPath: String): Unit = {
     if (batch.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val kept =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
-        // first batch: the index IS this batch's distinct fps; keepers
-        // are the batch's own min-id holders
-        DedupIndex.writeIndex(spark, batch, textCol, idCol, indexPath)
-        batch.select(col(idCol).as("doc"),
-            graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fp"))
-          .withColumn("keep",
-            min(col("doc")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("fp"))))
-          .where(col("doc") === col("keep"))
-          .select(col("doc"))
-      } else {
-        val decisions = DedupIndex.probe(spark, indexPath, batch,
-          textCol, idCol)
-        DedupIndex.appendNovel(spark, batch, textCol, idCol, indexPath)
-        decisions.where(!col("dup")).select(col("doc"))
-      }
-    kept.write.mode(SaveMode.Append).parquet(outPath)
+    // one fused probe+append per batch (ONE fingerprint scan, ONE
+    // index read — the separate probe-then-appendNovel pair paid both
+    // twice per microbatch), which also covers first contact: a
+    // missing layout probes all-novel, every doc's keeper is the
+    // batch's own min-id holder, and the append creates the index —
+    // exactly the old writeIndex + window first-batch branch
+    val decisions = DedupIndex.probeAndAppend(spark, indexPath, batch,
+      textCol, idCol)
+    decisions.where(!col("dup")).select(col("doc"))
+      .write.mode(SaveMode.Append).parquet(outPath)
+    graft.core.Pinned.release(decisions)
   }
 
   /** Stream the documents table through the incremental exact dedup;

@@ -206,4 +206,52 @@ class DedupIndexSpec extends SparkTestBase {
     assert(before.find(_._1 == 100L).get == ((100L, 0L, true)))
   }
 
+  test("probeAndAppend ≡ probe-then-appendNovel, incl. first contact") {
+    val docs = corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc", "fp", "keep_id", "dup").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    def indexRows(idx: String) = spark.read.parquet(idx)
+      // the partition dir value infers as int — normalize for compare
+      .select(col("fp"), col("doc"), col("bucket").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val incs = Seq(0L -> 10L, 10L -> 20L, 20L -> 30L).map { case (lo, hi) =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    // separate-call reference: probe (absent on first contact — the
+    // old first-batch path built then window-kept) then appendNovel
+    val idxA = java.nio.file.Files.createTempDirectory("dfuse_a")
+      .resolve("index").toString
+    val refDecisions = incs.zipWithIndex.map { case (inc, i) =>
+      val d = if (i == 0) None
+        else Some(rows(DedupIndex.probe(spark, idxA, inc, "text", "doc_id")))
+      if (i == 0) DedupIndex.writeIndex(spark, inc, "text", "doc_id", idxA)
+      else DedupIndex.appendNovel(spark, inc, "text", "doc_id", idxA)
+      d
+    }
+    // fused calls, first contact included
+    val idxB = java.nio.file.Files.createTempDirectory("dfuse_b")
+      .resolve("index").toString
+    val fused = incs.map { inc =>
+      val d = DedupIndex.probeAndAppend(spark, idxB, inc, "text", "doc_id")
+      val out = rows(d)
+      graft.core.Pinned.release(d)
+      out
+    }
+    // same decisions on every increment the separate path probed
+    refDecisions.zip(fused).foreach {
+      case (Some(ref), got) => assert(got == ref, "fused decisions drifted")
+      case (None, got) =>
+        // first contact: every keeper is the batch's own min-id holder
+        got.foreach { case (doc, _, keep, dup) =>
+          assert(dup == (keep != doc))
+          assert(got.exists(r => r._1 == keep && !r._4)) }
+    }
+    // same persisted layout, row for row (bucket included)
+    assert(indexRows(idxB) == indexRows(idxA),
+      "fused append must persist exactly appendNovel's layout")
+  }
+
 }
