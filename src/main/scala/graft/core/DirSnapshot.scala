@@ -53,14 +53,40 @@ object DirSnapshot {
     }
   }
 
+  /** Recursive tree copy with the per-FILE byte copies run on a
+    * bounded driver-side pool: the walk (directory creation order)
+    * stays sequential, but a layout is hundreds of small immutable
+    * parquet files and copying them one at a time left the copy
+    * latency-bound on per-file open/close — measured ~10% of a
+    * whole *_restored drill row. Failure semantics unchanged: every
+    * copy is awaited and the first failure propagates (the caller's
+    * tmp dir is garbage either way until its final rename).
+    */
   private def copyTree(fs: FileSystem, from: Path, to: Path): Unit = {
-    fs.mkdirs(to)
-    fs.listStatus(from).foreach { st =>
-      val t = new Path(to, st.getPath.getName)
-      if (st.isDirectory) copyTree(fs, st.getPath, t)
-      else require(FileUtil.copy(fs, st.getPath, fs, t, false, false,
-        fs.getConf), s"snapshot copy failed: ${st.getPath}")
+    val files = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def walk(f: Path, t: Path): Unit = {
+      fs.mkdirs(t)
+      fs.listStatus(f).foreach { st =>
+        val tt = new Path(t, st.getPath.getName)
+        if (st.isDirectory) walk(st.getPath, tt)
+        else files += ((st.getPath, tt))
+      }
     }
+    walk(from, to)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futs = files.map { case (src, dst) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            require(FileUtil.copy(fs, src, fs, dst, false, false,
+              fs.getConf), s"snapshot copy failed: $src")
+        })
+      }
+      futs.foreach(_.get()) // await all; rethrows the first failure
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** Capture `layoutRoot` into `snapDir`. Refuses to overwrite an

@@ -1678,10 +1678,12 @@ object Queries {
       val base = graft.core.Scratch.dir("dedup_fp_merge")
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
-      graft.pipeline.DedupIndex.writeIndex(s,
-        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", shardA)
-      graft.pipeline.DedupIndex.writeIndex(s,
-        docs.where(col("doc_id") % 3 === 1), "text", "doc_id", shardB)
+      // parallel shard builds (disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.DedupIndex.writeIndex(s,
+          docs.where(col("doc_id") % 3 === 0), "text", "doc_id", shardA),
+        () => graft.pipeline.DedupIndex.writeIndex(s,
+          docs.where(col("doc_id") % 3 === 1), "text", "doc_id", shardB))
       val report = graft.pipeline.DedupIndex.mergeInto(s, shardA, shardB)
       graft.pipeline.DedupIndex.compactIndex(s, shardA)
       report.unionByName(
@@ -3647,10 +3649,13 @@ object Queries {
       val decoys = emb.where(col("vec_id") < 4)
         .select(((col("vec_id") / 2).cast("long") + 90000000L).as("doc"),
           col("embedding").as("vec"))
-      graft.pipeline.MultiVector.writeIndex(s,
-        docVecs.where(col("doc") <= midDoc), model, rootA)
-      graft.pipeline.MultiVector.writeIndex(s,
-        docVecs.where(col("doc") > midDoc).unionByName(decoys), model, rootB)
+      // parallel shard builds (disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.MultiVector.writeIndex(s,
+          docVecs.where(col("doc") <= midDoc), model, rootA),
+        () => graft.pipeline.MultiVector.writeIndex(s,
+          docVecs.where(col("doc") > midDoc).unionByName(decoys), model,
+          rootB))
       graft.pipeline.MultiVector.tombstoneDocs(s, rootB,
         decoys.select(col("doc")).distinct())
       graft.pipeline.MultiVector.searchSegments(s, Seq(rootA, rootB),
@@ -3980,10 +3985,12 @@ object Queries {
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val mid = docVecs.agg(max(col("doc"))).head().getLong(0) / 2
-      graft.pipeline.MultiVector.writeIndex(s,
-        docVecs.where(col("doc") <= mid), model, shardA)
-      graft.pipeline.MultiVector.writeIndex(s,
-        docVecs.where(col("doc") > mid), model, shardB)
+      // parallel shard builds (disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.MultiVector.writeIndex(s,
+          docVecs.where(col("doc") <= mid), model, shardA),
+        () => graft.pipeline.MultiVector.writeIndex(s,
+          docVecs.where(col("doc") > mid), model, shardB))
       graft.pipeline.MultiVector.mergeInto(s, shardA, shardB)
       graft.pipeline.MultiVector.searchIndex(s, shardA, queryVecs, model,
           k = 5, nprobe = 16,
@@ -4177,12 +4184,14 @@ object Queries {
       val idxA = root.resolve("shardA").toString
       val idxB = root.resolve("shardB").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
-          "embedding", model), "embedding", idxA, model = Some(model))
-      graft.pipeline.Ivf.writeIndexInt8(
-        graft.pipeline.Ivf.assign(emb.where(col("vec_id") > half),
-          "embedding", model), "embedding", idxB, model = Some(model))
+      // parallel shard builds (disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.Ivf.writeIndexInt8(
+          graft.pipeline.Ivf.assign(emb.where(col("vec_id") <= half),
+            "embedding", model), "embedding", idxA, model = Some(model)),
+        () => graft.pipeline.Ivf.writeIndexInt8(
+          graft.pipeline.Ivf.assign(emb.where(col("vec_id") > half),
+            "embedding", model), "embedding", idxB, model = Some(model)))
       graft.pipeline.Ivf.mergeInto(s, idxA, idxB)
       graft.pipeline.Ivf.searchCodes(
           graft.pipeline.Ivf.readIndex(s, idxA),
@@ -4213,12 +4222,12 @@ object Queries {
         emb.where(col("vec_id") > 2 * mx / 3))
       val decoys = emb.where(col("vec_id") < 10)
         .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
-      parts.zip(segs).foreach { case (p, seg) =>
+      parts.zip(segs).map { case (p, seg) =>
         val rows = if (seg.endsWith("segC")) p.unionByName(decoys) else p
-        graft.pipeline.Ivf.writeIndexInt8(
+        () => graft.pipeline.Ivf.writeIndexInt8(
           graft.pipeline.Ivf.assign(rows, "embedding", model),
           "embedding", seg, model = Some(model))
-      }
+      } match { case bs => graft.core.Par.all(bs: _*) }
       graft.pipeline.Ivf.tombstoneVectors(s, segs(2),
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchCodes(
@@ -4303,13 +4312,15 @@ object Queries {
       val decoys = emb.where(col("vec_id") < 6)
         .select((col("vec_id") * 2L + 90000000L).as("vec_id"),
           col("embedding"), lit(3).as("label"))
-      parts.zip(segs).foreach { case (p, seg) =>
+      parts.zip(segs).map { case (p, seg) =>
         val rows = if (seg.endsWith("segC")) p.unionByName(decoys) else p
-        graft.pipeline.Ivf.writeIndex(
-          graft.pipeline.Ivf.assign(rows, "embedding", model), seg)
-        graft.pipeline.Ivf.saveModel(s, model,
-          graft.pipeline.Ivf.modelPath(seg))
-      }
+        () => {
+          graft.pipeline.Ivf.writeIndex(
+            graft.pipeline.Ivf.assign(rows, "embedding", model), seg)
+          graft.pipeline.Ivf.saveModel(s, model,
+            graft.pipeline.Ivf.modelPath(seg))
+        }
+      } match { case bs => graft.core.Par.all(bs: _*) }
       graft.pipeline.Ivf.tombstoneVectors(s, segs(2),
         decoys.select(col("vec_id")), "vec_id")
       graft.pipeline.Ivf.searchGrouped(
@@ -4984,10 +4995,13 @@ object Queries {
       val a = corpus.where(col("id") % 3 === 0)
       val b = corpus.where(col("id") % 3 === 1)
       val c = corpus.where(col("id") % 3 === 2)
-      val p0 = graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
-        shardA, maxDist = 6)
-      val p1 = graft.pipeline.PHashIndex.buildWithPairs(s, b, "bytes", "id",
-        shardB, maxDist = 6)
+      // parallel shard builds (disjoint roots, no conf mutation; the
+      // returned pair frames are pinned snapshots)
+      val (p0, p1) = graft.core.Par.both(
+        () => graft.pipeline.PHashIndex.buildWithPairs(s, a, "bytes", "id",
+          shardA, maxDist = 6),
+        () => graft.pipeline.PHashIndex.buildWithPairs(s, b, "bytes", "id",
+          shardB, maxDist = 6))
       val cross = graft.pipeline.PHashIndex.mergeInto(s, shardA, shardB,
         maxDist = 6)
       graft.pipeline.PHashIndex.compactIndex(s, shardA)
@@ -6513,10 +6527,13 @@ object Queries {
       val idxA = root.resolve("shardA").toString
       val idxB = root.resolve("shardB").toString
       val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-      graft.pipeline.Bm25.writeIndex(s, docs.where(col("doc_id") <= half),
-        "text", "doc_id", idxA)
-      graft.pipeline.Bm25.writeIndex(s, docs.where(col("doc_id") > half),
-        "text", "doc_id", idxB)
+      // the shard builds are the row's parallel-build topology — run
+      // them as such (disjoint roots, no conf mutation: Par contract)
+      graft.core.Par.all(
+        () => graft.pipeline.Bm25.writeIndex(s,
+          docs.where(col("doc_id") <= half), "text", "doc_id", idxA),
+        () => graft.pipeline.Bm25.writeIndex(s,
+          docs.where(col("doc_id") > half), "text", "doc_id", idxB))
       graft.pipeline.Bm25.mergeInto(s, idxA, idxB)
       graft.pipeline.Bm25.searchIndex(s, idxA,
           Seq(0L -> "hash join", 1L -> "fast table scan",
@@ -6539,9 +6556,9 @@ object Queries {
         docs.where(col("doc_id") <= mx / 3),
         docs.where(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
         docs.where(col("doc_id") > 2 * mx / 3)
-      ).zip(segs).foreach { case (p, seg) =>
-        graft.pipeline.Bm25.writeIndex(s, p, "text", "doc_id", seg)
-      }
+      ).zip(segs).map { case (p, seg) =>
+        () => graft.pipeline.Bm25.writeIndex(s, p, "text", "doc_id", seg)
+      } match { case bs => graft.core.Par.all(bs: _*) }
       graft.pipeline.Bm25.searchSegments(s, segs,
           Seq(0L -> "hash join", 1L -> "fast table scan",
             2L -> "merge sort window"), k = 10)
@@ -6665,10 +6682,12 @@ object Queries {
       val shardA = base.resolve("a").toString
       val shardB = base.resolve("b").toString
       val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
-        emb.where(col("vec_id") <= half), "embedding", "vec_id"), shardA)
-      graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
-        emb.where(col("vec_id") > half), "embedding", "vec_id"), shardB)
+      // parallel shard builds (disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+          emb.where(col("vec_id") <= half), "embedding", "vec_id"), shardA),
+        () => graft.pipeline.Sparse.writeIndex(graft.pipeline.Sparse.sparsify(
+          emb.where(col("vec_id") > half), "embedding", "vec_id"), shardB))
       graft.pipeline.Sparse.mergeInto(s, shardA, shardB)
       graft.pipeline.Sparse.searchIndex(s, shardA,
           graft.pipeline.Sparse.sparsify(
@@ -6736,10 +6755,10 @@ object Queries {
         emb.where(col("vec_id") <= mx / 3),
         emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
         emb.where(col("vec_id") > 2 * mx / 3).unionByName(decoys)
-      ).zip(segs).foreach { case (p, seg) =>
-        graft.pipeline.Sparse.writeIndex(
+      ).zip(segs).map { case (p, seg) =>
+        () => graft.pipeline.Sparse.writeIndex(
           graft.pipeline.Sparse.sparsify(p, "embedding", "vec_id"), seg)
-      }
+      } match { case bs => graft.core.Par.all(bs: _*) }
       graft.pipeline.Sparse.tombstoneDocs(s, segs(2),
         decoys.select(col("vec_id").as("doc")))
       graft.pipeline.Sparse.searchSegments(s, segs,
@@ -6770,10 +6789,10 @@ object Queries {
         emb.where(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3)
           .unionByName(decoys),
         emb.where(col("vec_id") > 2 * mx / 3)
-      ).zip(segs).foreach { case (p, seg) =>
-        graft.pipeline.Sparse.writeIndex(
+      ).zip(segs).map { case (p, seg) =>
+        () => graft.pipeline.Sparse.writeIndex(
           graft.pipeline.Sparse.sparsify(p, "embedding", "vec_id"), seg)
-      }
+      } match { case bs => graft.core.Par.all(bs: _*) }
       graft.pipeline.Sparse.tombstoneDocs(s, segs(1),
         decoys.select(col("vec_id").as("doc")))
       graft.pipeline.Sparse.searchSegments(s, segs,
@@ -7064,10 +7083,13 @@ object Queries {
       val a = emb.where(col("vec_id") % 3 === 0)
       val b = emb.where(col("vec_id") % 3 === 1)
       val c = emb.where(col("vec_id") % 3 === 2)
-      val p0 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
-        "embedding", "vec_id", shardA, dim = 64, bits = 8)
-      val p1 = graft.pipeline.EmbedDedupIndex.buildWithPairs(s, b,
-        "embedding", "vec_id", shardB, dim = 64, bits = 8)
+      // parallel shard builds (disjoint roots, no conf mutation; the
+      // returned pair frames are pinned snapshots)
+      val (p0, p1) = graft.core.Par.both(
+        () => graft.pipeline.EmbedDedupIndex.buildWithPairs(s, a,
+          "embedding", "vec_id", shardA, dim = 64, bits = 8),
+        () => graft.pipeline.EmbedDedupIndex.buildWithPairs(s, b,
+          "embedding", "vec_id", shardB, dim = 64, bits = 8))
       val cross = graft.pipeline.EmbedDedupIndex.mergeInto(s, shardA, shardB)
       graft.pipeline.EmbedDedupIndex.compactIndex(s, shardA)
       val p2 = graft.pipeline.EmbedDedupIndex.probeAndAppend(s, shardA, c,
@@ -7434,12 +7456,17 @@ object Queries {
       // past the vec-id domain, and a docs-max midpoint would leave
       // shard B's dense side empty
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      graft.pipeline.Hybrid.writeIndex(s,
-        docs.where(col("doc_id") <= mid), "text", "doc_id",
-        emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootA)
-      graft.pipeline.Hybrid.writeIndex(s,
-        docs.where(col("doc_id") > mid), "text", "doc_id",
-        emb.where(col("vec_id") > mid), "vec_id", "embedding", model, rootB)
+      // parallel paired-shard builds (each is itself bothSides-
+      // concurrent; disjoint roots, no conf mutation)
+      graft.core.Par.all(
+        () => graft.pipeline.Hybrid.writeIndex(s,
+          docs.where(col("doc_id") <= mid), "text", "doc_id",
+          emb.where(col("vec_id") <= mid), "vec_id", "embedding", model,
+          rootA),
+        () => graft.pipeline.Hybrid.writeIndex(s,
+          docs.where(col("doc_id") > mid), "text", "doc_id",
+          emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
+          rootB))
       graft.pipeline.Hybrid.mergeInto(s, rootA, rootB)
       graft.pipeline.Hybrid.searchIndex(s, rootA,
           Seq(0L -> "hash join", 1L -> "fast table scan",
@@ -7465,12 +7492,16 @@ object Queries {
       val rootB = base.resolve("shardB").toString
       // split on the SHARED id range (the hybrid_topk_merged lesson)
       val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
-      graft.pipeline.Hybrid.writeIndex(s,
-        docs.where(col("doc_id") <= mid), "text", "doc_id",
-        emb.where(col("vec_id") <= mid), "vec_id", "embedding", model, rootA)
-      graft.pipeline.Hybrid.writeIndex(s,
-        docs.where(col("doc_id") > mid), "text", "doc_id",
-        emb.where(col("vec_id") > mid), "vec_id", "embedding", model, rootB)
+      // parallel paired-shard builds (the hybrid_topk_merged pattern)
+      graft.core.Par.all(
+        () => graft.pipeline.Hybrid.writeIndex(s,
+          docs.where(col("doc_id") <= mid), "text", "doc_id",
+          emb.where(col("vec_id") <= mid), "vec_id", "embedding", model,
+          rootA),
+        () => graft.pipeline.Hybrid.writeIndex(s,
+          docs.where(col("doc_id") > mid), "text", "doc_id",
+          emb.where(col("vec_id") > mid), "vec_id", "embedding", model,
+          rootB))
       graft.pipeline.Hybrid.searchSegments(s, Seq(rootA, rootB),
           Seq(0L -> "hash join", 1L -> "fast table scan",
             2L -> "merge sort window"),
